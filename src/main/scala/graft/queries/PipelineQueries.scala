@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.Tables
+import graft.ops.{Aggregations, Cleaning, Derivations}
+
+/** The reference pipeline's operator surface (SURVEY.md §2: P1–P7, E1–E11,
+  * A1–A4) declared as oracle-checked queries over the driver testdata.
+  *
+  * The `events` table plays the bronze transaction stream (FIXTURES.md §4):
+  * event_id→transaction_id, user_id→customer_id, value→amount,
+  * ts→transaction_date, event_type→transaction_type.
+  *
+  * Timestamps are truncated to seconds at the source view: the parquet stores
+  * nanosecond precision, which Spark (micros) and DuckDB read differently;
+  * second truncation makes both engines agree exactly, mirroring the
+  * reference's second-granularity `yyyy-MM-dd HH:mm:ss` dates.
+  */
+object PipelineQueries extends QueryPack {
+
+  /** Bronze view: events projected into the transaction shape. */
+  def transactions(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events").select(
+      col("event_id").cast(StringType).as("transaction_id"),
+      col("user_id").cast(StringType).as("customer_id"),
+      col("value").as("amount"),
+      date_trunc("second", col("ts")).as("transaction_date"),
+      col("event_type").as("transaction_type"))
+
+  private val txSql =
+    """tx AS (
+      |  SELECT CAST(event_id AS VARCHAR) AS transaction_id,
+      |         CAST(user_id AS VARCHAR) AS customer_id,
+      |         value AS amount,
+      |         date_trunc('second', ts) AS transaction_date,
+      |         event_type AS transaction_type
+      |  FROM events
+      |)""".stripMargin
+
+  /** Silver pipeline: P2+P3 filters → P1 dedup (deterministic variant) →
+    * E4 quality score → E6 date parts → E7/E8 buckets.
+    * (E5 processed_timestamp and gold created_at are wall-clock columns — they
+    * live in the job layer, [[graft.jobs]], not in oracle-compared queries.)
+    */
+  def cleaned(spark: SparkSession, dir: String): DataFrame = {
+    val tx = transactions(spark, dir)
+    val filtered = Cleaning.positiveAmount(
+      Cleaning.requireNonNull(tx,
+        Seq("transaction_id", "customer_id", "amount", "transaction_date")))
+    val deduped = Cleaning.dedupDeterministic(filtered, "transaction_id",
+      Seq(col("transaction_date"), col("amount"), col("customer_id")))
+    Derivations.withIntegralityTag(
+      Derivations.withAmountCategory(
+        Derivations.withDateParts(
+          Derivations.withQualityScore(deduped))))
+  }
+
+  /** Shared oracle CTE chain mirroring [[cleaned]]. */
+  private val cleanedSql =
+    s"""WITH $txSql, filtered AS (
+       |  SELECT * FROM tx
+       |  WHERE transaction_id IS NOT NULL AND customer_id IS NOT NULL
+       |    AND amount IS NOT NULL AND transaction_date IS NOT NULL
+       |    AND amount > 0
+       |), deduped AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY transaction_id
+       |      ORDER BY transaction_date, amount, customer_id) AS __rn
+       |    FROM filtered) WHERE __rn = 1
+       |), cleaned AS (
+       |  SELECT transaction_id, customer_id, amount, transaction_date,
+       |    transaction_type,
+       |    CAST(1.0 AS DOUBLE) AS data_quality_score,
+       |    CAST(year(transaction_date) AS INTEGER) AS year,
+       |    CAST(month(transaction_date) AS INTEGER) AS month,
+       |    CAST(day(transaction_date) AS INTEGER) AS day,
+       |    CAST(hour(transaction_date) AS INTEGER) AS hour,
+       |    CASE WHEN amount < 100 THEN 'small'
+       |         WHEN amount < 1000 THEN 'medium'
+       |         ELSE 'large' END AS amount_category,
+       |    CASE WHEN amount = trunc(amount) THEN 'whole_number'
+       |         ELSE 'decimal' END AS transaction_type_derived
+       |  FROM deduped
+       |)""".stripMargin
+
+  // decimal→varchar→double: see Aggregations.sumStable for why the string hop
+  private val stableSum =
+    "CAST(CAST(SUM(CAST(amount AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+  private val aggMeasuresSql =
+    s"""COUNT(transaction_id) AS transaction_count,
+       |  $stableSum AS total_amount,
+       |  $stableSum / COUNT(amount) AS avg_amount,
+       |  MIN(amount) AS min_amount,
+       |  MAX(amount) AS max_amount,
+       |  COUNT(DISTINCT transaction_id) AS unique_transactions""".stripMargin
+
+  override def queries: Map[String, Query] = Map(
+    "p_parse_timestamp" -> ((s, dir) =>
+      // E1: string→timestamp parse with null-on-failure semantics
+      // (bronze_to_silver.py:123). Round-trips ts through the reference's
+      // wire format.
+      Tables.load(s, dir, "events").select(
+        col("event_id"),
+        to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+          "yyyy-MM-dd HH:mm:ss").as("parsed_ts"))
+        .orderBy(col("event_id"))),
+
+    "p_clean_transactions" -> ((s, dir) =>
+      cleaned(s, dir).orderBy(col("transaction_id"))),
+
+    "p_daily_agg" -> ((s, dir) =>
+      Aggregations.daily(cleaned(s, dir))
+        .orderBy(col("year"), col("month"), col("day"), col("customer_id"))),
+
+    "p_monthly_agg" -> ((s, dir) =>
+      Aggregations.monthly(cleaned(s, dir))
+        .orderBy(col("year"), col("month"), col("customer_id"))),
+
+    "p_customer_insights" -> ((s, dir) =>
+      Aggregations.customerInsights(cleaned(s, dir))
+        .orderBy(col("customer_id"))),
+
+    "p_quality_counts" -> ((s, dir) => {
+      // A4/P6: conservation metrics — initial vs post-clean row counts
+      // (bronze_to_silver.py:30,47,118). One row.
+      val initial = transactions(s, dir).agg(count(lit(1)).as("initial_count"))
+      val fin = cleaned(s, dir).agg(count(lit(1)).as("final_count"))
+      initial.crossJoin(fin)
+    }))
+
+  override def oracleSql: Map[String, String] = Map(
+    "p_parse_timestamp" ->
+      """SELECT event_id,
+        |  strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed_ts
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p_clean_transactions" ->
+      s"$cleanedSql SELECT * FROM cleaned ORDER BY transaction_id",
+
+    "p_daily_agg" ->
+      s"""$cleanedSql
+         |SELECT year, month, day, customer_id,
+         |  $aggMeasuresSql,
+         |  'daily' AS aggregation_level
+         |FROM cleaned GROUP BY year, month, day, customer_id
+         |ORDER BY year, month, day, customer_id""".stripMargin,
+
+    "p_monthly_agg" ->
+      s"""$cleanedSql
+         |SELECT year, month, customer_id,
+         |  $aggMeasuresSql,
+         |  'monthly' AS aggregation_level
+         |FROM cleaned GROUP BY year, month, customer_id
+         |ORDER BY year, month, customer_id""".stripMargin,
+
+    "p_customer_insights" ->
+      s"""$cleanedSql
+         |SELECT customer_id,
+         |  COUNT(transaction_id) AS lifetime_transactions,
+         |  $stableSum AS lifetime_value,
+         |  $stableSum / COUNT(amount) AS avg_transaction_amount,
+         |  MIN(transaction_date) AS first_transaction_date,
+         |  MAX(transaction_date) AS last_transaction_date,
+         |  COUNT(DISTINCT (year, month, day)) AS active_days,
+         |  CAST(datediff('day', CAST(MIN(transaction_date) AS DATE),
+         |       CAST(MAX(transaction_date) AS DATE)) AS INTEGER) AS customer_tenure_days,
+         |  CASE WHEN $stableSum > 10000 THEN 'high_value'
+         |       WHEN $stableSum > 5000 THEN 'medium_value'
+         |       ELSE 'low_value' END AS customer_segment
+         |FROM cleaned GROUP BY customer_id ORDER BY customer_id""".stripMargin,
+
+    "p_quality_counts" ->
+      s"""$cleanedSql
+         |SELECT (SELECT COUNT(*) FROM tx) AS initial_count,
+         |       (SELECT COUNT(*) FROM cleaned) AS final_count""".stripMargin)
+}
