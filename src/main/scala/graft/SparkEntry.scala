@@ -14,7 +14,9 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     PipelineQueries,
-    TpchQueries)
+    TpchQueries,
+    RelationalQueries,
+    EventQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

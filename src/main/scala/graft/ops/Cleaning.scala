@@ -52,10 +52,13 @@ object Cleaning {
   /** E1–E3 — type hardening (`bronze_to_silver.py:123-126`): string→timestamp
     * parse that NULLs on failure (rows then dropped by the partition guard —
     * this silent-drop semantics is part of the contract), amount→double,
-    * ids→string.
+    * ids→string. `try_to_timestamp`, because under Spark 4's default ANSI
+    * mode a plain `to_timestamp` would throw on malformed input instead of
+    * nulling (the reference ran pre-ANSI Spark 3.3).
     */
   def hardenTypes(df: DataFrame, tsFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame =
-    df.withColumn("transaction_date", to_timestamp(col("transaction_date"), tsFormat))
+    df.withColumn("transaction_date",
+      try_to_timestamp(col("transaction_date"), lit(tsFormat)))
       .withColumn("amount", col("amount").cast(DoubleType))
       .withColumn("customer_id", col("customer_id").cast(StringType))
       .withColumn("transaction_id", col("transaction_id").cast(StringType))

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics over the `events` table: lag/gap analysis, pivot,
+  * semi-structured JSON extraction, and tumbling time windows (the batch
+  * expression of the streaming windowed aggregation in
+  * [[graft.streaming.IncrementalIngest]]).
+  *
+  * Scale posture: all windows partition by `user_id` (high cardinality — state
+  * per partition stays tiny); the tumbling-window agg groups by (window,
+  * event_type) which Spark hashes across the cluster; JSON extraction is a
+  * codegen'd built-in, not a UDF.
+  */
+object EventQueries extends QueryPack {
+
+  override def queries: Map[String, Query] = Map(
+    // Semi-structured extraction: props is a JSON object column.
+    "e_json_extract" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id"))),
+
+    // Per-user inter-event gap via lag() — sessionization's first step.
+    "e_lag_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts2"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("ts2"))
+        .withColumn("gap_seconds",
+          unix_timestamp(col("ts2")) - unix_timestamp(lag(col("ts2"), 1).over(w)))
+        .select(col("event_id"), col("user_id"), col("gap_seconds"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Pivot: event-type counts per user as columns.
+    "e_pivot_counts" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0)
+        .orderBy(col("user_id"))),
+
+    // Tumbling 1-hour windows per event type — the batch equivalent of the
+    // streaming groupBy(window(...)) aggregation.
+    "e_hourly_windows" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.ops.Aggregations.sumStable(col("value")).as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))))
+
+  override def oracleSql: Map[String, String] = Map(
+    "e_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "e_lag_gaps" ->
+      """SELECT event_id, user_id,
+        |  date_diff('second',
+        |    lag(date_trunc('second', ts)) OVER (PARTITION BY user_id
+        |      ORDER BY date_trunc('second', ts), event_id),
+        |    date_trunc('second', ts)) AS gap_seconds
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "e_pivot_counts" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e_hourly_windows" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY window_start, event_type""".stripMargin)
+}

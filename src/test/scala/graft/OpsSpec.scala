@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Aggregations, Cleaning, Derivations}
+
+/** Shared local session for all suites (one JVM-wide session; suites run
+  * sequentially under sbt's single forked JVM).
+  */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Per-operator unit tests with hand-built rows — the adversarial variants the
+  * reference never tests (SURVEY.md §5.2.1; FIXTURES.md §1).
+  */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def bronze(rows: (String, String, java.lang.Double, String)*) =
+    rows.toDF("transaction_id", "customer_id", "amount", "transaction_date")
+
+  test("P2 not-null guard drops a row when ANY required column is null") {
+    val df = bronze(
+      ("t1", "c1", 10.0, "2024-01-01 00:00:00"),
+      (null, "c1", 10.0, "2024-01-01 00:00:00"),
+      ("t3", null, 10.0, "2024-01-01 00:00:00"),
+      ("t4", "c1", null, "2024-01-01 00:00:00"),
+      ("t5", "c1", 10.0, null))
+    val kept = Cleaning.requireNonNull(df,
+      Seq("transaction_id", "customer_id", "amount", "transaction_date"))
+    assert(kept.select("transaction_id").as[String].collect().toSet == Set("t1"))
+  }
+
+  test("P3 amount > 0 boundary: 0 and negatives dropped, epsilon kept") {
+    val df = bronze(
+      ("t1", "c", 0.0, "x"), ("t2", "c", -5.0, "x"), ("t3", "c", 0.01, "x"))
+    assert(Cleaning.positiveAmount(df).select("transaction_id")
+      .as[String].collect().toSet == Set("t3"))
+  }
+
+  test("E1 unparseable transaction_date nulls then drops via partition guard") {
+    val df = bronze(
+      ("t1", "c", 1.0, "2024-01-15 10:30:00"),
+      ("t2", "c", 1.0, "not-a-date"),
+      ("t3", "c", 1.0, "2024-13-45 99:99:99"))
+    val hardened = Derivations.withDateParts(Cleaning.hardenTypes(df))
+    val kept = Cleaning.partitionKeyGuard(hardened, Seq("year", "month", "day"))
+    assert(kept.select("transaction_id").as[String].collect().toSet == Set("t1"))
+    assert(kept.select("year", "month", "day", "hour").as[(Int, Int, Int, Int)]
+      .head() == ((2024, 1, 15, 10)))
+  }
+
+  test("P1 dedup keeps exactly one row per key; deterministic variant keeps first by order") {
+    val df = bronze(
+      ("t1", "c1", 5.0, "a"), ("t1", "c2", 3.0, "a"), ("t2", "c3", 9.0, "a"))
+    assert(Cleaning.dedupArbitrary(df, "transaction_id").count() == 2)
+    val det = Cleaning.dedupDeterministic(df, "transaction_id", Seq(col("amount")))
+    assert(det.filter($"transaction_id" === "t1").select("customer_id")
+      .as[String].head() == "c2") // lowest amount first
+  }
+
+  test("E7 amount_category strict-< boundaries: 100 is medium, 1000 is large") {
+    val df = Seq(99.99, 100.0, 999.99, 1000.0).toDF("amount")
+    val got = Derivations.withAmountCategory(df)
+      .select("amount", "amount_category").as[(Double, String)].collect().toMap
+    assert(got(99.99) == "small" && got(100.0) == "medium")
+    assert(got(999.99) == "medium" && got(1000.0) == "large")
+  }
+
+  test("E8 integrality via cast-truncation, not rounding: 2.999 is decimal, 3.0 whole") {
+    val df = Seq(3.0, 2.999, -4.0, 0.5).toDF("amount")
+    val got = Derivations.withIntegralityTag(df)
+      .select("amount", "transaction_type_derived").as[(Double, String)]
+      .collect().toMap
+    assert(got(3.0) == "whole_number" && got(-4.0) == "whole_number")
+    assert(got(2.999) == "decimal" && got(0.5) == "decimal")
+  }
+
+  test("E10 customer_segment strict-> boundaries: exactly 10000 is medium, 5000 low") {
+    val df = Seq(10000.01, 10000.0, 5000.01, 5000.0).toDF("v")
+    val got = df.withColumn("seg", Derivations.customerSegment($"v"))
+      .select("v", "seg").as[(Double, String)].collect().toMap
+    assert(got(10000.01) == "high_value" && got(10000.0) == "medium_value")
+    assert(got(5000.01) == "medium_value" && got(5000.0) == "low_value")
+  }
+
+  test("A1 daily agg measures: counts, stable sum, min/max, distinct") {
+    val silver = Seq(
+      ("t1", "c1", 10.0, 2024, 1, 1), ("t2", "c1", 20.0, 2024, 1, 1),
+      ("t3", "c1", 5.0, 2024, 1, 2), ("t4", "c2", 7.5, 2024, 1, 1))
+      .toDF("transaction_id", "customer_id", "amount", "year", "month", "day")
+    val daily = Aggregations.daily(silver)
+    val c1d1 = daily.filter($"customer_id" === "c1" && $"day" === 1).head()
+    assert(c1d1.getAs[Long]("transaction_count") == 2)
+    assert(c1d1.getAs[Double]("total_amount") == 30.0)
+    assert(c1d1.getAs[Double]("avg_amount") == 15.0)
+    assert(c1d1.getAs[Double]("min_amount") == 10.0)
+    assert(c1d1.getAs[Double]("max_amount") == 20.0)
+    assert(c1d1.getAs[Long]("unique_transactions") == 2)
+    assert(c1d1.getAs[String]("aggregation_level") == "daily")
+  }
+
+  test("A3 customer insights: tenure datediff, active_days multi-col distinct, segment") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val silver = Seq(
+      ("t1", "c1", 6000.0, ts("2024-01-01 10:00:00"), 2024, 1, 1),
+      ("t2", "c1", 4500.0, ts("2024-01-03 09:00:00"), 2024, 1, 3),
+      ("t3", "c1", 1.0, ts("2024-01-03 23:00:00"), 2024, 1, 3))
+      .toDF("transaction_id", "customer_id", "amount", "transaction_date",
+        "year", "month", "day")
+    val row = Aggregations.customerInsights(silver).head()
+    assert(row.getAs[Long]("lifetime_transactions") == 3)
+    assert(row.getAs[Double]("lifetime_value") == 10501.0)
+    assert(row.getAs[Long]("active_days") == 2)
+    assert(row.getAs[Int]("customer_tenure_days") == 2)
+    assert(row.getAs[String]("customer_segment") == "high_value")
+  }
+
+  test("sumStable is order-insensitive where double sum is not") {
+    val vals = (1 to 2000).map(i => math.Pi * i * 0.37)
+    val a = vals.toDF("v").repartition(7)
+    val b = vals.reverse.toDF("v").repartition(3)
+    val sa = a.agg(Aggregations.sumStable($"v")).as[Double].head()
+    val sb = b.agg(Aggregations.sumStable($"v")).as[Double].head()
+    assert(sa == sb) // bit-identical, not just approximately equal
+  }
+}
