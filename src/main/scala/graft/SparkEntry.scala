@@ -16,7 +16,10 @@ object SparkEntry {
     PipelineQueries,
     TpchQueries,
     RelationalQueries,
-    EventQueries)
+    EventQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,202 @@
+// Hosted under org.apache.spark.sql so the expression can use the
+// private[sql] type-coercion API (AbstractDataType / TypeCollection) and the
+// Column↔Expression bridge — the standard packaging for Spark-native
+// extension expressions.
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the dense-vector dot product.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(...))`) is a
+  * `CodegenFallback`: every pair evaluation walks an interpreted expression
+  * tree and allocates an intermediate array — at 10⁷+ candidate pairs (any
+  * brute-force or bucketed similarity join) that dominates the query. This
+  * expression compiles to a tight primitive loop inside whole-stage codegen:
+  * no allocation, no virtual dispatch.
+  *
+  * Determinism contract (shared with the DuckDB oracle and the HOF
+  * formulation): each element is widened to double BEFORE the multiply and
+  * products accumulate sequentially in index order — bit-identical results
+  * everywhere.
+  *
+  * Null semantics: null array → null result; null ELEMENTS are not expected
+  * in embedding columns and read as 0.0 (ArrayData primitive accessor).
+  */
+case class VectorDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_dot"
+}
+
+/** MinHash signature of a string-array column: `numHashes` min-hash values
+  * per row, output as array<long>.
+  *
+  * One strong xxhash64 per element, then a universal-hash family
+  * `h_j = base·A_j + B_j` (odd multipliers from splitmix64, wrapping Long
+  * arithmetic) derives the remaining hashes — numHashes × |elements| cheap
+  * mixes instead of full re-hashes, and no per-call interpreted expression
+  * walk like the `transform(... xxhash64 ...)` HOF formulation. Evaluation is
+  * a tight Scala loop (CodegenFallback — one virtual call per ROW, with the
+  * whole signature computed inside).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // splitmix64-derived multipliers (forced odd) and offsets
+  private lazy val mulAdd: (Array[Long], Array[Long]) = {
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val a = Array.tabulate(numHashes)(j => splitmix(2L * j) | 1L)
+    val b = Array.tabulate(numHashes)(j => splitmix(2L * j + 1))
+    (a, b)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val (mul, add) = mulAdd
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val base = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(arr.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < numHashes) {
+        val h = base * mul(j) + add(j)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_signature"
+}
+
+/** Normalize → whitespace-tokenize → distinct word-n-gram shingles, in one
+  * per-row evaluation.
+  *
+  * The Column-DSL formulation (regex chain + split + transform/element_at)
+  * re-evaluates the tokenization under every element_at reference after
+  * CollapseProject inlines the shared projection — O(|shingles|) regex passes
+  * per row. This expression runs the whole chain once per row in Scala.
+  *
+  * Semantics contract (must stay aligned with TextFunctions.normalize /
+  * tokens and the DuckDB oracle SQL): UTF8String.toLowerCase (= Spark
+  * `lower`), Java regex `[^a-z0-9 ]` → "", `" +"` → " ", trim, split on
+  * single space, n-gram join with single space, first-occurrence-distinct.
+  */
+case class ShingleArray(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val lowered = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.toString
+    val normalized = lowered.replaceAll("[^a-z0-9 ]", "")
+      .replaceAll(" +", " ").trim
+    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    if (normalized.nonEmpty) {
+      val toks = normalized.split(" ", -1)
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.toArray(Array.empty[AnyRef]))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_array"
+}
+
+object VectorExpressions {
+  /** Column-level dot product backed by [[VectorDotProduct]]. */
+  def vecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(VectorDotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-level MinHash signature backed by [[MinHashSignature]]. */
+  def minhash(a: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(a), numHashes))
+
+  /** Column-level distinct word-n-gram shingles backed by [[ShingleArray]]. */
+  def shingleArr(text: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleArray(ExpressionUtils.expression(text), n))
+}

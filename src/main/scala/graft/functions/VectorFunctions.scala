@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns, built from
+  * higher-order array functions (`zip_with` + `aggregate`) — codegen-friendly,
+  * no UDF, no driver-side loops.
+  *
+  * Determinism contract: elements are cast to double BEFORE multiplication
+  * and accumulated with a sequential left fold, which is exactly how the
+  * DuckDB oracle's `list_sum(list_transform(...))` evaluates — results are
+  * bit-identical across engines.
+  */
+object VectorFunctions {
+
+  /** Dot product in double precision (left-fold accumulation in index
+    * order). Backed by the codegen'd [[graft.expressions.VectorDotProduct]];
+    * [[dotHof]] is the pure-built-in formulation with identical semantics
+    * (kept as the reference implementation and for engines without the
+    * custom expression).
+    */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftx.VectorExpressions.vecDot(a, b)
+
+  /** Higher-order-function dot product — same bit-exact semantics as [[dot]],
+    * ~50× slower (CodegenFallback), used to cross-check the native expression.
+    */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Euclidean (L2) norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity with precomputed norms (preferred: compute each side's
+    * norm once per row, not once per pair).
+    */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** Cosine similarity, norms computed inline. */
+  def cosine(a: Column, b: Column): Column =
+    cosineWithNorms(a, b, l2Norm(a), l2Norm(b))
+
+  /** Squared L2 distance. */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
+    * pseudo-random hyperplanes derived deterministically from xxhash64 —
+    * no stored model, reproducible across runs and engines. Built from
+    * nested higher-order functions so the expression tree stays small
+    * (an unrolled bits×dim tree would blow codegen's method-size limit).
+    */
+  def hyperplaneSignature(v: Column, bits: Int): Column = {
+    def planeDot(p: Column): Column = aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+        x.cast("double") *
+          ((pmod(xxhash64(p, i), lit(2001L)).cast("double") - lit(1000.0)) /
+            lit(1000.0))),
+      lit(0.0),
+      (acc, t) => acc + t)
+    val bitArr = transform(sequence(lit(0), lit(bits - 1)), p =>
+      when(planeDot(p) >= 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(bitArr, lit(0L), (acc, b) => acc * 2 + b)
+  }
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document deduplication for training-data pipelines: exact, shingle-Jaccard
+  * (inverted index), MinHash+LSH, and SimHash.
+  *
+  * Scale posture (100 TB of documents):
+  *  - Exact dedup is one hash aggregation on a 16-byte digest — the cheapest
+  *    possible shuffle key (never shuffle full text).
+  *  - The Jaccard inverted index joins on the shingle STRING for oracle
+  *    exactness; `hashShingles=true` joins on xxhash64 instead, shrinking
+  *    shuffle width ~10× with negligible collision probability.
+  *  - MinHash+LSH bounds candidate generation: only pairs sharing a band
+  *    bucket are compared, so cost follows the (small) near-dup population,
+  *    not n². Bucket skew (a degenerate shingle shared by millions of docs)
+  *    is the classic hazard — `maxBucketSize` drops pathological buckets.
+  *  - All sketches derive from xxhash64, a codegen'd built-in: no UDF.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by md5 of (optionally normalized) text.
+    * Returns one row per distinct content: canonical (min) id, count.
+    */
+  def exactGroups(df: DataFrame, id: String, text: String,
+      normalized: Boolean = false): DataFrame = {
+    val key = if (normalized) TextFunctions.fingerprintMd5(col(text))
+      else md5(col(text))
+    df.select(col(id), key.as("content_fp"))
+      .groupBy(col("content_fp"))
+      .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("dup_count"))
+  }
+
+  /** Distinct word-`n`-gram shingles per document, as (id, shingle) rows.
+    * Exploding (not collecting) keeps every stage streaming — no giant
+    * per-doc arrays cross a shuffle.
+    */
+  /** Distinct word-n-gram shingle array from an ALREADY-MATERIALIZED token
+    * array column; fewer than n tokens → empty array. (Guarded with `when`:
+    * Spark's `sequence(1, 0)` counts DOWN to [1, 0] rather than returning
+    * empty.)
+    *
+    * The tokens argument must be a plain column reference, not the
+    * tokenization expression itself: Column trees are built by value, so an
+    * inline `tokens(text)` would re-run the normalize-regex chain once per
+    * `element_at` reference — ~3× shingle-count regex evaluations per row.
+    */
+  def shingleArrayOfTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** (id, shingle-array) via the native [[org.apache.spark.sql.graftx.ShingleArray]]
+    * expression — one per-row evaluation of the whole normalize/tokenize/
+    * shingle chain, immune to CollapseProject re-inlining.
+    */
+  def docShingleArrays(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id),
+      org.apache.spark.sql.graftx.VectorExpressions.shingleArr(col(text), n)
+        .as("shingles"))
+
+  def shingles(df: DataFrame, id: String, text: String, n: Int = 3): DataFrame =
+    docShingleArrays(df, id, text, n)
+      .select(col(id), explode(col("shingles")).as("shingle"))
+
+  /** Exact Jaccard near-duplicate pairs via an inverted shingle index:
+    * explode → self-join on shingle → per-pair intersection count → Jaccard.
+    * The standard scalable formulation — cost is Σ over shingles of df²,
+    * not |docs|². `hashShingles` narrows the join key to 8 bytes.
+    */
+  def jaccardPairs(df: DataFrame, id: String, text: String,
+      minJaccard: Double, n: Int = 3, hashShingles: Boolean = false): DataFrame = {
+    // size travels WITH each exploded row, so no extra per-doc sizes join —
+    // one scan per join side instead of three
+    val sh0 = docShingleArrays(df, id, text, n)
+      .select(col(id), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("shingle"))
+    val sh = if (hashShingles)
+      sh0.withColumn("shingle", xxhash64(col("shingle"))) else sh0
+    val a = sh.select(col(id).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = sh.select(col(id).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature column: `numHashes` independent min-hashes of the
+    * document's shingle set (native expression — the HOF formulation costs
+    * numHashes × |shingles| interpreted expression walks per row).
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graftx.VectorExpressions.minhash(shingleArr, numHashes)
+
+  /** MinHash+LSH near-duplicate pairs: signature → band buckets → bucket
+    * join for candidates → exact Jaccard verification on the shingle sets.
+    * Output schema matches [[jaccardPairs]]; with enough bands the result
+    * converges to the exact answer at a fraction of the join volume.
+    */
+  def minhashLshPairs(df: DataFrame, id: String, text: String,
+      minJaccard: Double, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val rows = numHashes / bands
+    val docShingles = docShingleArrays(df, id, text, n)
+      .filter(size(col("shingles")) > 0)
+    val sig = docShingles.withColumn("mh", minhashSignature(col("shingles"), numHashes))
+    // one row per (band, bucket): bucket key hashes the band's slice of the
+    // signature; posexplode keeps band index in the join key so buckets from
+    // different bands never collide
+    val buckets = sig.select(col(id), col("shingles"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(b, slice(col("mh"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+    val pruned = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bucket"))
+      buckets.withColumn("__bsz", count(lit(1)).over(w))
+        .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    }
+    val a = pruned.select(col("band"), col("bucket"), col(id).as("id_a"),
+      col("shingles").as("sh_a"))
+    val b = pruned.select(col("band"), col("bucket"), col(id).as("id_b"),
+      col("shingles").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct() // a pair may collide in several bands — verify once
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over the document's normalized tokens: bit b is the sign
+    * of Σ_tokens (±1 depending on bit b of xxhash64(token)).
+    */
+  def simhash64(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val bitArr = transform(sequence(lit(0), lit(63)), b =>
+      when(
+        aggregate(toks, lit(0L), (acc, t) =>
+          acc + when(call_function("shiftright", xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)) >= 0, lit(1L)).otherwise(lit(0L)))
+    // pack with shift/or — the top bit would overflow `acc * 2` under ANSI
+    aggregate(bitArr, lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
+  }
+
+  /** SimHash near-duplicate pairs: candidates share one of four 16-bit bands
+    * (any pair within Hamming distance 3 must agree on ≥1 band — pigeonhole),
+    * verified by exact Hamming distance ≤ `maxHamming`.
+    */
+  def simhashPairs(df: DataFrame, id: String, text: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(id), simhash64(col(text)).as("sh"))
+    val banded = sh.select(col(id), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)), b =>
+        call_function("shiftright", col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col(id).as("id_a"),
+      col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col(id).as("id_b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

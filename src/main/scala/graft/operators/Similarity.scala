@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * Scale posture (billions of vectors):
+  *  - Brute force broadcasts the (small) QUERY set and streams the corpus —
+  *    one pass, no corpus shuffle; the only exchange is the final per-query
+  *    top-k reduction (|Q|·k rows). This is the exact baseline.
+  *  - The LSH variant buckets both sides by a random-hyperplane signature, so
+  *    each query only scans its bucket — recall traded for a ~2^bits fanout
+  *    reduction. Multi-probe (flipping one signature bit) recovers most of
+  *    the recall loss for near-threshold neighbors.
+  *  - The IVF variant uses a coarse quantizer (here: the pre-assigned label
+  *    column as cell id, or per-label centroids computed on the fly) and
+  *    searches only the closest cell(s).
+  */
+object Similarity {
+
+  /** Corpus with per-row precomputed L2 norm (never recompute norms per pair). */
+  def withNorm(df: DataFrame, vec: String): DataFrame =
+    df.withColumn("__nrm", l2Norm(col(vec)))
+
+  /** Exact cosine top-k: for each query row, the k nearest corpus rows
+    * (excluding itself). Queries are broadcast; corpus is scanned once.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int): DataFrame = {
+    val c = withNorm(corpus, vec)
+      .select(col(id).as("neighbor_id"), col(vec).as("__cv"), col("__nrm").as("__cn"))
+    val q = withNorm(queries, vec)
+      .select(col(id).as("query_id"), col(vec).as("__qv"), col("__nrm").as("__qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim",
+        cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
+  }
+
+  /** All corpus pairs with cosine ≥ threshold (embedding near-dup detection).
+    * Exact O(n²) baseline — bucket variants below are the scale path.
+    */
+  def cosineNearDupPairs(df: DataFrame, id: String, vec: String,
+      minCosine: Double): DataFrame = {
+    val n = withNorm(df, vec)
+    val a = n.select(col(id).as("id_a"), col(vec).as("__va"), col("__nrm").as("__na"))
+    val b = n.select(col(id).as("id_b"), col(vec).as("__vb"), col("__nrm").as("__nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine_sim",
+        cosineWithNorms(col("__va"), col("__vb"), col("__na"), col("__nb")))
+      .filter(col("cosine_sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+
+  /** Approximate top-k via random-hyperplane LSH: both sides keyed by
+    * signature; each query compares only within its bucket (plus one-bit
+    * multi-probe neighbors when `multiProbe`).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, bits: Int = 12, multiProbe: Boolean = true): DataFrame = {
+    val c = withNorm(corpus, vec)
+      .withColumn("__sig", hyperplaneSignature(col(vec), bits))
+      .select(col("__sig"), col(id).as("neighbor_id"), col(vec).as("__cv"),
+        col("__nrm").as("__cn"))
+    val qBase = withNorm(queries, vec)
+      .withColumn("__sig0", hyperplaneSignature(col(vec), bits))
+      .select(col(id).as("query_id"), col(vec).as("__qv"),
+        col("__nrm").as("__qn"), col("__sig0"))
+    // probe signatures: exact bucket + (optionally) each one-bit flip
+    def probes(sig0: org.apache.spark.sql.Column) =
+      if (multiProbe)
+        array(sig0 +: (0 until bits).map(b => sig0.bitwiseXOR(lit(1L << b))): _*)
+      else array(sig0)
+    val q = qBase
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        explode(probes(col("__sig0"))).as("__sig"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    c.join(q, Seq("__sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn"))
+          .as("cosine_sim"))
+      .distinct() // a (q, n) pair can meet in several probe buckets
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style search with the corpus pre-partitioned by a cell column
+    * (here the `label` column plays the coarse quantizer's cell id):
+    * per-cell centroids are computed with order-insensitive decimal sums,
+    * each query is assigned to its nearest centroid's cell, and exact search
+    * runs only within that cell.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      cell: String, k: Int, dim: Int): DataFrame = {
+    import graft.ops.Aggregations.sumStable
+    // centroid per cell: element-wise stable mean of member vectors
+    val exploded = corpus.select(col(cell),
+      posexplode(col(vec)).as(Seq("__i", "__x")))
+    val centroids = exploded.groupBy(col(cell), col("__i"))
+      .agg((sumStable(col("__x")) / count(lit(1))).as("__m"))
+      .groupBy(col(cell))
+      .agg(array_sort(collect_list(struct(col("__i"), col("__m")))).as("__pairs"))
+      .select(col(cell).as("__cell"),
+        transform(col("__pairs"), p => p.getField("__m")).as("__centroid"))
+    val q = withNorm(queries, vec)
+      .select(col(id).as("query_id"), col(vec).as("__qv"), col("__nrm").as("__qn"))
+    val w0 = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("__cell"))
+    val assigned = q.join(broadcast(centroids), lit(true))
+      .withColumn("__csim", cosine(col("__qv"), col("__centroid")))
+      .withColumn("__r", row_number().over(w0))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__cell"))
+    val c = withNorm(corpus, vec)
+      .select(col(cell).as("__cell"), col(id).as("neighbor_id"),
+        col(vec).as("__cv"), col("__nrm").as("__cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    c.join(assigned, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim",
+        cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Deduplication queries over the `documents` table.
+  *
+  * The testdata plants ~5% near-duplicate pairs at shingle-Jaccard ≥ 0.9 with
+  * background similarity ≤ 0.07, so `minJaccard = 0.5` separates cleanly.
+  *
+  * `d_minhash_pairs` (MinHash+LSH) shares the exact-Jaccard oracle: with 16
+  * bands × 4 rows, detection probability at j ≥ 0.9 is 1-(1-0.9⁴)¹⁶ ≈ 1-4e-8,
+  * and the data has no pairs in the (0.07, 0.9) gap where LSH could
+  * plausibly miss — verified empirically to produce the identical pair set.
+  */
+object DedupQueries extends QueryPack {
+
+  private val tau = 0.5
+
+  /** DuckDB mirror of Dedup.shingleArray(n=3) exploded to (doc_id, s) rows. */
+  private val shinglesSql =
+    """norm AS (SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+      |  FROM documents),
+      |toks AS (SELECT doc_id,
+      |  CASE WHEN length(t) = 0 THEN [] ELSE string_split(t, ' ') END AS w
+      |  FROM norm),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+      |  WHERE len(w) >= 3 AND i + 2 <= len(w)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val jaccardPairsSql =
+    s"""WITH $shinglesSql,
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON id_a = sa.doc_id
+       |JOIN sizes sb ON id_b = sb.doc_id
+       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $tau
+       |ORDER BY id_a, id_b""".stripMargin
+
+  override def queries: Map[String, Query] = Map(
+    "d_exact_groups" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("canonical_id"))),
+
+    "d_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        minJaccard = tau)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "d_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        minJaccard = tau)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // xxhash64-based sketch — no SQL oracle; ScalaTest covers semantics.
+    "d_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 10)
+        .orderBy(col("id_a"), col("id_b"))))
+
+  override def oracleSql: Map[String, String] = Map(
+    "d_exact_groups" ->
+      """SELECT md5(text) AS content_fp, min(doc_id) AS canonical_id,
+        |  count(*) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin,
+
+    "d_jaccard_pairs" -> jaccardPairsSql,
+    "d_minhash_pairs" -> jaccardPairsSql)
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over the `documents` table (training-data pipeline
+  * operators): token statistics + quality score, language-ID heuristic,
+  * content fingerprints.
+  *
+  * Oracle notes: every metric is arithmetic over exact integers (or md5),
+  * with identical operation order spelled out in the DuckDB SQL — results are
+  * bit-identical. Only the rolling hash (xxhash64-based) has no SQL oracle.
+  */
+object TextQueries extends QueryPack {
+
+  /** DuckDB mirror of TextFunctions.normalize / tokens. */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+  private val toksSql =
+    s"CASE WHEN length($normSql) = 0 THEN [] ELSE string_split($normSql, ' ') END"
+
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val stopSql =
+    s"len(list_filter(toks, t -> list_contains(${inList(defaultStopwords)}, t)))"
+
+  override def queries: Map[String, Query] = Map(
+    "t_text_stats" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("char_len"),
+        wsTokenCount(col("text")).as("ws_tokens"),
+        bpeTokenCount(col("text")).as("bpe_tokens"),
+        punctCount(col("text")).as("punct_chars"),
+        stopwordCount(col("text")).as("stopword_hits"),
+        avgTokenLen(col("text")).as("avg_token_len"),
+        qualityScore(col("text")).as("quality_score"))
+        .orderBy(col("doc_id"))),
+
+    "t_langid" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+      val scored = langProfiles.foldLeft(base) { case (df, (l, _)) =>
+        df.withColumn(s"score_$l", langScore(col("text"), l))
+      }
+      scored
+        .withColumn("lang_guess", langGuess(col("text")))
+        .select(col("doc_id") +: langProfiles.map { case (l, _) => col(s"score_$l") }
+          :+ col("lang_guess"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "t_fingerprint" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        fingerprintMd5(col("text")).as("fp_md5"))
+        .orderBy(col("doc_id"))),
+
+    // xxhash64-based order-sensitive fingerprint — not SQL-expressible in
+    // DuckDB; driver records a rows-only check, ScalaTest covers semantics.
+    "t_rolling_fp" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        rollingFingerprint(col("text")).as("rolling_fp"))
+        .orderBy(col("doc_id"))))
+
+  override def oracleSql: Map[String, String] = Map(
+    "t_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS INTEGER) AS char_len,
+         |    CAST(len(toks) AS INTEGER) AS ws_tokens,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens,
+         |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS INTEGER) AS punct_chars,
+         |    CAST($stopSql AS INTEGER) AS stopword_hits,
+         |    CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
+         |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS avg_token_len,
+         |    CAST(length(text) AS INTEGER) AS __len
+         |  FROM t)
+         |SELECT doc_id, char_len, ws_tokens, bpe_tokens, punct_chars,
+         |  stopword_hits, avg_token_len,
+         |  0.25 * least(1.0, CAST(ws_tokens AS DOUBLE) / 50.0)
+         |  + 0.25 * (1.0 - least(1.0,
+         |      CAST(punct_chars AS DOUBLE) / CAST(greatest(char_len, 1) AS DOUBLE)))
+         |  + 0.25 * least(1.0,
+         |      CAST(stopword_hits AS DOUBLE) * 10.0 / CAST(greatest(ws_tokens, 1) AS DOUBLE))
+         |  + 0.25 * (1.0 - least(1.0, abs(avg_token_len - 5.0) / 5.0)) AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t_langid" -> {
+      val scoreCols = langProfiles.map { case (l, words) =>
+        s"CAST(len(list_filter(toks, t -> list_contains(${inList(words)}, t))) AS INTEGER) AS score_$l"
+      }.mkString(",\n    ")
+      val langs = langProfiles.map(_._1)
+      val mx = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val guess = langs.map(l => s"WHEN __mx > 0 AND score_$l = __mx THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |    $scoreCols
+         |  FROM t),
+         |g AS (SELECT *, $mx AS __mx FROM s)
+         |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+         |  $guess AS lang_guess
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "t_fingerprint" ->
+      s"SELECT doc_id, md5($normSql) AS fp_md5 FROM documents ORDER BY doc_id")
+}

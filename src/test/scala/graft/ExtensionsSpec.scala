@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data extension operators: dedup sketches, similarity search,
+  * text analysis — semantics and cross-implementation agreement.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def embeddings = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("native ShingleArray matches the Column-DSL formulation exactly") {
+    val native = Dedup.docShingleArrays(docs, "doc_id", "text", 3)
+      .select($"doc_id", array_sort($"shingles").as("s"))
+    val dsl = docs
+      .select($"doc_id", TextFunctions.tokens($"text").as("__toks"))
+      .select($"doc_id",
+        array_sort(Dedup.shingleArrayOfTokens($"__toks", 3)).as("s"))
+    assert(native.exceptAll(dsl).isEmpty && dsl.exceptAll(native).isEmpty)
+  }
+
+  test("native vecDot is bit-identical to the HOF formulation") {
+    val diff = embeddings.select(
+      VectorFunctions.dot($"embedding", $"embedding").as("a"),
+      VectorFunctions.dotHof($"embedding", $"embedding").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(diff == 0)
+  }
+
+  test("minhash LSH pairs equal exact jaccard pairs on planted near-dups") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("hashShingles variant of jaccardPairs gives the same pairs") {
+    val s = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val h = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, hashShingles = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(h == s)
+  }
+
+  test("identical texts have simhash hamming distance 0; near-dups small") {
+    val dup = Seq((1L, "spark joins tables fast"), (2L, "spark joins tables fast"),
+      (3L, "completely different words entirely here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(dup, "doc_id", "text", maxHamming = 0)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("rolling fingerprint is order-sensitive; md5 fingerprint is not") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("id", "text")
+    val roll = df.select(TextFunctions.rollingFingerprint($"text")).as[Long].collect()
+    assert(roll(0) != roll(1))
+    val norm = Seq((1L, "Alpha,  BETA gamma!"), (2L, "alpha beta gamma"))
+      .toDF("id", "text")
+      .select(TextFunctions.fingerprintMd5($"text")).as[String].collect()
+    assert(norm(0) == norm(1))
+  }
+
+  test("brute-force topk: rank 1 is the most similar non-self vector") {
+    val q = embeddings.filter($"vec_id" === 0)
+    val got = Similarity.bruteForceTopK(embeddings, q, "vec_id", "embedding", 5)
+      .orderBy($"rank").as[(Long, Long, Double, Int)].collect()
+    assert(got.length == 5)
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.reverse.toSeq)
+    assert(!got.exists(_._2 == 0L), "self must be excluded")
+  }
+
+  test("LSH topk achieves reasonable recall of brute-force top-3") {
+    // This synthetic corpus has near-RANDOM vectors (max pairwise cosine
+    // ≈0.5), the hardest case for hyperplane LSH — use coarse buckets
+    // (2^4) so the probability statement is testable at 50-500 vectors.
+    val qs = embeddings.filter($"vec_id" % 97 === 0)
+    val exact = Similarity.bruteForceTopK(embeddings, qs, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(embeddings, qs, "vec_id", "embedding", 3,
+      bits = 4, multiProbe = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall $recall collapsed — bucketing broken?")
+  }
+
+  test("LSH topk similarities are genuine cosines (subset of brute-force universe)") {
+    val qs = embeddings.filter($"vec_id" % 97 === 0)
+    val all = Similarity.bruteForceTopK(embeddings, qs, "vec_id", "embedding",
+      k = 10000)
+      .select("query_id", "neighbor_id", "cosine_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, s) => (q, n) -> s }.toMap
+    val lsh = Similarity.lshTopK(embeddings, qs, "vec_id", "embedding", 3,
+      bits = 4, multiProbe = true)
+      .select("query_id", "neighbor_id", "cosine_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, n, s) => assert(all((q, n)) == s) }
+  }
+
+  test("IVF topk returns k ranked neighbors per query from the assigned cell") {
+    val qs = embeddings.filter($"vec_id" % 97 === 0)
+    val got = Similarity.ivfTopK(embeddings, qs, "vec_id", "embedding", "label",
+      k = 3, dim = 64)
+    val n = qs.count()
+    assert(got.count() == 3 * n)
+    assert(got.filter($"query_id" === $"neighbor_id").count() == 0)
+  }
+
+  test("language guess picks the profile with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el gato y la casa de los perros en madrid"),
+      (3L, "xyzzy qwerty plugh")).toDF("id", "text")
+    val got = df.select($"id", TextFunctions.langGuess($"text")).as[(Long, String)]
+      .collect().toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "und")
+  }
+
+  test("quality score is in [0,1] and higher for natural-looking text") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs into the calm woods again today"),
+      (2L, "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( )))) $$$$")).toDF("id", "text")
+    val got = df.select($"id", TextFunctions.qualityScore($"text")).as[(Long, Double)]
+      .collect().toMap
+    assert(got.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(got(1L) > got(2L))
+  }
+}
