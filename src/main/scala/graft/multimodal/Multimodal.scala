@@ -1,0 +1,129 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media (image/audio/video) as opaque `binary`
+  * columns with typed metadata, processed by per-partition batch operators.
+  *
+  * The Spark-side shape is real and tested — schema, partition-batch
+  * processing, deterministic output layout; the codec calls themselves are
+  * STUBS (`decodeStub`) because no image/audio libraries exist in this
+  * environment. Swap `decodeStub` for a real JNI/library call and nothing
+  * else changes.
+  *
+  * Scale posture: `mapPartitions` over a `Dataset[MediaRecord]` processes
+  * records in partition-sized batches (the decoder amortizes init per
+  * partition, like a Pandas-UDF batch); media bytes never shuffle — derived
+  * features (small fixed-width vectors) do.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRecord(
+      media_id: Long,
+      kind: String, // image | audio | video
+      bytes: Array[Byte],
+      format: String,
+      width: Int,
+      height: Int,
+      duration_ms: Long)
+
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      feature: Array[Float])
+
+  case class FrameSample(
+      media_id: Long,
+      frame_index: Int,
+      frame_bytes: Array[Byte])
+
+  /** ======= STUB ======= Deterministic fake decoder: derives a fixed-width
+    * feature vector from the payload bytes via a rolling hash. A real
+    * implementation would decode pixels/samples here; the call signature
+    * (bytes → float[dim]) is what an image library would satisfy.
+    */
+  def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    var j = 0
+    while (j < dim) {
+      h ^= h << 13; h ^= h >>> 7; h ^= h << 17 // xorshift64
+      out(j) = (h % 1000L) / 1000.0f
+      j += 1
+    }
+    out
+  }
+
+  /** Wrap a text/binary table into the media schema (for testdata, document
+    * text bytes stand in for an encoded image payload).
+    */
+  def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      lit("fake/raw").as("format"),
+      (pmod(col("doc_id"), lit(640L)).cast("int") + 64).as("width"),
+      (pmod(col("doc_id"), lit(480L)).cast("int") + 48).as("height"),
+      lit(0L).as("duration_ms")).as[MediaRecord]
+  }
+
+  /** Feature extraction: one decoder instance per partition, records
+    * processed as a batch iterator (the mapInPandas-equivalent shape).
+    */
+  def extractFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      // per-partition init cost would go here (decoder/model load)
+      records.map { r =>
+        MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong,
+          decodeStub(r.bytes, dim))
+      }
+    }
+  }
+
+  /** ======= STUB ======= "Resize": deterministic payload reshaping standing
+    * in for a pixel resample — output size scales with target dims.
+    */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        val n = math.max(1, math.min(r.bytes.length, w * h / 64))
+        r.copy(bytes = java.util.Arrays.copyOf(r.bytes, n), width = w, height = h)
+      }
+    }
+  }
+
+  /** ======= STUB ======= Frame sampling: every `stride`-th chunk of the
+    * payload stands in for a decoded video frame.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 4,
+      frameBytes: Int = 256): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val nFrames = math.max(1, r.bytes.length / (frameBytes * stride))
+      (0 until nFrames).map { i =>
+        val start = i * frameBytes * stride
+        val end = math.min(r.bytes.length, start + frameBytes)
+        FrameSample(r.media_id, i, java.util.Arrays.copyOfRange(r.bytes, start, end))
+      }
+    }
+  }
+
+  /** Embedding-ready output: features as array<float> column joined back to
+    * metadata — the handoff point into [[graft.operators.Similarity]].
+    */
+  def featureTable(spark: SparkSession, docs: DataFrame, dim: Int = 16): DataFrame =
+    extractFeatures(fromDocuments(docs), dim).toDF()
+}

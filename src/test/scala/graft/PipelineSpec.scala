@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.PipelineConfig
+import graft.datagen.TransactionGen
+import graft.jobs.{BronzeToSilver, SilverToGold}
+import graft.orchestration.Pipeline
+import graft.quality.QualityChecks
+import graft.streaming.IncrementalIngest
+
+/** End-to-end medallion pipeline: datagen → bronze→silver (batch and
+  * incremental/bookmark mode) → silver→gold, plus orchestration retry and
+  * quality invariants.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-pipeline").toString
+
+  private val clock = Some(Timestamp.valueOf("2024-02-01 00:00:00"))
+
+  test("batch pipeline end-to-end: generated JSONL → silver → gold, invariants hold") {
+    val root = tmp()
+    val raw = TransactionGen.generate(spark, 1000)
+    TransactionGen.writeJsonl(raw, s"$root/raw")
+    val cfg = PipelineConfig(s"$root/raw", s"$root/silver", s"$root/gold",
+      clock = clock)
+    BronzeToSilver.run(spark, cfg)
+    SilverToGold.run(spark, cfg)
+
+    val silver = spark.read.parquet(s"$root/silver")
+    assert(silver.count() == 1000) // clean generator data: nothing dropped
+    assert(silver.columns.toSet.contains("amount_category"))
+    val inv = QualityChecks.silverInvariants(silver)
+    assert(inv.values.forall(identity), s"violated: ${inv.filterNot(_._2).keys}")
+
+    val daily = spark.read.parquet(cfg.goldDailyPath)
+    val monthly = spark.read.parquet(cfg.goldMonthlyPath)
+    val customer = spark.read.parquet(cfg.goldCustomerPath)
+    assert(QualityChecks.conservationHolds(daily, monthly, customer))
+    assert(customer.select("customer_id").distinct().count() == customer.count())
+    // fixed clock → deterministic created_at
+    assert(daily.select("created_at").distinct().as[Timestamp].head() == clock.get)
+  }
+
+  test("incremental mode has bookmark semantics: re-run ingests nothing, new files only once") {
+    val root = tmp()
+    val cfg = PipelineConfig(s"$root/raw", s"$root/silver", s"$root/gold",
+      checkpointPath = s"$root/ckpt", clock = clock, incremental = true)
+    TransactionGen.writeJsonl(TransactionGen.generate(spark, 300), s"$root/raw")
+
+    IncrementalIngest.run(spark, cfg)
+    val afterFirst = spark.read.parquet(s"$root/silver").count()
+    assert(afterFirst == 300)
+
+    // re-run with no new files: silver must NOT grow (the bookmark contract)
+    IncrementalIngest.run(spark, cfg)
+    assert(spark.read.parquet(s"$root/silver").count() == afterFirst)
+
+    // drop new files in: only the delta is appended
+    TransactionGen.generate(spark, 500).filter($"transaction_id" > "txn_00000299")
+      .coalesce(1).write.mode("append").json(s"$root/raw")
+    IncrementalIngest.run(spark, cfg)
+    assert(spark.read.parquet(s"$root/silver").count() == 500)
+  }
+
+  test("gold overwrite is idempotent: re-run produces identical tables") {
+    val root = tmp()
+    TransactionGen.writeJsonl(TransactionGen.generate(spark, 400), s"$root/raw")
+    val cfg = PipelineConfig(s"$root/raw", s"$root/silver", s"$root/gold",
+      clock = clock)
+    BronzeToSilver.run(spark, cfg)
+    SilverToGold.run(spark, cfg)
+    val first = spark.read.parquet(cfg.goldDailyPath).collect().toSet
+    SilverToGold.run(spark, cfg)
+    val second = spark.read.parquet(cfg.goldDailyPath).collect().toSet
+    assert(first == second)
+  }
+
+  test("adversarial bronze rows are cleaned: dups, nulls, bad dates, non-positive amounts") {
+    val root = tmp()
+    val rows = Seq(
+      """{"transaction_id":"t1","customer_id":"c1","amount":50.0,"transaction_date":"2024-01-15 10:30:00"}""",
+      """{"transaction_id":"t1","customer_id":"c1","amount":50.0,"transaction_date":"2024-01-15 10:30:00"}""",
+      """{"transaction_id":"t2","customer_id":null,"amount":10.0,"transaction_date":"2024-01-15 11:00:00"}""",
+      """{"transaction_id":"t3","customer_id":"c3","amount":-4.0,"transaction_date":"2024-01-15 12:00:00"}""",
+      """{"transaction_id":"t4","customer_id":"c4","amount":0.0,"transaction_date":"2024-01-15 12:00:00"}""",
+      """{"transaction_id":"t5","customer_id":"c5","amount":9.99,"transaction_date":"GARBAGE"}""",
+      """{"transaction_id":"t6","customer_id":"c6","amount":123.0,"transaction_date":"2024-01-16 09:00:00"}""",
+      """this line is not json""")
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/raw"))
+    Files.write(java.nio.file.Paths.get(s"$root/raw/batch.jsonl"),
+      rows.mkString("\n").getBytes)
+    val cfg = PipelineConfig(s"$root/raw", s"$root/silver", s"$root/gold",
+      clock = clock)
+    BronzeToSilver.run(spark, cfg)
+    val silver = spark.read.parquet(s"$root/silver")
+    assert(silver.select("transaction_id").as[String].collect().toSet ==
+      Set("t1", "t6"))
+    val t6 = silver.filter($"transaction_id" === "t6").head()
+    assert(t6.getAs[String]("amount_category") === "medium")
+    assert(t6.getAs[String]("transaction_type_derived") === "whole_number")
+    assert(t6.getAs[Int]("hour") === 9)
+  }
+
+  test("pipeline runner retries with backoff then fails over to onFailure") {
+    var attempts = 0
+    var failed: Option[String] = None
+    val slept = scala.collection.mutable.ArrayBuffer[Long]()
+    val result = Pipeline.run(
+      Seq(Pipeline.Stage("flaky", () => {
+        attempts += 1
+        if (attempts < 2) sys.error("transient")
+      }),
+        Pipeline.Stage("boom", () => sys.error("permanent"))),
+      policy = Pipeline.RetryPolicy(intervalMillis = 10, maxRetries = 1),
+      onFailure = (s, _) => failed = Some(s),
+      sleep = slept.append(_))
+    result match {
+      case Pipeline.Failed(stage, _, stageResults) =>
+        assert(stage == "boom")
+        assert(stageResults.contains("flaky" -> 2)) // succeeded on retry
+        assert(failed.contains("boom"))
+        assert(slept.toSeq == Seq(10L, 10L)) // one backoff sleep per retry
+      case other => fail(s"expected failure, got $other")
+    }
+  }
+
+  test("datagen is deterministic and matches the reference domains") {
+    val a = TransactionGen.generate(spark, 200).collect()
+    val b = TransactionGen.generate(spark, 200).collect()
+    assert(a.toSeq == b.toSeq)
+    val df = TransactionGen.generate(spark, 500)
+    assert(df.select("transaction_id").distinct().count() == 500)
+    val amounts = df.select($"amount").as[Double].collect()
+    assert(amounts.forall(x => x >= 10.0 && x <= 5000.0))
+    assert(df.select("customer_id").distinct().count() <= 200)
+    assert(df.select(min(to_timestamp($"transaction_date"))).as[Timestamp]
+      .head().toString.startsWith("2024-01"))
+  }
+}
