@@ -35,11 +35,17 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    // min-of-3: the host VM shows CPU-steal bursts; the minimum is the
-    // least-contended (most representative) steady-state measurement.
+    // min over 3 ROUND-ROBIN rounds: the host VM shows multi-second CPU-steal
+    // bursts; consecutive repeats of one query all land inside a burst, while
+    // interleaved rounds give each query three well-separated samples.
+    val rounds = (1 to 3).map { _ =>
+      names.map { name =>
+        try name -> timed(name) catch { case _: Throwable => name -> -1.0 }
+      }.toMap
+    }
     val results = names.map { name =>
-      try name -> Seq(timed(name), timed(name), timed(name)).min
-      catch { case _: Throwable => name -> -1.0 }
+      val samples = rounds.map(_(name))
+      name -> (if (samples.forall(_ < 0)) -1.0 else samples.filter(_ >= 0).min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

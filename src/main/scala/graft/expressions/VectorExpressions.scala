@@ -186,6 +186,53 @@ case class ShingleArray(child: Expression, n: Int)
   override def prettyName: String = "shingle_array"
 }
 
+/** 64-bit SimHash of a text column in one per-row evaluation: normalize +
+  * tokenize (same contract as [[ShingleArray]]), one xxhash64 per token
+  * (seed 42 = Spark's `xxhash64`), ±1 vote per bit, sign-packed MSB-first
+  * exactly like the HOF formulation in Dedup.simhash64Hof. The HOF version
+  * costs 64 × |tokens| interpreted expression walks per row and gets
+  * re-inlined into every plan site that references the column.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val lowered = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.toString
+    val normalized = lowered.replaceAll("[^a-z0-9 ]", "")
+      .replaceAll(" +", " ").trim
+    val counts = new Array[Int](64)
+    if (normalized.nonEmpty) {
+      val toks = normalized.split(" ", -1)
+      var i = 0
+      while (i < toks.length) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)),
+            StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 64) { acc = (acc << 1) | (if (counts(b) >= 0) 1L else 0L); b += 1 }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
 object VectorExpressions {
   /** Column-level dot product backed by [[VectorDotProduct]]. */
   def vecDot(a: Column, b: Column): Column =
@@ -199,4 +246,8 @@ object VectorExpressions {
   /** Column-level distinct word-n-gram shingles backed by [[ShingleArray]]. */
   def shingleArr(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleArray(ExpressionUtils.expression(text), n))
+
+  /** Column-level 64-bit SimHash backed by [[SimHash64]]. */
+  def simhash(text: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
 }

@@ -142,9 +142,16 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the document's normalized tokens: bit b is the sign
-    * of Σ_tokens (±1 depending on bit b of xxhash64(token)).
+    * of Σ_tokens (±1 depending on bit b of xxhash64(token)). Native
+    * expression — see [[org.apache.spark.sql.graftx.SimHash64]].
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.graftx.VectorExpressions.simhash(text)
+
+  /** HOF formulation of [[simhash64]] — identical bits, kept as the
+    * cross-check reference implementation.
+    */
+  def simhash64Hof(text: Column): Column = {
     val toks = TextFunctions.tokens(text)
     val bitArr = transform(sequence(lit(0), lit(63)), b =>
       when(

@@ -62,9 +62,11 @@ object DedupQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))),
 
     // xxhash64-based sketch — no SQL oracle; ScalaTest covers semantics.
+    // maxHamming = 3 matches the 4×16-bit-band pigeonhole guarantee: every
+    // pair within distance 3 shares at least one full band.
     "d_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 10)
+        maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))))
 
   override def oracleSql: Map[String, String] = Map(

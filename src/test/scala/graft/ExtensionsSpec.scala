@@ -52,6 +52,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(h == s)
   }
 
+  test("native SimHash64 is bit-identical to the HOF formulation") {
+    val diff = docs.select(
+      Dedup.simhash64($"text").as("a"),
+      Dedup.simhash64Hof($"text").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(diff == 0)
+  }
+
   test("identical texts have simhash hamming distance 0; near-dups small") {
     val dup = Seq((1L, "spark joins tables fast"), (2L, "spark joins tables fast"),
       (3L, "completely different words entirely here"))

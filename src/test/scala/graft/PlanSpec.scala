@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the optimizations SCALING.md claims must
+  * actually appear in the executed plans — filters reaching the parquet
+  * scan, dimension joins broadcasting, top-N avoiding global sorts, codegen
+  * covering the hot paths.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(FormattedMode)
+
+  test("q1_agg: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("LessThanOrEqual(l_shipdate"), p)
+    // projection prunes to the 7 referenced columns
+    assert(!p.contains("l_comment") && p.contains("ReadSchema"))
+    assert(p.contains("HashAggregate"))
+    // codegen annotations only materialize on the executed adaptive plan
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    df.collect()
+    assert(df.queryExecution.explainString(FormattedMode).contains("codegen id"))
+  }
+
+  test("dimension joins broadcast; fact joins do not broadcast the fact side") {
+    val p = plan("j_broadcast_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("q5 snowflake: supplier and nation broadcast") {
+    assert(plan("q5_nation_volume").contains("BroadcastHashJoin"))
+  }
+
+  test("semi and anti joins plan as LeftSemi / LeftAnti") {
+    assert(plan("j_semi_orders").contains("LeftSemi"))
+    assert(plan("j_anti_customers").contains("LeftAnti"))
+  }
+
+  test("top-N plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("s_topn_lines").contains("TakeOrderedAndProject"))
+  }
+
+  test("brute-force cosine top-k broadcasts the query side") {
+    assert(plan("v_cosine_topk").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("aggregations are two-phase partial+final around one exchange") {
+    val p = plan("p_daily_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange"))
+  }
+}
