@@ -16,6 +16,7 @@ object SparkEntry {
     PipelineQueries,
     TpchQueries,
     RelationalQueries,
+    AnalyticQueries,
     EventQueries,
     TextQueries,
     DedupQueries,

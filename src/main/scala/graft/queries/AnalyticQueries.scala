@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Aggregations.sumStable
+
+/** Classic analytic shapes beyond the basic join/agg layer: outer-join
+  * distributions (TPC-H Q13), HAVING over grouped facts (Q18), per-group-
+  * average correlated filtering (Q17), and explicit GROUPING SETS.
+  *
+  * Scale notes: Q13's left join shuffles both sides on custkey (fact⋈fact);
+  * Q18's HAVING is a pre-aggregation on the fact before the dimension joins,
+  * so only qualifying orders join; Q17's per-group average is a broadcast of
+  * the (small) per-part aggregate back onto the fact scan.
+  */
+object AnalyticQueries extends QueryPack {
+
+  override def queries: Map[String, Query] = Map(
+    // Q13 shape: customer count distribution incl. zero-order customers.
+    "q13_custdist" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      val perCust = c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q18 shape: large orders via HAVING on the grouped fact, then joins.
+    "q18_large_orders" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sumStable(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 160)
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Q17 shape: lines under 50% of their part's average quantity.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val avgQty = li.groupBy(col("l_partkey").as("p_key"))
+        .agg((sumStable(col("l_quantity")) / count(col("l_quantity")))
+          .as("avg_qty"))
+      li.join(broadcast(avgQty), li("l_partkey") === avgQty("p_key"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .agg(sumStable(col("l_extendedprice")).as("total_price"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Explicit GROUPING SETS: (year, status), (year), () — with grouping_id
+    // to disambiguate the null markers.
+    "g_grouping_sets" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("y"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .groupingSets(
+          Seq(Seq(col("y"), col("o_orderstatus")), Seq(col("y")), Seq()),
+          col("y"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sumStable(col("o_totalprice")).as("total_sales"))
+        .select(coalesce(col("y"), lit(-1)).as("y"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          col("n"), col("total_sales"))
+        .orderBy(col("y"), col("o_orderstatus"))))
+
+  private def stable(expr: String) =
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+  override def oracleSql: Map[String, String] = Map(
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q18_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${stable("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${stable("l_quantity")} > 160)
+         |SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         |FROM big
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      s"""WITH a AS (
+         |  SELECT l_partkey AS p_key,
+         |    ${stable("l_quantity")} / COUNT(l_quantity) AS avg_qty
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT ${stable("l_extendedprice")} AS total_price,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem JOIN a ON l_partkey = p_key
+         |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
+
+    "g_grouping_sets" ->
+      s"""SELECT COALESCE(y, -1) AS y,
+         |  COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, n, total_sales
+         |FROM (
+         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS y, o_orderstatus,
+         |    COUNT(*) AS n, ${stable("o_totalprice")} AS total_sales
+         |  FROM orders
+         |  GROUP BY GROUPING SETS ((y, o_orderstatus), (y), ()))
+         |ORDER BY y, o_orderstatus""".stripMargin)
+}
