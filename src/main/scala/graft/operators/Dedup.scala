@@ -72,16 +72,33 @@ object Dedup {
     * explode → self-join on shingle → per-pair intersection count → Jaccard.
     * The standard scalable formulation — cost is Σ over shingles of df²,
     * not |docs|². `hashShingles` narrows the join key to 8 bytes.
+    *
+    * `maxShingleDf` caps the inverted index's document frequency: a shingle
+    * present in more than `maxShingleDf` docs is dropped from candidate
+    * generation (one stopword-like shingle with df=10⁶ would otherwise emit
+    * 10¹² join rows). Dropped shingles still count in each doc's size, so
+    * Jaccard is under- (never over-) estimated for pairs whose overlap
+    * includes a hot shingle — the standard trade. The hot set is found with
+    * one narrow groupBy and removed via broadcast anti-join (the hot set is
+    * bounded by pathology count, so the index rows never reshuffle).
     */
   def jaccardPairs(df: DataFrame, id: String, text: String,
-      minJaccard: Double, n: Int = 3, hashShingles: Boolean = false): DataFrame = {
+      minJaccard: Double, n: Int = 3, hashShingles: Boolean = false,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
     // size travels WITH each exploded row, so no extra per-doc sizes join —
     // one scan per join side instead of three
     val sh0 = docShingleArrays(df, id, text, n)
       .select(col(id), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("shingle"))
-    val sh = if (hashShingles)
+    val shKeyed = if (hashShingles)
       sh0.withColumn("shingle", xxhash64(col("shingle"))) else sh0
+    val sh = if (maxShingleDf == Int.MaxValue) shKeyed else {
+      val hot = shKeyed.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxShingleDf)
+        .select(col("shingle"))
+      shKeyed.join(hot, Seq("shingle"), "left_anti")
+    }
     val a = sh.select(col(id).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = sh.select(col(id).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))
@@ -106,6 +123,21 @@ object Dedup {
     * join for candidates → exact Jaccard verification on the shingle sets.
     * Output schema matches [[jaccardPairs]]; with enough bands the result
     * converges to the exact answer at a fraction of the join volume.
+    *
+    * Shuffle discipline (the 100 TB contract): every wide stage moves only
+    * (band, bucket, id) longs — the shingle arrays never enter a shuffle.
+    *  1. banding emits narrow (id, band, bucket) rows;
+    *  2. oversized buckets (degenerate content shared by ~everyone) are found
+    *     with a narrow groupBy and removed via broadcast ANTI-join — the hot
+    *     set is bounded by pathology count, so it broadcasts for free, while
+    *     a window over all banded rows would sort the full index;
+    *  3. the band self-join and the pair `.distinct()` operate on bare id
+    *     pairs;
+    *  4. shingle sets are re-derived from the (already pruned, small)
+    *     candidate side only at the final verify join, where AQE broadcasts
+    *     the candidate ids — the corpus-side arrays stay put.
+    * The banding subtree is evaluated twice (sizes + anti-join stream): two
+    * linear scans beat one global sort of the banded index.
     */
   def minhashLshPairs(df: DataFrame, id: String, text: String,
       minJaccard: Double, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -113,27 +145,28 @@ object Dedup {
     val rows = numHashes / bands
     val docShingles = docShingleArrays(df, id, text, n)
       .filter(size(col("shingles")) > 0)
-    val sig = docShingles.withColumn("mh", minhashSignature(col("shingles"), numHashes))
     // one row per (band, bucket): bucket key hashes the band's slice of the
     // signature; posexplode keeps band index in the join key so buckets from
     // different bands never collide
-    val buckets = sig.select(col(id), col("shingles"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(b, slice(col("mh"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
-    val pruned = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bucket"))
-      buckets.withColumn("__bsz", count(lit(1)).over(w))
-        .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
-    }
-    val a = pruned.select(col("band"), col("bucket"), col(id).as("id_a"),
-      col("shingles").as("sh_a"))
-    val b = pruned.select(col("band"), col("bucket"), col(id).as("id_b"),
-      col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    val buckets = docShingles
+      .select(col(id), minhashSignature(col("shingles"), numHashes).as("mh"))
+      .select(col(id),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(b, slice(col("mh"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+    val oversized = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val pruned = buckets.join(oversized, Seq("band", "bucket"), "left_anti")
+    val candidates = pruned.select(col("band"), col("bucket"), col(id).as("id_a"))
+      .join(pruned.select(col("band"), col("bucket"), col(id).as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct() // a pair may collide in several bands — verify once
+    val shA = docShingles.select(col(id).as("id_a"), col("shingles").as("sh_a"))
+    val shB = docShingles.select(col(id).as("id_b"), col("shingles").as("sh_b"))
+    candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))

@@ -11,8 +11,9 @@ import graft.ops.Aggregations.sumStable
   *
   * Scale notes: Q13's left join shuffles both sides on custkey (fact⋈fact);
   * Q18's HAVING is a pre-aggregation on the fact before the dimension joins,
-  * so only qualifying orders join; Q17's per-group average is a broadcast of
-  * the (small) per-part aggregate back onto the fact scan.
+  * so only qualifying orders join; Q17's per-part aggregate joins back onto
+  * the fact scan with the strategy left to AQE (the aggregate's cardinality
+  * is input-proportional, so a hard broadcast hint would not survive scale).
   */
 object AnalyticQueries extends QueryPack {
 
@@ -47,12 +48,16 @@ object AnalyticQueries extends QueryPack {
     }),
 
     // Q17 shape: lines under 50% of their part's average quantity.
+    // No broadcast hint on the per-part aggregate: its cardinality grows with
+    // the fact table (~200k×sf parts), so a forced broadcast OOMs the driver
+    // at scale — AQE picks broadcast vs shuffle from the aggregate's runtime
+    // size instead.
     "q17_small_qty_revenue" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
       val avgQty = li.groupBy(col("l_partkey").as("p_key"))
         .agg((sumStable(col("l_quantity")) / count(col("l_quantity")))
           .as("avg_qty"))
-      li.join(broadcast(avgQty), li("l_partkey") === avgQty("p_key"))
+      li.join(avgQty, li("l_partkey") === avgQty("p_key"))
         .filter(col("l_quantity") < col("avg_qty") * 0.5)
         .agg(sumStable(col("l_extendedprice")).as("total_price"),
           count(lit(1)).as("n_lines"))

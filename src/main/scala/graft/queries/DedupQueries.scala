@@ -56,6 +56,19 @@ object DedupQueries extends QueryPack {
         minJaccard = tau)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // The production configuration: 8-byte xxhash64 join keys (~10× narrower
+    // shuffle than raw shingle strings) + document-frequency cap 100 on the
+    // inverted index (bounds the Σdf² candidate blowup under skew). The cap
+    // exceeds the max observed df in the testdata (7 at sf0.01, 25 at sf0.1)
+    // and 64-bit hashing is collision-free at these cardinalities, so the
+    // result is identical to the exact string-keyed form and shares its
+    // oracle. ExtensionsSpec proves pair-set equality; the skew spec proves
+    // the cap binds on a pathological corpus.
+    "d_jaccard_pairs_fast" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        minJaccard = tau, hashShingles = true, maxShingleDf = 100)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "d_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
         minJaccard = tau)
@@ -76,5 +89,6 @@ object DedupQueries extends QueryPack {
         |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin,
 
     "d_jaccard_pairs" -> jaccardPairsSql,
+    "d_jaccard_pairs_fast" -> jaccardPairsSql,
     "d_minhash_pairs" -> jaccardPairsSql)
 }

@@ -52,6 +52,45 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(h == s)
   }
 
+  test("hashed+capped jaccardPairs (the production config) gives the same pairs") {
+    val s = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val hc = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5,
+      hashShingles = true, maxShingleDf = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(hc == s)
+  }
+
+  // --- skew-stress: the caps must BIND on pathological corpora ---
+
+  /** 60 docs all sharing one stopword-like phrase (4 shingles of df=60 out of
+    * 5 per doc → pairwise jaccard 4/6). Pairs overlap ONLY through hot
+    * shingles.
+    */
+  private def hotShingleCorpus = (1L to 60L).map { i =>
+    (i, s"the common header line repeats number $i")
+  }.toDF("doc_id", "text")
+
+  test("jaccardPairs df-cap prunes hot shingles from candidate generation") {
+    val uncapped = Dedup.jaccardPairs(hotShingleCorpus, "doc_id", "text", 0.4)
+    assert(uncapped.count() > 0, "uncapped index must blow up into pairs")
+    val capped = Dedup.jaccardPairs(hotShingleCorpus, "doc_id", "text", 0.4,
+      maxShingleDf = 30)
+    // every common shingle has df=60 > 30 → zero candidates survive the cap
+    assert(capped.count() == 0)
+  }
+
+  test("minhash maxBucketSize drops degenerate buckets") {
+    // 50 identical docs: every band hashes to one bucket of size 50
+    val degenerate = (1L to 50L).map(i => (i, "all documents are exactly alike here"))
+      .toDF("doc_id", "text")
+    val unbounded = Dedup.minhashLshPairs(degenerate, "doc_id", "text", 0.9)
+    assert(unbounded.count() == 50L * 49 / 2)
+    val bounded = Dedup.minhashLshPairs(degenerate, "doc_id", "text", 0.9,
+      maxBucketSize = 10)
+    assert(bounded.count() == 0)
+  }
+
   test("native SimHash64 is bit-identical to the HOF formulation") {
     val diff = docs.select(
       Dedup.simhash64($"text").as("a"),
