@@ -55,22 +55,41 @@ object VectorFunctions {
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
-    * pseudo-random hyperplanes derived deterministically from xxhash64 —
-    * no stored model, reproducible across runs and engines. Built from
-    * nested higher-order functions so the expression tree stays small
-    * (an unrolled bits×dim tree would blow codegen's method-size limit).
+  /** Signed dot product of `v` with pseudo-random hyperplane `p`: weights
+    * derived deterministically from xxhash64(p, i) — no stored model,
+    * reproducible across runs and engines.
+    */
+  private def planeDot(v: Column, p: Column): Column = aggregate(
+    zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+      x.cast("double") *
+        ((pmod(xxhash64(p, i), lit(2001L)).cast("double") - lit(1000.0)) /
+          lit(1000.0))),
+    lit(0.0),
+    (acc, t) => acc + t)
+
+  /** Random-hyperplane LSH signature: `bits` sign bits packed MSB-first into
+    * one long. Built from nested higher-order functions so the expression
+    * tree stays small (an unrolled bits×dim tree would blow codegen's
+    * method-size limit).
     */
   def hyperplaneSignature(v: Column, bits: Int): Column = {
-    def planeDot(p: Column): Column = aggregate(
-      zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-        x.cast("double") *
-          ((pmod(xxhash64(p, i), lit(2001L)).cast("double") - lit(1000.0)) /
-            lit(1000.0))),
-      lit(0.0),
-      (acc, t) => acc + t)
     val bitArr = transform(sequence(lit(0), lit(bits - 1)), p =>
-      when(planeDot(p) >= 0, lit(1L)).otherwise(lit(0L)))
+      when(planeDot(v, p) >= 0, lit(1L)).otherwise(lit(0L)))
     aggregate(bitArr, lit(0L), (acc, b) => acc * 2 + b)
   }
+
+  /** Banded hyperplane buckets: `bands` independent signatures of
+    * `bitsPerBand` planes each (plane index = band*bitsPerBand + j, so bands
+    * never share planes), as array<long>. The banding form of
+    * [[hyperplaneSignature]] — total planes are not capped by a single
+    * long's 63 bits, which matters because sign-bit agreement is a weak
+    * per-bit signal (p = 1 − θ/π) and usable recall needs hundreds of
+    * planes.
+    */
+  def hyperplaneBandBuckets(v: Column, bands: Int, bitsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), bnd =>
+      aggregate(
+        transform(sequence(lit(0), lit(bitsPerBand - 1)), j =>
+          when(planeDot(v, bnd * bitsPerBand + j) >= 0, lit(1L)).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc * 2 + b))
 }

@@ -34,8 +34,14 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Blocked exact all-pairs (no BroadcastNestedLoopJoin): τ=0.45 sits
+    // inside the corpus's similarity bulk (background max ≈ 0.4497 at
+    // sf0.1), so no LSH gap exists and the exact n²/2 is inherent — the
+    // blocked equi-join spreads it across executors with no driver
+    // broadcast. Similarity.cosineNearDupLsh is the sub-quadratic path for
+    // gapped thresholds (spec-verified on planted high-cosine dups).
     "v_cosine_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
+      Similarity.cosineNearDupBlocked(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", minCosine = tau)
         .orderBy(col("id_a"), col("id_b"))),
 

@@ -118,6 +118,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(norm(0) == norm(1))
   }
 
+  test("blocked cosine near-dup is bit-identical to the BNLJ exact baseline") {
+    val exact = Similarity.cosineNearDupPairs(embeddings, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val blocked = Similarity.cosineNearDupBlocked(embeddings, "vec_id", "embedding",
+      0.4, blocks = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(blocked == exact)
+  }
+
+  /** Corpus with planted high-cosine near-dups: 150 random base vectors plus
+    * 15 slightly-perturbed copies (cosine ≥ ~0.99 to their base) — the
+    * GAPPED regime where banded hyperplane LSH is sound.
+    */
+  private def plantedNearDups = {
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val base = (0L until 150L).map(i => (i, vec()))
+    val dups = base.take(15).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("banded cosine near-dup equals the exact pair set on planted dups") {
+    val df = plantedNearDups
+    val exact = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.cosineNearDupLsh(df, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.size == 15, s"expected the 15 planted pairs, got ${exact.size}")
+    assert(lsh == exact)
+  }
+
   test("brute-force topk: rank 1 is the most similar non-self vector") {
     val q = embeddings.filter($"vec_id" === 0)
     val got = Similarity.bruteForceTopK(embeddings, q, "vec_id", "embedding", 5)

@@ -52,6 +52,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("v_cosine_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("blocked cosine near-dup is an equi-join: no BNLJ, no cartesian") {
+    val p = plan("v_cosine_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("minhash LSH wide stages never carry shingle arrays") {
+    val p = plan("d_minhash_pairs")
+    // every Exchange's output schema must be free of the shingles column;
+    // arrays re-attach only at the final (broadcast) verify join
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    val argLines = p.linesIterator.filter(l =>
+      l.contains("Arguments:") && l.contains("hashpartitioning")).toSeq
+    assert(argLines.forall(!_.contains("shingles")),
+      argLines.mkString("\n"))
+  }
+
   test("aggregations are two-phase partial+final around one exchange") {
     val p = plan("p_daily_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
