@@ -233,6 +233,93 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** Banded random-hyperplane LSH buckets of a dense vector: `bands`
+  * signatures of `bitsPerBand` sign bits each (plane index = band*bitsPerBand
+  * + j), output as array<long>.
+  *
+  * Bit-exact with the HOF formulation (`VectorFunctions
+  * .hyperplaneBandBucketsHof`): plane weights are (pmod(xxhash64(p, i),
+  * 2001) − 1000)/1000 with p, i hashed as ints seeded 42 (= Spark's
+  * two-arg `xxhash64`), elements widen to double before the multiply,
+  * products accumulate in index order, sign bits pack MSB-first. The HOF
+  * version re-derives every weight per ROW through an interpreted
+  * expression walk (planes × dim hash calls per row); here the weight
+  * matrix is computed once per (dim) and cached, so each row is a dense
+  * planes×dim multiply in a tight loop.
+  */
+case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // weight matrix per vector dimensionality, plane-major; one entry in
+  // practice (embedding dims are homogeneous), ConcurrentHashMap for safety
+  @transient private lazy val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+
+  private def weights(dim: Int): Array[Double] =
+    weightCache.computeIfAbsent(dim, { d =>
+      val planes = bands * bitsPerBand
+      val w = new Array[Double](planes * d)
+      var p = 0
+      while (p < planes) {
+        val seedP = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(p, IntegerType, 42L)
+        var i = 0
+        while (i < d) {
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(i, IntegerType, seedP)
+          val m = ((h % 2001L) + 2001L) % 2001L
+          w(p * d + i) = (m.toDouble - 1000.0) / 1000.0
+          i += 1
+        }
+        p += 1
+      }
+      w
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val isFloat = elemIsFloat
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val w = weights(dim)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var j = 0
+      while (j < bitsPerBand) {
+        val base = (b * bitsPerBand + j) * dim
+        var dot = 0.0
+        var k = 0
+        while (k < dim) { dot += v(k) * w(base + k); k += 1 }
+        acc = (acc << 1) | (if (dot >= 0) 1L else 0L)
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_bands"
+}
+
 object VectorExpressions {
   /** Column-level dot product backed by [[VectorDotProduct]]. */
   def vecDot(a: Column, b: Column): Column =
@@ -250,4 +337,9 @@ object VectorExpressions {
   /** Column-level 64-bit SimHash backed by [[SimHash64]]. */
   def simhash(text: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
+
+  /** Column-level banded hyperplane buckets backed by [[HyperplaneBands]]. */
+  def hyperplaneBands(v: Column, bands: Int, bitsPerBand: Int): Column =
+    ExpressionUtils.column(HyperplaneBands(
+      ExpressionUtils.expression(v), bands, bitsPerBand))
 }

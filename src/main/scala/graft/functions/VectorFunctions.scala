@@ -68,11 +68,17 @@ object VectorFunctions {
     (acc, t) => acc + t)
 
   /** Random-hyperplane LSH signature: `bits` sign bits packed MSB-first into
-    * one long. Built from nested higher-order functions so the expression
-    * tree stays small (an unrolled bits×dim tree would blow codegen's
-    * method-size limit).
+    * one long. Backed by the native [[org.apache.spark.sql.graftx.HyperplaneBands]]
+    * (single band); [[hyperplaneSignatureHof]] is the bit-identical pure-
+    * built-in reference.
     */
-  def hyperplaneSignature(v: Column, bits: Int): Column = {
+  def hyperplaneSignature(v: Column, bits: Int): Column =
+    element_at(hyperplaneBandBuckets(v, 1, bits), 1)
+
+  /** HOF reference formulation of [[hyperplaneSignature]] — bit-identical,
+    * ~planes×dim interpreted hash calls per row; kept for cross-checking.
+    */
+  def hyperplaneSignatureHof(v: Column, bits: Int): Column = {
     val bitArr = transform(sequence(lit(0), lit(bits - 1)), p =>
       when(planeDot(v, p) >= 0, lit(1L)).otherwise(lit(0L)))
     aggregate(bitArr, lit(0L), (acc, b) => acc * 2 + b)
@@ -84,9 +90,15 @@ object VectorFunctions {
     * [[hyperplaneSignature]] — total planes are not capped by a single
     * long's 63 bits, which matters because sign-bit agreement is a weak
     * per-bit signal (p = 1 − θ/π) and usable recall needs hundreds of
-    * planes.
+    * planes. Native expression with a cached per-dim weight matrix.
     */
   def hyperplaneBandBuckets(v: Column, bands: Int, bitsPerBand: Int): Column =
+    org.apache.spark.sql.graftx.VectorExpressions.hyperplaneBands(v, bands, bitsPerBand)
+
+  /** HOF reference formulation of [[hyperplaneBandBuckets]] — bit-identical,
+    * kept for cross-checking the native expression.
+    */
+  def hyperplaneBandBucketsHof(v: Column, bands: Int, bitsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), bnd =>
       aggregate(
         transform(sequence(lit(0), lit(bitsPerBand - 1)), j =>

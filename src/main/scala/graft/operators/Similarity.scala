@@ -165,12 +165,16 @@ object Similarity {
         explode(probes(col("__sig0"))).as("__sig"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    c.join(q, Seq("__sig"))
+    // probe side broadcasts (|Q|·(bits+1) rows — queries are the small side
+    // by construction): the corpus streams once and never shuffles on __sig
+    c.join(broadcast(q), Seq("__sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn"))
           .as("cosine_sim"))
-      .distinct() // a (q, n) pair can meet in several probe buckets
+      // no dedup needed: a query's probe signatures are pairwise-distinct
+      // values and a corpus row has exactly one signature, so each (q, n)
+      // pair meets in at most one probe bucket (unlike multi-TABLE schemes)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

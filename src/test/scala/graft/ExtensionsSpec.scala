@@ -91,6 +91,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bounded.count() == 0)
   }
 
+  test("native HyperplaneBands is bit-identical to the HOF formulation") {
+    val diff = embeddings.select(
+      VectorFunctions.hyperplaneBandBuckets($"embedding", 4, 6).as("a"),
+      VectorFunctions.hyperplaneBandBucketsHof($"embedding", 4, 6).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(diff == 0)
+    val sigDiff = embeddings.select(
+      VectorFunctions.hyperplaneSignature($"embedding", 12).as("a"),
+      VectorFunctions.hyperplaneSignatureHof($"embedding", 12).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(sigDiff == 0)
+  }
+
   test("native SimHash64 is bit-identical to the HOF formulation") {
     val diff = docs.select(
       Dedup.simhash64($"text").as("a"),
