@@ -233,6 +233,48 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** 64-bit rolling (order-sensitive) fingerprint of a text column in one
+  * per-row evaluation: normalize + tokenize (same contract as
+  * [[ShingleArray]]), then chain acc ← xxhash64(acc, token) starting from 0
+  * — exactly the two-arg Spark `xxhash64` semantics (hash the long acc with
+  * seed 42, then the token string with that result as seed), so it is
+  * bit-identical to the HOF formulation in
+  * `TextFunctions.rollingFingerprintHof`.
+  */
+case class RollingFingerprint(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val lowered = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.toString
+    val normalized = lowered.replaceAll("[^a-z0-9 ]", "")
+      .replaceAll(" +", " ").trim
+    var acc = 0L
+    if (normalized.nonEmpty) {
+      val toks = normalized.split(" ", -1)
+      var i = 0
+      while (i < toks.length) {
+        val seeded = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(acc, LongType, 42L)
+        acc = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)),
+            StringType, seeded)
+        i += 1
+      }
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_fingerprint"
+}
+
 /** Banded random-hyperplane LSH buckets of a dense vector: `bands`
   * signatures of `bitsPerBand` sign bits each (plane index = band*bitsPerBand
   * + j), output as array<long>.
@@ -342,4 +384,8 @@ object VectorExpressions {
   def hyperplaneBands(v: Column, bands: Int, bitsPerBand: Int): Column =
     ExpressionUtils.column(HyperplaneBands(
       ExpressionUtils.expression(v), bands, bitsPerBand))
+
+  /** Column-level rolling fingerprint backed by [[RollingFingerprint]]. */
+  def rollingFp(text: Column): Column =
+    ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(text)))
 }

@@ -111,7 +111,16 @@ object TextFunctions {
     * (same tokens reordered → different fingerprint, unlike a set hash).
     * Hash-chaining instead of polynomial `acc*31 + h`: multiplicative
     * accumulation overflows Long, which throws under ANSI mode.
+    * Backed by the native [[org.apache.spark.sql.graftx.RollingFingerprint]];
+    * [[rollingFingerprintHof]] is the bit-identical built-in reference.
     */
   def rollingFingerprint(c: Column): Column =
+    org.apache.spark.sql.graftx.VectorExpressions.rollingFp(c)
+
+  /** HOF reference formulation of [[rollingFingerprint]] — bit-identical,
+    * kept for cross-checking the native expression (and surfaced at the
+    * driver gate by the `t_rolling_fp_check` query).
+    */
+  def rollingFingerprintHof(c: Column): Column =
     aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(acc, t))
 }

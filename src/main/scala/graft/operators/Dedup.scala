@@ -195,6 +195,31 @@ object Dedup {
     aggregate(bitArr, lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
   }
 
+  /** Quadratic reference for [[simhashPairs]]: ALL pairs within Hamming
+    * distance `maxHamming`, via a blocked exact all-pairs equi-join (same
+    * pattern as `Similarity.cosineNearDupBlocked` — no broadcast nested
+    * loop). The banded form must produce exactly this set (pigeonhole:
+    * Hamming ≤ 3 forces agreement on ≥1 of 4 bands); the `d_simhash_check`
+    * query asserts that equality at the driver gate.
+    */
+  def simhashPairsBrute(df: DataFrame, id: String, text: String,
+      maxHamming: Int = 3, blocks: Int = 8): DataFrame = {
+    val sh = df.select(col(id), simhash64(col(text)).as("sh"),
+      pmod(xxhash64(col(id)), lit(blocks)).cast("int").as("__g"))
+    val a = sh.select(col("__g").as("__i"),
+      explode(sequence(col("__g"), lit(blocks - 1))).as("__j"),
+      col(id).as("__ida"), col("sh").as("__sa"))
+    val b = sh.select(explode(sequence(lit(0), col("__g"))).as("__i"),
+      col("__g").as("__j"),
+      col(id).as("__idb"), col("sh").as("__sb"))
+    a.join(b, Seq("__i", "__j"))
+      .filter(col("__i") =!= col("__j") || col("__ida") < col("__idb"))
+      .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"), col("hamming"))
+  }
+
   /** SimHash near-duplicate pairs: candidates share one of four 16-bit bands
     * (any pair within Hamming distance 3 must agree on ≥1 band — pigeonhole),
     * verified by exact Hamming distance ≤ `maxHamming`.

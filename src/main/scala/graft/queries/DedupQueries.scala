@@ -74,13 +74,26 @@ object DedupQueries extends QueryPack {
         minJaccard = tau)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // xxhash64-based sketch — no SQL oracle; ScalaTest covers semantics.
-    // maxHamming = 3 matches the 4×16-bit-band pigeonhole guarantee: every
-    // pair within distance 3 shares at least one full band.
-    "d_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))))
+    // xxhash64-based sketch — DuckDB cannot evaluate it, so the driver-
+    // visible check is a second-implementation equivalence: (1) the banded
+    // candidate scheme must produce exactly the blocked brute-force
+    // Hamming ≤ 3 pair set (the 4×16-bit-band pigeonhole guarantee), and
+    // (2) the native SimHash64 expression must be bit-identical to the HOF
+    // formulation. Both counts must be zero — a constant the oracle CAN
+    // state.
+    "d_simhash_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      val brute = Dedup.simhashPairsBrute(docs, "doc_id", "text", maxHamming = 3)
+      val pairDiff = banded.exceptAll(brute).union(brute.exceptAll(banded))
+        .agg(count(lit(1)).as("pair_diff"))
+      val nativeHof = docs
+        .select(Dedup.simhash64(col("text")).as("a"),
+          Dedup.simhash64Hof(col("text")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .agg(count(lit(1)).as("native_hof_mismatches"))
+      pairDiff.crossJoin(nativeHof) // 1-row × 1-row
+    }))
 
   override def oracleSql: Map[String, String] = Map(
     "d_exact_groups" ->
@@ -90,5 +103,9 @@ object DedupQueries extends QueryPack {
 
     "d_jaccard_pairs" -> jaccardPairsSql,
     "d_jaccard_pairs_fast" -> jaccardPairsSql,
-    "d_minhash_pairs" -> jaccardPairsSql)
+    "d_minhash_pairs" -> jaccardPairsSql,
+
+    "d_simhash_check" ->
+      """SELECT CAST(0 AS BIGINT) AS pair_diff,
+        |  CAST(0 AS BIGINT) AS native_hof_mismatches""".stripMargin)
 }

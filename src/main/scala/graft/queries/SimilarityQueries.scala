@@ -45,21 +45,72 @@ object SimilarityQueries extends QueryPack {
         "vec_id", "embedding", minCosine = tau)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // Approximate variants — rows-only checks; recall vs the exact baseline
-    // is asserted in ScalaTest.
-    "v_lsh_topk" -> ((s, dir) => {
+    // Approximate variants — DuckDB cannot evaluate the xxhash64-derived
+    // bucketing, so the driver-visible checks assert (a) result shape the
+    // oracle can compute from the table (row count = k × |queries|) and
+    // (b) properties that must hold if the bucketing works: recall of the
+    // exact top-k above a floor (LSH; the corpus is near-random — max
+    // pairwise cosine ≈0.5 — so measured recall 0.18-0.25 vs the 0.11
+    // random-candidate baseline; floor 0.15 separates them), and full
+    // structural consistency (IVF).
+    "v_lsh_check" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      // 2^6 buckets suits the testdata corpus sizes (500-5000 vectors);
-      // at cluster scale, bits grows with log2(corpus)/density.
-      Similarity.lshTopK(emb, queriesOf(emb), "vec_id", "embedding", k, bits = 6)
-        .orderBy(col("query_id"), col("rank"))
+      val qs = queriesOf(emb)
+      val exact = Similarity
+        .bruteForceTopK(emb, qs, "vec_id", "embedding", k)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = Similarity.lshTopK(emb, qs, "vec_id", "embedding", k, bits = 6)
+      val nRows = lsh.agg(count(lit(1)).as("n_rows"))
+      val hits = exact
+        .join(lsh.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("__hits"))
+      val total = exact.agg(count(lit(1)).as("__total"))
+      nRows.crossJoin(hits).crossJoin(total) // 1-row × 1-row × 1-row
+        .select(col("n_rows"),
+          when(col("__hits").cast("double") / col("__total") >= 0.15, 1)
+            .otherwise(0).as("recall_ok"))
     }),
 
-    "v_ivf_topk" -> ((s, dir) => {
+    // IVF structural verification, all counts must be zero: (1) every query
+    // returns exactly k neighbors, all from ONE cell; (2) every reported
+    // cosine matches an independent recomputation from the raw vectors;
+    // (3) no same-cell corpus vector with strictly higher cosine was left
+    // out (within-cell top-k optimality).
+    "v_ivf_check" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.cosineWithNorms
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, queriesOf(emb), "vec_id", "embedding", "label",
+      val qs = queriesOf(emb)
+      val ivf = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", "label",
         k, dim = 64)
-        .orderBy(col("query_id"), col("rank"))
+      val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+      val withLab = ivf.join(labels, Seq("neighbor_id"))
+      val shapeBad = withLab.groupBy(col("query_id"))
+        .agg(countDistinct(col("label")).as("__nc"), count(lit(1)).as("__n"))
+        .filter(col("__nc") =!= 1 || col("__n") =!= k)
+        .agg(count(lit(1)).as("bad_query_shapes"))
+      val qv = Similarity.withNorm(qs, "embedding")
+        .select(col("vec_id").as("query_id"), col("embedding").as("__q"),
+          col("__nrm").as("__qn"))
+      val cv = Similarity.withNorm(emb, "embedding")
+        .select(col("vec_id").as("neighbor_id"), col("label"),
+          col("embedding").as("__c"), col("__nrm").as("__cn"))
+      val trueCos = cosineWithNorms(col("__q"), col("__c"), col("__qn"), col("__cn"))
+      val mism = ivf.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
+        .filter(col("cosine_sim") =!= trueCos)
+        .agg(count(lit(1)).as("cosine_mismatches"))
+      val assigned = withLab.select(col("query_id"), col("label")).distinct()
+      val worst = ivf.groupBy(col("query_id"))
+        .agg(min(col("cosine_sim")).as("__worst"))
+      val missed = assigned.join(cv, Seq("label")).join(qv, Seq("query_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), trueCos.as("__cs"))
+        .join(worst, Seq("query_id"))
+        .filter(col("__cs") > col("__worst"))
+        .join(ivf.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .agg(count(lit(1)).as("outranked_missing"))
+      shapeBad.crossJoin(mism).crossJoin(missed) // 1-row × 1-row × 1-row
     }))
 
   override def oracleSql: Map[String, String] = Map(
@@ -83,5 +134,15 @@ object SimilarityQueries extends QueryPack {
          |  ${dotSql("a", "b")} / (a.nrm * b.nrm) AS cosine_sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${dotSql("a", "b")} / (a.nrm * b.nrm) >= $tau
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "v_lsh_check" ->
+      s"""SELECT CAST($k * (SELECT count(*) FROM embeddings WHERE vec_id % 97 = 0)
+         |    AS BIGINT) AS n_rows,
+         |  CAST(1 AS INTEGER) AS recall_ok""".stripMargin,
+
+    "v_ivf_check" ->
+      """SELECT CAST(0 AS BIGINT) AS bad_query_shapes,
+        |  CAST(0 AS BIGINT) AS cosine_mismatches,
+        |  CAST(0 AS BIGINT) AS outranked_missing""".stripMargin)
 }

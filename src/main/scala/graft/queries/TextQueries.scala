@@ -57,13 +57,17 @@ object TextQueries extends QueryPack {
         fingerprintMd5(col("text")).as("fp_md5"))
         .orderBy(col("doc_id"))),
 
-    // xxhash64-based order-sensitive fingerprint — not SQL-expressible in
-    // DuckDB; driver records a rows-only check, ScalaTest covers semantics.
-    "t_rolling_fp" -> ((s, dir) =>
+    // xxhash64-based order-sensitive fingerprint — DuckDB cannot evaluate
+    // it, so the driver-visible check is cross-implementation agreement:
+    // the native RollingFingerprint expression must be bit-identical to the
+    // pure-built-in HOF chain over every document. Zero mismatches is a
+    // constant the oracle CAN state.
+    "t_rolling_fp_check" -> ((s, dir) =>
       Tables.load(s, dir, "documents").select(
-        col("doc_id"),
-        rollingFingerprint(col("text")).as("rolling_fp"))
-        .orderBy(col("doc_id"))))
+        rollingFingerprint(col("text")).as("a"),
+        rollingFingerprintHof(col("text")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .agg(count(lit(1)).as("native_hof_mismatches"))))
 
   override def oracleSql: Map[String, String] = Map(
     "t_text_stats" ->
@@ -108,5 +112,8 @@ object TextQueries extends QueryPack {
     },
 
     "t_fingerprint" ->
-      s"SELECT doc_id, md5($normSql) AS fp_md5 FROM documents ORDER BY doc_id")
+      s"SELECT doc_id, md5($normSql) AS fp_md5 FROM documents ORDER BY doc_id",
+
+    "t_rolling_fp_check" ->
+      "SELECT CAST(0 AS BIGINT) AS native_hof_mismatches")
 }
