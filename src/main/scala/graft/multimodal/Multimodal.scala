@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed by per-partition batch operators.
   *
   * The Spark-side shape is real and tested — schema, partition-batch
-  * processing, deterministic output layout; the codec calls themselves are
-  * STUBS (`decodeStub`) because no image/audio libraries exist in this
-  * environment. Swap `decodeStub` for a real JNI/library call and nothing
-  * else changes.
+  * processing, deterministic output layout. The IMAGE path is real
+  * end-to-end: [[imageTable]] emits genuine BMP/PNG payloads and
+  * [[decodeMetaTable]] parses format/dimensions back out of the file
+  * headers via [[ImageCodec]] (pure JVM, no libraries). The pixel-level
+  * feature extractor and the audio/video frame sampler remain STUBS
+  * (`decodeStub`) because no media libraries exist in this environment —
+  * swap `decodeStub` for a real JNI/library call and nothing else changes.
   *
   * Scale posture: `mapPartitions` over a `Dataset[MediaRecord]` processes
   * records in partition-sized batches (the decoder amortizes init per
@@ -73,6 +76,55 @@ object Multimodal {
       (pmod(col("doc_id"), lit(640L)).cast("int") + 64).as("width"),
       (pmod(col("doc_id"), lit(480L)).cast("int") + 48).as("height"),
       lit(0L).as("duration_ms")).as[MediaRecord]
+  }
+
+  /** Decoded header metadata — every field parsed from the payload bytes. */
+  case class DecodedMeta(
+      media_id: Long,
+      format: String,
+      width: Int,
+      height: Int)
+
+  /** REAL image payloads: each document becomes a genuine BMP (even ids) or
+    * PNG (odd ids) whose pixel bytes derive from the text. Unlike
+    * [[fromDocuments]] (opaque stand-in bytes), these payloads round-trip
+    * through [[ImageCodec]]: the decode path below parses its metadata from
+    * the file headers, not from side-channel columns.
+    */
+  def imageTable(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w = (id % 64).toInt + 16
+          val h = (id % 48).toInt + 12
+          val tb = Option(text).getOrElse("").getBytes("UTF-8")
+          val pix: Int => Byte = i => if (tb.isEmpty) 0 else tb(i % tb.length)
+          val fmt = if (id % 2 == 0) "bmp" else "png"
+          val bytes = if (id % 2 == 0) ImageCodec.encodeBmp(w, h, pix)
+            else ImageCodec.encodePng(w, h, pix)
+          MediaRecord(id, "image", bytes, fmt, w, h, 0L)
+        }
+      }
+  }
+
+  /** Header decode: format and dimensions parsed from the payload bytes by
+    * [[ImageCodec.decodeMeta]] — the honest decode stage (per-partition
+    * batch shape, bytes never shuffle). Unrecognized payloads surface as
+    * ("unknown", -1, -1) rather than dropping rows.
+    */
+  def decodeMetaTable(media: Dataset[MediaRecord]): Dataset[DecodedMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        ImageCodec.decodeMeta(r.bytes) match {
+          case Some(m) => DecodedMeta(r.media_id, m.format, m.width, m.height)
+          case None => DecodedMeta(r.media_id, "unknown", -1, -1)
+        }
+      }
+    }
   }
 
   /** Feature extraction: one decoder instance per partition, records

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImageCodec, Multimodal}
 
 /** Multimodal binary-column plumbing: schema, batch shape, determinism of
   * the stub decoder, frame sampling layout.
@@ -44,6 +44,49 @@ class MultimodalSpec extends AnyFunSuite {
     val resized = Multimodal.resize(Multimodal.fromDocuments(docs), 128, 96)
     assert(resized.filter(r => r.width != 128 || r.height != 96).count() == 0)
     assert(resized.filter(r => r.bytes.length > 128 * 96 / 64).count() == 0)
+  }
+
+  test("BMP/PNG encode→decode roundtrips dimensions and format") {
+    val pix: Int => Byte = i => (i % 251).toByte
+    val bmp = ImageCodec.decodeMeta(ImageCodec.encodeBmp(33, 21, pix))
+    assert(bmp.contains(ImageCodec.ImageMeta("bmp", 33, 21)))
+    val png = ImageCodec.decodeMeta(ImageCodec.encodePng(64, 48, pix))
+    assert(png.contains(ImageCodec.ImageMeta("png", 64, 48)))
+    // PNG payload must be a real zlib stream: inflate and check layout
+    val bytes = ImageCodec.encodePng(4, 2, pix)
+    val idatLen = ((bytes(33) & 0xFF) << 24) | ((bytes(34) & 0xFF) << 16) |
+      ((bytes(35) & 0xFF) << 8) | (bytes(36) & 0xFF)
+    val idat = bytes.slice(41, 41 + idatLen)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat)
+    val raw = new Array[Byte](2 * (1 + 3 * 4))
+    assert(inf.inflate(raw) == raw.length && inf.finished())
+    assert(raw(0) == 0 && raw(1 + 3 * 4) == 0, "filter bytes present per row")
+  }
+
+  test("decoder parses foreign headers (GIF, JPEG SOF scan) and rejects junk") {
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x01, 0xF0.toByte, 0x00, 0, 0, 0, 0, 0, 0)
+    assert(ImageCodec.decodeMeta(gif).contains(ImageCodec.ImageMeta("gif", 320, 240)))
+    // JPEG: SOI, APP0 (16 bytes), SOF0 with h=480 w=640
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xE0.toByte, 0x00, 0x10) ++ new Array[Byte](14) ++
+      Array[Byte](0xFF.toByte, 0xC0.toByte, 0x00, 0x11, 0x08,
+        0x01, 0xE0.toByte, 0x02, 0x80.toByte) ++ new Array[Byte](20)
+    assert(ImageCodec.decodeMeta(jpeg).contains(ImageCodec.ImageMeta("jpeg", 640, 480)))
+    assert(ImageCodec.decodeMeta("not an image at all".getBytes).isEmpty)
+    assert(ImageCodec.decodeMeta(Array[Byte](1, 2)).isEmpty)
+  }
+
+  test("imageTable payloads decode to the dims the encoder derived from doc_id") {
+    val decoded = Multimodal.decodeMetaTable(Multimodal.imageTable(docs))
+    val bad = decoded.toDF().join(docs, $"media_id" === $"doc_id")
+      .filter($"format" =!= when($"doc_id" % 2 === 0, "bmp").otherwise("png") ||
+        $"width" =!= ($"doc_id" % 64 + 16).cast("int") ||
+        $"height" =!= ($"doc_id" % 48 + 12).cast("int"))
+      .count()
+    assert(bad == 0)
+    assert(decoded.count() == docs.count())
   }
 
   test("frame sampling emits contiguous indexed frames per media id") {
