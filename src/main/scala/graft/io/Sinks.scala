@@ -41,4 +41,26 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite)
       .option("compression", "snappy")
       .parquet(path)
+
+  /** Bucketed fact-table layout: `bucketBy` + `sortBy` on the join key,
+    * registered through the session catalog (`saveAsTable` — bucket specs
+    * live in table metadata, not parquet, so path-based reads can't use
+    * them; on a cluster this is the metastore-backed catalog).
+    *
+    * This is the 100 TB fact⋈fact contract: two facts bucketed on their
+    * join key with the same bucket count join with NO shuffle on either
+    * side — the single biggest cost in lineitem⋈orders-shaped queries.
+    * Bucket count is a layout-time choice: size it so one bucket of the
+    * LARGER table fits an executor core's sort buffer (e.g. 100 TB / 4096
+    * buckets ≈ 25 GB per bucket pre-pruning). PlanSpec asserts the
+    * no-Exchange plan.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketKey: String,
+      buckets: Int = 32): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("compression", "snappy")
+      .bucketBy(buckets, bucketKey)
+      .sortBy(bucketKey)
+      .saveAsTable(table)
 }

@@ -70,6 +70,40 @@ class PlanSpec extends AnyFunSuite {
       argLines.mkString("\n"))
   }
 
+  test("bucketed fact tables join with no exchange on either side") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    // the in-memory catalog is empty in a fresh JVM but the warehouse dir
+    // persists — clear both so saveAsTable can recreate the managed tables
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (loc.exists()) rm(loc)
+    }
+    graft.io.Sinks.writeBucketed(
+      s.read.parquet(s"$dir/lineitem.parquet"), "li_bucketed", "l_orderkey", 8)
+    graft.io.Sinks.writeBucketed(
+      s.read.parquet(s"$dir/orders.parquet"), "o_bucketed", "o_orderkey", 8)
+    val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = s.table("li_bucketed")
+        .join(s.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+      val p = j.queryExecution.explainString(FormattedMode)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), p) // bucketing replaces both shuffles
+      assert(j.count() > 0)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
   test("aggregations are two-phase partial+final around one exchange") {
     val p = plan("p_daily_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
