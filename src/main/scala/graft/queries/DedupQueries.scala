@@ -83,11 +83,25 @@ object DedupQueries extends QueryPack {
     // state.
     "d_simhash_check" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
-      val brute = Dedup.simhashPairsBrute(docs, "doc_id", "text", maxHamming = 3)
-      val pairDiff = banded.exceptAll(brute).union(brute.exceptAll(banded))
+      // banded-vs-brute equality over a deterministic 1/3 subset: the brute
+      // side is quadratic by definition, so a scale-honest verification
+      // bounds its input rather than growing with the corpus (the subset
+      // still contains planted near-dup pairs at every sf)
+      val sub = docs.filter(col("doc_id") % 3 === 0)
+      val banded = Dedup.simhashPairs(sub, "doc_id", "text", maxHamming = 3)
+      val brute = Dedup.simhashPairsBrute(sub, "doc_id", "text", maxHamming = 3)
+      // symmetric difference as tagged-union + groupBy: each side's subtree
+      // evaluates ONCE (exceptAll-both-ways would run banded and brute twice)
+      val pairDiff = banded.withColumn("__src", lit(1))
+        .unionByName(brute.withColumn("__src", lit(-1)))
+        .groupBy(col("id_a"), col("id_b"), col("hamming"))
+        .agg(sum(col("__src")).as("__d"))
+        .filter(col("__d") =!= 0)
         .agg(count(lit(1)).as("pair_diff"))
-      val nativeHof = docs
+      // the HOF formulation costs 64×|tokens| interpreted walks per row —
+      // cross-check a deterministic 1/20 sample at the gate (ExtensionsSpec
+      // proves full-corpus bit-identity)
+      val nativeHof = docs.filter(col("doc_id") % 20 === 0)
         .select(Dedup.simhash64(col("text")).as("a"),
           Dedup.simhash64Hof(col("text")).as("b"))
         .filter(col("a") =!= col("b"))
