@@ -112,6 +112,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact Jaccard pairs via PREFIX FILTERING (the set-similarity-join
+    * technique of Chaudhuri/Bayardo et al.): order each document's shingles
+    * by ascending global document frequency and index only the first
+    * |d| − ⌈τ·|d|⌉ + 1 of them. Any pair with Jaccard ≥ τ must share at
+    * least ⌈τ·|x|⌉ shingles (since |y| ≥ τ·|x|), so its globally-smallest
+    * common shingle falls inside BOTH prefixes — candidates from a
+    * prefix⋈prefix join provably cover every qualifying pair, and the
+    * final exact verification keeps the result identical to
+    * [[jaccardPairs]].
+    *
+    * Scale properties: hot (stopword-like) shingles sort to the END of each
+    * doc's order and drop out of the index automatically — skew protection
+    * without an approximating cap; the size filter |y| ≥ τ·|x| prunes
+    * mismatched-length pairs before verification; candidate volume follows
+    * Σ over PREFIX shingles of df², which the frequency ordering drives
+    * toward the rare tail. Wide stages carry (id, shingle-key, sizes) only;
+    * full shingle arrays appear once, at the verify join, where AQE
+    * broadcasts the candidate ids.
+    */
+  def jaccardPairsPrefix(df: DataFrame, id: String, text: String,
+      minJaccard: Double, n: Int = 3, hashShingles: Boolean = true): DataFrame = {
+    val docShingles = docShingleArrays(df, id, text, n)
+      .filter(size(col("shingles")) > 0)
+    val sh0 = docShingles
+      .select(col(id), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("shingle"))
+    val sh = if (hashShingles)
+      sh0.withColumn("shingle", xxhash64(col("shingle"))) else sh0
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("__df"), col("shingle"))
+    val prefix = sh.join(dfreq, Seq("shingle"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <=
+        col("n_sh") - ceil(col("n_sh") * lit(minJaccard)).cast("int") + 1)
+    val a = prefix.select(col("shingle"), col(id).as("id_a"), col("n_sh").as("n_a"))
+    val b = prefix.select(col("shingle"), col(id).as("id_b"), col("n_sh").as("n_b"))
+    val candidates = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      // size filter: τ·|x| ≤ |y| (and symmetrically) is necessary for j ≥ τ
+      .filter(col("n_b") >= ceil(col("n_a") * lit(minJaccard)) &&
+        col("n_a") >= ceil(col("n_b") * lit(minJaccard)))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val shA = docShingles.select(col(id).as("id_a"), col("shingles").as("sh_a"))
+    val shB = docShingles.select(col(id).as("id_b"), col("shingles").as("sh_b"))
+    candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** MinHash signature column: `numHashes` independent min-hashes of the
     * document's shingle set (native expression — the HOF formulation costs
     * numHashes × |shingles| interpreted expression walks per row).

@@ -56,17 +56,18 @@ object DedupQueries extends QueryPack {
         minJaccard = tau)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // The production configuration: 8-byte xxhash64 join keys (~10× narrower
-    // shuffle than raw shingle strings) + document-frequency cap 100 on the
-    // inverted index (bounds the Σdf² candidate blowup under skew). The cap
-    // exceeds the max observed df in the testdata (7 at sf0.01, 25 at sf0.1)
-    // and 64-bit hashing is collision-free at these cardinalities, so the
-    // result is identical to the exact string-keyed form and shares its
-    // oracle. ExtensionsSpec proves pair-set equality; the skew spec proves
-    // the cap binds on a pathological corpus.
+    // The production configuration for HEALTHY shingle distributions:
+    // 8-byte xxhash64 join keys (~10× narrower shuffle + cheaper sort than
+    // raw shingle strings; 64-bit hashing is collision-free at these
+    // cardinalities, so it shares the exact oracle). Skew protection is a
+    // deliberate non-default here — it costs two extra stages: turn on
+    // `maxShingleDf` (approximate under extreme skew, cap spec-proven to
+    // bind) or switch to Dedup.jaccardPairsPrefix (prefix filtering — hot
+    // shingles provably drop out of the index, EXACT under arbitrary skew,
+    // spec-proven on a corpus where the cap loses pairs).
     "d_jaccard_pairs_fast" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
-        minJaccard = tau, hashShingles = true, maxShingleDf = 100)
+        minJaccard = tau, hashShingles = true)
         .orderBy(col("id_a"), col("id_b"))),
 
     "d_minhash_pairs" -> ((s, dir) =>

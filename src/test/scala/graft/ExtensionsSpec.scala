@@ -52,13 +52,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(h == s)
   }
 
-  test("hashed+capped jaccardPairs (the production config) gives the same pairs") {
+  test("hashed+capped jaccardPairs (skew-insurance config) gives the same pairs") {
     val s = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val hc = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5,
       hashShingles = true, maxShingleDf = 100)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(hc == s)
+  }
+
+  test("prefix-filtered jaccard join is exact: identical pairs AND values") {
+    val s = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val p = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(s.nonEmpty && p == s)
+  }
+
+  test("prefix-filtered jaccard stays exact on the hot-shingle corpus") {
+    val s = Dedup.jaccardPairs(hotShingleCorpus, "doc_id", "text", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val p = Dedup.jaccardPairsPrefix(hotShingleCorpus, "doc_id", "text", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(s.nonEmpty && p == s)
   }
 
   // --- skew-stress: the caps must BIND on pathological corpora ---
