@@ -55,7 +55,15 @@ object EventQueries extends QueryPack {
           graft.ops.Aggregations.sumStable(col("value")).as("total_value"))
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n"), col("total_value"))
-        .orderBy(col("window_start"), col("event_type"))))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // Gap-based sessionization (30-minute gap) — batch form of the
+    // flatMapGroupsWithState streaming operator (StreamingSpec proves the
+    // closed-session stream equals this result).
+    "e_sessions" -> ((s, dir) =>
+      graft.streaming.Sessionize
+        .sessionsBatch(Tables.load(s, dir, "events"), gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_start"))))
 
   override def oracleSql: Map[String, String] = Map(
     "e_json_extract" ->
@@ -84,5 +92,18 @@ object EventQueries extends QueryPack {
         |  COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type
-        |ORDER BY window_start, event_type""".stripMargin)
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "e_sessions" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts2, value
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN lag(ts2) OVER w IS NULL
+        |    OR date_diff('second', lag(ts2) OVER w, ts2) > 1800 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts2, event_id)),
+        |s AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ts2, event_id) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts2) AS session_start, max(ts2) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
 }

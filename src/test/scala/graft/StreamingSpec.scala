@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.EventStreamAggs
+import graft.streaming.{EventStreamAggs, Sessionize}
 
 /** Structured Streaming: watermarked windowed aggregation driven through a
   * real streaming query (file source → memory sink), checked against the
@@ -40,6 +40,42 @@ class StreamingSpec extends AnyFunSuite {
         .orderBy($"window_start", $"event_type").collect()
       assert(streamed.nonEmpty)
       assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessions: closed stream output equals batch") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val tuples = events.as[(Long, Long, Timestamp, Double)].collect().toSeq
+    val maxTs = tuples.map(_._3.getTime).max
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Timestamp, Double)]
+    val input = ms.toDF().toDF("event_id", "user_id", "ts", "value")
+    val q = Sessionize.sessionsStream(input, gapMinutes = 30, "1 second")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_stream").start()
+    try {
+      ms.addData(tuples)
+      q.processAllAvailable()
+      // two flush batches: the first advances the watermark past every
+      // real session's end + gap; the second makes the event-time timeouts
+      // fire under that watermark
+      ms.addData(Seq((-1L, -1L, new Timestamp(maxTs + 86400000L), 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq((-2L, -2L, new Timestamp(maxTs + 2 * 86400000L), 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_stream")
+        .filter($"user_id" >= 0)
+        .orderBy($"user_id", $"session_start")
+        .collect().toSeq
+      val batch = Sessionize.sessionsBatch(events, gapMinutes = 30)
+        .orderBy($"user_id", $"session_start")
+        .collect().toSeq
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
     } finally q.stop()
   }
 
