@@ -63,6 +63,54 @@ object AnalyticQueries extends QueryPack {
           count(lit(1)).as("n_lines"))
     }),
 
+    // Q22 shape through the SQL surface (spark.sql): scalar subquery for
+    // the global average + NOT EXISTS anti-join — exercises the parser /
+    // subquery-decorrelation path the DataFrame queries don't. The average
+    // goes through DECIMAL(38,10) in BOTH engines so the filter boundary
+    // is bit-identical (a plain double avg would make boundary rows
+    // engine-dependent).
+    "q22_idle_balances" -> ((s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_mktsegment, COUNT(*) AS n_custs,
+          |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS STRING) AS DOUBLE)
+          |    AS total_bal
+          |FROM customer c
+          |WHERE c_acctbal > (
+          |    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS STRING) AS DOUBLE)
+          |      / COUNT(*)
+          |    FROM customer WHERE c_acctbal > 0.0)
+          |  AND NOT EXISTS (SELECT 1 FROM orders o
+          |    WHERE o.o_custkey = c.c_custkey
+          |      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    // Exact positional quantiles (percentile_disc semantics): the value at
+    // rank ceil(p·n) under a total order — reproducible across engines,
+    // unlike interpolating percentile functions whose fp arithmetic
+    // differs. One window + one filter; no global sort.
+    "a_price_quantiles" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val ranked = o
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderstatus"))))
+      ranked
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          max(when(col("__rn") === ceil(col("__n") * 0.5), col("o_totalprice")))
+            .as("p50"),
+          max(when(col("__rn") === ceil(col("__n") * 0.9), col("o_totalprice")))
+            .as("p90"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Explicit GROUPING SETS: (year, status), (year), () — with grouping_id
     // to disambiguate the null markers.
     "g_grouping_sets" -> ((s, dir) =>
@@ -111,6 +159,31 @@ object AnalyticQueries extends QueryPack {
          |  COUNT(*) AS n_lines
          |FROM lineitem JOIN a ON l_partkey = p_key
          |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
+
+    "q22_idle_balances" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_custs,
+         |  ${stable("c_acctbal")} AS total_bal
+         |FROM customer c
+         |WHERE c_acctbal > (
+         |    SELECT ${stable("c_acctbal")} / COUNT(*)
+         |    FROM customer WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |    WHERE o.o_custkey = c.c_custkey
+         |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
+
+    "a_price_quantiles" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN o_totalprice END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN o_totalprice END) AS p90
+        |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "g_grouping_sets" ->
       s"""SELECT COALESCE(y, -1) AS y,
