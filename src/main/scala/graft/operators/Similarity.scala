@@ -182,11 +182,12 @@ object Similarity {
   /** IVF-style search with the corpus pre-partitioned by a cell column
     * (here the `label` column plays the coarse quantizer's cell id):
     * per-cell centroids are computed with order-insensitive decimal sums,
-    * each query is assigned to its nearest centroid's cell, and exact search
-    * runs only within that cell.
+    * each query is assigned to its `nProbe` nearest centroids' cells, and
+    * exact search runs only within those cells (classic recall/fanout
+    * knob — nProbe=1 searches 1/|cells| of the corpus).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-      cell: String, k: Int, dim: Int): DataFrame = {
+      cell: String, k: Int, dim: Int, nProbe: Int = 1): DataFrame = {
     import graft.ops.Aggregations.sumStable
     // centroid per cell: element-wise stable mean of member vectors
     val exploded = corpus.select(col(cell),
@@ -204,7 +205,7 @@ object Similarity {
     val assigned = q.join(broadcast(centroids), lit(true))
       .withColumn("__csim", cosine(col("__qv"), col("__centroid")))
       .withColumn("__r", row_number().over(w0))
-      .filter(col("__r") === 1)
+      .filter(col("__r") <= nProbe)
       .select(col("query_id"), col("__qv"), col("__qn"), col("__cell"))
     val c = withNorm(corpus, vec)
       .select(col(cell).as("__cell"), col(id).as("neighbor_id"),

@@ -228,6 +228,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.filter($"query_id" === $"neighbor_id").count() == 0)
   }
 
+  test("IVF nProbe widens the searched corpus: recall is monotone in nProbe") {
+    val qs = embeddings.filter($"vec_id" % 97 === 0)
+    val exact = Similarity.bruteForceTopK(embeddings, qs, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(nProbe: Int): Double = {
+      val got = Similarity.ivfTopK(embeddings, qs, "vec_id", "embedding",
+        "label", k = 3, dim = 64, nProbe = nProbe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val r1 = recall(1); val r3 = recall(3); val rAll = recall(10)
+    assert(r1 <= r3 && r3 <= rAll)
+    assert(rAll == 1.0, s"probing every cell must recover exact top-k, got $rAll")
+  }
+
   test("language guess picks the profile with most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
