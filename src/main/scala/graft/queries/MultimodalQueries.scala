@@ -30,14 +30,15 @@ object MultimodalQueries extends QueryPack {
         Multimodal.imageTable(Tables.load(s, dir, "documents"))).toDF()
         .orderBy(col("media_id"))),
 
-    // Stub-decoded feature vectors + a similarity hop over them — rows-only
-    // (feature values come from the stub decoder, not SQL-expressible).
-    "m_media_features" -> ((s, dir) => {
-      val feats = Multimodal.featureTable(s, Tables.load(s, dir, "documents"))
-      feats.select(col("media_id"), col("kind"), col("n_bytes"),
-        graft.functions.VectorFunctions.l2Norm(col("feature")).as("feature_norm"))
-        .orderBy(col("media_id"))
-    }),
+    // REAL pixel decode: BMP rows de-padded, PNG inflated + de-filtered;
+    // exact integer channel sums. The oracle recomputes them from the text
+    // bytes the encoder cycled into the pixels (documents are pure ASCII,
+    // so char codes == payload bytes) — a hash match proves the decoder
+    // reconstructed the full pixel stream bit-for-bit.
+    "m_pixel_stats" -> ((s, dir) =>
+      Multimodal.pixelStats(
+        Multimodal.imageTable(Tables.load(s, dir, "documents"))).toDF()
+        .orderBy(col("media_id"))),
 
     "m_frame_samples" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
@@ -58,5 +59,23 @@ object MultimodalQueries extends QueryPack {
         |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
         |  CAST(doc_id % 64 + 16 AS INTEGER) AS width,
         |  CAST(doc_id % 48 + 12 AS INTEGER) AS height
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "m_pixel_stats" -> {
+      // channel c sum = Σ over pixel-stream positions i ≡ c (mod 3) of the
+      // text byte at i mod len (the encoder cycles text bytes into pixels)
+      def chan(c: Int) =
+        s"""CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST(list_sum(list_transform(range($c, 3 * w * h, 3),
+           |      i -> ord(substr(text, CAST(i % length(text) AS INTEGER) + 1, 1))))
+           |      AS BIGINT) END AS c${c}_sum""".stripMargin
+      s"""WITH d AS (SELECT doc_id, text,
+         |    doc_id % 64 + 16 AS w, doc_id % 48 + 12 AS h
+         |  FROM documents)
+         |SELECT doc_id AS media_id,
+         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(w * h AS BIGINT) AS n_pixels,
+         |  ${chan(0)}, ${chan(1)}, ${chan(2)}
+         |FROM d ORDER BY media_id""".stripMargin
+    })
 }

@@ -78,6 +78,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ImageCodec.decodeMeta(Array[Byte](1, 2)).isEmpty)
   }
 
+  test("decodePixels reconstructs the exact pixel stream (BMP and PNG)") {
+    val px = Array.tabulate(3 * 20 * 13)(i => ((i * 31 + 7) % 251).toByte)
+    val bmp = ImageCodec.decodePixels(ImageCodec.encodeBmp(20, 13, px(_)))
+    assert(bmp.exists { case (w, h, p) => w == 20 && h == 13 && p.sameElements(px) })
+    val png = ImageCodec.decodePixels(ImageCodec.encodePng(20, 13, px(_)))
+    assert(png.exists { case (w, h, p) => w == 20 && h == 13 && p.sameElements(px) })
+  }
+
+  test("PNG de-filter reverses all four non-trivial filter types") {
+    val w = 4; val h = 4; val stride = 3 * w
+    val pixels = Array.tabulate(h * stride)(i => ((i * 17 + 3) % 256).toByte)
+    // forward-filter row y with filter type y (Sub/Up/Average/Paeth order
+    // shifted so every type 1-4 appears), per the PNG spec
+    val raw = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      val ft = y + 1
+      raw(y * (1 + stride)) = ft.toByte
+      for (x <- 0 until stride) {
+        val cur = pixels(y * stride + x) & 0xFF
+        val a = if (x >= 3) pixels(y * stride + x - 3) & 0xFF else 0
+        val b = if (y > 0) pixels((y - 1) * stride + x) & 0xFF else 0
+        val cc = if (x >= 3 && y > 0) pixels((y - 1) * stride + x - 3) & 0xFF else 0
+        val pred = ft match {
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - cc
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - cc)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+        }
+        raw(y * (1 + stride) + 1 + x) = ((cur - pred) & 0xFF).toByte
+      }
+    }
+    val decoded = ImageCodec.decodePixels(ImageCodec.wrapPng(w, h, raw))
+    assert(decoded.exists { case (dw, dh, p) =>
+      dw == w && dh == h && p.sameElements(pixels)
+    })
+  }
+
+  test("pixelStats channel sums equal a direct fold over the encoder's input") {
+    val decoded = Multimodal.pixelStats(Multimodal.imageTable(docs))
+    val bad = decoded.toDF().join(docs, $"media_id" === $"doc_id")
+      .filter($"n_pixels" =!=
+        (($"doc_id" % 64 + 16) * ($"doc_id" % 48 + 12)).cast("long"))
+      .count()
+    assert(bad == 0)
+    // spot-check one doc end-to-end against a driver-side fold
+    val one = docs.orderBy($"doc_id").select($"doc_id", $"text")
+      .as[(Long, String)].head()
+    val (id, text) = one
+    val w = (id % 64).toInt + 16; val h = (id % 48).toInt + 12
+    val tb = text.getBytes("UTF-8")
+    val expect = new Array[Long](3)
+    for (i <- 0 until 3 * w * h)
+      expect(i % 3) += (if (tb.isEmpty) 0 else tb(i % tb.length) & 0xFF)
+    val got = decoded.filter($"media_id" === id).head()
+    assert((got.c0_sum, got.c1_sum, got.c2_sum) == ((expect(0), expect(1), expect(2))))
+  }
+
   test("imageTable payloads decode to the dims the encoder derived from doc_id") {
     val decoded = Multimodal.decodeMetaTable(Multimodal.imageTable(docs))
     val bad = decoded.toDF().join(docs, $"media_id" === $"doc_id")
