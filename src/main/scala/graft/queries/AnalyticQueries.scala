@@ -88,6 +88,24 @@ object AnalyticQueries extends QueryPack {
           |ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // Q4 shape through the SQL surface: correlated EXISTS with a non-equi
+    // correlated predicate (l_shipdate > o_orderdate + 75 days) — Catalyst
+    // must decorrelate this into a LeftSemi join with a mixed
+    // equality/inequality condition; counts late-shipping orders per
+    // priority.
+    "q4_late_priority" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n_orders
+          |FROM orders o
+          |WHERE EXISTS (SELECT 1 FROM lineitem l
+          |  WHERE l.l_orderkey = o.o_orderkey
+          |    AND l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // Exact positional quantiles (percentile_disc semantics): the value at
     // rank ceil(p·n) under a total order — reproducible across engines,
     // unlike interpolating percentile functions whose fp arithmetic
@@ -172,6 +190,15 @@ object AnalyticQueries extends QueryPack {
          |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
          |GROUP BY c_mktsegment
          |ORDER BY c_mktsegment""".stripMargin,
+
+    "q4_late_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "a_price_quantiles" ->
       """WITH r AS (

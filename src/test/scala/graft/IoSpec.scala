@@ -24,6 +24,17 @@ class IoSpec extends AnyFunSuite {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("ORC roundtrip preserves values and schema") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val df = graft.datagen.TransactionGen.generate(spark, 100)
+    df.write.orc(s"$dir/out")
+    val back = spark.read.orc(s"$dir/out")
+    // a format read is always nullable — compare names and types
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("approx_count_distinct path: HLL counts within 5% of exact on daily agg") {
     val silver = graft.datagen.TransactionGen.generate(spark, 2000)
       .withColumn("transaction_date", to_timestamp($"transaction_date"))
