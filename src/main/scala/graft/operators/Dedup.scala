@@ -207,6 +207,11 @@ object Dedup {
       .select(col(id),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(b, slice(col("mh"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+    // (measured alternative: sharing one repartition(band,bucket) exchange
+    // across both consumers via ReuseExchange trades the duplicated linear
+    // signature scan for an extra full shuffle — no faster locally and
+    // worse at scale, where recompute is embarrassingly parallel and
+    // shuffle is I/O-bound)
     val oversized = buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > maxBucketSize)
