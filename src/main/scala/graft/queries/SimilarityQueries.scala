@@ -21,6 +21,18 @@ object SimilarityQueries extends QueryPack {
   private def queriesOf(df: org.apache.spark.sql.DataFrame) =
     df.filter(col("vec_id") % 97 === 0)
 
+  /** Corpus replicated `factor`× with distinct ids and slightly perturbed
+    * vectors — a bench-scale corpus (40k vectors at sf0.1) on which the
+    * LSH-vs-brute crossover is visible. Queries stay the rep-0 originals.
+    */
+  private def replicated(df: org.apache.spark.sql.DataFrame, factor: Int) =
+    df.sparkSession.range(factor).select(col("id").as("__rep"))
+      .crossJoin(df)
+      .select((col("vec_id") + col("__rep") * 10000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => x + (col("__rep") % 7).cast("float") * lit(0.001f))
+          .as("embedding"))
+
   private val normSql =
     "sqrt(list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
 
@@ -70,6 +82,28 @@ object SimilarityQueries extends QueryPack {
         .select(col("n_rows"),
           when(col("__hits").cast("double") / col("__total") >= 0.15, 1)
             .otherwise(0).as("recall_ok"))
+    }),
+
+    // Scale-demo pair: identical top-k over a 20×-replicated corpus (40k
+    // vectors at sf0.1), once brute-force and once LSH-bucketed, so the
+    // bench records the crossover side by side (LSH ~3× faster at 40k;
+    // below ~10k vectors fixed stage costs favor brute force). Output is
+    // the result row count, which the oracle computes from the table —
+    // the timing IS the payload.
+    "v_scale_brute_topk" -> ((s, dir) => {
+      val corpus = replicated(Tables.load(s, dir, "embeddings"), 20)
+      val qs = corpus.filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < 10000000L)
+      Similarity.bruteForceTopK(corpus, qs, "vec_id", "embedding", k)
+        .agg(count(lit(1)).as("n_rows"))
+    }),
+
+    "v_scale_lsh_topk" -> ((s, dir) => {
+      val corpus = replicated(Tables.load(s, dir, "embeddings"), 20)
+      val qs = corpus.filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < 10000000L)
+      Similarity.lshTopK(corpus, qs, "vec_id", "embedding", k, bits = 10)
+        .agg(count(lit(1)).as("n_rows"))
     }),
 
     // IVF structural verification, all counts must be zero: (1) every query
@@ -140,6 +174,14 @@ object SimilarityQueries extends QueryPack {
       s"""SELECT CAST($k * (SELECT count(*) FROM embeddings WHERE vec_id % 97 = 0)
          |    AS BIGINT) AS n_rows,
          |  CAST(1 AS INTEGER) AS recall_ok""".stripMargin,
+
+    "v_scale_brute_topk" ->
+      s"""SELECT CAST($k * (SELECT count(*) FROM embeddings WHERE vec_id % 97 = 0)
+         |    AS BIGINT) AS n_rows""".stripMargin,
+
+    "v_scale_lsh_topk" ->
+      s"""SELECT CAST($k * (SELECT count(*) FROM embeddings WHERE vec_id % 97 = 0)
+         |    AS BIGINT) AS n_rows""".stripMargin,
 
     "v_ivf_check" ->
       """SELECT CAST(0 AS BIGINT) AS bad_query_shapes,
