@@ -89,6 +89,25 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // RANGE frame over event time: 7-day trailing spend per customer —
+    // value-based window bounds (peers by ordering value, not row
+    // position), the frame type ROWS windows can't express. Ordering key
+    // is integral epoch seconds so both engines group peers identically;
+    // the windowed sum rides DECIMAL(38,10) for cross-engine exactness.
+    "w_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("__sec"))
+        .rangeBetween(-6L * 86400, 0)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_timestamp(col("o_orderdate")).as("__sec"), col("o_totalprice"))
+        .withColumn("trailing_7d_total",
+          sum(col("o_totalprice").cast("decimal(38,10)")).over(w)
+            .cast("string").cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"), col("trailing_7d_total"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Global sort + limit with full deterministic tiebreak.
     "s_topn_lines" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -216,6 +235,14 @@ object RelationalQueries extends QueryPack {
         |    ORDER BY l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "w_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+        |    AS trailing_7d_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "s_topn_lines" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
