@@ -82,6 +82,23 @@ case class VectorDotProduct(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** Shared normalize chain for the text-sketch expressions: lower (UTF8String
+  * semantics = Spark `lower`), strip non-[a-z0-9 ], squeeze spaces, trim.
+  * The regex Patterns are compiled once per JVM — these expressions exist
+  * specifically to make the per-row path cheap, so no per-row Pattern
+  * recompilation (String.replaceAll compiles its pattern on every call).
+  */
+private[graftx] object TextNormalize {
+  private val NonAlnum = java.util.regex.Pattern.compile("[^a-z0-9 ]")
+  private val MultiSpace = java.util.regex.Pattern.compile(" +")
+
+  def normalize(s: org.apache.spark.unsafe.types.UTF8String): String = {
+    val lowered = s.toLowerCase.toString
+    MultiSpace.matcher(NonAlnum.matcher(lowered).replaceAll(""))
+      .replaceAll(" ").trim
+  }
+}
+
 /** MinHash signature of a string-array column: `numHashes` min-hash values
   * per row, output as array<long>.
   *
@@ -160,10 +177,8 @@ case class ShingleArray(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    val lowered = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toLowerCase.toString
-    val normalized = lowered.replaceAll("[^a-z0-9 ]", "")
-      .replaceAll(" +", " ").trim
+    val normalized = TextNormalize.normalize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
     val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
     if (normalized.nonEmpty) {
       val toks = normalized.split(" ", -1)
@@ -201,10 +216,8 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
-    val lowered = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toLowerCase.toString
-    val normalized = lowered.replaceAll("[^a-z0-9 ]", "")
-      .replaceAll(" +", " ").trim
+    val normalized = TextNormalize.normalize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
     val counts = new Array[Int](64)
     if (normalized.nonEmpty) {
       val toks = normalized.split(" ", -1)
@@ -249,10 +262,8 @@ case class RollingFingerprint(child: Expression)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
-    val lowered = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toLowerCase.toString
-    val normalized = lowered.replaceAll("[^a-z0-9 ]", "")
-      .replaceAll(" +", " ").trim
+    val normalized = TextNormalize.normalize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
     var acc = 0L
     if (normalized.nonEmpty) {
       val toks = normalized.split(" ", -1)
@@ -332,10 +343,18 @@ case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int)
     val isFloat = elemIsFloat
     val v = new Array[Double](dim)
     var i = 0
+    var hasNullElem = false
     while (i < dim) {
-      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      if (arr.isNullAt(i)) hasNullElem = true
+      else v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }
+    // HOF semantics: a null element nulls every plane's dot, and
+    // `when(dot >= 0, 1).otherwise(0)` turns a null dot into bit 0 — so the
+    // whole signature collapses to all-zero buckets. Match that exactly.
+    if (hasNullElem)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        new Array[Long](bands))
     val w = weights(dim)
     val out = new Array[Long](bands)
     var b = 0

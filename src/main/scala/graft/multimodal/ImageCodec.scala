@@ -121,27 +121,36 @@ object ImageCodec {
       case ImageMeta("png", w, h) =>
         val idat = new java.io.ByteArrayOutputStream()
         var i = 8
-        while (i + 8 <= bytes.length) {
+        var corrupt = false
+        while (!corrupt && i + 8 <= bytes.length) {
           val len = be32(bytes, i)
-          val kind = new String(bytes, i + 4, 4, "US-ASCII")
-          if (kind == "IDAT") idat.write(bytes, i + 8, len)
-          i += 12 + len
-        }
-        val inf = new java.util.zip.Inflater()
-        inf.setInput(idat.toByteArray)
-        val raw = new Array[Byte](h * (1 + 3 * w))
-        try {
-          var off = 0
-          var stuck = false
-          while (off < raw.length && !inf.finished() && !stuck) {
-            val n = inf.inflate(raw, off, raw.length - off)
-            if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
-            off += n
+          // A negative or over-long chunk length means a truncated/corrupt
+          // payload; bail to None rather than throwing out of the task.
+          if (len < 0 || i + 8 + len > bytes.length) corrupt = true
+          else {
+            val kind = new String(bytes, i + 4, 4, "US-ASCII")
+            if (kind == "IDAT") idat.write(bytes, i + 8, len)
+            i += 12 + len
           }
-          if (off != raw.length) None
-          else Some((w, h, unfilterPng(raw, w, h)))
-        } catch { case _: java.util.zip.DataFormatException => None }
-        finally inf.end()
+        }
+        if (corrupt) None
+        else {
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(idat.toByteArray)
+          val raw = new Array[Byte](h * (1 + 3 * w))
+          try {
+            var off = 0
+            var stuck = false
+            while (off < raw.length && !inf.finished() && !stuck) {
+              val n = inf.inflate(raw, off, raw.length - off)
+              if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
+              off += n
+            }
+            if (off != raw.length) None
+            else Some((w, h, unfilterPng(raw, w, h)))
+          } catch { case _: java.util.zip.DataFormatException => None }
+          finally inf.end()
+        }
       case _ => None
     }
 

@@ -72,14 +72,23 @@ object SimilarityQueries extends QueryPack {
         .bruteForceTopK(emb, qs, "vec_id", "embedding", k)
         .select(col("query_id"), col("neighbor_id"))
       val lsh = Similarity.lshTopK(emb, qs, "vec_id", "embedding", k, bits = 6)
-      val nRows = lsh.agg(count(lit(1)).as("n_rows"))
+      val nRows = lsh.agg(count(lit(1)).as("__n"))
+      val nq = qs.agg(count(lit(1)).as("__nq"))
       val hits = exact
         .join(lsh.select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("__hits"))
       val total = exact.agg(count(lit(1)).as("__total"))
-      nRows.crossJoin(hits).crossJoin(total) // 1-row × 1-row × 1-row
-        .select(col("n_rows"),
+      // Row-count is bounded, not pinned: lshTopK emits AT MOST k rows per
+      // query (fewer when its probe buckets hold under k candidates —
+      // occupancy is data- and bits-dependent), and the floor of one
+      // neighbor per query on average holds whenever the corpus meaningfully
+      // exceeds the bucket count. A pinned k×|queries| would couple the gate
+      // to this sf/bits pairing.
+      nRows.crossJoin(nq).crossJoin(hits).crossJoin(total) // 1-row each
+        .select(
+          when(col("__n") <= lit(k) * col("__nq") && col("__n") >= col("__nq"), 1)
+            .otherwise(0).as("n_rows_ok"),
           when(col("__hits").cast("double") / col("__total") >= 0.15, 1)
             .otherwise(0).as("recall_ok"))
     }),
@@ -102,8 +111,13 @@ object SimilarityQueries extends QueryPack {
       val corpus = replicated(Tables.load(s, dir, "embeddings"), 20)
       val qs = corpus.filter(col("vec_id") % 97 === 0 &&
         col("vec_id") < 10000000L)
-      Similarity.lshTopK(corpus, qs, "vec_id", "embedding", k, bits = 10)
-        .agg(count(lit(1)).as("n_rows"))
+      val lshN = Similarity.lshTopK(corpus, qs, "vec_id", "embedding", k,
+        bits = 10).agg(count(lit(1)).as("__n"))
+      val nq = qs.agg(count(lit(1)).as("__nq"))
+      // Bounded like v_lsh_check: ≤ k per query, ≥ 1 per query on average.
+      lshN.crossJoin(nq)
+        .select(when(col("__n") <= lit(k) * col("__nq") &&
+          col("__n") >= col("__nq"), 1).otherwise(0).as("n_rows_ok"))
     }),
 
     // IVF structural verification, all counts must be zero: (1) every query
@@ -115,8 +129,14 @@ object SimilarityQueries extends QueryPack {
       import graft.functions.VectorFunctions.cosineWithNorms
       val emb = Tables.load(s, dir, "embeddings")
       val qs = queriesOf(emb)
+      // The check references `ivf` five times (shape, mismatch, worst,
+      // missed, anti-join); without materialization each reference re-runs
+      // the whole IVF search. localCheckpoint computes it once per
+      // execution and keeps the tiny (|queries|×k)-row result in block
+      // storage — unlike persist(), repeated bench runs re-execute honestly
+      // instead of hitting the cross-run cache.
       val ivf = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", "label",
-        k, dim = 64)
+        k, dim = 64).localCheckpoint()
       val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
       val withLab = ivf.join(labels, Seq("neighbor_id"))
       val shapeBad = withLab.groupBy(col("query_id"))
@@ -171,17 +191,15 @@ object SimilarityQueries extends QueryPack {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "v_lsh_check" ->
-      s"""SELECT CAST($k * (SELECT count(*) FROM embeddings WHERE vec_id % 97 = 0)
-         |    AS BIGINT) AS n_rows,
-         |  CAST(1 AS INTEGER) AS recall_ok""".stripMargin,
+      """SELECT CAST(1 AS INTEGER) AS n_rows_ok,
+        |  CAST(1 AS INTEGER) AS recall_ok""".stripMargin,
 
     "v_scale_brute_topk" ->
       s"""SELECT CAST($k * (SELECT count(*) FROM embeddings WHERE vec_id % 97 = 0)
          |    AS BIGINT) AS n_rows""".stripMargin,
 
     "v_scale_lsh_topk" ->
-      s"""SELECT CAST($k * (SELECT count(*) FROM embeddings WHERE vec_id % 97 = 0)
-         |    AS BIGINT) AS n_rows""".stripMargin,
+      "SELECT CAST(1 AS INTEGER) AS n_rows_ok",
 
     "v_ivf_check" ->
       """SELECT CAST(0 AS BIGINT) AS bad_query_shapes,
