@@ -18,6 +18,7 @@ object SparkEntry {
     RelationalQueries,
     AnalyticQueries,
     EventQueries,
+    TemporalQueries,
     TextQueries,
     DedupQueries,
     SimilarityQueries,

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Temporal
+
+/** Temporal-join queries over the `events` table, exercising
+  * [[graft.operators.Temporal]]: backward as-of enrichment (attribute each
+  * click to the latest prior purchase) and bounded-interval counting
+  * (clicks within 10 minutes after each purchase).
+  *
+  * Both DuckDB oracles use the engine-native formulations (ASOF JOIN /
+  * non-equi join) — structurally different implementations, so a hash match
+  * is strong evidence the banded/windowed Spark plans are semantically
+  * right. Event timestamps are truncated to seconds first (the parquet ts
+  * is nanos; see Tables.events).
+  */
+object TemporalQueries extends QueryPack {
+
+  private def ev(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts2"), col("value"))
+
+  override def queries: Map[String, Query] = Map(
+    // As-of: every click joined to the latest purchase (same user) at or
+    // before the click. Purchases pre-aggregate to unique (user, ts) —
+    // the as-of precondition — keeping the max value on ties.
+    "e_asof_purchase" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts2"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts2"))
+        .agg(max(col("value")).as("pvalue"))
+      Temporal.asofJoinBackward(clicks, purchases, "user_id", "ts2",
+          Seq("pvalue"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_ts2").as("purchase_ts"),
+          col("asof_pvalue").as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Range join: clicks of the same user within (0, 600] seconds after
+    // each purchase, counted per purchase (zero-click purchases kept).
+    "e_range_clicks" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts2"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts2").as("c_ts2"))
+      val pairs = Temporal.bandedRangeJoin(p, c, "user_id", "ts2", "c_ts2",
+        lowerExclusiveSec = 0, upperInclusiveSec = 600)
+      val counts = pairs.groupBy(col("event_id")).agg(count(lit(1)).as("__n"))
+      p.join(counts, Seq("event_id"), "left_outer")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("__n"), lit(0L)).as("n_clicks_10m"))
+        .orderBy(col("event_id"))
+    }))
+
+  override def oracleSql: Map[String, String] = Map(
+    "e_asof_purchase" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    date_trunc('second', ts) AS ts2, value FROM events),
+        |c AS (SELECT event_id, user_id, ts2 FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts2, max(value) AS pvalue FROM e
+        |      WHERE event_type = 'purchase' GROUP BY user_id, ts2)
+        |SELECT c.event_id, c.user_id, p.ts2 AS purchase_ts,
+        |  p.pvalue AS purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts2 >= p.ts2
+        |ORDER BY c.event_id""".stripMargin,
+
+    "e_range_clicks" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    date_trunc('second', ts) AS ts2 FROM events),
+        |p AS (SELECT event_id, user_id, ts2 FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts2 FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, COUNT(c.ts2) AS n_clicks_10m
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND date_diff('second', p.ts2, c.ts2) > 0
+        |  AND date_diff('second', p.ts2, c.ts2) <= 600
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY p.event_id""".stripMargin)
+}
