@@ -15,6 +15,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     PipelineQueries,
     TpchQueries,
+    TpchExtraQueries,
     RelationalQueries,
     AnalyticQueries,
     EventQueries,
