@@ -18,6 +18,7 @@ object SparkEntry {
     TpchExtraQueries,
     RelationalQueries,
     AnalyticQueries,
+    SketchQueries,
     EventQueries,
     TemporalQueries,
     TextQueries,

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sketch / approximate-aggregation surface: HyperLogLog++ distinct counts,
+  * single-pass frequent items, and quantile sketches. At 100 TB these
+  * replace exact distinct/percentile computations whose state would not fit
+  * an executor; each is map-side-combinable so the shuffle carries sketch
+  * bytes, not values.
+  *
+  * Verification pattern: approximate answers are not SQL-reproducible, so
+  * each query emits the EXACT companion (oracle-computable) next to a
+  * bounds check the sketch's published guarantee must satisfy — the gate
+  * hash-matches both.
+  */
+object SketchQueries extends QueryPack {
+
+  override def queries: Map[String, Query] = Map(
+    // HLL++ distinct customers per priority: rsd 2% configured, checked
+    // against the exact count at ±5%.
+    "a_approx_distinct" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_custs"),
+          approx_count_distinct(col("o_custkey"), rsd = 0.02).as("__approx"))
+        .select(col("o_orderpriority"), col("exact_custs"),
+          when(abs(col("__approx") - col("exact_custs"))
+            .cast("double") / col("exact_custs") <= 0.05, 1)
+            .otherwise(0).as("approx_ok"))
+        .orderBy(col("o_orderpriority"))),
+
+    // Single-pass frequent items at support 0.1: the algorithm guarantees a
+    // SUPERSET of the true heavy hitters, so every event type above 10%
+    // frequency must appear — n_missing is 0 iff the guarantee holds.
+    "t_freq_items" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events").select(col("event_type"))
+      val counts = ev.groupBy(col("event_type")).agg(count(lit(1)).as("__n"))
+      val total = ev.agg(count(lit(1)).as("__c"))
+      val truth = counts.crossJoin(total)
+        .filter(col("__n") > col("__c") * 0.1)
+        .select(col("event_type"))
+      val items = ev.stat.freqItems(Seq("event_type"), 0.1)
+        .select(explode(col("event_type_freqItems")).as("__item"))
+      val missing = truth.join(items, truth("event_type") === items("__item"),
+        "left_anti").agg(count(lit(1)).as("n_missing"))
+      val nTrue = truth.agg(count(lit(1)).as("n_true_hh"))
+      nTrue.crossJoin(missing) // 1-row × 1-row
+    }),
+
+    // Quantile sketch with a rank-based check (the sketch's guarantee is on
+    // RANK, not value): the fraction of rows ≤ the approximate p50 must sit
+    // within 0.5 ± 0.01 per group. Accuracy 10000 bounds rank error at
+    // n/10000 — orders of magnitude inside the window at any tested sf.
+    "a_approx_quantiles" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice"))
+      val appr = o.groupBy(col("o_orderstatus"))
+        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("__p50"), count(lit(1)).as("n_orders"))
+      o.join(appr, Seq("o_orderstatus"))
+        .groupBy(col("o_orderstatus"))
+        .agg(max(col("n_orders")).as("n_orders"),
+          (count(when(col("o_totalprice") <= col("__p50"), 1))
+            .cast("double") / max(col("n_orders"))).as("__frac"))
+        .select(col("o_orderstatus"), col("n_orders"),
+          when(col("__frac").between(0.49, 0.51), 1).otherwise(0)
+            .as("rank_ok"))
+        .orderBy(col("o_orderstatus"))
+    }))
+
+  override def oracleSql: Map[String, String] = Map(
+    "a_approx_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_custs,
+        |  CAST(1 AS INTEGER) AS approx_ok
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "t_freq_items" ->
+      """WITH t AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS c FROM events)
+        |SELECT (SELECT COUNT(*) FROM t, tot WHERE n > 0.1 * c) AS n_true_hh,
+        |  CAST(0 AS BIGINT) AS n_missing""".stripMargin,
+
+    "a_approx_quantiles" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(1 AS INTEGER) AS rank_ok
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+}
