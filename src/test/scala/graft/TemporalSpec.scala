@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Temporal
+
+/** Edge-case tests for the temporal join operators: as-of tie/no-match
+  * semantics and the range join's interval boundaries — including pairs
+  * that straddle a bucket boundary, the case a broken banded implementation
+  * silently drops.
+  */
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoinBackward: greatest right ts <= left ts; equal ts matches; no prior -> null") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // after both rights
+      (2L, 10L, ts("2024-01-01 09:00:00")), // exactly at a right row
+      (3L, 10L, ts("2024-01-01 07:59:59")), // before every right row
+      (4L, 20L, ts("2024-01-01 12:00:00"))  // key with no right rows at all
+    ).toDF("event_id", "user_id", "ts2")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00"), 1.0),
+      (10L, ts("2024-01-01 09:00:00"), 2.0)
+    ).toDF("user_id", "ts2", "pvalue")
+
+    val out = Temporal.asofJoinBackward(left, right, "user_id", "ts2", Seq("pvalue"))
+      .select(col("event_id"), col("asof_ts2"), col("asof_pvalue"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.toString), Option(r.get(2)))).toMap
+
+    assert(out(1L) === (Some("2024-01-01 09:00:00.0"), Some(2.0)))
+    assert(out(2L) === (Some("2024-01-01 09:00:00.0"), Some(2.0)))
+    assert(out(3L) === (None, None))
+    assert(out(4L) === (None, None))
+  }
+
+  test("asofJoinBackward keeps every left row exactly once") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 10:00:00")), // duplicate left ts is fine
+      (3L, 10L, ts("2024-01-01 11:00:00"))
+    ).toDF("event_id", "user_id", "ts2")
+    val right = Seq((10L, ts("2024-01-01 09:00:00"), 7.0))
+      .toDF("user_id", "ts2", "pvalue")
+    val out = Temporal.asofJoinBackward(left, right, "user_id", "ts2", Seq("pvalue"))
+    assert(out.count() === 3)
+    assert(out.filter(col("asof_pvalue") === 7.0).count() === 3)
+  }
+
+  test("bandedRangeJoin: exclusive lower / inclusive upper boundaries") {
+    // window (0, 600] after each left ts
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts2")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00")), // +0s: excluded (lower exclusive)
+      (10L, ts("2024-01-01 10:00:01")), // +1s: included
+      (10L, ts("2024-01-01 10:10:00")), // +600s: included (upper inclusive)
+      (10L, ts("2024-01-01 10:10:01")), // +601s: excluded
+      (20L, ts("2024-01-01 10:05:00"))  // other key: excluded
+    ).toDF("user_id", "c_ts2")
+    val pairs = Temporal.bandedRangeJoin(left, right, "user_id", "ts2", "c_ts2",
+      lowerExclusiveSec = 0, upperInclusiveSec = 600)
+    val got = pairs.select(col("c_ts2")).collect().map(_.get(0).toString).sorted
+    assert(got === Array("2024-01-01 10:00:01.0", "2024-01-01 10:10:00.0"))
+  }
+
+  test("bandedRangeJoin finds pairs that straddle a bucket boundary") {
+    // span = 600 so buckets are [..., 600k) epochs; pick a left ts near the
+    // end of its bucket so every match lives in the NEXT bucket.
+    val base = ts("2024-01-01 00:09:59") // epoch % 600 == 599
+    val left = Seq((1L, 10L, base)).toDF("event_id", "user_id", "ts2")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:10:30")), // +31s, next bucket: included
+      (10L, ts("2024-01-01 00:19:58")), // +599s, next bucket: included
+      (10L, ts("2024-01-01 00:20:00"))  // +601s: excluded
+    ).toDF("user_id", "c_ts2")
+    val pairs = Temporal.bandedRangeJoin(left, right, "user_id", "ts2", "c_ts2", 0, 600)
+    assert(pairs.count() === 2)
+  }
+
+  test("bandedRangeJoin agrees with a naive non-equi join on random data") {
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 200).map(i =>
+      (i.toLong, (i % 7).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L)))
+      .toDF("event_id", "user_id", "ts2")
+    val right = (1 to 300).map(_ =>
+      ((rnd.nextInt(9)).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L)))
+      .toDF("user_id", "c_ts2")
+    val banded = Temporal.bandedRangeJoin(left, right, "user_id", "ts2", "c_ts2", 0, 600)
+      .select(col("event_id"), col("c_ts2")).as[(Long, Timestamp)].collect().toSet
+    val naive = left.as("l").join(right.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+          unix_timestamp(col("c_ts2")) > unix_timestamp(col("l.ts2")) &&
+          unix_timestamp(col("c_ts2")) <= unix_timestamp(col("l.ts2")) + 600)
+      .select(col("event_id"), col("c_ts2")).as[(Long, Timestamp)].collect().toSet
+    assert(naive.nonEmpty && banded === naive)
+  }
+
+  test("temporal query plans never fall back to BroadcastNestedLoopJoin") {
+    val dir = "/root/testdata/sf0.001"
+    Seq("e_asof_purchase", "e_range_clicks").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+}
