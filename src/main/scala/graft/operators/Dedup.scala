@@ -86,8 +86,12 @@ object Dedup {
       minJaccard: Double, n: Int = 3, hashShingles: Boolean = false,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
     // size travels WITH each exploded row, so no extra per-doc sizes join —
-    // one scan per join side instead of three
-    val sh0 = docShingleArrays(df, id, text, n)
+    // one scan per join side instead of three. The per-doc arrays are
+    // materialized once (executor-local MEMORY_AND_DISK via localCheckpoint)
+    // so the normalize/shingle regex chain doesn't re-run for the second
+    // join side — only the cheap explode does; at cluster scale this
+    // staging would be a persisted table.
+    val sh0 = docShingleArrays(df, id, text, n).localCheckpoint()
       .select(col(id), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("shingle"))
     val shKeyed = if (hashShingles)
@@ -134,7 +138,7 @@ object Dedup {
   def jaccardPairsPrefix(df: DataFrame, id: String, text: String,
       minJaccard: Double, n: Int = 3, hashShingles: Boolean = true): DataFrame = {
     val docShingles = docShingleArrays(df, id, text, n)
-      .filter(size(col("shingles")) > 0)
+      .filter(size(col("shingles")) > 0).localCheckpoint()
     val sh0 = docShingles
       .select(col(id), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("shingle"))
@@ -198,7 +202,7 @@ object Dedup {
       maxBucketSize: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     val docShingles = docShingleArrays(df, id, text, n)
-      .filter(size(col("shingles")) > 0)
+      .filter(size(col("shingles")) > 0).localCheckpoint()
     // one row per (band, bucket): bucket key hashes the band's slice of the
     // signature; posexplode keeps band index in the join key so buckets from
     // different bands never collide
@@ -263,8 +267,11 @@ object Dedup {
     */
   def simhashPairsBrute(df: DataFrame, id: String, text: String,
       maxHamming: Int = 3, blocks: Int = 8): DataFrame = {
+    // (id, 64-bit sketch, block) is 20 bytes/doc — materialize once instead
+    // of running the 64×|tokens| sketch for each join side
     val sh = df.select(col(id), simhash64(col(text)).as("sh"),
       pmod(xxhash64(col(id)), lit(blocks)).cast("int").as("__g"))
+      .localCheckpoint()
     val a = sh.select(col("__g").as("__i"),
       explode(sequence(col("__g"), lit(blocks - 1))).as("__j"),
       col(id).as("__ida"), col("sh").as("__sa"))
@@ -285,7 +292,9 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, id: String, text: String,
       maxHamming: Int = 3): DataFrame = {
+    // materialized once (16 bytes/doc) — both band-join sides reuse it
     val sh = df.select(col(id), simhash64(col(text)).as("sh"))
+      .localCheckpoint()
     val banded = sh.select(col(id), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)), b =>
         call_function("shiftright", col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))))

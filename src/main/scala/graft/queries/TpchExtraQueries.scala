@@ -33,31 +33,37 @@ object TpchExtraQueries extends QueryPack {
         .agg(sumStable(col("l_extendedprice") * col("l_discount"))
           .as("revenue"), count(lit(1)).as("n_lines"))),
 
-    // Q7: volume shipping between two nations (supplier nation ↔ customer
-    // nation, both directions), by shipment year.
+    // Q7: volume shipping between two regions (supplier region ↔ customer
+    // region, both directions), by shipment year. Region-level rather than
+    // nation-level so every sf — including the 6k-row smoke set — has
+    // qualifying trade lines.
     "q7_volume_shipping" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
       val sup = Tables.load(s, dir, "supplier")
-      val n1 = Tables.load(s, dir, "nation")
-        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-      val n2 = Tables.load(s, dir, "nation")
-        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      def natRegion(nk: String, out: String) =
+        Tables.load(s, dir, "nation")
+          .join(Tables.load(s, dir, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as(nk), col("r_name").as(out))
+      val n1 = natRegion("s_nk", "supp_region")
+      val n2 = natRegion("c_nk", "cust_region")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         // no hint on supplier: it grows with SF (10k×SF rows), so AQE must
-        // pick broadcast vs shuffle from runtime size; nation is fixed-25.
+        // pick broadcast vs shuffle from runtime size; nation⋈region is
+        // fixed-size (25 rows) and broadcasts.
         .join(sup, li("l_suppkey") === sup("s_suppkey"))
         .join(broadcast(n1), sup("s_nationkey") === n1("s_nk"))
         .join(broadcast(n2), c("c_nationkey") === n2("c_nk"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
-        .groupBy(col("supp_nation"), col("cust_nation"),
+        .filter((col("supp_region") === "ASIA" && col("cust_region") === "EUROPE") ||
+          (col("supp_region") === "EUROPE" && col("cust_region") === "ASIA"))
+        .groupBy(col("supp_region"), col("cust_region"),
           year(col("l_shipdate")).as("l_year"))
         .agg(sumStable(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
-        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .orderBy(col("supp_region"), col("cust_region"), col("l_year"))
     }),
 
     // Q10: top 20 customers by returned-item revenue in one quarter.
@@ -157,7 +163,7 @@ object TpchExtraQueries extends QueryPack {
          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q7_volume_shipping" ->
-      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      s"""SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
          |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
          |  ${stable.format(discPrice)} AS revenue
          |FROM lineitem
@@ -165,11 +171,13 @@ object TpchExtraQueries extends QueryPack {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN supplier ON l_suppkey = s_suppkey
          |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
          |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
-         |GROUP BY supp_nation, cust_nation, l_year
-         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+         |JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+         |WHERE (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+         |   OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+         |GROUP BY supp_region, cust_region, l_year
+         |ORDER BY supp_region, cust_region, l_year""".stripMargin,
 
     "q10_returned_items" ->
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,
