@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally pipes through sbt's logger, which prefixes
+// every line with "[info] " — that broke the harness's parse of Bench's
+// JSON metric line in rounds 1-2. StdoutOutput hands the child the real
+// stdout instead: clean, unprefixed lines.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

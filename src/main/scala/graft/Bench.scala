@@ -61,5 +61,16 @@ object Bench {
     catch { case _: Throwable => () }
     spark.stop()
     println(json)
+    // Under `sbt runMain`, System.out is sbt's logger — every println gets an
+    // "[info] " prefix, which broke the harness's JSON parse in r1 AND r2
+    // ("parsed": null both rounds). Writing to the process's real fd 1
+    // bypasses the redirected System.out, so one clean unprefixed line
+    // reaches the parent regardless of how this main was launched.
+    try {
+      val raw = new java.io.PrintStream(new java.io.FileOutputStream(
+        java.io.FileDescriptor.out), true, "UTF-8")
+      raw.println(json)
+      raw.flush()
+    } catch { case _: Throwable => () }
   }
 }
