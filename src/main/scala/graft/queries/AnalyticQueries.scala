@@ -106,6 +106,49 @@ object AnalyticQueries extends QueryPack {
           |ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // Correlated SCALAR aggregate subquery (Q2/Q17 family): each qualifying
+    // customer carries a count computed in a correlated subquery — Catalyst
+    // must decorrelate it into a left-outer aggregate join (a per-row
+    // subquery execution would be |customers| separate scans).
+    "a_corr_order_counts" -> ((s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, c_acctbal,
+          |  (SELECT COUNT(*) FROM orders o
+          |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+          |    AS n_big_orders
+          |FROM customer c
+          |WHERE c_acctbal > 9000
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Q21 shape: suppliers who were the SOLE late shipper on finished
+    // multi-supplier orders — EXISTS plus NOT EXISTS whose subquery embeds
+    // its own join, both correlated with a non-equi conjunct
+    // (l_suppkey <>); the hardest decorrelation pattern in TPC-H.
+    "q21_sole_late_supplier" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l1.l_suppkey AS s_suppkey,
+          |  COUNT(DISTINCT l1.l_orderkey) AS n_orders
+          |FROM lineitem l1 JOIN orders o1 ON o1.o_orderkey = l1.l_orderkey
+          |WHERE o1.o_orderstatus = 'F'
+          |  AND l1.l_shipdate > o1.o_orderdate + INTERVAL 60 DAY
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey
+          |      AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          |    WHERE l3.l_orderkey = l1.l_orderkey
+          |      AND l3.l_suppkey <> l1.l_suppkey
+          |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY l1.l_suppkey
+          |ORDER BY n_orders DESC, s_suppkey
+          |LIMIT 10""".stripMargin)
+    }),
+
     // Exact positional quantiles (percentile_disc semantics): the value at
     // rank ceil(p·n) under a total order — reproducible across engines,
     // unlike interpolating percentile functions whose fp arithmetic
@@ -199,6 +242,33 @@ object AnalyticQueries extends QueryPack {
         |    AND l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "a_corr_order_counts" ->
+      """SELECT c_custkey, c_acctbal,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |    AS n_big_orders
+        |FROM customer c
+        |WHERE c_acctbal > 9000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q21_sole_late_supplier" ->
+      """SELECT l1.l_suppkey AS s_suppkey,
+        |  COUNT(DISTINCT l1.l_orderkey) AS n_orders
+        |FROM lineitem l1 JOIN orders o1 ON o1.o_orderkey = l1.l_orderkey
+        |WHERE o1.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o1.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY l1.l_suppkey
+        |ORDER BY n_orders DESC, s_suppkey
+        |LIMIT 10""".stripMargin,
 
     "a_price_quantiles" ->
       """WITH r AS (

@@ -57,6 +57,35 @@ object TextQueries extends QueryPack {
         fingerprintMd5(col("text")).as("fp_md5"))
         .orderBy(col("doc_id"))),
 
+    // Corpus vocabulary: top bigrams by document frequency (distinct
+    // per-doc shingles → df, the dedup-relevant count). One explode + one
+    // narrow groupBy; top-20 plans as TakeOrderedAndProject.
+    "t_top_bigrams" -> ((s, dir) =>
+      graft.operators.Dedup.shingles(
+        Tables.load(s, dir, "documents"), "doc_id", "text", n = 2)
+        .groupBy(col("shingle").as("bigram"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("bigram"))
+        .limit(20)),
+
+    // Inverse-document-frequency flavor with integer-exact arithmetic: for
+    // each doc, its globally rarest token (min df, alphabetical tiebreak).
+    // The df join shuffles (token, df) longs; the per-doc argmin is a
+    // window over the doc's own tokens.
+    "t_rarest_term" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tok_df"), col("tok"))
+      toks.join(dfreq, Seq("tok"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("tok").as("rarest_term"), col("tok_df"))
+        .orderBy(col("doc_id"))
+    }),
+
     // xxhash64-based order-sensitive fingerprint — DuckDB cannot evaluate
     // it, so the driver-visible check is cross-implementation agreement:
     // the native RollingFingerprint expression must be bit-identical to the
@@ -113,6 +142,24 @@ object TextQueries extends QueryPack {
 
     "t_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp_md5 FROM documents ORDER BY doc_id",
+
+    "t_top_bigrams" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |sh2 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS s
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+         |  WHERE len(w) >= 2 AND i + 1 <= len(w))
+         |SELECT s AS bigram, count(*) AS df FROM sh2
+         |GROUP BY s ORDER BY df DESC, bigram LIMIT 20""".stripMargin,
+
+    "t_rarest_term" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |tk AS (SELECT DISTINCT doc_id, unnest(w) AS tok FROM t),
+         |dfreq AS (SELECT tok, count(*) AS tok_df FROM tk GROUP BY tok),
+         |r AS (SELECT doc_id, tok, tok_df,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tok_df, tok) AS rn
+         |  FROM tk JOIN dfreq USING (tok))
+         |SELECT doc_id, tok AS rarest_term, tok_df FROM r
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "t_rolling_fp_check" ->
       "SELECT CAST(0 AS BIGINT) AS native_hof_mismatches")
