@@ -16,6 +16,7 @@ object SparkEntry {
     PipelineQueries,
     TpchQueries,
     TpchExtraQueries,
+    TpchFinalQueries,
     RelationalQueries,
     AnalyticQueries,
     SketchQueries,
