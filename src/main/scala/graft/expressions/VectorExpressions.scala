@@ -107,12 +107,12 @@ private[graftx] object TextNormalize {
   * arithmetic) derives the remaining hashes — numHashes × |elements| cheap
   * mixes instead of full re-hashes, and no per-call interpreted expression
   * walk like the `transform(... xxhash64 ...)` HOF formulation. Evaluation is
-  * a tight Scala loop (CodegenFallback — one virtual call per ROW, with the
-  * whole signature computed inside).
+  * a tight Scala loop; codegen emits one call to [[signatureOf]] via a
+  * reference object, so the enclosing operators stay in one
+  * whole-stage-codegen span instead of falling back to interpreted mode.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with ExpectsInputTypes
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -130,8 +130,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     (a, b)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def signatureOf(arr: ArrayData): ArrayData = {
     val (mul, add) = mulAdd
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
@@ -148,6 +147,14 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       i += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    signatureOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.signatureOf($in);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -170,15 +177,13 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * single space, n-gram join with single space, first-occurrence-distinct.
   */
 case class ShingleArray(child: Expression, n: Int)
-    extends UnaryExpression with ExpectsInputTypes
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val normalized = TextNormalize.normalize(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  def shinglesOf(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val normalized = TextNormalize.normalize(input)
     val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
     if (normalized.nonEmpty) {
       val toks = normalized.split(" ", -1)
@@ -195,6 +200,14 @@ case class ShingleArray(child: Expression, n: Int)
       out.toArray(Array.empty[AnyRef]))
   }
 
+  override def nullSafeEval(input: Any): Any =
+    shinglesOf(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleExpr", this, classOf[ShingleArray].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.shinglesOf($in);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
@@ -209,15 +222,13 @@ case class ShingleArray(child: Expression, n: Int)
   * re-inlined into every plan site that references the column.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val normalized = TextNormalize.normalize(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  def simhashOf(input: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val normalized = TextNormalize.normalize(input)
     val counts = new Array[Int](64)
     if (normalized.nonEmpty) {
       val toks = normalized.split(" ", -1)
@@ -240,6 +251,14 @@ case class SimHash64(child: Expression)
     acc
   }
 
+  override def nullSafeEval(input: Any): Any =
+    simhashOf(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.simhashOf($in);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
@@ -255,15 +274,13 @@ case class SimHash64(child: Expression)
   * `TextFunctions.rollingFingerprintHof`.
   */
 case class RollingFingerprint(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val normalized = TextNormalize.normalize(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  def fingerprintOf(input: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val normalized = TextNormalize.normalize(input)
     var acc = 0L
     if (normalized.nonEmpty) {
       val toks = normalized.split(" ", -1)
@@ -278,6 +295,14 @@ case class RollingFingerprint(child: Expression)
       }
     }
     acc
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    fingerprintOf(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rollingFpExpr", this, classOf[RollingFingerprint].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.fingerprintOf($in);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -301,8 +326,7 @@ case class RollingFingerprint(child: Expression)
   * planes×dim multiply in a tight loop.
   */
 case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int)
-    extends UnaryExpression with ExpectsInputTypes
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(
     TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
@@ -337,8 +361,8 @@ case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int)
       w
     })
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def bandsOf(input: ArrayData): ArrayData = {
+    val arr = input
     val dim = arr.numElements()
     val isFloat = elemIsFloat
     val v = new Array[Double](dim)
@@ -373,6 +397,14 @@ case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int)
       b += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    bandsOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneExpr", this, classOf[HyperplaneBands].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.bandsOf($in);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
