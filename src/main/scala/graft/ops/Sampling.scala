@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic splits and samples for training-data pipelines.
+  *
+  * The split assignment must be a pure function of the ROW KEY — not of
+  * partitioning, execution order, or a seed held in driver memory — so that
+  * (a) re-runs, backfills, and incremental appends land every document in
+  * the same split forever, (b) two engines (here: Spark and the DuckDB
+  * oracle) agree bit-for-bit, and (c) no shuffle is needed: assignment is a
+  * per-row projection that runs inside the scan stage.
+  *
+  * Mechanism: first two hex digits of md5(key) give a uniform bucket in
+  * 0..255; cumulative weight cutoffs map buckets to named splits by STRING
+  * comparison. Fixed-width lowercase hex sorts identically to its numeric
+  * value in every engine, so the oracle SQL is a plain CASE over
+  * `substr(md5(CAST(key AS VARCHAR)), 1, 2)`.
+  */
+object Sampling {
+
+  /** Cumulative-weight hex cutoffs: weights (name, w) normalized over 256
+    * buckets; each split owns buckets [prevCut, cut).
+    */
+  private[graft] def hexCutoffs(weights: Seq[(String, Double)]): Seq[(String, String)] = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0))
+    val total = weights.map(_._2).sum
+    var acc = 0.0
+    weights.map { case (name, w) =>
+      acc += w
+      val cut = math.min(256, math.round(acc / total * 256).toInt)
+      // "g" sorts after every hex pair, making the last branch total
+      (name, if (cut >= 256) "g" else f"$cut%02x")
+    }
+  }
+
+  /** The bucket column: first two hex digits of md5 of the key's string
+    * form. Spark's `md5` wants binary; DuckDB's takes VARCHAR — both hash
+    * the same UTF-8 bytes and print lowercase hex.
+    */
+  def hashBucket(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 2)
+
+  /** Add a `split` column assigning each row to a named split by
+    * deterministic key hash. `weights` are relative (e.g. train 0.8 /
+    * val 0.1 / test 0.1). Pure projection — no shuffle, no state.
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    val cuts = hexCutoffs(weights)
+    val bucket = hashBucket(col(keyCol))
+    // last cutoff is "g" (> every hex pair) so the final branch is total
+    val assigned = cuts.foldLeft(Option.empty[Column]) { case (acc, (name, cut)) =>
+      val cond = bucket < lit(cut)
+      Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+    }.get
+    df.withColumn("split", assigned)
+  }
+
+  /** Oracle-side CASE expression for the same assignment (DuckDB SQL). */
+  def splitSql(keyExpr: String, weights: Seq[(String, Double)]): String = {
+    val cuts = hexCutoffs(weights)
+    val b = s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 2)"
+    cuts.map { case (name, cut) => s"WHEN $b < '$cut' THEN '$name'" }
+      .mkString("CASE ", " ", " END")
+  }
+
+  /** Per-stratum Bernoulli sampling (`sampleBy`): deterministic for a fixed
+    * seed, partitioning, and row order — use for one-shot corpus
+    * downsampling, NOT for split assignment (a backfill with different
+    * partitioning redraws membership; splitAssign does not).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+      fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(strataCol, fractions, seed)
+}

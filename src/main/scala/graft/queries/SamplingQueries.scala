@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Sampling
+
+/** Deterministic corpus splitting and stratified sampling — the
+  * select-what-to-train-on surface of a training-data pipeline.
+  *
+  * Scale posture: split assignment is a pure per-row projection (md5 of the
+  * key), so it fuses into the scan stage with zero shuffle at any corpus
+  * size; only the tiny per-split/per-stratum summaries aggregate.
+  */
+object SamplingQueries extends QueryPack {
+
+  private val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  override def queries: Map[String, Query] = Map(
+    // Per-(split × source) document counts and char totals: proves the
+    // hash-split is engine-independent (oracle recomputes the same md5
+    // buckets) and that every row lands in exactly one split (counts
+    // reconcile with the table total by construction of the CASE).
+    "x_split_stats" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Sampling.splitAssign(docs, "doc_id", weights)
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"), col("source"))
+    }),
+
+    // Stratified sample soundness, all flags must be 1: (1) sampling by
+    // lang with per-stratum fractions returns only rows from requested
+    // strata; (2) each stratum's sampled count is within a tolerant
+    // Chernoff-style band of fraction × stratum size (the draw is
+    // seed-deterministic but engine-specific, so the oracle checks BOUNDS,
+    // not membership); (3) the sample is a subset (no invented rows).
+    "x_stratified_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val fractions = Map("en" -> 0.5, "de" -> 0.25)
+      val sample = Sampling.stratifiedSample(docs, "lang", fractions, seed = 42L)
+        .localCheckpoint() // sampled once; referenced three times below
+      val onlyStrata = sample.filter(!col("lang").isin(fractions.keys.toSeq: _*))
+        .agg(count(lit(1)).as("__bad"))
+        .select(when(col("__bad") === 0, 1).otherwise(0).as("strata_ok"))
+      val base = docs.filter(col("lang").isin(fractions.keys.toSeq: _*))
+        .groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+      val bands = sample.groupBy(col("lang")).agg(count(lit(1)).as("__k"))
+        .join(base, Seq("lang"))
+        .withColumn("__f", element_at(
+          map(fractions.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*),
+          col("lang")))
+        // ±5σ binomial band — fails only on a real sampling bug
+        .withColumn("__sigma", sqrt(col("__n") * col("__f") * (lit(1.0) - col("__f"))))
+        .filter(abs(col("__k") - col("__n") * col("__f")) > lit(5.0) * col("__sigma") + lit(1.0))
+        .agg(count(lit(1)).as("__out"))
+        .select(when(col("__out") === 0, 1).otherwise(0).as("bands_ok"))
+      val subset = sample.join(docs, Seq("doc_id", "text", "lang", "source", "n_chars"),
+          "left_anti")
+        .agg(count(lit(1)).as("__orphans"))
+        .select(when(col("__orphans") === 0, 1).otherwise(0).as("subset_ok"))
+      onlyStrata.crossJoin(bands).crossJoin(subset) // 1-row × 1-row × 1-row
+    }))
+
+  override def oracleSql: Map[String, String] = Map(
+    "x_split_stats" ->
+      s"""SELECT ${Sampling.splitSql("doc_id", weights)} AS split, source,
+         |  COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+         |FROM documents
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x_stratified_check" ->
+      """SELECT CAST(1 AS INTEGER) AS strata_ok, CAST(1 AS INTEGER) AS bands_ok,
+        |  CAST(1 AS INTEGER) AS subset_ok""".stripMargin)
+}

@@ -139,4 +139,41 @@ class OpsSpec extends AnyFunSuite {
     val sb = b.agg(Aggregations.sumStable($"v")).as[Double].head()
     assert(sa == sb) // bit-identical, not just approximately equal
   }
+
+  test("hash split: total, disjoint, repartition-invariant, ~weight-proportional") {
+    import graft.ops.Sampling
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    assert(Sampling.hexCutoffs(weights) ==
+      Seq("train" -> "cd", "val" -> "e6", "test" -> "g"))
+
+    val ids = (1L to 5000L).toDF("doc_id")
+    val assigned = Sampling.splitAssign(ids, "doc_id", weights)
+    val counts = assigned.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 5000) // every row in exactly one split
+    assert(counts.keySet == Set("train", "val", "test"))
+    // 205/256 ≈ 80.1%, binomial σ ≈ 28 → ±5σ band
+    assert(math.abs(counts("train") - 5000 * 205.0 / 256) < 150)
+    assert(math.abs(counts("val") - 5000 * 25.0 / 256) < 110)
+
+    // assignment is a pure key function: any partitioning gives the same map
+    val again = Sampling.splitAssign(ids.repartition(13), "doc_id", weights)
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
+
+  test("hash split matches the oracle-side CASE SQL") {
+    import graft.ops.Sampling
+    val weights = Seq("a" -> 0.5, "b" -> 0.5)
+    val ids = (1L to 500L).toDF("k")
+    ids.createOrReplaceTempView("__split_ids")
+    // splitSql targets DuckDB; VARCHAR→STRING is the only dialect delta
+    val caseSql = Sampling.splitSql("k", weights).replace("AS VARCHAR", "AS STRING")
+    val viaSql = spark.sql(
+      s"SELECT k, $caseSql AS split FROM __split_ids")
+      .as[(Long, String)].collect().toMap
+    val viaApi = Sampling.splitAssign(ids, "k", weights)
+      .select($"k", $"split").as[(Long, String)].collect().toMap
+    assert(viaApi == viaSql)
+  }
 }
