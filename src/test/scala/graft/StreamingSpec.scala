@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{EventStreamAggs, Sessionize}
+import graft.streaming.{EventStreamAggs, Sessionize, StreamDedup, StreamJoin}
 
 /** Structured Streaming: watermarked windowed aggregation driven through a
   * real streaming query (file source → memory sink), checked against the
@@ -74,6 +74,100 @@ class StreamingSpec extends AnyFunSuite {
       val batch = Sessionize.sessionsBatch(events, gapMinutes = 30)
         .orderBy($"user_id", $"session_start")
         .collect().toSeq
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark equals batch dropDuplicates") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"event_type", $"value")
+    val rows = events.as[(Long, Timestamp, String, Double)].collect().toSeq
+    // plant exact duplicates: every 3rd row appears twice, adjacent in
+    // arrival order (well inside the watermark horizon)
+    val withDups = rows.zipWithIndex.flatMap { case (r, i) =>
+      if (i % 3 == 0) Seq(r, r) else Seq(r)
+    }
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String, Double)]
+    val input = ms.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamDedup.dedupWithinWatermark(input, "ts", "30 days", Seq("event_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    try {
+      ms.addData(withDups)
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_stream")
+        .orderBy($"event_id").collect().toSeq
+      val batch = StreamDedup.dedupExact(events, Seq("event_id"))
+        .orderBy($"event_id").collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming dedup state is bounded by the watermark horizon") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"event_type", $"value")
+    val rows = events.as[(Long, Timestamp, String, Double)].collect()
+      .sortBy(_._2.getTime).toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String, Double)]
+    val input = ms.toDF().toDF("event_id", "ts", "event_type", "value")
+    // 10-minute horizon over a multi-day event stream: after the watermark
+    // advances past the first chunk, its ids must leave the state store
+    val q = StreamDedup.dedupWithinWatermark(input, "ts", "10 minutes", Seq("event_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_bounded").start()
+    try {
+      val (early, late) = rows.splitAt(rows.length / 2)
+      ms.addData(early)
+      q.processAllAvailable()
+      ms.addData(late)
+      q.processAllAvailable()
+      // one more empty-ish batch so progress reflects post-eviction state
+      ms.addData(Seq(rows.last))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows < rows.length / 2,
+        s"state held $stateRows rows; expected eviction below ${rows.length / 2}")
+    } finally q.stop()
+  }
+
+  test("stream-stream join within horizon equals the batch join") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"event_id", $"ts", $"user_id")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"ts", $"user_id")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val msL = MemoryStream[(Long, Timestamp, Long)]
+    val msR = MemoryStream[(Long, Timestamp, Long)]
+    val left = msL.toDF().toDF("event_id", "ts", "user_id")
+    val right = msR.toDF().toDF("event_id", "ts", "user_id")
+    val q = StreamJoin.joinWithinHorizon(left, right, "user_id",
+        "1 hour", horizonMinutes = 120)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("join_stream").start()
+    try {
+      msL.addData(clicks.as[(Long, Timestamp, Long)].collect().toSeq)
+      msR.addData(purchases.as[(Long, Timestamp, Long)].collect().toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("join_stream")
+        .orderBy($"event_id", $"right_id").collect().toSeq
+      val batch = StreamJoin.joinWithinHorizon(clicks, purchases, "user_id",
+          "1 hour", horizonMinutes = 120)
+        .orderBy($"event_id", $"right_id").collect().toSeq
       assert(batch.nonEmpty)
       assert(streamed == batch)
     } finally q.stop()
