@@ -77,5 +77,19 @@ object MultimodalQueries extends QueryPack {
          |  CAST(w * h AS BIGINT) AS n_pixels,
          |  ${chan(0)}, ${chan(1)}, ${chan(2)}
          |FROM d ORDER BY media_id""".stripMargin
-    })
+    },
+
+    // The stub slicer's geometry is a pure function of the payload length
+    // (frame i covers bytes [i·1024, i·1024+256), ⌈max(1, len/1024)⌉
+    // frames), so the oracle recomputes every (media_id, frame_index,
+    // n_bytes) row from octet_length — the plumbing (flatMap fan-out,
+    // per-frame byte slicing) is what the hash match verifies.
+    "m_frame_samples" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+        |    octet_length(encode(text)) AS len FROM documents),
+        |f AS (SELECT media_id, len,
+        |    unnest(range(0, greatest(1, len // 1024))) AS fi FROM d)
+        |SELECT media_id, CAST(fi AS INTEGER) AS frame_index,
+        |  CAST(least(len - fi * 1024, 256) AS INTEGER) AS n_bytes
+        |FROM f ORDER BY media_id, frame_index""".stripMargin)
 }
