@@ -22,6 +22,7 @@ object PipelineApp {
     val cfg = PipelineConfig.fromArgs(args)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.expressions.GraftExtensions())
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .appName("graft-pipeline")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.{col, lit, pmod, struct, xxhash64}
 
 /** Sink writers (SURVEY.md §2.1 S4-S7): parquet + snappy, hive-style
   * partition layout matching the reference
@@ -55,6 +56,32 @@ object Sinks {
     * buckets ≈ 25 GB per bucket pre-pruning). PlanSpec asserts the
     * no-Exchange plan.
     */
+  /** Compacted partitioned write — the small-files control a 1000-executor
+    * append pipeline needs. A naive `partitionBy` write emits one file per
+    * (task × live partition): 32 shuffle partitions × 365 days = 10k+ tiny
+    * files per run, and every downstream scan pays per-file open/footer
+    * cost. This routes all rows of one partition value to `filesPerPart`
+    * tasks (hash-repartition on the partition columns plus a row-hash
+    * salt), so each partition directory gets exactly that many files —
+    * while `maxRecordsPerFile` still splits a genuinely huge partition so
+    * no single file becomes unsplittable-scan-sized.
+    *
+    * Skew note: `filesPerPart` is the lever when one partition dwarfs the
+    * rest (one hot day → one task without the salt). The salt spreads a
+    * hot partition over N writers at the cost of N files for every
+    * partition.
+    */
+  def writeCompacted(df: DataFrame, path: String, partitionCols: Seq[String],
+      filesPerPart: Int = 1, maxRecordsPerFile: Long = 5000000L): Unit = {
+    val salt = pmod(xxhash64(struct(df.columns.map(col): _*)), lit(filesPerPart))
+    df.repartition(partitionCols.map(col) :+ salt: _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", "snappy")
+      .parquet(path)
+  }
+
   def writeBucketed(df: DataFrame, table: String, bucketKey: String,
       buckets: Int = 32): Unit =
     df.write.mode(SaveMode.Overwrite)

@@ -63,7 +63,24 @@ object EventQueries extends QueryPack {
     "e_sessions" -> ((s, dir) =>
       graft.streaming.Sessionize
         .sessionsBatch(Tables.load(s, dir, "events"), gapMinutes = 30)
-        .orderBy(col("user_id"), col("session_start"))))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // Unpivot (wide→long): per-type measure columns melted to (metric,
+    // value) rows — the inverse of e_pivot_counts. Narrow transform after
+    // the aggregation, so the melt costs nothing at scale: 5 groups × 3
+    // metrics regardless of input size.
+    "e_unpivot_measures" -> ((s, dir) => {
+      val stable = graft.ops.Aggregations.sumStable(col("value"))
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n_events"),
+          stable.as("total_value"),
+          (stable / count(lit(1))).as("avg_value"))
+        .unpivot(Array(col("event_type")),
+          Array(col("n_events"), col("total_value"), col("avg_value")),
+          "metric", "metric_value")
+        .orderBy(col("event_type"), col("metric"))
+    }))
 
   override def oracleSql: Map[String, String] = Map(
     "e_json_extract" ->
@@ -105,5 +122,18 @@ object EventQueries extends QueryPack {
         |SELECT user_id, min(ts2) AS session_start, max(ts2) AS session_end,
         |  COUNT(*) AS n_events,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_value
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "e_unpivot_measures" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n_events,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+        |      AS total_value
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, 'n_events' AS metric, n_events AS metric_value FROM g
+        |UNION ALL
+        |SELECT event_type, 'total_value', total_value FROM g
+        |UNION ALL
+        |SELECT event_type, 'avg_value', total_value / n_events FROM g
+        |ORDER BY event_type, metric""".stripMargin)
 }

@@ -262,4 +262,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.values.forall(v => v >= 0.0 && v <= 1.0))
     assert(got(1L) > got(2L))
   }
+
+  test("SQL-registered functions plan the same expressions as the Column DSL") {
+    import org.apache.spark.sql.graftx.VectorExpressions
+    docs.createOrReplaceTempView("__ext_docs")
+    embeddings.createOrReplaceTempView("__ext_embs")
+
+    val sqlText = spark.sql(
+      """SELECT doc_id, simhash64(text) AS sh, rolling_fingerprint(text) AS fp,
+        |  minhash_signature(shingle_array(text, 3), 32) AS mh
+        |FROM __ext_docs""".stripMargin)
+    val dslText = docs.select($"doc_id",
+      VectorExpressions.simhash($"text").as("sh"),
+      VectorExpressions.rollingFp($"text").as("fp"),
+      VectorExpressions.minhash(
+        VectorExpressions.shingleArr($"text", 3), 32).as("mh"))
+    assert(sqlText.exceptAll(dslText).isEmpty && dslText.exceptAll(sqlText).isEmpty)
+
+    val sqlVec = spark.sql(
+      """SELECT vec_id, vec_dot(embedding, embedding) AS d,
+        |  hyperplane_bands(embedding, 4, 8) AS hb
+        |FROM __ext_embs""".stripMargin)
+    val dslVec = embeddings.select($"vec_id",
+      VectorExpressions.vecDot($"embedding", $"embedding").as("d"),
+      VectorExpressions.hyperplaneBands($"embedding", 4, 8).as("hb"))
+    assert(sqlVec.exceptAll(dslVec).isEmpty && dslVec.exceptAll(sqlVec).isEmpty)
+
+    // a non-literal where an integer literal is required must fail loudly
+    intercept[Exception] {
+      spark.sql("SELECT minhash_signature(shingle_array(text, 3), doc_id) FROM __ext_docs")
+    }
+  }
 }

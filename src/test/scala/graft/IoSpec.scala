@@ -35,6 +35,42 @@ class IoSpec extends AnyFunSuite {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("compacted write: one file per partition dir, naive write many") {
+    import java.io.File
+    def parquetFiles(root: String): Map[String, Int] = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new File(root))
+        .filter(_.getName.endsWith(".parquet"))
+        .groupBy(_.getParentFile.getPath.stripPrefix(root))
+        .map { case (d, fs) => (d, fs.size) }
+    }
+
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"value", year($"ts").as("y"), month($"ts").as("m"))
+      .repartition(8) // simulate upstream shuffle fragmentation
+
+    events.write.partitionBy("y", "m").parquet(s"$dir/naive")
+    val naive = parquetFiles(s"$dir/naive")
+    assert(naive.values.max > 1, "fixture must fragment without compaction")
+
+    graft.io.Sinks.writeCompacted(events, s"$dir/compact", Seq("y", "m"))
+    val compact = parquetFiles(s"$dir/compact")
+    assert(compact.keySet == naive.keySet) // same partition dirs
+    assert(compact.values.forall(_ == 1), s"expected 1 file/dir, got $compact")
+
+    // values survive the extra repartition+salt intact
+    val back = spark.read.parquet(s"$dir/compact")
+      .select($"event_id", $"value", $"y", $"m")
+    assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+
+    // filesPerPart spreads a hot partition over exactly N writers
+    graft.io.Sinks.writeCompacted(events, s"$dir/salted", Seq("y", "m"),
+      filesPerPart = 3)
+    assert(parquetFiles(s"$dir/salted").values.forall(_ <= 3))
+  }
+
   test("approx_count_distinct path: HLL counts within 5% of exact on daily agg") {
     val silver = graft.datagen.TransactionGen.generate(spark, 2000)
       .withColumn("transaction_date", to_timestamp($"transaction_date"))
