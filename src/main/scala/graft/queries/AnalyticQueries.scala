@@ -124,29 +124,39 @@ object AnalyticQueries extends QueryPack {
     }),
 
     // Q21 shape: suppliers who were the SOLE late shipper on finished
-    // multi-supplier orders — EXISTS plus NOT EXISTS whose subquery embeds
-    // its own join, both correlated with a non-equi conjunct
-    // (l_suppkey <>); the hardest decorrelation pattern in TPC-H.
+    // multi-supplier orders. The textbook EXISTS / NOT-EXISTS form (kept as
+    // the oracle SQL) decorrelates into three lineitem scans and two orders
+    // scans; because l3.l_orderkey = l1.l_orderkey forces o3 = o1, the whole
+    // predicate is a per-order property, so we plan it single-pass instead:
+    // one lineitem⋈orders('F') join, one (order,supplier) rollup carrying a
+    // late flag, one per-order rollup — "≥2 suppliers, exactly 1 late" names
+    // the credited supplier directly. One fact scan, narrow aggregations
+    // all the way; this shape is what survives a 100 TB lineitem.
     "q21_sole_late_supplier" -> ((s, dir) => {
-      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
-      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-      s.sql(
-        """SELECT l1.l_suppkey AS s_suppkey,
-          |  COUNT(DISTINCT l1.l_orderkey) AS n_orders
-          |FROM lineitem l1 JOIN orders o1 ON o1.o_orderkey = l1.l_orderkey
-          |WHERE o1.o_orderstatus = 'F'
-          |  AND l1.l_shipdate > o1.o_orderdate + INTERVAL 60 DAY
-          |  AND EXISTS (SELECT 1 FROM lineitem l2
-          |    WHERE l2.l_orderkey = l1.l_orderkey
-          |      AND l2.l_suppkey <> l1.l_suppkey)
-          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-          |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
-          |    WHERE l3.l_orderkey = l1.l_orderkey
-          |      AND l3.l_suppkey <> l1.l_suppkey
-          |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
-          |GROUP BY l1.l_suppkey
-          |ORDER BY n_orders DESC, s_suppkey
-          |LIMIT 10""".stripMargin)
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val lines = li
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .as("__late"))
+      val perSupp = lines
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("__late"), 1).otherwise(0)).as("__late"))
+      val soleLate = perSupp
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("__n_supp"),
+          sum(col("__late")).as("__n_late"),
+          max(when(col("__late") === 1, col("l_suppkey"))).as("s_suppkey"))
+        .filter(col("__n_supp") >= 2 && col("__n_late") === 1)
+      soleLate
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("s_suppkey"))
+        .limit(10)
     }),
 
     // Exact positional quantiles (percentile_disc semantics): the value at

@@ -66,7 +66,7 @@ object SamplingQueries extends QueryPack {
   override def oracleSql: Map[String, String] = Map(
     "x_split_stats" ->
       s"""SELECT ${Sampling.splitSql("doc_id", weights)} AS split, source,
-         |  COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM documents
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
