@@ -61,12 +61,13 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
-    println(json)
     // Under `sbt runMain`, System.out is sbt's logger — every println gets an
     // "[info] " prefix, which broke the harness's JSON parse in r1 AND r2
     // ("parsed": null both rounds). Writing to the process's real fd 1
     // bypasses the redirected System.out, so one clean unprefixed line
-    // reaches the parent regardless of how this main was launched.
+    // reaches the parent regardless of how this main was launched. The line
+    // is emitted exactly ONCE (no println fallback — a duplicate line can
+    // itself confuse a last-line parser); the file sink above is the backup.
     try {
       val raw = new java.io.PrintStream(new java.io.FileOutputStream(
         java.io.FileDescriptor.out), true, "UTF-8")

@@ -22,14 +22,24 @@ object Graph {
     * Scale posture: each round is one shuffled (edge ⋈ label) equi-join
     * plus a groupBy-min — all narrow (two longs per row). Lineage is
     * truncated every round with localCheckpoint (an iterative DataFrame
-    * loop otherwise compounds the plan until analysis itself dominates),
-    * and convergence is detected with a count of changed labels — one
-    * aggregate action per round, no per-vertex driver traffic. Rounds
-    * needed = component diameter; near-dup clusters are shallow (a hub
-    * document links its variants), so a handful of rounds suffices. For
-    * adversarially long chains, switch to the alternating large/small-star
-    * algorithm (Kiveris et al., "Connected Components in MapReduce"),
-    * which converges in O(log n) — not needed for dedup graphs.
+    * loop otherwise compounds the plan until analysis itself dominates);
+    * superseded rounds' checkpoint blocks are freed as soon as the next
+    * round materializes, so the loop holds ONE working-set copy, not
+    * `rounds` copies. Convergence rides the same aggregation that computes
+    * the new labels (each vertex's own row is flagged, so the group sees
+    * both min-candidate and previous label) — the changed-count is then a
+    * filter over the already-materialized checkpoint, NOT a second
+    * label-join per round. Rounds needed = component diameter; near-dup
+    * clusters are shallow (a hub document links its variants), so a handful
+    * of rounds suffices. For adversarially long chains, switch to
+    * [[connectedComponentsStar]] (alternating large/small-star, Kiveris et
+    * al., "Connected Components in MapReduce and Beyond"), which converges
+    * in O(log² n) rounds — not needed for dedup graphs.
+    *
+    * If `maxIter` rounds pass without convergence the loop STOPS and the
+    * returned labels are only partially propagated (components wider than
+    * `maxIter` hops split) — a warning is logged; size `maxIter` to the
+    * expected component diameter.
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 20): DataFrame = {
@@ -48,16 +58,24 @@ object Graph {
       val viaNeighbor = und
         .join(labels.withColumnRenamed("v", "b"), Seq("b"))
         .select(col("a").as("v"), col("label"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy(col("v")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "__old"), Seq("v"))
-        .filter(col("label") =!= col("__old"))
-        .count()
-      labels = next
+      // own rows are flagged so one aggregation yields BOTH the new min
+      // label and the previous one — convergence needs no second join
+      val next = labels.withColumn("__own", lit(true))
+        .unionByName(viaNeighbor.withColumn("__own", lit(false)))
+        .groupBy(col("v"))
+        .agg(min(col("label")).as("label"),
+          max(when(col("__own"), col("label"))).as("__old"))
+        .localCheckpoint() // eager: materialized before the old round is freed
+      val changed = next.filter(col("label") =!= col("__old")).count()
+      org.apache.spark.sql.graftx.CheckpointUtils.unpersistLocalCheckpoint(labels)
+      labels = next.select(col("v"), col("label"))
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents: NOT converged after " +
+        s"$maxIter rounds — components wider than $maxIter hops are split; " +
+        "raise maxIter or use connectedComponentsStar")
     labels.select(col("v").as("vertex"), col("label").as("component"))
   }
 }
