@@ -25,11 +25,22 @@ object Sampling {
     */
   private[graft] def hexCutoffs(weights: Seq[(String, Double)]): Seq[(String, String)] = {
     require(weights.nonEmpty && weights.forall(_._2 > 0))
+    require(weights.size <= 256, "more splits than hash buckets (256)")
     val total = weights.map(_._2).sum
+    val n = weights.size
     var acc = 0.0
-    weights.map { case (name, w) =>
+    var prev = 0
+    weights.zipWithIndex.map { case ((name, w), i) =>
       acc += w
-      val cut = math.min(256, math.round(acc / total * 256).toInt)
+      val ideal = math.round(acc / total * 256).toInt
+      // Cuts must be strictly increasing with every split owning >= 1
+      // bucket: a rounded cumulative cut may otherwise reach 256 early
+      // (e.g. weights 0.999/0.001) and the absorbed later splits would be
+      // silently empty. Clamp each non-final cut to leave one bucket per
+      // remaining split; the final cut is always total.
+      val cut = if (i == n - 1) 256
+        else math.max(prev + 1, math.min(ideal, 256 - (n - 1 - i)))
+      prev = cut
       // "g" sorts after every hex pair, making the last branch total
       (name, if (cut >= 256) "g" else f"$cut%02x")
     }

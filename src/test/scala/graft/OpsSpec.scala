@@ -163,6 +163,29 @@ class OpsSpec extends AnyFunSuite {
     assert(again == counts)
   }
 
+  test("hash split: skewed weights never produce a silently-empty split") {
+    import graft.ops.Sampling
+    // 0.999 rounds its cumulative cut to 256 — unclamped, the first branch
+    // would absorb every bucket and "tail" would match nothing
+    val skewed = Seq("bulk" -> 0.999, "tail" -> 0.001)
+    val cuts = Sampling.hexCutoffs(skewed)
+    assert(cuts == Seq("bulk" -> "ff", "tail" -> "g"))
+
+    // many tiny splits after a huge one: cuts must stay strictly increasing
+    val many = Seq("big" -> 100.0) ++ (1 to 5).map(i => s"s$i" -> 1e-9)
+    val hexes = Sampling.hexCutoffs(many).map(_._2)
+    assert(hexes == hexes.distinct && hexes.init.forall(_ < "g"))
+    val ids = (1L to 4096L).toDF("doc_id")
+    val counts = Sampling.splitAssign(ids, "doc_id", many)
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 4096)
+    assert(counts.keySet == many.map(_._1).toSet) // every split non-empty
+
+    intercept[IllegalArgumentException] {
+      Sampling.hexCutoffs((1 to 257).map(i => s"s$i" -> 1.0))
+    }
+  }
+
   test("hash split matches the oracle-side CASE SQL") {
     import graft.ops.Sampling
     val weights = Seq("a" -> 0.5, "b" -> 0.5)
