@@ -54,6 +54,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("rolling_fingerprint", { args =>
       arity("rolling_fingerprint", args, 1); RollingFingerprint(args(0))
     })
+    register("unicode_normalize_text", { args =>
+      require(args.length == 1 || args.length == 2,
+        s"unicode_normalize_text expects 1-2 arguments, got ${args.length}")
+      val nfkc = args.lift(1).map {
+        case Literal(v: Boolean, org.apache.spark.sql.types.BooleanType) => v
+        case other => throw new IllegalArgumentException(
+          s"unicode_normalize_text: argument 2 must be a boolean literal, got $other")
+      }.getOrElse(true)
+      UnicodeNormalizeText(args(0), nfkc)
+    })
     register("hyperplane_bands", { args =>
       arity("hyperplane_bands", args, 3)
       HyperplaneBands(args(0), intArg(args(1), "hyperplane_bands", 1),

@@ -91,12 +91,71 @@ case class VectorDotProduct(left: Expression, right: Expression)
 private[graftx] object TextNormalize {
   private val NonAlnum = java.util.regex.Pattern.compile("[^a-z0-9 ]")
   private val MultiSpace = java.util.regex.Pattern.compile(" +")
+  // Unicode word characters: any letter or number category. Java's \p{L} /
+  // \p{N} are Unicode general categories (no flag needed) and RE2 (DuckDB's
+  // regex engine) accepts the same classes — the oracle mirror is exact.
+  private val NonWord = java.util.regex.Pattern.compile("[^\\p{L}\\p{N} ]")
 
   def normalize(s: org.apache.spark.unsafe.types.UTF8String): String = {
     val lowered = s.toLowerCase.toString
     MultiSpace.matcher(NonAlnum.matcher(lowered).replaceAll(""))
       .replaceAll(" ").trim
   }
+
+  /** Unicode-aware normalize: compose (NFC, or NFKC to also fold
+    * compatibility forms — ligatures, full-width), lowercase (Locale.ROOT —
+    * locale-independent, unlike `String.toLowerCase()`'s default-locale
+    * surprise), keep only letters/numbers/space, squeeze, trim. A CJK or
+    * accented document survives this chain — the ASCII [[normalize]] maps
+    * it to "" and makes every sketch silently blind to non-English corpora.
+    *
+    * Oracle contract: NFC mode is `trim(regexp_replace(regexp_replace(
+    * lower(nfc_normalize(x)), '[^\p{L}\p{N} ]', '', 'g'), ' +', ' ', 'g'))`
+    * in DuckDB. DuckDB has no NFKC function, so NFKC-mode results are only
+    * oracle-comparable on text free of compatibility characters (where
+    * NFKC ≡ NFC); the NFKC extras are spec-locked engine-side instead.
+    */
+  def normalizeUnicode(s: org.apache.spark.unsafe.types.UTF8String,
+      nfkc: Boolean): String = {
+    val form = if (nfkc) java.text.Normalizer.Form.NFKC
+      else java.text.Normalizer.Form.NFC
+    val composed = java.text.Normalizer.normalize(s.toString, form)
+    val lowered = composed.toLowerCase(java.util.Locale.ROOT)
+    MultiSpace.matcher(NonWord.matcher(lowered).replaceAll(""))
+      .replaceAll(" ").trim
+  }
+}
+
+/** Unicode-aware text normalization as a single per-row native evaluation:
+  * NFC/NFKC compose + Locale.ROOT lowercase + strip non-\p{L}\p{N} + space
+  * squeeze + trim (see [[TextNormalize.normalizeUnicode]] for the exact
+  * chain and the DuckDB oracle mirror). There is no Spark built-in for
+  * Unicode normalization forms, so the Column-DSL cannot express this —
+  * a native expression is the only UDF-free formulation.
+  */
+case class UnicodeNormalizeText(child: Expression, nfkc: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+
+  def normalizedOf(input: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      TextNormalize.normalizeUnicode(input, nfkc))
+
+  override def nullSafeEval(input: Any): Any =
+    normalizedOf(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("uniNormExpr", this, classOf[UnicodeNormalizeText].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.normalizedOf($in);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "unicode_normalize_text"
 }
 
 /** MinHash signature of a string-array column: `numHashes` min-hash values
@@ -176,14 +235,15 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * `lower`), Java regex `[^a-z0-9 ]` → "", `" +"` → " ", trim, split on
   * single space, n-gram join with single space, first-occurrence-distinct.
   */
-case class ShingleArray(child: Expression, n: Int)
+case class ShingleArray(child: Expression, n: Int, unicode: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   def shinglesOf(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-    val normalized = TextNormalize.normalize(input)
+    val normalized = if (unicode) TextNormalize.normalizeUnicode(input, nfkc = true)
+      else TextNormalize.normalize(input)
     val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
     if (normalized.nonEmpty) {
       val toks = normalized.split(" ", -1)
@@ -221,14 +281,15 @@ case class ShingleArray(child: Expression, n: Int)
   * costs 64 × |tokens| interpreted expression walks per row and gets
   * re-inlined into every plan site that references the column.
   */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, unicode: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
 
   def simhashOf(input: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val normalized = TextNormalize.normalize(input)
+    val normalized = if (unicode) TextNormalize.normalizeUnicode(input, nfkc = true)
+      else TextNormalize.normalize(input)
     val counts = new Array[Int](64)
     if (normalized.nonEmpty) {
       val toks = normalized.split(" ", -1)
@@ -273,14 +334,15 @@ case class SimHash64(child: Expression)
   * bit-identical to the HOF formulation in
   * `TextFunctions.rollingFingerprintHof`.
   */
-case class RollingFingerprint(child: Expression)
+case class RollingFingerprint(child: Expression, unicode: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
 
   def fingerprintOf(input: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val normalized = TextNormalize.normalize(input)
+    val normalized = if (unicode) TextNormalize.normalizeUnicode(input, nfkc = true)
+      else TextNormalize.normalize(input)
     var acc = 0L
     if (normalized.nonEmpty) {
       val toks = normalized.split(" ", -1)
@@ -423,13 +485,15 @@ object VectorExpressions {
   def minhash(a: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(a), numHashes))
 
-  /** Column-level distinct word-n-gram shingles backed by [[ShingleArray]]. */
-  def shingleArr(text: Column, n: Int): Column =
-    ExpressionUtils.column(ShingleArray(ExpressionUtils.expression(text), n))
+  /** Column-level distinct word-n-gram shingles backed by [[ShingleArray]].
+    * `unicode = true` switches to the NFKC + \p{L}\p{N} normalize chain.
+    */
+  def shingleArr(text: Column, n: Int, unicode: Boolean = false): Column =
+    ExpressionUtils.column(ShingleArray(ExpressionUtils.expression(text), n, unicode))
 
   /** Column-level 64-bit SimHash backed by [[SimHash64]]. */
-  def simhash(text: Column): Column =
-    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
+  def simhash(text: Column, unicode: Boolean = false): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text), unicode))
 
   /** Column-level banded hyperplane buckets backed by [[HyperplaneBands]]. */
   def hyperplaneBands(v: Column, bands: Int, bitsPerBand: Int): Column =
@@ -437,6 +501,10 @@ object VectorExpressions {
       ExpressionUtils.expression(v), bands, bitsPerBand))
 
   /** Column-level rolling fingerprint backed by [[RollingFingerprint]]. */
-  def rollingFp(text: Column): Column =
-    ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(text)))
+  def rollingFp(text: Column, unicode: Boolean = false): Column =
+    ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(text), unicode))
+
+  /** Column-level Unicode normalization backed by [[UnicodeNormalizeText]]. */
+  def normalizeUnicode(text: Column, nfkc: Boolean = true): Column =
+    ExpressionUtils.column(UnicodeNormalizeText(ExpressionUtils.expression(text), nfkc))
 }

@@ -31,6 +31,17 @@ object TextFunctions {
   def normalize(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** Unicode-aware normalize: NFC/NFKC compose, Locale.ROOT lower, keep
+    * letters/numbers/space (`\p{L}\p{N}` — any script), squeeze, trim.
+    * Backed by the native
+    * [[org.apache.spark.sql.graftx.UnicodeNormalizeText]] (Spark has no
+    * built-in Unicode normalization form, so this cannot be a Column-DSL
+    * chain). The ASCII [[normalize]] maps CJK/Cyrillic/accented text to ""
+    * — use this form for any multilingual corpus.
+    */
+  def normalizeUnicode(c: Column, nfkc: Boolean = true): Column =
+    org.apache.spark.sql.graftx.VectorExpressions.normalizeUnicode(c, nfkc)
+
   /** Whitespace tokens of the normalized text; empty text → empty array
     * (split of "" would yield [""]).
     */
@@ -38,6 +49,15 @@ object TextFunctions {
     val n = normalize(c)
     when(length(n) === 0, array().cast("array<string>")).otherwise(split(n, " "))
   }
+
+  /** Whitespace tokens of the Unicode-normalized text. */
+  def tokensUnicode(c: Column, nfkc: Boolean = true): Column = {
+    val n = normalizeUnicode(c, nfkc)
+    when(length(n) === 0, array().cast("array<string>")).otherwise(split(n, " "))
+  }
+
+  def wsTokenCountUnicode(c: Column, nfkc: Boolean = true): Column =
+    size(tokensUnicode(c, nfkc))
 
   def wsTokenCount(c: Column): Column = size(tokens(c))
 
@@ -105,6 +125,14 @@ object TextFunctions {
     * that survives whitespace/punctuation/case jitter.
     */
   def fingerprintMd5(c: Column): Column = md5(normalize(c))
+
+  /** Unicode-aware content fingerprint: md5 of the Unicode-normalized text
+    * (UTF-8 bytes — identical hex in any engine). NFC mode mirrors exactly
+    * in DuckDB (`md5(nfc_normalize`-chain`)`); NFKC additionally folds
+    * ligatures/full-width forms (better dedup key, engine-side spec only).
+    */
+  def fingerprintMd5Unicode(c: Column, nfkc: Boolean = true): Column =
+    md5(normalizeUnicode(c, nfkc))
 
   /** 64-bit rolling hash over normalized tokens: chained
     * `acc ← xxhash64(acc, token)` — an order-sensitive document fingerprint

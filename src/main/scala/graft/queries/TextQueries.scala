@@ -96,7 +96,33 @@ object TextQueries extends QueryPack {
         rollingFingerprint(col("text")).as("a"),
         rollingFingerprintHof(col("text")).as("b"))
         .filter(col("a") =!= col("b"))
-        .agg(count(lit(1)).as("native_hof_mismatches"))))
+        .agg(count(lit(1)).as("native_hof_mismatches"))),
+
+    // Unicode dedup proof: derive a deterministic CJK/accented corpus from
+    // the fixture (accent vowels, map 'data'→数据 — the SAME projection in
+    // the oracle SQL), then show fingerprint + shingle dedup survive it:
+    // a punctuation/case/spacing-jittered variant normalizes to the same
+    // fingerprint and the same bigram-shingle set. The ASCII normalize
+    // chain strips every non-[a-z0-9] char and is blind here; this query
+    // gates the \p{L}\p{N}+NFC chain against DuckDB's independent
+    // nfc_normalize + RE2 evaluation, value by value.
+    "t_unicode_dedup" -> ((s, dir) => {
+      val uni = translate(
+        regexp_replace(col("text"), "data", "数据"),
+        "aeio", "áéíö")
+      val dirty = concat(lit("¡« "), upper(uni), lit(" »!  ¿?"))
+      def sh(c: org.apache.spark.sql.Column) = array_sort(
+        org.apache.spark.sql.graftx.VectorExpressions.shingleArr(c, 2, unicode = true))
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        fingerprintMd5Unicode(uni).as("fp"),
+        (fingerprintMd5Unicode(dirty) === fingerprintMd5Unicode(uni))
+          .cast("int").as("fp_match"),
+        wsTokenCountUnicode(uni).as("n_tokens"),
+        size(sh(uni)).as("n_shingles"),
+        (sh(dirty) === sh(uni)).cast("int").as("shingle_match"))
+        .orderBy(col("doc_id"))
+    }))
 
   override def oracleSql: Map[String, String] = Map(
     "t_text_stats" ->
@@ -162,5 +188,36 @@ object TextQueries extends QueryPack {
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "t_rolling_fp_check" ->
-      "SELECT CAST(0 AS BIGINT) AS native_hof_mismatches")
+      "SELECT CAST(0 AS BIGINT) AS native_hof_mismatches",
+
+    "t_unicode_dedup" -> {
+      // DuckDB mirror of TextNormalize.normalizeUnicode (NFC mode): RE2's
+      // \p{L}\p{N} are the same Unicode categories as Java's, utf8proc
+      // lower == Locale.ROOT lower on this corpus, nfc_normalize == NFC.
+      def uNorm(c: String) =
+        s"trim(regexp_replace(regexp_replace(lower(nfc_normalize($c)), " +
+          s"'[^\\p{L}\\p{N} ]', '', 'g'), ' +', ' ', 'g'))"
+      def grams(w: String) =
+        s"list_sort(list_distinct(list_transform(range(1, len($w)), " +
+          s"i -> $w[i] || ' ' || $w[i+1])))"
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    translate(regexp_replace(text, 'data', '数据', 'g'),
+         |      'aeio', 'áéíö') AS u
+         |  FROM documents),
+         |b2 AS (SELECT doc_id, u,
+         |    concat('¡« ', upper(u), ' »!  ¿?') AS d FROM base),
+         |n AS (SELECT doc_id, ${uNorm("u")} AS nu, ${uNorm("d")} AS nd
+         |  FROM b2),
+         |tk AS (SELECT doc_id, nu, nd,
+         |    CASE WHEN nu = '' THEN [] ELSE string_split(nu, ' ') END AS wu,
+         |    CASE WHEN nd = '' THEN [] ELSE string_split(nd, ' ') END AS wd
+         |  FROM n)
+         |SELECT doc_id, md5(nu) AS fp,
+         |  CAST(nd = nu AS INTEGER) AS fp_match,
+         |  CAST(len(wu) AS INTEGER) AS n_tokens,
+         |  CAST(len(${grams("wu")}) AS INTEGER) AS n_shingles,
+         |  CAST(${grams("wd")} = ${grams("wu")} AS INTEGER) AS shingle_match
+         |FROM tk ORDER BY doc_id""".stripMargin
+    })
 }

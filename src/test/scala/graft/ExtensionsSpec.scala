@@ -263,6 +263,63 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got(1L) > got(2L))
   }
 
+  test("unicode normalize: CJK/accented text survives; ASCII chain is blind") {
+    import org.apache.spark.sql.graftx.VectorExpressions
+    val rows = Seq(
+      (1L, "Café «DÉJÀ Vu»!!"), // accented Latin, punct, case
+      (2L, "数据 处理 引擎"), // CJK
+      (3L, "Привет МИР 42"), // Cyrillic + digits
+      (4L, "Café")) // decomposed e + combining acute
+      .toDF("id", "t")
+    val got = rows.select($"id",
+      TextFunctions.normalizeUnicode($"t").as("u"),
+      TextFunctions.normalize($"t").as("a")).as[(Long, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == "café déjà vu")
+    assert(got(2L)._1 == "数据 处理 引擎")
+    assert(got(3L)._1 == "привет мир 42")
+    // NFC composes the decomposed form, so it fingerprints like the composed one
+    assert(got(4L)._1 == "café")
+    // the ASCII chain strips every non-[a-z0-9] char: CJK/Cyrillic vanish
+    assert(got(1L)._2 == "caf dj vu" || got(1L)._2 == "caf dj vu".trim)
+    assert(got(2L)._2.isEmpty && got(3L)._2 == "42")
+  }
+
+  test("unicode normalize NFKC folds compatibility forms; NFC keeps them") {
+    import org.apache.spark.sql.graftx.VectorExpressions
+    val rows = Seq(
+      (1L, "ﬁle"), // ﬁ ligature → "file" under NFKC
+      (2L, "ＡＢＣ １２"), // full-width ＡＢＣ １２ → abc 12
+      (3L, "x²")) // superscript two → x2
+      .toDF("id", "t")
+    val got = rows.select($"id",
+      TextFunctions.normalizeUnicode($"t", nfkc = true).as("k"),
+      TextFunctions.normalizeUnicode($"t", nfkc = false).as("c"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == "file" && got(1L)._2 == "ﬁle")
+    assert(got(2L)._1 == "abc 12" && got(2L)._2 == "ＡＢＣ １２".toLowerCase(java.util.Locale.ROOT))
+    assert(got(3L)._1 == "x2")
+  }
+
+  test("unicode shingles/fingerprints dedup jittered non-ASCII variants") {
+    import org.apache.spark.sql.graftx.VectorExpressions
+    val clean = "数据 café über straße tokyo"
+    val dirty = "¡« 数据  CAFÉ ÜBER straße TOKYO »!?"
+    val other = "数据 café über straße osaka"
+    val df = Seq((1L, clean), (2L, dirty), (3L, other)).toDF("id", "t")
+    val fp = df.select($"id",
+      TextFunctions.fingerprintMd5Unicode($"t").as("fp"),
+      array_sort(VectorExpressions.shingleArr($"t", 2, unicode = true)).as("sh"),
+      VectorExpressions.simhash($"t", unicode = true).as("sim"),
+      VectorExpressions.rollingFp($"t", unicode = true).as("rfp"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getSeq[String](2), r.getLong(3), r.getLong(4)))).toMap
+    assert(fp(1L)._1 == fp(2L)._1 && fp(1L)._1 != fp(3L)._1) // md5 fingerprint
+    assert(fp(1L)._2 == fp(2L)._2 && fp(1L)._2 != fp(3L)._2) // shingle set
+    assert(fp(1L)._3 == fp(2L)._3) // simhash identical on identical token sets
+    assert(fp(1L)._4 == fp(2L)._4 && fp(1L)._4 != fp(3L)._4) // rolling fp
+  }
+
   test("SQL-registered functions plan the same expressions as the Column DSL") {
     import org.apache.spark.sql.graftx.VectorExpressions
     docs.createOrReplaceTempView("__ext_docs")
