@@ -88,6 +88,18 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Same cluster collapse via the alternating large/small-star algorithm
+    // (O(log² n) rounds vs diameter rounds) — gated against the SAME
+    // recursive-CTE oracle, so both CC implementations are independently
+    // verified end to end.
+    "d_dedup_clusters_star" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", minJaccard = tau, hashShingles = true)
+      Graph.connectedComponentsStar(pairs, "id_a", "id_b")
+        .select(col("vertex").as("doc_id"), col("component").as("component_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // xxhash64-based sketch — DuckDB cannot evaluate it, so the driver-
     // visible check is a second-implementation equivalence: (1) the banded
     // candidate scheme must produce exactly the blocked brute-force
@@ -133,27 +145,30 @@ object DedupQueries extends QueryPack {
     "d_jaccard_pairs_fast" -> jaccardPairsSql,
     "d_minhash_pairs" -> jaccardPairsSql,
 
-    "d_dedup_clusters" ->
-      s"""WITH RECURSIVE $shinglesSql,
-         |cand AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |jp AS (
-         |  SELECT id_a, id_b FROM cand
-         |  JOIN sizes sa ON id_a = sa.doc_id
-         |  JOIN sizes sb ON id_b = sb.doc_id
-         |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $tau),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM jp
-         |  UNION ALL SELECT id_b, id_a FROM jp),
-         |reach(s, t) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
-         |SELECT s AS doc_id, least(s, min(t)) AS component_id
-         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+    "d_dedup_clusters" -> dedupClustersSql,
+    "d_dedup_clusters_star" -> dedupClustersSql,
 
     "d_simhash_check" ->
       """SELECT CAST(0 AS BIGINT) AS pair_diff,
         |  CAST(0 AS BIGINT) AS native_hof_mismatches""".stripMargin)
+
+  private lazy val dedupClustersSql =
+    s"""WITH RECURSIVE $shinglesSql,
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN sizes sa ON id_a = sa.doc_id
+       |  JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $tau),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+       |  UNION ALL SELECT id_b, id_a FROM jp),
+       |reach(s, t) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
+       |SELECT s AS doc_id, least(s, min(t)) AS component_id
+       |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
 }
