@@ -10,10 +10,15 @@ import org.apache.spark.sql.functions._
   * processing, deterministic output layout. The IMAGE path is real
   * end-to-end: [[imageTable]] emits genuine BMP/PNG payloads and
   * [[decodeMetaTable]] parses format/dimensions back out of the file
-  * headers via [[ImageCodec]] (pure JVM, no libraries). The pixel-level
-  * feature extractor and the audio/video frame sampler remain STUBS
-  * (`decodeStub`) because no media libraries exist in this environment —
-  * swap `decodeStub` for a real JNI/library call and nothing else changes.
+  * headers via [[ImageCodec]] (pure JVM, no libraries). The AUDIO and
+  * VIDEO container paths are real too: [[audioTable]]/[[videoTable]] emit
+  * genuine WAV (PCM16) and AVI (uncompressed DIB) files and
+  * [[audioMetaTable]]/[[sampleContainerFrames]] parse metadata, samples,
+  * and frames back out of the RIFF chunks via [[MediaContainers]]. What
+  * remains stubbed (`decodeStub`) is COMPRESSED-codec work — pixel/sample
+  * decode of JPEG/MP3/H.264 — because no codec libraries exist in this
+  * environment; swap `decodeStub` for a real library call and nothing
+  * else changes.
   *
   * Scale posture: `mapPartitions` over a `Dataset[MediaRecord]` processes
   * records in partition-sized batches (the decoder amortizes init per
@@ -188,8 +193,9 @@ object Multimodal {
     }
   }
 
-  /** ======= STUB ======= Frame sampling: every `stride`-th chunk of the
-    * payload stands in for a decoded video frame.
+  /** ======= STUB ======= Frame sampling over OPAQUE payloads: every
+    * `stride`-th chunk stands in for a decoded frame. Real containers go
+    * through [[sampleContainerFrames]] instead.
     */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int = 4,
       frameBytes: Int = 256): Dataset[FrameSample] = {
@@ -201,6 +207,139 @@ object Multimodal {
         val start = i * frameBytes * stride
         val end = math.min(r.bytes.length, start + frameBytes)
         FrameSample(r.media_id, i, java.util.Arrays.copyOfRange(r.bytes, start, end))
+      }
+    }
+  }
+
+  /** REAL audio payloads: each document becomes a genuine mono PCM16 WAV
+    * (RIFF/WAVE with fmt + data chunks) whose samples derive from the text
+    * bytes — sample i = (byte(i mod len) − 96) · 256, so the oracle can
+    * recompute the exact sample sum from the text. Empty text → silence.
+    */
+  def audioTable(docs: DataFrame, sampleRate: Int = 8000): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tb = Option(text).getOrElse("").getBytes("UTF-8")
+          val n = (id % 500).toInt + 100
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = if (tb.isEmpty) 0
+              else (((tb(i % tb.length) & 0xFF) - 96) * 256).toShort
+            i += 1
+          }
+          val bytes = MediaContainers.encodeWav(sampleRate, samples)
+          MediaRecord(id, "audio", bytes, "wav", 0, 0, n * 1000L / sampleRate)
+        }
+      }
+  }
+
+  /** REAL video payloads: each document becomes a genuine uncompressed AVI
+    * (RIFF/'AVI ' with hdrl + movi) of `(id mod 6) + 2` raw 24bpp DIB
+    * frames at 10 fps. Frame f's byte j (padding included) is
+    * text byte ((f + j) mod len) — oracle-recomputable per frame.
+    */
+  def videoTable(docs: DataFrame, fps: Int = 10): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tb = Option(text).getOrElse("").getBytes("UTF-8")
+          val w = (id % 16).toInt + 8
+          val h = (id % 12).toInt + 6
+          val nFrames = (id % 6).toInt + 2
+          val frameSize = MediaContainers.dibFrameSize(w, h)
+          val frames = (0 until nFrames).map { f =>
+            val out = new Array[Byte](frameSize)
+            var j = 0
+            while (j < frameSize) {
+              out(j) = if (tb.isEmpty) 0 else tb((f + j) % tb.length)
+              j += 1
+            }
+            out
+          }
+          val bytes = MediaContainers.encodeAvi(w, h, fps, frames)
+          MediaRecord(id, "video", bytes, "avi", w, h,
+            nFrames * (1000000L / fps) / 1000L)
+        }
+      }
+  }
+
+  /** Audio header + sample decode — every field parsed from the WAV bytes,
+    * and `sample_sum` recomputed from the decoded PCM stream (bit-for-bit
+    * proof the data chunk round-tripped). Undecodable → (-1, …, 0).
+    */
+  case class AudioMeta(
+      media_id: Long,
+      channels: Int,
+      sample_rate: Int,
+      bits_per_sample: Int,
+      n_samples: Int,
+      duration_ms: Long,
+      sample_sum: Long)
+
+  def audioMetaTable(media: Dataset[MediaRecord]): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        MediaContainers.decodeWavSamples(r.bytes) match {
+          case Some((m, samples)) =>
+            var s = 0L
+            var i = 0
+            while (i < samples.length) { s += samples(i); i += 1 }
+            AudioMeta(r.media_id, m.channels, m.sampleRate, m.bitsPerSample,
+              m.nSamples, m.durationMs, s)
+          case None => AudioMeta(r.media_id, -1, -1, -1, -1, 0L, 0L)
+        }
+      }
+    }
+  }
+
+  /** REAL frame sampling: every `stride`-th frame payload parsed out of the
+    * AVI movi list (byte sums prove the frame bytes round-tripped), or
+    * every `stride`-th PCM16 block of a WAV. `frame_index` is the index in
+    * the CONTAINER's stream, not the sample sequence. Unrecognized
+    * containers yield no rows (they belong on the [[sampleFrames]] stub
+    * path).
+    */
+  case class ContainerFrame(
+      media_id: Long,
+      frame_index: Int,
+      n_bytes: Int,
+      byte_sum: Long)
+
+  def sampleContainerFrames(media: Dataset[MediaRecord],
+      stride: Int = 2, wavBlock: Int = 256): Dataset[ContainerFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    def sumBytes(b: Array[Byte]): Long = {
+      var s = 0L; var i = 0
+      while (i < b.length) { s += b(i) & 0xFF; i += 1 }
+      s
+    }
+    media.flatMap { r =>
+      MediaContainers.decodeAviFrames(r.bytes) match {
+        case Some(frames) =>
+          frames.indices.by(stride).map(i =>
+            ContainerFrame(r.media_id, i, frames(i).length, sumBytes(frames(i))))
+        case None =>
+          MediaContainers.decodeWavSamples(r.bytes) match {
+            case Some((_, samples)) =>
+              val nBlocks = (samples.length + wavBlock - 1) / wavBlock
+              (0 until nBlocks by stride).map { b =>
+                val lo = b * wavBlock
+                val hi = math.min(samples.length, lo + wavBlock)
+                var s = 0L; var i = lo
+                while (i < hi) { s += samples(i); i += 1 }
+                ContainerFrame(r.media_id, b, (hi - lo) * 2, s)
+              }
+            case None => Seq.empty
+          }
       }
     }
   }

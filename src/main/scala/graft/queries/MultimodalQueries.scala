@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
 
-/** Multimodal plumbing queries. `m_decode_meta` is a REAL decode path:
-  * genuine BMP/PNG payloads parsed back through ImageCodec. The feature /
-  * frame queries still ride the documented deterministic stub decoder
-  * (see [[graft.multimodal.Multimodal]]); their schema/partition-batch
-  * plumbing is real.
+/** Multimodal plumbing queries. `m_decode_meta`/`m_pixel_stats` are REAL
+  * image decode paths (genuine BMP/PNG parsed back through ImageCodec);
+  * `m_audio_meta`/`m_video_frames` are REAL container decode paths
+  * (genuine WAV/AVI parsed back through MediaContainers). Only
+  * `m_frame_samples` still rides the documented stub chunker for opaque
+  * payloads (see [[graft.multimodal.Multimodal]]).
   */
 object MultimodalQueries extends QueryPack {
 
@@ -40,13 +41,33 @@ object MultimodalQueries extends QueryPack {
         Multimodal.imageTable(Tables.load(s, dir, "documents"))).toDF()
         .orderBy(col("media_id"))),
 
+    // Stub-path geometry check (opaque payload chunking) — kept alongside
+    // the real container path below.
     "m_frame_samples" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
       Multimodal.sampleFrames(media).toDF()
         .select(col("media_id"), col("frame_index"),
           length(col("frame_bytes")).as("n_bytes"))
         .orderBy(col("media_id"), col("frame_index"))
-    }))
+    }),
+
+    // REAL audio decode: payloads are genuine RIFF/WAVE PCM16 files; every
+    // output field is parsed from the fmt/data chunks and sample_sum is
+    // recomputed from the decoded PCM stream. The oracle recomputes all of
+    // it from (doc_id, text) — a hash match proves the WAV round-trip
+    // bit-for-bit.
+    "m_audio_meta" -> ((s, dir) =>
+      Multimodal.audioMetaTable(
+        Multimodal.audioTable(Tables.load(s, dir, "documents"))).toDF()
+        .orderBy(col("media_id"))),
+
+    // REAL video frame sampling: payloads are genuine AVI containers; every
+    // 2nd frame is parsed out of the movi list and byte-summed. Oracle
+    // recomputes frame geometry + sums from (doc_id, text).
+    "m_video_frames" -> ((s, dir) =>
+      Multimodal.sampleContainerFrames(
+        Multimodal.videoTable(Tables.load(s, dir, "documents"))).toDF()
+        .orderBy(col("media_id"), col("frame_index"))))
 
   override def oracleSql: Map[String, String] = Map(
     "m_media_meta" ->
@@ -91,5 +112,40 @@ object MultimodalQueries extends QueryPack {
         |    unnest(range(0, greatest(1, len // 1024))) AS fi FROM d)
         |SELECT media_id, CAST(fi AS INTEGER) AS frame_index,
         |  CAST(least(len - fi * 1024, 256) AS INTEGER) AS n_bytes
-        |FROM f ORDER BY media_id, frame_index""".stripMargin)
+        |FROM f ORDER BY media_id, frame_index""".stripMargin,
+
+    // WAV encode parameters are pure functions of (doc_id, text): n samples
+    // = doc_id%500+100, sample i = (ord(text[i mod len]) - 96) * 256
+    // (documents are pure ASCII, so char codes == payload bytes).
+    "m_audio_meta" ->
+      """WITH d AS (SELECT doc_id AS media_id, text,
+        |    doc_id % 500 + 100 AS n FROM documents)
+        |SELECT media_id, CAST(1 AS INTEGER) AS channels,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(16 AS INTEGER) AS bits_per_sample,
+        |  CAST(n AS INTEGER) AS n_samples,
+        |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(list_sum(list_transform(range(0, n),
+        |      i -> (ord(substr(text, CAST(i % length(text) AS INTEGER) + 1, 1))
+        |            - 96) * 256)) AS BIGINT) END AS sample_sum
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // AVI geometry is a pure function of doc_id (w = id%16+8, h = id%12+6,
+    // frames = id%6+2, rows padded to 4 bytes); frame f's byte j is
+    // text byte (f+j) mod len. Sampled stride = 2.
+    "m_video_frames" ->
+      """WITH d AS (SELECT doc_id AS media_id, text,
+        |    doc_id % 16 + 8 AS w, doc_id % 12 + 6 AS h,
+        |    doc_id % 6 + 2 AS nf FROM documents),
+        |g AS (SELECT media_id, text,
+        |    ((3 * w + 3) // 4) * 4 * h AS fsz,
+        |    unnest(range(0, nf, 2)) AS fi FROM d)
+        |SELECT media_id, CAST(fi AS INTEGER) AS frame_index,
+        |  CAST(fsz AS INTEGER) AS n_bytes,
+        |  CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(list_sum(list_transform(range(0, fsz),
+        |      j -> ord(substr(text, CAST((fi + j) % length(text) AS INTEGER) + 1, 1))))
+        |      AS BIGINT) END AS byte_sum
+        |FROM g ORDER BY media_id, frame_index""".stripMargin)
 }

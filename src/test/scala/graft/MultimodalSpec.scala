@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.{ImageCodec, Multimodal}
+import graft.multimodal.{ImageCodec, MediaContainers, Multimodal}
 
 /** Multimodal binary-column plumbing: schema, batch shape, determinism of
   * the stub decoder, frame sampling layout.
@@ -156,5 +156,75 @@ class MultimodalSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), max("frame_index").as("mx"))
     assert(byDoc.filter($"mx" =!= $"n" - 1).count() == 0)
     assert(frames.filter(length($"frame_bytes") > 64).count() == 0)
+  }
+
+  test("WAV encode→decode roundtrips header fields and the exact samples") {
+    val samples = Array.tabulate(777)(i => ((i * 131 - 9000) % 32768).toShort)
+    val wav = MediaContainers.encodeWav(8000, samples)
+    // canonical header layout: RIFF/WAVE magic + 44-byte preamble
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(wav, 8, 4, "US-ASCII") == "WAVE")
+    assert(wav.length == 44 + 2 * samples.length)
+    val meta = MediaContainers.decodeWavMeta(wav)
+    assert(meta.contains(MediaContainers.WavMeta(1, 8000, 16, 777, 777 * 1000L / 8000)))
+    val decoded = MediaContainers.decodeWavSamples(wav)
+    assert(decoded.exists(_._2.sameElements(samples)))
+    // decoder walks chunks, so junk before data must not break it
+    assert(MediaContainers.decodeWavMeta("RIFFxxxxNOPE".getBytes).isEmpty)
+    assert(MediaContainers.decodeWavMeta(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaContainers.decodeWavMeta(wav.take(30)).isEmpty) // truncated data chunk
+  }
+
+  test("AVI encode→decode roundtrips header fields and every frame payload") {
+    val w = 11; val h = 7 // odd width exercises row padding
+    val fsz = MediaContainers.dibFrameSize(w, h)
+    assert(fsz == ((3 * 11 + 3) & ~3) * 7)
+    val frames = (0 until 5).map(f =>
+      Array.tabulate(fsz)(j => ((f * 37 + j * 11) % 251).toByte))
+    val avi = MediaContainers.encodeAvi(w, h, 10, frames)
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val meta = MediaContainers.decodeAviMeta(avi)
+    assert(meta.contains(MediaContainers.AviMeta(11, 7, 5, 100000, 500L)))
+    val got = MediaContainers.decodeAviFrames(avi)
+    assert(got.exists(fs => fs.length == 5 &&
+      fs.zip(frames).forall { case (a, b) => a.sameElements(b) }))
+    assert(MediaContainers.decodeAviMeta(avi.take(40)).isEmpty)
+    assert(MediaContainers.decodeAviFrames("RIFF....AVI ".getBytes).isEmpty)
+  }
+
+  test("audioMetaTable fields come from the container, not a side channel") {
+    val metas = Multimodal.audioMetaTable(Multimodal.audioTable(docs))
+    val bad = metas.toDF().join(docs, $"media_id" === $"doc_id")
+      .filter($"channels" =!= 1 || $"sample_rate" =!= 8000 ||
+        $"bits_per_sample" =!= 16 ||
+        $"n_samples" =!= ($"doc_id" % 500 + 100).cast("int"))
+      .count()
+    assert(bad == 0)
+    // spot-check one sample_sum against a driver-side fold over the text
+    val (id, text) = docs.orderBy($"doc_id").select($"doc_id", $"text")
+      .as[(Long, String)].head()
+    val tb = text.getBytes("UTF-8")
+    val n = (id % 500).toInt + 100
+    val expect = (0 until n).map(i =>
+      if (tb.isEmpty) 0L else ((tb(i % tb.length) & 0xFF) - 96L) * 256L).sum
+    assert(metas.filter($"media_id" === id).head().sample_sum == expect)
+  }
+
+  test("sampleContainerFrames walks real AVI movi chunks at the stride") {
+    val frames = Multimodal.sampleContainerFrames(
+      Multimodal.videoTable(docs), stride = 2).toDF()
+    // only even frame indices; n_bytes = padded DIB size from doc_id
+    assert(frames.filter($"frame_index" % 2 =!= 0).count() == 0)
+    val rowSize = (($"doc_id" % 16 + 8) * 3 + 3).cast("int").bitwiseAND(lit(-4))
+    val bad = frames.join(docs, $"media_id" === $"doc_id")
+      .filter($"n_bytes" =!= (rowSize * ($"doc_id" % 12 + 6)).cast("int"))
+      .count()
+    assert(bad == 0)
+    // frame count per doc = ceil((id%6+2) / 2)
+    val counts = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .join(docs, $"media_id" === $"doc_id")
+      .filter($"n" =!= ceil(($"doc_id" % 6 + 2) / lit(2.0)).cast("long"))
+    assert(counts.count() == 0)
   }
 }
