@@ -122,6 +122,58 @@ object TextQueries extends QueryPack {
         size(sh(uni)).as("n_shingles"),
         (sh(dirty) === sh(uni)).cast("int").as("shingle_match"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style document quality filters (Rae et al. 2021 §A1.1, adapted
+    // to this corpus): every signal is an exact integer — word count, word
+    // chars, alpha-word and stopword hits, and the repetition signals
+    // (most-frequent word / most-frequent bigram counts). The pass/fail
+    // gate uses CROSS-MULTIPLIED integer comparisons instead of float
+    // ratios, so both engines decide identically with no epsilon. Scale
+    // shape: tokenization is staged once (one materialization), then two
+    // narrow (doc_id, term) explode→count→max aggregations with map-side
+    // partials — no wide rows past the explode.
+    "t_gopher_filters" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val rawToks = when(length(trim(col("text"))) === 0,
+        array().cast("array<string>"))
+        .otherwise(split(trim(col("text")), "\\s+"))
+      // stage: tokenize ONCE (CollapseProject would otherwise re-inline the
+      // split into every element_at/size reference downstream)
+      val base = docs.select(col("doc_id"), rawToks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n_words"),
+          aggregate(transform(col("toks"), t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x).as("word_chars"),
+          size(filter(col("toks"), t => t.rlike("[a-z]")))
+            .cast("long").as("n_alpha_words"),
+          size(filter(col("toks"), t => t.isin(defaultStopwords.map(lit(_)): _*)))
+            .cast("long").as("n_stop_words"))
+        .localCheckpoint()
+      val topWord = base.select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_word_count"))
+      val bigramArr = when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val topBigram = base.select(col("doc_id"), explode(bigramArr).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_count"))
+      base.join(topWord, Seq("doc_id"), "left")
+        .join(topBigram, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("word_chars"),
+          col("n_alpha_words"), col("n_stop_words"),
+          coalesce(col("top_word_count"), lit(0L)).as("top_word_count"),
+          coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"))
+        .withColumn("quality_pass",
+          (col("n_words") >= 20 && col("n_words") <= 100000 &&
+            col("word_chars") >= col("n_words") * 2 &&
+            col("word_chars") <= col("n_words") * 12 &&
+            col("n_alpha_words") * 10 >= col("n_words") * 8 &&
+            col("n_stop_words") >= 1 &&
+            col("top_bigram_count") * 10 <= col("n_words")).cast("int"))
+        .orderBy(col("doc_id"))
     }))
 
   override def oracleSql: Map[String, String] = Map(
@@ -219,5 +271,39 @@ object TextQueries extends QueryPack {
          |  CAST(len(${grams("wu")}) AS INTEGER) AS n_shingles,
          |  CAST(${grams("wd")} = ${grams("wu")} AS INTEGER) AS shingle_match
          |FROM tk ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    "t_gopher_filters" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CASE WHEN trim(text) = '' THEN []
+         |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM documents),
+         |base AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+         |      AS BIGINT) AS word_chars,
+         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+         |      AS BIGINT) AS n_alpha_words,
+         |    CAST(len(list_filter(toks, x ->
+         |      list_contains(${inList(defaultStopwords)}, x))) AS BIGINT)
+         |      AS n_stop_words
+         |  FROM t),
+         |wc AS (SELECT doc_id, w, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2),
+         |tw AS (SELECT doc_id, max(c) AS top_word_count FROM wc GROUP BY 1),
+         |bg AS (SELECT doc_id, b, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS b FROM t) GROUP BY 1, 2),
+         |tb AS (SELECT doc_id, max(c) AS top_bigram_count FROM bg GROUP BY 1)
+         |SELECT base.doc_id, n_words, word_chars, n_alpha_words, n_stop_words,
+         |  CAST(coalesce(top_word_count, 0) AS BIGINT) AS top_word_count,
+         |  CAST(coalesce(top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+         |  CAST(n_words >= 20 AND n_words <= 100000
+         |    AND word_chars >= n_words * 2 AND word_chars <= n_words * 12
+         |    AND n_alpha_words * 10 >= n_words * 8
+         |    AND n_stop_words >= 1
+         |    AND coalesce(top_bigram_count, 0) * 10 <= n_words AS INTEGER)
+         |    AS quality_pass
+         |FROM base LEFT JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)
 }
