@@ -40,6 +40,28 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("n_name"))
     }),
 
+    // Hot-key join executed SALTED: event_type has 5 values, so a plain
+    // shuffle join lands each type's entire volume on one reducer — the
+    // canonical 100 TB skew killer. Spark side spreads every hot key over
+    // 8 reducers (Skew.saltedInnerJoin) and builds the distinct count via
+    // the skew-safe pre-distinct (Skew.distinctCountByKey); the oracle is
+    // the textbook unsalted join+agg — a hash match proves salting changed
+    // the distribution, not the result.
+    "j_salted_skew" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val totals = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_total"))
+      val users = graft.ops.Skew.distinctCountByKey(
+        ev, Seq("event_type"), "user_id", "type_users")
+      val dim = totals.join(users, Seq("event_type"))
+      graft.ops.Skew.saltedInnerJoin(
+        ev.select(col("event_id"), col("event_type")), dim,
+        Seq("event_type"), buckets = 8)
+        .select(col("event_id"), col("event_type"),
+          col("type_total"), col("type_users"))
+        .orderBy(col("event_id"))
+    }),
+
     // Left-semi: orders with at least one heavy line (EXISTS).
     "j_semi_orders" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
@@ -207,6 +229,14 @@ object RelationalQueries extends QueryPack {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "j_salted_skew" ->
+      """WITH dim AS (SELECT event_type, count(*) AS type_total,
+        |    count(DISTINCT user_id) AS type_users
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, type_total, type_users
+        |FROM events JOIN dim USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     "j_semi_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
