@@ -23,6 +23,7 @@ object SparkEntry {
     EventQueries,
     TemporalQueries,
     TextQueries,
+    PretrainQueries,
     SamplingQueries,
     DedupQueries,
     SimilarityQueries,

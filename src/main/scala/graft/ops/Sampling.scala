@@ -77,6 +77,51 @@ object Sampling {
       .mkString("CASE ", " ", " END")
   }
 
+  /** 16-bit cutoff for a keep-fraction: buckets are the first FOUR hex
+    * digits of md5 (65536 buckets — rate resolution 1/65536 ≈ 0.0015%);
+    * "g" sorts after every hex quad, so fraction 1.0 keeps everything.
+    */
+  private[graft] def hexCutoff4(frac: Double): String = {
+    require(frac >= 0.0 && frac <= 1.0, s"fraction out of [0,1]: $frac")
+    val cut = math.round(frac * 65536).toInt
+    if (cut >= 65536) "g" else f"$cut%04x"
+  }
+
+  /** Keep-flag for domain-mixture sampling: each stratum (source/domain) is
+    * downsampled to its target rate by a pure key-hash — the mixture a
+    * curriculum designer specifies ("keep 25% of CommonCrawl, all of
+    * books"). Same invariants as [[splitAssign]]: re-runs and backfills
+    * keep exactly the same rows, no shuffle, engine-independent. The salt
+    * decorrelates the draw from the train/val/test bucket of the same key
+    * (membership in a split and survival of the mixture are independent).
+    * Unlisted strata default to rate 0 (dropped) — a mixture is a
+    * whitelist.
+    */
+  def mixtureKeep(keyCol: Column, strataCol: Column,
+      rates: Map[String, Double], salt: String = "mix"): Column = {
+    val bucket = substring(
+      md5(concat(keyCol.cast("string"), lit(":" + salt)).cast("binary")), 1, 4)
+    val cutoff = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit("0000"): Column) { case (acc, (k, frac)) =>
+        when(strataCol === k, lit(hexCutoff4(frac))).otherwise(acc)
+      }
+    bucket < cutoff
+  }
+
+  def mixtureSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], salt: String = "mix"): DataFrame =
+    df.filter(mixtureKeep(col(keyCol), col(strataCol), rates, salt))
+
+  /** Oracle-side boolean expression for the same keep decision. */
+  def mixtureKeepSql(keyExpr: String, strataExpr: String,
+      rates: Map[String, Double], salt: String = "mix"): String = {
+    val b = s"substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 4)"
+    val cases = rates.toSeq.sortBy(_._1)
+      .map { case (k, frac) => s"WHEN $strataExpr = '$k' THEN '${hexCutoff4(frac)}'" }
+      .mkString(" ")
+    s"($b < (CASE $cases ELSE '0000' END))"
+  }
+
   /** Per-stratum Bernoulli sampling (`sampleBy`): deterministic for a fixed
     * seed, partitioning, and row order — use for one-shot corpus
     * downsampling, NOT for split assignment (a backfill with different

@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PiiFunctions
+import graft.functions.TextFunctions.tokens
+import graft.ops.{LineDedup, Packing, Sampling}
+
+/** Pretraining-corpus preparation operators beyond dedup/similarity:
+  * PII redaction, corpus-level line dedup (C4 rule), sequence packing,
+  * domain-mixture sampling, and TF-IDF salient terms.
+  *
+  * The fixture corpus carries no PII and no newlines, so the PII and
+  * line-dedup queries derive their inputs deterministically from `doc_id`
+  * and the token stream — the SAME projection is spelled out in the oracle
+  * SQL, so DuckDB independently rebuilds the identical corpus and the
+  * comparison stays value-exact.
+  */
+object PretrainQueries extends QueryPack {
+
+  private val lineTok = 7 // pseudo-line width (tokens) for the line-dedup corpus
+  private val packBudget = 512 // tokens per training sequence bin
+
+  /** Mixture rates over the 20 fixture sources: 0.25 / 0.5 / 0.75 / 1.0
+    * by source index mod 4 — every rate tier appears five times.
+    */
+  private val mixRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + 1) / 4.0).toMap
+
+  /** PII-injected corpus: every third doc gains an email, a phone, and an
+    * IPv4, all derived from doc_id. Mirrored verbatim in the oracle SQL.
+    */
+  private def injectedPii = {
+    val id = col("doc_id")
+    val pii = concat(col("text"),
+      lit(" contact user"), id.cast("string"),
+      lit("@mail"), pmod(id, lit(7)).cast("string"), lit(".example.com"),
+      lit(" call "), (pmod(id, lit(800)) + 100).cast("string"),
+      lit("-555-"), lpad(pmod(id, lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10."), pmod(id, lit(256)).cast("string"),
+      lit("."), pmod(id * 7, lit(256)).cast("string"),
+      lit("."), pmod(id * 13, lit(256)).cast("string"))
+    when(pmod(id, lit(3)) === 0, pii).otherwise(col("text"))
+  }
+
+  private val injectedPiiSql =
+    """CASE WHEN doc_id % 3 = 0 THEN text
+      | || ' contact user' || CAST(doc_id AS VARCHAR)
+      | || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+      | || ' call ' || CAST(doc_id % 800 + 100 AS VARCHAR)
+      | || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      | || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+      | || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+      | || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+      | ELSE text END""".stripMargin.replace("\n", "")
+
+  /** Raw whitespace token count (0 for blank), shared by packing. */
+  private def rawTokCount = when(length(trim(col("text"))) === 0, lit(0))
+    .otherwise(size(split(trim(col("text")), "\\s+"))).cast("int")
+
+  private val rawTokCountSql =
+    "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+
+  override def queries: Map[String, Query] = Map(
+    // PII redaction: per-stage match counts plus a fingerprint of the fully
+    // redacted text — the md5 makes the gate sensitive to every redacted
+    // byte, not just the counts. Pure per-row regex projection: fuses into
+    // the scan stage, zero shuffle at any corpus size.
+    "t_pii_redact" -> ((s, dir) => {
+      val red = PiiFunctions.redactPii(injectedPii)
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        PiiFunctions.emailCount(injectedPii).as("n_emails"),
+        PiiFunctions.phoneCount(injectedPii).as("n_phones"),
+        PiiFunctions.ipv4Count(injectedPii).as("n_ips"),
+        length(red).as("red_len"),
+        md5(red).as("red_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4-rule line dedup: chunk each doc into 7-token pseudo-lines, keep
+    // only the globally-first occurrence of each line (min (doc_id, idx) —
+    // deterministic), reassemble, fingerprint. Two narrow shuffles: one on
+    // line content for the survivor pick, one on doc_id to rebuild.
+    "t_line_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lineArr = LineDedup.toLines(col("text"), lineTok)
+      val lines = docs.select(col("doc_id"),
+        posexplode(lineArr).as(Seq("idx", "line")))
+      val kept = LineDedup.keepFirstOccurrence(lines, "doc_id", "idx", "line")
+      val rebuilt = kept.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+            e => e.getField("line")))).as("kept_fp"))
+      docs.select(col("doc_id"), size(lineArr).as("n_lines"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sequence packing layout audit: per (source-shard, bin) document
+    // count, token fill, and boundary-spanning docs. The pack itself is a
+    // per-shard window sort — shards pack independently, so the layout
+    // parallelizes across a 100 TB corpus with no global ordering.
+    "x_seq_packing" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), rawTokCount.as("n_tok"))
+      Packing.packSequential(base, "source", "doc_id", "n_tok", packBudget)
+        .groupBy(col("source"), col("bin_first").as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("bin_tokens"),
+          sum((col("bin_last") > col("bin_first")).cast("long")).as("n_spanning"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    // Domain-mixture sampling: per-source deterministic keep rates
+    // (0.25–1.0). The keep decision is a pure key-hash projection (no
+    // shuffle, re-run-stable); the oracle recomputes the identical md5
+    // buckets, so kept counts match exactly — not just in expectation.
+    "x_mixture_sample" -> ((s, dir) => {
+      val keep = Sampling.mixtureKeep(col("doc_id"), col("source"), mixRates)
+      Tables.load(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(keep.cast("long")).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // TF-IDF salient term per document: argmax of tf/df with the df table
+    // derived from the per-doc tf table (one tokenize, two narrow
+    // aggregations). Ordering key is a single IEEE division — exactly
+    // rounded in every engine — with the term as an exact tiebreak, so the
+    // argmax is engine-independent; outputs are exact integers.
+    "t_tfidf_top" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy((col("tf").cast("double") / col("tok_df").cast("double")).desc,
+          col("tok"))
+      tf.join(dfreq, Seq("tok"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_term"), col("tf"),
+          col("tok_df"))
+        .orderBy(col("doc_id"))
+    }))
+
+  override def oracleSql: Map[String, String] = Map(
+    "t_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, $injectedPiiSql AS text FROM documents)
+         |SELECT doc_id,
+         |  ${PiiFunctions.emailCountSql("text")} AS n_emails,
+         |  ${PiiFunctions.phoneCountSql("text")} AS n_phones,
+         |  ${PiiFunctions.ipv4CountSql("text")} AS n_ips,
+         |  CAST(length(${PiiFunctions.redactSql("text")}) AS INTEGER) AS red_len,
+         |  md5(${PiiFunctions.redactSql("text")}) AS red_fp
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "t_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CASE WHEN trim(text) = '' THEN []
+         |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM documents),
+         |l AS (SELECT doc_id,
+         |    list_transform(range(0, (len(toks) + ${lineTok - 1}) // $lineTok),
+         |      i -> array_to_string(
+         |        list_slice(toks, i * $lineTok + 1, i * $lineTok + $lineTok), ' '))
+         |      AS lines
+         |  FROM t),
+         |x AS (SELECT doc_id, i - 1 AS idx, lines[i] AS line
+         |  FROM l, LATERAL (SELECT unnest(range(1, len(lines) + 1)) AS i)),
+         |r AS (SELECT doc_id, idx, line,
+         |    row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+         |  FROM x),
+         |k AS (SELECT doc_id, count(*) AS n_kept,
+         |    md5(string_agg(line, chr(10) ORDER BY idx)) AS kept_fp
+         |  FROM r WHERE rn = 1 GROUP BY doc_id)
+         |SELECT l.doc_id, CAST(len(lines) AS INTEGER) AS n_lines,
+         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(kept_fp, md5('')) AS kept_fp
+         |FROM l LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "x_seq_packing" ->
+      s"""WITH t AS (SELECT doc_id, source, $rawTokCountSql AS n_tok
+         |  FROM documents),
+         |w AS (SELECT doc_id, source, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t),
+         |b AS (SELECT source, n_tok,
+         |    CAST((cum - n_tok) // $packBudget AS BIGINT) AS bin_first,
+         |    CAST(greatest((cum - 1) // $packBudget,
+         |      (cum - n_tok) // $packBudget) AS BIGINT) AS bin_last
+         |  FROM w)
+         |SELECT source, bin_first AS bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+         |  CAST(SUM(CASE WHEN bin_last > bin_first THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_spanning
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x_mixture_sample" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN ${Sampling.mixtureKeepSql("doc_id", "source", mixRates)}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t_tfidf_top" ->
+      s"""WITH t AS (SELECT doc_id, ${TextQueries.toksSql} AS toks FROM documents),
+         |tk AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |dfq AS (SELECT tok, count(*) AS tok_df FROM tf GROUP BY 1),
+         |r AS (SELECT doc_id, tok, tf, tok_df,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY CAST(tf AS DOUBLE) / CAST(tok_df AS DOUBLE) DESC, tok) AS rn
+         |  FROM tf JOIN dfq USING (tok))
+         |SELECT doc_id, tok AS top_term, CAST(tf AS BIGINT) AS tf,
+         |  CAST(tok_df AS BIGINT) AS tok_df
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+}

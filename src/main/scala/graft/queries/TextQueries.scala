@@ -15,10 +15,12 @@ import graft.functions.TextFunctions._
   */
 object TextQueries extends QueryPack {
 
-  /** DuckDB mirror of TextFunctions.normalize / tokens. */
-  private val normSql =
+  /** DuckDB mirror of TextFunctions.normalize / tokens (shared with
+    * [[PretrainQueries]]).
+    */
+  private[queries] val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
-  private val toksSql =
+  private[queries] val toksSql =
     s"CASE WHEN length($normSql) = 0 THEN [] ELSE string_split($normSql, ' ') END"
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PiiFunctions
+import graft.ops.{LineDedup, Packing, Sampling}
+
+/** Unit semantics for the pretraining-corpus operators: PII redaction,
+  * corpus-level line dedup, sequence packing, mixture sampling, TF-IDF.
+  */
+class PretrainSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- PII redaction -------------------------------------------------
+
+  private def redact1(s: String): String =
+    Seq(s).toDF("t").select(PiiFunctions.redactPii(col("t"))).as[String].head()
+
+  test("PII: email, phone, ipv4 each redacted to its typed token") {
+    assert(redact1("mail bob.smith+x@corp.example.org now") ==
+      "mail <EMAIL> now")
+    assert(redact1("call 415-555-0123 or 415.555.0123") ==
+      "call <PHONE> or <PHONE>")
+    assert(redact1("host 192.168.001.1 up") == "host <IP> up")
+  }
+
+  test("PII: all three kinds in one text, counts match the chain stages") {
+    val df = Seq("a@b.co then 10.0.0.1 then 123-456-7890 end").toDF("t")
+    val r = df.select(
+      PiiFunctions.redactPii(col("t")).as("red"),
+      PiiFunctions.emailCount(col("t")).as("e"),
+      PiiFunctions.ipv4Count(col("t")).as("i"),
+      PiiFunctions.phoneCount(col("t")).as("p")).head()
+    assert(r.getString(0) == "<EMAIL> then <IP> then <PHONE> end")
+    assert((r.getInt(1), r.getInt(2), r.getInt(3)) == ((1, 1, 1)))
+  }
+
+  test("PII: dotted digits inside an email host are not double-counted as IP") {
+    val df = Seq("ping admin@10.1.2.3.example.com done").toDF("t")
+    val r = df.select(
+      PiiFunctions.emailCount(col("t")).as("e"),
+      PiiFunctions.ipv4Count(col("t")).as("i"),
+      PiiFunctions.redactPii(col("t")).as("red")).head()
+    assert(r.getInt(0) == 1)
+    assert(r.getInt(1) == 0, "host digits were redacted as a separate IP")
+    assert(r.getString(2) == "ping <EMAIL> done")
+  }
+
+  test("PII: chain is idempotent and clean text is untouched") {
+    val clean = "the quick brown fox"
+    assert(redact1(clean) == clean)
+    val once = redact1("x a@b.co 1.2.3.4 111-222-3333")
+    assert(redact1(once) == once)
+  }
+
+  // ---- line dedup ----------------------------------------------------
+
+  test("toLines chunks exact and ragged token counts; blank text is empty") {
+    val df = Seq(
+      ("a b c d e f g", 1),       // exactly one 7-token line
+      ("a b c d e f g h", 2),     // 7 + 1 → ragged tail line
+      ("", 0), ("   ", 0)
+    ).toDF("t", "want")
+    val got = df.select(size(LineDedup.toLines(col("t"), 7)).as("n"),
+      col("want")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    val ragged = Seq("a b c d e f g h").toDF("t")
+      .select(LineDedup.toLines(col("t"), 7)).as[Seq[String]].head()
+    assert(ragged == Seq("a b c d e f g", "h"))
+  }
+
+  test("keepFirstOccurrence keeps exactly the minimal (doc, idx) per line") {
+    val lines = Seq(
+      (1L, 0, "shared"), (1L, 1, "only-in-1"),
+      (2L, 0, "shared"), (2L, 1, "shared"), (2L, 2, "only-in-2"),
+      (3L, 0, "shared")
+    ).toDF("doc_id", "idx", "line")
+    val kept = LineDedup.keepFirstOccurrence(lines, "doc_id", "idx", "line")
+      .select("doc_id", "idx").as[(Long, Int)].collect().toSet
+    assert(kept == Set((1L, 0), (1L, 1), (2L, 2)))
+  }
+
+  test("a fully-duplicated later doc loses every line") {
+    val lines = Seq(
+      (1L, 0, "x y z"), (1L, 1, "p q r"),
+      (9L, 0, "x y z"), (9L, 1, "p q r")
+    ).toDF("doc_id", "idx", "line")
+    val kept = LineDedup.keepFirstOccurrence(lines, "doc_id", "idx", "line")
+    assert(kept.filter(col("doc_id") === 9L).count() == 0)
+    assert(kept.filter(col("doc_id") === 1L).count() == 2)
+  }
+
+  // ---- sequence packing ----------------------------------------------
+
+  test("packing: token conservation, contiguous bins, correct spans") {
+    val docs = Seq(
+      ("s1", 1L, 300), ("s1", 2L, 300), ("s1", 3L, 500), ("s1", 4L, 2),
+      ("s2", 5L, 1024), ("s2", 6L, 1)
+    ).toDF("source", "doc_id", "n_tok")
+    val packed = Packing.packSequential(docs, "source", "doc_id", "n_tok", 512)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("pack_start"), r.getAs[Long]("bin_first"),
+        r.getAs[Long]("bin_last"))).sortBy(x => (x._1, x._2))
+    // s1: starts 0,300,600,1100; doc2 spans 300..599 → bins 0..1
+    assert(packed(0) == (("s1", 1L, 0L, 0L, 0L)))
+    assert(packed(1) == (("s1", 2L, 300L, 0L, 1L)))
+    assert(packed(2) == (("s1", 3L, 600L, 1L, 2L)))
+    assert(packed(3) == (("s1", 4L, 1100L, 2L, 2L)))
+    // s2 packs independently of s1 (starts at 0 again)
+    assert(packed(4) == (("s2", 5L, 0L, 0L, 1L)))
+    assert(packed(5) == (("s2", 6L, 1024L, 2L, 2L)))
+  }
+
+  test("packing: a zero-token doc occupies no bin (bin_last clamped)") {
+    val docs = Seq(("s", 1L, 512), ("s", 2L, 0), ("s", 3L, 1))
+      .toDF("source", "doc_id", "n_tok")
+    val byId = Packing.packSequential(docs, "source", "doc_id", "n_tok", 512)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("bin_first"), r.getAs[Long]("bin_last")))).toMap
+    assert(byId(2L) == ((1L, 1L)), "empty doc must not span backwards")
+    assert(byId(3L) == ((1L, 1L)))
+  }
+
+  // ---- mixture sampling ----------------------------------------------
+
+  test("mixture: subset, deterministic across re-runs, rate 1 keeps all") {
+    val docs = (1L to 400L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val rates = Map("s0" -> 1.0, "s1" -> 0.5, "s2" -> 0.0)
+    val kept = Sampling.mixtureSample(docs, "doc_id", "source", rates)
+    val k1 = kept.select("doc_id").as[Long].collect().toSet
+    val k2 = Sampling.mixtureSample(docs, "doc_id", "source", rates)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k1 == k2, "re-run changed membership")
+    assert(kept.filter(col("source") === "s0").count() == 100, "rate 1.0 must keep all")
+    assert(kept.filter(col("source") === "s2").count() == 0, "rate 0.0 must keep none")
+    val s1n = kept.filter(col("source") === "s1").count()
+    assert(s1n > 25 && s1n < 75, s"rate 0.5 kept $s1n of 100")
+    // unlisted stratum (s3) is dropped — a mixture is a whitelist
+    assert(kept.filter(col("source") === "s3").count() == 0)
+  }
+
+  test("mixture salt decorrelates from split assignment") {
+    val docs = (1L to 2000L).map(i => (i, "s")).toDF("doc_id", "source")
+    val withSplit = Sampling.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.5, "test" -> 0.5))
+    val kept = Sampling.mixtureSample(withSplit, "doc_id", "source",
+      Map("s" -> 0.5))
+    val trainKept = kept.filter(col("split") === "train").count().toDouble
+    val trainAll = withSplit.filter(col("split") === "train").count().toDouble
+    val ratio = trainKept / trainAll
+    assert(ratio > 0.4 && ratio < 0.6,
+      s"mixture survival within train split should be ~0.5, got $ratio")
+  }
+
+  // ---- tf-idf --------------------------------------------------------
+
+  test("tfidf argmax prefers high-tf rare terms, term-asc tiebreak") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq(
+      (1L, "apple apple common"),
+      (2L, "banana common common"),
+      (3L, "common cherry cherry")).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("tok_df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("tok_df").cast("double")).desc,
+        col("tok"))
+    val top = tf.join(dfreq, Seq("tok"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id", "tok").as[(Long, String)].collect().toMap
+    // doc1: apple tf=2 df=1 → 2.0 wins over common 1/3
+    assert(top(1L) == "apple")
+    // doc2: banana 1/1 = 1.0 beats common 2/3
+    assert(top(2L) == "banana")
+    assert(top(3L) == "cherry")
+  }
+}
