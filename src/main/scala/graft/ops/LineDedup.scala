@@ -35,6 +35,16 @@ object LineDedup {
         i => concat_ws(" ", slice(toks, i * lineTokens + 1, lit(lineTokens)))))
   }
 
+  /** Number of pseudo-lines [[toLines]] yields — ceil(tokens / lineTokens),
+    * computed without materializing the line array.
+    */
+  def lineCount(text: Column, lineTokens: Int): Column = {
+    require(lineTokens > 0)
+    val nTok = when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+    ((nTok + lineTokens - 1) / lineTokens).cast("int")
+  }
+
   /** Keep only the globally-first occurrence of each line: the minimum
     * (docCol, idxCol) — a total order, so the survivor set is deterministic
     * and engine-independent. Input is one row per (doc, idx, line).

@@ -95,7 +95,10 @@ object PretrainQueries extends QueryPack {
         md5(concat_ws("\n",
           transform(array_sort(collect_list(struct(col("idx"), col("line")))),
             e => e.getField("line")))).as("kept_fp"))
-      docs.select(col("doc_id"), size(lineArr).as("n_lines"))
+      // line COUNT is ceil(tokens/width) — no need to build the line array
+      // a second time on the join-back side
+      docs.select(col("doc_id"),
+        LineDedup.lineCount(col("text"), lineTok).as("n_lines"))
         .join(rebuilt, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_lines"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -138,8 +141,10 @@ object PretrainQueries extends QueryPack {
     "t_tfidf_top" -> ((s, dir) => {
       val toks = Tables.load(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      // stage tf once: without it Spark re-tokenizes and re-aggregates the
+      // whole corpus for each of the two consumers (tf join side + df)
       val tf = toks.groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("tf")).localCheckpoint()
       val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy((col("tf").cast("double") / col("tok_df").cast("double")).desc,
