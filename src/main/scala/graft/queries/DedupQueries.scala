@@ -100,6 +100,34 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The step a real pipeline runs AFTER cluster collapse: pick ONE
+    // canonical survivor per duplicate cluster and tag everything else for
+    // deletion. Policy: keep the longest copy (n_chars desc), doc_id as
+    // the total-order tiebreak — integer comparisons only, so both engines
+    // agree exactly. Singleton docs (no near-dup) survive trivially with
+    // cluster_size 1. One broadcast-sized join (components ≪ corpus) plus
+    // one window over the component key — no new wide shuffles.
+    "d_dedup_survivors" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        minJaccard = tau, hashShingles = true)
+      val comps = Graph.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("vertex").as("doc_id"), col("component").as("comp"))
+      val member = docs.select(col("doc_id"), col("n_chars"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("component_id", coalesce(col("comp"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component_id"))
+      val wOrd = w.orderBy(col("n_chars").desc, col("doc_id"))
+      member
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("survivor",
+          (row_number().over(wOrd) === 1).cast("int"))
+        .select(col("doc_id"), col("component_id"), col("cluster_size"),
+          col("survivor"))
+        .orderBy(col("doc_id"))
+    }),
+
     // xxhash64-based sketch — DuckDB cannot evaluate it, so the driver-
     // visible check is a second-implementation equivalence: (1) the banded
     // candidate scheme must produce exactly the blocked brute-force
@@ -147,13 +175,17 @@ object DedupQueries extends QueryPack {
 
     "d_dedup_clusters" -> dedupClustersSql,
     "d_dedup_clusters_star" -> dedupClustersSql,
+    "d_dedup_survivors" -> dedupSurvivorsSql,
 
     "d_simhash_check" ->
       """SELECT CAST(0 AS BIGINT) AS pair_diff,
         |  CAST(0 AS BIGINT) AS native_hof_mismatches""".stripMargin)
 
-  private lazy val dedupClustersSql =
-    s"""WITH RECURSIVE $shinglesSql,
+  /** Shared transitive-closure core: shingles → jaccard pairs → recursive
+    * reachability over the undirected edge set.
+    */
+  private lazy val clusterCoreSql =
+    s"""$shinglesSql,
        |cand AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -168,7 +200,26 @@ object DedupQueries extends QueryPack {
        |reach(s, t) AS (
        |  SELECT a, b FROM edges
        |  UNION
-       |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
+       |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)""".stripMargin
+
+  private lazy val dedupClustersSql =
+    s"""WITH RECURSIVE $clusterCoreSql
        |SELECT s AS doc_id, least(s, min(t)) AS component_id
        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
+
+  private lazy val dedupSurvivorsSql =
+    s"""WITH RECURSIVE $clusterCoreSql,
+       |comp AS (SELECT s AS doc_id, least(s, min(t)) AS component_id
+       |  FROM reach GROUP BY s),
+       |m AS (SELECT d.doc_id,
+       |    coalesce(c.component_id, d.doc_id) AS component_id, d.n_chars
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |r AS (SELECT doc_id, component_id,
+       |    count(*) OVER (PARTITION BY component_id) AS cluster_size,
+       |    row_number() OVER (PARTITION BY component_id
+       |      ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM m)
+       |SELECT doc_id, component_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(rn = 1 AS INTEGER) AS survivor
+       |FROM r ORDER BY doc_id""".stripMargin
 }
