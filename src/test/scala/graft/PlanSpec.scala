@@ -109,4 +109,43 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(p.contains("Exchange"))
   }
+
+  // shuffle-Exchange node count from the formatted details section
+  // ("(3) Exchange" headers — BroadcastExchange deliberately not counted)
+  private def shuffleCount(p: String): Int =
+    "\\(\\d+\\) Exchange\\b".r.findAllIn(p).size
+
+  test("PII redaction is a scan-fused projection: no exchange before the " +
+    "output sort") {
+    val p = plan("t_pii_redact")
+    // exactly one Exchange (the final ORDER BY) — redaction itself adds none
+    assert(shuffleCount(p) == 1, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Generate"), p)
+  }
+
+  test("mixture sampling shuffles only partial aggregates, never rows") {
+    val p = plan("x_mixture_sample")
+    // partial agg → exchange → final agg → output-sort exchange: the keep
+    // decision runs map-side, so only (source, counts) rows cross the wire
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(shuffleCount(p) == 2, p)
+  }
+
+  test("sequence packing reuses the shard partitioning for its aggregation") {
+    val p = plan("x_seq_packing")
+    // window exchange on source + final ORDER BY exchange; the groupBy
+    // (source, bin) must NOT add a third shuffle — bin is a subdivision of
+    // the window's source partitioning
+    assert(shuffleCount(p) == 2, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("line dedup: no cartesian anywhere; survivor pick is a group-limit") {
+    val p = plan("t_line_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // rank<=1 over the line key plans as WindowGroupLimit (top-1 pushdown
+    // before the full window sort), keeping hot boilerplate lines cheap
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
