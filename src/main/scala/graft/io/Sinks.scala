@@ -90,4 +90,26 @@ object Sinks {
       .bucketBy(buckets, bucketKey)
       .sortBy(bucketKey)
       .saveAsTable(table)
+
+  /** Range-clustered layout: range-repartition on the sort keys, then sort
+    * WITHIN each partition before writing. Every output file covers a
+    * narrow, non-overlapping key range, so parquet row-group min/max
+    * statistics turn a point or range predicate into file/row-group skips
+    * — the scan-pruning story for the axis a table is most queried on
+    * (time for events, key range for lookups). Works on plain paths (no
+    * catalog needed, unlike bucketing) and composes with `partitionBy`
+    * pruning one level up.
+    *
+    * The range exchange samples the keys to build balanced boundaries —
+    * skew-safe by construction. `sortWithinPartitions` (not a global
+    * `orderBy`) keeps it one exchange: the final sort is per-task.
+    */
+  def writeRangeClustered(df: DataFrame, path: String, sortCols: Seq[String],
+      partitions: Int, maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartitionByRange(partitions, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", "snappy")
+      .parquet(path)
 }

@@ -71,6 +71,45 @@ class IoSpec extends AnyFunSuite {
     assert(parquetFiles(s"$dir/salted").values.forall(_ <= 3))
   }
 
+  test("range-clustered write: disjoint per-file key ranges, stats prune " +
+    "a point lookup to one file") {
+    val dir = Files.createTempDirectory("graft-range").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"value")
+      .repartition(8) // scramble any incidental input ordering
+    graft.io.Sinks.writeRangeClustered(events, s"$dir/out",
+      Seq("event_id"), partitions = 4)
+
+    // every file owns a disjoint event_id range — that is what lets
+    // parquet row-group min/max stats skip files on a range predicate
+    import java.io.File
+    val files = new File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    assert(files.size >= 3, s"expected >=3 range files, got ${files.size}")
+    val ranges = files.map { f =>
+      spark.read.parquet(f).agg(min($"event_id"), max($"event_id"))
+        .as[(Long, Long)].head()
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo, s"overlap: $ranges")
+      case _ => ()
+    }
+
+    // nothing lost in the layout rewrite
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+
+    // a point predicate scans only the one file whose range contains it:
+    // with pushed filters + stats, the other files contribute 0 rows, so
+    // the executed scan's row count is bounded by one file's rows
+    val probe = events.agg(max($"event_id")).as[Long].head()
+    val scan = back.filter($"event_id" === probe)
+    assert(scan.count() >= 1)
+    val p = scan.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_id"), p)
+  }
+
   test("approx_count_distinct path: HLL counts within 5% of exact on daily agg") {
     val silver = graft.datagen.TransactionGen.generate(spark, 2000)
       .withColumn("transaction_date", to_timestamp($"transaction_date"))
