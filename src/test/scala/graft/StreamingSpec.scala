@@ -173,6 +173,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("PII redaction and mixture keep run identically under readStream") {
+    // both are stateless per-row projections, so they must compose into a
+    // streaming ingest unchanged — the property a cleaning pipeline relies
+    // on when the same transform serves backfill (batch) and live (stream)
+    val dir = Files.createTempDirectory("graft-stream-pii").toString
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(200)
+    docs.write.parquet(s"$dir/in")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    def transform(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("red", graft.functions.PiiFunctions.redactPii(
+        concat($"text", lit(" mail "), $"doc_id", lit("@x.example.com"))))
+      .withColumn("keep", graft.ops.Sampling.mixtureKeep(
+        $"doc_id", $"source", rates))
+      .select($"doc_id", $"red", $"keep")
+    val q = transform(spark.readStream.schema(docs.schema).parquet(s"$dir/in"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pii_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pii_stream").orderBy($"doc_id").collect()
+      val batch = transform(spark.read.parquet(s"$dir/in"))
+        .orderBy($"doc_id").collect()
+      assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+      assert(streamed.forall(_.getString(1).contains("<EMAIL>")))
+    } finally q.stop()
+  }
+
   test("watermarked stream keeps bounded state keys (windows × types)") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     val events = Tables.events(spark, "/root/testdata/sf0.001")
