@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.VectorExpressions
+
+/** Benchmark decontamination: flag (and drop) training documents that share
+  * long word-n-grams with an evaluation/benchmark set, the standard guard
+  * against test-set leakage when assembling a pretraining corpus (13-gram
+  * overlap is the classic published configuration).
+  *
+  * Scale posture (100 TB corpus, benchmark ≪ corpus): benchmark sets are a
+  * few thousand documents — their distinct n-gram set broadcasts (as 8-byte
+  * xxhash64 keys, ~8 MB per million grams), so the corpus streams through a
+  * broadcast hash join exactly once and NEVER shuffles its text. The only
+  * shuffle is the per-doc hit count on the (id, partial-count) pairs, with
+  * map-side combine. The contaminated-id set is then small by construction
+  * and broadcasts back for the anti-join in [[decontaminate]].
+  */
+object Decontaminate {
+
+  /** Per-document contamination report over `corpus`: `n_hits` = number of
+    * distinct word-`n`-grams the document shares with `benchmark`, and a
+    * 0/1 `contaminated` flag at `minHits`. Every corpus document appears,
+    * including those with fewer than `n` tokens (`n_hits = 0`).
+    *
+    * `hashGrams` joins on xxhash64 of the gram instead of the string: a 64-bit
+    * key is collision-free at benchmark-set cardinalities and shrinks the
+    * broadcast ~10×. The gram sets are distinct on both sides, so the join
+    * match count IS the distinct-overlap count.
+    */
+  def contaminationReport(corpus: DataFrame, id: String, text: String,
+      benchmark: DataFrame, benchText: String,
+      n: Int = 13, minHits: Int = 1, hashGrams: Boolean = true): DataFrame = {
+    // hash AFTER explode and only non-null grams: Spark's xxhash64 hashes a
+    // NULL input to the seed constant rather than NULL, which would let the
+    // explode_outer placeholder row of a short document spuriously equi-join
+    def key(c: org.apache.spark.sql.Column) =
+      if (hashGrams) when(c.isNotNull, xxhash64(c)) else c
+    val benchGrams = benchmark
+      .select(explode(VectorExpressions.shingleArr(col(benchText), n)).as("g"))
+      .select(key(col("g")).as("gram")).distinct()
+      .withColumn("__hit", lit(1))
+    corpus
+      .select(col(id),
+        explode_outer(VectorExpressions.shingleArr(col(text), n)).as("g"))
+      .select(col(id), key(col("g")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy(col(id))
+      .agg(coalesce(sum(col("__hit")), lit(0)).cast("long").as("n_hits"))
+      .withColumn("contaminated", (col("n_hits") >= minHits).cast("int"))
+  }
+
+  /** `corpus` with contaminated documents removed. The flagged-id set is
+    * broadcast for the anti-join — the corpus side stays shuffle-free.
+    */
+  def decontaminate(corpus: DataFrame, id: String, text: String,
+      benchmark: DataFrame, benchText: String,
+      n: Int = 13, minHits: Int = 1): DataFrame = {
+    val bad = contaminationReport(corpus, id, text, benchmark, benchText, n, minHits)
+      .filter(col("contaminated") === 1).select(col(id))
+    corpus.join(broadcast(bad), Seq(id), "left_anti")
+  }
+}

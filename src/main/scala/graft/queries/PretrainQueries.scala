@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PiiFunctions
 import graft.functions.TextFunctions.tokens
+import graft.operators.Decontaminate
 import graft.ops.{LineDedup, Packing, Sampling}
 
 /** Pretraining-corpus preparation operators beyond dedup/similarity:
@@ -133,6 +134,18 @@ object PretrainQueries extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // Benchmark decontamination: the held-out "eval set" is the mod-17
+    // slice of the corpus, so cross-boundary near-duplicates plant real
+    // 13-gram leakage. Benchmark grams broadcast as hashed keys; the corpus
+    // streams once and shuffles only (id, hit-count) pairs.
+    "t_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+      Decontaminate.contaminationReport(corpus, "doc_id", "text", bench, "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF salient term per document: argmax of tf/df with the df table
     // derived from the per-doc tf table (one tokenize, two narrow
     // aggregations). Ordering key is a single IEEE division — exactly
@@ -215,6 +228,27 @@ object PretrainQueries extends QueryPack {
          |  CAST(SUM(CASE WHEN ${Sampling.mixtureKeepSql("doc_id", "source", mixRates)}
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // n=13 grams via an inclusive 1-based slice; DuckDB's range(a, b) is
+    // empty when b <= a, and the len guard keeps short docs out anyway
+    "t_decontaminate" ->
+      """WITH norm AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |    CASE WHEN length(t) = 0 THEN [] ELSE string_split(t, ' ') END AS w
+        |  FROM norm),
+        |sh AS (SELECT DISTINCT doc_id, list_aggregate(w[i:i+12], 'string_agg', ' ') AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 11)) AS i)
+        |  WHERE len(w) >= 13),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+        |hits AS (SELECT doc_id, count(*) AS n_hits FROM sh
+        |  WHERE doc_id % 17 <> 0 AND s IN (SELECT s FROM bench)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(n_hits, 0) >= 1 AS INTEGER) AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+        |LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "t_tfidf_top" ->
       s"""WITH t AS (SELECT doc_id, ${TextQueries.toksSql} AS toks FROM documents),

@@ -178,4 +178,49 @@ class PretrainSpec extends AnyFunSuite {
     assert(top(2L) == "banana")
     assert(top(3L) == "cherry")
   }
+
+  // ---- decontamination -----------------------------------------------
+
+  private val benchWords =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"
+
+  test("decontaminate flags exactly the docs sharing a 13-gram with the benchmark") {
+    import graft.operators.Decontaminate
+    val bench = Seq((100L, benchWords)).toDF("doc_id", "text")
+    val corpus = Seq(
+      // embeds words 1..13 of the benchmark → shares one 13-gram
+      (1L, "prefix alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike suffix"),
+      // same vocabulary, shuffled order → no shared 13-gram
+      (2L, "november mike lima kilo juliet india hotel golf foxtrot echo delta charlie bravo alpha"),
+      (3L, "too short"), // < 13 tokens: must still appear, n_hits = 0
+      (4L, "a completely unrelated fourteen word sentence about nothing that matters for any benchmark overlap here")
+    ).toDF("doc_id", "text")
+    val rep = Decontaminate
+      .contaminationReport(corpus, "doc_id", "text", bench, "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(rep == Seq((1L, 1L, 1), (2L, 0L, 0), (3L, 0L, 0), (4L, 0L, 0)))
+    val kept = Decontaminate
+      .decontaminate(corpus, "doc_id", "text", bench, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L, 4L))
+  }
+
+  test("decontaminate hashed and string gram keys agree; bench side broadcasts") {
+    import graft.operators.Decontaminate
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    val hashed = Decontaminate
+      .contaminationReport(corpus, "doc_id", "text", bench, "text")
+    val strs = Decontaminate
+      .contaminationReport(corpus, "doc_id", "text", bench, "text",
+        hashGrams = false)
+    assert(hashed.orderBy("doc_id").collect().toSeq ==
+      strs.orderBy("doc_id").collect().toSeq)
+    // the corpus side must meet the benchmark grams in a broadcast join —
+    // a sort-merge there would shuffle every corpus gram at 100 TB
+    val plan = hashed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }
