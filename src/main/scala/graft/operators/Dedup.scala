@@ -199,20 +199,28 @@ object Dedup {
     * The banding subtree is evaluated twice (sizes + anti-join stream): two
     * linear scans beat one global sort of the banded index.
     */
-  def minhashLshPairs(df: DataFrame, id: String, text: String,
-      minJaccard: Double, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      maxBucketSize: Int = 10000): DataFrame = {
+  /** (id, band, bucket) LSH index rows from an (id, shingles) frame: one row
+    * per band; the bucket key hashes the band's slice of the minhash
+    * signature, with the band index folded into the key (posexplode) so
+    * buckets from different bands never collide. This row set is the
+    * persistable index artifact [[IncrementalDedup]] builds on.
+    */
+  private[operators] def bandBuckets(docShingles: DataFrame, id: String,
+      numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val docShingles = docShingleArrays(df, id, text, n)
-      .filter(size(col("shingles")) > 0).localCheckpoint()
-    // one row per (band, bucket): bucket key hashes the band's slice of the
-    // signature; posexplode keeps band index in the join key so buckets from
-    // different bands never collide
-    val buckets = docShingles
+    docShingles
       .select(col(id), minhashSignature(col("shingles"), numHashes).as("mh"))
       .select(col(id),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(b, slice(col("mh"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+  }
+
+  def minhashLshPairs(df: DataFrame, id: String, text: String,
+      minJaccard: Double, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val docShingles = docShingleArrays(df, id, text, n)
+      .filter(size(col("shingles")) > 0).localCheckpoint()
+    val buckets = bandBuckets(docShingles, id, numHashes, bands)
     // (measured alternative: sharing one repartition(band,bucket) exchange
     // across both consumers via ReuseExchange trades the duplicated linear
     // signature scan for an extra full shuffle — no faster locally and

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Graph}
+import graft.operators.{Dedup, Graph, IncrementalDedup}
 
 /** Deduplication queries over the `documents` table.
   *
@@ -74,6 +74,21 @@ object DedupQueries extends QueryPack {
       Dedup.minhashLshPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
         minJaccard = tau)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Continuous-ingest dedup: the mod-3 slice arrives as a NEW batch and is
+    // deduped against the rest of the corpus through its persisted band
+    // index — the corpus is never re-sketched, only colliding docs are
+    // re-read. Result contract: exactly the full-recompute pairs that touch
+    // the new batch, which is what the exact-Jaccard oracle states.
+    "d_incremental_pairs" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val oldDocs = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val newDocs = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val idx = IncrementalDedup.bandIndex(oldDocs, "doc_id", "text")
+      IncrementalDedup.incrementalPairs(newDocs, "doc_id", "text",
+        idx, oldDocs, minJaccard = tau)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // Cluster collapse: connected components over the near-dup pair graph,
     // so a–b + b–c keeps ONE canonical doc from {a,b,c} instead of pair-wise
@@ -163,6 +178,24 @@ object DedupQueries extends QueryPack {
       pairDiff.crossJoin(nativeHof) // 1-row × 1-row
     }))
 
+  /** Full-recompute exact Jaccard restricted to pairs touching the mod-3
+    * "new batch" — the incremental path must find exactly these.
+    */
+  private val incrementalPairsSql =
+    s"""WITH $shinglesSql,
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON id_a = sa.doc_id
+       |JOIN sizes sb ON id_b = sb.doc_id
+       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $tau
+       |  AND (id_a % 3 = 0 OR id_b % 3 = 0)
+       |ORDER BY id_a, id_b""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "d_exact_groups" ->
       """SELECT md5(text) AS content_fp, min(doc_id) AS canonical_id,
@@ -172,6 +205,7 @@ object DedupQueries extends QueryPack {
     "d_jaccard_pairs" -> jaccardPairsSql,
     "d_jaccard_pairs_fast" -> jaccardPairsSql,
     "d_minhash_pairs" -> jaccardPairsSql,
+    "d_incremental_pairs" -> incrementalPairsSql,
 
     "d_dedup_clusters" -> dedupClustersSql,
     "d_dedup_clusters_star" -> dedupClustersSql,

@@ -44,6 +44,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("incremental dedup finds exactly the full-recompute pairs touching the batch") {
+    import graft.operators.IncrementalDedup
+    val oldDocs = docs.filter($"doc_id" % 3 =!= 0)
+    val newDocs = docs.filter($"doc_id" % 3 === 0)
+    val idx = IncrementalDedup.bandIndex(oldDocs, "doc_id", "text")
+    val inc = IncrementalDedup
+      .incrementalPairs(newDocs, "doc_id", "text", idx, oldDocs, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 % 3 == 0 || p._2 % 3 == 0)
+    assert(full.nonEmpty, "the mod-3 batch should touch planted near-dups")
+    assert(inc == full)
+  }
+
+  test("band index appends: index(old) ∪ index(batch) = index(old ∪ batch)") {
+    import graft.operators.IncrementalDedup
+    val oldDocs = docs.filter($"doc_id" % 3 =!= 0)
+    val newDocs = docs.filter($"doc_id" % 3 === 0)
+    val appended = IncrementalDedup.bandIndex(oldDocs, "doc_id", "text")
+      .unionByName(IncrementalDedup.bandIndex(newDocs, "doc_id", "text"))
+    val whole = IncrementalDedup.bandIndex(docs, "doc_id", "text")
+    assert(appended.exceptAll(whole).isEmpty && whole.exceptAll(appended).isEmpty)
+  }
+
   test("hashShingles variant of jaccardPairs gives the same pairs") {
     val s = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
