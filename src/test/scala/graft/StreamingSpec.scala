@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{EventStreamAggs, Sessionize, StreamDedup, StreamJoin}
+import graft.streaming.{EventStreamAggs, IncrementalDedupStream, Sessionize, StreamDedup, StreamJoin}
 
 /** Structured Streaming: watermarked windowed aggregation driven through a
   * real streaming query (file source → memory sink), checked against the
@@ -199,6 +199,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
       assert(streamed.forall(_.getString(1).contains("<EMAIL>")))
     } finally q.stop()
+  }
+
+  test("incremental dedup stream emits each near-dup pair exactly once") {
+    import graft.operators.Dedup
+    val base = Files.createTempDirectory("graft-incdedup").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // two ingest waves, one file each → two micro-batches at
+    // maxFilesPerTrigger=1; a pair must surface exactly when its LATER
+    // member arrives (same wave or the next), never twice
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write
+      .mode("append").parquet(s"$base/in")
+    docs.filter($"doc_id" % 2 =!= 0).coalesce(1).write
+      .mode("append").parquet(s"$base/in")
+    val q = IncrementalDedupStream.attach(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      "doc_id", "text", s"$base/store", s"$base/ckpt", minJaccard = 0.5)
+    try q.processAllAvailable() finally q.stop()
+    val got = IncrementalDedupStream.pairs(spark, s"$base/store")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(full.nonEmpty)
+    assert(got.length == got.toSet.size, "a pair was emitted twice")
+    assert(got.toSet == full)
   }
 
   test("watermarked stream keeps bounded state keys (windows × types)") {
