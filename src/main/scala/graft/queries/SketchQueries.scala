@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.Cms
 
 /** Sketch / approximate-aggregation surface: HyperLogLog++ distinct counts,
   * single-pass frequent items, and quantile sketches. At 100 TB these
@@ -49,6 +50,29 @@ object SketchQueries extends QueryPack {
       nTrue.crossJoin(missing) // 1-row × 1-row
     }),
 
+    // Count-min sketch point estimates for the mod-7 supplier keys, next to
+    // the exact counts. CMS never undercounts (ge_ok is a hard guarantee);
+    // the overcount check uses 3× the Markov bound e·N/width, giving a
+    // per-probe failure probability ≤ (3e)^-depth ≈ 2.5e-5 — and the
+    // xxhash64 rows are deterministic, so a green check is green forever.
+    "a_cms_counts" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select(col("l_suppkey"))
+      val sketch = Cms.build(li, col("l_suppkey"))
+      val exact = li.filter(pmod(col("l_suppkey"), lit(7)) === 0)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .select(col("l_suppkey").as("k"), col("exact_cnt"))
+      val est = Cms.estimate(sketch, exact.select(col("k")))
+      val total = li.agg(count(lit(1)).as("__n"))
+      exact.join(est, Seq("k")).crossJoin(total) // 1-row total
+        .select(col("k").as("suppkey"), col("exact_cnt"),
+          when(col("est") >= col("exact_cnt"), 1).otherwise(0).as("ge_ok"),
+          when((col("est") - col("exact_cnt")).cast("double") <=
+            lit(3.0 * math.E) * col("__n") / lit(1024.0), 1)
+            .otherwise(0).as("bound_ok"))
+        .orderBy(col("suppkey"))
+    }),
+
     // Quantile sketch with a rank-based check (the sketch's guarantee is on
     // RANK, not value): the fraction of rows ≤ the approximate p50 must sit
     // within 0.5 ± 0.01 per group. Accuracy 10000 bounds rank error at
@@ -82,6 +106,12 @@ object SketchQueries extends QueryPack {
         |tot AS (SELECT COUNT(*) AS c FROM events)
         |SELECT (SELECT COUNT(*) FROM t, tot WHERE n > 0.1 * c) AS n_true_hh,
         |  CAST(0 AS BIGINT) AS n_missing""".stripMargin,
+
+    "a_cms_counts" ->
+      """SELECT l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+        |  CAST(1 AS INTEGER) AS ge_ok, CAST(1 AS INTEGER) AS bound_ok
+        |FROM lineitem WHERE l_suppkey % 7 = 0
+        |GROUP BY l_suppkey ORDER BY suppkey""".stripMargin,
 
     "a_approx_quantiles" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,

@@ -200,4 +200,45 @@ class OpsSpec extends AnyFunSuite {
       .select($"k", $"split").as[(Long, String)].collect().toMap
     assert(viaApi == viaSql)
   }
+
+  // ---- count-min sketch ----------------------------------------------
+
+  test("cms never undercounts, and a wide sketch is exact on few keys") {
+    import graft.ops.Cms
+    val df = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(9)("c") ++
+      Seq.fill(3)("d") ++ Seq("e")).toDF("k")
+    val truth = Map("a" -> 40L, "b" -> 25L, "c" -> 9L, "d" -> 3L, "e" -> 1L)
+    val probes = truth.keys.toSeq.toDF("k")
+    // narrow sketch (forced collisions): the one-sided guarantee must hold
+    val narrow = Cms.estimate(Cms.build(df, $"k", depth = 2, width = 4),
+      probes, depth = 2, width = 4)
+      .as[(String, Long)].collect().toMap
+    truth.foreach { case (k, n) => assert(narrow(k) >= n, s"undercount at $k") }
+    // wide sketch: 5 keys across 4096 buckets × 5 rows — min over rows is
+    // collision-free, so estimates are exact
+    val wide = Cms.estimate(Cms.build(df, $"k", width = 4096),
+      probes, width = 4096)
+      .as[(String, Long)].collect().toMap
+    assert(wide == truth)
+  }
+
+  test("cms sketches merge associatively: parts sum to the whole") {
+    import graft.ops.Cms
+    val df = (1 to 500).map(i => (i % 37).toString).toDF("k")
+    val whole = Cms.build(df, $"k").orderBy($"row", $"bucket")
+      .as[(Int, Long, Long)].collect().toSeq
+    val merged = Cms.merge(
+      Cms.build(df.filter(xxhash64($"k") % 2 === 0), $"k"),
+      Cms.build(df.filter(xxhash64($"k") % 2 =!= 0), $"k"))
+      .orderBy($"row", $"bucket").as[(Int, Long, Long)].collect().toSeq
+    assert(merged == whole)
+  }
+
+  test("cms estimate of a never-counted key hitting empty cells is zero") {
+    import graft.ops.Cms
+    val sketch = Cms.build(Seq("x").toDF("k"), $"k", width = 4096)
+    val est = Cms.estimate(sketch, Seq("definitely-unseen").toDF("k"),
+      width = 4096).as[(String, Long)].collect().head._2
+    assert(est == 0L)
+  }
 }
