@@ -20,6 +20,7 @@ object SparkEntry {
     RelationalQueries,
     AnalyticQueries,
     SketchQueries,
+    MergeQueries,
     EventQueries,
     TemporalQueries,
     TextQueries,

@@ -50,6 +50,32 @@ object SketchQueries extends QueryPack {
       nTrue.crossJoin(missing) // 1-row × 1-row
     }),
 
+    // Partitioned HLL roll-up (DataSketches): build one HLL sketch per
+    // source shard, then union the SKETCHES — never the raw ids — into the
+    // global distinct count. This is the mergeable form the per-group
+    // approx_count_distinct can't give you: shard sketches persist and
+    // later periods/partitions combine in O(sketch bytes). Gates: each
+    // shard estimate and the union estimate within ±5% of exact (lgk=14
+    // gives ~0.8% rse; doc_ids are unique so exact = row count).
+    "a_hll_union" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val perSource = docs.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("doc_id"), lit(14)).as("__sk"),
+          count(lit(1)).as("exact_docs"))
+      val union = perSource
+        .agg(hll_sketch_estimate(hll_union_agg(col("__sk")))
+          .as("__uest"), sum(col("exact_docs")).as("__tot"))
+        .select(when(abs(col("__uest") - col("__tot")).cast("double") /
+          col("__tot") <= 0.05, 1).otherwise(0).as("union_ok"))
+      perSource
+        .select(col("source"), col("exact_docs"),
+          when(abs(hll_sketch_estimate(col("__sk")) - col("exact_docs"))
+            .cast("double") / col("exact_docs") <= 0.05, 1)
+            .otherwise(0).as("shard_ok"))
+        .crossJoin(union) // 1-row union gate
+        .orderBy(col("source"))
+    }),
+
     // Count-min sketch point estimates for the mod-7 supplier keys, next to
     // the exact counts. CMS never undercounts (ge_ok is a hard guarantee);
     // the overcount check uses 3× the Markov bound e·N/width, giving a
@@ -106,6 +132,11 @@ object SketchQueries extends QueryPack {
         |tot AS (SELECT COUNT(*) AS c FROM events)
         |SELECT (SELECT COUNT(*) FROM t, tot WHERE n > 0.1 * c) AS n_true_hh,
         |  CAST(0 AS BIGINT) AS n_missing""".stripMargin,
+
+    "a_hll_union" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_docs,
+        |  CAST(1 AS INTEGER) AS shard_ok, CAST(1 AS INTEGER) AS union_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "a_cms_counts" ->
       """SELECT l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
