@@ -82,6 +82,57 @@ case class VectorDotProduct(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** Native dot product over int8-quantized vectors: array<tinyint> ×
+  * array<tinyint> → long (Σ qa·qb, exact — 127·127·dim is far inside long
+  * range). The approximate-scoring pass of a quantized search runs this
+  * once per candidate pair, so like [[VectorDotProduct]] it must be a tight
+  * codegen loop, not an interpreted HOF. Null array → null; byte elements
+  * read directly (no boxing, no widening conversions in the loop beyond the
+  * int multiply).
+  */
+case class Int8DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(ByteType), ArrayType(ByteType))
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getByte(i).toLong * y.getByte(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((long) $a.getByte($i)) * $b.getByte($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "int8_dot"
+}
+
 /** Shared normalize chain for the text-sketch expressions: lower (UTF8String
   * semantics = Spark `lower`), strip non-[a-z0-9 ], squeeze spaces, trim.
   * The regex Patterns are compiled once per JVM — these expressions exist
@@ -479,6 +530,11 @@ object VectorExpressions {
   /** Column-level dot product backed by [[VectorDotProduct]]. */
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(VectorDotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-level int8 dot product backed by [[Int8DotProduct]]. */
+  def int8Dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(Int8DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Column-level MinHash signature backed by [[MinHashSignature]]. */

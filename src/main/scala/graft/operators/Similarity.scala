@@ -220,4 +220,67 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
   }
+
+  /** Symmetric per-vector int8 scalar quantization: scale = max|x|/127, so
+    * q = round(x/scale) spans the full [-127, 127] range. 1 byte/dim + one
+    * double scale + one precomputed fp32 norm — the first compression rung
+    * for billion-vector search: 4× less scan bandwidth and cache footprint
+    * on the approximate pass. An all-zero vector quantizes with scale 1
+    * (q = 0 everywhere), never a division by zero.
+    */
+  def quantizeInt8(df: DataFrame, id: String, vec: String): DataFrame = {
+    val maxabs = aggregate(col(vec), lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    df.select(col(id), col(vec),
+      (when(maxabs > 0.0, maxabs).otherwise(1.0) / 127.0).as("__scale"))
+      .withColumn("__q",
+        transform(col(vec), x => round(x.cast("double") / col("__scale"))
+          .cast("tinyint")))
+      .withColumn("__nrm", l2Norm(col(vec)))
+      .drop(vec)
+  }
+
+  /** Quantized top-k with exact rerank: the approximate pass scores every
+    * (query, corpus) pair on int8 arrays only — the codegen'd
+    * [[org.apache.spark.sql.graftx.Int8DotProduct]] inner loop with scales
+    * and precomputed norms, ~4× less bandwidth than fp32 — and keeps
+    * `rerankFactor`·k candidates per query; the exact pass re-reads ONLY
+    * those candidates' fp32 vectors from the corpus (a point fetch by id,
+    * same asymmetry as the incremental-dedup collision fetch) and rescores
+    * with the exact cosine, so every returned score is exact and only set
+    * membership depends on quantization error. Queries broadcast; the
+    * corpus fp32 vectors never enter the approximate scan.
+    */
+  def int8RerankTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, rerankFactor: Int = 5): DataFrame = {
+    val cq = quantizeInt8(corpus, id, vec)
+      .select(col(id).as("neighbor_id"), col("__q").as("__cq"),
+        col("__scale").as("__cs"), col("__nrm").as("__cn"))
+    val qq = quantizeInt8(queries, id, vec)
+      .select(col(id).as("query_id"), col("__q").as("__qq"),
+        col("__scale").as("__qs"), col("__nrm").as("__qn"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ascore").desc, col("neighbor_id"))
+    val candidates = cq.join(broadcast(qq), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__ascore",
+        org.apache.spark.sql.graftx.VectorExpressions
+          .int8Dot(col("__qq"), col("__cq")).cast("double") *
+          col("__qs") * col("__cs") / (col("__qn") * col("__cn")))
+      .withColumn("__r", row_number().over(wApprox))
+      .filter(col("__r") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank: fp32 vectors appear only here, for candidates alone
+    val cv = withNorm(corpus, vec)
+      .select(col(id).as("neighbor_id"), col(vec).as("__cv"), col("__nrm").as("__cn"))
+    val qv = withNorm(queries, vec)
+      .select(col(id).as("query_id"), col(vec).as("__qv"), col("__nrm").as("__qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    candidates.join(cv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine_sim",
+        cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
+  }
 }

@@ -46,6 +46,28 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Int8-quantized top-k with exact fp32 rerank vs the exact brute force:
+    // the approximate pass scans 1-byte arrays (codegen'd Int8DotProduct),
+    // the rerank point-fetches only candidates' fp32 vectors, and with a
+    // 5×k buffer the final (query, neighbor, rank) set must be IDENTICAL —
+    // quantization error far smaller than the rerank margin. The tagged-
+    // union diff evaluates each subtree once; set_diff must be 0.
+    "v_int8_check" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qs = queriesOf(emb)
+      val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k)
+      val int8 = Similarity.int8RerankTopK(emb, qs, "vec_id", "embedding", k)
+      val diff = brute.select(col("query_id"), col("neighbor_id"), col("rank"))
+        .withColumn("__src", lit(1))
+        .unionByName(int8.select(col("query_id"), col("neighbor_id"), col("rank"))
+          .withColumn("__src", lit(-1)))
+        .groupBy(col("query_id"), col("neighbor_id"), col("rank"))
+        .agg(sum(col("__src")).as("__d"))
+        .filter(col("__d") =!= 0)
+        .agg(count(lit(1)).as("set_diff"))
+      qs.agg(count(lit(1)).as("n_queries")).crossJoin(diff) // 1-row × 1-row
+    }),
+
     // Blocked exact all-pairs (no BroadcastNestedLoopJoin): τ=0.45 sits
     // inside the corpus's similarity bulk (background max ≈ 0.4497 at
     // sf0.1), so no LSH gap exists and the exact n²/2 is inherent — the
@@ -168,6 +190,11 @@ object SimilarityQueries extends QueryPack {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    "v_int8_check" ->
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 97 = 0) AS n_queries,
+        |  CAST(0 AS BIGINT) AS set_diff""".stripMargin,
+
     "v_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
          |q AS (SELECT * FROM e WHERE vec_id % 97 = 0),

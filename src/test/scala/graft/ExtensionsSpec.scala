@@ -35,6 +35,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("int8 quantization: native dot ≡ HOF, error bounded, all-zero safe") {
+    import org.apache.spark.sql.graftx.VectorExpressions
+    val q = Similarity.quantizeInt8(embeddings, "vec_id", "embedding")
+    // native Int8DotProduct must be bit-identical to the interpreted HOF
+    val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    val mism = q.select(
+      VectorExpressions.int8Dot($"__q", $"__q").as("n"),
+      hof($"__q", $"__q").as("h")).filter($"n" =!= $"h").count()
+    assert(mism == 0)
+    // per-element dequantization error ≤ scale/2 (round-to-nearest)
+    val badElems = q.join(embeddings, "vec_id")
+      .select(size(filter(zip_with($"embedding", $"__q", (x, qv) =>
+        abs(x.cast("double") - qv.cast("double") * $"__scale") >
+          $"__scale" * 0.5 + 1e-12), p => p)).as("bad"))
+      .agg(sum($"bad")).as[Long].head()
+    assert(badElems == 0)
+    // all-zero vector: scale 1, q all zero
+    val z = Seq((1L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.quantizeInt8(z, "vec_id", "embedding")
+      .select($"__scale", $"__q").as[(Double, Seq[Byte])].head()
+    assert(zq._1 == 1.0 / 127.0)
+    assert(zq._2.forall(_ == 0))
+  }
+
+  test("int8 rerank top-k equals brute-force top-k on the fixture corpus") {
+    val qs = embeddings.filter($"vec_id" % 97 === 0)
+    val brute = Similarity.bruteForceTopK(embeddings, qs, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val int8 = Similarity.int8RerankTopK(embeddings, qs, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(brute.nonEmpty && int8 == brute)
+  }
+
   test("minhash LSH pairs equal exact jaccard pairs on planted near-dups") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
