@@ -24,17 +24,34 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // Queries that stage intermediates via localCheckpoint (jaccard, tfidf,
+    // ivf, simhash, ...) pin MEMORY_AND_DISK RDDs that nothing unpersists
+    // once the query returns. Across 4 passes × ~10 such queries the pinned
+    // sf0.1 materializations squeeze execution memory under the unified
+    // manager and the shuffle-heavy iterative queries start spilling:
+    // d_dedup_clusters measured 12.1 s in-bench vs 3.2 s isolated
+    // (min-of-5, same idle host) before this purge. Dropping leaked RDDs
+    // between queries keeps every sample measured against a clean store.
+    // BLOCKING: the purge runs in the untimed gap, and an async unpersist
+    // would carry its block-removal churn into the next timed sample
+    // (measured: the query after a heavy purge inflates 2-4×).
+    def purgeLeakedRdds(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     // Global warmup pass: the C2 compiler needs ~60-90s of JVM life to reach
     // steady state; a single per-query warmup right before its measurement
     // still runs partly interpreted. Warm everything, then measure.
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
+      purgeLeakedRdds()
     }
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      purgeLeakedRdds()
+      dt
     }
     // min over 3 ROUND-ROBIN rounds: the host VM shows multi-second CPU-steal
     // bursts; consecutive repeats of one query all land inside a burst, while
