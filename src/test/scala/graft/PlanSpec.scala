@@ -70,6 +70,28 @@ class PlanSpec extends AnyFunSuite {
       argLines.mkString("\n"))
   }
 
+  test("incremental dedup: equi-joins only, shingle arrays stay out of exchanges") {
+    val p = plan("d_incremental_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // same discipline as d_minhash_pairs: the wide stages carry narrow
+    // (id, band, bucket) rows; shingles appear only at the verify fetch
+    val argLines = p.linesIterator.filter(l =>
+      l.contains("Arguments:") && l.contains("hashpartitioning")).toSeq
+    assert(argLines.forall(!_.contains("shingles")), argLines.mkString("\n"))
+  }
+
+  test("int8 rerank: fp32 vectors never enter the approximate scan") {
+    val p = plan("v_int8_check")
+    assert(!p.contains("CartesianProduct"), p)
+    // the approximate pass is the (intentional) broadcast-query-side pair
+    // scan, like brute force — but over int8 arrays: no BNLJ line may
+    // mention the fp32 embedding column, only the quantized __q/__cq side
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.nonEmpty, p)
+    assert(bnlj.forall(!_.contains("embedding")), bnlj.mkString("\n"))
+  }
+
   test("bucketed fact tables join with no exchange on either side") {
     import org.apache.spark.sql.functions.col
     val s = spark
