@@ -110,6 +110,42 @@ class IoSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("EqualTo(event_id"), p)
   }
 
+  test("z-ordered write: files tile BOTH axes, prunable on either; lossless") {
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+      .repartition(8)
+    graft.io.Sinks.writeZOrdered(li, s"$dir/out", "l_orderkey", "l_partkey",
+      partitions = 16)
+
+    import java.io.File
+    val files = new File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    assert(files.size >= 8, s"expected >=8 z files, got ${files.size}")
+    val ranges = files.map { f =>
+      spark.read.parquet(f).agg(
+        min($"l_orderkey"), max($"l_orderkey"),
+        min($"l_partkey"), max($"l_partkey"))
+        .as[(Long, Long, Long, Long)].head()
+    }
+    // a mid-range point on EITHER axis must be containable by only a
+    // fraction of the files — the two-axis pruning a single-column sort
+    // can't give (on the unsorted axis every file would contain it)
+    val (loO, hiO) = (ranges.map(_._1).min, ranges.map(_._2).max)
+    val (loP, hiP) = (ranges.map(_._3).min, ranges.map(_._4).max)
+    val midO = (loO + hiO) / 2
+    val midP = (loP + hiP) / 2
+    val hitO = ranges.count(r => r._1 <= midO && midO <= r._2)
+    val hitP = ranges.count(r => r._3 <= midP && midP <= r._4)
+    assert(hitO <= files.size * 3 / 4, s"orderkey axis not tiled: $hitO/${files.size}")
+    assert(hitP <= files.size * 3 / 4, s"partkey axis not tiled: $hitP/${files.size}")
+
+    // nothing lost in the rewrite, and the helper z column is gone
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.columns.toSeq == Seq("l_orderkey", "l_partkey", "l_quantity"))
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+  }
+
   test("approx_count_distinct path: HLL counts within 5% of exact on daily agg") {
     val silver = graft.datagen.TransactionGen.generate(spark, 2000)
       .withColumn("transaction_date", to_timestamp($"transaction_date"))
