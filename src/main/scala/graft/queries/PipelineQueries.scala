@@ -131,9 +131,40 @@ object PipelineQueries extends QueryPack {
       val initial = transactions(s, dir).agg(count(lit(1)).as("initial_count"))
       val fin = cleaned(s, dir).agg(count(lit(1)).as("final_count"))
       initial.crossJoin(fin)
-    }))
+    }),
+
+    // One-pass column profiler: every metric for every profiled column
+    // comes out of ONE aggregation over ONE scan (the per-column-loop
+    // alternative is N full scans of 100 TB). Exact distincts + decimal-
+    // exact means keep the row hash engine-independent.
+    "p_profile_columns" -> ((s, dir) =>
+      graft.ops.Profile.numericProfile(
+        Tables.load(s, dir, "documents"), Seq("doc_id", "n_chars"))
+        .orderBy(col("column"))))
 
   override def oracleSql: Map[String, String] = Map(
+    "p_profile_columns" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN doc_id IS NULL THEN 1 END) AS BIGINT) AS d_nulls,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS d_distinct,
+        |  min(CAST(doc_id AS DOUBLE)) AS d_min,
+        |  max(CAST(doc_id AS DOUBLE)) AS d_max,
+        |  CAST(CAST(SUM(CAST(doc_id AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+        |    / count(doc_id) AS d_mean,
+        |  CAST(count(CASE WHEN n_chars IS NULL THEN 1 END) AS BIGINT) AS c_nulls,
+        |  CAST(count(DISTINCT n_chars) AS BIGINT) AS c_distinct,
+        |  min(CAST(n_chars AS DOUBLE)) AS c_min,
+        |  max(CAST(n_chars AS DOUBLE)) AS c_max,
+        |  CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+        |    / count(n_chars) AS c_mean
+        |  FROM documents)
+        |SELECT 'doc_id' AS "column", n_rows, d_nulls AS n_nulls,
+        |  d_distinct AS n_distinct, d_min AS min_val, d_max AS max_val,
+        |  d_mean AS mean_val FROM a
+        |UNION ALL
+        |SELECT 'n_chars', n_rows, c_nulls, c_distinct, c_min, c_max, c_mean
+        |FROM a ORDER BY "column"""".stripMargin,
+
     "p_parse_timestamp" ->
       """SELECT event_id,
         |  strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed_ts

@@ -234,6 +234,24 @@ class OpsSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("profile: one-pass metrics handle nulls, exact mean, per-column rows") {
+    import graft.ops.Profile
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (2L, 10L), (3L, null), (4L, 40L), (4L, null))
+      .toDF("a", "b")
+    val p = Profile.numericProfile(df, Seq("a", "b"))
+      .orderBy($"column")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(p == Seq(
+      ("a", 5L, 0L, 4L, 1.0, 4.0, 14.0 / 5),
+      ("b", 5L, 2L, 2L, 10.0, 40.0, 60.0 / 3)))
+    // single scan: the plan contains exactly one aggregate subtree chain,
+    // not one per profiled column
+    val plan = Profile.numericProfile(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("LocalTableScan").length - 1 == 1, plan)
+  }
+
   test("cms estimate of a never-counted key hitting empty cells is zero") {
     import graft.ops.Cms
     val sketch = Cms.build(Seq("x").toDF("k"), $"k", width = 4096)
