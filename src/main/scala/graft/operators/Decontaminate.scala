@@ -31,19 +31,20 @@ object Decontaminate {
     */
   def contaminationReport(corpus: DataFrame, id: String, text: String,
       benchmark: DataFrame, benchText: String,
-      n: Int = 13, minHits: Int = 1, hashGrams: Boolean = true): DataFrame = {
+      n: Int = 13, minHits: Int = 1, hashGrams: Boolean = true,
+      unicode: Boolean = false): DataFrame = {
     // hash AFTER explode and only non-null grams: Spark's xxhash64 hashes a
     // NULL input to the seed constant rather than NULL, which would let the
     // explode_outer placeholder row of a short document spuriously equi-join
     def key(c: org.apache.spark.sql.Column) =
       if (hashGrams) when(c.isNotNull, xxhash64(c)) else c
     val benchGrams = benchmark
-      .select(explode(VectorExpressions.shingleArr(col(benchText), n)).as("g"))
+      .select(explode(VectorExpressions.shingleArr(col(benchText), n, unicode)).as("g"))
       .select(key(col("g")).as("gram")).distinct()
       .withColumn("__hit", lit(1))
     corpus
       .select(col(id),
-        explode_outer(VectorExpressions.shingleArr(col(text), n)).as("g"))
+        explode_outer(VectorExpressions.shingleArr(col(text), n, unicode)).as("g"))
       .select(col(id), key(col("g")).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"), "left")
       .groupBy(col(id))
@@ -56,8 +57,9 @@ object Decontaminate {
     */
   def decontaminate(corpus: DataFrame, id: String, text: String,
       benchmark: DataFrame, benchText: String,
-      n: Int = 13, minHits: Int = 1): DataFrame = {
-    val bad = contaminationReport(corpus, id, text, benchmark, benchText, n, minHits)
+      n: Int = 13, minHits: Int = 1, unicode: Boolean = false): DataFrame = {
+    val bad = contaminationReport(corpus, id, text, benchmark, benchText,
+      n, minHits, hashGrams = true, unicode = unicode)
       .filter(col("contaminated") === 1).select(col(id))
     corpus.join(broadcast(bad), Seq(id), "left_anti")
   }

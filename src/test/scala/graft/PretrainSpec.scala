@@ -206,6 +206,28 @@ class PretrainSpec extends AnyFunSuite {
     assert(kept == Seq(2L, 3L, 4L))
   }
 
+  test("decontaminate unicode mode catches CJK overlap the ASCII chain is blind to") {
+    import graft.operators.Decontaminate
+    val cjk = "深度 学習 模型 的 預訓練 資料 污染 檢查 非常 重要 所以 必須 執行 完畢"
+    val bench = Seq((100L, cjk)).toDF("doc_id", "text")
+    val corpus = Seq(
+      // words 1..13 of the benchmark, embedded — one shared 13-gram
+      (1L, "前綴 " + cjk.split(" ").take(13).mkString(" ") + " 後綴"),
+      (2L, "完全 不同 的 十四 個 詞 組成 的 句子 沒有 任何 重疊 存在 喔")
+    ).toDF("doc_id", "text")
+    // ASCII chain normalizes CJK to empty → no grams, silently blind
+    val ascii = Decontaminate
+      .contaminationReport(corpus, "doc_id", "text", bench, "text")
+      .orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
+    assert(ascii.map(_._3) == Seq(0, 0))
+    // unicode chain shingles the CJK tokens and finds the planted overlap
+    val uni = Decontaminate
+      .contaminationReport(corpus, "doc_id", "text", bench, "text",
+        unicode = true)
+      .orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
+    assert(uni == Seq((1L, 1L, 1), (2L, 0L, 0)))
+  }
+
   test("decontaminate hashed and string gram keys agree; bench side broadcasts") {
     import graft.operators.Decontaminate
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
