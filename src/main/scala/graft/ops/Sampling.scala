@@ -130,4 +130,29 @@ object Sampling {
   def stratifiedSample(df: DataFrame, strataCol: String,
       fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Deterministic weighted sample of (up to) `k` rows per stratum —
+    * Efraimidis-Spirakis A-RES: each row draws key u^(1/w) with u a
+    * salted-md5 uniform and the k largest keys per stratum win, so
+    * inclusion odds scale with weight. The quality-weighted corpus
+    * subsample ("keep the best 100k docs per source, favoring high
+    * quality scores") in one windowed pass per stratum: no global sort,
+    * no driver state, and the salted key makes membership a pure function
+    * of (id, salt) — re-runs and backfills on any partitioning draw the
+    * SAME sample. Weights must be positive; rows beyond the stratum size
+    * all survive (rank ≤ k).
+    */
+  def weightedSample(df: DataFrame, idCol: String, strataCol: String,
+      weightCol: String, k: Int, salt: String = "wsample"): DataFrame = {
+    // u ∈ (0, 1]: 13 hex chars = 52 bits, exactly representable in a double
+    val u = (conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 13),
+      16, 10).cast("double") + 1.0) / math.pow(16.0, 13)
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(key.desc, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

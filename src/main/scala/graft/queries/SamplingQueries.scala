@@ -61,9 +61,40 @@ object SamplingQueries extends QueryPack {
         .agg(count(lit(1)).as("__orphans"))
         .select(when(col("__orphans") === 0, 1).otherwise(0).as("subset_ok"))
       onlyStrata.crossJoin(bands).crossJoin(subset) // 1-row × 1-row × 1-row
+    }),
+
+    // Weighted per-stratum sample (A-RES): membership is pseudo-random by
+    // construction, so the gate states the EXACT properties — per-source
+    // sample sizes (min(k, stratum size)), strict subset, and the weight
+    // bias the scheme exists for (sample mean n_chars above corpus mean) —
+    // all deterministic for the fixed salt and data.
+    "x_weighted_sample" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val samp = Sampling
+        .weightedSample(docs, "doc_id", "source", "n_chars", k = 10)
+        .localCheckpoint() // sampled once; referenced three times below
+      val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val perSource = samp.groupBy(col("source")).agg(count(lit(1)).as("__k"))
+      val subset = samp.select(col("doc_id"))
+        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .agg((count(lit(1)) === 0).cast("int").as("subset_ok"))
+      val bias = samp.agg(avg(col("n_chars")).as("__ms"))
+        .crossJoin(docs.agg(avg(col("n_chars")).as("__ma")))
+        .select((col("__ms") > col("__ma")).cast("int").as("bias_ok"))
+      sizes.join(perSource, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("__k"), lit(0L)).as("n_sampled"))
+        .crossJoin(subset).crossJoin(bias) // 1-row gates
+        .orderBy(col("source"))
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    "x_weighted_sample" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(LEAST(10, COUNT(*)) AS BIGINT) AS n_sampled,
+        |  CAST(1 AS INTEGER) AS subset_ok, CAST(1 AS INTEGER) AS bias_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "x_split_stats" ->
       s"""SELECT ${Sampling.splitSql("doc_id", weights)} AS split, source,
          |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars

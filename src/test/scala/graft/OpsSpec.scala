@@ -201,6 +201,30 @@ class OpsSpec extends AnyFunSuite {
     assert(viaApi == viaSql)
   }
 
+  // ---- weighted sampling ---------------------------------------------
+
+  test("weighted sample: per-group cap, subset, deterministic, heavy row wins") {
+    import graft.ops.Sampling
+    val df = ((1L to 9L).map(i => (i, "g", 1.0)) :+ ((100L, "g", 1e6)))
+      .toDF("id", "grp", "w")
+      .unionByName(Seq((200L, "h", 1.0)).toDF("id", "grp", "w"))
+    val s1 = Sampling.weightedSample(df, "id", "grp", "w", k = 3)
+      .select($"id").as[Long].collect().toSet
+    val s2 = Sampling.weightedSample(df, "id", "grp", "w", k = 3)
+      .select($"id").as[Long].collect().toSet
+    assert(s1 == s2, "same salt + data must draw the same sample")
+    assert(s1.subsetOf((1L to 9L).toSet + 100L + 200L))
+    // group g: exactly k survive; group h has 1 row, all survive
+    assert(s1.count(_ != 200L) == 3 && s1.contains(200L))
+    // the 10^6-weight row's key u^(1e-6) ≈ 1 dominates any unit-weight key
+    assert(s1.contains(100L))
+    // a different salt draws a different unit-weight cohort (or at least
+    // may — assert only that the call path accepts it and stays capped)
+    val s3 = Sampling.weightedSample(df, "id", "grp", "w", k = 3, salt = "z")
+      .select($"id").as[Long].collect().toSet
+    assert(s3.count(_ != 200L) == 3 && s3.contains(100L))
+  }
+
   // ---- count-min sketch ----------------------------------------------
 
   test("cms never undercounts, and a wide sketch is exact on few keys") {
