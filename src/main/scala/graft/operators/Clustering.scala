@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Distributed spherical k-means (Lloyd) over an `array<float>` embedding
+  * column, and SemDeDup-style semantic deduplication built on it.
+  *
+  * Scale posture (billions of vectors): the model state is k·dim doubles —
+  * it lives on the driver and is folded into each iteration's plan as
+  * literals, the classic MLlib shape. Per iteration the corpus is scanned
+  * once: assignment is a narrow codegen'd projection (k native dot products
+  * per row — NO join, NO shuffle), and the centroid update's only exchange
+  * is the posexplode + groupBy(cell, dim) whose map-side partial
+  * aggregation collapses n·dim element rows to partitions·k·dim before the
+  * shuffle. Seeding is deterministic (k smallest md5(id) rows), sums are
+  * order-insensitive decimals, and cosine ties break to the smallest cell
+  * index, so a fit is bit-reproducible on any partitioning.
+  */
+object Clustering {
+
+  /** 0-based cell index of the max-cosine centroid, as a pure per-row
+    * expression: centroids are driver-side constants, so assignment is one
+    * narrow projection of k codegen'd dot products — no join, no shuffle.
+    * Ties break to the smallest index (struct max compares cosine first,
+    * then the negated index). `nrm` is the row's precomputed L2 norm.
+    */
+  def assignCell(vec: Column, nrm: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (cvec, j) =>
+      // centroid norm is a driver constant; same left-fold + sqrt as the
+      // executor-side recompute, so gate comparisons are bit-exact
+      val cn = math.sqrt(cvec.map(x => x * x).sum)
+      val safe = if (cn == 0.0) 1.0 else cn
+      struct((dot(vec, typedlit(cvec)) / (nrm * lit(safe))).as("s"),
+        lit(-j).as("nj"))
+    }
+    -array_max(array(scored: _*)).getField("nj")
+  }
+
+  /** `df` plus a `cellCol` column assigning each row to its nearest (by
+    * cosine) centroid. Narrow — adds zero exchanges to the plan.
+    */
+  def assign(df: DataFrame, vec: String, centroids: Seq[Seq[Double]],
+      cellCol: String = "cell"): DataFrame =
+    df.withColumn(cellCol, assignCell(col(vec), l2Norm(col(vec)), centroids))
+
+  /** Lloyd iterations; returns the final centroids (≤ k × dim doubles —
+    * fewer than k only when `df` has fewer than k rows). Seeding is
+    * deterministic max-min (Gonzalez k-center): the first seed is the
+    * smallest-md5(id) row, each next seed the row with the LOWEST best
+    * cosine to any chosen seed (ties by id) — well-separated modes each get
+    * a seed, which plain hash seeding does not guarantee. At cluster scale
+    * run the seeding scans on a deterministic hash-sample. Convergence is
+    * max squared centroid movement under `tol` (computed on the driver for
+    * free from the same collect), else `maxIter`. Empty cells keep their
+    * previous centroid. The iterated (id, vec, norm) projection is staged
+    * once with localCheckpoint so the k seeding scans and the Lloyd rounds
+    * don't re-read the source; at cluster scale stage with
+    * persist(DISK_ONLY) instead.
+    */
+  def fit(df: DataFrame, id: String, vec: String, k: Int, maxIter: Int = 10,
+      tol: Double = 1e-9): Seq[Seq[Double]] = {
+    val base = df.select(col(id).cast("string").as("__id"), col(vec).as("__v"))
+      .withColumn("__nrm", l2Norm(col("__v")))
+      .localCheckpoint()
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue).toSeq
+    val first = base.withColumn("__h", md5(col("__id")))
+      .orderBy(col("__h"), col("__id"))
+      .limit(1).select(col("__v"), col("__id")).collect()
+    var centroids: Seq[Seq[Double]] = first.toSeq.map(vecOf)
+    var chosen: Set[String] = first.map(_.getString(1)).toSet
+    while (centroids.nonEmpty && centroids.size < k) {
+      val bestCos = centroids.map { cvec =>
+        val cn = math.sqrt(cvec.map(x => x * x).sum)
+        val safe = if (cn == 0.0) 1.0 else cn
+        dot(col("__v"), typedlit(cvec)) / (col("__nrm") * lit(safe))
+      }
+      val next = base.filter(!col("__id").isInCollection(chosen))
+        .orderBy(array_max(array(bestCos: _*)).asc, col("__id"))
+        .limit(1).select(col("__v"), col("__id")).collect()
+      if (next.isEmpty) // fewer rows than k: proceed with what exists
+        return lloyd(base, centroids, maxIter, tol)
+      centroids = centroids :+ vecOf(next(0))
+      chosen = chosen + next(0).getString(1)
+    }
+    lloyd(base, centroids, maxIter, tol)
+  }
+
+  private def lloyd(base: DataFrame, seeds: Seq[Seq[Double]], maxIter: Int,
+      tol: Double): Seq[Seq[Double]] = {
+    import graft.ops.Aggregations.sumStable
+    if (seeds.isEmpty) return seeds // empty input frame
+    var centroids = seeds
+    val kk = centroids.size
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      // one corpus scan: narrow argmax-cosine assign, then per-(cell, dim)
+      // decimal-exact sums — k·dim rows collected to the driver
+      val sums = base
+        .withColumn("__cell", assignCell(col("__v"), col("__nrm"), centroids))
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__i", "__x")))
+        .groupBy(col("__cell"), col("__i"))
+        .agg(sumStable(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val dim = centroids.head.length
+      val acc = Array.fill(kk)(new Array[Double](dim))
+      val cnt = new Array[Long](kk)
+      sums.foreach { r =>
+        val c = r.getInt(0)
+        acc(c)(r.getInt(1)) = r.getDouble(2)
+        cnt(c) = r.getLong(3)
+      }
+      val next = centroids.indices.map { j =>
+        if (cnt(j) == 0L) centroids(j)
+        else acc(j).map(_ / cnt(j)).toSeq
+      }
+      moved = centroids.indices.map { j =>
+        centroids(j).zip(next(j)).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.max
+      centroids = next
+      iter += 1
+    }
+    centroids
+  }
+
+  /** Convenience: fit + assign in one call. */
+  def kmeans(df: DataFrame, id: String, vec: String, k: Int,
+      maxIter: Int = 10, cellCol: String = "cell"): DataFrame =
+    assign(df, vec, fit(df, id, vec, k, maxIter), cellCol)
+
+  /** SemDeDup-style semantic deduplication (cluster-then-prune, after
+    * Abbas et al. 2023, arXiv:2303.09540): k-means the corpus, then inside
+    * each cluster mark every row that has a SMALLER-id neighbor with
+    * cosine ≥ `tau` as pruned — the keep-first policy (same semantics as
+    * the corpus line dedup): in a duplicate clique exactly the smallest id
+    * survives, and membership is deterministic. Returns (id, cell,
+    * pruned 0/1) for every input row.
+    *
+    * Scale: the pairwise work is confined within cells by an equi-join on
+    * the cell id — k is the knob bounding expected cell size (the paper's
+    * point: clustering makes near-quadratic dedup tractable by only
+    * comparing semantic neighbors). Cross-cell near-dups are out of scope
+    * by design. For a skew-fat cell, sub-block it with the same block-pair
+    * scheme as [[Similarity.cosineNearDupBlocked]].
+    */
+  def semDeDupLabels(df: DataFrame, id: String, vec: String, k: Int,
+      tau: Double, maxIter: Int = 10): DataFrame = {
+    val centroids = fit(df, id, vec, k, maxIter)
+    // assignment + norm computed once, reused by both join sides
+    val labeled = assign(df.select(col(id), col(vec)), vec, centroids, "cell")
+      .withColumn("__nrm", l2Norm(col(vec)))
+      .localCheckpoint()
+    val a = labeled.select(col("cell"), col(id).as("__ida"),
+      col(vec).as("__va"), col("__nrm").as("__na"))
+    val b = labeled.select(col("cell"), col(id).as("__idb"),
+      col(vec).as("__vb"), col("__nrm").as("__nb"))
+    val pruned = a.join(b, Seq("cell"))
+      .filter(col("__idb") < col("__ida"))
+      .filter(cosineWithNorms(col("__va"), col("__vb"),
+        col("__na"), col("__nb")) >= tau)
+      .select(col("__ida").as(id))
+      .distinct()
+    labeled.select(col(id), col("cell"))
+      .join(pruned.withColumn("__p", lit(1)), Seq(id), "left")
+      .select(col(id), col("cell"), coalesce(col("__p"), lit(0)).as("pruned"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Clustering, Similarity}
 
 /** Similarity-search queries over the `embeddings` table (64-dim float
   * vectors). Brute-force variants are oracle-checked bit-exactly: both
@@ -16,6 +16,7 @@ object SimilarityQueries extends QueryPack {
 
   private val k = 10
   private val tau = 0.45
+  private val kmCells = 8
 
   /** Every ~97th vector plays a query against the full corpus. */
   private def queriesOf(df: org.apache.spark.sql.DataFrame) =
@@ -187,6 +188,75 @@ object SimilarityQueries extends QueryPack {
           Seq("query_id", "neighbor_id"), "left_anti")
         .agg(count(lit(1)).as("outranked_missing"))
       shapeBad.crossJoin(mism).crossJoin(missed) // 1-row × 1-row × 1-row
+    }),
+
+    // Spherical k-means verification: fit 8 cells, then recompute every
+    // row's best centroid through a DIFFERENT mechanism — centroids as a
+    // broadcast DataFrame + window argmax instead of folded-literal struct
+    // max. Both paths left-fold the same doubles, so the gate is exact:
+    // assign_suboptimal must be 0, and the fit must fill at most 8 cells.
+    "v_kmeans_check" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.cosine
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = Clustering.fit(emb, "vec_id", "embedding", kmCells)
+      val assigned = Clustering.assign(emb, "embedding", centroids, "__cell")
+        .select(col("vec_id"), col("embedding"), col("__cell"))
+        .localCheckpoint() // one fit+assign, referenced by both gates
+      val cdf = centroids.zipWithIndex.map { case (c, j) => (j, c) }
+        .toDF("__j", "__c")
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("__cs").desc, col("__j"))
+      val best = assigned.crossJoin(broadcast(cdf)) // n × 8 scored pairs
+        .withColumn("__cs", cosine(col("embedding"), col("__c")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+      val subopt = best.filter(col("__cell") =!= col("__j"))
+        .agg(count(lit(1)).as("assign_suboptimal"))
+      assigned
+        .agg(count(lit(1)).as("n_vectors"),
+          (countDistinct(col("__cell")) <= kmCells).cast("int")
+            .as("cells_bounded"))
+        .crossJoin(subopt) // 1-row × 1-row
+    }),
+
+    // SemDeDup gate: prune labels are exactly characterized — a row is
+    // pruned iff it has a same-cell smaller-id neighbor with cosine ≥ tau.
+    // The justification set is recomputed from the raw vectors over the
+    // operator's returned cells; both directions (pruned-but-unjustified,
+    // surviving-but-justified) must count 0, and at this tau the corpus
+    // must actually contain prunable near-dups (has_pruned = 1).
+    "v_semdedup_check" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.cosineWithNorms
+      val emb = Tables.load(s, dir, "embeddings")
+      val labels = Clustering
+        .semDeDupLabels(emb, "vec_id", "embedding", kmCells, tau)
+        .localCheckpoint() // one fit+prune, referenced by all three gates
+      val e = Similarity.withNorm(emb, "embedding")
+        .select(col("vec_id"), col("embedding"), col("__nrm"))
+      val a = labels.join(e, Seq("vec_id"))
+        .select(col("cell"), col("vec_id").as("__ida"),
+          col("embedding").as("__va"), col("__nrm").as("__na"))
+      val b = labels.join(e, Seq("vec_id"))
+        .select(col("cell"), col("vec_id").as("__idb"),
+          col("embedding").as("__vb"), col("__nrm").as("__nb"))
+      val justified = a.join(b, Seq("cell"))
+        .filter(col("__idb") < col("__ida"))
+        .filter(cosineWithNorms(col("__va"), col("__vb"),
+          col("__na"), col("__nb")) >= tau)
+        .select(col("__ida").as("vec_id"))
+        .distinct()
+      val unjust = labels.filter(col("pruned") === 1)
+        .join(justified, Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("prune_unjustified"))
+      val missed = labels.filter(col("pruned") === 0)
+        .join(justified, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("survivor_missed"))
+      labels
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("pruned")) > 0).cast("int").as("has_pruned"))
+        .crossJoin(unjust).crossJoin(missed) // 1-row gates
     }))
 
   override def oracleSql: Map[String, String] = Map(
@@ -231,5 +301,18 @@ object SimilarityQueries extends QueryPack {
     "v_ivf_check" ->
       """SELECT CAST(0 AS BIGINT) AS bad_query_shapes,
         |  CAST(0 AS BIGINT) AS cosine_mismatches,
-        |  CAST(0 AS BIGINT) AS outranked_missing""".stripMargin)
+        |  CAST(0 AS BIGINT) AS outranked_missing""".stripMargin,
+
+    "v_kmeans_check" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(1 AS INTEGER) AS cells_bounded,
+        |  CAST(0 AS BIGINT) AS assign_suboptimal
+        |FROM embeddings""".stripMargin,
+
+    "v_semdedup_check" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(1 AS INTEGER) AS has_pruned,
+        |  CAST(0 AS BIGINT) AS prune_unjustified,
+        |  CAST(0 AS BIGINT) AS survivor_missed
+        |FROM embeddings""".stripMargin)
 }
