@@ -45,6 +45,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training data: for each query row,
+    * the k most cosine-similar corpus rows whose `labelCol` DIFFERS from the
+    * query's — the near-misses that make the strongest negatives. Same
+    * exact single-pass shape as [[bruteForceTopK]]: queries broadcast with
+    * their labels, the corpus streams once, and the label-mismatch predicate
+    * rides the broadcast join condition so agreeing pairs are dropped before
+    * any dot product is computed.
+    */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, labelCol: String, k: Int): DataFrame = {
+    val c = withNorm(corpus, vec)
+      .select(col(id).as("neighbor_id"), col(labelCol).as("__cl"),
+        col(vec).as("__cv"), col("__nrm").as("__cn"))
+    val q = withNorm(queries, vec)
+      .select(col(id).as("query_id"), col(labelCol).as("__ql"),
+        col(vec).as("__qv"), col("__nrm").as("__qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id") &&
+        !(col("__ql") <=> col("__cl")))
+      .withColumn("cosine_sim",
+        cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
+  }
+
   /** All corpus pairs with cosine ≥ threshold (embedding near-dup detection).
     * Exact O(n²) baseline via BroadcastNestedLoopJoin — small-corpus oracle
     * cross-check only; [[cosineNearDupBlocked]] is the exact scale path and

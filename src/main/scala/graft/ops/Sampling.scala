@@ -142,6 +142,27 @@ object Sampling {
     * SAME sample. Weights must be positive; rows beyond the stratum size
     * all survive (rank ≤ k).
     */
+  /** Keep the top `frac` of each stratum by `scoreCol` (ties broken by
+    * `idCol`) — the per-domain quality cutoff of a corpus-filtering stage:
+    * "keep the best 20% of each source by quality score". One windowed
+    * pass per stratum, no global sort, no driver state; the kept count is
+    * ceil(frac · |stratum|) so every non-empty stratum keeps ≥ 1 row and a
+    * domain can never be silently emptied by a global threshold. Exactly
+    * reproducible cross-engine when the score itself is (both sides do one
+    * IEEE multiply and a ceil).
+    */
+  def topFractionPerStratum(df: DataFrame, strataCol: String,
+      scoreCol: String, idCol: String, frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"fraction out of [0,1]: $frac")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(scoreCol).desc, col(idCol))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .filter(col("__rn") <= ceil(lit(frac) * col("__n")))
+      .drop("__rn", "__n")
+  }
+
   def weightedSample(df: DataFrame, idCol: String, strataCol: String,
       weightCol: String, k: Int, salt: String = "wsample"): DataFrame = {
     // u ∈ (0, 1]: 13 hex chars = 52 bits, exactly representable in a double

@@ -47,6 +47,16 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Hard-negative mining: per query, top-k cosine among DIFFERENT-label
+    // corpus rows — value-exact oracle (same bit-exact dot-product contract
+    // as v_cosine_topk, plus the label-mismatch predicate).
+    "v_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.hardNegativesTopK(emb, queriesOf(emb), "vec_id",
+        "embedding", "label", k)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Int8-quantized top-k with exact fp32 rerank vs the exact brute force:
     // the approximate pass scans 1-byte arrays (codegen'd Int8DotProduct),
     // the rerank point-fetches only candidates' fp32 vectors, and with a
@@ -286,6 +296,21 @@ object SimilarityQueries extends QueryPack {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${dotSql("a", "b")} / (a.nrm * b.nrm) >= $tau
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "v_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding, $normSql AS nrm FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+         |sims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q", "c")} / (q.nrm * c.nrm) AS cosine_sim
+         |  FROM q JOIN e c ON q.vec_id <> c.vec_id
+         |    AND q.label IS DISTINCT FROM c.label),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM sims)
+         |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin,
 
     "v_lsh_check" ->
       """SELECT CAST(1 AS INTEGER) AS n_rows_ok,

@@ -29,6 +29,20 @@ object TextQueries extends QueryPack {
     s"len(list_filter(toks, t -> list_contains(${inList(defaultStopwords)}, t)))"
 
   override def queries: Map[String, Query] = Map(
+    // Per-source quality cutoff: keep the best 20% of each source by the
+    // composite quality score (ties by doc_id). Value-exact oracle: the
+    // score arithmetic is the bit-identical t_text_stats formula and both
+    // engines cut at row_number ≤ ceil(0.2 · |source|) after one IEEE
+    // multiply, so the kept SET matches exactly.
+    "t_quality_filter" -> ((s, dir) => {
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          qualityScore(col("text")).as("quality_score"))
+      graft.ops.Sampling
+        .topFractionPerStratum(scored, "source", "quality_score", "doc_id", 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
     "t_text_stats" -> ((s, dir) =>
       Tables.load(s, dir, "documents").select(
         col("doc_id"),
@@ -179,6 +193,33 @@ object TextQueries extends QueryPack {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    "t_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, source,
+         |    CAST(length(text) AS INTEGER) AS char_len,
+         |    CAST(len(toks) AS INTEGER) AS ws_tokens,
+         |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS INTEGER) AS punct_chars,
+         |    CAST($stopSql AS INTEGER) AS stopword_hits,
+         |    CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
+         |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS avg_token_len
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    0.25 * least(1.0, CAST(ws_tokens AS DOUBLE) / 50.0)
+         |    + 0.25 * (1.0 - least(1.0,
+         |        CAST(punct_chars AS DOUBLE) / CAST(greatest(char_len, 1) AS DOUBLE)))
+         |    + 0.25 * least(1.0,
+         |        CAST(stopword_hits AS DOUBLE) * 10.0 / CAST(greatest(ws_tokens, 1) AS DOUBLE))
+         |    + 0.25 * (1.0 - least(1.0, abs(avg_token_len - 5.0) / 5.0)) AS quality_score
+         |  FROM m)
+         |SELECT doc_id, source, quality_score FROM q
+         |QUALIFY row_number() OVER (PARTITION BY source
+         |    ORDER BY quality_score DESC, doc_id)
+         |  <= CEIL(CAST(0.2 AS DOUBLE)
+         |    * CAST(COUNT(*) OVER (PARTITION BY source) AS DOUBLE))
+         |ORDER BY doc_id""".stripMargin,
+
     "t_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |m AS (

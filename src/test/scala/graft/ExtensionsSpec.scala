@@ -72,6 +72,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(brute.nonEmpty && int8 == brute)
   }
 
+  test("hard negatives: top-k different-label rows, vs driver-side recompute") {
+    val qs = embeddings.filter($"vec_id" % 97 === 0)
+    val got = Similarity
+      .hardNegativesTopK(embeddings, qs, "vec_id", "embedding", "label", 5)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // independent mechanism: collect all vectors, same left-fold cosine on
+    // the driver, filter label mismatch, sort (cos desc, id), take 5
+    val all = embeddings.select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+        s + x.toDouble * y.toDouble }
+      val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      val nb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      d / (na * nb)
+    }
+    val want = (for {
+      (qid, qv, ql) <- all if qid % 97 == 0
+      ((nid, cs), r) <- all
+        .filter { case (nid, _, nl) => nid != qid && nl != ql }
+        .map { case (nid, nv, _) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, cs) => (-cs, nid) }
+        .take(5).zipWithIndex
+    } yield (qid, nid, r + 1)).toSet
+    assert(got.nonEmpty && got == want)
+    // and no returned neighbor ever shares the query's label
+    val labels = all.map(t => t._1 -> t._3).toMap
+    assert(got.forall { case (q, n, _) => labels(q) != labels(n) })
+  }
+
   test("minhash LSH pairs equal exact jaccard pairs on planted near-dups") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -225,6 +225,21 @@ class OpsSpec extends AnyFunSuite {
     assert(s3.count(_ != 200L) == 3 && s3.contains(100L))
   }
 
+  test("top-fraction-per-stratum: ceil cut, id tie-break, tiny stratum keeps 1") {
+    import graft.ops.Sampling
+    val df = Seq(
+      (1L, "g", 9.0), (2L, "g", 7.0), (3L, "g", 7.0), (4L, "g", 1.0),
+      (5L, "h", 0.5)
+    ).toDF("id", "grp", "score")
+    val kept = Sampling.topFractionPerStratum(df, "grp", "score", "id", 0.5)
+      .select($"id").as[Long].collect().toSet
+    // g: ceil(0.5·4) = 2 → score 9 and the SMALLER-id of the tied 7s;
+    // h: ceil(0.5·1) = 1 → its only row survives
+    assert(kept == Set(1L, 2L, 5L))
+    assert(Sampling.topFractionPerStratum(df, "grp", "score", "id", 1.0)
+      .count() == 5)
+  }
+
   // ---- count-min sketch ----------------------------------------------
 
   test("cms never undercounts, and a wide sketch is exact on few keys") {
