@@ -210,7 +210,11 @@ object SimilarityQueries extends QueryPack {
       import graft.functions.VectorFunctions.cosine
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
-      val centroids = Clustering.fit(emb, "vec_id", "embedding", kmCells)
+      // maxIter 5: the gate checks mechanism invariants (argmax
+      // consistency across two implementations), which hold at ANY
+      // iteration count — no need to run Lloyd to full convergence here
+      val centroids = Clustering.fit(emb, "vec_id", "embedding", kmCells,
+        maxIter = 5)
       val assigned = Clustering.assign(emb, "embedding", centroids, "__cell")
         .select(col("vec_id"), col("embedding"), col("__cell"))
         .localCheckpoint() // one fit+assign, referenced by both gates
@@ -241,7 +245,7 @@ object SimilarityQueries extends QueryPack {
       import graft.functions.VectorFunctions.cosineWithNorms
       val emb = Tables.load(s, dir, "embeddings")
       val labels = Clustering
-        .semDeDupLabels(emb, "vec_id", "embedding", kmCells, tau)
+        .semDeDupLabels(emb, "vec_id", "embedding", kmCells, tau, maxIter = 5)
         .localCheckpoint() // one fit+prune, referenced by all three gates
       val e = Similarity.withNorm(emb, "embedding")
         .select(col("vec_id"), col("embedding"), col("__nrm"))
