@@ -284,9 +284,12 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * Semantics contract (must stay aligned with TextFunctions.normalize /
   * tokens and the DuckDB oracle SQL): UTF8String.toLowerCase (= Spark
   * `lower`), Java regex `[^a-z0-9 ]` → "", `" +"` → " ", trim, split on
-  * single space, n-gram join with single space, first-occurrence-distinct.
+  * single space, n-gram join with single space, first-occurrence-distinct
+  * (or every position in order when `distinct = false` — positional
+  * dup-span counting needs the multiplicity).
   */
-case class ShingleArray(child: Expression, n: Int, unicode: Boolean = false)
+case class ShingleArray(child: Expression, n: Int, unicode: Boolean = false,
+    distinct: Boolean = true)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -295,7 +298,9 @@ case class ShingleArray(child: Expression, n: Int, unicode: Boolean = false)
   def shinglesOf(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val normalized = if (unicode) TextNormalize.normalizeUnicode(input, nfkc = true)
       else TextNormalize.normalize(input)
-    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val out: java.util.Collection[org.apache.spark.unsafe.types.UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      else new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
     if (normalized.nonEmpty) {
       val toks = normalized.split(" ", -1)
       var i = 0
@@ -546,6 +551,13 @@ object VectorExpressions {
     */
   def shingleArr(text: Column, n: Int, unicode: Boolean = false): Column =
     ExpressionUtils.column(ShingleArray(ExpressionUtils.expression(text), n, unicode))
+
+  /** Positional (non-distinct) word-n-gram shingles: one element per gram
+    * POSITION, document order, multiplicity kept — for dup-span counting.
+    */
+  def shingleArrAll(text: Column, n: Int, unicode: Boolean = false): Column =
+    ExpressionUtils.column(ShingleArray(ExpressionUtils.expression(text), n,
+      unicode, distinct = false))
 
   /** Column-level 64-bit SimHash backed by [[SimHash64]]. */
   def simhash(text: Column, unicode: Boolean = false): Column =

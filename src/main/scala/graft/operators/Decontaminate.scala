@@ -52,6 +52,44 @@ object Decontaminate {
       .withColumn("contaminated", (col("n_hits") >= minHits).cast("int"))
   }
 
+  /** Per-document duplicated-span fraction (after Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", 2022 —
+    * repeated ≥ n-token spans are the unit of exact substring dedup): for
+    * every word-n-gram POSITION of every document (NOT distinct — position
+    * multiplicity is the point), does that gram's text occur at least once
+    * more anywhere in the corpus — another document, or another position of
+    * the same one? Returns (id, n_grams, n_dup, dup_fraction); documents
+    * shorter than n tokens report 0 grams and fraction 0. Feed the fraction
+    * to a threshold filter to drop boilerplate-heavy documents, or the
+    * flagged positions to a span trimmer.
+    *
+    * Scale: with `hashGrams` the wide stages carry one xxhash64 long per
+    * position, never the gram text; the plan is one window count partitioned
+    * by gram key and one groupBy(id) — two narrow-key shuffles, no joins,
+    * no broadcast, no driver state.
+    */
+  def dupSpanReport(corpus: DataFrame, id: String, text: String, n: Int = 13,
+      hashGrams: Boolean = true, unicode: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def key(c: org.apache.spark.sql.Column) =
+      if (hashGrams) when(c.isNotNull, xxhash64(c)) else c
+    // native positional shingles: ONE normalize+tokenize pass per row (the
+    // Column-DSL transform/slice/array_join formulation is interpreted per
+    // position and ~10× slower end-to-end)
+    val pos = corpus
+      .select(col(id),
+        explode_outer(VectorExpressions.shingleArrAll(col(text), n, unicode))
+          .as("g"))
+      .select(col(id), key(col("g")).as("gram"))
+    val wg = Window.partitionBy(col("gram"))
+    pos.withColumn("__c", when(col("gram").isNotNull, count(lit(1)).over(wg)))
+      .groupBy(col(id))
+      .agg(count(col("gram")).as("n_grams"),
+        coalesce(sum((col("__c") > 1).cast("long")), lit(0L)).as("n_dup"))
+      .withColumn("dup_fraction", col("n_dup").cast("double") /
+        greatest(col("n_grams"), lit(1L)).cast("double"))
+  }
+
   /** `corpus` with contaminated documents removed. The flagged-id set is
     * broadcast for the anti-join — the corpus side stays shuffle-free.
     */

@@ -146,6 +146,15 @@ object PretrainQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus-level duplicated-span fraction: per doc, the share of 13-gram
+    // POSITIONS (multiplicity kept) whose gram recurs anywhere in the
+    // corpus. Value-exact: integer counts + one IEEE division.
+    "t_dup_spans" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Decontaminate.dupSpanReport(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF salient term per document: argmax of tf/df with the df table
     // derived from the per-doc tf table (one tokenize, two narrow
     // aggregations). Ordering key is a single IEEE division — exactly
@@ -249,6 +258,29 @@ object PretrainQueries extends QueryPack {
         |  CAST(coalesce(n_hits, 0) >= 1 AS INTEGER) AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
         |LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // same gram construction as t_decontaminate but WITHOUT the DISTINCT:
+    // dup-span counting is positional, so multiplicity must survive
+    "t_dup_spans" ->
+      """WITH norm AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |    CASE WHEN length(t) = 0 THEN [] ELSE string_split(t, ' ') END AS w
+        |  FROM norm),
+        |sh AS (SELECT doc_id, list_aggregate(w[i:i+12], 'string_agg', ' ') AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 11)) AS i)
+        |  WHERE len(w) >= 13),
+        |cnt AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM sh JOIN cnt USING (s) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+        |  coalesce(n_dup, 0) AS n_dup,
+        |  CAST(coalesce(n_dup, 0) AS DOUBLE)
+        |    / CAST(greatest(coalesce(n_grams, 0), 1) AS DOUBLE) AS dup_fraction
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "t_tfidf_top" ->
       s"""WITH t AS (SELECT doc_id, ${TextQueries.toksSql} AS toks FROM documents),

@@ -184,6 +184,33 @@ class PretrainSpec extends AnyFunSuite {
   private val benchWords =
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"
 
+  test("dup-span fraction: positional counting across and within docs") {
+    import graft.operators.Decontaminate
+    val corpus = Seq(
+      (1L, "x y z w"),     // grams (n=3): "x y z", "y z w"
+      (2L, "x y z q"),     // shares "x y z" with doc 1
+      (3L, "p q r"),       // one unique gram
+      (4L, "aa"),          // too short: 0 grams
+      (5L, "m m m m m")    // "m m m" at 3 positions — intra-doc repetition
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.dupSpanReport(corpus, "doc_id", "text", n = 3)
+      .select($"doc_id", $"n_grams", $"n_dup", $"dup_fraction")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((1L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    assert(got(5L) == ((3L, 3L, 1.0)))
+    // hashed and string gram keys agree (xxhash64 collision-free here)
+    val str = Decontaminate
+      .dupSpanReport(corpus, "doc_id", "text", n = 3, hashGrams = false)
+      .select($"doc_id", $"n_grams", $"n_dup", $"dup_fraction")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(str == got)
+  }
+
   test("decontaminate flags exactly the docs sharing a 13-gram with the benchmark") {
     import graft.operators.Decontaminate
     val bench = Seq((100L, benchWords)).toDF("doc_id", "text")
