@@ -170,4 +170,25 @@ class PlanSpec extends AnyFunSuite {
     // before the full window sort), keeping hot boilerplate lines cheap
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("dup-span report shuffles hashed gram longs, never document text") {
+    val p = plan("t_dup_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    val argLines = p.linesIterator.filter(l =>
+      l.contains("Arguments:") && l.contains("hashpartitioning")).toSeq
+    assert(argLines.nonEmpty)
+    assert(argLines.forall(l => !l.contains("text") && !l.contains(" g#")),
+      argLines.mkString("\n"))
+  }
+
+  test("semdedup pairwise work is an equi-join on the cell — no cartesian") {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val p = graft.operators.Clustering
+      .semDeDupLabels(emb, "vec_id", "embedding", k = 4, tau = 0.45,
+        maxIter = 2)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
