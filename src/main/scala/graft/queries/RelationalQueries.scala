@@ -62,6 +62,26 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Bloom-pruned fact⋈dim join: the dim (one customer segment) is
+    // selective, so the fact side is pre-filtered through a bloom of the
+    // dim keys BEFORE its shuffle — at 100 TB the orders exchange shrinks
+    // to ~(match fraction + fpp) of the table while the result stays
+    // provably identical to the plain join (no false negatives; false
+    // positives fall out of the exact join). The oracle is that plain
+    // join — a hash match proves pruning changed the shuffle, not the
+    // answer.
+    "j_bloom_prune" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val dim = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      graft.ops.BloomJoin.bloomPrunedJoin(o, dim, "o_custkey", "c_custkey",
+          expectedItems = 100000L, fpp = 0.01)
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Left-semi: orders with at least one heavy line (EXISTS).
     "j_semi_orders" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
@@ -237,6 +257,12 @@ object RelationalQueries extends QueryPack {
         |SELECT event_id, event_type, type_total, type_users
         |FROM events JOIN dim USING (event_type)
         |ORDER BY event_id""".stripMargin,
+
+    "j_bloom_prune" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "j_semi_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -273,6 +273,30 @@ class OpsSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  // ---- theta sketches -------------------------------------------------
+
+  test("theta set algebra is exact under the nominal; serde+merge across partitions") {
+    import org.apache.spark.sql.graftx.ThetaExpressions._
+    val df = ((1L to 300L).map(k => ("A", k)) ++
+      (201L to 450L).map(k => ("B", k)))
+      .toDF("s", "k")
+      .repartition(7) // forces partial aggregation: serialize/deserialize/merge
+    val wide = df.groupBy($"s").agg(thetaAgg($"k").as("sk"))
+      .groupBy().pivot("s", Seq("A", "B")).agg(first($"sk"))
+    val row = wide.select(
+      thetaEstimate($"A").as("na"), thetaEstimate($"B").as("nb"),
+      thetaEstimate(thetaUnion($"A", $"B")).as("nu"),
+      thetaEstimate(thetaIntersect($"A", $"B")).as("ni"),
+      thetaEstimate(thetaDiff($"A", $"B")).as("nd")).head()
+    assert(row.toSeq == Seq(300L, 250L, 450L, 100L, 200L))
+  }
+
+  test("theta sketch dedups string keys and skips nulls") {
+    import org.apache.spark.sql.graftx.ThetaExpressions._
+    val df = Seq("x", "y", "x", "z", "y", null).toDF("k")
+    assert(df.agg(thetaEstimate(thetaAgg($"k"))).head().getLong(0) == 3L)
+  }
+
   test("profile: one-pass metrics handle nulls, exact mean, per-column rows") {
     import graft.ops.Profile
     val df = Seq[(java.lang.Long, java.lang.Long)](

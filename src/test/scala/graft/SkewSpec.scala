@@ -69,4 +69,43 @@ class SkewSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got == Map("hot" -> 3L, "cold" -> 1L))
   }
+
+  test("bloom-pruned join ≡ plain inner join (dups, null keys, int keys)") {
+    val fact = ((1 to 60).map(i => (i.toLong % 10, i)) ++
+      Seq((3L, 1000), (3L, 1000))) // duplicate fact rows on a matching key
+      .toDF("fk", "v")
+      .union(Seq((null.asInstanceOf[java.lang.Long], 77))
+        .toDF("fk", "v").select(col("fk").cast("long"), col("v")))
+    val dim = Seq((1L, "a"), (3L, "b"), (7L, "c"), (99L, "zz"))
+      .toDF("dk", "tag")
+    val pruned = graft.ops.BloomJoin.bloomPrunedJoin(
+      fact, dim, "fk", "dk", expectedItems = 100L, fpp = 0.01)
+    val plain = fact.join(dim, fact("fk") === dim("dk"))
+    assert(sortedRows(pruned) == sortedRows(plain))
+    assert(pruned.columns.toSeq == plain.columns.toSeq)
+  }
+
+  test("bloom probe has no false negatives and prunes before the join") {
+    // spark.range, not a local Seq: ConvertToLocalRelation would eagerly
+    // evaluate the probe over a LocalRelation and hide the Filter node
+    // this test asserts on (the pruning itself still happens either way).
+    val fact = spark.range(1, 1001)
+      .select(col("id").as("fk"), (col("id") * 2).as("v"))
+    val dim = Seq(5L, 17L, 400L).map(k => (k, s"d$k")).toDF("dk", "tag")
+    val bytes = graft.ops.BloomJoin.buildKeyFilter(dim, "dk", 100L, 0.01)
+    val survivors = fact.where(
+      org.apache.spark.sql.graftx.BloomExpressions
+        .bloomMightContain(col("fk"), bytes))
+    val kept = survivors.select("fk").as[Long].collect().toSet
+    // every dim key survives (no false negatives) ...
+    assert(Set(5L, 17L, 400L).subsetOf(kept))
+    // ... and the pre-join filter did real work at 0.3% selectivity
+    assert(kept.size < 100, s"pruned too little: ${kept.size} of 1000")
+    // the probe sits in the plan as a Filter upstream of the join
+    val plan = graft.ops.BloomJoin
+      .bloomPrunedJoin(fact, dim, "fk", "dk", 100L, 0.01)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain_long"),
+      s"bloom probe missing from plan:\n$plan")
+  }
 }
