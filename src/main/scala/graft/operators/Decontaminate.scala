@@ -90,6 +90,53 @@ object Decontaminate {
         greatest(col("n_grams"), lit(1L)).cast("double"))
   }
 
+  /** Exact-substring dedup — the span TRIMMER [[dupSpanReport]] feeds (Lee
+    * et al. 2022): rebuild every document with each token that is covered
+    * by a NON-FIRST occurrence of a duplicated word-n-gram removed. The
+    * globally-first occurrence of a span (minimum (id, position), a total
+    * order shared with the oracle) survives verbatim; every later
+    * occurrence — in another document or later in the same one — is cut.
+    * Documents shorter than n tokens pass through whole. Returns
+    * (id, n_toks, n_kept, kept_fp) with `kept_fp` = md5 of the kept tokens
+    * space-joined in position order (normalized-token space, same contract
+    * as the shingle chain).
+    *
+    * Scale shape: tokens and gram positions each explode once; the ONLY
+    * per-gram work is a row_number window over the 8-byte gram key (narrow
+    * shuffle, no text), and the ×n coverage expansion happens AFTER the
+    * duplicate filter — it amplifies only the spans actually being
+    * removed, then collapses through a distinct and an anti-join keyed on
+    * (id, position) longs. Reassembly is one groupBy(id) sort-collect.
+    */
+  def removeDupSpans(corpus: DataFrame, id: String, text: String, n: Int = 13,
+      unicode: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokArr = VectorExpressions.shingleArrAll(col(text), 1, unicode)
+    val toks = corpus.select(col(id), posexplode(tokArr).as(Seq("p", "tok")))
+    val grams = corpus
+      .select(col(id),
+        posexplode(VectorExpressions.shingleArrAll(col(text), n, unicode))
+          .as(Seq("pos", "g")))
+      .select(col(id), col("pos"), xxhash64(col("g")).as("gram"))
+    val wg = Window.partitionBy(col("gram")).orderBy(col(id), col("pos"))
+    val remove = grams.withColumn("__rn", row_number().over(wg))
+      .where(col("__rn") > 1)
+      .select(col(id),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+    val rebuilt = toks.join(remove, Seq(id, "p"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            e => e.getField("tok")))).as("kept_fp"))
+    corpus.select(col(id), size(tokArr).cast("long").as("n_toks"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id), col("n_toks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
+  }
+
   /** `corpus` with contaminated documents removed. The flagged-id set is
     * broadcast for the anti-join — the corpus side stays shuffle-free.
     */

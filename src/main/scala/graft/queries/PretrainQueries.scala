@@ -155,6 +155,17 @@ object PretrainQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact-substring span REMOVAL (the trimmer t_dup_spans feeds): every
+    // token covered by a non-first occurrence of a duplicated 13-gram is
+    // cut; the globally-first span survives. The oracle recomputes the
+    // whole keep/cut decision and the md5 of each rebuilt document — a
+    // hash match proves position-exact span arithmetic end to end.
+    "t_span_removal" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Decontaminate.removeDupSpans(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF salient term per document: argmax of tf/df with the df table
     // derived from the per-doc tf table (one tokenize, two narrow
     // aggregations). Ordering key is a single IEEE division — exactly
@@ -280,6 +291,36 @@ object PretrainQueries extends QueryPack {
         |  CAST(coalesce(n_dup, 0) AS DOUBLE)
         |    / CAST(greatest(coalesce(n_grams, 0), 1) AS DOUBLE) AS dup_fraction
         |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "t_span_removal" ->
+      """WITH norm AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |    CASE WHEN length(t) = 0 THEN [] ELSE string_split(t, ' ') END AS w
+        |  FROM norm),
+        |tok AS (SELECT doc_id, i - 1 AS p, w[i] AS tok
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+        |sh AS (SELECT doc_id, i - 1 AS pos, list_aggregate(w[i:i+12], 'string_agg', ' ') AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 11)) AS i)
+        |  WHERE len(w) >= 13),
+        |r AS (SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+        |  FROM sh),
+        |rem AS (SELECT DISTINCT doc_id, pos + d AS p
+        |  FROM r, LATERAL (SELECT unnest(range(0, 13)) AS d)
+        |  WHERE rn > 1),
+        |kept AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    md5(string_agg(t.tok, ' ' ORDER BY t.p)) AS kept_fp
+        |  FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM rem
+        |                    WHERE rem.doc_id = t.doc_id AND rem.p = t.p)
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(len(w) AS BIGINT) AS n_toks,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(kept_fp, md5('')) AS kept_fp
+        |FROM toks d LEFT JOIN kept USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "t_tfidf_top" ->

@@ -211,6 +211,29 @@ class PretrainSpec extends AnyFunSuite {
     assert(str == got)
   }
 
+  test("span removal: first occurrence survives, later spans cut, coverage exact") {
+    import graft.operators.Decontaminate
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val corpus = Seq(
+      (1L, "s1 s2 s3 x y"),        // holds the FIRST "s1 s2 s3" → untouched
+      (2L, "g s1 s2 s3 d"),        // dup span at p1..3 cut → keeps "g d"
+      (3L, "u1 u2 u3 u1 u2 u3"),   // intra-doc repeat: second copy cut
+      (4L, "zz"),                  // < n tokens: passes through whole
+      (5L, "")                     // empty doc: 0 tokens, md5("")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.removeDupSpans(corpus, "doc_id", "text", n = 3)
+      .select($"doc_id", $"n_toks", $"n_kept", $"kept_fp")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((5L, 5L, md5hex("s1 s2 s3 x y"))))
+    assert(got(2L) == ((5L, 2L, md5hex("g d"))))
+    assert(got(3L) == ((6L, 3L, md5hex("u1 u2 u3"))))
+    assert(got(4L) == ((1L, 1L, md5hex("zz"))))
+    assert(got(5L) == ((0L, 0L, md5hex(""))))
+  }
+
   test("decontaminate flags exactly the docs sharing a 13-gram with the benchmark") {
     import graft.operators.Decontaminate
     val bench = Seq((100L, benchWords)).toDF("doc_id", "text")
