@@ -18,8 +18,8 @@ class IoSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-csv").toString
     val df = graft.datagen.TransactionGen.generate(spark, 100)
     df.write.option("header", "true").csv(s"$dir/out")
-    val back = spark.read.schema(df.schema).option("header", "true")
-      .csv(s"$dir/out")
+    val back = graft.io.Sources.csvScan(spark, s"$dir/out", df.schema)
+      .drop("_corrupt_record")
     assert(back.count() == 100)
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
@@ -28,11 +28,31 @@ class IoSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-orc").toString
     val df = graft.datagen.TransactionGen.generate(spark, 100)
     df.write.orc(s"$dir/out")
-    val back = spark.read.orc(s"$dir/out")
+    val back = graft.io.Sources.orcScan(spark, s"$dir/out")
     // a format read is always nullable — compare names and types
     assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("csvScan routes malformed lines to _corrupt_record, keeps good rows") {
+    val dir = Files.createTempDirectory("graft-csv-bad").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part.csv"),
+      "id,amount\n1,10.5\n2,not_a_number\n3,7.25\n".getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("amount",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    // cache: Spark disallows filtering ONLY the corrupt column off a raw scan
+    val got = graft.io.Sources.csvScan(spark, dir, schema).cache()
+    try {
+      assert(got.count() == 3)
+      assert(got.filter($"_corrupt_record".isNotNull).count() == 1)
+      assert(got.filter($"_corrupt_record".isNull).count() == 2)
+    } finally got.unpersist()
   }
 
   test("compacted write: one file per partition dir, naive write many") {
