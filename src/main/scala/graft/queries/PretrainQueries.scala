@@ -166,6 +166,44 @@ object PretrainQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // LEARNED BPE tokenizer gate: the distributed word-count pass feeds a
+    // deterministic driver-side merge trainer (count desc, pair asc ties —
+    // mirrored exactly by the oracle's argmax), and the learned merges bake
+    // into the codegen'd bpe_encode projection. Oracle-checked: the first
+    // merge pair + its weighted count and the corpus word total recomputed
+    // in SQL; plus three zero-violation invariants the encoder must hold
+    // corpus-wide (round-trip, token count ≤ char count, closed vocab).
+    "t_bpe_check" -> ((s, dir) => {
+      import graft.ops.Bpe
+      import org.apache.spark.sql.graftx.{BpeExpressions, VectorExpressions}
+      val docs = Tables.load(s, dir, "documents")
+      val wc = Bpe.wordCounts(docs, "text").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val merges = Bpe.train(wc, numMerges = 30)
+      val vocabArr = Bpe.vocab(wc, merges).toSeq.sorted
+      // first-pair count recomputed driver-side with the trainer's weights
+      val firstN = wc.iterator.flatMap { case (w, c) =>
+        w.sliding(2).filter(_.length == 2).map(p => (p, c))
+      }.foldLeft(Map.empty[String, Long]) { case (m, (p, c)) =>
+        m.updated(p, m.getOrElse(p, 0L) + c)
+      }(merges.head._1 + merges.head._2)
+      val toks = BpeExpressions.bpeEncode(col("text"), merges)
+      val chars = array_join(
+        VectorExpressions.shingleArrAll(col("text"), 1), "")
+      docs.select(
+          (array_join(toks, "") =!= chars).cast("long").as("rt"),
+          (size(toks) > length(chars)).cast("long").as("mono"),
+          (size(array_except(array_distinct(toks),
+            typedLit(vocabArr))) > 0).cast("long").as("ov"))
+        .agg(sum(col("rt")).as("rt_viol"), sum(col("mono")).as("mono_viol"),
+          sum(col("ov")).as("vocab_viol"))
+        .select(
+          lit(merges.head._1 + " " + merges.head._2).as("first_pair"),
+          lit(firstN).as("first_pair_n"),
+          lit(wc.map(_._2).sum).as("n_words"),
+          col("rt_viol"), col("mono_viol"), col("vocab_viol"))
+    }),
+
     // TF-IDF salient term per document: argmax of tf/df with the df table
     // derived from the per-doc tf table (one tokenize, two narrow
     // aggregations). Ordering key is a single IEEE division — exactly
@@ -292,6 +330,24 @@ object PretrainQueries extends QueryPack {
         |    / CAST(greatest(coalesce(n_grams, 0), 1) AS DOUBLE) AS dup_fraction
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "t_bpe_check" ->
+      """WITH norm AS (SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents),
+        |wo AS (SELECT unnest(string_split(t, ' ')) AS word
+        |  FROM norm WHERE length(t) > 0),
+        |w AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM wo GROUP BY word),
+        |p AS (SELECT substring(word, i, 1) || ' ' || substring(word, i + 1, 1) AS pair,
+        |    CAST(sum(c) AS BIGINT) AS n
+        |  FROM w, LATERAL (SELECT unnest(range(1, length(word))) AS i)
+        |  GROUP BY pair)
+        |SELECT
+        |  (SELECT pair FROM p ORDER BY n DESC, pair LIMIT 1) AS first_pair,
+        |  (SELECT n FROM p ORDER BY n DESC, pair LIMIT 1) AS first_pair_n,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM wo) AS n_words,
+        |  CAST(0 AS BIGINT) AS rt_viol,
+        |  CAST(0 AS BIGINT) AS mono_viol,
+        |  CAST(0 AS BIGINT) AS vocab_viol""".stripMargin,
 
     "t_span_removal" ->
       """WITH norm AS (SELECT doc_id,

@@ -211,6 +211,40 @@ class PretrainSpec extends AnyFunSuite {
     assert(str == got)
   }
 
+  test("bpe train: hand-computed merge sequence, deterministic tiebreak") {
+    import graft.ops.Bpe
+    // the classic BPE teaching corpus. Round 1 pair counts: (u,g)=20
+    // (p,u)=17 (u,n)=16 (h,u)=15 (b,u)=4 (g,s)=5 → merge ug. Round 2:
+    // (u,n)=16 (h,ug)=15 (p,u→p,ug)=5... → merge un. Round 3: (h,ug)=15.
+    val counts = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L),
+      ("hugs", 5L))
+    assert(Bpe.train(counts, 3) == Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+    // exact tie on counts → lexicographically smaller pair merges first
+    assert(Bpe.train(Seq(("ab", 2L), ("cd", 2L)), 1) == Seq(("a", "b")))
+    // early stop: single-char words have no pairs
+    assert(Bpe.train(Seq(("a", 9L), ("b", 1L)), 5) == Seq())
+  }
+
+  test("bpe encode: greedy lowest-rank apply, round-trip, unseen chars pass") {
+    import graft.ops.Bpe
+    import org.apache.spark.sql.graftx.BpeExpressions
+    val counts = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L),
+      ("hugs", 5L))
+    val merges = Bpe.train(counts, 3)
+    val got = Seq("Hugs, bun!", "mug", "", "pun hug pug")
+      .toDF("text")
+      .select(BpeExpressions.bpeEncode($"text", merges).as("t"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("hug", "s", "b", "un")) // normalize then encode
+    assert(got(1) == Seq("m", "ug")) // 'm' unseen: single-char token
+    assert(got(2) == Seq())
+    assert(got(3) == Seq("p", "un", "hug", "p", "ug"))
+    // round-trip: concatenated tokens == normalized text minus spaces
+    got.zip(Seq("hugsbun", "mug", "", "punhugpug")).foreach {
+      case (toks, want) => assert(toks.mkString == want)
+    }
+  }
+
   test("span removal: first occurrence survives, later spans cut, coverage exact") {
     import graft.operators.Decontaminate
     def md5hex(s: String): String = java.security.MessageDigest
