@@ -191,4 +191,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("theta sketches aggregate two-phase: raw keys never all shuffle") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftx.ThetaExpressions.thetaAgg
+    val p = graft.Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(thetaAgg(col("o_custkey")).as("sk"))
+      .queryExecution.explainString(FormattedMode)
+    // imperative sketch buffers plan as ObjectHashAggregate with a
+    // partial pass before the exchange — the shuffle carries sketches
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("(?s)ObjectHashAggregate.*Exchange.*ObjectHashAggregate".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("bpe encoding is a zero-shuffle scan projection") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.graftx.BpeExpressions
+        .bpeEncode(col("text"), Seq(("a", "b"), ("ab", "c"))).as("toks"))
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("bpe_encode"), p)
+  }
+
+  test("span removal: no cartesian; gram/coverage shuffles carry no text") {
+    val p = plan("t_span_removal")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    val argLines = p.linesIterator.filter(l =>
+      l.contains("Arguments:") && l.contains("hashpartitioning")).toSeq
+    assert(argLines.nonEmpty)
+    assert(argLines.forall(l => !l.contains("text") && !l.contains(" g#")),
+      argLines.mkString("\n"))
+  }
 }
