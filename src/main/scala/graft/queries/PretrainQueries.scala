@@ -204,6 +204,27 @@ object PretrainQueries extends QueryPack {
           col("rt_viol"), col("mono_viol"), col("vocab_viol"))
     }),
 
+    // CCNet-style LM quality scoring: train an add-one-smoothed char-bigram
+    // LM on the corpus (one bounded-output distributed count, driver-side
+    // table build), score every doc under it as a zero-shuffle codegen
+    // projection. Log-probs are quantized to integer micro-nats at train
+    // time, so each doc's score is an integer sum — engine-exact and
+    // summation-order-free — and the oracle retrains the ENTIRE model in
+    // SQL and re-derives every score value.
+    "t_charlm_score" -> ((s, dir) => {
+      import graft.ops.CharLm
+      import org.apache.spark.sql.graftx.CharLmExpressions
+      val docs = Tables.load(s, dir, "documents")
+      val bg = CharLm.bigramCounts(docs, "text").collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+      val model = CharLm.train(bg)
+      docs.select(col("doc_id"),
+          CharLmExpressions.charLmScore(col("text"), model).as("s"))
+        .select(col("doc_id"), col("s.n_bi").as("n_bi"),
+          col("s.sum_q").as("sum_q"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF salient term per document: argmax of tf/df with the df table
     // derived from the per-doc tf table (one tokenize, two narrow
     // aggregations). Ordering key is a single IEEE division — exactly
@@ -329,6 +350,27 @@ object PretrainQueries extends QueryPack {
         |  CAST(coalesce(n_dup, 0) AS DOUBLE)
         |    / CAST(greatest(coalesce(n_grams, 0), 1) AS DOUBLE) AS dup_fraction
         |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "t_charlm_score" ->
+      """WITH norm AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id, substring(t, i, 1) AS c1, substring(t, i + 1, 1) AS c2
+        |  FROM norm, LATERAL (SELECT unnest(range(1, length(t))) AS i)
+        |  WHERE length(t) >= 2),
+        |uni AS (SELECT c1, CAST(count(*) AS BIGINT) AS u FROM bg GROUP BY c1),
+        |bi AS (SELECT c1, c2, CAST(count(*) AS BIGINT) AS b FROM bg GROUP BY c1, c2),
+        |v AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS v
+        |  FROM (SELECT c1 AS c FROM bg UNION ALL SELECT c2 AS c FROM bg)),
+        |q AS (SELECT c1, c2,
+        |    CAST(round(ln(CAST(b + 1 AS DOUBLE) / CAST(u + v AS DOUBLE)) * 1000000) AS BIGINT) AS lq
+        |  FROM bi JOIN uni USING (c1), v),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi,
+        |    CAST(sum(lq) AS BIGINT) AS sum_q
+        |  FROM bg JOIN q USING (c1, c2) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_bi, 0) AS n_bi, coalesce(sum_q, 0) AS sum_q
+        |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "t_bpe_check" ->

@@ -245,6 +245,37 @@ class PretrainSpec extends AnyFunSuite {
     }
   }
 
+  test("char-bigram LM: hand-computed table, integer scores, unseen chars skip") {
+    import graft.ops.CharLm
+    import org.apache.spark.sql.graftx.CharLmExpressions
+    // corpus "ab ab": bigrams (a,b)x2, (b,' ')x1, (' ',a)x1
+    // alphabet sorted = " ab"; V=3; u(a)=2, u(b)=1, u(' ')=1
+    val corpus = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val bg = CharLm.bigramCounts(corpus, "text").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+    assert(bg.toMap == Map(("a", "b") -> 2L, ("b", " ") -> 1L, (" ", "a") -> 1L))
+    val m = CharLm.train(bg)
+    assert(m.alphabet == " ab")
+    def lq(b: Long, u: Long) =
+      Math.round(Math.log((b + 1).toDouble / (u + 3).toDouble) * 1e6)
+    val a = 3
+    assert(m.tableQ(1 * a + 2) == lq(2, 2)) // (a,b): ln(3/5) → -510826
+    assert(m.tableQ(2 * a + 0) == lq(1, 1)) // (b,' '): ln(2/4) → -693147
+    assert(m.tableQ(0 * a + 1) == lq(1, 1)) // (' ',a)
+    assert(m.tableQ(1 * a + 1) == lq(0, 2)) // unseen (a,a): ln(1/5)
+    // scoring: "ab ab" has 4 in-alphabet bigrams; "ab qz" skips pairs
+    // touching q/z (out of alphabet) and counts only (a,b) and (b,' ')
+    val scores = Seq((1L, "AB ab!"), (2L, "ab qz"))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        CharLmExpressions.charLmScore($"text", m).as("s"))
+      .select($"doc_id", $"s.n_bi", $"s.sum_q")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(scores(1L) == ((4L, 2 * lq(2, 2) + 2 * lq(1, 1))))
+    assert(scores(2L) == ((2L, lq(2, 2) + lq(1, 1))))
+  }
+
   test("span removal: first occurrence survives, later spans cut, coverage exact") {
     import graft.operators.Decontaminate
     def md5hex(s: String): String = java.security.MessageDigest
