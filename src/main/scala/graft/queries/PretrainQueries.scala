@@ -204,6 +204,26 @@ object PretrainQueries extends QueryPack {
           col("rt_viol"), col("mono_viol"), col("vocab_viol"))
     }),
 
+    // Content-defined chunking: boundaries from a local rolling hash, so
+    // edits don't shift chunk identity and near-identical docs share
+    // interior chunks (the storage-dedup unit; chunk-level exact dedup is
+    // the existing hash groupBy). The oracle proves lossless reassembly
+    // per doc (md5 of concatenated chunks == md5 of the normalized text)
+    // and zero length-bound violations; the resynchronization and
+    // shared-middle properties are spec-proven on planted fixtures.
+    "t_cdc_chunks" -> ((s, dir) => {
+      import org.apache.spark.sql.graftx.ChunkExpressions
+      val docs = Tables.load(s, dir, "documents")
+      val chunks = ChunkExpressions.cdcChunks(col("text"))
+      docs.select(col("doc_id"),
+          md5(array_join(chunks, "")).as("chunks_fp"),
+          (size(filter(chunks, c => length(c) > 256)) > 0).cast("long")
+            .as("max_viol"),
+          (size(filter(slice(chunks, lit(1), greatest(size(chunks) - 1, lit(0))),
+            c => length(c) < 32)) > 0).cast("long").as("min_viol"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style LM quality scoring: train an add-one-smoothed char-bigram
     // LM on the corpus (one bounded-output distributed count, driver-side
     // table build), score every doc under it as a zero-shuffle codegen
@@ -351,6 +371,14 @@ object PretrainQueries extends QueryPack {
         |    / CAST(greatest(coalesce(n_grams, 0), 1) AS DOUBLE) AS dup_fraction
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "t_cdc_chunks" ->
+      """WITH norm AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents)
+        |SELECT doc_id, md5(t) AS chunks_fp,
+        |  CAST(0 AS BIGINT) AS max_viol, CAST(0 AS BIGINT) AS min_viol
+        |FROM norm ORDER BY doc_id""".stripMargin,
 
     "t_charlm_score" ->
       """WITH norm AS (SELECT doc_id,

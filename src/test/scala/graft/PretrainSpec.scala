@@ -245,6 +245,49 @@ class PretrainSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc chunking: lossless, bounded, resyncs after edits, shares middles") {
+    import org.apache.spark.sql.graftx.ChunkExpressions
+    // deterministic pseudo-random word stream (md5-derived, no RNG state)
+    def words(salt: String, n: Int): String = (0 until n).map { i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt-$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+    }.mkString(" ")
+    val base = words("base", 400) // ~2800 normalized chars
+    val shared = words("shared", 250)
+    val fixtures = Seq(
+      (1L, base),
+      (2L, "zzz " + base), // front edit: chunk stream must resync
+      (3L, words("pfxA", 40) + " " + shared + " " + words("sfxA", 40)),
+      (4L, words("pfxB", 40) + " " + shared + " " + words("sfxB", 40)),
+      (5L, "short doc"))
+    val got = fixtures.toDF("doc_id", "text")
+      .select($"doc_id",
+        ChunkExpressions.cdcChunks($"text").as("ch"))
+      .as[(Long, Seq[String])].collect().toMap
+    // lossless reassembly + bounds (last chunk may run short)
+    fixtures.foreach { case (id, raw) =>
+      val norm = raw.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+        .replaceAll(" +", " ").trim
+      assert(got(id).mkString == norm, s"doc $id not lossless")
+      assert(got(id).forall(_.length <= 256), s"doc $id over maxLen")
+      assert(got(id).dropRight(1).forall(_.length >= 32), s"doc $id under minLen")
+    }
+    // determinism across evaluations
+    val again = fixtures.toDF("doc_id", "text")
+      .select($"doc_id", ChunkExpressions.cdcChunks($"text").as("ch"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(again == got)
+    // front edit: the two chunk streams resynchronize — the tails agree
+    val t1 = got(1L); val t2 = got(2L)
+    val common = t1.reverse.zip(t2.reverse).takeWhile { case (a, b) => a == b }
+    assert(common.size >= t1.size / 2,
+      s"resync too weak: ${common.size} of ${t1.size} tail chunks shared")
+    // different docs sharing a long middle share interior chunks verbatim
+    val inter = got(3L).toSet.intersect(got(4L).toSet)
+    assert(inter.nonEmpty, "no shared interior chunks across docs 3/4")
+  }
+
   test("char-bigram LM: hand-computed table, integer scores, unseen chars skip") {
     import graft.ops.CharLm
     import org.apache.spark.sql.graftx.CharLmExpressions
