@@ -84,6 +84,46 @@ object TextQueries extends QueryPack {
         .orderBy(col("df").desc, col("bigram"))
         .limit(20)),
 
+    // PMI collocation mining: rank bigrams by pointwise mutual information
+    // ln(p(ab) / (p(a)·p(b))) — the informativeness-vs-frequency cut that
+    // raw bigram counts (t_top_bigrams) can't make. All counts are exact
+    // integers; the single ln is quantized to integer micro-nats with the
+    // IDENTICAL double-arithmetic shape in both engines, so the ranking
+    // and every output value hash-match. min-count 5 guards the
+    // low-frequency PMI explosion; two narrow groupBys + two broadcast
+    // unigram joins — nothing quadratic.
+    "t_pmi_top" -> ((s, dir) => {
+      import org.apache.spark.sql.graftx.VectorExpressions
+      val docs = Tables.load(s, dir, "documents")
+      val uni = docs.select(
+          explode(VectorExpressions.shingleArrAll(col("text"), 1)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val bi = docs.select(
+          explode(VectorExpressions.shingleArrAll(col("text"), 2)).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("np"))
+        .filter(col("np") >= 5)
+      // both totals from ONE scan: Σ per-doc array sizes, no extra explode
+      val tot = docs.agg(
+        sum(size(VectorExpressions.shingleArrAll(col("text"), 1))
+          .cast("long")).as("n_tok"),
+        sum(size(VectorExpressions.shingleArrAll(col("text"), 2))
+          .cast("long")).as("n_bi"))
+      val u1 = uni.select(col("w").as("w1"), col("cw").as("c1"))
+      val u2 = uni.select(col("w").as("w2"), col("cw").as("c2"))
+      bi.withColumn("w1", split(col("s"), " ").getItem(0))
+        .withColumn("w2", split(col("s"), " ").getItem(1))
+        .join(broadcast(u1), Seq("w1")).join(broadcast(u2), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("s").as("bigram"), col("np").as("n_pair"),
+          round(log(
+            (col("np").cast("double") * col("n_tok").cast("double") *
+              col("n_tok").cast("double")) /
+            (col("n_bi").cast("double") * col("c1").cast("double") *
+              col("c2").cast("double"))) * 1e6).cast("long").as("pmi_q"))
+        .orderBy(col("pmi_q").desc, col("bigram"))
+        .limit(20)
+    }),
+
     // Inverse-document-frequency flavor with integer-exact arithmetic: for
     // each doc, its globally rarest token (min df, alphabetical tiebreak).
     // The df join shuffles (token, df) longs; the per-doc argmin is a
@@ -271,6 +311,29 @@ object TextQueries extends QueryPack {
          |  WHERE len(w) >= 2 AND i + 1 <= len(w))
          |SELECT s AS bigram, count(*) AS df FROM sh2
          |GROUP BY s ORDER BY df DESC, bigram LIMIT 20""".stripMargin,
+
+    "t_pmi_top" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |uni AS (SELECT tok AS w1, CAST(count(*) AS BIGINT) AS cw
+         |  FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok),
+         |bi AS (SELECT s, CAST(count(*) AS BIGINT) AS np FROM (
+         |    SELECT w[i] || ' ' || w[i+1] AS s
+         |    FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+         |    WHERE len(w) >= 2 AND i + 1 <= len(w)) GROUP BY s
+         |  HAVING count(*) >= 5),
+         |tot AS (SELECT
+         |    (SELECT CAST(sum(cw) AS BIGINT) FROM uni) AS n_tok,
+         |    (SELECT CAST(sum(len(w) - 1) AS BIGINT)
+         |     FROM t WHERE len(w) >= 2) AS n_bi)
+         |SELECT s AS bigram, np AS n_pair,
+         |  CAST(round(ln(
+         |    (CAST(np AS DOUBLE) * CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE))
+         |    / (CAST(n_bi AS DOUBLE) * CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE))
+         |  ) * 1000000) AS BIGINT) AS pmi_q
+         |FROM bi CROSS JOIN tot
+         |JOIN uni u1 ON u1.w1 = string_split(s, ' ')[1]
+         |JOIN uni u2 ON u2.w1 = string_split(s, ' ')[2]
+         |ORDER BY pmi_q DESC, bigram LIMIT 20""".stripMargin,
 
     "t_rarest_term" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
