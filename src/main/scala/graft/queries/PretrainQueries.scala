@@ -267,6 +267,71 @@ object PretrainQueries extends QueryPack {
         .select(col("doc_id"), col("tok").as("top_term"), col("tf"),
           col("tok_df"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BM25 retrieval scoring (Robertson/Spärck Jones, k1=1.2 b=0.75): rank
+    // documents for a fixed query term set — the relevance cut a curation
+    // pipeline uses to pull topical slices out of a crawl. Per-(doc,term)
+    // contributions are quantized to integer micro-units BEFORE the per-doc
+    // sum (the t_charlm_score trick), so the score is an order-free integer
+    // sum and hash-exact cross-engine. Scale shape: the explode is filtered
+    // to the query terms immediately (rows ∝ query hits, not corpus
+    // tokens); df and corpus stats are tiny broadcasts; doc length rides
+    // the exploded rows so no doc-keyed join is needed.
+    "t_bm25_topk" -> ((s, dir) => {
+      val terms = Seq("data", "query", "dup")
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val stats = base.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("tot_dl"))
+      val tf = base.select(col("doc_id"),
+          size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val avgdl = col("tot_dl").cast("double") / col("n_docs").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      val contr = idf * (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(1.0) - lit(0.75) +
+            lit(0.75) * col("dl").cast("double") / avgdl))
+      tf.join(broadcast(dfreq), Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("dl"),
+          round(contr * lit(1e6)).cast("long").as("q"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("dl")).as("dl"), sum(col("q")).as("score_q"))
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Per-document unigram entropy — the information-density quality signal
+    // (boilerplate and template spam score low). Reported as TOTAL entropy
+    // in integer micro-nat·tokens: H_tot = n·ln n − Σ c·ln c with every ln
+    // quantized to micro-nats before the integer sums, so the value is
+    // order-free and exact in both engines. One explode + two narrow
+    // integer aggregations; nothing wide survives the explode.
+    "t_token_entropy" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val perDoc = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"),
+          sum(round(log(col("c").cast("double")) * lit(1e6)).cast("long") *
+            col("c")).as("clnc_q"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+          coalesce(
+            round(log(col("n_tok").cast("double")) * lit(1e6)).cast("long") *
+              col("n_tok") - col("clnc_q"), lit(0L)).as("ent_q"))
+        .orderBy(col("doc_id"))
     }))
 
   override def oracleSql: Map[String, String] = Map(
@@ -460,5 +525,48 @@ object PretrainQueries extends QueryPack {
          |  FROM tf JOIN dfq USING (tok))
          |SELECT doc_id, tok AS top_term, CAST(tf AS BIGINT) AS tf,
          |  CAST(tok_df AS BIGINT) AS tok_df
-         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "t_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, ${TextQueries.toksSql} AS w FROM documents),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(w)) AS BIGINT) AS tot_dl FROM t),
+         |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         |          unnest(w) AS tok FROM t)
+         |  WHERE tok IN ('data', 'query', 'dup')
+         |  GROUP BY doc_id, dl, tok),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY tok),
+         |c AS (SELECT doc_id, dl, CAST(round(
+         |    ln(CAST(1.0 AS DOUBLE)
+         |       + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |         / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |    * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |    / (CAST(tf AS DOUBLE)
+         |       + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+         |         + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+         |           / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         |    * 1000000) AS BIGINT) AS q
+         |  FROM tf CROSS JOIN stats JOIN dfq USING (tok))
+         |SELECT doc_id, CAST(max(dl) AS BIGINT) AS dl,
+         |  CAST(sum(q) AS BIGINT) AS score_q
+         |FROM c GROUP BY doc_id
+         |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
+
+    "t_token_entropy" ->
+      s"""WITH t AS (SELECT doc_id, ${TextQueries.toksSql} AS w FROM documents),
+         |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+         |  GROUP BY doc_id, tok),
+         |p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         |    CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) * c)
+         |      AS BIGINT) AS clnc_q
+         |  FROM c GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(n_tok, CAST(0 AS BIGINT)) AS n_tok,
+         |  COALESCE(CAST(round(ln(CAST(n_tok AS DOUBLE)) * 1000000) AS BIGINT)
+         |    * n_tok - clnc_q, CAST(0 AS BIGINT)) AS ent_q
+         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
 }

@@ -403,4 +403,36 @@ class PretrainSpec extends AnyFunSuite {
     val plan = hashed.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  // ---- BM25 + token entropy ------------------------------------------
+
+  private def miniDocs(rows: (Long, String)*): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    rows.toSeq.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("token entropy: repeated-token doc is 0, all-distinct is n*q(n), empty is 0") {
+    val dir = miniDocs(
+      1L -> "spam spam spam spam", // one token type: H_tot = 0
+      2L -> "a b c d",             // uniform: H_tot = n ln n (all c = 1)
+      3L -> "")                    // no tokens at all
+    val r = SparkEntry.queries("t_token_entropy")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val q4 = math.round(math.log(4.0) * 1e6)
+    assert(r == Seq((1L, 4L, 0L), (2L, 4L, 4L * q4), (3L, 0L, 0L)))
+  }
+
+  test("bm25: more query-term hits at equal length ranks higher; no-hit docs absent") {
+    val dir = miniDocs(
+      1L -> "data data query x", // two terms, three hits
+      2L -> "data x y z",        // one hit, same doc length
+      3L -> "x y z w")           // zero query-term hits
+    val r = SparkEntry.queries("t_bm25_topk")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r.map(_._1) == Seq(1L, 2L), s"unexpected ranking: $r")
+    assert(r(0)._3 > r(1)._3, "more hits must outscore at equal dl")
+    assert(r.forall(_._2 == 4L))
+  }
 }
