@@ -284,12 +284,15 @@ object PretrainQueries extends QueryPack {
         .select(col("doc_id"), tokens(col("text")).as("toks"))
       val stats = base.agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("tot_dl"))
+      // staged: ≤ |docs with a hit| × |terms| narrow rows — without it the
+      // corpus-wide tokenize+explode+shuffle runs twice (once per consumer)
       val tf = base.select(col("doc_id"),
           size(col("toks")).cast("long").as("dl"),
           explode(col("toks")).as("tok"))
         .filter(col("tok").isin(terms: _*))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        .localCheckpoint()
       val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val avgdl = col("tot_dl").cast("double") / col("n_docs").cast("double")
       val idf = log(lit(1.0) +

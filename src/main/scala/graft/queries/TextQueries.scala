@@ -95,19 +95,22 @@ object TextQueries extends QueryPack {
     "t_pmi_top" -> ((s, dir) => {
       import org.apache.spark.sql.graftx.VectorExpressions
       val docs = Tables.load(s, dir, "documents")
+      // vocab-size count tables staged ONCE: the corpus is scanned exactly
+      // twice (unigram explode + bigram explode); u1/u2 and both totals are
+      // derived from the staged tables, not extra corpus passes (unstaged,
+      // Spark re-tokenized the corpus for each of the four consumers)
       val uni = docs.select(
           explode(VectorExpressions.shingleArrAll(col("text"), 1)).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-      val bi = docs.select(
+        .localCheckpoint()
+      val biAll = docs.select(
           explode(VectorExpressions.shingleArrAll(col("text"), 2)).as("s"))
         .groupBy(col("s")).agg(count(lit(1)).as("np"))
-        .filter(col("np") >= 5)
-      // both totals from ONE scan: Σ per-doc array sizes, no extra explode
-      val tot = docs.agg(
-        sum(size(VectorExpressions.shingleArrAll(col("text"), 1))
-          .cast("long")).as("n_tok"),
-        sum(size(VectorExpressions.shingleArrAll(col("text"), 2))
-          .cast("long")).as("n_bi"))
+        .localCheckpoint()
+      val bi = biAll.filter(col("np") >= 5)
+      // totals are Σ over the count tables — identical values by definition
+      val tot = uni.agg(sum(col("cw")).as("n_tok"))
+        .crossJoin(biAll.agg(sum(col("np")).as("n_bi")))
       val u1 = uni.select(col("w").as("w1"), col("cw").as("c1"))
       val u2 = uni.select(col("w").as("w2"), col("cw").as("c2"))
       bi.withColumn("w1", split(col("s"), " ").getItem(0))
