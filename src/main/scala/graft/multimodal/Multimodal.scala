@@ -164,6 +164,68 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor RGB resize of a decoded interleaved pixel stream:
+    * output pixel (x, y) samples source (⌊x·w/rw⌋, ⌊y·h/rh⌋) — the standard
+    * integer floor mapping, exact for up- and downscale. Pure function over
+    * the decoded array; no allocation beyond the output buffer.
+    */
+  def resizeNearest(px: Array[Byte], w: Int, h: Int,
+      rw: Int, rh: Int): Array[Byte] = {
+    require(rw > 0 && rh > 0, s"bad target dims ${rw}x$rh")
+    val out = new Array[Byte](rw * rh * 3)
+    var y = 0
+    var o = 0
+    while (y < rh) {
+      val sy = y * h / rh
+      var x = 0
+      while (x < rw) {
+        val sx = x * w / rw
+        val s = (sy * w + sx) * 3
+        out(o) = px(s); out(o + 1) = px(s + 1); out(o + 2) = px(s + 2)
+        o += 3
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL resize stage: decode (BMP de-pad / PNG inflate+defilter), halve
+    * both axes with [[resizeNearest]], and report exact channel sums of the
+    * RESIZED stream — recomputable by the oracle from (doc_id, text), so a
+    * hash match proves decode AND resample byte-for-byte. Same per-partition
+    * batch shape as the other decode stages; bytes never shuffle.
+    */
+  case class ResizeStats(
+      media_id: Long,
+      src_w: Int,
+      src_h: Int,
+      out_w: Int,
+      out_h: Int,
+      c0_sum: Long,
+      c1_sum: Long,
+      c2_sum: Long)
+
+  def resizeStats(media: Dataset[MediaRecord]): Dataset[ResizeStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        ImageCodec.decodePixels(r.bytes) match {
+          case Some((w, h, px)) =>
+            val rw = math.max(1, w / 2)
+            val rh = math.max(1, h / 2)
+            val rp = resizeNearest(px, w, h, rw, rh)
+            val sums = new Array[Long](3)
+            var i = 0
+            while (i < rp.length) { sums(i % 3) += rp(i) & 0xFF; i += 1 }
+            ResizeStats(r.media_id, w, h, rw, rh, sums(0), sums(1), sums(2))
+          case None => ResizeStats(r.media_id, -1, -1, 0, 0, 0L, 0L, 0L)
+        }
+      }
+    }
+  }
+
   /** Feature extraction: one decoder instance per partition, records
     * processed as a batch iterator (the mapInPandas-equivalent shape).
     */

@@ -51,6 +51,16 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("media_id"), col("frame_index"))
     }),
 
+    // REAL resize: decode (BMP de-pad / PNG inflate+defilter), halve both
+    // axes by nearest-neighbor, sum the RESIZED channels. The oracle
+    // recomputes each resized pixel's source byte straight from
+    // (doc_id, text) with the same floor mapping — a hash match proves
+    // decode AND resample byte-for-byte.
+    "m_resize_stats" -> ((s, dir) =>
+      Multimodal.resizeStats(
+        Multimodal.imageTable(Tables.load(s, dir, "documents"))).toDF()
+        .orderBy(col("media_id"))),
+
     // REAL audio decode: payloads are genuine RIFF/WAVE PCM16 files; every
     // output field is parsed from the fmt/data chunks and sample_sum is
     // recomputed from the decoded PCM stream. The oracle recomputes all of
@@ -96,6 +106,29 @@ object MultimodalQueries extends QueryPack {
          |SELECT doc_id AS media_id,
          |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
          |  CAST(w * h AS BIGINT) AS n_pixels,
+         |  ${chan(0)}, ${chan(1)}, ${chan(2)}
+         |FROM d ORDER BY media_id""".stripMargin
+    },
+
+    "m_resize_stats" -> {
+      // resized pixel (x, y) samples source (x*w//w2, y*h//h2); its channel-c
+      // byte sits at stream position (sy*w + sx)*3 + c, which the encoder
+      // filled with text byte (pos mod len)
+      def chan(c: Int) =
+        s"""CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST(list_sum(list_transform(range(0, w2 * h2),
+           |      j -> ord(substr(text, CAST(
+           |        (((j // w2) * h // h2 * w + (j % w2) * w // w2) * 3 + $c)
+           |          % length(text) AS INTEGER) + 1, 1))))
+           |      AS BIGINT) END AS c${c}_sum""".stripMargin
+      s"""WITH d AS (SELECT doc_id, text,
+         |    doc_id % 64 + 16 AS w, doc_id % 48 + 12 AS h,
+         |    greatest((doc_id % 64 + 16) // 2, 1) AS w2,
+         |    greatest((doc_id % 48 + 12) // 2, 1) AS h2
+         |  FROM documents)
+         |SELECT doc_id AS media_id,
+         |  CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+         |  CAST(w2 AS INTEGER) AS out_w, CAST(h2 AS INTEGER) AS out_h,
          |  ${chan(0)}, ${chan(1)}, ${chan(2)}
          |FROM d ORDER BY media_id""".stripMargin
     },

@@ -227,4 +227,40 @@ class MultimodalSpec extends AnyFunSuite {
       .filter($"n" =!= ceil(($"doc_id" % 6 + 2) / lit(2.0)).cast("long"))
     assert(counts.count() == 0)
   }
+
+  test("resizeNearest: floor mapping, identity, and single-pixel clamp") {
+    // 4x2 RGB: pixel (x,y) holds value (y*4+x) in all three channels
+    val px = Array.tabulate(4 * 2 * 3)(i => (i / 3).toByte)
+    // halve: (0,0)<-src(0,0)=0, (1,0)<-src(2,0)=2
+    assert(Multimodal.resizeNearest(px, 4, 2, 2, 1).toSeq ==
+      Seq(0, 0, 0, 2, 2, 2).map(_.toByte))
+    // identity target returns the stream unchanged
+    assert(Multimodal.resizeNearest(px, 4, 2, 4, 2).toSeq == px.toSeq)
+    // 1x1 target samples the top-left pixel
+    assert(Multimodal.resizeNearest(px, 4, 2, 1, 1).toSeq ==
+      Seq(0, 0, 0).map(_.toByte))
+    // upscale 2x duplicates source pixels (0,0,1,1 per row)
+    assert(Multimodal.resizeNearest(px, 4, 2, 8, 1).map(_.toInt).toSeq ==
+      Seq(0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3))
+  }
+
+  test("resizeStats halves fixture dims and matches a hand-recomputed sum") {
+    val stats = Multimodal.resizeStats(Multimodal.imageTable(docs)).toDF()
+    val badDims = stats.join(docs, $"media_id" === $"doc_id")
+      .filter($"out_w" =!= greatest(($"doc_id" % 64 + 16).cast("int") / 2, lit(1)).cast("int") ||
+        $"out_h" =!= greatest(($"doc_id" % 48 + 12).cast("int") / 2, lit(1)).cast("int"))
+    assert(badDims.count() == 0)
+    // hand-recompute channel-0 sum for one doc from its text bytes
+    val row = docs.orderBy($"doc_id").select($"doc_id", $"text")
+      .as[(Long, String)].head()
+    val (id, text) = row
+    val (w, h) = ((id % 64).toInt + 16, (id % 48).toInt + 12)
+    val (w2, h2) = (math.max(1, w / 2), math.max(1, h / 2))
+    val tb = text.getBytes("UTF-8")
+    val expect = (0 until w2 * h2).map { j =>
+      val pos = ((j / w2) * h / h2 * w + (j % w2) * w / w2) * 3
+      if (tb.isEmpty) 0L else (tb(pos % tb.length) & 0xFF).toLong
+    }.sum
+    assert(stats.filter($"media_id" === id).head().getAs[Long]("c0_sum") == expect)
+  }
 }
