@@ -57,6 +57,25 @@ object PretrainQueries extends QueryPack {
       | || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
       | ELSE text END""".stripMargin.replace("\n", "")
 
+  /** Deterministic per-doc source URL (crawl-metadata stand-in): host
+    * `sub{id%5}.site{id%97}.{tld}` with tld by id%4, path `/p/{id}`.
+    * Mirrored verbatim in the oracle SQL.
+    */
+  private def injectedUrl = {
+    val id = col("doc_id")
+    val tld = element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
+      (pmod(id, lit(4)) + 1).cast("int"))
+    concat(lit("http://sub"), pmod(id, lit(5)).cast("string"),
+      lit(".site"), pmod(id, lit(97)).cast("string"),
+      lit("."), tld, lit("/p/"), id.cast("string"))
+  }
+
+  private val injectedUrlSql =
+    """'http://sub' || CAST(doc_id % 5 AS VARCHAR)
+      | || '.site' || CAST(doc_id % 97 AS VARCHAR)
+      | || '.' || (['com', 'org', 'net', 'io'])[CAST(doc_id % 4 AS INTEGER) + 1]
+      | || '/p/' || CAST(doc_id AS VARCHAR)""".stripMargin.replace("\n", "")
+
   /** Raw whitespace token count (0 for blank), shared by packing. */
   private def rawTokCount = when(length(trim(col("text"))) === 0, lit(0))
     .otherwise(size(split(trim(col("text")), "\\s+"))).cast("int")
@@ -312,6 +331,29 @@ object PretrainQueries extends QueryPack {
         .limit(20)
     }),
 
+    // Crawl-domain analytics: URL → host via the codegen'd parse_url
+    // builtin, registrable domain + tld by label split, per-domain doc/char
+    // rollup with a blocklist cut — the standard crawl-curation step
+    // (domain quotas + blocklists) over crawl metadata. Per-row projection
+    // then ONE narrow groupBy on the domain string; the blocklist is a
+    // literal IN filter (a real pipeline would broadcast-anti-join a
+    // blocklist table — j_anti_customers covers that join shape).
+    "t_domain_stats" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val host = parse_url(injectedUrl, lit("HOST"))
+      val labels = split(host, "\\.")
+      val domain = concat_ws(".",
+        element_at(labels, size(labels) - 1), element_at(labels, size(labels)))
+      val blocked = Seq("site13.com", "site42.net")
+      docs.select(col("doc_id"), col("n_chars"), domain.as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          max(col("domain").isin(blocked: _*).cast("int")).as("is_blocked"))
+        .orderBy(col("n_docs").desc, col("domain"))
+        .limit(30)
+    }),
+
     // Per-document unigram entropy — the information-density quality signal
     // (boilerplate and template spam score low). Reported as TOTAL entropy
     // in integer micro-nat·tokens: H_tot = n·ln n − Σ c·ln c with every ln
@@ -556,6 +598,20 @@ object PretrainQueries extends QueryPack {
          |  CAST(sum(q) AS BIGINT) AS score_q
          |FROM c GROUP BY doc_id
          |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
+
+    "t_domain_stats" ->
+      s"""WITH u AS (SELECT doc_id, n_chars, $injectedUrlSql AS url FROM documents),
+         |h AS (SELECT doc_id, n_chars,
+         |    string_split(regexp_extract(url, '^http://([^/]+)', 1), '.') AS ls
+         |  FROM u),
+         |d AS (SELECT doc_id, n_chars,
+         |    ls[len(ls) - 1] || '.' || ls[len(ls)] AS domain FROM h)
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(max(CASE WHEN domain IN ('site13.com', 'site42.net')
+         |    THEN 1 ELSE 0 END) AS INTEGER) AS is_blocked
+         |FROM d GROUP BY domain
+         |ORDER BY n_docs DESC, domain LIMIT 30""".stripMargin,
 
     "t_token_entropy" ->
       s"""WITH t AS (SELECT doc_id, ${TextQueries.toksSql} AS w FROM documents),
