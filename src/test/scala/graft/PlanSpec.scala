@@ -216,6 +216,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bpe_encode"), p)
   }
 
+  test("pmi and bm25 stage count tables: corpus scans don't repeat per consumer") {
+    // PMI: unigram/bigram tables staged once, totals derived from them —
+    // the final plan reads ONLY the staged RDDs, zero parquet re-scans
+    val pmi = plan("t_pmi_top")
+    assert(!pmi.contains("Scan parquet"), pmi)
+    // BM25: tf staged (feeds df + scoring); the only parquet scan left is
+    // the corpus-stats aggregate pass (simple-mode plan: one line per node)
+    val bm = SparkEntry.queries("t_bm25_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = bm.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected 1 corpus scan, got $scans\n$bm")
+  }
+
   test("span removal: no cartesian; gram/coverage shuffles carry no text") {
     val p = plan("t_span_removal")
     assert(!p.contains("CartesianProduct") &&

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{EventStreamAggs, IncrementalDedupStream, Sessionize, StreamDedup, StreamJoin}
+import graft.streaming.{EventStreamAggs, IncrementalDedupStream, Sessionize, StreamDedup, StreamEnrich, StreamJoin}
 
 /** Structured Streaming: watermarked windowed aggregation driven through a
   * real streaming query (file source → memory sink), checked against the
@@ -171,6 +171,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.nonEmpty)
       assert(streamed == batch)
     } finally q.stop()
+  }
+
+  test("stream-static dim enrichment equals the batch join and broadcasts") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"user_id", $"value")
+    // even user_ids only, so odd-id events exercise the left-join null path
+    val dim = spark.range(0, 1000).filter($"id" % 2 === 0)
+      .select($"id".as("user_id"),
+        concat(lit("seg"), ($"id" % 5).cast("string")).as("segment"))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long, Double)]
+    val stream = ms.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = StreamEnrich.enrichWithDim(stream, dim, "user_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_stream").start()
+    try {
+      ms.addData(events.as[(Long, Timestamp, Long, Double)].collect().toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_stream")
+        .orderBy($"event_id").collect().toSeq
+      val batch = StreamEnrich.enrichWithDim(events, dim, "user_id")
+        .orderBy($"event_id").collect().toSeq
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+      // unmatched stream rows survive (left join), matched ones enrich
+      assert(streamed.exists(_.getAs[String]("segment") != null))
+      assert(streamed.exists(r => r.isNullAt(r.fieldIndex("segment"))))
+    } finally q.stop()
+    // stateless broadcast join: dim broadcasts, no state store operator
+    val p = StreamEnrich.enrichWithDim(events, dim, "user_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
   test("PII redaction and mixture keep run identically under readStream") {
