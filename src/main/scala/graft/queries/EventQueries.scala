@@ -37,6 +37,39 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Conversion funnel view→click→purchase: per user, the first view,
+    // the first click strictly after it, the first purchase strictly after
+    // that — the sequential-pattern query behind conversion dashboards.
+    // Three filtered min-aggregations and two equi-joins, all keyed on
+    // user_id (high cardinality — no hot reducer); the funnel root (users
+    // with ≥1 view) bounds every later stage. Missing stages surface as a
+    // sentinel timestamp (NULL timestamps cross the oracle compare as
+    // dtype noise).
+    "e_funnel_stages" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("ts2"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts2")).as("view_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts2") > col("view_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts2")).as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts2") > col("click_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts2")).as("purchase_ts"))
+      val sent = lit("9999-12-31 00:00:00").cast("timestamp")
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1) + col("click_ts").isNotNull.cast("int")
+            + col("purchase_ts").isNotNull.cast("int")).as("funnel_stage"),
+          col("view_ts"),
+          coalesce(col("click_ts"), sent).as("click_ts"),
+          coalesce(col("purchase_ts"), sent).as("purchase_ts"))
+        .orderBy(col("user_id"))
+    }),
+
     // Pivot: event-type counts per user as columns.
     "e_pivot_counts" -> ((s, dir) =>
       Tables.load(s, dir, "events")
@@ -86,6 +119,24 @@ object EventQueries extends QueryPack {
     "e_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "e_funnel_stages" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    date_trunc('second', ts) AS ts2 FROM events),
+        |v AS (SELECT user_id, min(ts2) AS view_ts FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(ts2) AS click_ts FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts2 > view_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(ts2) AS purchase_ts FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts2 > click_ts GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |  1 + CASE WHEN click_ts IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN purchase_ts IS NULL THEN 0 ELSE 1 END AS funnel_stage,
+        |  view_ts,
+        |  COALESCE(click_ts, TIMESTAMP '9999-12-31 00:00:00') AS click_ts,
+        |  COALESCE(purchase_ts, TIMESTAMP '9999-12-31 00:00:00') AS purchase_ts
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY v.user_id""".stripMargin,
 
     "e_lag_gaps" ->
       """SELECT event_id, user_id,

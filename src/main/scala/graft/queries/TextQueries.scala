@@ -28,6 +28,31 @@ object TextQueries extends QueryPack {
   private val stopSql =
     s"len(list_filter(toks, t -> list_contains(${inList(defaultStopwords)}, t)))"
 
+  /** Shared CTE chain producing q(doc_id, source, quality_score) with the
+    * bit-identical composite-score arithmetic (used by the per-source
+    * cutoff and the decile calibration oracles).
+    */
+  private def qualityScoredCte =
+    s"""t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, source,
+       |    CAST(length(text) AS INTEGER) AS char_len,
+       |    CAST(len(toks) AS INTEGER) AS ws_tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS INTEGER) AS punct_chars,
+       |    CAST($stopSql AS INTEGER) AS stopword_hits,
+       |    CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS avg_token_len
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, source,
+       |    0.25 * least(1.0, CAST(ws_tokens AS DOUBLE) / 50.0)
+       |    + 0.25 * (1.0 - least(1.0,
+       |        CAST(punct_chars AS DOUBLE) / CAST(greatest(char_len, 1) AS DOUBLE)))
+       |    + 0.25 * least(1.0,
+       |        CAST(stopword_hits AS DOUBLE) * 10.0 / CAST(greatest(ws_tokens, 1) AS DOUBLE))
+       |    + 0.25 * (1.0 - least(1.0, abs(avg_token_len - 5.0) / 5.0)) AS quality_score
+       |  FROM m)""".stripMargin
+
   override def queries: Map[String, Query] = Map(
     // Per-source quality cutoff: keep the best 20% of each source by the
     // composite quality score (ties by doc_id). Value-exact oracle: the
@@ -41,6 +66,28 @@ object TextQueries extends QueryPack {
       graft.ops.Sampling
         .topFractionPerStratum(scored, "source", "quality_score", "doc_id", 0.2)
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-source decile calibration of the quality score (CCNet-style
+    // source-relative banding): ntile(10) within each source ordered by the
+    // bit-identical score with doc_id tiebreak — rank-based, so the decile
+    // assignment is engine-exact with no float-threshold ambiguity; min/max
+    // per band are order statistics (no summation). One windowed pass per
+    // source partition, then a narrow groupBy — the same no-global-sort
+    // shape as the per-source cutoff.
+    "t_quality_deciles" -> ((s, dir) => {
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          qualityScore(col("text")).as("quality_score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      scored.withColumn("decile", ntile(10).over(w))
+        .groupBy(col("source"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("quality_score")).as("min_score"),
+          max(col("quality_score")).as("max_score"))
+        .orderBy(col("source"), col("decile"))
     }),
 
     "t_text_stats" -> ((s, dir) =>
@@ -237,31 +284,25 @@ object TextQueries extends QueryPack {
 
   override def oracleSql: Map[String, String] = Map(
     "t_quality_filter" ->
-      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
-         |m AS (
-         |  SELECT doc_id, source,
-         |    CAST(length(text) AS INTEGER) AS char_len,
-         |    CAST(len(toks) AS INTEGER) AS ws_tokens,
-         |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS INTEGER) AS punct_chars,
-         |    CAST($stopSql AS INTEGER) AS stopword_hits,
-         |    CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
-         |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS avg_token_len
-         |  FROM t),
-         |q AS (
-         |  SELECT doc_id, source,
-         |    0.25 * least(1.0, CAST(ws_tokens AS DOUBLE) / 50.0)
-         |    + 0.25 * (1.0 - least(1.0,
-         |        CAST(punct_chars AS DOUBLE) / CAST(greatest(char_len, 1) AS DOUBLE)))
-         |    + 0.25 * least(1.0,
-         |        CAST(stopword_hits AS DOUBLE) * 10.0 / CAST(greatest(ws_tokens, 1) AS DOUBLE))
-         |    + 0.25 * (1.0 - least(1.0, abs(avg_token_len - 5.0) / 5.0)) AS quality_score
-         |  FROM m)
+      s"""WITH $qualityScoredCte
          |SELECT doc_id, source, quality_score FROM q
          |QUALIFY row_number() OVER (PARTITION BY source
          |    ORDER BY quality_score DESC, doc_id)
          |  <= CEIL(CAST(0.2 AS DOUBLE)
          |    * CAST(COUNT(*) OVER (PARTITION BY source) AS DOUBLE))
          |ORDER BY doc_id""".stripMargin,
+
+    "t_quality_deciles" ->
+      s"""WITH $qualityScoredCte,
+         |d AS (SELECT source, doc_id, quality_score,
+         |    ntile(10) OVER (PARTITION BY source
+         |      ORDER BY quality_score DESC, doc_id) AS decile
+         |  FROM q)
+         |SELECT source, CAST(decile AS INTEGER) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(quality_score) AS min_score, max(quality_score) AS max_score
+         |FROM d GROUP BY source, decile
+         |ORDER BY source, decile""".stripMargin,
 
     "t_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
