@@ -61,4 +61,15 @@ object Sources {
     */
   def orcScan(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Parquet scan across schema generations (`mergeSchema`): a long-lived
+    * silver table accretes columns over time, and a 100 TB backfill to
+    * rewrite old files is exactly what a lakehouse avoids — instead the
+    * reader unions footer schemas and backfills missing columns as nulls.
+    * Off by default in Spark because footer-merging costs one footer read
+    * per file; use THIS reader only on evolved tables, `silverParquet`
+    * (latest-footer-wins) on homogeneous ones.
+    */
+  def parquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

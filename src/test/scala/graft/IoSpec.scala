@@ -14,6 +14,24 @@ class IoSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("evolved parquet: mergeSchema unions generations, nulls backfill") {
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    // generation 1: (id, amount); generation 2 adds channel
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount")
+      .write.parquet(s"$dir/t/g=1")
+    Seq((3L, 30.0, "web"), (4L, 40.0, "app")).toDF("id", "amount", "channel")
+      .write.parquet(s"$dir/t/g=2")
+    val df = graft.io.Sources.parquetEvolved(spark, s"$dir/t")
+    assert(df.columns.toSet == Set("id", "amount", "channel", "g"))
+    val rows = df.orderBy($"id")
+      .select($"id", $"channel").as[(Long, Option[String])].collect().toSeq
+    assert(rows == Seq((1L, None), (2L, None), (3L, Some("web")), (4L, Some("app"))))
+    // the latest-footer default reader would MISS gen-2 columns when a
+    // gen-1 footer wins; evolved tables must go through parquetEvolved
+    val plain = spark.read.parquet(s"$dir/t")
+    assert(plain.columns.toSet.subsetOf(df.columns.toSet))
+  }
+
   test("CSV roundtrip preserves values with explicit schema and header") {
     val dir = Files.createTempDirectory("graft-csv").toString
     val df = graft.datagen.TransactionGen.generate(spark, 100)
