@@ -70,6 +70,15 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Robust (median/MAD) outlier screen on event values per type — the
+    // data-quality gate that doesn't move when the anomalies themselves
+    // shift the mean. All statistics are order statistics of real data
+    // values (see ops.Robust), so the flagged counts are engine-exact.
+    "e_value_outliers" -> ((s, dir) =>
+      graft.ops.Robust.madOutlierStats(
+        Tables.load(s, dir, "events"), "event_type", "value", "event_id")
+        .orderBy(col("event_type"))),
+
     // Pivot: event-type counts per user as columns.
     "e_pivot_counts" -> ((s, dir) =>
       Tables.load(s, dir, "events")
@@ -119,6 +128,33 @@ object EventQueries extends QueryPack {
     "e_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "e_value_outliers" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |med AS (SELECT event_type,
+        |    max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS med
+        |  FROM r GROUP BY event_type),
+        |dev AS (SELECT e.event_type, e.event_id, abs(e.value - med) AS d, med
+        |  FROM events e JOIN med USING (event_type)),
+        |rd AS (SELECT event_type, d, med,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY d, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev),
+        |mad AS (SELECT event_type,
+        |    max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN d END) AS mad
+        |  FROM rd GROUP BY event_type)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  max(d.med) AS med, max(mad.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.d > CAST(3.0 AS DOUBLE) * mad.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  max(d.d) AS max_dev
+        |FROM dev d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "e_funnel_stages" ->
       """WITH e AS (SELECT user_id, event_type,

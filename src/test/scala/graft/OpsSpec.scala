@@ -322,4 +322,36 @@ class OpsSpec extends AnyFunSuite {
       width = 4096).as[(String, Long)].collect().head._2
     assert(est == 0L)
   }
+
+  test("MAD outliers: hand-computed stats; median immune to the outlier") {
+    import graft.ops.Robust
+    // values 1..9 plus one wild corrupt point: med = 5.5's lower → with
+    // n=10, rn = ceil(5) = 5 → med = 5.0; devs |x-5| = 4,3,2,1,0,1,2,3,4,995
+    // sorted: 0,1,1,2,2,3,3,4,4,995 → mad at rn 5 = 2.0; k=3 → cut 6.0 →
+    // only the corrupt 1000.0 flags
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }.toDF("k", "v", "id")
+    val r = Robust.madOutlierStats(df, "k", "v", "id")
+      .as[(String, Long, Double, Double, Long, Double)].collect().head
+    assert(r == (("g", 10L, 5.0, 2.0, 1L, 995.0)))
+    // robustness: a mean/stddev gate's center would sit at ~104.5, pulled
+    // entirely by the point it is supposed to flag — the median stays at 5
+    val mean = df.agg(avg($"v")).as[Double].head()
+    assert(math.abs(mean - 104.5) < 1e-9 && r._3 == 5.0)
+  }
+
+  test("MAD outliers: per-key independence and deterministic tie-break") {
+    import graft.ops.Robust
+    val df = Seq(
+      ("a", 1.0, 1L), ("a", 1.0, 2L), ("a", 1.0, 3L),
+      ("b", 2.0, 4L), ("b", 4.0, 5L), ("b", 100.0, 6L)).toDF("k", "v", "id")
+    val r = Robust.madOutlierStats(df, "k", "v", "id")
+      .orderBy($"k")
+      .as[(String, Long, Double, Double, Long, Double)].collect().toSeq
+    // a: all-equal values → med 1, mad 0, outliers = rows with dev > 0 = 0
+    assert(r.head == (("a", 3L, 1.0, 0.0, 0L, 0.0)))
+    // b: med = v at rn ceil(1.5)=2 → 4.0; devs 2,0,96 sorted 0,2,96 →
+    // mad at rn 2 = 2.0 → cut 6 → one outlier
+    assert(r(1) == (("b", 3L, 4.0, 2.0, 1L, 96.0)))
+  }
 }
