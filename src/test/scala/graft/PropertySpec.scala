@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{ImageCodec, Multimodal}
+import graft.ops.Sampling
+
+/** Randomized-coverage checks (seeded, so failures reproduce) for the pure
+  * driver-side kernels the distributed operators are built on: image codec
+  * round-trips, resize mapping, split-cutoff construction. No SparkSession,
+  * so hundreds of cases run in milliseconds.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(0x5eed5eedL)
+
+  test("PNG and BMP encode→decodePixels round-trips any pixel content") {
+    for (_ <- 1 to 120) {
+      val (w, h) = (1 + rnd.nextInt(40), 1 + rnd.nextInt(40))
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      for (enc <- Seq(ImageCodec.encodePng(w, h, px(_)),
+                      ImageCodec.encodeBmp(w, h, px(_)))) {
+        ImageCodec.decodePixels(enc) match {
+          case Some((dw, dh, out)) =>
+            assert((dw, dh) == ((w, h)), s"dims for ${w}x$h")
+            assert(out.toSeq == px.toSeq, s"pixels for ${w}x$h")
+          case None => fail(s"decode failed for ${w}x$h")
+        }
+      }
+    }
+  }
+
+  test("resizeNearest: every output pixel equals its floor-mapped source") {
+    for (_ <- 1 to 120) {
+      val (w, h) = (1 + rnd.nextInt(40), 1 + rnd.nextInt(40))
+      val (rw, rh) = (1 + rnd.nextInt(50), 1 + rnd.nextInt(50))
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val out = Multimodal.resizeNearest(px, w, h, rw, rh)
+      assert(out.length == rw * rh * 3)
+      for (y <- 0 until rh; x <- 0 until rw; c <- 0 until 3) {
+        val (sx, sy) = (x * w / rw, y * h / rh)
+        assert(out((y * rw + x) * 3 + c) == px((sy * w + sx) * 3 + c),
+          s"(${w}x$h)->(${rw}x$rh) at ($x,$y,$c)")
+      }
+      assert(Multimodal.resizeNearest(px, w, h, w, h).toSeq == px.toSeq)
+    }
+  }
+
+  test("hexCutoffs: strictly increasing, total, and no split silently empty") {
+    for (it <- 1 to 300) {
+      val n = 1 + rnd.nextInt(12)
+      // include adversarial skew: tiny and huge weights in one vector
+      val weights = (0 until n).map { i =>
+        val w = if (rnd.nextBoolean()) math.pow(10, -rnd.nextInt(6).toDouble)
+          else 1.0 + rnd.nextDouble() * 99
+        (s"s$i", w)
+      }
+      val cuts = Sampling.hexCutoffs(weights)
+      assert(cuts.map(_._1) == weights.map(_._1))
+      val numeric = cuts.map { case (_, c) =>
+        if (c == "g") 256 else Integer.parseInt(c, 16)
+      }
+      assert(numeric.last == 256, s"case $it: last cut ${numeric.last}")
+      assert(numeric == numeric.sorted && numeric.distinct == numeric,
+        s"case $it: cuts not strictly increasing: $numeric for $weights")
+      val owned = numeric.zip(0 +: numeric.init).map { case (c, p) => c - p }
+      assert(owned.forall(_ >= 1), s"case $it: empty split: $owned for $weights")
+    }
+  }
+}
