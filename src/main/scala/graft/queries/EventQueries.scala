@@ -70,6 +70,19 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // PSI drift report between two deterministic halves of the event stream
+    // (even vs odd event_id — a stand-in for yesterday-vs-today): reference
+    // deciles as exact order statistics, Laplace-smoothed per-bucket terms
+    // quantized to micro-nats. See ops.Drift for the exactness and scale
+    // argument.
+    "e_drift_psi" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      graft.ops.Drift.psiReport(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value")
+    }),
+
     // Robust (median/MAD) outlier screen on event values per type — the
     // data-quality gate that doesn't move when the anomalies themselves
     // shift the mean. All statistics are order statistics of real data
@@ -128,6 +141,39 @@ object EventQueries extends QueryPack {
     "e_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "e_drift_psi" -> {
+      val edgeDefs = (1 to 9).map(j =>
+        s"""max(CASE WHEN rn = CAST(ceil(n * CAST(${j / 10.0} AS DOUBLE)) AS BIGINT)
+           |      THEN value END) AS e$j""".stripMargin).mkString(",\n    ")
+      val bucketExpr = (1 to 9)
+        .map(j => s"(CASE WHEN value > e$j THEN 1 ELSE 0 END)").mkString(" + ")
+      val pExpr = "((CAST(ref_c AS DOUBLE) + 1.0) / (CAST(ref_n AS DOUBLE) + 10.0))"
+      val qExpr = "((CAST(cur_c AS DOUBLE) + 1.0) / (CAST(cur_n AS DOUBLE) + 10.0))"
+      s"""WITH ref AS (SELECT value FROM events WHERE event_id % 2 = 0),
+         |cur AS (SELECT value FROM events WHERE event_id % 2 = 1),
+         |t AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ref) AS ref_n,
+         |             (SELECT CAST(count(*) AS BIGINT) FROM cur) AS cur_n),
+         |r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn,
+         |    COUNT(*) OVER () AS n FROM ref),
+         |e AS (SELECT
+         |    $edgeDefs
+         |  FROM r),
+         |rb AS (SELECT $bucketExpr AS bucket FROM ref CROSS JOIN e),
+         |cb AS (SELECT $bucketExpr AS bucket FROM cur CROSS JOIN e),
+         |rbc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ref_c
+         |  FROM rb GROUP BY bucket),
+         |cbc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cur_c
+         |  FROM cb GROUP BY bucket),
+         |j AS (SELECT COALESCE(rbc.bucket, cbc.bucket) AS bucket,
+         |    COALESCE(ref_c, CAST(0 AS BIGINT)) AS ref_c,
+         |    COALESCE(cur_c, CAST(0 AS BIGINT)) AS cur_c
+         |  FROM rbc FULL OUTER JOIN cbc ON rbc.bucket = cbc.bucket)
+         |SELECT bucket, ref_c AS ref_count, cur_c AS cur_count,
+         |  CAST(round(($pExpr - $qExpr) * ln($pExpr / $qExpr) * 1000000)
+         |    AS BIGINT) AS psi_q
+         |FROM j CROSS JOIN t ORDER BY bucket""".stripMargin
+    },
 
     "e_value_outliers" ->
       """WITH r AS (SELECT event_type, value, event_id,

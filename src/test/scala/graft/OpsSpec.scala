@@ -323,6 +323,25 @@ class OpsSpec extends AnyFunSuite {
     assert(est == 0L)
   }
 
+  test("PSI drift: identical slices score 0, a shifted slice scores high") {
+    import graft.ops.Drift
+    val ref = (1 to 1000).map(_.toDouble).toDF("v")
+    // identical distribution → every bucket's p == q → every term exactly 0
+    val same = Drift.psiReport(ref, ref, "v")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(same.size == 10 && same.forall(_._4 == 0L), same.toString)
+    assert(same.map(_._2).sum == 1000L && same.forall(_._2 == 100L))
+    // shifted current (+900 ⇒ mass piles into the top bucket): headline
+    // PSI far above the classic 0.25 "significant drift" line
+    val cur = (901 to 1900).map(_.toDouble).toDF("v")
+    val shifted = Drift.psiReport(ref, cur, "v")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val headline = shifted.map(_._4).sum / 1e6
+    assert(headline > 0.25, s"headline PSI $headline for $shifted")
+    // drained buckets appear with cur_count 0, not silently dropped
+    assert(shifted.count(_._3 == 0L) >= 8)
+  }
+
   test("MAD outliers: hand-computed stats; median immune to the outlier") {
     import graft.ops.Robust
     // values 1..9 plus one wild corrupt point: med = 5.5's lower → with
