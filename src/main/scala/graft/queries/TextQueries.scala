@@ -174,6 +174,38 @@ object TextQueries extends QueryPack {
         .limit(20)
     }),
 
+    // Per-source token-distribution divergence: KL(source ‖ corpus) with
+    // Laplace smoothing over the corpus vocabulary — the linguistic drift
+    // screen that flags a source whose language shifted (scraper broke,
+    // spam flood, wrong-language feed). Per-term contributions quantize to
+    // micro-nats BEFORE the per-source integer sum (order-free, exact).
+    // Scale shape: one corpus tokenize; everything after operates on
+    // (source × vocab)-sized count tables — at 100 TB the vocab is capped
+    // to top-K terms (the BPE maxDictWords pattern) and the spine stays
+    // tiny; corpus totals are a 1-row broadcast.
+    "t_source_divergence" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+      val st = toks.groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("c_st")).localCheckpoint()
+      val ct = st.groupBy(col("t")).agg(sum(col("c_st")).as("c_t"))
+      val sn = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+      val tot = ct.agg(count(lit(1)).as("v"), sum(col("c_t")).as("n"))
+      val spine = sn.crossJoin(broadcast(ct)).crossJoin(broadcast(tot))
+      val joined = spine.join(st, Seq("source", "t"), "left")
+        .withColumn("c_st", coalesce(col("c_st"), lit(0L)))
+      val p = (col("c_st").cast("double") + lit(1.0)) /
+        (col("n_s").cast("double") + col("v").cast("double"))
+      val q = (col("c_t").cast("double") + lit(1.0)) /
+        (col("n").cast("double") + col("v").cast("double"))
+      joined
+        .select(col("source"), col("n_s"),
+          round(p * log(p / q) * lit(1e6)).cast("long").as("term_q"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tok"), sum(col("term_q")).as("kl_q"))
+        .orderBy(col("source"))
+    }),
+
     // Inverse-document-frequency flavor with integer-exact arithmetic: for
     // each doc, its globally rarest token (min df, alphabetical tiebreak).
     // The df join shuffles (token, df) longs; the per-doc argmin is a
@@ -378,6 +410,29 @@ object TextQueries extends QueryPack {
          |JOIN uni u1 ON u1.w1 = string_split(s, ' ')[1]
          |JOIN uni u2 ON u2.w1 = string_split(s, ' ')[2]
          |ORDER BY pmi_q DESC, bigram LIMIT 20""".stripMargin,
+
+    "t_source_divergence" -> {
+      val pExpr = "((CAST(c_st AS DOUBLE) + 1.0) / (CAST(n_s AS DOUBLE) + CAST(v AS DOUBLE)))"
+      val qExpr = "((CAST(c_t AS DOUBLE) + 1.0) / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE)))"
+      s"""WITH tk AS (SELECT source, unnest(w) AS t
+         |  FROM (SELECT source, $toksSql AS w FROM documents)),
+         |st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c_st
+         |  FROM tk GROUP BY source, t),
+         |ct AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY t),
+         |sn AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+         |  FROM st GROUP BY source),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS v,
+         |    CAST(sum(c_t) AS BIGINT) AS n FROM ct),
+         |sp AS (SELECT sn.source, sn.n_s, ct.t, ct.c_t, tot.v, tot.n
+         |  FROM sn CROSS JOIN ct CROSS JOIN tot),
+         |j AS (SELECT sp.source, sp.n_s, sp.v, sp.n, sp.c_t,
+         |    COALESCE(st.c_st, CAST(0 AS BIGINT)) AS c_st
+         |  FROM sp LEFT JOIN st ON sp.source = st.source AND sp.t = st.t)
+         |SELECT source, max(n_s) AS n_tok,
+         |  CAST(sum(CAST(round($pExpr * ln($pExpr / $qExpr) * 1000000) AS BIGINT))
+         |    AS BIGINT) AS kl_q
+         |FROM j GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "t_rarest_term" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
