@@ -22,12 +22,17 @@ object Robust {
     * whose absolute deviation exceeds `k`·MAD.
     *
     * Scale posture: two ranking passes (MAD is definitionally a second
-    * median over deviations — irreducible), each a per-key window sort:
-    * high-cardinality keys parallelize like any window, and no global
-    * sort exists. The deviation frame is staged once (localCheckpoint)
-    * so the second pass and the final rollup don't recompute the join;
-    * at cluster scale swap the stage for persist(DISK_ONLY). `idCol`
-    * breaks rank ties so results don't depend on partition order.
+    * median over deviations — irreducible), each a per-key window sort,
+    * so per-key cost is one reducer sorting that key's rows. Exact
+    * medians therefore want keys whose groups fit a reducer
+    * (high-cardinality keys, or bounded groups like per-type event
+    * domains); for a LOW-cardinality key over a 100 TB fact, screen on a
+    * hash-sample or switch the center/spread to the mergeable quantile
+    * sketch (`a_approx_quantiles`) — the flagging comparison is unchanged.
+    * The deviation frame is staged once (localCheckpoint) so the second
+    * pass and the final rollup don't recompute the join; at cluster scale
+    * swap the stage for persist(DISK_ONLY). `idCol` breaks rank ties so
+    * results don't depend on partition order.
     */
   def madOutlierStats(df: DataFrame, keyCol: String, valueCol: String,
       idCol: String, k: Double = 3.0): DataFrame = {
