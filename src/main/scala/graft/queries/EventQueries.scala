@@ -70,6 +70,37 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Time-series regularization: resample each user's event stream onto a
+    // 1-hour grid (sequence + explode) and forward-fill the last observed
+    // value — the gap-filling step before any windowed feature extraction.
+    // Per-user grid, so no global sequence materializes; the fill is one
+    // per-user window with IGNORE NULLS last_value. Values are carried,
+    // never recomputed — engine-exact. In-hour pick is deterministic:
+    // latest second-truncated ts, event_id tiebreak (raw ns ts would let
+    // the engines disagree below microsecond resolution).
+    "e_resample_ffill" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          date_trunc("second", col("ts")).as("ts2"), col("event_id"), col("value"))
+      val wPick = Window.partitionBy(col("user_id"), col("h"))
+        .orderBy(col("ts2").desc, col("event_id").desc)
+      val hourly = ev.withColumn("__rn", row_number().over(wPick))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("h"), col("value"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("h"))
+      val wf = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h").as("hour_ts"),
+          last(col("value"), ignoreNulls = true).over(wf).as("value"),
+          col("value").isNotNull.cast("int").as("is_observed"))
+        .orderBy(col("user_id"), col("hour_ts"))
+    }),
+
     // PSI drift report between two deterministic halves of the event stream
     // (even vs odd event_id — a stand-in for yesterday-vs-today): reference
     // deciles as exact order statistics, Laplace-smoothed per-bucket terms
@@ -141,6 +172,25 @@ object EventQueries extends QueryPack {
     "e_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "e_resample_ffill" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h,
+        |    date_trunc('second', ts) AS ts2, event_id, value FROM events),
+        |hr AS (SELECT user_id, h, value FROM (
+        |    SELECT user_id, h, value, row_number() OVER (
+        |      PARTITION BY user_id, h ORDER BY ts2 DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |sp AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+        |  FROM e GROUP BY user_id),
+        |g AS (SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM sp),
+        |j AS (SELECT g.user_id, g.h, hr.value
+        |  FROM g LEFT JOIN hr ON g.user_id = hr.user_id AND g.h = hr.h)
+        |SELECT user_id, h AS hour_ts,
+        |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END AS is_observed
+        |FROM j ORDER BY user_id, hour_ts""".stripMargin,
 
     "e_drift_psi" -> {
       val edgeDefs = (1 to 9).map(j =>
