@@ -159,6 +159,40 @@ object AnalyticQueries extends QueryPack {
         .limit(10)
     }),
 
+    // Market-basket co-occurrence with lift: brand pairs co-ordered in the
+    // same order, ranked by support with quantized lift — association-rule
+    // mining's first pass. Scale shape: the per-order brand set is bounded
+    // (≤7 lines/order in TPC-H), so the self-join on l_orderkey explodes
+    // at most |lines|²/2 per order — LINEAR in orders, not quadratic in
+    // brands; the (order, brand) table stages once and feeds the pair
+    // join, the brand marginals, and the order total; marginals broadcast.
+    "a_basket_lift" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pt = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val ob = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+        .distinct()
+        .localCheckpoint()
+      val tot = ob.agg(countDistinct(col("ok")).as("n_orders"))
+      val bc = ob.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      val pairs = ob.as("x")
+        .join(ob.as("y"), col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+        .agg(count(lit(1)).as("pair_n"))
+      pairs
+        .join(broadcast(bc.select(col("b").as("b1"), col("cb").as("c1"))), Seq("b1"))
+        .join(broadcast(bc.select(col("b").as("b2"), col("cb").as("c2"))), Seq("b2"))
+        .crossJoin(broadcast(tot))
+        .select(col("b1"), col("b2"), col("pair_n"),
+          round(col("pair_n").cast("double") * col("n_orders").cast("double") /
+            (col("c1").cast("double") * col("c2").cast("double")) * lit(1e6))
+            .cast("long").as("lift_q"))
+        .orderBy(col("pair_n").desc, col("b1"), col("b2"))
+        .limit(20)
+    }),
+
     // Exact positional quantiles (percentile_disc semantics): the value at
     // rank ceil(p·n) under a total order — reproducible across engines,
     // unlike interpolating percentile functions whose fp arithmetic
@@ -279,6 +313,22 @@ object AnalyticQueries extends QueryPack {
         |GROUP BY l1.l_suppkey
         |ORDER BY n_orders DESC, s_suppkey
         |LIMIT 10""".stripMargin,
+
+    "a_basket_lift" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM ob),
+        |bc AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM ob GROUP BY b),
+        |pr AS (SELECT x.b AS b1, y.b AS b2, CAST(count(*) AS BIGINT) AS pair_n
+        |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b GROUP BY x.b, y.b)
+        |SELECT b1, b2, pair_n,
+        |  CAST(round(CAST(pair_n AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        |    / (CAST(c1.cb AS DOUBLE) * CAST(c2.cb AS DOUBLE)) * 1000000)
+        |    AS BIGINT) AS lift_q
+        |FROM pr CROSS JOIN tot
+        |JOIN bc c1 ON c1.b = pr.b1
+        |JOIN bc c2 ON c2.b = pr.b2
+        |ORDER BY pair_n DESC, b1, b2 LIMIT 20""".stripMargin,
 
     "a_price_quantiles" ->
       """WITH r AS (

@@ -70,6 +70,27 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Cohort retention: users grouped by first-activity week, counted per
+    // weekly offset they return in — the product-analytics retention
+    // matrix. Exact integers end to end (week truncation, day-diff/7
+    // offsets, distinct-user counts). Two narrow user-keyed aggregations
+    // + one join; the matrix itself is cohorts × offsets, tiny at any
+    // scale.
+    "e_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      ev.join(first, Seq("user_id"))
+        .select(to_date(col("cohort_wk")).as("cohort_week"),
+          (datediff(to_date(col("wk")), to_date(col("cohort_wk"))) / 7)
+            .cast("int").as("week_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // Time-series regularization: resample each user's event stream onto a
     // 1-hour grid (sequence + explode) and forward-fill the last observed
     // value — the gap-filling step before any windowed feature extraction.
@@ -172,6 +193,18 @@ object EventQueries extends QueryPack {
     "e_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "e_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
+        |SELECT CAST(cohort_wk AS DATE) AS cohort_week,
+        |  CAST(date_diff('day', CAST(cohort_wk AS DATE), CAST(wk AS DATE)) // 7
+        |    AS INTEGER) AS week_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "e_resample_ffill" ->
       """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h,
