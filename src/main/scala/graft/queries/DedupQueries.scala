@@ -75,6 +75,50 @@ object DedupQueries extends QueryPack {
         minJaccard = tau)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Fuzzy entity resolution: queries are the part names with ONE char
+    // deleted at a key-derived position; match back to the catalog within
+    // edit distance ≤ 2 via ANCHOR BLOCKING — candidates share the exact
+    // first-3 or last-3 chars, PLUS a ±2 length band. A single deletion
+    // preserves at least one 3-anchor on any string of length ≥ 6 (a miss
+    // needs the edit inside BOTH anchors, i.e. len < 2·3 — names here are
+    // ≥ 7), so recall is provably total; levenshtein then runs only on
+    // anchor-bucket × length-band candidates, never the n²·|name|
+    // all-pairs scan. Two equi-joins + distinct + one bounded window.
+    "d_fuzzy_match" -> ((s, dir) => {
+      val parts = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"))
+      val q = parts.select(col("p_partkey").as("q_key"),
+        expr("""concat(
+            substring(p_name, 1, cast(p_partkey % length(p_name) as int)),
+            substring(p_name, cast(p_partkey % length(p_name) as int) + 2, 1000000))""")
+          .as("q_name"))
+      val qa = q.select(col("q_key"), col("q_name"),
+        expr("substring(q_name, 1, 3)").as("pre"),
+        expr("substring(q_name, length(q_name) - 2, 3)").as("suf"))
+      val pa = parts.select(col("p_partkey"), col("p_name"),
+        expr("substring(p_name, 1, 3)").as("pre"),
+        expr("substring(p_name, length(p_name) - 2, 3)").as("suf"))
+      val band = abs(length(col("q_name")) - length(col("p_name"))) <= 2
+      val byPre = qa.join(pa.withColumnRenamed("suf", "__ps"), Seq("pre"))
+        .filter(band)
+        .select(col("q_key"), col("q_name"), col("p_partkey"), col("p_name"))
+      val bySuf = qa.join(pa.withColumnRenamed("pre", "__pp"), Seq("suf"))
+        .filter(band)
+        .select(col("q_key"), col("q_name"), col("p_partkey"), col("p_name"))
+      val cands = byPre.unionByName(bySuf).distinct()
+      val scored = cands
+        .withColumn("lev", levenshtein(col("q_name"), col("p_name")))
+        .filter(col("lev") <= 2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_key")).orderBy(col("lev"), col("p_partkey"))
+      scored.withColumn("__rn", row_number().over(w))
+        .groupBy(col("q_key"))
+        .agg(count(lit(1)).as("n_matches"),
+          max(when(col("__rn") === 1, col("p_partkey"))).as("best_key"),
+          min(col("lev")).as("best_lev"))
+        .orderBy(col("q_key"))
+    }),
+
     // Continuous-ingest dedup: the mod-3 slice arrives as a NEW batch and is
     // deduped against the rest of the corpus through its persisted band
     // index — the corpus is never re-sketched, only colliding docs are
@@ -197,6 +241,35 @@ object DedupQueries extends QueryPack {
        |ORDER BY id_a, id_b""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "d_fuzzy_match" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part),
+        |q AS (SELECT p_partkey AS q_key,
+        |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER))
+        |    || substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
+        |    AS q_name FROM p),
+        |qa AS (SELECT q_key, q_name, substr(q_name, 1, 3) AS pre,
+        |    substr(q_name, length(q_name) - 2, 3) AS suf FROM q),
+        |pa AS (SELECT p_partkey, p_name, substr(p_name, 1, 3) AS pre,
+        |    substr(p_name, length(p_name) - 2, 3) AS suf FROM p),
+        |c AS (
+        |  SELECT DISTINCT q_key, q_name, p_partkey, p_name FROM (
+        |    SELECT qa.q_key, qa.q_name, pa.p_partkey, pa.p_name
+        |    FROM qa JOIN pa ON qa.pre = pa.pre
+        |    WHERE abs(length(q_name) - length(p_name)) <= 2
+        |    UNION ALL
+        |    SELECT qa.q_key, qa.q_name, pa.p_partkey, pa.p_name
+        |    FROM qa JOIN pa ON qa.suf = pa.suf
+        |    WHERE abs(length(q_name) - length(p_name)) <= 2)),
+        |s AS (SELECT q_key, p_partkey,
+        |    CAST(levenshtein(q_name, p_name) AS INTEGER) AS lev
+        |  FROM c WHERE levenshtein(q_name, p_name) <= 2),
+        |r AS (SELECT q_key, p_partkey, lev, row_number() OVER (
+        |    PARTITION BY q_key ORDER BY lev, p_partkey) AS rn FROM s)
+        |SELECT q_key, CAST(count(*) AS BIGINT) AS n_matches,
+        |  max(CASE WHEN rn = 1 THEN p_partkey END) AS best_key,
+        |  min(lev) AS best_lev
+        |FROM r GROUP BY q_key ORDER BY q_key""".stripMargin,
+
     "d_exact_groups" ->
       """SELECT md5(text) AS content_fp, min(doc_id) AS canonical_id,
         |  count(*) AS dup_count

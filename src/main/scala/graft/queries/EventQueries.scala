@@ -70,6 +70,26 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Exact first/second moments per event type: decimal-summed Σv and Σv²
+    // (order-insensitive, so 1000-executor merges are bit-identical), with
+    // mean/variance/stddev derived through the SAME double expression shape
+    // in both engines — classical descriptive statistics with none of the
+    // usual float-summation drift. One map-side-combinable aggregation.
+    "e_moment_stats" -> ((s, dir) => {
+      import graft.ops.Aggregations.sumStable
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sumStable(col("value")).as("sum_v"),
+          sumStable(col("value") * col("value")).as("sum_v2"))
+        .select(col("event_type"), col("n"), col("sum_v"),
+          (col("sum_v") / col("n").cast("double")).as("mean"),
+          ((col("sum_v2") - col("sum_v") * col("sum_v") / col("n").cast("double"))
+            / (col("n").cast("double") - lit(1.0))).as("variance"))
+        .withColumn("stddev", sqrt(col("variance")))
+        .orderBy(col("event_type"))
+    }),
+
     // Cohort retention: users grouped by first-activity week, counted per
     // weekly offset they return in — the product-analytics retention
     // matrix. Exact integers end to end (week truncation, day-diff/7
@@ -193,6 +213,21 @@ object EventQueries extends QueryPack {
     "e_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "e_moment_stats" -> {
+      def stable(e: String) =
+        s"CAST(CAST(SUM(CAST($e AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+      s"""WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    ${stable("value")} AS sum_v, ${stable("value * value")} AS sum_v2
+         |  FROM events GROUP BY event_type),
+         |d AS (SELECT event_type, n, sum_v,
+         |    sum_v / CAST(n AS DOUBLE) AS mean,
+         |    (sum_v2 - sum_v * sum_v / CAST(n AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) - 1.0) AS variance
+         |  FROM m)
+         |SELECT event_type, n, sum_v, mean, variance, sqrt(variance) AS stddev
+         |FROM d ORDER BY event_type""".stripMargin
+    },
 
     "e_cohort_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
