@@ -70,6 +70,28 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Behavioral sequence mining: event-type trigrams along each user's
+    // time-ordered stream, counted corpus-wide — the "what do users do
+    // next" building block of journey analysis. One per-user window (two
+    // leads share it) + one narrow groupBy over a ≤|types|³ key space;
+    // ordering is second-truncated-ts + event_id, so engines and retries
+    // sequence ties identically.
+    "e_behavior_trigrams" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts2"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("ts2"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("trigram"))
+        .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram"))
+        .limit(20)
+    }),
+
     // Exact first/second moments per event type: decimal-summed Σv and Σv²
     // (order-insensitive, so 1000-executor merges are bit-identical), with
     // mean/variance/stddev derived through the SAME double expression shape
@@ -213,6 +235,19 @@ object EventQueries extends QueryPack {
     "e_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "e_behavior_trigrams" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    date_trunc('second', ts) AS ts2 FROM events),
+        |s AS (SELECT event_type,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts2, event_id)),
+        |t AS (SELECT event_type || '>' || e2 || '>' || e3 AS trigram
+        |  FROM s WHERE e3 IS NOT NULL)
+        |SELECT trigram, CAST(count(*) AS BIGINT) AS n
+        |FROM t GROUP BY trigram
+        |ORDER BY n DESC, trigram LIMIT 20""".stripMargin,
 
     "e_moment_stats" -> {
       def stable(e: String) =
