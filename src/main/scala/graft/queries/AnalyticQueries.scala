@@ -159,6 +159,40 @@ object AnalyticQueries extends QueryPack {
         .limit(10)
     }),
 
+    // Bivariate statistics per return flag: Pearson correlation and the
+    // simple-OLS slope/intercept of extendedprice on quantity, all derived
+    // from decimal-exact Σx/Σy/Σxy/Σx²/Σy² (order-insensitive merges, so
+    // 1000-executor results are bit-equal to the oracle) through the SAME
+    // double expression shape in both engines. One mergeable aggregation.
+    "a_regression_stats" -> ((s, dir) => {
+      import graft.ops.Aggregations.sumStable
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("double").as("x"),
+          col("l_extendedprice").as("y"))
+      val m = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sumStable(col("x")).as("sx"), sumStable(col("y")).as("sy"),
+          sumStable(col("x") * col("y")).as("sxy"),
+          sumStable(col("x") * col("x")).as("sxx"),
+          sumStable(col("y") * col("y")).as("syy"))
+      val nd = col("n").cast("double")
+      val covN = col("sxy") - col("sx") * col("sy") / nd
+      val varX = col("sxx") - col("sx") * col("sx") / nd
+      val varY = col("syy") - col("sy") * col("sy") / nd
+      m.select(col("l_returnflag"), col("n"),
+          col("sx"), col("sy"),
+          covN.as("cov_n"), varX.as("var_x_n"), varY.as("var_y_n"))
+        .select(col("l_returnflag"), col("n"),
+          (col("cov_n") / sqrt(col("var_x_n") * col("var_y_n"))).as("corr"),
+          (col("cov_n") / col("var_x_n")).as("slope"),
+          col("sx"), col("sy"))
+        .select(col("l_returnflag"), col("n"), col("corr"), col("slope"),
+          ((col("sy") - col("slope") * col("sx")) /
+            col("n").cast("double")).as("intercept"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Market-basket co-occurrence with lift: brand pairs co-ordered in the
     // same order, ranked by support with quantized lift — association-rule
     // mining's first pass. Scale shape: the per-order brand set is bounded
@@ -313,6 +347,31 @@ object AnalyticQueries extends QueryPack {
         |GROUP BY l1.l_suppkey
         |ORDER BY n_orders DESC, s_suppkey
         |LIMIT 10""".stripMargin,
+
+    "a_regression_stats" -> {
+      def stable(e: String) =
+        s"CAST(CAST(SUM(CAST($e AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+      s"""WITH b AS (SELECT l_returnflag,
+         |    CAST(l_quantity AS DOUBLE) AS x, l_extendedprice AS y
+         |  FROM lineitem),
+         |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |    ${stable("x")} AS sx, ${stable("y")} AS sy,
+         |    ${stable("x * y")} AS sxy,
+         |    ${stable("x * x")} AS sxx, ${stable("y * y")} AS syy
+         |  FROM b GROUP BY l_returnflag),
+         |d AS (SELECT l_returnflag, n, sx, sy,
+         |    sxy - sx * sy / CAST(n AS DOUBLE) AS cov_n,
+         |    sxx - sx * sx / CAST(n AS DOUBLE) AS var_x_n,
+         |    syy - sy * sy / CAST(n AS DOUBLE) AS var_y_n
+         |  FROM m),
+         |e AS (SELECT l_returnflag, n,
+         |    cov_n / sqrt(var_x_n * var_y_n) AS corr,
+         |    cov_n / var_x_n AS slope, sx, sy
+         |  FROM d)
+         |SELECT l_returnflag, n, corr, slope,
+         |  (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept
+         |FROM e ORDER BY l_returnflag""".stripMargin
+    },
 
     "a_basket_lift" ->
       """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
