@@ -93,8 +93,9 @@ object CdcApplyStream {
     val p = Paths.get(dir)
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => try Files.delete(f) catch { case _: Exception => () })
+      val walk = Files.walk(p)
+      val files = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      files.foreach(f => try Files.delete(f) catch { case _: Exception => () })
     }
   }
 }
