@@ -159,6 +159,47 @@ object AnalyticQueries extends QueryPack {
         .limit(10)
     }),
 
+    // Graph analytics beyond components: triangle count of the brand
+    // co-occurrence graph. Edges are brand pairs with ABOVE-MEDIAN
+    // co-order support (an order-statistic cut — scale-free and exact in
+    // both engines, where any fixed count threshold is either trivial or
+    // sf-fragile on this uniform data). Canonical orientation a<b<c makes
+    // each triangle appear EXACTLY once as e(a,b)⋈e(b,c)⋈e(a,c) — two
+    // equi-joins, no per-vertex state; at scale the standard
+    // degree-ordering refinement bounds the wedge join by the arboricity,
+    // and the edge list here is brand-vocabulary-sized, not data-sized.
+    "a_triangle_count" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pt = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val ob = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+        .distinct()
+      val pw = ob.as("x")
+        .join(ob.as("y"), col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("a"), col("y.b").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+      val wm = org.apache.spark.sql.expressions.Window
+        .orderBy(col("w"), col("a"), col("b"))
+      val med = pw
+        .withColumn("__rn", row_number().over(wm))
+        .crossJoin(broadcast(pw.agg(count(lit(1)).as("__n"))))
+        .agg(max(when(col("__rn") === ceil(col("__n") * 0.5), col("w")))
+          .as("med"))
+      val e = pw.crossJoin(broadcast(med))
+        .filter(col("w") > col("med"))
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val wedges = e.select(col("a"), col("b").as("m"))
+        .join(e.select(col("a").as("m"), col("b").as("c")), Seq("m"))
+      val tri = wedges.join(
+        e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      tri.agg(count(lit(1)).as("n_triangles"))
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+    }),
+
     // Bivariate statistics per return flag: Pearson correlation and the
     // simple-OLS slope/intercept of extendedprice on quantity, all derived
     // from decimal-exact Σx/Σy/Σxy/Σx²/Σy² (order-insensitive merges, so
@@ -347,6 +388,23 @@ object AnalyticQueries extends QueryPack {
         |GROUP BY l1.l_suppkey
         |ORDER BY n_orders DESC, s_suppkey
         |LIMIT 10""".stripMargin,
+
+    "a_triangle_count" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pw AS (SELECT x.b AS a, y.b AS b, CAST(count(*) AS BIGINT) AS w
+        |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+        |  GROUP BY x.b, y.b),
+        |r AS (SELECT w, row_number() OVER (ORDER BY w, a, b) AS rn,
+        |    COUNT(*) OVER () AS n FROM pw),
+        |med AS (SELECT max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+        |    THEN w END) AS med FROM r),
+        |e AS (SELECT a, b FROM pw CROSS JOIN med WHERE w > med),
+        |tri AS (SELECT e1.a, e1.b AS m, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges""".stripMargin,
 
     "a_regression_stats" -> {
       def stable(e: String) =
