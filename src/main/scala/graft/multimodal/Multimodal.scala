@@ -265,8 +265,12 @@ object Multimodal {
     }
   }
 
-  /** Feature extraction: one decoder instance per partition, records
-    * processed as a batch iterator (the mapInPandas-equivalent shape).
+  /** STUB feature extraction for OPAQUE payloads (formats with no
+    * in-sandbox codec): deterministic fake features, loudly labeled —
+    * kept for the plumbing spec. For image payloads the REAL path is
+    * [[gridFeatures]] (decoded-pixel pooling, oracle-verified). Batch
+    * shape (one decoder instance per partition, iterator-processed) is
+    * the mapInPandas equivalent either way.
     */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
