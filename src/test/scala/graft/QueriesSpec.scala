@@ -25,4 +25,52 @@ class QueriesSpec extends AnyFunSuite {
       assert(SparkEntry.queries(name)(spark, dir).count() > 0)
     }
   }
+
+  // -- cross-query invariants for the behavioral/stats families ---------
+
+  test("funnel stages are monotone and bounded by the user population") {
+    import org.apache.spark.sql.functions._
+    val f = SparkEntry.queries("e_funnel_stages")(spark, dir)
+    val byStage = f.groupBy("funnel_stage").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val viewers = (1 to 3).map(s => byStage.getOrElse(s, 0L)).sum
+    val users = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(viewers == users, "funnel root must equal distinct viewers")
+    // reaching stage k implies passing stage k-1: cumulative counts shrink
+    val s3 = byStage.getOrElse(3, 0L)
+    val s2plus = s3 + byStage.getOrElse(2, 0L)
+    assert(s2plus <= viewers && s3 <= s2plus)
+  }
+
+  test("cohort retention: offset-0 row per cohort equals its cohort size") {
+    import org.apache.spark.sql.functions._
+    val m = SparkEntry.queries("e_cohort_retention")(spark, dir)
+    // every user appears in their own first week → offset 0 n_users is the
+    // cohort size, and no later offset can exceed it
+    val bad = m.as("a").join(m.filter(col("week_offset") === 0).as("z"),
+        col("a.cohort_week") === col("z.cohort_week"))
+      .filter(col("a.n_users") > col("z.n_users"))
+    assert(bad.count() == 0)
+    val total = m.filter(col("week_offset") === 0)
+      .agg(sum(col("n_users"))).head().getLong(0)
+    val users = graft.Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(total == users, "cohort-0 rows must partition the user base")
+  }
+
+  test("moment stats reconcile with Spark's own avg/var on the same data") {
+    import org.apache.spark.sql.functions._
+    val m = SparkEntry.queries("e_moment_stats")(spark, dir)
+      .select("event_type", "mean", "variance").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ref = graft.Tables.events(spark, dir)
+      .groupBy("event_type").agg(avg("value"), var_samp("value")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((k, (mu, v)) <- ref) {
+      assert(math.abs(m(k)._1 - mu) < 1e-9, s"mean $k")
+      assert(math.abs(m(k)._2 - v) / v < 1e-9, s"variance $k")
+    }
+  }
 }
