@@ -229,6 +229,20 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 corpus scan, got $scans\n$bm")
   }
 
+  test("fuzzy match blocks as equi-joins; resample grid stays per-key") {
+    // anchor blocking must plan as hash/sort-merge equi-joins — a cartesian
+    // or non-equi BNLJ here would be the n² all-pairs scan the design bans
+    val fm = plan("d_fuzzy_match")
+    assert(!fm.contains("CartesianProduct"), fm.take(2000))
+    assert(!fm.contains("BroadcastNestedLoopJoin"), fm.take(2000))
+    // the resample grid comes from a per-user explode (Generate), joined
+    // back on (user_id, h) — never a time-spine cartesian
+    val rs = plan("e_resample_ffill")
+    assert(rs.contains("Generate"), rs.take(2000))
+    assert(!rs.contains("CartesianProduct") &&
+      !rs.contains("BroadcastNestedLoopJoin"), rs.take(2000))
+  }
+
   test("span removal: no cartesian; gram/coverage shuffles carry no text") {
     val p = plan("t_span_removal")
     assert(!p.contains("CartesianProduct") &&
