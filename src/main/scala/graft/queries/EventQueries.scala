@@ -70,6 +70,30 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Exponential smoothing (EWMA, α = 1/2) of each user's ordered value
+    // stream — the one-number forecast state a monitoring pipeline keeps
+    // per key. α = 1/2 makes every step s_i = (s_{i-1} + x_i)/2 an IEEE add
+    // plus an EXACT halving, so an identically-ordered fold is bit-equal
+    // across engines — no quantization needed. Per-key sequence state is
+    // bounded by that key's event count (the sessionize caveat); the fold
+    // itself is one collect + one linear HOF pass, no shuffle beyond the
+    // groupBy.
+    "e_ewma_smooth" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts2"),
+          col("event_id"), col("value"))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sort_array(collect_list(
+            struct(col("ts2"), col("event_id"), col("value")))).as("seq"))
+        .select(col("user_id"), col("n"),
+          aggregate(
+            expr("slice(transform(seq, r -> r.value), 2, 1000000000)"),
+            expr("element_at(transform(seq, r -> r.value), 1)"),
+            (acc, x) => (acc + x) / lit(2.0)).as("ewma"))
+        .orderBy(col("user_id"))
+    }),
+
     // Behavioral sequence mining: event-type trigrams along each user's
     // time-ordered stream, counted corpus-wide — the "what do users do
     // next" building block of journey analysis. One per-user window (two
@@ -235,6 +259,16 @@ object EventQueries extends QueryPack {
     "e_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "e_ewma_smooth" ->
+      """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts2,
+        |    event_id, value FROM events),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    list(value ORDER BY ts2, event_id) AS vals
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n,
+        |  list_reduce(vals, (acc, x) -> (acc + x) / CAST(2.0 AS DOUBLE)) AS ewma
+        |FROM g ORDER BY user_id""".stripMargin,
 
     "e_behavior_trigrams" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
