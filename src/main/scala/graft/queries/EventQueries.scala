@@ -70,6 +70,37 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Lag-1 autocorrelation of each event type's time-ordered value stream
+    // — the first stationarity/seasonality diagnostic on any metric
+    // stream. Adjacent pairs come from one lead() window; the Pearson
+    // correlation over pairs derives from decimal-exact sums through the
+    // same double shape as a_regression_stats, so r1 is bit-equal
+    // cross-engine. One window + one mergeable aggregation.
+    "e_autocorr" -> ((s, dir) => {
+      import graft.ops.Aggregations.sumStable
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts2"), col("event_id"))
+      val pairs = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          date_trunc("second", col("ts")).as("ts2"), col("value").as("x"))
+        .withColumn("y", lead(col("x"), 1).over(w))
+        .filter(col("y").isNotNull)
+      val m = pairs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sumStable(col("x")).as("sx"), sumStable(col("y")).as("sy"),
+          sumStable(col("x") * col("y")).as("sxy"),
+          sumStable(col("x") * col("x")).as("sxx"),
+          sumStable(col("y") * col("y")).as("syy"))
+      val nd = col("n").cast("double")
+      m.select(col("event_type"), col("n"),
+          (col("sxy") - col("sx") * col("sy") / nd).as("cov_n"),
+          (col("sxx") - col("sx") * col("sx") / nd).as("vx_n"),
+          (col("syy") - col("sy") * col("sy") / nd).as("vy_n"))
+        .select(col("event_type"), col("n"),
+          (col("cov_n") / sqrt(col("vx_n") * col("vy_n"))).as("r1"))
+        .orderBy(col("event_type"))
+    }),
+
     // Exponential smoothing (EWMA, α = 1/2) of each user's ordered value
     // stream — the one-number forecast state a monitoring pipeline keeps
     // per key. α = 1/2 makes every step s_i = (s_{i-1} + x_i)/2 an IEEE add
@@ -259,6 +290,30 @@ object EventQueries extends QueryPack {
     "e_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "e_autocorr" -> {
+      def stable(e: String) =
+        s"CAST(CAST(SUM(CAST($e AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+      s"""WITH e AS (SELECT event_type, event_id,
+         |    date_trunc('second', ts) AS ts2, value AS x FROM events),
+         |p AS (SELECT event_type, x,
+         |    lead(x, 1) OVER (PARTITION BY event_type
+         |      ORDER BY ts2, event_id) AS y
+         |  FROM e),
+         |q AS (SELECT event_type, x, y FROM p WHERE y IS NOT NULL),
+         |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    ${stable("x")} AS sx, ${stable("y")} AS sy,
+         |    ${stable("x * y")} AS sxy,
+         |    ${stable("x * x")} AS sxx, ${stable("y * y")} AS syy
+         |  FROM q GROUP BY event_type),
+         |d AS (SELECT event_type, n,
+         |    sxy - sx * sy / CAST(n AS DOUBLE) AS cov_n,
+         |    sxx - sx * sx / CAST(n AS DOUBLE) AS vx_n,
+         |    syy - sy * sy / CAST(n AS DOUBLE) AS vy_n
+         |  FROM m)
+         |SELECT event_type, n, cov_n / sqrt(vx_n * vy_n) AS r1
+         |FROM d ORDER BY event_type""".stripMargin
+    },
 
     "e_ewma_smooth" ->
       """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts2,
