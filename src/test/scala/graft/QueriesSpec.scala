@@ -60,6 +60,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(total == users, "cohort-0 rows must partition the user base")
   }
 
+  test("float-bearing stats queries are partition-count invariant") {
+    // SCALING.md claims decimal sums / ordered folds make these bit-equal
+    // under any partitioning — prove it by re-running with a different
+    // shuffle fan-out
+    val names = Seq("e_ewma_smooth", "e_moment_stats", "a_regression_stats",
+      "e_autocorr", "e_drift_psi")
+    for (n <- names) {
+      val a = SparkEntry.queries(n)(spark, dir).collect().toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      try {
+        val b = SparkEntry.queries(n)(spark, dir).collect().toSeq
+        assert(a == b, s"$n changed under repartitioning")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+    }
+  }
+
   test("moment stats reconcile with Spark's own avg/var on the same data") {
     import org.apache.spark.sql.functions._
     val m = SparkEntry.queries("e_moment_stats")(spark, dir)
