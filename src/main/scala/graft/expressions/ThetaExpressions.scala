@@ -117,7 +117,8 @@ case class ThetaEstimate(child: Expression)
 /** Pairwise set operation on two serialized theta sketches → serialized
   * result sketch. `op` ∈ union | intersect | diff (diff = A \ B).
   */
-case class ThetaCombine(left: Expression, right: Expression, op: String)
+case class ThetaCombine(left: Expression, right: Expression, op: String,
+    lgK: Int = 14)
     extends BinaryExpression with ExpectsInputTypes {
 
   require(Set("union", "intersect", "diff")(op), s"unknown theta op: $op")
@@ -130,7 +131,13 @@ case class ThetaCombine(left: Expression, right: Expression, op: String)
     val b = Sketches.wrapSketch(Memory.wrap(bb))
     val out: CompactSketch = op match {
       case "union" =>
-        val u = SetOperation.builder().buildUnion()
+        // The union gadget prunes to ITS OWN nominal-entry budget, not the
+        // inputs': the library default (lgK=12 / 4096) silently drops a
+        // union of two exact lgK=14 sketches into estimation mode at >4096
+        // retained entries (caught at sf0.1: union of 14981 exact keys
+        // estimated 14884). Size the gadget to the aggregator's lgK so
+        // union stays exact over the same regime as the inputs.
+        val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
         u.union(a); u.union(b); u.getResult
       case "intersect" =>
         val i = SetOperation.builder().buildIntersection()
@@ -153,7 +160,7 @@ case class ThetaCombine(left: Expression, right: Expression, op: String)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 
-  override def prettyName: String = s"theta_$op"
+  override def prettyName: String = s"theta_$op($lgK)"
 }
 
 object ThetaExpressions {

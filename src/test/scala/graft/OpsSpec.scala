@@ -291,6 +291,23 @@ class OpsSpec extends AnyFunSuite {
     assert(row.toSeq == Seq(300L, 250L, 450L, 100L, 200L))
   }
 
+  test("theta union stays exact past the library-default 4096 nominal") {
+    // Regression: the union gadget must be sized to the aggregator's
+    // lgK=14, not the DataSketches default lgK=12 — a union of two exact
+    // sketches totalling 4096 < n < 16384 keys previously fell into
+    // estimation mode (sf0.1 gate: 14981 exact → 14884 estimated).
+    import org.apache.spark.sql.graftx.ThetaExpressions._
+    val df = ((1L to 7000L).map(k => ("A", k)) ++
+      (7001L to 14000L).map(k => ("B", k)))
+      .toDF("s", "k").repartition(5)
+    val wide = df.groupBy($"s").agg(thetaAgg($"k").as("sk"))
+      .groupBy().pivot("s", Seq("A", "B")).agg(first($"sk"))
+    val row = wide.select(
+      thetaEstimate(thetaUnion($"A", $"B")).as("nu"),
+      thetaEstimate(thetaIntersect($"A", $"B")).as("ni")).head()
+    assert(row.toSeq == Seq(14000L, 0L))
+  }
+
   test("theta sketch dedups string keys and skips nulls") {
     import org.apache.spark.sql.graftx.ThetaExpressions._
     val df = Seq("x", "y", "x", "z", "y", null).toDF("k")
