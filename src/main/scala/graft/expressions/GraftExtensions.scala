@@ -64,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }.getOrElse(true)
       UnicodeNormalizeText(args(0), nfkc)
     })
+    register("bounded_levenshtein", { args =>
+      arity("bounded_levenshtein", args, 3)
+      BoundedLevenshtein(args(0), args(1), intArg(args(2), "bounded_levenshtein", 2))
+    })
     register("hyperplane_bands", { args =>
       arity("hyperplane_bands", args, 3)
       HyperplaneBands(args(0), intArg(args(1), "hyperplane_bands", 1),

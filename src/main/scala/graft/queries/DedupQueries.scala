@@ -97,27 +97,47 @@ object DedupQueries extends QueryPack {
               substring(p_name, 1, cast(p_partkey % length(p_name) as int)),
               substring(p_name, cast(p_partkey % length(p_name) as int) + 2, 1000000))""")
             .as("q_name"))
+      // 26-bit char-presence mask, computed ONCE per side before the join:
+      // one edit flips ≤ 2 presence bits, so lev(a,b) ≤ 2 ⟹
+      // popcount(mask_a XOR mask_b) ≤ 4 — a recall-safe long-only prefilter
+      // that runs in whole-stage codegen and spares the O(k·len)
+      // levenshtein call on the ~90% of fat-bucket candidates it rejects.
+      def charMask(c: String) = expr(
+        s"""aggregate(filter(transform(split($c, ''), ch -> ascii(ch)),
+           |  a -> a >= 97 AND a <= 122),
+           |  CAST(0 AS BIGINT), (acc, a) -> acc | shiftleft(CAST(1 AS BIGINT), a - 97))""".stripMargin)
       val qa = q.select(col("q_key"), col("q_name"),
         expr("substring(q_name, 1, 3)").as("pre"),
-        expr("substring(q_name, length(q_name) - 2, 3)").as("suf"))
+        expr("substring(q_name, length(q_name) - 2, 3)").as("suf"),
+        charMask("q_name").as("q_mask"))
       val pa = parts.select(col("p_partkey"), col("p_name"),
         expr("substring(p_name, 1, 3)").as("pre"),
-        expr("substring(p_name, length(p_name) - 2, 3)").as("suf"))
+        expr("substring(p_name, length(p_name) - 2, 3)").as("suf"),
+        charMask("p_name").as("p_mask"))
       val band = abs(length(col("q_name")) - length(col("p_name"))) <= 2
-      // candidate pairs dedupe as BARE (q_key, p_partkey) longs — the wide
-      // name strings rejoin after the distinct via broadcast point-fetch
-      val byPre = qa.join(pa.withColumnRenamed("suf", "__ps"), Seq("pre"))
-        .filter(band)
-        .select(col("q_key"), col("p_partkey"))
-      val bySuf = qa.join(pa.withColumnRenamed("pre", "__pp"), Seq("suf"))
-        .filter(band)
-        .select(col("q_key"), col("p_partkey"))
-      val cands = byPre.unionByName(bySuf).distinct()
-        .join(broadcast(q), Seq("q_key"))
-        .join(broadcast(parts), Seq("p_partkey"))
-      val scored = cands
-        .withColumn("lev", levenshtein(col("q_name"), col("p_name"), 3))
-        .filter(col("lev") >= 0 && col("lev") <= 2)
+      // Score-then-dedup: the tiny name vocabulary makes anchor buckets fat
+      // (8 distinct 3-prefixes over the whole catalog → ~10M candidate rows
+      // per join direction at sf0.1), so deduping candidates BEFORE scoring
+      // shuffles tens of millions of (q_key, p_partkey) rows only to feed a
+      // filter that keeps a few thousand. Instead both joins stay broadcast
+      // (catalog ≪ fact side — and when it isn't, candidates shuffle on the
+      // anchor key and names travel with them either way), the threshold
+      // levenshtein runs MAP-SIDE on the un-deduped stream (a pair seen via
+      // both anchors is scored twice — extra compute linear in overlap, far
+      // cheaper than a wide shuffle), and the ONLY shuffle is the distinct
+      // over lev-survivors: ~10³ rows instead of ~10⁷.
+      val maskOk = expr("bit_count(q_mask ^ p_mask) <= 4")
+      val byPre = qa.join(broadcast(pa.withColumnRenamed("suf", "__ps")), Seq("pre"))
+        .filter(band && maskOk)
+      val bySuf = qa.join(broadcast(pa.withColumnRenamed("pre", "__pp")), Seq("suf"))
+        .filter(band && maskOk)
+      val scored = byPre.select(col("q_key"), col("q_name"), col("p_partkey"), col("p_name"))
+        .unionByName(bySuf.select(col("q_key"), col("q_name"), col("p_partkey"), col("p_name")))
+        .withColumn("lev", org.apache.spark.sql.graftx.EditDistanceExpressions
+          .boundedLev(col("q_name"), col("p_name"), 2))
+        .filter(col("lev") >= 0)
+        .select(col("q_key"), col("p_partkey"), col("lev"))
+        .distinct()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_key")).orderBy(col("lev"), col("p_partkey"))
       scored.withColumn("__rn", row_number().over(w))

@@ -443,4 +443,53 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT minhash_signature(shingle_array(text, 3), doc_id) FROM __ext_docs")
     }
   }
+
+  test("native bounded levenshtein ≡ built-in at every bound, all regimes") {
+    import org.apache.spark.sql.graftx.EditDistanceExpressions
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq("abcd", "abcdefghijklmnopqrstuvwxyz", "aé中ß日x")
+    def randStr(maxLen: Int): String = {
+      val alpha = alphabets(rnd.nextInt(alphabets.size))
+      (0 until rnd.nextInt(maxLen)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }
+    // near pairs (≤3 random edits of a base) + far pairs (independent draws):
+    // exercises prefix/suffix trim, band early-exit, and the non-ASCII
+    // code-point fallback in one corpus
+    val pairs = (1 to 400).map { _ =>
+      val s = randStr(16)
+      val t =
+        if (rnd.nextBoolean() && s.nonEmpty) {
+          var x = s
+          (0 until rnd.nextInt(4)).foreach { _ =>
+            if (x.nonEmpty) {
+              val p = rnd.nextInt(x.length)
+              rnd.nextInt(3) match {
+                case 0 => x = x.substring(0, p) + x.substring(math.min(p + 1, x.length))
+                case 1 => x = x.substring(0, p) + "q" + x.substring(p)
+                case 2 => x = x.substring(0, p) + "中" + x.substring(math.min(p + 1, x.length))
+              }
+            }
+          }
+          x
+        } else randStr(16)
+      (s, t)
+    }
+    val df = pairs.toDF("a", "b").cache()
+    for (k <- Seq(0, 1, 2, 3, 7)) {
+      val bad = df.select(
+        EditDistanceExpressions.boundedLev($"a", $"b", k).as("n"),
+        when(levenshtein($"a", $"b") <= k, levenshtein($"a", $"b"))
+          .otherwise(lit(-1)).as("e"))
+        .filter($"n" =!= $"e").count()
+      assert(bad == 0, s"bound=$k disagrees with the built-in")
+    }
+    df.unpersist()
+    // null propagation + SQL registration
+    val viaSql = spark.sql(
+      "SELECT bounded_levenshtein('kitten', 'sitting', 3) AS d").as[Int].head()
+    assert(viaSql == 3)
+    val nul = Seq((Option.empty[String], "x")).toDF("a", "b")
+      .select(EditDistanceExpressions.boundedLev($"a", $"b", 2)).collect()
+    assert(nul.head.isNullAt(0))
+  }
 }
