@@ -235,6 +235,13 @@ class PlanSpec extends AnyFunSuite {
     val fm = plan("d_fuzzy_match")
     assert(!fm.contains("CartesianProduct"), fm.take(2000))
     assert(!fm.contains("BroadcastNestedLoopJoin"), fm.take(2000))
+    // score-then-dedup shape: the native scorer is in the plan, both anchor
+    // joins broadcast the catalog side, and NO join shuffles — the only
+    // exchanges left are the tiny lev-survivor distinct + window/sort
+    assert(fm.contains("bounded_levenshtein"), fm.take(2000))
+    assert(fm.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, fm.take(2000))
+    assert(!fm.contains("SortMergeJoin") && !fm.contains("ShuffledHashJoin"),
+      fm.take(2000))
     // the resample grid comes from a per-user explode (Generate), joined
     // back on (user_id, h) — never a time-spine cartesian
     val rs = plan("e_resample_ffill")
