@@ -444,6 +444,44 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("char-presence mask prefilter is recall-safe: lev ≤ k ⟹ ≤ 2k mask bits flip") {
+    // d_fuzzy_match rejects candidates with popcount(mask_a ^ mask_b) > 4
+    // before scoring at maxEdits 2 — sound because one edit changes the
+    // presence SET of at most 2 letters. Prove the implication on randomized
+    // edit chains rather than trusting the comment: for every pair within
+    // lev ≤ k (built-in as ground truth), the mask xor must stay ≤ 2k.
+    val rnd = new scala.util.Random(7)
+    def mask(s: String): Long =
+      s.toLowerCase.filter(c => c >= 'a' && c <= 'z')
+        .foldLeft(0L)((acc, c) => acc | (1L << (c - 'a')))
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val pairs = (1 to 500).map { _ =>
+      val s = (0 until 4 + rnd.nextInt(10)).map(_ => alpha(rnd.nextInt(26))).mkString
+      var t = s
+      (0 until rnd.nextInt(4)).foreach { _ =>
+        if (t.nonEmpty) {
+          val p = rnd.nextInt(t.length)
+          rnd.nextInt(3) match {
+            case 0 => t = t.substring(0, p) + t.substring(math.min(p + 1, t.length))
+            case 1 => t = t.substring(0, p) + alpha(rnd.nextInt(26)) + t.substring(p)
+            case 2 => t = t.substring(0, p) + alpha(rnd.nextInt(26)) +
+              t.substring(math.min(p + 1, t.length))
+          }
+        }
+      }
+      (s, t)
+    }
+    val viol = pairs.toDF("a", "b")
+      .select(levenshtein($"a", $"b").as("d"), $"a", $"b")
+      .collect()
+      .count { r =>
+        val d = r.getInt(0)
+        val bits = java.lang.Long.bitCount(mask(r.getString(1)) ^ mask(r.getString(2)))
+        bits > 2 * d // any such row would be a candidate the prefilter loses
+      }
+    assert(viol == 0, "mask prefilter would have rejected a true near-match")
+  }
+
   test("native bounded levenshtein ≡ built-in at every bound, all regimes") {
     import org.apache.spark.sql.graftx.EditDistanceExpressions
     val rnd = new scala.util.Random(42)
