@@ -83,6 +83,62 @@ object Graph {
     labels.select(col("v").as("vertex"), col("label").as("component"))
   }
 
+  /** PageRank in fixed-point INTEGER arithmetic — every rank is a BIGINT in
+    * units of `1/scale`, every operation is integer multiply / truncating
+    * divide / sum, so the result is bit-identical across engines, partition
+    * counts, and executor placements (no floating-point sum-order
+    * sensitivity — the property that lets a DuckDB oracle hash-match a
+    * 1000-executor Spark run exactly). The recurrence is the standard
+    * damped walk with per-node teleport mass (total mass N·scale):
+    *
+    *   r₀(v)    = scale
+    *   rₖ₊₁(v) = (15·scale) div 100 + (85 · Σ_{(u,v)∈E} (rₖ(u) div deg(u))) div 100
+    *
+    * `edges` must be DISTINCT directed pairs (pass both directions for an
+    * undirected graph — then every vertex has out-degree ≥ 1 and no
+    * dangling-mass correction is needed; dangling vertices in a directed
+    * graph simply leak their mass, the usual simplified formulation).
+    * Runs exactly `iters` rounds — an unrolled fixed computation, not a
+    * convergence loop, so an oracle can mirror it term by term.
+    *
+    * Scale posture: each round is ONE shuffled equi-join of the (long,long)
+    * edge list against the (long,long) rank table plus a map-side-combinable
+    * groupBy-sum — narrow rows throughout, web-graph shaped. Edges and
+    * degrees are checkpointed once and reused every round; rounds are plan
+    * compositions over those cached inputs (depth = `iters`, small by
+    * construction). Overflow: ranks are bounded by total mass N·scale, so
+    * 85·rank must fit a signed 64-bit long — N·scale < 10¹⁷, e.g. a billion
+    * vertices at the default micro-rank scale. Lower `scale` for larger
+    * graphs.
+    *
+    * Output: (`vertex`, `rank`) — `rank` in `1/scale` units.
+    */
+  def pageRankInt(edges: DataFrame, src: String, dst: String,
+      iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "pageRankInt needs at least one round")
+    val e = edges.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val verts = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .distinct()
+      .localCheckpoint()
+    val base = (15L * scale) / 100L
+    var r = verts.withColumn("r", lit(scale))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(deg, Seq("a"))
+        .join(r.withColumnRenamed("v", "a"), Seq("a"))
+        .groupBy(col("b").as("v"))
+        .agg(sum(expr("r div d")).as("s"))
+      r = verts.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+    }
+    r.select(col("v").as("vertex"), col("r").as("rank"))
+  }
+
   /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC 2014) — converges in O(log² n) rounds regardless of component

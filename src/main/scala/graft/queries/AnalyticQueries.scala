@@ -200,6 +200,29 @@ object AnalyticQueries extends QueryPack {
         .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
     }),
 
+    // PageRank over the part co-purchase graph (parts linked when they
+    // co-occur in an order — both directions, so no dangling mass), in
+    // fixed-point INTEGER arithmetic: every rank a BIGINT in micro-units,
+    // every step integer multiply/div/sum, so a 1000-executor run is
+    // bit-identical to the single-node oracle (no float sum-order
+    // sensitivity). Three unrolled rounds — the oracle mirrors the
+    // recurrence term by term as chained CTEs. Per-order line counts are
+    // bounded (~7), so the co-occurrence self-join is linear in lineitem,
+    // and each rank round is one narrow (long,long) equi-join + sum.
+    "a_pagerank_parts" -> ((s, dir) => {
+      val op = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = op.as("x")
+        .join(op.as("y"), col("x.ok") === col("y.ok") && col("x.p") =!= col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+        .distinct()
+      graft.operators.Graph.pageRankInt(e, "a", "b", iters = 3)
+        .orderBy(col("rank").desc, col("vertex"))
+        .limit(20)
+        .select(col("vertex").as("part_id"), col("rank").as("rank_micro"))
+    }),
+
     // Bivariate statistics per return flag: Pearson correlation and the
     // simple-OLS slope/intercept of extendedprice on quantity, all derived
     // from decimal-exact Σx/Σy/Σxy/Σx²/Σy² (order-insensitive merges, so
@@ -405,6 +428,31 @@ object AnalyticQueries extends QueryPack {
         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
         |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges""".stripMargin,
+
+    "a_pagerank_parts" -> {
+      // one damped integer round: rK = 150000 + (85 * Σ r_{K-1}//d) // 100;
+      // SUM widens to HUGEINT in DuckDB — all arithmetic stays integral and
+      // the final CAST to BIGINT restores Spark's type exactly
+      def round(k: Int): String =
+        s"""c$k AS (SELECT e.b AS vv, SUM(r${k - 1}.r // deg.d) AS s
+           |  FROM e JOIN deg ON e.a = deg.a JOIN r${k - 1} ON r${k - 1}.v = e.a
+           |  GROUP BY e.b),
+           |r$k AS (SELECT v.v,
+           |    CAST(150000 + (85 * COALESCE(c$k.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM v LEFT JOIN c$k ON c$k.vv = v.v)""".stripMargin
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |    FROM lineitem),
+         |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p <> y.p),
+         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+         |v AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+         |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM v),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT v AS part_id, r AS rank_micro FROM r3
+         |ORDER BY rank_micro DESC, part_id LIMIT 20""".stripMargin
+    },
 
     "a_regression_stats" -> {
       def stable(e: String) =
