@@ -107,4 +107,46 @@ object Temporal {
           col("__rsec") <= col("__lsec") + lit(upperInclusiveSec))
       .drop("__lsec", "__bucket", "__rk", "__rsec", "__bucket2")
   }
+
+  /** Interval-overlap join: all (left, right) pairs whose CLOSED intervals
+    * `[lStart, lEnd]` and `[rStart, rEnd]` intersect (timestamp columns,
+    * second precision). Inner pairs, every left/right column kept.
+    *
+    * Implementation is the grid-bucketed equi-join: each interval explodes
+    * into the epoch-second buckets of width `bucketSec` it touches, the
+    * join runs as a plain shuffled equi-join on the bucket, the exact
+    * overlap predicate filters inside the join condition, and each
+    * qualifying pair is emitted EXACTLY once — only in the bucket containing
+    * `greatest(left start, right start)`, which overlapping intervals
+    * always share (max of starts ≤ min of ends), so no post-join distinct
+    * over wide rows is needed. A naive overlap theta-join plans as
+    * BroadcastNestedLoopJoin — O(|L|·|R|) and driver-bound.
+    *
+    * Cost: amplification = interval length / `bucketSec` + 1 per row, so
+    * size `bucketSec` to the TYPICAL interval length (amplification ≈ 2);
+    * within a bucket the work is all-pairs, so the bucket width also bounds
+    * the worst-case candidate count — the classic grid-join trade. Epoch
+    * seconds must be non-negative (truncating `div` = floor there).
+    * Column names must be disjoint between the two inputs (pre-rename).
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val l2 = left
+      .withColumn("__ls", unix_timestamp(col(lStart)))
+      .withColumn("__le", unix_timestamp(col(lEnd)))
+      .withColumn("__bk", explode(sequence(
+        expr(s"__ls div ${bucketSec}L"), expr(s"__le div ${bucketSec}L"))))
+    val r2 = right
+      .withColumn("__rs", unix_timestamp(col(rStart)))
+      .withColumn("__re", unix_timestamp(col(rEnd)))
+      .withColumn("__bk2", explode(sequence(
+        expr(s"__rs div ${bucketSec}L"), expr(s"__re div ${bucketSec}L"))))
+    l2.join(r2,
+        col("__bk") === col("__bk2") &&
+          col("__ls") <= col("__re") && col("__rs") <= col("__le") &&
+          col("__bk") === expr(s"greatest(__ls, __rs) div ${bucketSec}L"))
+      .drop("__ls", "__le", "__bk", "__rs", "__re", "__bk2")
+  }
 }

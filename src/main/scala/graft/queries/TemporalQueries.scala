@@ -57,6 +57,33 @@ object TemporalQueries extends QueryPack {
         .select(col("event_id"), col("user_id"),
           coalesce(col("__n"), lit(0L)).as("n_clicks_10m"))
         .orderBy(col("event_id"))
+    }),
+
+    // Interval-overlap join: concurrent sessions of DIFFERENT users —
+    // sessionize (30-min gap), then grid-bucket the session intervals into
+    // hour cells and equi-join on the cell (sessions are gap-bounded well
+    // under an hour, so amplification ≤ 2 and no pair needs a distinct;
+    // the oracle is DuckDB's native theta overlap join — a structurally
+    // different plan). Output: per user pair, overlap count and total
+    // overlapping seconds — all integer arithmetic, engine-exact.
+    "e_overlap_sessions" -> ((s, dir) => {
+      val sess = graft.streaming.Sessionize
+        .sessionsBatch(Tables.load(s, dir, "events"), gapMinutes = 30)
+        .select(col("user_id"), col("session_start"), col("session_end"))
+        .localCheckpoint() // sessionized once, self-joined below
+      val a = sess.select(col("user_id").as("user_a"),
+        col("session_start").as("st_a"), col("session_end").as("en_a"))
+      val b = sess.select(col("user_id").as("user_b"),
+        col("session_start").as("st_b"), col("session_end").as("en_b"))
+      Temporal.intervalOverlapJoin(a, b, "st_a", "en_a", "st_b", "en_b",
+          bucketSec = 3600L)
+        .filter(col("user_a") < col("user_b"))
+        .groupBy(col("user_a"), col("user_b"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(unix_timestamp(col("en_a")), unix_timestamp(col("en_b"))) -
+            greatest(unix_timestamp(col("st_a")), unix_timestamp(col("st_b"))))
+            .as("overlap_sec"))
+        .orderBy(col("user_a"), col("user_b"))
     }))
 
   override def oracleSql: Map[String, String] = Map(
@@ -82,5 +109,26 @@ object TemporalQueries extends QueryPack {
         |  AND date_diff('second', p.ts2, c.ts2) > 0
         |  AND date_diff('second', p.ts2, c.ts2) <= 600
         |GROUP BY p.event_id, p.user_id
-        |ORDER BY p.event_id""".stripMargin)
+        |ORDER BY p.event_id""".stripMargin,
+
+    "e_overlap_sessions" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts2
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN lag(ts2) OVER w IS NULL
+        |    OR date_diff('second', lag(ts2) OVER w, ts2) > 1800 THEN 1 ELSE 0
+        |    END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts2, event_id)),
+        |s AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id
+        |    ORDER BY ts2, event_id) AS sid
+        |  FROM m),
+        |sess AS (SELECT user_id, min(ts2) AS st, max(ts2) AS en
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |  CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  CAST(SUM(date_diff('second', greatest(a.st, b.st),
+        |    least(a.en, b.en))) AS BIGINT) AS overlap_sec
+        |FROM sess a JOIN sess b ON a.user_id < b.user_id
+        |  AND a.st <= b.en AND b.st <= a.en
+        |GROUP BY a.user_id, b.user_id
+        |ORDER BY user_a, user_b""".stripMargin)
 }

@@ -105,9 +105,35 @@ class TemporalSpec extends AnyFunSuite {
     assert(naive.nonEmpty && banded === naive)
   }
 
+  test("intervalOverlapJoin matches the naive theta join, each pair once") {
+    // intervals spanning 1-3 hour buckets, exact-touch boundaries (closed
+    // intervals: end == start overlaps), nested and disjoint cases
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+      (2L, ts("2024-01-01 10:59:00"), ts("2024-01-01 13:05:00")), // 4 buckets
+      (3L, ts("2024-01-01 15:00:00"), ts("2024-01-01 15:00:00")) // point
+    ).toDF("lid", "st_a", "en_a")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:30:00"), ts("2024-01-01 11:10:00")), // touches 1, overlaps 2
+      (20L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:01")), // inside 2
+      (30L, ts("2024-01-01 14:00:00"), ts("2024-01-01 15:00:00")), // touches 3
+      (40L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:59:59")) // disjoint
+    ).toDF("rid", "st_b", "en_b")
+    val got = Temporal.intervalOverlapJoin(left, right,
+        "st_a", "en_a", "st_b", "en_b", bucketSec = 3600L)
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSeq
+    val naive = left.join(right,
+        unix_timestamp(col("st_a")) <= unix_timestamp(col("en_b")) &&
+          unix_timestamp(col("st_b")) <= unix_timestamp(col("en_a")))
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSeq
+    assert(got.size === got.toSet.size, "a pair was emitted twice")
+    assert(got.toSet === naive.toSet)
+    assert(got.toSet === Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
   test("temporal query plans never fall back to BroadcastNestedLoopJoin") {
     val dir = "/root/testdata/sf0.001"
-    Seq("e_asof_purchase", "e_range_clicks").foreach { q =>
+    Seq("e_asof_purchase", "e_range_clicks", "e_overlap_sessions").foreach { q =>
       val p = SparkEntry.queries(q)(spark, dir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
