@@ -235,6 +235,103 @@ object SimilarityQueries extends QueryPack {
         .crossJoin(subopt) // 1-row × 1-row
     }),
 
+    // Product-quantization gate: train m=8 × k=32 L2 codebooks, ADC-search
+    // the query set, then re-derive every mechanism through a DIFFERENT
+    // path and demand exact agreement — (a) per-subspace codes re-argmin'd
+    // via a broadcast codebook DataFrame + window (vs the folded-literal
+    // array_min in the operator), (b) every returned ADC distance re-folded
+    // from a posexplode→join→sorted-struct aggregation (same per-subspace
+    // scalar shape and fold order as the query-side table, so bit-equal),
+    // (c) per-query result shape, (d) recall@k against exact L2 brute force
+    // above a floor (PQ is lossy — the floor is the contract, measured with
+    // margin). Oracle: constants + the query count.
+    "v_pq_check" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.{dot, l2DistanceSq}
+      import graft.operators.Pq
+      import s.implicits._
+      val pqM = 8
+      val sub = 64 / pqM
+      val emb = Tables.load(s, dir, "embeddings")
+      val books = Pq.trainCodebooks(emb, "vec_id", "embedding",
+        m = pqM, k = 32, maxIter = 3)
+      val qs = queriesOf(emb).localCheckpoint()
+      val topk = Pq.adcTopK(emb, qs, "vec_id", "embedding", books, k)
+        .localCheckpoint() // one search, referenced by three gates
+      val nq = qs.agg(count(lit(1)).as("n_queries"))
+      val shapeBad = topk.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") =!= k)
+        .agg(count(lit(1)).as("shape_bad"))
+      // (a) encode re-derived: codebook rows as a broadcast DF, best j by
+      // (‖c‖² − 2·v_m·c, j) window — ‖c‖² as a column-side left fold, the
+      // same op order as the driver-side literal, so compares are bit-exact
+      val enc = Pq.encode(emb, "embedding", books, "__code")
+        .select(col("vec_id"), col("__code"))
+        .localCheckpoint()
+      val cdf = books.zipWithIndex.flatMap { case (cb, mi) =>
+        cb.zipWithIndex.map { case (c, j) => (mi, j, c) }
+      }.toDF("__cm", "__cj", "__cc")
+      val wEnc = Window.partitionBy(col("vec_id"), col("__cm"))
+        .orderBy(col("__dist"), col("__cj"))
+      val best = emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cdf)) // n × (m·k) scored subspace pairs
+        .withColumn("__sv",
+          expr(s"slice(CAST(embedding AS ARRAY<DOUBLE>), __cm * $sub + 1, $sub)"))
+        .withColumn("__dist",
+          dot(col("__cc"), col("__cc")) - lit(2.0) * dot(col("__sv"), col("__cc")))
+        .withColumn("__r", row_number().over(wEnc))
+        .filter(col("__r") === 1)
+        .select(col("vec_id"), col("__cm"), col("__cj"))
+      val encBad = best.join(enc, Seq("vec_id"))
+        .filter(col("__cj") =!= expr("__code[__cm]"))
+        .agg(count(lit(1)).as("encode_suboptimal"))
+      // (b) ADC distances re-folded through the join mechanism, summed in
+      // subspace order via a sorted-struct fold — must be bit-identical
+      val sdRows = topk
+        .join(qs.select(col("vec_id").as("query_id"),
+          col("embedding").as("__qv")), Seq("query_id"))
+        .join(enc.withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+          col("__qv"), posexplode(col("__code")).as(Seq("__m", "__codej")))
+        .join(broadcast(cdf),
+          col("__m") === col("__cm") && col("__codej") === col("__cj"))
+        .withColumn("__qs",
+          expr(s"slice(CAST(__qv AS ARRAY<DOUBLE>), __m * $sub + 1, $sub)"))
+        .withColumn("__d",
+          dot(col("__qs"), col("__qs")) -
+            lit(2.0) * dot(col("__qs"), col("__cc")) +
+            dot(col("__cc"), col("__cc")))
+      val adcBad = sdRows
+        .groupBy(col("query_id"), col("neighbor_id"), col("adc_dist"))
+        .agg(expr("aggregate(array_sort(collect_list(struct(__m, __d))), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x.__d)").as("__re"))
+        .filter(col("adc_dist") =!= col("__re"))
+        .agg(count(lit(1)).as("adc_mismatch"))
+      // (d) recall@k vs exact L2 brute force
+      val wB = Window.partitionBy(col("query_id"))
+        .orderBy(col("__d2"), col("neighbor_id"))
+      val bruteL2 = emb
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+        .join(broadcast(qs.select(col("vec_id").as("query_id"),
+          col("embedding").as("__qv2"))),
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("__d2", l2DistanceSq(col("__qv2"), col("__cv")))
+        .withColumn("__r", row_number().over(wB))
+        .filter(col("__r") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+      val recallOk = topk.select(col("query_id"), col("neighbor_id"))
+        .join(bruteL2, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("__h"))
+        .crossJoin(broadcast(nq)) // 1-row × 1-row
+        .select(((col("__h").cast("double") /
+          (col("n_queries") * k).cast("double")) >= 0.2).cast("int")
+          .as("recall_ok"))
+      nq.crossJoin(shapeBad).crossJoin(encBad).crossJoin(adcBad)
+        .crossJoin(recallOk) // all 1-row gate frames
+    }),
+
     // SemDeDup gate: prune labels are exactly characterized — a row is
     // pruned iff it has a same-cell smaller-id neighbor with cosine ≥ tau.
     // The justification set is recomputed from the raw vectors over the
@@ -331,6 +428,14 @@ object SimilarityQueries extends QueryPack {
       """SELECT CAST(0 AS BIGINT) AS bad_query_shapes,
         |  CAST(0 AS BIGINT) AS cosine_mismatches,
         |  CAST(0 AS BIGINT) AS outranked_missing""".stripMargin,
+
+    "v_pq_check" ->
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 97 = 0) AS n_queries,
+        |  CAST(0 AS BIGINT) AS shape_bad,
+        |  CAST(0 AS BIGINT) AS encode_suboptimal,
+        |  CAST(0 AS BIGINT) AS adc_mismatch,
+        |  CAST(1 AS INTEGER) AS recall_ok""".stripMargin,
 
     "v_kmeans_check" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,

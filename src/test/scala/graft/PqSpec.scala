@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pq
+
+/** Product-quantization mechanics on a planted two-cluster fixture:
+  * codebook shapes, argmin encoding against an independent driver-side
+  * fold, and ADC ranking preferring same-cluster neighbors.
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two well-separated clusters in 4-dim; m=2 subspaces of width 2
+  private val fixture: Seq[(Long, Seq[Float])] = Seq(
+    (1L, Seq(1.0f, 1.1f, 5.0f, 5.1f)),
+    (2L, Seq(1.1f, 0.9f, 5.1f, 4.9f)),
+    (3L, Seq(0.9f, 1.0f, 4.9f, 5.0f)),
+    (4L, Seq(-1.0f, -1.1f, -5.0f, -5.1f)),
+    (5L, Seq(-1.1f, -0.9f, -5.1f, -4.9f)),
+    (6L, Seq(-0.9f, -1.0f, -4.9f, -5.0f)))
+
+  private lazy val df = fixture.toDF("vec_id", "embedding")
+  private lazy val books = Pq.trainCodebooks(df, "vec_id", "embedding",
+    m = 2, k = 2, maxIter = 5)
+
+  test("codebooks have m x k x sub shape") {
+    assert(books.size === 2)
+    assert(books.forall(_.size === 2))
+    assert(books.forall(_.forall(_.size === 2)))
+  }
+
+  test("encode matches an independent argmin fold, clusters share codes") {
+    val got = Pq.encode(df, "embedding", books, "code")
+      .select(col("vec_id"), col("code"))
+      .as[(Long, Seq[Int])].collect().toMap
+    // independent reference: argmin_j (|c|^2 - 2 v.c), ties to smaller j
+    val want = fixture.map { case (vid, v) =>
+      val codes = books.zipWithIndex.map { case (cb, mi) =>
+        val sv = v.map(_.toDouble).slice(mi * 2, mi * 2 + 2)
+        cb.zipWithIndex.map { case (c, j) =>
+          val cn2 = c.foldLeft(0.0)((a, x) => a + x * x)
+          val d = cn2 - 2.0 * sv.zip(c).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+          (d, j)
+        }.min._2
+      }
+      vid -> codes
+    }.toMap
+    assert(got.view.mapValues(_.toList).toMap ===
+      want.view.mapValues(_.toList).toMap)
+    // the two planted clusters land on distinct full codes
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(4L) === got(5L) && got(5L) === got(6L))
+    assert(got(1L) !== got(4L))
+  }
+
+  test("adcTopK ranks same-cluster neighbors first, shape k per query") {
+    val queries = df.filter(col("vec_id").isin(1L, 4L))
+    val out = Pq.adcTopK(df, queries, "vec_id", "embedding", books, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(out.count(_._1 == 1L) === 2 && out.count(_._1 == 4L) === 2)
+    // every top-2 neighbor of a cluster member is from the same cluster
+    assert(out.filter(_._1 == 1L).forall(t => Set(2L, 3L).contains(t._2)))
+    assert(out.filter(_._1 == 4L).forall(t => Set(5L, 6L).contains(t._2)))
+  }
+
+  test("adc distance equals a driver-side table fold (1e-12)") {
+    val out = Pq.adcTopK(df, df.filter(col("vec_id") === 1L), "vec_id",
+        "embedding", books, k = 5)
+      .select(col("neighbor_id"), col("adc_dist"))
+      .as[(Long, Double)].collect().toMap
+    val vecs = fixture.toMap
+    val q = vecs(1L).map(_.toDouble)
+    for ((nid, got) <- out) {
+      val v = vecs(nid).map(_.toDouble)
+      val want = books.zipWithIndex.map { case (cb, mi) =>
+        val sv = v.slice(mi * 2, mi * 2 + 2)
+        val qv = q.slice(mi * 2, mi * 2 + 2)
+        val code = cb.zipWithIndex.map { case (c, j) =>
+          val cn2 = c.foldLeft(0.0)((a, x) => a + x * x)
+          (cn2 - 2.0 * sv.zip(c).foldLeft(0.0)((a, p) => a + p._1 * p._2), j)
+        }.min._2
+        val c = cb(code)
+        val cn2 = c.foldLeft(0.0)((a, x) => a + x * x)
+        qv.zip(qv).foldLeft(0.0)((a, p) => a + p._1 * p._2) -
+          2.0 * qv.zip(c).foldLeft(0.0)((a, p) => a + p._1 * p._2) + cn2
+      }.foldLeft(0.0)(_ + _)
+      assert(math.abs(got - want) < 1e-12, s"neighbor $nid: $got vs $want")
+    }
+  }
+}
