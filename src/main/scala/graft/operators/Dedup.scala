@@ -321,4 +321,58 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo, SIGMOD 1995):
+    * order the corpus by a blocking key, slide a window of `w` consecutive
+    * rows, and emit every in-window pair — the classic linear-candidate
+    * alternative to hash blocking when near-duplicates sort adjacently
+    * (common key choices: normalized-text prefixes, name+zip composites).
+    *
+    * Spark-first global ranking WITHOUT the single-partition window trap
+    * (a bare `Window.orderBy` collapses the corpus onto one reducer): rows
+    * are range-repartitioned and sorted on (key, id), per-partition
+    * row_numbers are offset by the collected per-partition counts (one
+    * numPartitions-row action — model-state small), yielding the exact
+    * global rank of a deterministic total order. In-window pairs then come
+    * from the banded self-equi-join on `rank div w` (each left row probes
+    * ≤ 2 buckets — the [[Temporal.bandedRangeJoin]] shape on integer
+    * ranks), so every shuffle carries (rank, id) longs and the candidate
+    * count is exactly (w−1)·n − w·(w−1)/2, never n².
+    *
+    * Output: (`id_a`, `id_b`, `gap`) with id_a the earlier row in sort
+    * order and 0 < gap < w the rank distance.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, id: String, sortKey: Column,
+      w: Int): DataFrame = {
+    require(w >= 2, "window must cover at least 2 rows")
+    import org.apache.spark.sql.expressions.Window
+    val parts = df.select(col(id).as("__id"), sortKey.as("__k"))
+      .repartitionByRange(col("__k"), col("__id"))
+      .localCheckpoint() // pin the range partitioning for offsets + ranks
+    val counts = parts.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c)
+    }.init.map { case (_, off) => off } // offset of partition i = sum of counts < i
+    val offsetByPid = counts.map(_._1).zip(offsets).toMap
+    val offCol = element_at(
+      typedlit(offsetByPid), spark_partition_id())
+    val wRank = Window.partitionBy(spark_partition_id())
+      .orderBy(col("__k"), col("__id"))
+    val ranked = parts
+      .withColumn("__rk", row_number().over(wRank).cast("long") + offCol)
+      .select(col("__id"), col("__rk"))
+    // banded self-join on rank div w: matches for a sit in (rk_a, rk_a+w)
+    val a = ranked
+      .withColumn("__bk", explode(array_distinct(array(
+        expr(s"(__rk + 1) div $w"), expr(s"(__rk + ${w - 1}) div $w")))))
+      .select(col("__id").as("id_a"), col("__rk").as("__ra"), col("__bk"))
+    val b = ranked
+      .select(col("__id").as("id_b"), col("__rk").as("__rb"),
+        expr(s"__rk div $w").as("__bk2"))
+    a.join(b, col("__bk") === col("__bk2") &&
+        col("__rb") > col("__ra") && col("__rb") < col("__ra") + w)
+      .select(col("id_a"), col("id_b"), (col("__rb") - col("__ra")).as("gap"))
+  }
 }

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions._
 
 /** Product quantization for approximate nearest-neighbor search (Jégou,
   * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
@@ -33,35 +32,17 @@ import graft.functions.VectorFunctions._
   */
 object Pq {
 
-  /** 1-based subvector slice of subspace `m` (width `sub`). */
-  private def subv(vec: Column, m: Int, sub: Int): Column =
-    slice(vec, m * sub + 1, sub)
-
-  /** Argmin-L2 centroid index for one subspace, as a pure projection over
-    * literal centroids. Scores the PARTIAL distance ‖c‖² − 2·v_m·c (the
-    * ‖v_m‖² term is constant across centroids, so the argmin is unchanged);
-    * `array_min` over struct(score, index) breaks ties to the smallest
-    * index. ‖c‖² is the same left-fold the column-side recompute gate uses,
-    * so cross-mechanism comparisons are bit-exact.
+  /** The full code array (one int per subspace) as a narrow projection —
+    * the native [[org.apache.spark.sql.graftx.PqCodes]] kernel: the
+    * Column-DSL equivalent (array_min over m·k dot-product structs) is a
+    * literal tree Janino must recompile per plan, which dominated the
+    * train loop; the kernel is one codegen'd call around a tight loop.
+    * Argmin scores the partial distance ‖c‖² − 2·v_m·c (the ‖v_m‖² term is
+    * constant across centroids), ties to the smallest index, op order
+    * matching the broadcast-DataFrame recompute gate bit-for-bit.
     */
-  def assignSub(vec: Column, m: Int, sub: Int,
-      centroids: Seq[Seq[Double]]): Column = {
-    val v = subv(vec, m, sub)
-    val scored = centroids.zipWithIndex.map { case (cvec, j) =>
-      val cn2 = cvec.foldLeft(0.0)((a, x) => a + x * x)
-      struct((lit(cn2) - lit(2.0) * dot(v, typedlit(cvec))).as("s"),
-        lit(j).as("j"))
-    }
-    array_min(array(scored: _*)).getField("j")
-  }
-
-  /** The full code array (one int per subspace) as a narrow projection. */
-  def codesExpr(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
-    val sub = codebooks.head.head.length
-    array(codebooks.zipWithIndex.map { case (cb, m) =>
-      assignSub(vec, m, sub, cb)
-    }: _*)
-  }
+  def codesExpr(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    org.apache.spark.sql.graftx.PqExpressions.pqCodes(vec, codebooks)
 
   /** Train per-subspace L2 codebooks: `m` subspaces × `k` centroids each.
     * Seeds are the k smallest-md5(id) rows' subvectors (deterministic on
@@ -86,9 +67,14 @@ object Pq {
     var books: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
       seedRows.toSeq.map(v => v.slice(mi * sub, mi * sub + sub)))
     for (_ <- 1 to maxIter) {
-      val sums = base
-        .select(codesExpr(col("__v"), books).as("__codes"),
-          posexplode(col("__v")).as(Seq("__i", "__x")))
+      // stage the assignment BEFORE the posexplode: CollapseProject would
+      // otherwise inline the m·k-dot code expression into every exploded
+      // dim row — a D× recompute (measured 7× on the train loop)
+      val staged = base
+        .select(col("__v"), codesExpr(col("__v"), books).as("__codes"))
+        .localCheckpoint()
+      val sums = staged
+        .select(col("__codes"), posexplode(col("__v")).as(Seq("__i", "__x")))
         .select(expr(s"CAST(__i div $sub AS INT)").as("__m"),
           expr(s"__codes[__i div $sub]").as("__cell"),
           expr(s"__i % $sub").as("__d"),
@@ -96,6 +82,8 @@ object Pq {
         .groupBy(col("__m"), col("__cell"), col("__d"))
         .agg(sumStable(col("__x")).as("__s"), count(lit(1)).as("__n"))
         .collect()
+      org.apache.spark.sql.graftx.CheckpointUtils
+        .unpersistLocalCheckpoint(staged)
       val acc = Array.fill(m)(Array.fill(k)(new Array[Double](sub)))
       val cnt = Array.fill(m)(new Array[Long](k))
       sums.foreach { r =>
@@ -134,22 +122,21 @@ object Pq {
     val m = codebooks.size
     val c = encode(corpus, vec, codebooks, "__code")
       .select(col(id).as("neighbor_id"), col("__code"))
-    val qv = col(vec).cast("array<double>")
-    val tbl = array(codebooks.zipWithIndex.map { case (cb, mi) =>
-      val sub = cb.head.length
-      val q = subv(qv, mi, sub)
-      array(cb.map { cvec =>
-        val cn2 = cvec.foldLeft(0.0)((a, x) => a + x * x)
-        dot(q, q) - lit(2.0) * dot(q, typedlit(cvec)) + lit(cn2)
-      }: _*)
-    }: _*)
-    val q = queries.select(col(id).as("query_id"), tbl.as("__tbl"))
+    // per-query m×k table of full squared L2 sub-distances, built once per
+    // query row by the native kernel (entry shape (q·q − 2·q·c) + ‖c‖²)
+    val q = queries.select(col(id).as("query_id"),
+      org.apache.spark.sql.graftx.PqExpressions
+        .pqDistTable(col(vec).cast("array<double>"), codebooks).as("__tbl"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist",
-        expr(s"aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), " +
-          "(acc, i) -> acc + __tbl[i][__code[i]])"))
+        // unrolled left-assoc sum — plain element_at chains stay inside
+        // whole-stage codegen where the equivalent `aggregate` HOF is a
+        // CodegenFallback (measured ~40% of search time); same add order,
+        // so the re-fold gate's bit-equality contract is unchanged
+        (0 until m).map(i => expr(s"__tbl[$i][__code[$i]]"))
+          .reduce(_ + _))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adc_dist"),

@@ -249,6 +249,23 @@ object DedupQueries extends QueryPack {
         .filter(col("a") =!= col("b"))
         .agg(count(lit(1)).as("native_hof_mismatches"))
       pairDiff.crossJoin(nativeHof) // 1-row × 1-row
+    }),
+
+    // Sorted-neighborhood candidate pairs (Hernández-Stolfo): corpus
+    // ordered by normalized text (pure [a-z0-9 ] bytes, so Java and DuckDB
+    // collate identically), window w=5, every in-window pair emitted. The
+    // Spark side derives the global rank WITHOUT a single-partition window
+    // (range-repartition + per-partition row_number + collected offsets)
+    // and generates pairs through a banded rank-bucket equi-join; the
+    // oracle is the textbook one-window formulation — a hash match proves
+    // the distributed ranking and banding are exactly the sequential
+    // semantics.
+    "d_snm_pairs" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+          TextFunctions.normalize(col("text")), w = 5)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** Full-recompute exact Jaccard restricted to pairs touching the mod-3
@@ -315,7 +332,21 @@ object DedupQueries extends QueryPack {
 
     "d_simhash_check" ->
       """SELECT CAST(0 AS BIGINT) AS pair_diff,
-        |  CAST(0 AS BIGINT) AS native_hof_mismatches""".stripMargin)
+        |  CAST(0 AS BIGINT) AS native_hof_mismatches""".stripMargin,
+
+    // textbook sequential SNM: one global window over the sorted corpus —
+    // structurally independent of the Spark side's distributed ranking +
+    // banded bucket join
+    "d_snm_pairs" ->
+      """WITH norm AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents),
+        |r AS (SELECT doc_id, row_number() OVER (ORDER BY t, doc_id) AS rk
+        |  FROM norm)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(b.rk - a.rk AS BIGINT) AS gap
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 5
+        |ORDER BY id_a, id_b""".stripMargin)
 
   /** Shared transitive-closure core: shingles → jaccard pairs → recursive
     * reachability over the undirected edge set.

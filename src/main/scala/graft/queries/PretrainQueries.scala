@@ -230,6 +230,18 @@ object PretrainQueries extends QueryPack {
     // per doc (md5 of concatenated chunks == md5 of the normalized text)
     // and zero length-bound violations; the resynchronization and
     // shared-middle properties are spec-proven on planted fixtures.
+    // Sliding-window passage chunking (retrieval/pretraining slices):
+    // 64-token windows at stride 48, zero-shuffle projection; every chunk
+    // fingerprinted so the oracle re-derives each window's exact content.
+    "t_passage_chunks" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Chunking.passageWindows(docs, "doc_id", "text",
+          window = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_index"), col("start_pos"),
+          col("n_chunk_tokens"), md5(col("passage")).as("passage_fp"))
+        .orderBy(col("doc_id"), col("chunk_index"))
+    }),
+
     "t_cdc_chunks" -> ((s, dir) => {
       import org.apache.spark.sql.graftx.ChunkExpressions
       val docs = Tables.load(s, dir, "documents")
@@ -481,6 +493,22 @@ object PretrainQueries extends QueryPack {
         |    / CAST(greatest(coalesce(n_grams, 0), 1) AS DOUBLE) AS dup_fraction
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "t_passage_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |st AS (SELECT doc_id, toks, unnest(range(0, n, 48)) AS s FROM x),
+        |c AS (SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_index,
+        |    CAST(s AS BIGINT) AS start_pos,
+        |    list_slice(toks, s + 1, s + 64) AS chunk
+        |  FROM st)
+        |SELECT doc_id, chunk_index, start_pos,
+        |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS passage_fp
+        |FROM c ORDER BY doc_id, chunk_index""".stripMargin,
 
     "t_cdc_chunks" ->
       """WITH norm AS (SELECT doc_id,

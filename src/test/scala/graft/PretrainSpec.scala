@@ -424,6 +424,47 @@ class PretrainSpec extends AnyFunSuite {
     assert(r == Seq((1L, 4L, 0L), (2L, 4L, 4L * q4), (3L, 0L, 0L)))
   }
 
+  test("passage windows: coverage, overlap, tail clamp, empty doc dropped") {
+    import graft.ops.Chunking
+    // 10 tokens, window 4, stride 3 → starts 0,3,6,9; last is a 1-token tail
+    val df = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")),
+      (2L, ""), (3L, "solo")).toDF("doc_id", "text")
+    val got = Chunking.passageWindows(df, "doc_id", "text", window = 4,
+        stride = 3)
+      .orderBy(col("doc_id"), col("chunk_index"))
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) === Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L), (1L, 3L, 9L, 1L),
+      (3L, 0L, 0L, 1L)))
+    assert(got.head._5 === "t0 t1 t2 t3")
+    assert(got(3)._5 === "t9")
+    // stride ≤ window ⇒ every token covered: union of [start, start+n)
+    val covered = got.filter(_._1 == 1L)
+      .flatMap(r => r._3 until (r._3 + r._4)).toSet
+    assert(covered === (0L until 10L).toSet)
+  }
+
+  test("sorted-neighborhood pairs equal the sequential single-window set") {
+    import graft.operators.Dedup
+    // keys crafted so near-duplicates sort adjacently across many partitions
+    val docs = (0L until 97L)
+      .map(i => (i, f"key${i / 2}%04d tail$i"))
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(df, "doc_id",
+        graft.functions.TextFunctions.normalize(col("text")), w = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // sequential reference: sort by (normalized key, id), all pairs < w apart
+    val norm = docs.map { case (i, t) =>
+      (i, t.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim)
+    }
+    val order = norm.sortBy { case (i, k) => (k, i) }.map(_._1)
+    val want = (for {
+      a <- order.indices; b <- (a + 1) until math.min(a + 4, order.size)
+    } yield (order(a), order(b), (b - a).toLong)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("bm25: more query-term hits at equal length ranks higher; no-hit docs absent") {
     val dir = miniDocs(
       1L -> "data data query x", // two terms, three hits
