@@ -346,19 +346,24 @@ object Dedup {
       w: Int): DataFrame = {
     require(w >= 2, "window must cover at least 2 rows")
     import org.apache.spark.sql.expressions.Window
+    // __pid MUST be materialized inside the checkpointed frame: the window
+    // below forces an exchange, and a bare spark_partition_id() in any
+    // projection above it would observe the POST-shuffle partition id, not
+    // the pinned range-partition id the offsets were built from (silently
+    // duplicated ranks on multi-partition input).
     val parts = df.select(col(id).as("__id"), sortKey.as("__k"))
       .repartitionByRange(col("__k"), col("__id"))
+      .withColumn("__pid", spark_partition_id())
       .localCheckpoint() // pin the range partitioning for offsets + ranks
-    val counts = parts.groupBy(spark_partition_id().as("__pid"))
+    val counts = parts.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
       (pid, acc + c)
     }.init.map { case (_, off) => off } // offset of partition i = sum of counts < i
     val offsetByPid = counts.map(_._1).zip(offsets).toMap
-    val offCol = element_at(
-      typedlit(offsetByPid), spark_partition_id())
-    val wRank = Window.partitionBy(spark_partition_id())
+    val offCol = element_at(typedlit(offsetByPid), col("__pid"))
+    val wRank = Window.partitionBy(col("__pid"))
       .orderBy(col("__k"), col("__id"))
     val ranked = parts
       .withColumn("__rk", row_number().over(wRank).cast("long") + offCol)

@@ -61,8 +61,12 @@ object TemporalQueries extends QueryPack {
 
     // Interval-overlap join: concurrent sessions of DIFFERENT users —
     // sessionize (30-min gap), then grid-bucket the session intervals into
-    // hour cells and equi-join on the cell (sessions are gap-bounded well
-    // under an hour, so amplification ≤ 2 and no pair needs a distinct;
+    // hour cells and equi-join on the cell (the 30-min gap bounds the
+    // spacing BETWEEN events, not session length, so a long event chain can
+    // span many cells and bucket amplification grows with session length —
+    // unbounded in principle; correctness is unaffected because the
+    // emit-once bucket condition below is independent of interval length,
+    // and no pair needs a distinct;
     // the oracle is DuckDB's native theta overlap join — a structurally
     // different plan). Output: per user pair, overlap count and total
     // overlapping seconds — all integer arithmetic, engine-exact.

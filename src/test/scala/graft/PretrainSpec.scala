@@ -446,13 +446,32 @@ class PretrainSpec extends AnyFunSuite {
 
   test("sorted-neighborhood pairs equal the sequential single-window set") {
     import graft.operators.Dedup
-    // keys crafted so near-duplicates sort adjacently across many partitions
-    val docs = (0L until 97L)
+    // keys crafted so near-duplicates sort adjacently across many partitions.
+    // AQE's partition coalescing is disabled for this test: at 400 rows the
+    // default coalesce collapses the range shuffle to 1 partition, which
+    // would silently skip the distributed ranking + offset path this
+    // function exists for (the exact hole that hid the pre-r5 __pid bug).
+    val docs = (0L until 400L)
       .map(i => (i, f"key${i / 2}%04d tail$i"))
     val df = docs.toDF("doc_id", "text")
-    val got = Dedup.sortedNeighborhoodPairs(df, "doc_id",
-        graft.functions.TextFunctions.normalize(col("text")), w = 4)
-      .as[(Long, Long, Long)].collect().toSet
+    val prevCoalesce =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val got =
+      try {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        val nParts = df
+          .repartitionByRange(
+            graft.functions.TextFunctions.normalize(col("text")),
+            col("doc_id"))
+          .rdd.getNumPartitions
+        assert(nParts > 1,
+          s"range shuffle coalesced to $nParts partition(s) — multi-partition rank path not covered")
+        Dedup.sortedNeighborhoodPairs(df, "doc_id",
+            graft.functions.TextFunctions.normalize(col("text")), w = 4)
+          .as[(Long, Long, Long)].collect().toSet
+      } finally {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+      }
     // sequential reference: sort by (normalized key, id), all pairs < w apart
     val norm = docs.map { case (i, t) =>
       (i, t.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim)
