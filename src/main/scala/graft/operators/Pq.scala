@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 
@@ -113,7 +112,10 @@ object Pq {
     * codebooks, the query side broadcasts, the encoded corpus streams once,
     * and per pair the score is `m` array lookups folded in subspace order
     * (a deterministic left fold — rescoring the same pair anywhere gives
-    * the same double). Ties break to the smaller neighbor id.
+    * the same double). Ties break to the smaller neighbor id. The final
+    * reduction is the bounded k-heap aggregate ([[TopK.perKey]]): partial
+    * heaps fold map-side, so the only exchange carries ≤ partitions·k pairs
+    * per query — never the full scored corpus.
     *
     * Output: (query_id, neighbor_id, adc_dist, rank).
     */
@@ -127,9 +129,7 @@ object Pq {
     val q = queries.select(col(id).as("query_id"),
       org.apache.spark.sql.graftx.PqExpressions
         .pqDistTable(col(vec).cast("array<double>"), codebooks).as("__tbl"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist"), col("neighbor_id"))
-    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist",
         // unrolled left-assoc sum — plain element_at chains stay inside
         // whole-stage codegen where the equivalent `aggregate` HOF is a
@@ -137,9 +137,99 @@ object Pq {
         // so the re-fold gate's bit-equality contract is unchanged
         (0 until m).map(i => expr(s"__tbl[$i][__code[$i]]"))
           .reduce(_ + _))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
-        col("rank"))
+    TopK.perKey(scored, "query_id", "adc_dist", "neighbor_id", k,
+      descending = false)
+  }
+
+  // ---------------------------------------------------------------------
+  // IVFADC (Jégou et al. §IV): coarse inverted lists over PQ-coded
+  // RESIDUALS — the billion-vector composition of the two pieces above.
+  // The coarse quantizer (any centroid list; [[Clustering.fit]] is the
+  // in-repo source) splits the corpus into cells; each vector stores only
+  // its cell id and the PQ code of (v − centroid(cell)); a query probes its
+  // `nProbe` closest cells and ADC-scores ONLY those cells' codes, with a
+  // per-(query, cell) distance table built from the query's residual
+  // against that cell. Fanout drops by ~|cells|/nProbe while residual
+  // coding keeps quantization error far below raw-vector PQ at equal bits.
+  // ---------------------------------------------------------------------
+
+  /** 0-based L2-argmin cell id for a full vector against the literal coarse
+    * centroids — the [[codesExpr]] kernel with one "subspace" spanning the
+    * whole dimension (the partial score ‖c‖² − 2·v·c has the same argmin as
+    * full L2; ties to the smallest cell index).
+    */
+  def coarseCellExpr(vec: Column, coarse: Seq[Seq[Double]]): Column =
+    element_at(codesExpr(vec, Seq(coarse)), 1)
+
+  /** `df` plus the coarse cell id and the residual v − centroid(cell), as
+    * one zero-shuffle projection (centroids are driver-literal model state).
+    */
+  def withResidual(df: DataFrame, vec: String, coarse: Seq[Seq[Double]],
+      cellCol: String = "__cell", resCol: String = "__res"): DataFrame = {
+    val vd = col(vec).cast("array<double>")
+    df.withColumn(cellCol, coarseCellExpr(vd, coarse))
+      .withColumn(resCol,
+        zip_with(vd, element_at(typedlit(coarse), col(cellCol) + 1),
+          (a, b) => a - b))
+  }
+
+  /** PQ codebooks trained on coarse-cell RESIDUALS — same single-scan Lloyd
+    * as [[trainCodebooks]], over the residual projection.
+    */
+  def trainResidualCodebooks(df: DataFrame, id: String, vec: String,
+      coarse: Seq[Seq[Double]], m: Int, k: Int,
+      maxIter: Int = 5): Seq[Seq[Seq[Double]]] =
+    trainCodebooks(withResidual(df, vec, coarse), id, "__res", m, k, maxIter)
+
+  /** IVFADC search: probe the `nProbe` L2-closest coarse cells per query,
+    * ADC-score only those cells' residual codes, reduce with the bounded
+    * k-heap. The probe side is |Q|·nProbe rows (each carrying its m×k
+    * residual distance table) and BROADCASTS; the encoded corpus streams
+    * once through an EQUI-join on the cell id — no full-corpus ADC scan,
+    * no non-equi join, and the final exchange is ≤ partitions·k pairs per
+    * query. Cell-probe scoring uses the same ‖c‖² − 2·q·c shape and fold
+    * order as [[codesExpr]], so gate recomputes are bit-exact.
+    *
+    * Output: (query_id, neighbor_id, adc_dist, rank) — adc_dist
+    * approximates ‖q − v‖² via the residual tables.
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= coarse.size,
+      s"nProbe $nProbe out of range for ${coarse.size} cells")
+    val m = codebooks.size
+    val enc = withResidual(corpus, vec, coarse)
+      .select(col(id).as("neighbor_id"), col("__cell"),
+        codesExpr(col("__res"), codebooks).as("__code"))
+    val qd = queries.select(col(id).as("query_id"),
+      col(vec).cast("array<double>").as("__qv"))
+    // nProbe closest cells: per-cell partial L2 score against the literal
+    // centroids (‖c‖² − 2·q·c, driver-side ‖c‖² left-fold matches the
+    // executor-side dot fold bit-for-bit), smallest-(score, cell) first
+    val cellScores = coarse.zipWithIndex.map { case (cvec, j) =>
+      val cn2 = cvec.foldLeft(0.0)((a, x) => a + x * x)
+      struct((lit(cn2) - lit(2.0) *
+        graft.functions.VectorFunctions.dot(col("__qv"), typedlit(cvec)))
+        .as("d"), lit(j).as("j"))
+    }
+    val probed = qd
+      .withColumn("__probe", slice(array_sort(array(cellScores: _*)), 1, nProbe))
+      .select(col("query_id"), col("__qv"),
+        explode(col("__probe").getField("j")).as("__cell"))
+    // per probed (query, cell): residual table against THAT cell's centroid
+    val q = probed
+      .withColumn("__qres",
+        zip_with(col("__qv"), element_at(typedlit(coarse), col("__cell") + 1),
+          (a, b) => a - b))
+      .select(col("query_id"), col("__cell"),
+        org.apache.spark.sql.graftx.PqExpressions
+          .pqDistTable(col("__qres"), codebooks).as("__tbl"))
+    val scored = enc.join(broadcast(q), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist",
+        (0 until m).map(i => expr(s"__tbl[$i][__code[$i]]")).reduce(_ + _))
+    TopK.perKey(scored, "query_id", "adc_dist", "neighbor_id", k,
+      descending = false)
   }
 }

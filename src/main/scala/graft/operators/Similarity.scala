@@ -27,7 +27,10 @@ object Similarity {
     df.withColumn("__nrm", l2Norm(col(vec)))
 
   /** Exact cosine top-k: for each query row, the k nearest corpus rows
-    * (excluding itself). Queries are broadcast; corpus is scanned once.
+    * (excluding itself). Queries are broadcast; corpus is scanned once; the
+    * per-query reduction is the bounded k-heap aggregate ([[TopK.perKey]])
+    * so the only exchange carries ≤ partitions·k pairs per query, never the
+    * full scored corpus.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, k: Int): DataFrame = {
@@ -35,14 +38,11 @@ object Similarity {
       .select(col(id).as("neighbor_id"), col(vec).as("__cv"), col("__nrm").as("__cn"))
     val q = withNorm(queries, vec)
       .select(col(id).as("query_id"), col(vec).as("__qv"), col("__nrm").as("__qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine_sim",
         cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
+    TopK.perKey(scored, "query_id", "cosine_sim", "neighbor_id", k,
+      descending = true)
   }
 
   /** Hard-negative mining for contrastive training data: for each query row,
@@ -61,15 +61,12 @@ object Similarity {
     val q = withNorm(queries, vec)
       .select(col(id).as("query_id"), col(labelCol).as("__ql"),
         col(vec).as("__qv"), col("__nrm").as("__qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), col("query_id") =!= col("neighbor_id") &&
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id") &&
         !(col("__ql") <=> col("__cl")))
       .withColumn("cosine_sim",
         cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
+    TopK.perKey(scored, "query_id", "cosine_sim", "neighbor_id", k,
+      descending = true)
   }
 
   /** All corpus pairs with cosine ≥ threshold (embedding near-dup detection).
@@ -190,20 +187,18 @@ object Similarity {
     val q = qBase
       .select(col("query_id"), col("__qv"), col("__qn"),
         explode(probes(col("__sig0"))).as("__sig"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
     // probe side broadcasts (|Q|·(bits+1) rows — queries are the small side
     // by construction): the corpus streams once and never shuffles on __sig
-    c.join(broadcast(q), Seq("__sig"))
+    val scored = c.join(broadcast(q), Seq("__sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn"))
           .as("cosine_sim"))
-      // no dedup needed: a query's probe signatures are pairwise-distinct
-      // values and a corpus row has exactly one signature, so each (q, n)
-      // pair meets in at most one probe bucket (unlike multi-TABLE schemes)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // no dedup needed: a query's probe signatures are pairwise-distinct
+    // values and a corpus row has exactly one signature, so each (q, n)
+    // pair meets in at most one probe bucket (unlike multi-TABLE schemes)
+    TopK.perKey(scored, "query_id", "cosine_sim", "neighbor_id", k,
+      descending = true)
   }
 
   /** IVF-style search with the corpus pre-partitioned by a cell column
@@ -237,15 +232,15 @@ object Similarity {
     val c = withNorm(corpus, vec)
       .select(col(cell).as("__cell"), col(id).as("neighbor_id"),
         col(vec).as("__cv"), col("__nrm").as("__cn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    c.join(assigned, Seq("__cell"))
+    // a probed cell can still be arbitrarily large at scale, so the final
+    // reduction is the bounded k-heap — within-cell scored rows never all
+    // converge on one reducer per query
+    val scored = c.join(assigned, Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine_sim",
         cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
+    TopK.perKey(scored, "query_id", "cosine_sim", "neighbor_id", k,
+      descending = true)
   }
 
   /** Symmetric per-vector int8 scalar quantization: scale = max|x|/127, so
@@ -286,28 +281,28 @@ object Similarity {
     val qq = quantizeInt8(queries, id, vec)
       .select(col(id).as("query_id"), col("__q").as("__qq"),
         col("__scale").as("__qs"), col("__nrm").as("__qn"))
-    val wApprox = Window.partitionBy(col("query_id"))
-      .orderBy(col("__ascore").desc, col("neighbor_id"))
-    val candidates = cq.join(broadcast(qq), col("query_id") =!= col("neighbor_id"))
+    // approximate pass reduced by the bounded k·rerankFactor heap — the
+    // int8 scan streams the whole corpus, so its reduction is exactly the
+    // exchange the heap aggregate must bound
+    val approxScored = cq.join(broadcast(qq), col("query_id") =!= col("neighbor_id"))
       .withColumn("__ascore",
         org.apache.spark.sql.graftx.VectorExpressions
           .int8Dot(col("__qq"), col("__cq")).cast("double") *
           col("__qs") * col("__cs") / (col("__qn") * col("__cn")))
-      .withColumn("__r", row_number().over(wApprox))
-      .filter(col("__r") <= k * rerankFactor)
+    val candidates = TopK.perKey(approxScored, "query_id", "__ascore",
+        "neighbor_id", k * rerankFactor, descending = true)
       .select(col("query_id"), col("neighbor_id"))
     // exact rerank: fp32 vectors appear only here, for candidates alone
+    // (≤ k·rerankFactor rows per query — already bounded before this join)
     val cv = withNorm(corpus, vec)
       .select(col(id).as("neighbor_id"), col(vec).as("__cv"), col("__nrm").as("__cn"))
     val qv = withNorm(queries, vec)
       .select(col(id).as("query_id"), col(vec).as("__qv"), col("__nrm").as("__qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    candidates.join(cv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
+    val rescored = candidates
+      .join(cv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
       .withColumn("cosine_sim",
         cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
+    TopK.perKey(rescored, "query_id", "cosine_sim", "neighbor_id", k,
+      descending = true)
   }
 }

@@ -27,6 +27,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(native.exceptAll(dsl).isEmpty && dsl.exceptAll(native).isEmpty)
   }
 
+  test("bounded top-k heap aggregate ≡ row_number window, both directions, " +
+      "across many partitions") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TopK
+    // adversarial scores: heavy ties (score = i % 7) force the id
+    // tie-break; 40 partitions force real partial-heap merges; k larger
+    // than some groups exercises the underfull path
+    val rows = (0L until 2000L).map(i => (i % 13, (i % 7).toDouble, i))
+    val df = rows.toDF("key", "score", "id").repartition(40)
+    for (desc <- Seq(true, false); k <- Seq(1, 5, 300)) {
+      val got = TopK.perKey(df, "key", "score", "id", k, desc)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val order = if (desc) Seq(col("score").desc, col("id"))
+        else Seq(col("score"), col("id"))
+      val w = Window.partitionBy(col("key")).orderBy(order: _*)
+      val want = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("key"), col("id"), col("score"), col("rank"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(got === want, s"desc=$desc k=$k")
+    }
+  }
+
   test("native vecDot is bit-identical to the HOF formulation") {
     val diff = embeddings.select(
       VectorFunctions.dot($"embedding", $"embedding").as("a"),

@@ -52,6 +52,40 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("v_cosine_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("exhaustive top-k reduces via bounded partial heaps, not a window") {
+    // the scored stream must fold through the k-heap aggregate in BOTH
+    // partial and final mode (map-side combine bounds the exchange to
+    // partitions·k pairs per query); a Window here would ship every scored
+    // corpus row to one reducer per query
+    val p = plan("v_cosine_topk")
+    assert("partial_bounded_topk".r.findAllIn(p).nonEmpty, p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("ivfadc: corpus joins probed cells by EQUI-join — no full-corpus " +
+      "ADC scan, bounded final reduction") {
+    import graft.operators.{Clustering, Pq}
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, dir, "embeddings")
+    val coarse = Clustering.fit(emb, "vec_id", "embedding", 4, maxIter = 1)
+    val books = Pq.trainResidualCodebooks(emb, "vec_id", "embedding", coarse,
+      m = 8, k = 4, maxIter = 1)
+    val qs = emb.filter(col("vec_id") % 97 === 0)
+    val p = Pq.ivfAdcTopK(emb, qs, "vec_id", "embedding", coarse, books,
+        k = 5, nProbe = 2)
+      .queryExecution.explainString(FormattedMode)
+    // the scored set is cell-pruned: encoded corpus meets the probe side in
+    // a hash equi-join on __cell, never a nested-loop over the whole corpus
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("Left keys [1]: [__cell"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // final reduction is the bounded heap, two-phase
+    assert(p.contains("partial_bounded_topk"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("blocked cosine near-dup is an equi-join: no BNLJ, no cartesian") {
     val p = plan("v_cosine_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
