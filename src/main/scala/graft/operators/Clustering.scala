@@ -51,23 +51,43 @@ object Clustering {
     * deterministic max-min (Gonzalez k-center): the first seed is the
     * smallest-md5(id) row, each next seed the row with the LOWEST best
     * cosine to any chosen seed (ties by id) — well-separated modes each get
-    * a seed, which plain hash seeding does not guarantee. At cluster scale
-    * run the seeding scans on a deterministic hash-sample. Convergence is
-    * max squared centroid movement under `tol` (computed on the driver for
-    * free from the same collect), else `maxIter`. Empty cells keep their
-    * previous centroid. The iterated (id, vec, norm) projection is staged
-    * once with localCheckpoint so the k seeding scans and the Lloyd rounds
-    * don't re-read the source; at cluster scale stage with
-    * persist(DISK_ONLY) instead.
+    * a seed, which plain hash seeding does not guarantee.
+    *
+    * `seedSampleMod` is the cluster-scale knob for those seeding scans:
+    * with s > 1 they run on the deterministic hash-sample
+    * `xxhash64(id) % s == 0` (≈ n/s rows) instead of the full corpus — at
+    * 100 TB, k sequential full scans before Lloyd even starts is the cost
+    * this removes. Lloyd itself ALWAYS iterates the full corpus, so only
+    * the k-center spread of the STARTING points is approximated; the
+    * sample is a fixed deterministic subset, so fits stay bit-reproducible
+    * on any partitioning. If the sample holds fewer than k rows the
+    * seeding falls back to the full frame (deterministically — the count
+    * is a function of the data).
+    *
+    * Convergence is max squared centroid movement under `tol` (computed on
+    * the driver for free from the same collect), else `maxIter`. Empty
+    * cells keep their previous centroid. The iterated (id, vec, norm)
+    * projection is staged once with localCheckpoint so the seeding scans
+    * and the Lloyd rounds don't re-read the source; at cluster scale stage
+    * with persist(DISK_ONLY) instead.
     */
   def fit(df: DataFrame, id: String, vec: String, k: Int, maxIter: Int = 10,
-      tol: Double = 1e-9): Seq[Seq[Double]] = {
+      tol: Double = 1e-9, seedSampleMod: Long = 1): Seq[Seq[Double]] = {
+    require(seedSampleMod >= 1, s"seedSampleMod must be >= 1, got $seedSampleMod")
     val base = df.select(col(id).cast("string").as("__id"), col(vec).as("__v"))
       .withColumn("__nrm", l2Norm(col("__v")))
       .localCheckpoint()
+    val seedBase =
+      if (seedSampleMod == 1L) base
+      else {
+        val sampled = base
+          .filter(pmod(xxhash64(col("__id")), lit(seedSampleMod)) === 0)
+          .localCheckpoint() // the k seeding scans iterate this tiny frame
+        if (sampled.count() < k) base else sampled
+      }
     def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
       r.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue).toSeq
-    val first = base.withColumn("__h", md5(col("__id")))
+    val first = seedBase.withColumn("__h", md5(col("__id")))
       .orderBy(col("__h"), col("__id"))
       .limit(1).select(col("__v"), col("__id")).collect()
     var centroids: Seq[Seq[Double]] = first.toSeq.map(vecOf)
@@ -78,7 +98,7 @@ object Clustering {
         val safe = if (cn == 0.0) 1.0 else cn
         dot(col("__v"), typedlit(cvec)) / (col("__nrm") * lit(safe))
       }
-      val next = base.filter(!col("__id").isInCollection(chosen))
+      val next = seedBase.filter(!col("__id").isInCollection(chosen))
         .orderBy(array_max(array(bestCos: _*)).asc, col("__id"))
         .limit(1).select(col("__v"), col("__id")).collect()
       if (next.isEmpty) // fewer rows than k: proceed with what exists
@@ -144,25 +164,52 @@ object Clustering {
     * the cell id — k is the knob bounding expected cell size (the paper's
     * point: clustering makes near-quadratic dedup tractable by only
     * comparing semantic neighbors). Cross-cell near-dups are out of scope
-    * by design. For a skew-fat cell, sub-block it with the same block-pair
-    * scheme as [[Similarity.cosineNearDupBlocked]].
+    * by design.
+    *
+    * Fat-cell hardening: a skewed cell (k too small, or a degenerate
+    * embedding mode) would re-create the n² problem on ONE reducer, so
+    * every cell larger than `fatCellRows` is automatically sub-blocked
+    * with the [[Similarity.cosineNearDupBlocked]] block-pair scheme,
+    * applied within the cell: row → block `xxhash64(id) % G` with
+    * G = ⌈cellRows / fatCellRows⌉, and the pair work runs in the equi-join
+    * on (cell, blockA, blockB) — a fat cell's pairs spread over G(G+1)/2
+    * reducers, each seeing ≤ ~2·fatCellRows input rows. Cells under the
+    * threshold get G = 1, which degenerates to the plain cell equi-join
+    * (same keys, same work — no penalty on the common path). Each
+    * unordered pair still meets exactly once (same-block pairs ordered by
+    * id, cross-block pairs by block orientation), and the pruned row is
+    * the pair's larger id, so the keep-first semantics are unchanged.
     */
   def semDeDupLabels(df: DataFrame, id: String, vec: String, k: Int,
-      tau: Double, maxIter: Int = 10): DataFrame = {
+      tau: Double, maxIter: Int = 10, fatCellRows: Int = 100000): DataFrame = {
+    require(fatCellRows >= 1, s"fatCellRows must be >= 1, got $fatCellRows")
     val centroids = fit(df, id, vec, k, maxIter)
     // assignment + norm computed once, reused by both join sides
     val labeled = assign(df.select(col(id), col(vec)), vec, centroids, "cell")
       .withColumn("__nrm", l2Norm(col(vec)))
       .localCheckpoint()
-    val a = labeled.select(col("cell"), col(id).as("__ida"),
-      col(vec).as("__va"), col("__nrm").as("__na"))
-    val b = labeled.select(col("cell"), col(id).as("__idb"),
-      col(vec).as("__vb"), col("__nrm").as("__nb"))
-    val pruned = a.join(b, Seq("cell"))
-      .filter(col("__idb") < col("__ida"))
+    // per-cell block count G (≤ k rows — broadcast to the row stream)
+    val gOf = labeled.groupBy(col("cell"))
+      .agg(ceil(count(lit(1)).cast("double") / fatCellRows).cast("int")
+        .as("__nblk")) // NOT "__G": column resolution is case-insensitive,
+      // and a name differing from "__g" only by case silently aliases it
+    val withG = labeled.join(broadcast(gOf), Seq("cell"))
+      .withColumn("__g", pmod(xxhash64(col(id)), col("__nblk")).cast("int"))
+    val a = withG.select(col("cell"), col("__g").as("__i"),
+      explode(sequence(col("__g"), col("__nblk") - 1)).as("__j"),
+      col(id).as("__ida"), col(vec).as("__va"), col("__nrm").as("__na"))
+    val b = withG.select(col("cell"),
+      explode(sequence(lit(0), col("__g"))).as("__i"),
+      col("__g").as("__j"),
+      col(id).as("__idb"), col(vec).as("__vb"), col("__nrm").as("__nb"))
+    val pruned = a.join(b, Seq("cell", "__i", "__j"))
+      // same-block pairs meet twice (both orientations) — keep one; cross-
+      // block pairs meet exactly once in either orientation — keep it
+      .filter(col("__i") =!= col("__j") || col("__ida") < col("__idb"))
       .filter(cosineWithNorms(col("__va"), col("__vb"),
         col("__na"), col("__nb")) >= tau)
-      .select(col("__ida").as(id))
+      // the pair's larger id is the one with a smaller-id near-neighbor
+      .select(greatest(col("__ida"), col("__idb")).as(id))
       .distinct()
     labeled.select(col(id), col("cell"))
       .join(pruned.withColumn("__p", lit(1)), Seq(id), "left")

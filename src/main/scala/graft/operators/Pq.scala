@@ -45,21 +45,33 @@ object Pq {
 
   /** Train per-subspace L2 codebooks: `m` subspaces × `k` centroids each.
     * Seeds are the k smallest-md5(id) rows' subvectors (deterministic on
-    * any partitioning); each Lloyd round is ONE corpus scan — all
-    * subspaces assigned in the same projection, partial sums shuffled as
-    * k·D narrow accumulator rows. Empty cells keep their previous
-    * centroid. Returns codebooks[m][cell][dim].
+    * any partitioning); with `seedSampleMod` = s > 1 the seed scan runs on
+    * the deterministic hash-sample `xxhash64(id) % s == 0` (the
+    * [[Clustering.fit]] knob — same fallback to the full frame when the
+    * sample holds under k rows; Lloyd always scans the full corpus). Each
+    * Lloyd round is ONE corpus scan — all subspaces assigned in the same
+    * projection, partial sums shuffled as k·D narrow accumulator rows.
+    * Empty cells keep their previous centroid. Returns
+    * codebooks[m][cell][dim].
     */
   def trainCodebooks(df: DataFrame, id: String, vec: String, m: Int, k: Int,
-      maxIter: Int = 5): Seq[Seq[Seq[Double]]] = {
+      maxIter: Int = 5, seedSampleMod: Long = 1): Seq[Seq[Seq[Double]]] = {
     import graft.ops.Aggregations.sumStable
+    require(seedSampleMod >= 1, s"seedSampleMod must be >= 1, got $seedSampleMod")
     val base = df.select(col(id).cast("string").as("__id"),
         col(vec).cast("array<double>").as("__v"))
       .localCheckpoint()
     val dim = base.select(size(col("__v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
-    val seedRows = base.withColumn("__h", md5(col("__id")))
+    val seedBase =
+      if (seedSampleMod == 1L) base
+      else {
+        val sampled = base
+          .filter(pmod(xxhash64(col("__id")), lit(seedSampleMod)) === 0)
+        if (sampled.count() < k) base else sampled
+      }
+    val seedRows = seedBase.withColumn("__h", md5(col("__id")))
       .orderBy(col("__h"), col("__id"))
       .limit(k).select(col("__v")).collect()
       .map(_.getSeq[Double](0).toSeq)
@@ -177,9 +189,10 @@ object Pq {
     * as [[trainCodebooks]], over the residual projection.
     */
   def trainResidualCodebooks(df: DataFrame, id: String, vec: String,
-      coarse: Seq[Seq[Double]], m: Int, k: Int,
-      maxIter: Int = 5): Seq[Seq[Seq[Double]]] =
-    trainCodebooks(withResidual(df, vec, coarse), id, "__res", m, k, maxIter)
+      coarse: Seq[Seq[Double]], m: Int, k: Int, maxIter: Int = 5,
+      seedSampleMod: Long = 1): Seq[Seq[Seq[Double]]] =
+    trainCodebooks(withResidual(df, vec, coarse), id, "__res", m, k, maxIter,
+      seedSampleMod)
 
   /** IVFADC search: probe the `nProbe` L2-closest coarse cells per query,
     * ADC-score only those cells' residual codes, reduce with the bounded

@@ -42,6 +42,31 @@ class ClusteringSpec extends AnyFunSuite {
     assert(cells.map(_._2).distinct.length == 3, s"merged groups: ${cells.toSeq}")
   }
 
+  test("sampled seeding recovers planted clusters and stays deterministic") {
+    val df = planted()
+    // s=2 halves the seeding scans' input; with 8 members per planted
+    // group the hash-sample still covers every group, so recovery holds
+    val c1 = Clustering.fit(df, "vec_id", "embedding", 3, seedSampleMod = 2)
+    val c2 = Clustering.fit(df.repartition(7), "vec_id", "embedding", 3,
+      seedSampleMod = 2)
+    assert(c1 == c2, "sampled fit must be bit-identical on any partitioning")
+    val cells = Clustering.assign(df, "embedding", c1)
+      .select((col("vec_id") / 100).cast("int").as("g"), col("cell"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(cells.groupBy(_._1).forall(_._2.length == 1), s"split group: ${cells.toSeq}")
+    assert(cells.map(_._2).distinct.length == 3, s"merged groups: ${cells.toSeq}")
+  }
+
+  test("seeding sample under k rows falls back to the full frame") {
+    val df = planted()
+    // a mod this large leaves (deterministically) no sampled rows, so the
+    // fit must equal the unsampled one exactly
+    val sampled = Clustering.fit(df, "vec_id", "embedding", 3,
+      seedSampleMod = 1000000007L)
+    val full = Clustering.fit(df, "vec_id", "embedding", 3)
+    assert(sampled == full)
+  }
+
   test("kmeans tolerates k larger than the distinct-point count") {
     val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
@@ -76,6 +101,35 @@ class ClusteringSpec extends AnyFunSuite {
       s"pruned set wrong: $labels")
     // keep-first: the smallest id of each clique survives, as do singletons
     assert(labels.filter(_._2 == 0).keySet == Set(10L, 20L, 30L, 40L))
+  }
+
+  test("fat cells auto-sub-block: one-cell corpus, bounded reducer input, " +
+      "labels identical to the unblocked run") {
+    // adversarial corpus: every row lands in ONE cell (k=1), with planted
+    // duplicate pairs (2i, 2i+1) — the exact skew shape that would
+    // otherwise put all n² pair work on a single reducer
+    val df = (0 until 200).map { i =>
+      val v = Array(1.0f, 0.001f * (i / 2), 0.0f, 0.0f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val blocked = Clustering.semDeDupLabels(df, "vec_id", "embedding",
+      k = 1, tau = 0.9999999, maxIter = 2, fatCellRows = 25)
+    val plain = Clustering.semDeDupLabels(df, "vec_id", "embedding",
+      k = 1, tau = 0.9999999, maxIter = 2)
+    assert(blocked.orderBy("vec_id").collect().toSeq ==
+      plain.orderBy("vec_id").collect().toSeq)
+    // sub-blocking is actually active: the pair join keys on
+    // (cell, blockA, blockB), not the bare cell
+    val plan = blocked.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("Left keys [3]: [cell"), plan)
+    // and the blocked pair stream is bounded: with G = ceil(200/25) = 8,
+    // a block-pair reducer sees ≤ 2 * ceil(n/G) rows, never the whole cell
+    val odd = blocked.filter(col("pruned") === 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(odd == (0 until 200).filter(_ % 2 == 1).map(_.toLong).toSet,
+      s"pruned set wrong: $odd")
   }
 
   test("semDeDup labels partition the corpus and are deterministic") {
