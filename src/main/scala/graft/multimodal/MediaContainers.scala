@@ -237,4 +237,252 @@ object MediaContainers {
         if (corrupt) None else Some(frames.result())
     }.flatten
   }
+
+  // ---------------------------------------------------------------- GIF ---
+  // Real GIF89a: animated multi-frame files with a 256-entry global color
+  // table and genuinely LZW-compressed image data (variable-width codes,
+  // LSB-first bit packing, early-change width growth, clear-code reset at
+  // dictionary capacity — the standard any external decoder implements).
+  // This is the one COMPRESSED format a pure-JVM codec can do completely,
+  // which upgrades frame sampling from opaque-chunk geometry to an honest
+  // decode: every sampled frame's pixels are reconstructed through the LZW
+  // dictionary, not sliced out of the payload.
+
+  final case class GifMeta(width: Int, height: Int, nFrames: Int)
+
+  /** GIF-variant LZW compression of `data` (values < 2^minCodeSize).
+    * Emits the raw code stream (no sub-block framing): initial clear code,
+    * variable-width codes growing from minCodeSize+1 up to 12 bits with
+    * the encoder-side rule (width++ when the next free slot passes the
+    * current maximum), clear + dictionary reset at slot 4096, and a final
+    * end-of-information code. Dictionary keys pack (prefixCode, byte) into
+    * one Long — no string concatenation on the hot path.
+    */
+  def lzwEncode(minCodeSize: Int, data: Array[Byte]): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val os = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var codeSize = minCodeSize + 1
+    def put(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += codeSize
+      while (bitCnt >= 8) {
+        os.write((bitBuf & 0xFF).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    var dict = new java.util.HashMap[Long, Integer]()
+    var next = eoi + 1
+    put(clear)
+    if (data.nonEmpty) {
+      var prefix = data(0) & 0xFF
+      var i = 1
+      while (i < data.length) {
+        val k = data(i) & 0xFF
+        val key = (prefix.toLong << 8) | k
+        val hit = dict.get(key)
+        if (hit != null) prefix = hit.intValue()
+        else {
+          put(prefix)
+          if (next < 4096) {
+            dict.put(key, next)
+            next += 1
+            // standard (GIFLIB) growth position: widen as soon as the next
+            // free slot no longer fits the current width
+            if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          } else { // dictionary full: reset, mirror of the decoder's clear
+            put(clear)
+            dict = new java.util.HashMap[Long, Integer]()
+            next = eoi + 1
+            codeSize = minCodeSize + 1
+          }
+          prefix = k
+        }
+        i += 1
+      }
+      put(prefix)
+    }
+    put(eoi)
+    if (bitCnt > 0) os.write((bitBuf & 0xFF).toInt)
+    os.toByteArray
+  }
+
+  /** Mirror decompressor: rebuilds the pixel stream from the raw LZW code
+    * stream. Width growth is one step EARLY relative to a naive reading
+    * (the standard GIF "early change": the decoder's dictionary trails the
+    * encoder's by one entry at each read). Returns None on a malformed
+    * stream (unknown code, missing data).
+    */
+  def lzwDecode(minCodeSize: Int, data: Array[Byte]): Option[Array[Byte]] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    var bitPos = 0
+    var codeSize = minCodeSize + 1
+    def read(): Int = {
+      if ((bitPos + codeSize + 7) / 8 > data.length) return -1
+      var v = 0
+      var got = 0
+      while (got < codeSize) {
+        val byte = u8(data, (bitPos + got) / 8)
+        v |= ((byte >> ((bitPos + got) % 8)) & 1) << got
+        got += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    // dictionary as (prefixCode, suffixByte) pairs — entries materialize
+    // lazily by walking the prefix chain, so no byte-array concatenation
+    val prefixOf = new Array[Int](4096)
+    val suffixOf = new Array[Byte](4096)
+    def emit(code: Int): Byte = { // returns the entry's FIRST byte
+      if (code < clear) { out.write(code); code.toByte }
+      else {
+        val stack = new Array[Byte](4096)
+        var sp = 0
+        var c = code
+        while (c >= clear) { stack(sp) = suffixOf(c); sp += 1; c = prefixOf(c) }
+        val first = c.toByte
+        out.write(c)
+        while (sp > 0) { sp -= 1; out.write(stack(sp)) }
+        first
+      }
+    }
+    var next = eoi + 1
+    var prev = -1
+    var done = false
+    var bad = false
+    while (!done && !bad) {
+      val c = read()
+      if (c < 0) bad = true
+      else if (c == clear) {
+        next = eoi + 1; codeSize = minCodeSize + 1; prev = -1
+      } else if (c == eoi) done = true
+      else if (prev == -1) {
+        if (c >= clear) bad = true else { out.write(c); prev = c }
+      } else if (c < next && c != clear && c != eoi) {
+        val first = emit(c)
+        if (next < 4096) {
+          prefixOf(next) = prev; suffixOf(next) = first; next += 1
+          // "early change": the decoder trails the encoder's dictionary by
+          // one entry at each read, so it must widen one slot sooner
+          if (next == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+        }
+        prev = c
+      } else if (c == next && next < 4096) { // the KwKwK case
+        // entry being defined: prev + first(prev)
+        val firstPrev: Byte =
+          if (prev < clear) prev.toByte
+          else { var p = prev; while (p >= clear) p = prefixOf(p); p.toByte }
+        prefixOf(next) = prev; suffixOf(next) = firstPrev; next += 1
+        emit(next - 1)
+        if (next == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+        prev = next - 1
+      } else bad = true
+    }
+    if (bad) None else Some(out.toByteArray)
+  }
+
+  /** Animated GIF89a: 256-entry grayscale global color table, one image
+    * per frame (full logical screen, no local tables, no interlace), each
+    * frame preceded by a Graphic Control Extension and LZW-compressed with
+    * [[lzwEncode]] (min code size 8), data split into ≤255-byte sub-blocks.
+    */
+  def encodeGif(w0: Int, h0: Int, frames: Seq[Array[Byte]],
+      delayCs: Int = 10): Array[Byte] = {
+    val w = new Writer
+    w.asc("GIF89a")
+    w.le16(w0); w.le16(h0)
+    w.bytes(Array(0xF7.toByte, 0, 0)) // GCT present, 256 entries, bg 0
+    var c = 0
+    while (c < 256) { // grayscale table: index i → (i, i, i)
+      w.bytes(Array(c.toByte, c.toByte, c.toByte)); c += 1
+    }
+    frames.foreach { px =>
+      require(px.length == w0 * h0, s"frame has ${px.length} px, want ${w0 * h0}")
+      w.bytes(Array(0x21.toByte, 0xF9.toByte, 4, 0)) // GCE
+      w.le16(delayCs)
+      w.bytes(Array(0, 0)) // no transparency; terminator
+      w.bytes(Array(0x2C.toByte)) // image descriptor
+      w.le16(0); w.le16(0); w.le16(w0); w.le16(h0)
+      w.bytes(Array(0.toByte)) // no local table, not interlaced
+      w.bytes(Array(8.toByte)) // LZW min code size
+      val lzw = lzwEncode(8, px)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        w.bytes(Array(n.toByte))
+        w.bytes(java.util.Arrays.copyOfRange(lzw, off, off + n))
+        off += n
+      }
+      w.bytes(Array(0.toByte)) // block terminator
+    }
+    w.bytes(Array(0x3B.toByte)) // trailer
+    w.toArray
+  }
+
+  /** Header + frame count parsed by walking the block structure. */
+  def decodeGifMeta(bytes: Array[Byte]): Option[GifMeta] =
+    walkGif(bytes).map { case (w, h, frames) => GifMeta(w, h, frames.size) }
+
+  /** Every frame's DECODED pixel-index stream, in order — each runs back
+    * through the LZW dictionary ([[lzwDecode]]), so the caller sees real
+    * reconstructed pixels, not container byte slices. None if any frame's
+    * code stream is malformed or decodes to the wrong pixel count.
+    */
+  def decodeGifFrames(bytes: Array[Byte]): Option[Vector[Array[Byte]]] =
+    walkGif(bytes).flatMap { case (w, h, frames) =>
+      val decoded = frames.map(f => lzwDecode(8, f))
+      if (decoded.exists(d => d.isEmpty || d.get.length != w * h)) None
+      else Some(decoded.map(_.get))
+    }
+
+  /** Walk header → (width, height, per-frame concatenated LZW sub-blocks).
+    * Skips extensions; stops cleanly at the trailer; None on truncation or
+    * unknown block types.
+    */
+  private def walkGif(bytes: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] = {
+    if (bytes == null || bytes.length < 13 ||
+      new String(bytes, 0, 6, "US-ASCII") != "GIF89a") return None
+    val w = le16(bytes, 6)
+    val h = le16(bytes, 8)
+    val gctFlag = (u8(bytes, 10) & 0x80) != 0
+    val gctSize = if (gctFlag) 3 * (2 << (u8(bytes, 10) & 7)) else 0
+    var i = 13 + gctSize
+    val frames = Vector.newBuilder[Array[Byte]]
+    def subBlocks(start: Int): Option[(Array[Byte], Int)] = {
+      val os = new java.io.ByteArrayOutputStream()
+      var j = start
+      while (j < bytes.length && u8(bytes, j) != 0) {
+        val n = u8(bytes, j)
+        if (j + 1 + n > bytes.length) return None
+        os.write(bytes, j + 1, n)
+        j += 1 + n
+      }
+      if (j >= bytes.length) None else Some((os.toByteArray, j + 1))
+    }
+    while (i < bytes.length) {
+      u8(bytes, i) match {
+        case 0x3B => return Some((w, h, frames.result())) // trailer
+        case 0x21 => // extension: label + sub-blocks, skipped
+          subBlocks(i + 2) match {
+            case Some((_, after)) => i = after
+            case None => return None
+          }
+        case 0x2C => // image descriptor
+          if (i + 10 > bytes.length) return None
+          val lctFlag = (u8(bytes, i + 9) & 0x80) != 0
+          val lctSize = if (lctFlag) 3 * (2 << (u8(bytes, i + 9) & 7)) else 0
+          val dataAt = i + 10 + lctSize + 1 // + LZW min-code-size byte
+          if (dataAt > bytes.length) return None
+          subBlocks(dataAt) match {
+            case Some((lzw, after)) => frames += lzw; i = after
+            case None => return None
+          }
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer
+  }
 }

@@ -43,10 +43,11 @@ object Multimodal {
       n_bytes: Long,
       feature: Array[Float])
 
-  case class FrameSample(
+  case class GifFrame(
       media_id: Long,
       frame_index: Int,
-      frame_bytes: Array[Byte])
+      n_px: Int,
+      pix_sum: Long)
 
   /** ======= STUB ======= Deterministic fake decoder: derives a fixed-width
     * feature vector from the payload bytes via a rolling hash. A real
@@ -298,20 +299,60 @@ object Multimodal {
     }
   }
 
-  /** ======= STUB ======= Frame sampling over OPAQUE payloads: every
-    * `stride`-th chunk stands in for a decoded frame. Real containers go
-    * through [[sampleContainerFrames]] instead.
+  /** REAL animated-GIF payloads: each document becomes a genuine GIF89a —
+    * 256-entry grayscale color table and `(id mod 5) + 2` frames at
+    * w = id%10+4, h = id%8+3, each frame LZW-COMPRESSED (variable-width
+    * codes, see [[MediaContainers.lzwEncode]]). Frame f's pixel index j is
+    * text byte ((f + j) mod len) — the AVI convention, so the oracle
+    * recomputes every sampled frame's pixel sum from (doc_id, text), and a
+    * hash match proves the LZW stream round-tripped through a real
+    * dictionary decode.
     */
-  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 4,
-      frameBytes: Int = 256): Dataset[FrameSample] = {
+  def gifTable(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tb = Option(text).getOrElse("").getBytes("UTF-8")
+          val w = (id % 10).toInt + 4
+          val h = (id % 8).toInt + 3
+          val nFrames = (id % 5).toInt + 2
+          val frames = (0 until nFrames).map { f =>
+            val px = new Array[Byte](w * h)
+            var j = 0
+            while (j < px.length) {
+              px(j) = if (tb.isEmpty) 0 else tb((f + j) % tb.length)
+              j += 1
+            }
+            px
+          }
+          val bytes = MediaContainers.encodeGif(w, h, frames)
+          MediaRecord(id, "video", bytes, "gif", w, h, nFrames * 100L)
+        }
+      }
+  }
+
+  /** REAL frame sampling over animated GIFs: every `stride`-th frame's
+    * pixel stream is reconstructed through the LZW dictionary decode
+    * ([[MediaContainers.decodeGifFrames]]) and summed — decoded pixels,
+    * not container byte slices. Undecodable payloads yield no rows.
+    */
+  def sampleGifFrames(media: Dataset[MediaRecord],
+      stride: Int = 2): Dataset[GifFrame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { r =>
-      val nFrames = math.max(1, r.bytes.length / (frameBytes * stride))
-      (0 until nFrames).map { i =>
-        val start = i * frameBytes * stride
-        val end = math.min(r.bytes.length, start + frameBytes)
-        FrameSample(r.media_id, i, java.util.Arrays.copyOfRange(r.bytes, start, end))
+      MediaContainers.decodeGifFrames(r.bytes) match {
+        case Some(frames) =>
+          frames.indices.by(stride).map { i =>
+            val f = frames(i)
+            var s = 0L
+            var j = 0
+            while (j < f.length) { s += f(j) & 0xFF; j += 1 }
+            GifFrame(r.media_id, i, f.length, s)
+          }
+        case None => Seq.empty
       }
     }
   }
@@ -409,8 +450,7 @@ object Multimodal {
     * AVI movi list (byte sums prove the frame bytes round-tripped), or
     * every `stride`-th PCM16 block of a WAV. `frame_index` is the index in
     * the CONTAINER's stream, not the sample sequence. Unrecognized
-    * containers yield no rows (they belong on the [[sampleFrames]] stub
-    * path).
+    * containers yield no rows.
     */
   case class ContainerFrame(
       media_id: Long,

@@ -7,10 +7,10 @@ import graft.multimodal.Multimodal
 
 /** Multimodal plumbing queries. `m_decode_meta`/`m_pixel_stats` are REAL
   * image decode paths (genuine BMP/PNG parsed back through ImageCodec);
-  * `m_audio_meta`/`m_video_frames` are REAL container decode paths
-  * (genuine WAV/AVI parsed back through MediaContainers). Only
-  * `m_frame_samples` still rides the documented stub chunker for opaque
-  * payloads (see [[graft.multimodal.Multimodal]]).
+  * `m_audio_meta`/`m_video_frames`/`m_frame_samples` are REAL container
+  * decode paths (genuine WAV / AVI / animated LZW-compressed GIF parsed
+  * back through MediaContainers — the GIF frames reconstruct through a
+  * real LZW dictionary decode).
   */
 object MultimodalQueries extends QueryPack {
 
@@ -41,13 +41,14 @@ object MultimodalQueries extends QueryPack {
         Multimodal.imageTable(Tables.load(s, dir, "documents"))).toDF()
         .orderBy(col("media_id"))),
 
-    // Stub-path geometry check (opaque payload chunking) — kept alongside
-    // the real container path below.
+    // REAL animated-GIF frame sampling: payloads are genuine GIF89a files
+    // with LZW-COMPRESSED frames; every 2nd frame's pixel stream is
+    // reconstructed through the LZW dictionary decode and summed. The
+    // oracle recomputes geometry + pixel sums from (doc_id, text) — a hash
+    // match proves the compressed stream round-tripped bit-for-bit.
     "m_frame_samples" -> ((s, dir) => {
-      val media = Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
-      Multimodal.sampleFrames(media).toDF()
-        .select(col("media_id"), col("frame_index"),
-          length(col("frame_bytes")).as("n_bytes"))
+      val media = Multimodal.gifTable(Tables.load(s, dir, "documents"))
+      Multimodal.sampleGifFrames(media).toDF()
         .orderBy(col("media_id"), col("frame_index"))
     }),
 
@@ -158,19 +159,23 @@ object MultimodalQueries extends QueryPack {
         |  CAST(sum(lum) AS BIGINT) AS lum_sum
         |FROM c GROUP BY doc_id, cell ORDER BY media_id, cell""".stripMargin,
 
-    // The stub slicer's geometry is a pure function of the payload length
-    // (frame i covers bytes [i·1024, i·1024+256), ⌈max(1, len/1024)⌉
-    // frames), so the oracle recomputes every (media_id, frame_index,
-    // n_bytes) row from octet_length — the plumbing (flatMap fan-out,
-    // per-frame byte slicing) is what the hash match verifies.
+    // GIF geometry is a pure function of doc_id (w = id%10+4, h = id%8+3,
+    // frames = id%5+2); frame f's pixel j is text byte (f+j) mod len.
+    // Sampled stride = 2. The pixel sums can only match if the LZW decode
+    // reconstructed every frame's full index stream.
     "m_frame_samples" ->
-      """WITH d AS (SELECT doc_id AS media_id,
-        |    octet_length(encode(text)) AS len FROM documents),
-        |f AS (SELECT media_id, len,
-        |    unnest(range(0, greatest(1, len // 1024))) AS fi FROM d)
+      """WITH d AS (SELECT doc_id AS media_id, text,
+        |    (doc_id % 10 + 4) * (doc_id % 8 + 3) AS npx,
+        |    doc_id % 5 + 2 AS nf FROM documents),
+        |g AS (SELECT media_id, text, npx,
+        |    unnest(range(0, nf, 2)) AS fi FROM d)
         |SELECT media_id, CAST(fi AS INTEGER) AS frame_index,
-        |  CAST(least(len - fi * 1024, 256) AS INTEGER) AS n_bytes
-        |FROM f ORDER BY media_id, frame_index""".stripMargin,
+        |  CAST(npx AS INTEGER) AS n_px,
+        |  CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(list_sum(list_transform(range(0, npx),
+        |      j -> ord(substr(text, CAST((fi + j) % length(text) AS INTEGER) + 1, 1))))
+        |      AS BIGINT) END AS pix_sum
+        |FROM g ORDER BY media_id, frame_index""".stripMargin,
 
     // WAV encode parameters are pure functions of (doc_id, text): n samples
     // = doc_id%500+100, sample i = (ord(text[i mod len]) - 96) * 256

@@ -149,13 +149,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.count() == docs.count())
   }
 
-  test("frame sampling emits contiguous indexed frames per media id") {
-    val frames = Multimodal.sampleFrames(Multimodal.fromDocuments(docs),
-      stride = 2, frameBytes = 64).toDF()
-    val byDoc = frames.groupBy("media_id")
+  test("LZW encode→decode roundtrips exactly, through width growth and " +
+      "dictionary reset") {
+    // deterministic pseudo-random stream long and varied enough to push the
+    // dictionary past every code-width boundary (512, 1024, 2048, 4096 →
+    // clear + reset) — the paths tiny GIF frames never reach
+    var seed = 0x9E3779B97F4A7C15L
+    val data = Array.tabulate[Byte](60000) { _ =>
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      (seed & 0xFF).toByte
+    }
+    val packed = MediaContainers.lzwEncode(8, data)
+    val back = MediaContainers.lzwDecode(8, packed)
+    assert(back.exists(_.sameElements(data)))
+    // and a highly repetitive stream (exercises the KwKwK decode case)
+    val rep = Array.tabulate[Byte](5000)(i => (i % 3).toByte)
+    assert(MediaContainers.lzwDecode(8, MediaContainers.lzwEncode(8, rep))
+      .exists(_.sameElements(rep)))
+  }
+
+  test("animated GIF encode→decode roundtrips frame count and every " +
+      "frame's decoded pixels") {
+    val frames = (0 until 4).map(f =>
+      Array.tabulate[Byte](11 * 7)(j => ((f * 31 + j * 7) % 256).toByte))
+    val gif = MediaContainers.encodeGif(11, 7, frames)
+    assert(new String(gif, 0, 6, "US-ASCII") == "GIF89a")
+    assert(MediaContainers.decodeGifMeta(gif)
+      .contains(MediaContainers.GifMeta(11, 7, 4)))
+    val back = MediaContainers.decodeGifFrames(gif).get
+    assert(back.size == 4)
+    frames.zip(back).foreach { case (want, got) =>
+      assert(got.sameElements(want))
+    }
+  }
+
+  test("gif frame sampling decodes every 2nd frame's pixels through LZW") {
+    val sampled = Multimodal.sampleGifFrames(Multimodal.gifTable(docs)).toDF()
+    // stride-2 sampling of (id%5)+2 frames: indices 0, 2, (4)
+    val byDoc = sampled.groupBy("media_id")
       .agg(count(lit(1)).as("n"), max("frame_index").as("mx"))
-    assert(byDoc.filter($"mx" =!= $"n" - 1).count() == 0)
-    assert(frames.filter(length($"frame_bytes") > 64).count() == 0)
+      .join(docs, $"media_id" === $"doc_id")
+    assert(byDoc.filter($"n" =!= expr("CAST((doc_id % 5 + 3) DIV 2 AS BIGINT)"))
+      .count() == 0)
+    assert(sampled.filter($"n_px" =!=
+      (($"media_id" % 10 + 4) * ($"media_id" % 8 + 3)).cast("int"))
+      .count() == 0)
   }
 
   test("WAV encode→decode roundtrips header fields and the exact samples") {
