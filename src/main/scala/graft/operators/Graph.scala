@@ -114,7 +114,7 @@ object Graph {
     * Output: (`vertex`, `rank`) — `rank` in `1/scale` units.
     */
   def pageRankInt(edges: DataFrame, src: String, dst: String,
-      iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+      iters: Int = 3, scale: Long = 1000000L, saltBuckets: Int = 1): DataFrame = {
     require(iters >= 1, "pageRankInt needs at least one round")
     val e = edges.select(col(src).cast("long").as("a"),
         col(dst).cast("long").as("b"))
@@ -128,8 +128,19 @@ object Graph {
     val base = (15L * scale) / 100L
     var r = verts.withColumn("r", lit(scale))
     for (_ <- 1 to iters) {
-      val contrib = e.join(deg, Seq("a"))
-        .join(r.withColumnRenamed("v", "a"), Seq("a"))
+      // per-source (rank, degree) row — narrow, one row per vertex, so
+      // this join is skew-free; the edge join below is where a hub SOURCE
+      // (one `a` with millions of out-edges) lands on a single reducer.
+      // saltBuckets > 1 spreads it with the deterministic Skew scheme
+      // (edge side salted, per-vertex side replicated buckets×); the
+      // groupBy(b) sum needs nothing — its map-side partial aggregation
+      // already collapses a hub DESTINATION to ≤ partitions rows, and long
+      // sums are order-insensitive, so ranks are bit-identical either way.
+      val rd = deg.join(r.withColumnRenamed("v", "a"), Seq("a"))
+      val joined =
+        if (saltBuckets == 1) e.join(rd, Seq("a"))
+        else graft.ops.Skew.saltedInnerJoin(e, rd, Seq("a"), saltBuckets)
+      val contrib = joined
         .groupBy(col("b").as("v"))
         .agg(sum(expr("r div d")).as("s"))
       r = verts.join(contrib, Seq("v"), "left")
