@@ -210,6 +210,14 @@ object TextQueries extends QueryPack {
     // each doc, its globally rarest token (min df, alphabetical tiebreak).
     // The df join shuffles (token, df) longs; the per-doc argmin is a
     // window over the doc's own tokens.
+    // DSIR data selection (Xie et al. 2023): top-20 raw documents by
+    // hashed-bigram importance weight toward the src1 target domain —
+    // per-bucket log-ratios quantized to micro-nats, per-doc integer sums,
+    // so the whole ranking is engine-exact (see ops.Dsir).
+    "t_dsir_select" -> ((s, dir) =>
+      graft.ops.Dsir.selectTopK(Tables.load(s, dir, "documents"),
+        "doc_id", "text", col("source") === "src1", k = 20)),
+
     "t_rarest_term" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val toks = docs.select(col("doc_id"),
@@ -432,6 +440,29 @@ object TextQueries extends QueryPack {
          |  CAST(sum(CAST(round($pExpr * ln($pExpr / $qExpr) * 1000000) AS BIGINT))
          |    AS BIGINT) AS kl_q
          |FROM j GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "t_dsir_select" -> {
+      val pExpr = "((CAST(cp AS DOUBLE) + 1.0) / (CAST(np AS DOUBLE) + 65536.0))"
+      val qExpr = "((CAST(cq AS DOUBLE) + 1.0) / (CAST(nq AS DOUBLE) + 65536.0))"
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS w FROM documents),
+         |g AS (SELECT doc_id, source, substr(md5(w[i] || ' ' || w[i+1]), 1, 4) AS b
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+         |  WHERE len(w) >= 2 AND i + 1 <= len(w)),
+         |q AS (SELECT b, CAST(count(*) AS BIGINT) AS cq FROM g GROUP BY b),
+         |p AS (SELECT b, CAST(count(*) AS BIGINT) AS cp FROM g
+         |  WHERE source = 'src1' GROUP BY b),
+         |tot AS (SELECT (SELECT CAST(sum(cq) AS BIGINT) FROM q) AS nq,
+         |    (SELECT COALESCE(CAST(sum(cp) AS BIGINT), 0) FROM p) AS np),
+         |r AS (SELECT q.b,
+         |    CAST(round(ln($pExpr / $qExpr) * 1000000) AS BIGINT) AS unats
+         |  FROM (SELECT q.b, q.cq, COALESCE(p.cp, CAST(0 AS BIGINT)) AS cp
+         |        FROM q LEFT JOIN p ON q.b = p.b) q CROSS JOIN tot),
+         |wts AS (SELECT g.doc_id, CAST(sum(r.unats) AS BIGINT) AS w_unats
+         |  FROM g JOIN r ON g.b = r.b GROUP BY g.doc_id)
+         |SELECT d.doc_id, COALESCE(wts.w_unats, CAST(0 AS BIGINT)) AS weight_unats
+         |FROM documents d LEFT JOIN wts ON d.doc_id = wts.doc_id
+         |ORDER BY weight_unats DESC, d.doc_id LIMIT 20""".stripMargin
     },
 
     "t_rarest_term" ->

@@ -484,6 +484,31 @@ class PretrainSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("dsir: target-vocabulary docs outrank disjoint-vocabulary docs, " +
+      "deterministically") {
+    import graft.ops.Dsir
+    // target (ids 1-3) speaks a distinct vocabulary; raw doc 10 reuses it,
+    // raw doc 11 shares nothing with the target, raw doc 12 is mixed
+    val df = Seq(
+      (1L, "quantum flux torsion lattice", "tgt"),
+      (2L, "flux lattice quantum spin", "tgt"),
+      (3L, "torsion spin flux quantum", "tgt"),
+      (10L, "flux quantum lattice torsion spin", "raw"),
+      (11L, "banana apple cherry mango papaya", "raw"),
+      (12L, "quantum flux banana apple cherry", "raw")
+    ).toDF("doc_id", "text", "source")
+    val w = Dsir.importanceWeights(df, "doc_id", "text",
+        col("source") === "tgt")
+      .as[(Long, Long)].collect().toMap
+    assert(w(10L) > w(12L) && w(12L) > w(11L), w.toString)
+    assert(w(11L) < 0L, s"disjoint doc must score negative: $w")
+    // deterministic across partitionings
+    val w2 = Dsir.importanceWeights(df.repartition(5), "doc_id", "text",
+        col("source") === "tgt")
+      .as[(Long, Long)].collect().toMap
+    assert(w == w2)
+  }
+
   test("bm25: more query-term hits at equal length ranks higher; no-hit docs absent") {
     val dir = miniDocs(
       1L -> "data data query x", // two terms, three hits
