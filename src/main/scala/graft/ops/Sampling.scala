@@ -122,6 +122,46 @@ object Sampling {
     s"($b < (CASE $cases ELSE '0000' END))"
   }
 
+  /** Temperature-reweighted mixture at α = 1/2 — the multilingual
+    * "alpha sampling" recipe (mT5 / XLM-R): stratum s is kept at rate
+    * min(1, T·p_s/n_s) where p_s ∝ √n_s, so over-represented sources are
+    * downsampled toward a flatter distribution while small sources keep
+    * everything, and the expected output size is AT MOST `targetFraction`
+    * of the input (strata clipped at rate 1 forfeit their excess share
+    * rather than redistributing it — the standard one-pass form; iterate
+    * on the unclipped remainder if the exact budget matters). α is fixed
+    * at 1/2 deliberately: sqrt is the ONE power
+    * IEEE 754 rounds correctly, so the whole derivation stays bit-exact
+    * cross-engine — weights quantize to integers (round(√n·10⁶)), the
+    * probability is a single double division, and the keep decision
+    * compares the row's md5 hash bucket against floor(rate·65536) in
+    * 4-hex-char space (the [[mixtureKeep]] mechanism with rates derived
+    * IN the plan, not driver-side).
+    *
+    * Scale: one bounded per-stratum count (map-side combined), broadcast
+    * back to the row stream — the filter stays a scan-fused projection.
+    */
+  def temperatureSqrtSample(df: DataFrame, keyCol: String, strataCol: String,
+      targetFraction: Double, salt: String = "temp"): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__wq", round(sqrt(col("__n").cast("double")) * lit(1e6))
+        .cast("long"))
+    val sums = counts.agg(sum(col("__n")).as("__tot"), sum(col("__wq")).as("__sw"))
+    val rate = least(lit(1.0),
+      col("__tot").cast("double") * lit(targetFraction) * col("__wq").cast("double") /
+        (col("__sw").cast("double") * col("__n").cast("double")))
+    val cutoff = floor(rate * lit(65536.0)).cast("int")
+    val bucket = substring(
+      md5(concat(col(keyCol).cast("string"), lit(":" + salt)).cast("binary")), 1, 4)
+    df.join(broadcast(counts), Seq(strataCol))
+      .crossJoin(broadcast(sums))
+      .filter(rate >= 1.0 || bucket < lower(lpad(hex(cutoff), 4, "0")))
+      .drop("__n", "__wq", "__tot", "__sw")
+  }
+
   /** Per-stratum Bernoulli sampling (`sampleBy`): deterministic for a fixed
     * seed, partitioning, and row order — use for one-shot corpus
     * downsampling, NOT for split assignment (a backfill with different

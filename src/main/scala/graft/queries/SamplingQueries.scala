@@ -17,6 +17,23 @@ object SamplingQueries extends QueryPack {
   private val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   override def queries: Map[String, Query] = Map(
+    // Temperature mixture at α = 1/2 (mT5-style source rebalancing,
+    // ops.Sampling.temperatureSqrtSample): per-source original vs kept
+    // counts — every keep decision is engine-exact (sqrt is correctly
+    // rounded, weights quantized to integers, md5-hex bucket compare), so
+    // the counts hash-match.
+    "x_temperature_mixture" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val kept = Sampling
+        .temperatureSqrtSample(docs, "doc_id", "source", targetFraction = 0.5)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_orig"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // Z-order layout quality (the OPTIMIZE ZORDER primitive, ops.Locality):
     // bucket orders by 64 equal z-ranges vs 64 equal custkey ranges and
     // compare the summed per-bucket (custkey span + day span) — the direct
@@ -124,6 +141,27 @@ object SamplingQueries extends QueryPack {
   private val zBuckets = 64
 
   override def oracleSql: Map[String, String] = Map(
+    "x_temperature_mixture" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |    CAST(sum(wq) AS BIGINT) AS sw FROM c),
+        |r AS (SELECT c.source, c.n,
+        |    least(1.0, CAST(t.tot AS DOUBLE) * 0.5 * CAST(c.wq AS DOUBLE)
+        |      / (CAST(t.sw AS DOUBLE) * CAST(c.n AS DOUBLE))) AS rate
+        |  FROM c CROSS JOIN t),
+        |k AS (SELECT d.source, count(*) AS n_kept
+        |  FROM documents d JOIN r ON d.source = r.source
+        |  WHERE r.rate >= 1.0 OR
+        |    substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 4)
+        |      < printf('%04x', CAST(floor(r.rate * 65536.0) AS INTEGER))
+        |  GROUP BY d.source)
+        |SELECT c.source, c.n AS n_orig,
+        |  COALESCE(CAST(k.n_kept AS BIGINT), CAST(0 AS BIGINT)) AS n_kept
+        |FROM c LEFT JOIN k ON c.source = k.source
+        |ORDER BY c.source""".stripMargin,
+
     "x_zorder_layout" -> {
       // the Morton interleave as explicit integer bit terms — identical
       // arithmetic to Locality.zValue2

@@ -332,6 +332,49 @@ object SimilarityQueries extends QueryPack {
         .crossJoin(recallOk) // all 1-row gate frames
     }),
 
+    // Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack et al.
+    // SIGIR 2009): per query doc, a VECTOR arm (exact cosine top-20 over
+    // embeddings) and a LEXICAL arm (distinct-token overlap top-20 over
+    // the documents table, ids aligned) fuse by summed round(1e6/(60+r))
+    // contributions — integer RRF units, so the fused ranking is
+    // engine-exact end to end. Both arms and the fusion reduce through
+    // the bounded k-heap, never a per-query full window.
+    "t_hybrid_rrf" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      import graft.operators.TopK
+      val emb = Tables.load(s, dir, "embeddings")
+      val docs = Tables.load(s, dir, "documents")
+      val qs = queriesOf(emb)
+      val vec = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("__r"))
+      val toks = docs.select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("t"))
+        .localCheckpoint() // both overlap sides reuse the token stream
+      val qt = toks
+        .join(qs.select(col("vec_id").as("query_id")),
+          col("doc_id") === col("query_id"))
+        .select(col("query_id"), col("t"))
+      val overlap = toks.join(qt, Seq("t"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("__ov")) // = |shared distinct tokens|
+      val lex = TopK.perKey(overlap, "query_id", "__ov", "doc_id", 20,
+        descending = true)
+        .select(col("query_id"), col("doc_id"), col("rank").as("__r"))
+      val contrib = vec.unionByName(lex)
+        .select(col("query_id"), col("doc_id"),
+          round(lit(1e6) / (lit(60.0) + col("__r").cast("double")))
+            .cast("long").as("__c"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("__c")).as("rrf_q"))
+      TopK.perKey(contrib, "query_id", "rrf_q", "doc_id", 10,
+          descending = true)
+        .select(col("query_id"), col("doc_id"),
+          col("rrf_q").cast("long").as("rrf_q"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVFADC gate (coarse cells over residual PQ codes — the composed
     // billion-vector shape): re-derive every mechanism through a DIFFERENT
     // path and demand exact agreement — (a) per-query result shape; (b)
@@ -560,6 +603,39 @@ object SimilarityQueries extends QueryPack {
         |  CAST(0 AS BIGINT) AS encode_suboptimal,
         |  CAST(0 AS BIGINT) AS adc_mismatch,
         |  CAST(1 AS INTEGER) AS recall_ok""".stripMargin,
+
+    "t_hybrid_rrf" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+         |sims AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |    ${dotSql("q", "c")} / (q.nrm * c.nrm) AS cs
+         |  FROM q JOIN e c ON q.vec_id <> c.vec_id),
+         |vr AS (SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, doc_id) AS r
+         |  FROM sims QUALIFY r <= 20),
+         |dt AS (SELECT doc_id, unnest(list_distinct(${TextQueries.toksSql})) AS t
+         |  FROM documents),
+         |qt AS (SELECT dt.doc_id AS query_id, dt.t FROM dt
+         |  JOIN (SELECT vec_id FROM embeddings WHERE vec_id % 97 = 0) v
+         |    ON dt.doc_id = v.vec_id),
+         |ov AS (SELECT qt.query_id, dt.doc_id, CAST(count(*) AS BIGINT) AS ov
+         |  FROM dt JOIN qt ON dt.t = qt.t WHERE dt.doc_id <> qt.query_id
+         |  GROUP BY qt.query_id, dt.doc_id),
+         |lr AS (SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY ov DESC, doc_id) AS r
+         |  FROM ov QUALIFY r <= 20),
+         |u AS (SELECT query_id, doc_id,
+         |    CAST(round(1000000.0 / (60.0 + r)) AS BIGINT) AS c FROM vr
+         |  UNION ALL SELECT query_id, doc_id,
+         |    CAST(round(1000000.0 / (60.0 + r)) AS BIGINT) FROM lr),
+         |f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_q
+         |  FROM u GROUP BY query_id, doc_id),
+         |fr AS (SELECT query_id, doc_id, rrf_q,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_q DESC, doc_id) AS INTEGER) AS rank
+         |  FROM f QUALIFY rank <= 10)
+         |SELECT query_id, doc_id, rrf_q, rank FROM fr
+         |ORDER BY query_id, rank""".stripMargin,
 
     "v_ivfpq_check" ->
       """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings

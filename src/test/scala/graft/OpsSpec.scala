@@ -383,6 +383,31 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("temperature mixture: small strata keep everything, big strata " +
+      "downsample, output near the target size, deterministic") {
+    import graft.ops.Sampling
+    // 9600 rows of 'big' vs 400 of 'small': sqrt-flattening must keep all
+    // of 'small' (its fair share exceeds its size) and cut 'big' deeply
+    val df = ((1 to 9600).map(i => (i.toLong, "big")) ++
+      (10001 to 10400).map(i => (i.toLong, "small")))
+      .toDF("id", "s")
+    val kept = Sampling.temperatureSqrtSample(df, "id", "s", 0.5)
+      .groupBy("s").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(kept("small") == 400L, s"small stratum must survive whole: $kept")
+    assert(kept("big") < 9600L * 3 / 4, s"big stratum must downsample: $kept")
+    // clipping-aware expectation: small keeps its full 400 (its share
+    // exceeds its size) and big keeps rate = T·p_big/n_big ≈ 0.4326 →
+    // ≈ 4153; total ≈ 4553 (NOT the naive 5000 — clipped strata forfeit
+    // their excess share). ±200 ≈ 4 binomial sd of the hash draw.
+    val total = kept.values.sum
+    assert(math.abs(total - 4553L) < 200, s"total $total far from 4553")
+    val again = Sampling.temperatureSqrtSample(df.repartition(7), "id", "s", 0.5)
+      .groupBy("s").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(again == kept)
+  }
+
   test("zOrdered: partitions cover disjoint z-ranges with compact 2-D boxes") {
     import graft.ops.Locality
     val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
