@@ -245,4 +245,31 @@ object Pq {
     TopK.perKey(scored, "query_id", "adc_dist", "neighbor_id", k,
       descending = false)
   }
+
+  /** IVFADC with exact rerank — the full production recipe: the ADC pass
+    * above shortlists `k · rerankFactor` candidates per query from the
+    * probed cells' CODES (1-2 bytes/subspace scanned), then ONLY those
+    * candidates' fp32 vectors are point-fetched and rescored with exact
+    * squared L2 (same asymmetry as [[Similarity.int8RerankTopK]] — raw
+    * vectors never enter the approximate scan). Every returned distance
+    * is exact; only set membership depends on quantization error. Output:
+    * (query_id, neighbor_id, l2_dist, rank).
+    */
+  def ivfAdcRerankTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      k: Int, nProbe: Int, rerankFactor: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.l2DistanceSq
+    val shortlist = ivfAdcTopK(corpus, queries, id, vec, coarse, codebooks,
+        k * rerankFactor, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(id).as("neighbor_id"),
+      col(vec).cast("array<double>").as("__cv"))
+    val qv = queries.select(col(id).as("query_id"),
+      col(vec).cast("array<double>").as("__qv"))
+    val rescored = shortlist
+      .join(cv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
+      .withColumn("l2_dist", l2DistanceSq(col("__qv"), col("__cv")))
+    TopK.perKey(rescored, "query_id", "l2_dist", "neighbor_id", k,
+      descending = false)
+  }
 }

@@ -499,6 +499,88 @@ object SimilarityQueries extends QueryPack {
         .crossJoin(recallOk) // all 1-row gate frames
     }),
 
+    // IVFADC + exact rerank gate: the shortlist comes from the ADC pass,
+    // the returned distances from exact fp32 L2 — so the gate can demand
+    // (a) per-query shape, (b) every returned distance re-folded
+    // bit-exactly through an independent posexplode + sorted-struct
+    // mechanism, (c) the returned set EQUALS the exact-L2 top-k of the
+    // deterministic shortlist (window mechanism vs the operator's heap),
+    // and (d) recall@k vs full exact L2 above the cell-pruning floor.
+    "v_ivfpq_rerank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.l2DistanceSq
+      import graft.operators.Pq
+      val pqM = 8
+      val nProbe = 2
+      val factor = 5
+      val emb = Tables.load(s, dir, "embeddings")
+      val coarse = Clustering.fit(emb, "vec_id", "embedding", kmCells,
+        maxIter = 3)
+      val books = Pq.trainResidualCodebooks(emb, "vec_id", "embedding",
+        coarse, pqM, 32, maxIter = 3)
+      val qs = queriesOf(emb).localCheckpoint()
+      val topk = Pq.ivfAdcRerankTopK(emb, qs, "vec_id", "embedding", coarse,
+        books, k, nProbe, factor).localCheckpoint()
+      val nq = qs.agg(count(lit(1)).as("n_queries"))
+      val shapeBad = topk.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") =!= k)
+        .agg(count(lit(1)).as("shape_bad"))
+      val qv = qs.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qv"))
+      val cv = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("__cv"))
+      // (b) distance re-fold: (q_i − c_i)² summed in index order via
+      // sorted-struct aggregation — the HOF left fold's exact op order
+      val distBad = topk.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("l2_dist"),
+          col("__cv"), posexplode(col("__qv")).as(Seq("__i", "__x")))
+        .withColumn("__d", (col("__x") - element_at(col("__cv"), col("__i") + 1)) *
+          (col("__x") - element_at(col("__cv"), col("__i") + 1)))
+        .groupBy(col("query_id"), col("neighbor_id"), col("l2_dist"))
+        .agg(expr("aggregate(array_sort(collect_list(struct(__i, __d))), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x.__d)").as("__re"))
+        .filter(col("l2_dist") =!= col("__re"))
+        .agg(count(lit(1)).as("dist_mismatch"))
+      // (c) the deterministic shortlist's exact top-k, via the window
+      // mechanism — must equal the operator's heap-reduced output exactly
+      val short = Pq.ivfAdcTopK(emb, qs, "vec_id", "embedding", coarse,
+          books, k * factor, nProbe)
+        .select(col("query_id"), col("neighbor_id"))
+      val wS = Window.partitionBy(col("query_id"))
+        .orderBy(col("__l2"), col("neighbor_id"))
+      val wantSet = short.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
+        .withColumn("__l2", l2DistanceSq(col("__qv"), col("__cv")))
+        .withColumn("__r", row_number().over(wS))
+        .filter(col("__r") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("__r").as("rank"))
+      val setDiff = topk.select(col("query_id"), col("neighbor_id"), col("rank"))
+        .withColumn("__src", lit(1))
+        .unionByName(wantSet.withColumn("__src", lit(-1)))
+        .groupBy(col("query_id"), col("neighbor_id"), col("rank"))
+        .agg(sum(col("__src")).as("__d"))
+        .filter(col("__d") =!= 0)
+        .agg(count(lit(1)).as("set_diff"))
+      // (d) recall@k vs full exact L2
+      val wB = Window.partitionBy(col("query_id"))
+        .orderBy(col("__d2"), col("neighbor_id"))
+      val bruteL2 = cv
+        .join(broadcast(qv), col("query_id") =!= col("neighbor_id"))
+        .withColumn("__d2", l2DistanceSq(col("__qv"), col("__cv")))
+        .withColumn("__r", row_number().over(wB))
+        .filter(col("__r") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+      val recallOk = topk.select(col("query_id"), col("neighbor_id"))
+        .join(bruteL2, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("__h"))
+        .crossJoin(broadcast(nq))
+        .select(((col("__h").cast("double") /
+          (col("n_queries") * k).cast("double")) >= 0.10).cast("int")
+          .as("recall_ok"))
+      nq.crossJoin(shapeBad).crossJoin(distBad).crossJoin(setDiff)
+        .crossJoin(recallOk) // all 1-row gate frames
+    }),
+
     // SemDeDup gate: prune labels are exactly characterized — a row is
     // pruned iff it has a same-cell smaller-id neighbor with cosine ≥ tau.
     // The justification set is recomputed from the raw vectors over the
@@ -643,6 +725,14 @@ object SimilarityQueries extends QueryPack {
         |  CAST(0 AS BIGINT) AS shape_bad,
         |  CAST(0 AS BIGINT) AS cell_violations,
         |  CAST(0 AS BIGINT) AS adc_mismatch,
+        |  CAST(1 AS INTEGER) AS recall_ok""".stripMargin,
+
+    "v_ivfpq_rerank" ->
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 97 = 0) AS n_queries,
+        |  CAST(0 AS BIGINT) AS shape_bad,
+        |  CAST(0 AS BIGINT) AS dist_mismatch,
+        |  CAST(0 AS BIGINT) AS set_diff,
         |  CAST(1 AS INTEGER) AS recall_ok""".stripMargin,
 
     "v_kmeans_check" ->
