@@ -209,6 +209,24 @@ object AnalyticQueries extends QueryPack {
     // recurrence term by term as chained CTEs. Per-order line counts are
     // bounded (~7), so the co-occurrence self-join is linear in lineitem,
     // and each rank round is one narrow (long,long) equi-join + sum.
+    // Adamic-Adar link prediction on a deterministic 1-in-5 vertex sample
+    // of the part co-purchase graph (the full graph's wedge count Σdeg² ≈
+    // 3·10⁸ at sf0.1 — gate-prohibitive; the sample keeps the same shape
+    // at ~1/125 the wedges). Integer micro-unit scores — value-exact.
+    "a_link_prediction" -> ((s, dir) => {
+      val op = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .filter(col("p") % 5 === 0)
+        .distinct()
+      val e = op.as("x")
+        .join(op.as("y"), col("x.ok") === col("y.ok") && col("x.p") =!= col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+        .distinct()
+      graft.operators.Graph.adamicAdar(e, "a", "b")
+        .orderBy(col("aa_q").desc, col("u"), col("v"))
+        .limit(20)
+    }),
+
     "a_pagerank_parts" -> ((s, dir) => {
       val op = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
@@ -428,6 +446,26 @@ object AnalyticQueries extends QueryPack {
         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
         |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges""".stripMargin,
+
+    "a_link_prediction" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 5 = 0),
+        |e AS (SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.ok = y.ok AND x.p <> y.p),
+        |deg AS (SELECT u AS w, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u),
+        |wts AS (SELECT w,
+        |    CAST(round(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS aw
+        |  FROM deg WHERE d >= 2 AND d <= 1000),
+        |half AS (SELECT e.u, e.v AS w, wts.aw FROM e JOIN wts ON e.v = wts.w),
+        |pairs AS (SELECT l.u AS u, r.u AS v, l.aw FROM half l JOIN half r
+        |  ON l.w = r.w AND l.u < r.u),
+        |cand AS (SELECT u, v, CAST(sum(aw) AS BIGINT) AS aa_q
+        |  FROM pairs GROUP BY u, v),
+        |adj AS (SELECT u, v FROM e WHERE u < v)
+        |SELECT c.u, c.v, c.aa_q FROM cand c
+        |LEFT JOIN adj ON c.u = adj.u AND c.v = adj.v
+        |WHERE adj.u IS NULL
+        |ORDER BY aa_q DESC, c.u, c.v LIMIT 20""".stripMargin,
 
     "a_pagerank_parts" -> {
       // one damped integer round: rK = 150000 + (85 * Σ r_{K-1}//d) // 100;

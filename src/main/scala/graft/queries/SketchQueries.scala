@@ -32,6 +32,23 @@ object SketchQueries extends QueryPack {
             .otherwise(0).as("approx_ok"))
         .orderBy(col("o_orderpriority"))),
 
+    // SpaceSaving heavy hitters (Metwally et al. 2005) — the bounded-memory
+    // one-pass top-k-by-frequency summary that merges across partitions
+    // (Agarwal et al. mergeable-summaries construction). Capacity 64 far
+    // exceeds the distinct event-type count, so the summary runs in its
+    // EXACT regime (every err 0, counts equal the true frequencies) and the
+    // oracle is a plain GROUP BY; at 100 TB the same aggregate holds 64
+    // entries per partition and the ε = 1/capacity bound takes over.
+    "a_heavy_hitters" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      ev.agg(org.apache.spark.sql.graftx.SpaceSavingExpressions
+          .spaceSaving(col("event_type"), 64).as("__hh"))
+        .select(explode(col("__hh")).as("__e"))
+        .select(col("__e.key").as("event_type"), col("__e.cnt").as("est_count"),
+          col("__e.err").as("max_err"))
+        .orderBy(col("est_count").desc, col("event_type"))
+    }),
+
     // Single-pass frequent items at support 0.1: the algorithm guarantees a
     // SUPERSET of the true heavy hitters, so every event type above 10%
     // frequency must appear — n_missing is 0 iff the guarantee holds.
@@ -148,6 +165,12 @@ object SketchQueries extends QueryPack {
         |  CAST(1 AS INTEGER) AS approx_ok
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "a_heavy_hitters" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS est_count,
+        |  CAST(0 AS BIGINT) AS max_err
+        |FROM events GROUP BY event_type
+        |ORDER BY est_count DESC, event_type""".stripMargin,
 
     "t_freq_items" ->
       """WITH t AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),

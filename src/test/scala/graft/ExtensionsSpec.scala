@@ -50,6 +50,38 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("space-saving summary: exact when under capacity; bounds and " +
+      "guaranteed heavy hitters under eviction + partial merges") {
+    import org.apache.spark.sql.graftx.SpaceSavingExpressions.spaceSaving
+    // zipf-ish stream: key k appears ~(300 / k) times, 120 distinct keys,
+    // capacity 16 → heavy eviction; 20 partitions → real partial merges
+    val rows = (1 to 120).flatMap(k => Seq.fill(300 / k)(f"k$k%03d"))
+    val df = rows.toDF("k").repartition(20)
+    val got = df.agg(spaceSaving(col("k"), 16).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.key"), col("e.cnt"), col("e.err"))
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 16)
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // the SpaceSaving contract: cnt overestimates, cnt − err lower-bounds
+    got.foreach { case (k, cnt, err) =>
+      assert(cnt >= truth(k), s"$k: cnt $cnt under true ${truth(k)}")
+      assert(cnt - err <= truth(k), s"$k: lower bound broken ($cnt, $err)")
+    }
+    // every key with true frequency > N/capacity must be present
+    val n = rows.size
+    val must = truth.filter(_._2 > n.toLong / 16).keySet
+    assert(must.subsetOf(got.map(_._1).toSet),
+      s"missing guaranteed heavy hitters: ${must -- got.map(_._1).toSet}")
+    // exact regime: capacity above distinct-key count ⇒ plain counts
+    val exact = df.agg(spaceSaving(col("k"), 256).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.key"), col("e.cnt"), col("e.err"))
+      .as[(String, Long, Long)].collect()
+    assert(exact.forall(_._3 == 0L))
+    assert(exact.map(e => e._1 -> e._2).toMap == truth)
+  }
+
   test("native vecDot is bit-identical to the HOF formulation") {
     val diff = embeddings.select(
       VectorFunctions.dot($"embedding", $"embedding").as("a"),

@@ -107,6 +107,20 @@ class GraphSpec extends AnyFunSuite {
     assert(got(2L) > got(1L))
   }
 
+  test("adamic-adar scores hand-computed on a square + chord-center graph") {
+    // square 1-2-3-4 with center 5 adjacent to 1 and 3:
+    // degrees: 1→3, 2→2, 3→3, 4→2, 5→2
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 1L), (5L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("a", "b")
+    val got = Graph.adamicAdar(edges, "a", "b")
+      .as[(Long, Long, Long)].collect().toSet
+    val w2 = math.round(1e6 / math.log(2)) // deg-2 neighbor: 1442695
+    val w3 = math.round(1e6 / math.log(3)) // deg-3 neighbor: 910239
+    // (1,3): common {2,4,5} all deg 2; (2,4)/(2,5)/(4,5): common {1,3} deg 3
+    assert(got === Set(
+      (1L, 3L, 3 * w2), (2L, 4L, 2 * w3), (2L, 5L, 2 * w3), (4L, 5L, 2 * w3)))
+  }
+
   test("salted pagerank is bit-identical on a hub-source star graph") {
     // hub 0 has out-degree 400 — the exact shape that makes join key a=0
     // hot; with salting on, ranks must still match the unsalted run AND
