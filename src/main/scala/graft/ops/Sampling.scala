@@ -162,6 +162,35 @@ object Sampling {
       .drop("__n", "__wq", "__tot", "__sw")
   }
 
+  /** Reproducible training-data order: for each of `epochs` epochs, every
+    * row draws the order key md5(id:epoch:salt), lands in shard
+    * (ascii-pair of the key's first two hex chars mod `shards`), and takes
+    * `position` = its rank within (epoch, shard) by (key, id). Each epoch
+    * is a distinct deterministic permutation — re-running any epoch on any
+    * partitioning reproduces byte-identical loader order, which is what
+    * makes a 100 TB training run resumable and auditable. The rank window
+    * is per (epoch, shard) — bounded by shard size, never a global sort.
+    */
+  def epochShardOrder(df: DataFrame, keyCol: String, epochs: Int,
+      shards: Int, salt: String = "order"): DataFrame = {
+    require(epochs >= 1 && shards >= 1, s"bad epochs=$epochs shards=$shards")
+    import org.apache.spark.sql.expressions.Window
+    val eps = df.sparkSession.range(epochs)
+      .select(col("id").cast("int").as("epoch"))
+    val keyed = df.select(col(keyCol).as("__id"))
+      .crossJoin(broadcast(eps)) // |df| × epochs — the intended fan-out
+      .withColumn("__k", md5(concat(col("__id").cast("string"), lit(":"),
+        col("epoch").cast("string"), lit(":" + salt)).cast("binary")))
+      .withColumn("shard",
+        pmod(ascii(substring(col("__k"), 1, 1)) * lit(256) +
+          ascii(substring(col("__k"), 2, 1)), lit(shards)).cast("int"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("__k"), col("__id"))
+    keyed.withColumn("position", row_number().over(w))
+      .select(col("epoch"), col("shard"), col("position"),
+        col("__id").as(keyCol))
+  }
+
   /** Per-stratum Bernoulli sampling (`sampleBy`): deterministic for a fixed
     * seed, partitioning, and row order — use for one-shot corpus
     * downsampling, NOT for split assignment (a backfill with different

@@ -219,6 +219,51 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"), col("hour_ts"))
     }),
 
+    // Linear-interpolation resampling — the ffill query's sibling for
+    // signals where carrying the last value biases downstream features:
+    // unobserved grid hours take v_prev + (v_next − v_prev)·Δ with Δ the
+    // integer-hour gap ratio, computed in ONE double expression with a
+    // fixed op order, so both engines produce bit-identical doubles.
+    // The grid spans [min, max] observed hour per user, so every gap has
+    // both endpoints — no edge extrapolation case. Observed hours return
+    // their value verbatim (Δ = 0 multiplies to exactly v_prev).
+    "e_resample_interp" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          date_trunc("second", col("ts")).as("ts2"), col("event_id"), col("value"))
+      val wPick = Window.partitionBy(col("user_id"), col("h"))
+        .orderBy(col("ts2").desc, col("event_id").desc)
+      val hourly = ev.withColumn("__rn", row_number().over(wPick))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("h"), col("value"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("h"))
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val hh = expr("unix_timestamp(h) DIV 3600")
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("__hh", hh)
+        .withColumn("__ph",
+          last(when(col("value").isNotNull, hh), ignoreNulls = true).over(wPrev))
+        .withColumn("__pv", last(col("value"), ignoreNulls = true).over(wPrev))
+        .withColumn("__nh",
+          first(when(col("value").isNotNull, hh), ignoreNulls = true).over(wNext))
+        .withColumn("__nv", first(col("value"), ignoreNulls = true).over(wNext))
+        .select(col("user_id"), col("h").as("hour_ts"),
+          when(col("value").isNotNull, col("value"))
+            .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+              ((col("__hh") - col("__ph")).cast("double") /
+                (col("__nh") - col("__ph")).cast("double")))
+            .as("value"),
+          col("value").isNotNull.cast("int").as("is_observed"))
+        .orderBy(col("user_id"), col("hour_ts"))
+    }),
+
     // PSI drift report between two deterministic halves of the event stream
     // (even vs odd event_id — a stand-in for yesterday-vs-today): reference
     // deciles as exact order statistics, Laplace-smoothed per-bucket terms
@@ -383,6 +428,42 @@ object EventQueries extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
         |  CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END AS is_observed
         |FROM j ORDER BY user_id, hour_ts""".stripMargin,
+
+    "e_resample_interp" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h,
+        |    date_trunc('second', ts) AS ts2, event_id, value FROM events),
+        |hr AS (SELECT user_id, h, value FROM (
+        |    SELECT user_id, h, value, row_number() OVER (
+        |      PARTITION BY user_id, h ORDER BY ts2 DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |sp AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+        |  FROM e GROUP BY user_id),
+        |g AS (SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM sp),
+        |j AS (SELECT g.user_id, g.h,
+        |    CAST(date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', g.h)
+        |      AS BIGINT) AS hh, hr.value
+        |  FROM g LEFT JOIN hr ON g.user_id = hr.user_id AND g.h = hr.h),
+        |w AS (SELECT user_id, h, hh, value,
+        |    last_value(CASE WHEN value IS NOT NULL THEN hh END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY h
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    last_value(value IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY h
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    first_value(CASE WHEN value IS NOT NULL THEN hh END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY h
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh,
+        |    first_value(value IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY h
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM j)
+        |SELECT user_id, h AS hour_ts,
+        |  CASE WHEN value IS NOT NULL THEN value
+        |    ELSE pv + (nv - pv) * (CAST(hh - ph AS DOUBLE)
+        |      / CAST(nh - ph AS DOUBLE)) END AS value,
+        |  CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END AS is_observed
+        |FROM w ORDER BY user_id, hour_ts""".stripMargin,
 
     "e_drift_psi" -> {
       val edgeDefs = (1 to 9).map(j =>

@@ -17,6 +17,15 @@ object SamplingQueries extends QueryPack {
   private val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   override def queries: Map[String, Query] = Map(
+    // Reproducible per-epoch loader order (ops.Sampling.epochShardOrder):
+    // two epochs × four shards over the documents table — every (epoch,
+    // shard, position, doc_id) row is a pure function of md5, so the full
+    // order hash-matches the oracle and re-runs are byte-identical.
+    "x_epoch_order" -> ((s, dir) =>
+      Sampling.epochShardOrder(Tables.load(s, dir, "documents"),
+          "doc_id", epochs = 2, shards = 4)
+        .orderBy(col("epoch"), col("shard"), col("position"))),
+
     // Temperature mixture at α = 1/2 (mT5-style source rebalancing,
     // ops.Sampling.temperatureSqrtSample): per-source original vs kept
     // counts — every keep decision is engine-exact (sqrt is correctly
@@ -141,6 +150,22 @@ object SamplingQueries extends QueryPack {
   private val zBuckets = 64
 
   override def oracleSql: Map[String, String] = Map(
+    "x_epoch_order" ->
+      """WITH eps AS (SELECT unnest(range(0, 2)) AS epoch),
+        |k AS (SELECT d.doc_id, CAST(e.epoch AS INTEGER) AS epoch,
+        |    md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+        |        CAST(e.epoch AS VARCHAR) || ':order') AS kk
+        |  FROM documents d CROSS JOIN eps e),
+        |s AS (SELECT doc_id, epoch, kk,
+        |    CAST((ascii(substr(kk, 1, 1)) * 256 + ascii(substr(kk, 2, 1))) % 4
+        |      AS INTEGER) AS shard
+        |  FROM k)
+        |SELECT epoch, shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, shard
+        |    ORDER BY kk, doc_id) AS INTEGER) AS position,
+        |  doc_id
+        |FROM s ORDER BY epoch, shard, position""".stripMargin,
+
     "x_temperature_mixture" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
         |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS wq
