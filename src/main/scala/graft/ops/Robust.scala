@@ -63,4 +63,55 @@ object Robust {
         sum((col("__dev") > lit(k) * col("mad")).cast("long")).as("n_outliers"),
         max(col("__dev")).as("max_dev"))
   }
+
+  /** Per-key trimmed mean: drop the lowest and highest ⌊n·trim⌋ rows by
+    * value rank and average the middle through the decimal-stable sum.
+    * Rank ties break by `idCol`, but the KEPT MULTISET of values is
+    * tie-order-independent (boundary ties share the value), so the mean
+    * is engine- and partitioning-exact. One per-key window pass.
+    * Output: (key, n, n_kept, trimmed_mean).
+    */
+  def trimmedMean(df: DataFrame, keyCol: String, valueCol: String,
+      idCol: String, trim: Double = 0.1): DataFrame = {
+    require(trim >= 0 && trim < 0.5, s"trim must be in [0, 0.5), got $trim")
+    import graft.ops.Aggregations.sumStable
+    val wr = Window.partitionBy(col(keyCol)).orderBy(col(valueCol), col(idCol))
+    val wp = Window.partitionBy(col(keyCol))
+    df.select(col(keyCol), col(valueCol), col(idCol))
+      .withColumn("__rn", row_number().over(wr))
+      .withColumn("__n", count(lit(1)).over(wp))
+      .withColumn("__cut", floor(col("__n").cast("double") * lit(trim)))
+      .filter(col("__rn") > col("__cut") && col("__rn") <= col("__n") - col("__cut"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n"), count(lit(1)).as("n_kept"),
+        (sumStable(col(valueCol)) / count(lit(1))).as("trimmed_mean"))
+  }
+
+  /** Per-key Gini concentration index of a non-negative integer measure —
+    * the data-balance diagnostic (how unevenly are characters/tokens
+    * spread across a source's documents): G = Σᵢ (2i − n − 1)·x₍ᵢ₎ /
+    * (n·Σx) over the ascending value ranks i = 1..n, reported in integer
+    * micro-units (round(10⁶·G)). The numerator and denominator are exact
+    * integer sums — rank-tie order cannot change them (tied rows share
+    * the value, and Σ(2i−n−1) over a tie block depends only on the
+    * block's position set) — and the single division + round is IEEE,
+    * so the report is engine-exact. G = 0 ⇔ perfectly even; → 1 as one
+    * row holds everything. Zero-total keys report 0.
+    */
+  def giniIndex(df: DataFrame, keyCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val wr = Window.partitionBy(col(keyCol)).orderBy(col("__x"), col(idCol))
+    df.select(col(keyCol), col(valueCol).cast("long").as("__x"), col(idCol))
+      .withColumn("__rn", row_number().over(wr).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        sum((lit(2L) * col("__rn") - lit(1L)) * col("__x")).as("__wx"))
+      .select(col(keyCol), col("n"),
+        when(col("__sx") === 0L, 0L).otherwise(
+          // Σ(2i−n−1)x = Σ(2i−1)x − n·Σx — both terms exact integer sums
+          round(((col("__wx") - col("n") * col("__sx")).cast("double") /
+            (col("n") * col("__sx")).cast("double")) * lit(1e6)).cast("long"))
+          .as("gini_q"))
+  }
 }

@@ -277,6 +277,15 @@ object EventQueries extends QueryPack {
         "value")
     }),
 
+    // Trimmed mean of event values per type (10% off each tail by value
+    // rank): the location estimate for value streams whose tails are
+    // corrupt — kept multiset is tie-order-independent, the sum is
+    // decimal-stable, so the report is engine-exact.
+    "e_trimmed_mean" -> ((s, dir) =>
+      graft.ops.Robust.trimmedMean(Tables.load(s, dir, "events"),
+          "event_type", "value", "event_id", trim = 0.1)
+        .orderBy(col("event_type"))),
+
     // Robust (median/MAD) outlier screen on event values per type — the
     // data-quality gate that doesn't move when the anomalies themselves
     // shift the mean. All statistics are order statistics of real data
@@ -428,6 +437,21 @@ object EventQueries extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
         |  CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END AS is_observed
         |FROM j ORDER BY user_id, hour_ts""".stripMargin,
+
+    "e_trimmed_mean" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |k AS (SELECT event_type, value, n FROM r
+        |  WHERE rn > floor(CAST(n AS DOUBLE) * 0.1)
+        |    AND rn <= n - floor(CAST(n AS DOUBLE) * 0.1))
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+        |    / count(*) AS trimmed_mean
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e_resample_interp" ->
       """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h,

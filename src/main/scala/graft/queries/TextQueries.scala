@@ -210,6 +210,15 @@ object TextQueries extends QueryPack {
     // each doc, its globally rarest token (min df, alphabetical tiebreak).
     // The df join shuffles (token, df) longs; the per-doc argmin is a
     // window over the doc's own tokens.
+    // Per-source Gini concentration of document lengths — the data-balance
+    // diagnostic (is one source's character mass concentrated in a few
+    // giant documents?). Integer rank/sum arithmetic, one IEEE division,
+    // micro-unit output — engine-exact (see ops.Robust.giniIndex).
+    "t_source_gini" -> ((s, dir) =>
+      graft.ops.Robust.giniIndex(Tables.load(s, dir, "documents"),
+          "source", "n_chars", "doc_id")
+        .orderBy(col("source"))),
+
     // DSIR data selection (Xie et al. 2023): top-20 raw documents by
     // hashed-bigram importance weight toward the src1 target domain —
     // per-bucket log-ratios quantized to micro-nats, per-doc integer sums,
@@ -441,6 +450,21 @@ object TextQueries extends QueryPack {
          |    AS BIGINT) AS kl_q
          |FROM j GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "t_source_gini" ->
+      """WITH r AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+        |  FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum((2 * rn - 1) * x) AS BIGINT) AS wx
+        |  FROM r GROUP BY source)
+        |SELECT source, n,
+        |  CASE WHEN sx = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(round(CAST(wx - n * sx AS DOUBLE)
+        |      / CAST(n * sx AS DOUBLE) * 1000000) AS BIGINT) END AS gini_q
+        |FROM a ORDER BY source""".stripMargin,
 
     "t_dsir_select" -> {
       val pExpr = "((CAST(cp AS DOUBLE) + 1.0) / (CAST(np AS DOUBLE) + 65536.0))"
