@@ -67,4 +67,64 @@ class PropertySpec extends AnyFunSuite {
       assert(owned.forall(_ >= 1), s"case $it: empty split: $owned for $weights")
     }
   }
+
+  test("TopKBuffer: any split into partial heaps + serialization round-trip " +
+      "equals the brute-force top-k, both directions") {
+    import org.apache.spark.sql.graftx.{BoundedTopKAgg, TopKBuffer}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = BoundedTopKAgg(Literal(0.0), Literal(0L), k = 1, desc = false)
+    def roundTrip(b: TopKBuffer): TopKBuffer =
+      BoundedTopKAgg(Literal(0.0), Literal(0L), b.k, b.desc)
+        .deserialize(b.serialized)
+    identity(agg) // anchor the import
+    for (it <- 1 to 80) {
+      val n = 1 + rnd.nextInt(400)
+      val k = 1 + rnd.nextInt(20)
+      val desc = rnd.nextBoolean()
+      // heavy ties: scores from a small set force the id tie-break
+      val rows = Seq.fill(n)((rnd.nextInt(7).toDouble, rnd.nextLong().abs))
+        .distinctBy(_._2)
+      // random partitioning into 1..6 partial buffers, merged pairwise
+      val parts = rows.groupBy(_ => rnd.nextInt(1 + rnd.nextInt(6)))
+        .values.toSeq
+      val merged = parts.map { chunk =>
+        val b = new TopKBuffer(k, desc)
+        chunk.foreach { case (s, i) => b.insert(s, i) }
+        roundTrip(b) // every partial passes through serialization
+      }.reduce { (a, b) => a.mergeFrom(b); a }
+      val got = merged.ranked.toSeq
+      val want = (if (desc) rows.sortBy { case (s, i) => (-s, i) }
+        else rows.sortBy(identity)).take(k)
+      assert(got == want, s"case $it: n=$n k=$k desc=$desc")
+    }
+  }
+
+  test("SpaceSavingBuffer: bounds and guaranteed hitters hold for any " +
+      "stream split and merge order") {
+    import org.apache.spark.sql.graftx.SpaceSavingBuffer
+    for (it <- 1 to 60) {
+      val n = 50 + rnd.nextInt(2000)
+      val cap = 4 + rnd.nextInt(24)
+      // zipf-ish keys so true heavy hitters exist
+      val stream = Seq.fill(n)(s"k${(math.sqrt(rnd.nextInt(900)).toInt)}")
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val parts = stream.groupBy(_ => rnd.nextInt(1 + rnd.nextInt(8)))
+        .values.toSeq
+      val merged = parts.map { chunk =>
+        val b = new SpaceSavingBuffer(cap)
+        chunk.foreach(b.add(_, 1L))
+        b
+      }.reduce { (a, b) => a.mergeFrom(b); a }
+      val got = merged.ranked
+      assert(got.size <= cap)
+      got.foreach { case (key, cnt, err) =>
+        assert(cnt >= truth(key), s"case $it: $key underestimated")
+        assert(cnt - err <= truth(key), s"case $it: $key lower bound broken")
+      }
+      val must = truth.filter(_._2 > n.toLong / cap).keySet
+      val present = got.map(_._1).toSet
+      assert(must.subsetOf(present),
+        s"case $it: missing guaranteed hitters ${must -- present} (cap $cap)")
+    }
+  }
 }
