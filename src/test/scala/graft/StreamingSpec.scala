@@ -43,6 +43,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SpaceSaving heavy hitters equal the batch summary") {
+    import org.apache.spark.sql.graftx.SpaceSavingExpressions.spaceSaving
+    // the mergeable summary is exactly what makes the aggregate legal in a
+    // streaming aggregation: partials fold into the state store per batch
+    val dir = Files.createTempDirectory("graft-hh-stream").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"event_type")
+    // two separate file drops → at least two micro-batches of partials
+    events.filter($"event_id" % 2 === 0).write.parquet(s"$dir/in")
+    events.filter($"event_id" % 2 === 1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = stream.agg(spaceSaving($"event_type", 64).as("hh"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hh_stream")
+        .select(explode($"hh").as("e"))
+        .select($"e.key", $"e.cnt", $"e.err")
+        .as[(String, Long, Long)].collect().toSet
+      val batch = events.agg(spaceSaving($"event_type", 64).as("hh"))
+        .select(explode($"hh").as("e"))
+        .select($"e.key", $"e.cnt", $"e.err")
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed.nonEmpty && streamed == batch)
+      assert(streamed.forall(_._3 == 0L)) // exact regime either way
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessions: closed stream output equals batch") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
