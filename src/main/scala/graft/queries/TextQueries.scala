@@ -210,6 +210,35 @@ object TextQueries extends QueryPack {
     // each doc, its globally rarest token (min df, alphabetical tiebreak).
     // The df join shuffles (token, df) longs; the per-doc argmin is a
     // window over the doc's own tokens.
+    // Token-budget corpus selection (ops.Budget): keep the best documents
+    // by quality until 30% of the corpus's characters are spent. The
+    // operator cuts via a bucket histogram + driver walk + ONE
+    // boundary-bucket window (no global sort); the oracle runs the
+    // textbook global ORDER BY quality cumsum prefix — a structurally
+    // independent plan that must produce the identical kept set (the
+    // histogram cut is prefix-equivalent for ANY quality-threshold edges).
+    "t_budget_select" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), qualityScore(col("text")).as("quality_score"),
+          col("n_chars"))
+        .localCheckpoint() // edges, total, and the selection reuse it
+      // exact decile edges (value-only ordering — ties share the value)
+      val w = Window.orderBy(col("quality_score"))
+      val ranked = scored.select(col("quality_score"))
+        .withColumn("__rn", row_number().over(w))
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("__n"))))
+      val edgeCols = (1 until 10).map(j =>
+        max(when(col("__rn") === ceil(col("__n") * lit(j / 10.0)),
+          col("quality_score"))).as(s"e$j"))
+      val eRow = ranked.agg(edgeCols.head, edgeCols.tail: _*).head()
+      val es = (0 until 9).map(eRow.getDouble)
+      val budget = scored.agg(sum(col("n_chars"))).head().getLong(0) * 3 / 10
+      graft.ops.Budget.selectByBudget(scored, "doc_id", "quality_score",
+          "n_chars", budget, es)
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-source Gini concentration of document lengths — the data-balance
     // diagnostic (is one source's character mass concentrated in a few
     // giant documents?). Integer rank/sum arithmetic, one IEEE division,
@@ -450,6 +479,20 @@ object TextQueries extends QueryPack {
          |    AS BIGINT) AS kl_q
          |FROM j GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "t_budget_select" ->
+      s"""WITH $qualityScoredCte,
+         |j AS (SELECT q.doc_id, q.quality_score,
+         |    CAST(d.n_chars AS BIGINT) AS n_chars
+         |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+         |c AS (SELECT doc_id, quality_score, n_chars,
+         |    sum(n_chars) OVER (ORDER BY quality_score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM j),
+         |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS t FROM j)
+         |SELECT doc_id, quality_score, n_chars
+         |FROM c CROSS JOIN tot WHERE cum <= t * 3 // 10
+         |ORDER BY doc_id""".stripMargin,
 
     "t_source_gini" ->
       """WITH r AS (SELECT source, CAST(n_chars AS BIGINT) AS x,

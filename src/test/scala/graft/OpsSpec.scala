@@ -408,6 +408,32 @@ class OpsSpec extends AnyFunSuite {
     assert(again == kept)
   }
 
+  test("budget selection equals the global greedy prefix for arbitrary edges") {
+    import graft.ops.Budget
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val rows = (1L to 300L).map(i =>
+        (i, rnd.nextInt(100) / 10.0, 1L + rnd.nextInt(50)))
+      val df = rows.toDF("id", "q", "cost").repartition(9)
+      // arbitrary quality-threshold edges — the histogram cut must be
+      // prefix-equivalent for ANY of them, including skewed ones
+      val edges = Seq.fill(1 + rnd.nextInt(8))(rnd.nextInt(100) / 10.0).distinct
+      val budget = 1 + rnd.nextInt(6000)
+      val got = Budget.selectByBudget(df, "id", "q", "cost", budget, edges)
+        .select(col("id")).as[Long].collect().toSet
+      // reference: walk the (q desc, id) order, keep while cum <= budget
+      var cum = 0L
+      val want = scala.collection.mutable.Set[Long]()
+      var stopped = false
+      rows.sortBy { case (i, q, _) => (-q, i) }.foreach { case (i, _, c) =>
+        if (!stopped) {
+          if (cum + c <= budget) { cum += c; want += i } else stopped = true
+        }
+      }
+      assert(got == want.toSet, s"trial $trial budget=$budget edges=$edges")
+    }
+  }
+
   test("zOrdered: partitions cover disjoint z-ranges with compact 2-D boxes") {
     import graft.ops.Locality
     val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
