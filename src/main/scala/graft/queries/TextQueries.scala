@@ -210,6 +210,31 @@ object TextQueries extends QueryPack {
     // each doc, its globally rarest token (min df, alphabetical tiebreak).
     // The df join shuffles (token, df) longs; the per-doc argmin is a
     // window over the doc's own tokens.
+    // Per-source lexical diversity: type-token ratio (distinct/total
+    // tokens, micro-units) and hapax fraction (share of vocabulary seen
+    // exactly once) — the screens that catch template-generated or
+    // boilerplate-heavy sources (TTR collapses) before training. Count
+    // tables are (source × vocab)-bounded; integers until one final
+    // quantized division — engine-exact.
+    "t_lexical_diversity" -> ((s, dir) => {
+      val st = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+        .groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("c"))
+      st.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") /
+            col("n_tokens").cast("double") * lit(1e6)).cast("long")
+            .as("ttr_q"),
+          round(col("n_hapax").cast("double") /
+            col("n_types").cast("double") * lit(1e6)).cast("long")
+            .as("hapax_q"))
+        .orderBy(col("source"))
+    }),
+
     // Token-budget corpus selection (ops.Budget): keep the best documents
     // by quality until 30% of the corpus's characters are spent. The
     // operator cuts via a bucket histogram + driver walk + ONE
@@ -479,6 +504,22 @@ object TextQueries extends QueryPack {
          |    AS BIGINT) AS kl_q
          |FROM j GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "t_lexical_diversity" ->
+      s"""WITH tk AS (SELECT source, unnest(w) AS t
+         |  FROM (SELECT source, $toksSql AS w FROM documents)),
+         |st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY source, t),
+         |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |  FROM st GROUP BY source)
+         |SELECT source, n_tokens, n_types,
+         |  CAST(round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |    * 1000000) AS BIGINT) AS ttr_q,
+         |  CAST(round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
+         |    * 1000000) AS BIGINT) AS hapax_q
+         |FROM a ORDER BY source""".stripMargin,
 
     "t_budget_select" ->
       s"""WITH $qualityScoredCte,
