@@ -148,4 +148,35 @@ object Decontaminate {
       .filter(col("contaminated") === 1).select(col(id))
     corpus.join(broadcast(bad), Seq(id), "left_anti")
   }
+
+  /** Semantic decontamination — the embedding-space complement of the n-gram
+    * screen above: a training document is flagged when its embedding's max
+    * cosine against ANY benchmark embedding reaches `minCosine`. N-gram
+    * overlap misses paraphrases and translations of benchmark items; this
+    * catches them (the screen published for GPT-3/Llama-style corpus
+    * assembly alongside the 13-gram rule). Returns every corpus row as
+    * (id, max_cosine, contaminated 0/1).
+    *
+    * Scale posture mirrors [[contaminationReport]]: the benchmark set is a
+    * few thousand rows — it broadcasts (with precomputed norms), the corpus
+    * streams through the broadcast join exactly once and its vectors never
+    * shuffle. The per-document max collapses |bench| scored rows to one
+    * inside the map-side partial aggregate, so the only exchange carries
+    * (id, double) pairs. `max` over doubles is order-independent, which is
+    * what makes the report value-exact against a single-node oracle.
+    */
+  def semanticContamination(corpus: DataFrame, id: String, vec: String,
+      benchmark: DataFrame, benchVec: String, minCosine: Double): DataFrame = {
+    import graft.functions.VectorFunctions.cosineWithNorms
+    val c = Similarity.withNorm(corpus, vec)
+      .select(col(id), col(vec).as("__cv"), col("__nrm").as("__cn"))
+    val b = Similarity.withNorm(benchmark, benchVec)
+      .select(col(benchVec).as("__bv"), col("__nrm").as("__bn"))
+    c.crossJoin(broadcast(b))
+      .withColumn("__cos",
+        cosineWithNorms(col("__cv"), col("__bv"), col("__cn"), col("__bn")))
+      .groupBy(col(id))
+      .agg(max(col("__cos")).as("max_cosine"))
+      .withColumn("contaminated", (col("max_cosine") >= minCosine).cast("int"))
+  }
 }

@@ -17,7 +17,7 @@ import graft.operators.{Dedup, Graph, IncrementalDedup}
   */
 object DedupQueries extends QueryPack {
 
-  private val tau = 0.5
+  private[queries] val tau = 0.5
 
   /** DuckDB mirror of Dedup.shingleArray(n=3) exploded to (doc_id, s) rows. */
   private val shinglesSql =
@@ -32,7 +32,7 @@ object DedupQueries extends QueryPack {
       |  WHERE len(w) >= 3 AND i + 2 <= len(w)),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
-  private val jaccardPairsSql =
+  private[queries] val jaccardPairsSql =
     s"""WITH $shinglesSql,
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common

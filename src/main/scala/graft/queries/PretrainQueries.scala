@@ -70,6 +70,41 @@ object PretrainQueries extends QueryPack {
       lit("."), tld, lit("/p/"), id.cast("string"))
   }
 
+  /** Deterministic MESSY per-doc URL for the canonicalization screen: the
+    * same page key (host id%7, path id%11, param id%3) decorated per-doc
+    * with the noise crawls actually produce — mixed-case host, optional
+    * `www.`, default `:80` port, tracking params in varying order, trailing
+    * slash, fragment. Canonicalization must collapse every decoration, so
+    * distinct raw URLs of one page land on one canonical key. Mirrored
+    * verbatim in the oracle SQL.
+    */
+  private def messyUrl = {
+    val id = col("doc_id")
+    concat(lit("http://"),
+      when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      when(id % 2 === 0, lit("Site")).otherwise(lit("site")),
+      pmod(id, lit(7)).cast("string"), lit(".com"),
+      when(id % 5 === 0, lit(":80")).otherwise(lit("")),
+      lit("/p/"), pmod(id, lit(11)).cast("string"),
+      when(id % 4 === 0, lit("/")).otherwise(lit("")),
+      when(id % 2 === 0,
+        concat(lit("?utm_source=feed&id="), pmod(id, lit(3)).cast("string")))
+        .otherwise(concat(lit("?id="), pmod(id, lit(3)).cast("string"),
+          lit("&utm_campaign=x"))),
+      when(id % 3 === 0, lit("#sec")).otherwise(lit("")))
+  }
+
+  private val messyUrlSql =
+    """'http://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+      | || CASE WHEN doc_id % 2 = 0 THEN 'Site' ELSE 'site' END
+      | || CAST(doc_id % 7 AS VARCHAR) || '.com'
+      | || CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
+      | || '/p/' || CAST(doc_id % 11 AS VARCHAR)
+      | || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+      | || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR)
+      |    ELSE '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x' END
+      | || CASE WHEN doc_id % 3 = 0 THEN '#sec' ELSE '' END""".stripMargin.replace("\n", "")
+
   private val injectedUrlSql =
     """'http://sub' || CAST(doc_id % 5 AS VARCHAR)
       | || '.site' || CAST(doc_id % 97 AS VARCHAR)
@@ -366,6 +401,24 @@ object PretrainQueries extends QueryPack {
         .limit(30)
     }),
 
+    // URL-level crawl dedup: canonicalize the messy per-doc URLs (case,
+    // www, default port, tracking params, param order, trailing slash,
+    // fragment — see messyUrl) and group by the canonical key. n_raw >
+    // 1 rows are pages whose re-crawls would leak past an exact-string
+    // URL dedup; survivor_id is the deterministic keeper. Canonicalization
+    // is a pure regex/HOF projection fused into the scan (zero shuffle);
+    // the groupBy ships only (canonical, id) pairs with map-side combine.
+    "t_url_canonical" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), messyUrl.as("url"))
+        .withColumn("canonical_url",
+          graft.functions.UrlFunctions.canonicalizeUrl(col("url")))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_raw"),
+          min(col("doc_id")).as("survivor_id"))
+        .orderBy(col("canonical_url"))),
+
     // Per-document unigram entropy — the information-density quality signal
     // (boilerplate and template spam score low). Reported as TOTAL entropy
     // in integer micro-nat·tokens: H_tot = n·ln n − Σ c·ln c with every ln
@@ -640,6 +693,14 @@ object PretrainQueries extends QueryPack {
          |    THEN 1 ELSE 0 END) AS INTEGER) AS is_blocked
          |FROM d GROUP BY domain
          |ORDER BY n_docs DESC, domain LIMIT 30""".stripMargin,
+
+    "t_url_canonical" ->
+      s"""WITH u AS (SELECT doc_id, $messyUrlSql AS url FROM documents)
+         |SELECT ${graft.functions.UrlFunctions.canonicalizeUrlSql("url")} AS canonical_url,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+         |  CAST(min(doc_id) AS BIGINT) AS survivor_id
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t_token_entropy" ->
       s"""WITH t AS (SELECT doc_id, ${TextQueries.toksSql} AS w FROM documents),

@@ -75,6 +75,33 @@ object SamplingQueries extends QueryPack {
             .as("locality_ok"))
     }),
 
+    // Cross-split near-dup leakage: pairs from the shingle-Jaccard near-dup
+    // set whose members landed in DIFFERENT train/val/test splits — the
+    // leaks a random document-level split lets through whenever near-dups
+    // survive dedup (in expectation ≈34% of dup pairs cross a 0.8/0.1/0.1
+    // boundary, so the screen fires on any corpus with residual dups).
+    // Composition of two oracle-green primitives: Dedup.jaccardPairs
+    // (hashed-shingle inverted index — the corpus shuffles only 8-byte
+    // keys) and Sampling.splitAssign (pure projection, no shuffle). The
+    // pair set is small by construction, so AQE broadcasts it into the two
+    // split lookups; the documents table itself never re-shuffles here.
+    "x_split_leakage" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val splits = Sampling.splitAssign(docs, "doc_id", weights)
+        .select(col("doc_id"), col("split"))
+      graft.operators.Dedup
+        .jaccardPairs(docs, "doc_id", "text",
+          minJaccard = DedupQueries.tau, hashShingles = true)
+        .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+          Seq("id_a"))
+        .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+          Seq("id_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          col("split_a"), col("split_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Per-(split × source) document counts and char totals: proves the
     // hash-split is engine-independent (oracle recomputes the same md5
     // buckets) and that every row lands in exactly one split (counts
@@ -216,6 +243,17 @@ object SamplingQueries extends QueryPack {
         |  CAST(LEAST(10, COUNT(*)) AS BIGINT) AS n_sampled,
         |  CAST(1 AS INTEGER) AS subset_ok, CAST(1 AS INTEGER) AS bias_ok
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "x_split_leakage" ->
+      s"""SELECT p.id_a, p.id_b, p.jaccard,
+         |  sa.split AS split_a, sb.split AS split_b
+         |FROM (${DedupQueries.jaccardPairsSql}) p
+         |JOIN (SELECT doc_id, ${Sampling.splitSql("doc_id", weights)} AS split
+         |      FROM documents) sa ON p.id_a = sa.doc_id
+         |JOIN (SELECT doc_id, ${Sampling.splitSql("doc_id", weights)} AS split
+         |      FROM documents) sb ON p.id_b = sb.doc_id
+         |WHERE sa.split <> sb.split
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "x_split_stats" ->
       s"""SELECT ${Sampling.splitSql("doc_id", weights)} AS split, source,

@@ -16,6 +16,7 @@ object SimilarityQueries extends QueryPack {
 
   private val k = 10
   private val tau = 0.45
+  private val semTau = 0.33
   private val kmCells = 8
 
   /** Every ~97th vector plays a query against the full corpus. */
@@ -77,6 +78,21 @@ object SimilarityQueries extends QueryPack {
         .filter(col("__d") =!= 0)
         .agg(count(lit(1)).as("set_diff"))
       qs.agg(count(lit(1)).as("n_queries")).crossJoin(diff) // 1-row × 1-row
+    }),
+
+    // Semantic decontamination: every ~97th vector plays the benchmark/eval
+    // set; each remaining corpus vector reports its max cosine against the
+    // broadcast benchmark and a flag at τ=0.33 (≈1-8% flagged across sf —
+    // the n-gram screen's embedding-space complement for paraphrased leaks).
+    // Value-exact: same bit-exact fold contract as v_cosine_topk, and max
+    // over doubles is selection, not accumulation.
+    "v_semantic_decontam" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.operators.Decontaminate.semanticContamination(
+        emb.filter(col("vec_id") % 97 =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") % 97 === 0), "embedding",
+        minCosine = semTau)
+        .orderBy(col("vec_id"))
     }),
 
     // Blocked exact all-pairs (no BroadcastNestedLoopJoin): τ=0.45 sits
@@ -638,6 +654,17 @@ object SimilarityQueries extends QueryPack {
          |  FROM sims)
          |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked
          |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin,
+
+    "v_semantic_decontam" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+         |b AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+         |c AS (SELECT * FROM e WHERE vec_id % 97 <> 0),
+         |m AS (
+         |  SELECT c.vec_id, max(${dotSql("c", "b")} / (c.nrm * b.nrm)) AS max_cosine
+         |  FROM c CROSS JOIN b GROUP BY 1)
+         |SELECT vec_id, max_cosine,
+         |  CAST(max_cosine >= $semTau AS INT) AS contaminated
+         |FROM m ORDER BY vec_id""".stripMargin,
 
     "v_cosine_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings)

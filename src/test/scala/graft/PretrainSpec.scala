@@ -404,6 +404,59 @@ class PretrainSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("semantic decontamination: scaled copy flagged, orthogonal clean, max over bench") {
+    import graft.operators.Decontaminate
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f, 0.0f)), // same direction, scaled → cos 1
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)), // orthogonal to both → cos 0
+      (3L, Array(1.0f, 1.0f, 0.0f, 0.0f)), // cos 1/√2 vs bench 100
+      (4L, Array(0.1f, 0.0f, 3.0f, 0.0f))  // near-copy of bench 101, not 100
+    ).toDF("vec_id", "embedding")
+    val rep = Decontaminate.semanticContamination(
+      corpus, "vec_id", "embedding", bench, "embedding", minCosine = 0.9)
+    val rows = rep.orderBy("vec_id").as[(Long, Double, Int)].collect().toSeq
+    assert(rows.map(_._1) == Seq(1L, 2L, 3L, 4L)) // every corpus row reports
+    assert(rows.map(_._3) == Seq(1, 0, 0, 1))
+    assert(math.abs(rows(0)._2 - 1.0) < 1e-12)
+    assert(math.abs(rows(1)._2 - 0.0) < 1e-12)
+    assert(math.abs(rows(2)._2 - 1.0 / math.sqrt(2.0)) < 1e-9)
+    // the benchmark must arrive by broadcast — any shuffle of the corpus
+    // vectors here is the 100 TB failure mode
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  // ---- URL canonicalization ------------------------------------------
+
+  private def canon(u: String): String = {
+    import graft.functions.UrlFunctions.canonicalizeUrl
+    Seq(u).toDF("u").select(canonicalizeUrl(col("u"))).as[String].head()
+  }
+
+  test("URL canonicalization collapses every crawl decoration") {
+    assert(canon("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag") ==
+      "http://example.com/a/b?a=1&b=2")
+    assert(canon("https://site.org:443/") == "https://site.org/")
+    assert(canon("http://a.com") == "http://a.com/")
+    assert(canon("http://a.com//x///y") == "http://a.com/x/y")
+    assert(canon("http://a.com/x?utm_campaign=z&gclid=1&fbclid=2&ref=h") ==
+      "http://a.com/x")
+  }
+
+  test("URL canonicalization keeps real distinctions") {
+    // non-default port, non-tracking params, and ref-prefixed names survive
+    assert(canon("http://site.org:8080/x") == "http://site.org:8080/x")
+    assert(canon("http://a.com/x?referrer=1") == "http://a.com/x?referrer=1")
+    assert(canon("https://a.com:80/x") == "https://a.com:80/x") // 80 ≠ https default
+    // param sort is byte-wise, shared with the oracle's list_sort
+    assert(canon("http://a.com/x?b=1&A=2") == "http://a.com/x?A=2&b=1")
+    // distinct pages stay distinct
+    assert(canon("http://a.com/x") != canon("http://a.com/y"))
+  }
+
   // ---- BM25 + token entropy ------------------------------------------
 
   private def miniDocs(rows: (Long, String)*): String = {
