@@ -102,6 +102,48 @@ object SamplingQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Shard output manifest: per-shard row count + order-independent
+    // content checksum (sum of a 32-bit slice of md5("id:text")) — the
+    // writer-side integrity fingerprint a 1000-executor job publishes next
+    // to its data. Any reshuffle/backfill/recovery re-run must reproduce
+    // it bit-for-bit, and a mismatch localizes corruption to one shard
+    // without re-reading the corpus. The sum is commutative, so the value
+    // is partitioning-independent; 2³²-bounded terms keep the int64 total
+    // exact up to ~2³¹ rows per shard (size shards accordingly).
+    "x_shard_manifest" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(16)).as("shard"),
+          conv(substring(
+            md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))),
+            1, 8), 16, 10).cast("long").as("__h"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("__h")).as("checksum"))
+        .orderBy(col("shard"))),
+
+    // Length-bucketed batching: rank documents by exact length (ties by
+    // id), cut into 8 equal-depth buckets, and report each bucket's
+    // padding overhead (n·max − Σlen — the tokens a fixed-shape batch
+    // wastes). Bucketing by length is THE padding-efficiency lever for
+    // training loaders; the report quantifies what it saves vs one global
+    // bucket. ntile's positional split is engine-identical once the order
+    // is total. At 100 TB the same report runs on the sketch-quantile
+    // edges (a_approx_quantiles) instead of a global rank — the exact
+    // ntile here is the oracle form.
+    "x_length_buckets" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), ntile(8).over(w).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_len"),
+          max(col("n_chars")).as("max_len"),
+          sum(col("n_chars")).as("sum_len"))
+        .withColumn("padding_overhead",
+          col("n_docs") * col("max_len") - col("sum_len"))
+        .orderBy(col("bucket"))
+    }),
+
     // Per-(split × source) document counts and char totals: proves the
     // hash-split is engine-independent (oracle recomputes the same md5
     // buckets) and that every row lands in exactly one split (counts
@@ -254,6 +296,26 @@ object SamplingQueries extends QueryPack {
          |      FROM documents) sb ON p.id_b = sb.doc_id
          |WHERE sa.split <> sb.split
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "x_shard_manifest" ->
+      """SELECT doc_id % 16 AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(('0x' || substr(
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS checksum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x_length_buckets" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
+        |  FROM documents)
+        |SELECT CAST(bucket AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_len,
+        |  CAST(max(n_chars) AS BIGINT) AS max_len,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_len,
+        |  CAST(count(*) * max(n_chars) - sum(n_chars) AS BIGINT)
+        |    AS padding_overhead
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x_split_stats" ->
       s"""SELECT ${Sampling.splitSql("doc_id", weights)} AS split, source,

@@ -141,6 +141,39 @@ class OpsSpec extends AnyFunSuite {
     assert(sa == sb) // bit-identical, not just approximately equal
   }
 
+  test("shard manifest: one flipped byte moves exactly its shard's checksum") {
+    val dir0 = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    graft.Tables.load(spark, dir0, "documents")
+      .withColumn("text",
+        when($"doc_id" === 7L, concat($"text", lit("!"))).otherwise($"text"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def manifest(d: String): Map[Long, (Long, Long)] =
+      SparkEntry.queries("x_shard_manifest")(spark, d)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val a = manifest(dir0)
+    val b = manifest(tmp)
+    assert(a.keySet == b.keySet)
+    assert(a.forall { case (s, (n, _)) => b(s)._1 == n }) // counts untouched
+    val moved = a.keySet.filter(s => a(s)._2 != b(s)._2)
+    assert(moved == Set(7L % 16)) // corruption localized to one shard
+  }
+
+  test("length buckets: equal-depth tiling; bucketing strictly cuts padding") {
+    val r = SparkEntry.queries("x_length_buckets")(spark, "/root/testdata/sf0.001")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.map(_._1) == (1 to 8)) // all 8 buckets, in order
+    val sizes = r.map(_._2)
+    assert(sizes.sum == 500 && sizes.max - sizes.min <= 1) // equal depth
+    // buckets tile the length axis in rank order
+    r.sliding(2).foreach { case Seq(lo, hi) => assert(lo._4 <= hi._3) }
+    // the whole point: 8 length-homogeneous batches pad less than one
+    // global fixed-shape batch
+    val bucketedPad = r.map(_._6).sum
+    val globalPad = sizes.sum * r.map(_._4).max - r.map(_._5).sum
+    assert(bucketedPad < globalPad)
+  }
+
   test("hash split: total, disjoint, repartition-invariant, ~weight-proportional") {
     import graft.ops.Sampling
     val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
