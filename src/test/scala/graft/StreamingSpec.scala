@@ -301,6 +301,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation pipeline (quality gate + decontaminate) streams ≡ batch") {
+    // the corpus-curation chain is per-document given a broadcast benchmark
+    // (quality score: stateless projection; decontamination: per-doc gram
+    // overlap vs a static set) — so running it per micro-batch in
+    // foreachBatch must reproduce the batch run over the union exactly.
+    // That equivalence is what lets one pipeline serve backfill and live
+    // ingest without a second implementation.
+    val dir = Files.createTempDirectory("graft-stream-curate").toString
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bench = docs.filter($"doc_id" % 17 === 0)
+      .select($"doc_id", $"text").localCheckpoint()
+    val corpus = docs.filter($"doc_id" % 17 =!= 0)
+    // two ingest waves → two micro-batches at maxFilesPerTrigger=1
+    corpus.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    corpus.filter($"doc_id" % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val scored = df.withColumn("q",
+        graft.functions.TextFunctions.qualityScore($"text"))
+        .filter($"q" > 0.2)
+      graft.operators.Decontaminate
+        .decontaminate(scored, "doc_id", "text", bench, "text", n = 3)
+        .select($"doc_id", $"q")
+    }
+    val q = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        curate(batch).write.mode("append").parquet(s"$dir/out"): Unit
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .as[(Long, Double)].collect().toSeq.sorted
+    val batch = curate(spark.read.parquet(s"$dir/in"))
+      .as[(Long, Double)].collect().toSeq.sorted
+    assert(streamed.nonEmpty && streamed == batch)
+    // both gates actually fired: some docs were cut by each stage
+    assert(streamed.size < corpus.count())
+  }
+
   test("incremental dedup stream emits each near-dup pair exactly once") {
     import graft.operators.Dedup
     val base = Files.createTempDirectory("graft-incdedup").toString
