@@ -46,6 +46,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("URL canonicalization: random crawl decoration always collapses back " +
+      "to the clean form, and the function is idempotent") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.UrlFunctions.canonicalizeUrl
+    def seg(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def randCase(s: String) = s.map(c => if (rnd.nextBoolean()) c.toUpper else c)
+    val track = Seq("utm_source=x", "utm_campaign=y", "gclid=abc", "fbclid=z", "ref=h")
+    val pairs = (1 to 300).map { _ =>
+      val scheme = if (rnd.nextBoolean()) "http" else "https"
+      val host = seg(3 + rnd.nextInt(5)) + "." + (if (rnd.nextBoolean()) "com" else "org")
+      val nSeg = rnd.nextInt(3)
+      val path = if (nSeg == 0) "/"
+        else (1 to nSeg).map(_ => "/" + seg(1 + rnd.nextInt(6))).mkString
+      val params = (0 until rnd.nextInt(3)).map(i => s"k${rnd.nextInt(10)}$i=${seg(2)}")
+      val clean = scheme + "://" + host + path +
+        (if (params.isEmpty) "" else "?" + params.sorted.mkString("&"))
+      val port = if (rnd.nextBoolean()) (if (scheme == "http") ":80" else ":443") else ""
+      val messyHost = randCase((if (rnd.nextBoolean()) "www." else "") + host) + port
+      val messyPath =
+        if (nSeg == 0) (if (rnd.nextBoolean()) "" else "/") // bare authority too
+        else (if (rnd.nextBoolean()) path.replaceFirst("/", "//") else path) +
+          (if (rnd.nextBoolean()) "/" else "")
+      val allParams = rnd.shuffle(params ++ track.take(rnd.nextInt(3)))
+      val messy = randCase(scheme) + "://" + messyHost + messyPath +
+        (if (allParams.isEmpty) "" else "?" + allParams.mkString("&")) +
+        (if (rnd.nextBoolean()) "#frag" else "")
+      (clean, messy)
+    }
+    val out = pairs.toDF("clean", "messy")
+      .select(col("clean"), canonicalizeUrl(col("messy")).as("c1"))
+      .withColumn("c2", canonicalizeUrl(col("c1")))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(0),
+        s"decorated form did not canonicalize back: $r")
+      assert(r.getString(2) == r.getString(1), s"not idempotent: $r")
+    }
+  }
+
   test("hexCutoffs: strictly increasing, total, and no split silently empty") {
     for (it <- 1 to 300) {
       val n = 1 + rnd.nextInt(12)
