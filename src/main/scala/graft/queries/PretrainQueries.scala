@@ -401,6 +401,38 @@ object PretrainQueries extends QueryPack {
         .limit(30)
     }),
 
+    // C4 page-cleaning rules (Raffel et al. 2020 §2.2) over a decorated
+    // pseudo-line corpus: the fixture text has no newlines/punctuation, so
+    // each 7-token pseudo-line is deterministically decorated from
+    // (doc_id, line index) — ~1/3 lose their terminal '.', every 5th is
+    // truncated under the 5-word floor, every 11th gains a "javascript"
+    // mention, and docs ≡0 mod 13/17 gain a lorem-ipsum / curly-brace
+    // line. The SAME derivation is spelled out in the oracle SQL, so every
+    // line keep and page drop is value-exact cross-engine. The operator
+    // itself (ops.C4Rules) is a pure array-HOF projection — zero shuffle.
+    "t_c4_rules" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val d = col("doc_id")
+      val dec = transform(LineDedup.toLines(col("text"), lineTok), (l, i) => {
+        val short = when(pmod(i, lit(5)) === 0,
+          concat_ws(" ", slice(split(l, " "), 1, 3))).otherwise(l)
+        val js = when(pmod(d + i, lit(11)) === 0,
+          concat(short, lit(" javascript"))).otherwise(short)
+        when(pmod(d + i, lit(3)) =!= 0, concat(js, lit("."))).otherwise(js)
+      })
+      val withExtra = concat(dec,
+        when(d % 13 === 0,
+          array(lit("lorem ipsum dolor sit amet consectetur adipiscing.")))
+          .otherwise(array().cast("array<string>")),
+        when(d % 17 === 0,
+          array(lit("function f() { return 1; } end of snippet here.")))
+          .otherwise(array().cast("array<string>")))
+      graft.ops.C4Rules.lineFilterReport(
+        docs.select(d, concat_ws("\n", withExtra).as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // URL-level crawl dedup: canonicalize the messy per-doc URLs (case,
     // www, default port, tracking params, param order, trailing slash,
     // fragment — see messyUrl) and group by the canonical key. n_raw >
@@ -693,6 +725,53 @@ object PretrainQueries extends QueryPack {
          |    THEN 1 ELSE 0 END) AS INTEGER) AS is_blocked
          |FROM d GROUP BY domain
          |ORDER BY n_docs DESC, domain LIMIT 30""".stripMargin,
+
+    "t_c4_rules" -> {
+      val shortSql = "CASE WHEN (i-1) % 5 = 0 THEN array_to_string(" +
+        "list_slice(string_split(lines[i], ' '), 1, 3), ' ') ELSE lines[i] END"
+      val jsSql = s"CASE WHEN (doc_id + (i-1)) % 11 = 0 THEN ($shortSql) || " +
+        s"' javascript' ELSE ($shortSql) END"
+      val decSql = s"CASE WHEN (doc_id + (i-1)) % 3 <> 0 THEN ($jsSql) || '.' " +
+        s"ELSE ($jsSql) END"
+      val keepSql = """l -> regexp_matches(l, '[.!?"]\s*$') AND
+        | len(string_split_regex(trim(l), '\s+')) >= 5 AND
+        | NOT contains(lower(l), 'javascript')""".stripMargin.replace("\n", "")
+      s"""WITH t AS (SELECT doc_id,
+         |    CASE WHEN trim(text) = '' THEN []
+         |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM documents),
+         |l AS (SELECT doc_id,
+         |    list_transform(range(0, (len(toks) + ${lineTok - 1}) // $lineTok),
+         |      i -> array_to_string(
+         |        list_slice(toks, i * $lineTok + 1, i * $lineTok + $lineTok), ' '))
+         |      AS lines
+         |  FROM t),
+         |dcr AS (SELECT doc_id,
+         |    list_transform(range(1, len(lines) + 1), i -> $decSql) AS dec
+         |  FROM l),
+         |alls AS (SELECT doc_id, list_concat(list_concat(dec,
+         |    CASE WHEN doc_id % 13 = 0
+         |      THEN ['lorem ipsum dolor sit amet consectetur adipiscing.']
+         |      ELSE [] END),
+         |    CASE WHEN doc_id % 17 = 0
+         |      THEN ['function f() { return 1; } end of snippet here.']
+         |      ELSE [] END) AS a
+         |  FROM dcr),
+         |r AS (SELECT doc_id, a,
+         |    list_filter(a, $keepSql) AS kept,
+         |    coalesce(array_to_string(a, chr(10)), '') AS fulltxt
+         |  FROM alls)
+         |SELECT doc_id, CAST(len(a) AS INTEGER) AS n_lines,
+         |  CAST(len(kept) AS INTEGER) AS n_kept,
+         |  CASE WHEN contains(lower(fulltxt), 'lorem ipsum') THEN 1 ELSE 0 END
+         |    AS has_lorem,
+         |  CASE WHEN contains(fulltxt, '{') THEN 1 ELSE 0 END AS has_brace,
+         |  CASE WHEN NOT contains(lower(fulltxt), 'lorem ipsum')
+         |    AND NOT contains(fulltxt, '{') AND len(kept) >= 3 THEN 1 ELSE 0 END
+         |    AS page_keep,
+         |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_fp
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
 
     "t_url_canonical" ->
       s"""WITH u AS (SELECT doc_id, $messyUrlSql AS url FROM documents)

@@ -429,6 +429,36 @@ class PretrainSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("C4 rules: each line rule and page rule fires exactly as published") {
+    import graft.ops.C4Rules
+    val docs = Seq(
+      // 3 good lines → kept page
+      (1L, "one two three four five six.\nseven eight nine ten eleven!\n\"quoted line with five words\""),
+      // line rules: no terminal punct / under 5 words / javascript mention
+      (2L, "one two three four five six\nshort line here.\nenable javascript to view this page.\ngood line with five words."),
+      // page rules: lorem ipsum, curly brace, too few kept lines
+      (3L, "Lorem Ipsum dolor sit amet filler.\ngood line with five words.\nanother good line right here.\nthird good line goes here."),
+      (4L, "var x = { a: 1 };\ngood line with five words.\nanother good line right here.\nthird good line goes here."),
+      (5L, "only one good line here.\nand two good lines here."),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val r = C4Rules.lineFilterReport(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept", "has_lorem", "has_brace", "page_keep")
+      .as[(Long, Int, Int, Int, Int, Int)].collect().toSeq
+    assert(r == Seq(
+      (1L, 3, 3, 0, 0, 1),
+      (2L, 4, 1, 0, 0, 0), // 3 of 4 lines cut, page under the 3-line floor
+      (3L, 4, 4, 1, 0, 0), // every line passes but lorem ipsum kills the page
+      (4L, 4, 3, 0, 1, 0), // curly brace kills the page
+      (5L, 2, 2, 0, 0, 0), // all lines fine, still under the floor
+      (6L, 0, 0, 0, 0, 0)))
+    // projection only — the rules must not cost a shuffle
+    val plan = C4Rules.lineFilterReport(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
   // ---- URL canonicalization ------------------------------------------
 
   private def canon(u: String): String = {
