@@ -90,6 +90,22 @@ object TextQueries extends QueryPack {
         .orderBy(col("source"), col("decile"))
     }),
 
+    // Tokenizer fertility per language: Σ subword-ish tokens / Σ whitespace
+    // words, in integer micro-units — the multilingual-budget metric (a
+    // high-fertility language consumes more sequence length per word, so
+    // token budgets and mixture weights must be set in tokens, not words).
+    // Two integer sums with map-side combine, one quantized division.
+    "t_token_fertility" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(wsTokenCount(col("text")).cast("long")).as("ws_tokens"),
+          sum(bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"))
+        .withColumn("fertility_q",
+          round(col("bpe_tokens").cast("double") * lit(1e6) /
+            greatest(col("ws_tokens"), lit(1L)).cast("double")).cast("long"))
+        .orderBy(col("lang"))),
+
     "t_text_stats" -> ((s, dir) =>
       Tables.load(s, dir, "documents").select(
         col("doc_id"),
@@ -406,6 +422,18 @@ object TextQueries extends QueryPack {
          |  min(quality_score) AS min_score, max(quality_score) AS max_score
          |FROM d GROUP BY source, decile
          |ORDER BY source, decile""".stripMargin,
+
+    "t_token_fertility" ->
+      s"""WITH m AS (SELECT lang,
+         |    len($toksSql) AS ws,
+         |    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe
+         |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        |  CAST(round(CAST(sum(bpe) AS DOUBLE) * 1e6 /
+        |    CAST(greatest(sum(ws), 1) AS DOUBLE)) AS BIGINT) AS fertility_q
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
