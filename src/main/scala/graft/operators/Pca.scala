@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Principal component analysis over an embedding column — the
+  * rotation/whitening step ANN pipelines run before product quantization
+  * (OPQ's first-order effect: align subspace cuts with the data's axes of
+  * variance), and the standard 64→k dimensionality reduction for cheap
+  * prefilters.
+  *
+  * Division of labor (the k-means/BPE pattern used throughout this repo):
+  * the CORPUS passes are distributed and bounded — one scan builds the
+  * dim(dim+1)/2 integer-quantized second-moment sums (map-side combinable
+  * longs; order-free, so bit-identical on any partitioning), one scan
+  * projects — while the dim×dim eigendecomposition runs driver-side on the
+  * collected moment table (cyclic Jacobi, a 64×64 problem at embedding
+  * dims; no iterative corpus work at all). Projection folds the mean and
+  * the k components back in as literals: a zero-shuffle scan-fused
+  * projection at any corpus size.
+  *
+  * The per-row pair explosion in [[momentSums]] is ×dim(dim+1)/2; at 100 TB
+  * fit on a deterministic hash-sample (same argument as
+  * [[Clustering]].fit's sampled seeding) — the moments are means, so a
+  * sample estimates them with √n error while [[project]] stays full-corpus.
+  * Quantization: products are rounded to 1e-8 units before the long sums
+  * (cross-engine-exact; the absolute moment error is ≤ 5e-9 — far below
+  * any spectral quantity of interest); the long sum overflows only past
+  * ~10¹⁰ rows × unit-scale embeddings — size the fit sample under that.
+  */
+object Pca {
+
+  case class Model(n: Long, mean: Array[Double],
+      eigenvalues: Array[Double], // all `dim`, descending
+      components: Array[Array[Double]]) // top-k rows, orthonormal
+
+  private val Q = 1e8
+
+  /** Quantized moment table: one row per (i ≤ j) with
+    * sxy_q = Σ round(xᵢ·xⱼ·1e8), plus the first moments on the diagonal
+    * marker j = -1 (sx_q = Σ round(xᵢ·1e8)). Engine-exact: products are
+    * IEEE doubles of the float elements, rounding is half-away-from-zero
+    * in both engines, and long sums are order-free.
+    */
+  def momentSums(df: DataFrame, vec: String, dim: Int): DataFrame = {
+    val second = explode(flatten(transform(sequence(lit(1), lit(dim)), i =>
+      transform(sequence(i, lit(dim)), j =>
+        struct((i - 1).as("i"), (j - 1).as("j"),
+          round(element_at(col(vec), i).cast("double") *
+            element_at(col(vec), j).cast("double") * lit(Q))
+            .cast("long").as("q"))))))
+    val first = explode(transform(sequence(lit(1), lit(dim)), i =>
+      struct((i - 1).as("i"), lit(-1).as("j"),
+        round(element_at(col(vec), i).cast("double") * lit(Q))
+          .cast("long").as("q"))))
+    val s2 = df.select(second.as("p")).select(col("p.i"), col("p.j"), col("p.q"))
+    val s1 = df.select(first.as("p")).select(col("p.i"), col("p.j"), col("p.q"))
+    s2.unionByName(s1)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("q")).as("sxy_q"))
+  }
+
+  /** Fit: one distributed moment pass, then a driver-side covariance +
+    * cyclic-Jacobi eigendecomposition (deterministic: fixed sweep order,
+    * largest-|entry|-positive sign convention, eigenpairs sorted by
+    * (eigenvalue desc, index)).
+    */
+  def fit(df: DataFrame, vec: String, dim: Int, k: Int): Model = {
+    require(k >= 1 && k <= dim)
+    val n = df.count()
+    require(n > 1, s"need at least 2 vectors, got $n")
+    val rows = momentSums(df, vec, dim).collect() // ≤ dim(dim+3)/2 rows
+    val sx = Array.ofDim[Double](dim)
+    val sxy = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val (i, j, q) = (r.getInt(0), r.getInt(1), r.getLong(2) / Q)
+      if (j < 0) sx(i) = q else { sxy(i)(j) = q; sxy(j)(i) = q }
+    }
+    val mean = sx.map(_ / n)
+    val cov = Array.tabulate(dim, dim)((i, j) => sxy(i)(j) / n - mean(i) * mean(j))
+    val (eig, vecs) = jacobiEigen(cov)
+    val order = eig.indices.sortBy(i => (-eig(i), i))
+    val comps = order.take(k).map { c =>
+      val col0 = Array.tabulate(dim)(r => vecs(r)(c))
+      // sign convention: the largest-magnitude entry is positive
+      val m = col0.indices.maxBy(i => (math.abs(col0(i)), -i))
+      if (col0(m) < 0) col0.map(-_) else col0
+    }.toArray
+    Model(n, mean, order.map(eig).toArray, comps)
+  }
+
+  /** Zero-shuffle projection: centered dot products against the k literal
+    * components, appended as `pc0..pc{k-1}`. The corpus is scanned once and
+    * nothing is exchanged.
+    */
+  def project(df: DataFrame, vec: String, model: Model): DataFrame = {
+    val centered = zip_with(col(vec).cast("array<double>"),
+      typedlit(model.mean), (x, m) => x - m)
+    model.components.zipWithIndex.foldLeft(
+      df.withColumn("__cv", centered)) { case (d, (c, i)) =>
+      d.withColumn(s"pc$i", VectorFunctions.dot(col("__cv"), typedlit(c)))
+    }.drop("__cv")
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (textbook
+    * rotations; Golub & Van Loan §8.5). Returns (eigenvalues, V) with
+    * columns of V the eigenvectors. O(dim³) per sweep on the DRIVER —
+    * dim is an embedding width, not a data size.
+    */
+  private[graft] def jacobiEigen(
+      m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) { var j = i + 1; while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-20) {
+      for (p <- 0 until n - 1; q <- p + 1 until n if math.abs(a(p)(q)) > 1e-18) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = if (theta == 0.0) 1.0
+          else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (i <- 0 until n) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+        }
+        for (i <- 0 until n) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - s * aqi
+          a(q)(i) = s * api + c * aqi
+        }
+        for (i <- 0 until n) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+}

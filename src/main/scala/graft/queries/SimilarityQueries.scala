@@ -80,6 +80,64 @@ object SimilarityQueries extends QueryPack {
       qs.agg(count(lit(1)).as("n_queries")).crossJoin(diff) // 1-row × 1-row
     }),
 
+    // PCA moment table, value-exact: the distributed half of Pca.fit —
+    // dim(dim+3)/2 integer-quantized first/second moment sums (products
+    // rounded to 1e-8 units; long sums are order-free, so the table is
+    // bit-identical on any partitioning AND equal to DuckDB's independent
+    // unnest-based recomputation). This is the covariance anchor the
+    // driver-side eigensolve consumes.
+    "v_covariance_check" -> ((s, dir) =>
+      graft.operators.Pca.momentSums(
+        Tables.load(s, dir, "embeddings"), "embedding", 64)
+        .orderBy(col("i"), col("j"))),
+
+    // PCA mechanism gate: fit top-8 on the corpus, then verify the spectral
+    // claims — components orthonormal and variance-ordered, trace preserved
+    // (Σλ = tr cov), and the corpus-side projected variance of EVERY kept
+    // component equal to its eigenvalue (the projection runs in-plan at
+    // full precision; tolerance covers only the 1e-8 moment quantization).
+    "v_pca_check" -> ((s, dir) => {
+      import graft.operators.Pca
+      val k = 8
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = Pca.fit(emb, "embedding", 64, k)
+      // driver-side model properties
+      val dot = (a: Array[Double], b: Array[Double]) =>
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val orthoOk = (0 until k).forall(i => (i until k).forall { j =>
+        val d = dot(model.components(i), model.components(j))
+        math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9
+      })
+      val orderOk = model.eigenvalues.zip(model.eigenvalues.tail)
+        .forall { case (a, b) => a >= b - 1e-12 }
+      // trace preservation: Σ all eigenvalues = Σ per-dim variances
+      val rows = Pca.momentSums(emb, "embedding", 64)
+        .filter(col("i") === col("j") || col("j") === -1).collect()
+      val n = model.n.toDouble
+      val sx = Array.ofDim[Double](64)
+      val sxx = Array.ofDim[Double](64)
+      rows.foreach { r =>
+        val q = r.getLong(2) / 1e8
+        if (r.getInt(1) < 0) sx(r.getInt(0)) = q else sxx(r.getInt(0)) = q
+      }
+      val trace = (0 until 64).map(i => sxx(i) / n - (sx(i) / n) * (sx(i) / n)).sum
+      val traceOk = math.abs(model.eigenvalues.sum - trace) < 1e-9 * math.max(trace, 1.0)
+      // corpus-side: projected variance per component == eigenvalue
+      val proj = Pca.project(emb, "embedding", model)
+      val varSums = proj.select((0 until k).map(i =>
+        sum(round(col(s"pc$i") * col(s"pc$i") * lit(1e8)).cast("long")).as(s"v$i")): _*)
+      val varMatch = (0 until k).map { i =>
+        val lam = model.eigenvalues(i)
+        (abs(col(s"v$i").cast("double") / lit(1e8) / lit(n) - lit(lam)) <=
+          lit(1e-6) * (lit(lam) + lit(1e-3))).cast("int")
+      }.reduce(_ * _)
+      varSums.select(lit(model.n).as("n_vectors"),
+        lit(if (orthoOk) 1 else 0).as("orthonormal_ok"),
+        lit(if (orderOk) 1 else 0).as("var_order_ok"),
+        lit(if (traceOk) 1 else 0).as("trace_ok"),
+        varMatch.as("var_match_ok"))
+    }),
+
     // Semantic decontamination: every ~97th vector plays the benchmark/eval
     // set; each remaining corpus vector reports its max cosine against the
     // broadcast benchmark and a flag at τ=0.33 (≈1-8% flagged across sf —
@@ -654,6 +712,29 @@ object SimilarityQueries extends QueryPack {
          |  FROM sims)
          |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked
          |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin,
+
+    "v_covariance_check" ->
+      """WITH s2 AS (SELECT ii - 1 AS i, jj - 1 AS j,
+        |    CAST(round(CAST(embedding[ii] AS DOUBLE) *
+        |      CAST(embedding[jj] AS DOUBLE) * 1e8) AS BIGINT) AS q
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS ii),
+        |    LATERAL (SELECT unnest(range(ii, len(embedding) + 1)) AS jj)),
+        |s1 AS (SELECT ii - 1 AS i, -1 AS j,
+        |    CAST(round(CAST(embedding[ii] AS DOUBLE) * 1e8) AS BIGINT) AS q
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS ii)),
+        |u AS (SELECT * FROM s2 UNION ALL SELECT * FROM s1)
+        |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+        |  CAST(sum(q) AS BIGINT) AS sxy_q
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "v_pca_check" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+        |  CAST(1 AS INTEGER) AS orthonormal_ok,
+        |  CAST(1 AS INTEGER) AS var_order_ok,
+        |  CAST(1 AS INTEGER) AS trace_ok,
+        |  CAST(1 AS INTEGER) AS var_match_ok""".stripMargin,
 
     "v_semantic_decontam" ->
       s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),

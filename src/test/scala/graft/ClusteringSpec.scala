@@ -29,6 +29,45 @@ class ClusteringSpec extends AnyFunSuite {
     }).toDF("vec_id", "embedding")
       .withColumn("embedding", col("embedding").cast("array<float>"))
 
+  test("PCA recovers planted variance axes; orthonormal, ordered, deterministic") {
+    import graft.operators.Pca
+    // variance concentrated on axes 0 (σ≈4) then 1 (σ≈1.4); axes 2..7 noise
+    val df = (0 until 240).map { i =>
+      val v = Array.fill(8)(0.001f * ((i * 7) % 11 - 5))
+      v(0) = ((i % 7) - 3).toFloat * 2f
+      v(1) = ((i % 5) - 2).toFloat
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val m1 = Pca.fit(df, "embedding", 8, 3)
+    val m2 = Pca.fit(df, "embedding", 8, 3)
+    assert(m1.eigenvalues.toSeq == m2.eigenvalues.toSeq &&
+      m1.components.map(_.toSeq).toSeq == m2.components.map(_.toSeq).toSeq,
+      "fit must be bit-deterministic")
+    // top two components align with the planted axes
+    assert(math.abs(m1.components(0)(0)) > 0.999, m1.components(0).toSeq.toString)
+    assert(math.abs(m1.components(1)(1)) > 0.999, m1.components(1).toSeq.toString)
+    // sign convention: dominant entry positive
+    assert(m1.components(0)(0) > 0 && m1.components(1)(1) > 0)
+    // eigenvalues ordered, and the top-2 carry almost all variance
+    assert(m1.eigenvalues.zip(m1.eigenvalues.tail).forall { case (a, b) => a >= b })
+    assert(m1.eigenvalues.take(2).sum / m1.eigenvalues.sum > 0.99)
+    // orthonormality
+    for (i <- 0 until 3; j <- i until 3) {
+      val d = m1.components(i).zip(m1.components(j)).map { case (x, y) => x * y }.sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9, s"($i,$j) -> $d")
+    }
+    // projection is scan-fused: no exchange in the plan, and the projected
+    // variance reproduces the eigenvalues the driver-side eigensolve found
+    val proj = Pca.project(df, "embedding", m1)
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"))
+    val vs = proj.select((0 until 3).map(i =>
+      sum(col(s"pc$i") * col(s"pc$i")).as(s"v$i")): _*).head()
+    for (i <- 0 until 3)
+      assert(math.abs(vs.getDouble(i) / 240.0 - m1.eigenvalues(i)) <
+        1e-6 * (m1.eigenvalues(i) + 1e-3), s"pc$i variance")
+  }
+
   test("kmeans recovers planted clusters, deterministically") {
     val df = planted()
     val c1 = Clustering.fit(df, "vec_id", "embedding", 3)
