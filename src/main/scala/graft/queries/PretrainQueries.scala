@@ -24,6 +24,11 @@ object PretrainQueries extends QueryPack {
   private val lineTok = 7 // pseudo-line width (tokens) for the line-dedup corpus
   private val packBudget = 512 // tokens per training sequence bin
 
+  // NB reference classifier: curated slice = 4 of the 20 fixture sources;
+  // vocabulary capped at top-300 tokens by global count
+  private val nbRefSources = (0 to 3).map(i => s"src$i")
+  private val nbVocab = 300
+
   /** Mixture rates over the 20 fixture sources: 0.25 / 0.5 / 0.75 / 1.0
     * by source index mod 4 — every rate tier appears five times.
     */
@@ -119,6 +124,25 @@ object PretrainQueries extends QueryPack {
     "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
 
   override def queries: Map[String, Query] = Map(
+    // fastText/CCNet-shape reference classifier: train multinomial Naive
+    // Bayes to separate a curated "reference" slice (sources src0-3, the
+    // stand-in for Wikipedia in the published pipelines) from the general
+    // crawl, then score every document. Training is one counting pass with
+    // a top-V vocabulary cap; scoring is a ZERO-SHUFFLE projection (the
+    // ≤V-entry log-prob tables ride the plan as literal maps inside a
+    // higher-order aggregate). Scores are integer micro-nat sums, so the
+    // oracle retrains the ENTIRE model in SQL and every value is exact.
+    "t_nb_classifier" -> ((s, dir) => {
+      import graft.ops.NaiveBayes
+      val docs = Tables.load(s, dir, "documents")
+      val isRef = col("source").isin(nbRefSources: _*)
+      val model = NaiveBayes.train(docs, "text", isRef, nbVocab)
+      NaiveBayes.score(docs, "text", model)
+        .select(col("doc_id"), col("n_toks"), col("sum_ref_q"),
+          col("sum_other_q"), col("margin_q"), col("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction: per-stage match counts plus a fingerprint of the fully
     // redacted text — the md5 makes the gate sensitive to every redacted
     // byte, not just the counts. Pure per-row regex projection: fuses into
@@ -477,6 +501,50 @@ object PretrainQueries extends QueryPack {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    // full model retrain in SQL: same vocab cap, same add-one smoothing
+    // over vocab ∪ {OOV}, same micro-nat quantization, same priors
+    "t_nb_classifier" -> {
+      val refIn = nbRefSources.map(s => s"'$s'").mkString("(", ", ", ")")
+      s"""WITH t AS (SELECT doc_id, source, ${TextQueries.toksSql} AS toks FROM documents),
+         |lab AS (SELECT doc_id, source IN $refIn AS pos, toks FROM t),
+         |tk AS (SELECT doc_id, pos, unnest(toks) AS tok FROM lab),
+         |c AS (SELECT tok,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM tk GROUP BY tok),
+         |vocab AS (SELECT tok, np, nn FROM c ORDER BY np + nn DESC, tok LIMIT $nbVocab),
+         |den AS (SELECT
+         |    (SELECT coalesce(sum(np), 0) FROM c) + (SELECT count(*) FROM vocab) + 1 AS denp,
+         |    (SELECT coalesce(sum(nn), 0) FROM c) + (SELECT count(*) FROM vocab) + 1 AS denn,
+         |    (SELECT coalesce(sum(np), 0) FROM c) - (SELECT coalesce(sum(np), 0) FROM vocab) AS oovp,
+         |    (SELECT coalesce(sum(nn), 0) FROM c) - (SELECT coalesce(sum(nn), 0) FROM vocab) AS oovn),
+         |q AS (SELECT tok,
+         |    CAST(round(ln(CAST(np + 1 AS DOUBLE) / CAST(denp AS DOUBLE)) * 1000000) AS BIGINT) AS lqp,
+         |    CAST(round(ln(CAST(nn + 1 AS DOUBLE) / CAST(denn AS DOUBLE)) * 1000000) AS BIGINT) AS lqn
+         |  FROM vocab, den),
+         |qoov AS (SELECT
+         |    CAST(round(ln(CAST(oovp + 1 AS DOUBLE) / CAST(denp AS DOUBLE)) * 1000000) AS BIGINT) AS lqop,
+         |    CAST(round(ln(CAST(oovn + 1 AS DOUBLE) / CAST(denn AS DOUBLE)) * 1000000) AS BIGINT) AS lqon
+         |  FROM den),
+         |pri AS (SELECT
+         |    CAST(round(ln(CAST(dp + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE)) * 1000000) AS BIGINT) AS pp,
+         |    CAST(round(ln(CAST(n - dp + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE)) * 1000000) AS BIGINT) AS pn
+         |  FROM (SELECT CAST(sum(CASE WHEN source IN $refIn THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+         |      CAST(count(*) AS BIGINT) AS n FROM documents)),
+         |sc AS (SELECT doc_id,
+         |    CAST(sum(coalesce(lqp, lqop)) AS BIGINT) AS sum_ref_q,
+         |    CAST(sum(coalesce(lqn, lqon)) AS BIGINT) AS sum_other_q
+         |  FROM tk LEFT JOIN q USING (tok), qoov GROUP BY doc_id)
+         |SELECT l.doc_id, CAST(len(l.toks) AS BIGINT) AS n_toks,
+         |  coalesce(sum_ref_q, 0) AS sum_ref_q,
+         |  coalesce(sum_other_q, 0) AS sum_other_q,
+         |  coalesce(sum_ref_q, 0) + pp - coalesce(sum_other_q, 0) - pn AS margin_q,
+         |  CAST(CASE WHEN coalesce(sum_ref_q, 0) + pp - coalesce(sum_other_q, 0) - pn >= 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM lab l LEFT JOIN sc USING (doc_id), pri
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "t_pii_redact" ->
       s"""WITH p AS (SELECT doc_id, $injectedPiiSql AS text FROM documents)
          |SELECT doc_id,

@@ -294,4 +294,19 @@ class PlanSpec extends AnyFunSuite {
     assert(argLines.forall(l => !l.contains("text") && !l.contains(" g#")),
       argLines.mkString("\n"))
   }
+
+  test("naive bayes scoring is a zero-shuffle, codegen'd projection") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.NaiveBayes
+    val corpus = graft.Tables.load(spark, dir, "documents")
+    val model = NaiveBayes.train(corpus, "text",
+      col("source").isin("src0", "src1"), 50)
+    val scored = NaiveBayes.score(corpus, "text", model)
+    val p = scored.queryExecution.explainString(FormattedMode)
+    // the pass that touches the whole corpus: no Exchange, no Generate
+    // (explode), no join — the model rides as literals in the projection
+    assert(!p.contains("Exchange") && !p.contains("Generate") &&
+      !p.contains("Join"), p)
+    assert(p.contains("codegen id"), p)
+  }
 }

@@ -603,4 +603,59 @@ class PretrainSpec extends AnyFunSuite {
     assert(r(0)._3 > r(1)._3, "more hits must outscore at equal dl")
     assert(r.forall(_._2 == 4L))
   }
+
+  // ---- Naive Bayes reference classifier ------------------------------
+
+  test("naive bayes: planted disjoint vocabularies are recovered on held-out docs") {
+    import graft.ops.NaiveBayes
+    // train docs: class-pure vocabularies; held-out docs reuse each side's
+    // words in fresh combinations — the classifier must label them by side
+    val train = Seq(
+      (1L, "alpha beta gamma alpha", true), (2L, "beta gamma beta delta", true),
+      (3L, "alpha delta gamma beta", true),
+      (4L, "omega psi chi omega", false), (5L, "psi chi psi phi", false),
+      (6L, "omega phi chi psi", false))
+      .toDF("doc_id", "text", "is_ref")
+    val model = NaiveBayes.train(train, "text", col("is_ref"), 100)
+    val test = Seq((10L, "gamma delta alpha"), (11L, "phi omega chi"))
+      .toDF("doc_id", "text")
+    val preds = NaiveBayes.score(test, "text", model)
+      .select(col("doc_id"), col("pred"), col("margin_q"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, p, m) => id -> ((p, m)) }.toMap
+    assert(preds(10L)._1 == 1L && preds(10L)._2 > 0,
+      s"reference-vocab doc misclassified: $preds")
+    assert(preds(11L)._1 == 0L && preds(11L)._2 < 0,
+      s"other-vocab doc misclassified: $preds")
+  }
+
+  test("naive bayes: all-OOV doc scores exactly the prior margin; empty doc too") {
+    import graft.ops.NaiveBayes
+    val train = Seq((1L, "aa bb", true), (2L, "cc dd", false), (3L, "cc ee", false))
+      .toDF("doc_id", "text", "is_ref")
+    val model = NaiveBayes.train(train, "text", col("is_ref"), 100)
+    val priorMargin = model.posPrior - model.negPrior
+    // 2 ref of 3 docs? no: 1 ref, 2 other → prior favors other
+    assert(priorMargin < 0)
+    val r = NaiveBayes.score(
+        Seq((10L, "zz yy xx"), (11L, "")).toDF("doc_id", "text"), "text", model)
+      .select(col("doc_id"), col("margin_q"), col("sum_ref_q"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, m, sr) => id -> ((m, sr)) }.toMap
+    // all-OOV: every token takes the pooled OOV estimate for each class
+    assert(r(10L)._1 == 3 * (model.posOov - model.negOov) + priorMargin)
+    assert(r(11L) == ((priorMargin, 0L)), s"empty doc must be prior-only: $r")
+  }
+
+  test("naive bayes: vocabulary cap kicks in and is deterministic across partitionings") {
+    import graft.ops.NaiveBayes
+    val docs = (1L to 40L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} common", i % 3 == 0)).toDF("doc_id", "text", "is_ref")
+    val m1 = NaiveBayes.train(docs, "text", col("is_ref"), 4)
+    val m2 = NaiveBayes.train(docs.repartition(7), "text", col("is_ref"), 4)
+    assert(m1 == m2, "model must not depend on input partitioning")
+    assert(m1.posTable.size == 4 && m1.posTable.contains("common"))
+    // capped-out tokens flow into the pooled OOV mass, not silently dropped
+    assert(m1.posOov != m1.negOov || m1.posTable != m1.negTable)
+  }
 }
