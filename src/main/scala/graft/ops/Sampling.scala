@@ -232,6 +232,55 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Per-domain contribution cap (the C4/Gopher "max pages per domain"
+    * rule): keep at most `cap` rows per stratum, drawn by md5-hash order of
+    * the key — a reproducible uniform draw, so one mega-domain cannot
+    * dominate the training mix and re-runs keep the identical rows.
+    *
+    * Scale shape — deliberately NOT `row_number().over(partitionBy(domain))`:
+    * that ships every row of the hottest domain to one task (a spam-farm
+    * domain at crawl scale is billions of rows). Instead, two phases on a
+    * 256-way hash-prefix split of each domain:
+    *   1. count rows per (domain, bucket) — map-side-combinable, output
+    *      ≤ 256·|domains| rows; a bounded 256-row running sum per domain
+    *      turns the counts into per-bucket keep quotas;
+    *   2. rows join their (domain, bucket) quota — a shuffle on the
+    *      256-way-finer key, so hot domains split across 256 tasks.
+    *      Whole-bucket keeps/drops pass/fail with no ranking; only each
+    *      domain's single BOUNDARY bucket (~1/256 of its rows) needs the
+    *      exact rank, over (hash, key) so ties are impossible.
+    * The oracle states the textbook single-window formulation — an
+    * independent plan that must agree row-for-row.
+    */
+  def domainCap(df: DataFrame, keyCol: String, strataCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val h = md5(col(keyCol).cast("string"))
+    val rows = df.withColumn("__h", h)
+      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val counts = rows.groupBy(col(strataCol), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    // per-domain prefix sum over ≤256 buckets — bounded window state
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("__b"))
+    val quota = counts
+      .withColumn("__cum", sum(col("__n")).over(wb) - col("__n"))
+      .withColumn("__q",
+        least(greatest(lit(cap.toLong) - col("__cum"), lit(0L)), col("__n")))
+      .select(col(strataCol), col("__b"), col("__n"), col("__q"))
+    val joined = rows.join(quota, Seq(strataCol, "__b"))
+    val whole = joined.filter(col("__q") === col("__n"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col("__b"))
+      .orderBy(col("__h"), col(keyCol))
+    val boundary = joined
+      .filter(col("__q") > 0 && col("__q") < col("__n"))
+      .withColumn("__rn", row_number().over(wr))
+      .filter(col("__rn") <= col("__q"))
+      .drop("__rn")
+    whole.unionByName(boundary).drop("__h", "__b", "__n", "__q")
+  }
+
   def weightedSample(df: DataFrame, idCol: String, strataCol: String,
       weightCol: String, k: Int, salt: String = "wsample"): DataFrame = {
     // u ∈ (0, 1]: 13 hex chars = 52 bits, exactly representable in a double

@@ -213,6 +213,26 @@ object SamplingQueries extends QueryPack {
           coalesce(col("__k"), lit(0L)).as("n_sampled"))
         .crossJoin(subset).crossJoin(bias) // 1-row gates
         .orderBy(col("source"))
+    }),
+
+    // Per-domain contribution cap (C4/Gopher "max pages per domain"):
+    // at most 12 docs per source, drawn by md5 order. The implementation
+    // is the skew-proof two-phase bucket-quota scheme (Sampling.domainCap);
+    // the oracle is the textbook single-window formulation — independent
+    // plans that must agree row-for-row (the per-source fingerprint hashes
+    // every kept doc_id, not just the counts).
+    "x_domain_cap" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val kept = Sampling.domainCap(docs, "doc_id", "source", cap = 12)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(",",
+            sort_array(collect_list(col("doc_id").cast("string")))))
+            .as("kept_fp"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
+        .join(kept, Seq("source"))
+        .select(col("source"), col("n_orig"), col("n_kept"), col("kept_fp"))
+        .orderBy(col("source"))
     }))
 
   private val zBits = 16
@@ -325,5 +345,21 @@ object SamplingQueries extends QueryPack {
 
     "x_stratified_check" ->
       """SELECT CAST(1 AS INTEGER) AS strata_ok, CAST(1 AS INTEGER) AS bands_ok,
-        |  CAST(1 AS INTEGER) AS subset_ok""".stripMargin)
+        |  CAST(1 AS INTEGER) AS subset_ok""".stripMargin,
+
+    // textbook window formulation — structurally independent of the
+    // two-phase bucket-quota plan the engine runs
+    "x_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents),
+        |k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |    md5(string_agg(CAST(doc_id AS VARCHAR), ','
+        |      ORDER BY CAST(doc_id AS VARCHAR))) AS kept_fp
+        |  FROM r WHERE rn <= 12 GROUP BY source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_orig, n_kept, kept_fp
+        |FROM documents JOIN k USING (source)
+        |GROUP BY source, n_kept, kept_fp
+        |ORDER BY source""".stripMargin)
 }

@@ -258,6 +258,42 @@ class OpsSpec extends AnyFunSuite {
     assert(s3.count(_ != 200L) == 3 && s3.contains(100L))
   }
 
+  test("domain cap: equals the textbook window on a hot domain; small domains untouched") {
+    import graft.ops.Sampling
+    import org.apache.spark.sql.expressions.Window
+    // one mega-domain (900 rows, spans every hash bucket so several buckets
+    // fill before the quota runs out) + one under-cap domain
+    val df = ((1L to 900L).map(i => (i, "hot")) ++ (1000L to 1004L).map(i => (i, "cold")))
+      .toDF("id", "dom").repartition(8)
+    val got = Sampling.domainCap(df, "id", "dom", cap = 40)
+      .select($"id", $"dom").as[(Long, String)].collect().toSet
+    // independent textbook formulation: one window per domain
+    val w = Window.partitionBy($"dom")
+      .orderBy(md5($"id".cast("string")), $"id")
+    val want = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 40)
+      .select($"id", $"dom").as[(Long, String)].collect().toSet
+    assert(got == want)
+    assert(got.count(_._2 == "hot") == 40)
+    assert(got.count(_._2 == "cold") == 5, "under-cap domain must keep all rows")
+    // deterministic across partitionings
+    val again = Sampling.domainCap(df.repartition(3), "id", "dom", cap = 40)
+      .select($"id", $"dom").as[(Long, String)].collect().toSet
+    assert(again == got)
+  }
+
+  test("domain cap: ranking windows are per (domain, bucket), never per domain") {
+    import graft.ops.Sampling
+    val df = (1L to 500L).map(i => (i, "only")).toDF("id", "dom")
+    val p = Sampling.domainCap(df, "id", "dom", cap = 40)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // every window partition spec must include the bucket column — the
+    // whole point is that no task ever sees a full domain
+    val winArgs = p.linesIterator
+      .filter(l => l.contains("Arguments:") && l.contains("row_number")).toSeq
+    assert(winArgs.nonEmpty, p.take(1500))
+    assert(winArgs.forall(_.contains("__b")), winArgs.mkString("\n"))
+  }
+
   test("top-fraction-per-stratum: ceil cut, id tie-break, tiny stratum keeps 1") {
     import graft.ops.Sampling
     val df = Seq(
