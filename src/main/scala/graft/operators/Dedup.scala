@@ -84,7 +84,20 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, id: String, text: String,
       minJaccard: Double, n: Int = 3, hashShingles: Boolean = false,
-      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+      maxShingleDf: Int = Int.MaxValue): DataFrame =
+    intersectionCounts(df, id, text, n, hashShingles, maxShingleDf)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Shared inverted-index core of [[jaccardPairs]] and
+    * [[containmentPairs]]: per intersecting doc pair (id_a < id_b) the
+    * exact shingle-intersection size plus both docs' shingle counts.
+    */
+  private def intersectionCounts(df: DataFrame, id: String, text: String,
+      n: Int, hashShingles: Boolean, maxShingleDf: Int): DataFrame = {
     // size travels WITH each exploded row, so no extra per-doc sizes join —
     // one scan per join side instead of three. The per-doc arrays are
     // materialized once (executor-local MEMORY_AND_DISK via localCheckpoint)
@@ -111,11 +124,33 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Asymmetric CONTAINMENT near-duplicates (Broder's containment
+    * coefficient): C(A→B) = |A∩B| / |A|, the fraction of A's shingles that
+    * also occur in B. Catches the subsumption family symmetric Jaccard
+    * structurally misses: a short document quoted whole inside a much
+    * longer one has J ≈ |A|/|B| ≈ 0 but C(A→B) = 1 — the
+    * boilerplate-wrapper / quoted-article case in crawl dedup. Same
+    * inverted-index shape and cost model as [[jaccardPairs]]; each
+    * intersecting pair is scored in both directions and emitted once per
+    * qualifying direction as (contained_id, container_id). Under a
+    * `maxShingleDf` cap, dropped hot shingles still count in |A|, so
+    * containment only under-estimates — the cap never invents a pair.
+    */
+  def containmentPairs(df: DataFrame, id: String, text: String,
+      minContainment: Double, n: Int = 3, hashShingles: Boolean = false,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val pairs = intersectionCounts(df, id, text, n, hashShingles, maxShingleDf)
+    val ab = pairs.select(col("id_a").as("contained_id"),
+      col("id_b").as("container_id"), col("n_common"), col("n_a").as("n_self"))
+    val ba = pairs.select(col("id_b").as("contained_id"),
+      col("id_a").as("container_id"), col("n_common"), col("n_b").as("n_self"))
+    ab.unionByName(ba)
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_self").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("contained_id"), col("container_id"), col("containment"))
   }
 
   /** Exact Jaccard pairs via PREFIX FILTERING (the set-similarity-join

@@ -18,6 +18,7 @@ import graft.operators.{Dedup, Graph, IncrementalDedup}
 object DedupQueries extends QueryPack {
 
   private[queries] val tau = 0.5
+  private[queries] val tauContain = 0.6
 
   /** DuckDB mirror of Dedup.shingleArray(n=3) exploded to (doc_id, s) rows. */
   private val shinglesSql =
@@ -55,6 +56,14 @@ object DedupQueries extends QueryPack {
       Dedup.jaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
         minJaccard = tau)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Asymmetric containment (Broder): C(A→B) = |A∩B|/|A| ≥ 0.6 — catches
+    // short-doc-quoted-in-long-doc subsumption that symmetric Jaccard
+    // misses. Same inverted index; each pair scored in both directions.
+    "d_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"), "doc_id",
+        "text", minContainment = tauContain)
+        .orderBy(col("contained_id"), col("container_id"))),
 
     // The production configuration for HEALTHY shingle distributions:
     // 8-byte xxhash64 join keys (~10× narrower shuffle + cheaper sort than
@@ -323,6 +332,25 @@ object DedupQueries extends QueryPack {
 
     "d_jaccard_pairs" -> jaccardPairsSql,
     "d_jaccard_pairs_fast" -> jaccardPairsSql,
+
+    "d_containment_pairs" ->
+      s"""WITH $shinglesSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dirs AS (
+         |  SELECT id_a AS contained_id, id_b AS container_id, n_common,
+         |      sa.n AS n_self
+         |    FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+         |  UNION ALL
+         |  SELECT id_b, id_a, n_common, sb.n
+         |    FROM pairs JOIN sizes sb ON id_b = sb.doc_id)
+         |SELECT contained_id, container_id,
+         |  CAST(n_common AS DOUBLE) / CAST(n_self AS DOUBLE) AS containment
+         |FROM dirs
+         |WHERE CAST(n_common AS DOUBLE) / CAST(n_self AS DOUBLE) >= $tauContain
+         |ORDER BY contained_id, container_id""".stripMargin,
     "d_minhash_pairs" -> jaccardPairsSql,
     "d_incremental_pairs" -> incrementalPairsSql,
 

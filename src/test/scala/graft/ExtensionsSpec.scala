@@ -192,6 +192,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(appended.exceptAll(whole).isEmpty && whole.exceptAll(appended).isEmpty)
   }
 
+  test("containment catches subsumption that symmetric jaccard misses") {
+    // doc 1 (8 tokens) quoted whole inside doc 2 (38 tokens): every shingle
+    // of 1 occurs in 2, but J = |A|/|B| ≈ 0.17 — below any useful τ
+    val inner = "alpha beta gamma delta epsilon zeta eta theta"
+    val outer = "intro words here " + inner + " " +
+      (1 to 24).map(i => s"filler$i").mkString(" ")
+    val corpus = Seq((1L, inner), (2L, outer), (3L, "unrelated stuff entirely here"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text", 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont == Seq((1L, 2L, 1.0)),
+      s"inner doc must be fully contained in outer, one direction only: $cont")
+    val jac = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty, "jaccard at τ=0.5 must miss the subsumed pair")
+    // hashed shingle keys share the exact result
+    val h = Dedup.containmentPairs(corpus, "doc_id", "text", 0.9,
+      hashShingles = true).as[(Long, Long, Double)].collect().toSeq
+    assert(h == cont)
+  }
+
   test("hashShingles variant of jaccardPairs gives the same pairs") {
     val s = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
