@@ -208,13 +208,44 @@ object Pq {
     */
   def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      k: Int, nProbe: Int): DataFrame =
+    ivfAdcTopKIndexed(encodeIndex(corpus, id, vec, coarse, codebooks),
+      queries, id, vec, coarse, codebooks, k, nProbe)
+
+  /** The persisted-index representation: (neighbor_id, cell, code) — a
+    * zero-shuffle encoding projection. This is the table a production
+    * deployment maintains INCREMENTALLY: encoding is per-row against
+    * frozen model state, so appending a new batch's encodings equals
+    * re-encoding the union from scratch (spec-asserted), and the 100 TB
+    * corpus is never re-encoded when data arrives.
+    */
+  def encodeIndex(corpus: DataFrame, id: String, vec: String,
+      coarse: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    withResidual(corpus, vec, coarse)
+      .select(col(id).as("neighbor_id"), col("__cell").as("cell"),
+        codesExpr(col("__res"), codebooks).as("code"))
+
+  /** Write the encoded index hive-partitioned BY CELL: a later search that
+    * probes `nProbe` of `C` cells dynamically prunes to nProbe/C of the
+    * index files (the probe side broadcasts, so Spark plans dynamic
+    * partition pruning on the cell equi-join — PlanSpec-asserted).
+    */
+  def writeIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** [[ivfAdcTopK]] against a pre-encoded (possibly disk-resident) index —
+    * bit-identical results by construction: the raw-corpus entry point
+    * delegates here after encoding.
+    */
+  def ivfAdcTopKIndexed(index: DataFrame, queries: DataFrame, id: String,
+      vec: String, coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
       k: Int, nProbe: Int): DataFrame = {
     require(nProbe >= 1 && nProbe <= coarse.size,
       s"nProbe $nProbe out of range for ${coarse.size} cells")
     val m = codebooks.size
-    val enc = withResidual(corpus, vec, coarse)
-      .select(col(id).as("neighbor_id"), col("__cell"),
-        codesExpr(col("__res"), codebooks).as("__code"))
+    val enc = index.select(col("neighbor_id"),
+      col("cell").cast("int").as("__cell"), col("code").as("__code"))
     val qd = queries.select(col(id).as("query_id"),
       col(vec).cast("array<double>").as("__qv"))
     // nProbe closest cells: per-cell partial L2 score against the literal

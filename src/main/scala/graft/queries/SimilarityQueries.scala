@@ -580,6 +580,34 @@ object SimilarityQueries extends QueryPack {
     // mechanism, (c) the returned set EQUALS the exact-L2 top-k of the
     // deterministic shortlist (window mechanism vs the operator's heap),
     // and (d) recall@k vs full exact L2 above the cell-pruning floor.
+    // Persisted-index IVFADC: encode once, write hive-partitioned BY CELL,
+    // read back and search. Gate: the disk-resident index path returns the
+    // BIT-IDENTICAL (query, neighbor, adc_dist, rank) rows as the
+    // in-memory path (symmetric exceptAll = 0). The probe side broadcasts,
+    // so Spark plans dynamic partition pruning on the cell equi-join —
+    // only nProbe/C of the index files are read (PlanSpec-asserted).
+    "v_ivfpq_indexed" -> ((s, dir) => {
+      import graft.operators.Pq
+      val emb = Tables.load(s, dir, "embeddings")
+      val coarse = Clustering.fit(emb, "vec_id", "embedding", kmCells,
+        maxIter = 3)
+      val books = Pq.trainResidualCodebooks(emb, "vec_id", "embedding",
+        coarse, 8, 32, maxIter = 3)
+      val qs = queriesOf(emb).localCheckpoint()
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index").toString
+      Pq.writeIndex(
+        Pq.encodeIndex(emb, "vec_id", "embedding", coarse, books), tmp)
+      val viaIndex = Pq.ivfAdcTopKIndexed(s.read.parquet(tmp), qs, "vec_id",
+        "embedding", coarse, books, k, nProbe = 2)
+      val direct = Pq.ivfAdcTopK(emb, qs, "vec_id", "embedding", coarse,
+        books, k, nProbe = 2)
+      val mism = viaIndex.exceptAll(direct)
+        .unionByName(direct.exceptAll(viaIndex))
+        .agg(count(lit(1)).as("row_mismatch"))
+      qs.agg(count(lit(1)).as("n_queries")).crossJoin(mism) // 1-row gates
+    }),
+
     "v_ivfpq_rerank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.VectorFunctions.l2DistanceSq
@@ -834,6 +862,11 @@ object SimilarityQueries extends QueryPack {
         |  CAST(0 AS BIGINT) AS cell_violations,
         |  CAST(0 AS BIGINT) AS adc_mismatch,
         |  CAST(1 AS INTEGER) AS recall_ok""".stripMargin,
+
+    "v_ivfpq_indexed" ->
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 97 = 0) AS n_queries,
+        |  CAST(0 AS BIGINT) AS row_mismatch""".stripMargin,
 
     "v_ivfpq_rerank" ->
       """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings

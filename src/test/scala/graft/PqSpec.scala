@@ -90,4 +90,40 @@ class PqSpec extends AnyFunSuite {
       assert(math.abs(got - want) < 1e-12, s"neighbor $nid: $got vs $want")
     }
   }
+
+  test("encoded index appends: encode(old) ∪ encode(batch) = encode(all)") {
+    // the incremental-maintenance contract: encoding is per-row against
+    // frozen model state, so new data appends without touching the corpus
+    val coarse = Seq(Seq(1.0, 1.0, 5.0, 5.0), Seq(-1.0, -1.0, -5.0, -5.0))
+    val old = df.filter(col("vec_id") <= 4L)
+    val batch = df.filter(col("vec_id") > 4L)
+    val appended = Pq.encodeIndex(old, "vec_id", "embedding", coarse, books)
+      .unionByName(Pq.encodeIndex(batch, "vec_id", "embedding", coarse, books))
+    val whole = Pq.encodeIndex(df, "vec_id", "embedding", coarse, books)
+    assert(appended.exceptAll(whole).isEmpty && whole.exceptAll(appended).isEmpty)
+  }
+
+  test("indexed search: disk round-trip is bit-identical and dynamically " +
+    "prunes to the probed cells' partitions") {
+    val coarse = Seq(Seq(1.0, 1.0, 5.0, 5.0), Seq(-1.0, -1.0, -5.0, -5.0))
+    val tmp = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    Pq.writeIndex(Pq.encodeIndex(df, "vec_id", "embedding", coarse, books), tmp)
+    val idx = spark.read.parquet(tmp)
+    // query side parquet-backed with a selective filter (the production
+    // shape) — DPP only plans when the probe side filters a scan
+    val qdir = java.nio.file.Files.createTempDirectory("pq_q").toString
+    df.write.mode("overwrite").parquet(qdir)
+    val qs = spark.read.parquet(qdir).filter(col("vec_id") === 1L)
+    val viaIdx = Pq.ivfAdcTopKIndexed(idx, qs, "vec_id", "embedding",
+      coarse, books, k = 2, nProbe = 1)
+    val direct = Pq.ivfAdcTopK(df, qs, "vec_id", "embedding",
+      coarse, books, k = 2, nProbe = 1)
+    assert(viaIdx.exceptAll(direct).isEmpty && direct.exceptAll(viaIdx).isEmpty)
+    assert(viaIdx.count() == 2)
+    // file-level pruning: the cell equi-join against the broadcast probe
+    // side must plan a dynamic partition filter on the scan
+    val p = viaIdx.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("dynamicpruning"), p.take(2000))
+  }
 }
