@@ -150,6 +150,62 @@ object Graph {
     r.select(col("v").as("vertex"), col("r").as("rank"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan, Albert,
+    * Kumara 2007) made DETERMINISTIC: every vertex starts labeled with
+    * itself; each round every vertex simultaneously adopts the most common
+    * label among its in-neighbors, ties broken to the SMALLEST label (the
+    * paper's random tie-break is replaced, so results are identical on any
+    * partitioning and any cluster size — and the oracle can unroll the
+    * exact recurrence as SQL CTEs). Unlike [[connectedComponents]] (which
+    * finds connectivity classes) this finds DENSELY-connected communities:
+    * a bridge edge between two cliques does not merge their labels.
+    *
+    * Fixed `iters` rounds. Per round: one narrow (long, long) edge⋈labels
+    * equi-join, then count per (vertex, label) and an argmax per vertex —
+    * both map-side-combinable aggregations (the argmax is a `max` of a
+    * (count, −label) struct, no window). Every vertex also votes for its
+    * OWN current label (self-loop augmentation) — the standard damping
+    * that removes the two-coloring oscillation synchronous LPA exhibits on
+    * bipartite structures (a star graph would otherwise flip hub/leaf
+    * labels forever) and covers isolated vertices. Labels checkpointed per
+    * round to cut lineage. Pass a symmetric, DISTINCT, irreflexive edge
+    * set for undirected semantics (each undirected edge present in both
+    * directions, no self-loops — the op adds exactly one self-vote per
+    * vertex itself).
+    *
+    * Output: (`vertex`, `community`).
+    */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, "labelPropagation needs at least one round")
+    val e0 = edges.select(col(src).cast("long").as("a"),
+      col(dst).cast("long").as("b"))
+    val verts = e0.select(col("a").as("v"))
+      .unionByName(e0.select(col("b").as("v")))
+      .distinct()
+      .localCheckpoint()
+    // self-vote edges ride the same join
+    val e = e0
+      .unionByName(verts.select(col("v").as("a"), col("v").as("b")))
+      .localCheckpoint()
+    var lab = verts.withColumn("lab", col("v"))
+    for (_ <- 1 to iters) {
+      val votes = e.join(lab.withColumnRenamed("v", "a"), Seq("a"))
+        .groupBy(col("b").as("v"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc) without a window: max over the
+      // (c, -lab) struct, then negate back
+      val winner = votes
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("w"))
+        .select(col("v"), (-col("w.nl")).as("next"))
+      lab = verts.join(winner, Seq("v"), "left")
+        .select(col("v"), coalesce(col("next"), col("v")).as("lab"))
+        .localCheckpoint()
+    }
+    lab.select(col("v").as("vertex"), col("lab").as("community"))
+  }
+
   /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC 2014) — converges in O(log² n) rounds regardless of component

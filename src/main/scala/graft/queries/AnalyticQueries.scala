@@ -241,6 +241,23 @@ object AnalyticQueries extends QueryPack {
         .select(col("vertex").as("part_id"), col("rank").as("rank_micro"))
     }),
 
+    // Deterministic label-propagation communities over the same symmetric
+    // part co-occurrence graph: 3 synchronous rounds, ties to the smallest
+    // label. The oracle unrolls the exact recurrence as CTEs with a
+    // window-argmax — structurally independent of the struct-max plan.
+    "a_communities" -> ((s, dir) => {
+      val op = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = op.as("x")
+        .join(op.as("y"), col("x.ok") === col("y.ok") && col("x.p") =!= col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+        .distinct()
+      graft.operators.Graph.labelPropagation(e, "a", "b", iters = 3)
+        .select(col("vertex").as("part_id"), col("community"))
+        .orderBy(col("part_id"))
+    }),
+
     // Bivariate statistics per return flag: Pearson correlation and the
     // simple-OLS slope/intercept of extendedprice on quantity, all derived
     // from decimal-exact Σx/Σy/Σxy/Σx²/Σy² (order-insensitive merges, so
@@ -490,6 +507,32 @@ object AnalyticQueries extends QueryPack {
          |${round(3)}
          |SELECT v AS part_id, r AS rank_micro FROM r3
          |ORDER BY rank_micro DESC, part_id LIMIT 20""".stripMargin
+    },
+
+    "a_communities" -> {
+      // one synchronous round: count neighbor labels, window-argmax with
+      // (count desc, label asc), isolated vertices keep their own label
+      def lpRound(k: Int): String =
+        s"""c$k AS (SELECT e.b AS vv, l.lab, count(*) AS c
+           |  FROM e JOIN l${k - 1} l ON l.v = e.a GROUP BY e.b, l.lab),
+           |w$k AS (SELECT vv, lab FROM (
+           |    SELECT vv, lab,
+           |      row_number() OVER (PARTITION BY vv ORDER BY c DESC, lab) AS rn
+           |    FROM c$k) WHERE rn = 1),
+           |l$k AS (SELECT v.v, COALESCE(w$k.lab, v.v) AS lab
+           |  FROM v LEFT JOIN w$k ON w$k.vv = v.v)""".stripMargin
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |    FROM lineitem),
+         |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p <> y.p),
+         |v AS (SELECT a AS v FROM e0 UNION SELECT b FROM e0),
+         |e AS (SELECT a, b FROM e0 UNION ALL SELECT v, v FROM v),
+         |l0 AS (SELECT v, v AS lab FROM v),
+         |${lpRound(1)},
+         |${lpRound(2)},
+         |${lpRound(3)}
+         |SELECT v AS part_id, CAST(lab AS BIGINT) AS community FROM l3
+         |ORDER BY part_id""".stripMargin
     },
 
     "a_regression_stats" -> {

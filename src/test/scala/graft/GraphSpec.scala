@@ -107,6 +107,39 @@ class GraphSpec extends AnyFunSuite {
     assert(got(2L) > got(1L))
   }
 
+  test("label propagation: bridged cliques keep separate communities where CC merges") {
+    // two 4-cliques joined by ONE bridge edge 4–5: connectivity is a single
+    // component, but the dense neighborhoods out-vote the bridge
+    def clique(ids: Seq[Long]) = for {
+      a <- ids; b <- ids if a != b
+    } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) ++
+      Seq((4L, 5L), (5L, 4L))).toDF("a", "b")
+    val lp = Graph.labelPropagation(edges, "a", "b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lp.filterKeys(_ <= 4L).values.toSet.size == 1)
+    assert(lp.filterKeys(_ >= 5L).values.toSet.size == 1)
+    assert(lp(1L) != lp(8L), s"bridge must not merge the cliques: $lp")
+    val ccAll = cc((clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) ++
+      Seq((4L, 5L), (5L, 4L))): _*)
+    assert(ccAll.values.toSet.size == 1, "CC on the same graph is one component")
+    // deterministic across partitionings
+    val lp2 = Graph.labelPropagation(edges.repartition(7), "a", "b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lp2 == lp)
+  }
+
+  test("label propagation: isolated star adopts the hub's label family deterministically") {
+    // star 10–{11,12,13}: leaves adopt the hub's initial label in round 1
+    // (hub is each leaf's only neighbor); hub adopts smallest leaf label,
+    // then re-adopts the leaves' shared label in round 2 → all agree
+    val edges = Seq((10L, 11L), (11L, 10L), (10L, 12L), (12L, 10L),
+      (10L, 13L), (13L, 10L)).toDF("a", "b")
+    val lp = Graph.labelPropagation(edges, "a", "b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lp.values.toSet.size == 1, s"star must converge to one community: $lp")
+  }
+
   test("adamic-adar scores hand-computed on a square + chord-center graph") {
     // square 1-2-3-4 with center 5 adjacent to 1 and 3:
     // degrees: 1→3, 2→2, 3→3, 4→2, 5→2
