@@ -266,6 +266,64 @@ object Multimodal {
     }
   }
 
+  /** Perceptual AVERAGE-HASH (aHash) from pooled grid features: bit c is
+    * set iff cell c's mean luminance exceeds the image's global mean —
+    * the classic cheap image-dedup fingerprint (near-identical images
+    * agree on almost every bit; brightness/scale shifts largely cancel
+    * because both sides of the comparison shift together). The compare is
+    * INTEGER cross-multiplication (`lum_c · N > lum_total · n_c`), so no
+    * division ever happens and the oracle re-derives every bit exactly.
+    * One narrow grid×grid-rows-per-image aggregation on top of
+    * [[gridFeatures]]; failed decodes (cell −1) drop out.
+    *
+    * Output: (`media_id`, `ahash`) with grid² bits.
+    */
+  def averageHash(grid: DataFrame): DataFrame = {
+    val tot = grid.filter(col("cell") >= 0)
+      .groupBy(col("media_id"))
+      .agg(sum(col("n_px")).as("__tn"), sum(col("lum_sum")).as("__tl"))
+    grid.filter(col("cell") >= 0)
+      .join(tot, Seq("media_id"))
+      .withColumn("__bit",
+        (col("lum_sum") * col("__tn") > col("__tl") * col("n_px")).cast("long"))
+      .groupBy(col("media_id"))
+      .agg(sum(col("__bit") * expr("CAST(power(2, cell) AS BIGINT)"))
+        .as("ahash"))
+  }
+
+  /** Per-image count of near-duplicate partners: images whose aHash is
+    * within `maxDist` Hamming bits. Candidates come from a BANDED
+    * equi-join — the hash splits into `maxDist + 1` byte-bands, and by
+    * pigeonhole any pair within `maxDist` bits agrees on at least one
+    * whole band — so the join never goes all-pairs; the exact
+    * `bit_count(xor)` filter then keeps no false positives. (The oracle
+    * recomputes the counts from a brute-force all-pairs compare — an
+    * independent plan.)
+    */
+  def ahashNearDupCounts(hashes: DataFrame, maxDist: Int = 1,
+      bandBits: Int = 8): DataFrame = {
+    require(maxDist >= 0, s"negative maxDist: $maxDist")
+    val nBands = maxDist + 1
+    val banded = hashes.select(col("media_id"), col("ahash"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("__band"))
+      .withColumn("__key",
+        expr(s"(ahash >> (__band * $bandBits)) & ${(1 << bandBits) - 1}"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.__band") === col("y.__band") && col("x.__key") === col("y.__key")
+          && col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("x.ahash").as("ha"),
+        col("y.media_id").as("id_b"), col("y.ahash").as("hb"))
+      .distinct()
+      .filter(expr("bit_count(ha ^ hb)") <= maxDist)
+    val partners = cand.select(col("id_a").as("media_id"))
+      .unionByName(cand.select(col("id_b").as("media_id")))
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_neardups"))
+    hashes.join(partners, Seq("media_id"), "left")
+      .select(col("media_id"), col("ahash"),
+        coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
+  }
+
   /** STUB feature extraction for OPAQUE payloads (formats with no
     * in-sandbox codec): deterministic fake features, loudly labeled —
     * kept for the plumbing spec. For image payloads the REAL path is

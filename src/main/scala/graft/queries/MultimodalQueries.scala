@@ -70,6 +70,19 @@ object MultimodalQueries extends QueryPack {
         Multimodal.imageTable(Tables.load(s, dir, "documents"))).toDF()
         .orderBy(col("media_id"), col("cell"))),
 
+    // Perceptual-hash image dedup: aHash bits from the REAL decoded-pixel
+    // grid features (integer cross-multiplied mean compares — no division),
+    // plus each image's count of ≤1-bit-Hamming partners found via a
+    // banded equi-join (pigeonhole-complete). The oracle recomputes hashes
+    // from the source bytes and partner counts from a brute-force
+    // all-pairs compare — an independent plan end to end.
+    "m_ahash_dups" -> ((s, dir) => {
+      val gf = Multimodal.gridFeatures(
+        Multimodal.imageTable(Tables.load(s, dir, "documents"))).toDF()
+      Multimodal.ahashNearDupCounts(Multimodal.averageHash(gf), maxDist = 1)
+        .orderBy(col("media_id"))
+    }),
+
     // REAL audio decode: payloads are genuine RIFF/WAVE PCM16 files; every
     // output field is parsed from the fmt/data chunks and sample_sum is
     // recomputed from the decoded PCM stream. The oracle recomputes all of
@@ -158,6 +171,43 @@ object MultimodalQueries extends QueryPack {
         |SELECT doc_id AS media_id, cell, CAST(count(*) AS BIGINT) AS n_px,
         |  CAST(sum(lum) AS BIGINT) AS lum_sum
         |FROM c GROUP BY doc_id, cell ORDER BY media_id, cell""".stripMargin,
+
+    // hash re-derived from the byte-reconstruction CTE; partner counts via
+    // brute-force all-pairs bit_count(xor) — independent of the banded join
+    "m_ahash_dups" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    doc_id % 64 + 16 AS w, doc_id % 48 + 12 AS h FROM documents),
+        |px AS (SELECT doc_id, text, w, h,
+        |    unnest(range(0, w * h)) AS i FROM d),
+        |c AS (SELECT doc_id,
+        |    CAST((i // w) * 4 // h * 4 + (i % w) * 4 // w AS INTEGER) AS cell,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE
+        |      ord(substr(text, CAST((i * 3) % length(text) AS INTEGER) + 1, 1))
+        |      + ord(substr(text, CAST((i * 3 + 1) % length(text) AS INTEGER) + 1, 1))
+        |      + ord(substr(text, CAST((i * 3 + 2) % length(text) AS INTEGER) + 1, 1))
+        |    END AS lum
+        |  FROM px),
+        |g AS (SELECT doc_id, cell, CAST(count(*) AS BIGINT) AS n_px,
+        |    CAST(sum(lum) AS BIGINT) AS lum_sum
+        |  FROM c GROUP BY doc_id, cell),
+        |t AS (SELECT doc_id, CAST(sum(n_px) AS BIGINT) AS tn,
+        |    CAST(sum(lum_sum) AS BIGINT) AS tl FROM g GROUP BY doc_id),
+        |hsh AS (SELECT g.doc_id AS media_id,
+        |    CAST(sum(CASE WHEN lum_sum * tn > tl * n_px
+        |      THEN CAST(power(2, cell) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS ahash
+        |  FROM g JOIN t ON g.doc_id = t.doc_id GROUP BY g.doc_id),
+        |pairs AS (SELECT a.media_id AS ia, b.media_id AS ib
+        |  FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 1),
+        |pc AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_neardups
+        |  FROM (SELECT ia AS media_id FROM pairs
+        |        UNION ALL SELECT ib FROM pairs)
+        |  GROUP BY media_id)
+        |SELECT h.media_id, h.ahash,
+        |  COALESCE(pc.n_neardups, 0) AS n_neardups
+        |FROM hsh h LEFT JOIN pc USING (media_id)
+        |ORDER BY media_id""".stripMargin,
 
     // GIF geometry is a pure function of doc_id (w = id%10+4, h = id%8+3,
     // frames = id%5+2); frame f's pixel j is text byte (f+j) mod len.

@@ -301,4 +301,29 @@ class MultimodalSpec extends AnyFunSuite {
     }.sum
     assert(stats.filter($"media_id" === id).head().getAs[Long]("c0_sum") == expect)
   }
+
+  test("average hash: bits follow the integer mean compare on a synthetic grid") {
+    // image 1: cells 0,3 bright (lum 100 over 1 px), 1,2 dark (lum 0) —
+    // global mean 50 → bits {0,3} → hash 2^0 + 2^3 = 9
+    val grid = Seq(
+      (1L, 0, 1L, 100L), (1L, 1, 1L, 0L), (1L, 2, 1L, 0L), (1L, 3, 1L, 100L),
+      // image 2: uniform — no cell strictly exceeds the mean → hash 0
+      (2L, 0, 1L, 50L), (2L, 1, 1L, 50L), (2L, 2, 1L, 50L), (2L, 3, 1L, 50L),
+      // failed decode sentinel must drop out
+      (3L, -1, 0L, 0L))
+      .toDF("media_id", "cell", "n_px", "lum_sum")
+    val h = Multimodal.averageHash(grid).as[(Long, Long)].collect().toMap
+    assert(h == Map(1L -> 9L, 2L -> 0L), s"unexpected hashes: $h")
+  }
+
+  test("ahash near-dup counts: pigeonhole bands find ≤maxDist pairs, no more") {
+    val hashes = Seq(
+      (1L, 0x00FFL), (2L, 0x00FEL), // distance 1 → partners
+      (3L, 0x00FCL),                // distance 2 from id 1, 1 from id 2
+      (4L, 0xFF00L))                // far from everything
+      .toDF("media_id", "ahash")
+    val got = Multimodal.ahashNearDupCounts(hashes, maxDist = 1)
+      .select($"media_id", $"n_neardups").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L), got.toString)
+  }
 }
