@@ -143,6 +143,20 @@ object PretrainQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Stupid Backoff LM scoring (Brants et al. 2007 — the count-based LM
+    // built FOR distributed corpora): counts train on the even-doc_id half
+    // so odd docs exercise the bigram→unigram→OOV-floor backoff chain.
+    // Unlike charLM/NB the model is corpus-sized and stays a DISTRIBUTED
+    // table: scoring is two narrow hash joins + a per-doc integer sum.
+    "t_stupid_backoff" -> ((s, dir) => {
+      import graft.ops.NgramLm
+      val docs = Tables.load(s, dir, "documents")
+      val (bi, uni, n) = NgramLm.counts(
+        docs.filter(col("doc_id") % 2 === 0), "text")
+      NgramLm.score(docs, "doc_id", "text", bi, uni, n)
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction: per-stage match counts plus a fingerprint of the fully
     // redacted text — the md5 makes the gate sensitive to every redacted
     // byte, not just the counts. Pure per-row regex projection: fuses into
@@ -501,6 +515,41 @@ object PretrainQueries extends QueryPack {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    // full count-table retrain in SQL: same train split, same backoff
+    // chain and division order, same micro-nat quantization
+    "t_stupid_backoff" ->
+      s"""WITH t AS (SELECT doc_id, ${TextQueries.toksSql} AS toks FROM documents),
+         |tr AS (SELECT doc_id, toks FROM t WHERE doc_id % 2 = 0),
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(toks) AS tok FROM tr) GROUP BY tok),
+         |bi AS (SELECT w[i] AS w1, w[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
+         |  FROM (SELECT toks AS w FROM tr),
+         |    LATERAL (SELECT unnest(range(1, len(w))) AS i)
+         |  WHERE len(w) >= 2 GROUP BY w1, w2),
+         |n AS (SELECT CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS nt FROM tr),
+         |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |  FROM (SELECT doc_id, toks AS w FROM t),
+         |    LATERAL (SELECT unnest(range(1, len(w))) AS i)
+         |  WHERE len(w) >= 2),
+         |sc AS (SELECT doc_id,
+         |    CAST(round(ln(CASE
+         |      WHEN c12 IS NOT NULL
+         |        THEN CAST(c12 AS DOUBLE) / CAST(u1.c AS DOUBLE)
+         |      WHEN u2.c IS NOT NULL
+         |        THEN CAST(0.4 AS DOUBLE) * CAST(u2.c AS DOUBLE) / CAST(nt AS DOUBLE)
+         |      ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) / CAST(nt AS DOUBLE)
+         |    END) * 1000000) AS BIGINT) AS q
+         |  FROM bg
+         |  LEFT JOIN bi USING (w1, w2)
+         |  LEFT JOIN uni u1 ON u1.tok = bg.w1
+         |  LEFT JOIN uni u2 ON u2.tok = bg.w2, n),
+         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi,
+         |    CAST(sum(q) AS BIGINT) AS sum_q FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(n_bi, 0) AS n_bi,
+         |  COALESCE(sum_q, 0) AS sum_q
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     // full model retrain in SQL: same vocab cap, same add-one smoothing
     // over vocab ∪ {OOV}, same micro-nat quantization, same priors
     "t_nb_classifier" -> {

@@ -604,6 +604,32 @@ class PretrainSpec extends AnyFunSuite {
     assert(r.forall(_._2 == 4L))
   }
 
+  // ---- Stupid Backoff LM ---------------------------------------------
+
+  test("stupid backoff: all three backoff branches score per the hand formula") {
+    import graft.ops.NgramLm
+    val train = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val (bi, uni, n) = NgramLm.counts(train, "text")
+    assert(n == 4L)
+    val docs = Seq((0L, "a b a c"), (1L, "a b z q"), (3L, "c a"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = NgramLm.score(docs, "doc_id", "text", bi, uni, n)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    def q(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // seen-bigram branch: (a,b) c12=1/c(a)=2, (b,a) 1/1, (a,c) 1/2
+    val d0 = q(math.log(1.0 / 2.0)) + q(math.log(1.0)) + q(math.log(1.0 / 2.0))
+    // OOV floor branch: (b,z) and (z,q) back all the way off (z, q unseen)
+    val d1 = q(math.log(1.0 / 2.0)) + 2L * q(math.log(0.4 * 0.4 / 4.0))
+    // unigram-backoff branch: (c,a) unseen bigram, a seen twice
+    val d3 = q(math.log(0.4 * 2.0 / 4.0))
+    assert(got(0L) == ((3L, d0)), got.toString)
+    assert(got(1L) == ((3L, d1)), got.toString)
+    assert(got(3L) == ((1L, d3)), got.toString)
+    assert(got(2L) == ((0L, 0L)), "empty doc must score (0, 0)")
+  }
+
   // ---- Naive Bayes reference classifier ------------------------------
 
   test("naive bayes: planted disjoint vocabularies are recovered on held-out docs") {
