@@ -349,6 +349,34 @@ object PretrainQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet's final filtering step: per-LANGUAGE perplexity terciles —
+    // docs ranked by average LM log-prob (best first), ntile(3) →
+    // head/middle/tail. The rank key is one IEEE division (sum_q/n_bi) of
+    // oracle-exact integers with doc_id tie-break, so bucket assignment is
+    // engine-independent; zero-bigram docs are excluded (CCNet drops
+    // empties before bucketing). Scale: scoring is the zero-shuffle charLM
+    // projection; the only exchange is the per-language window, whose
+    // partition count is |languages|-bounded but balanced by the corpus's
+    // language mix — the classic CCNet shard-by-language layout.
+    "t_ccnet_buckets" -> ((s, dir) => {
+      import graft.ops.CharLm
+      import org.apache.spark.sql.graftx.CharLmExpressions
+      val docs = Tables.load(s, dir, "documents")
+      val bg = CharLm.bigramCounts(docs, "text").collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+      val model = CharLm.train(bg)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy((col("sum_q").cast("double") / col("n_bi").cast("double")).desc,
+          col("doc_id"))
+      docs.select(col("doc_id"), col("lang"),
+          CharLmExpressions.charLmScore(col("text"), model).as("s"))
+        .select(col("doc_id"), col("lang"), col("s.n_bi").as("n_bi"),
+          col("s.sum_q").as("sum_q"))
+        .filter(col("n_bi") > 0)
+        .withColumn("bucket", ntile(3).over(w))
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF salient term per document: argmax of tf/df with the df table
     // derived from the per-doc tf table (one tokenize, two narrow
     // aggregations). Ordering key is a single IEEE division — exactly
@@ -739,6 +767,33 @@ object PretrainQueries extends QueryPack {
         |  FROM bg JOIN q USING (c1, c2) GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(n_bi, 0) AS n_bi, coalesce(sum_q, 0) AS sum_q
         |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same full-model retrain as t_charlm_score, plus the per-language
+    // tercile window on the identical (avg log-prob desc, doc_id) key
+    "t_ccnet_buckets" ->
+      """WITH norm AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id, substring(t, i, 1) AS c1, substring(t, i + 1, 1) AS c2
+        |  FROM norm, LATERAL (SELECT unnest(range(1, length(t))) AS i)
+        |  WHERE length(t) >= 2),
+        |uni AS (SELECT c1, CAST(count(*) AS BIGINT) AS u FROM bg GROUP BY c1),
+        |bi AS (SELECT c1, c2, CAST(count(*) AS BIGINT) AS b FROM bg GROUP BY c1, c2),
+        |v AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS v
+        |  FROM (SELECT c1 AS c FROM bg UNION ALL SELECT c2 AS c FROM bg)),
+        |q AS (SELECT c1, c2,
+        |    CAST(round(ln(CAST(b + 1 AS DOUBLE) / CAST(u + v AS DOUBLE)) * 1000000) AS BIGINT) AS lq
+        |  FROM bi JOIN uni USING (c1), v),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi,
+        |    CAST(sum(lq) AS BIGINT) AS sum_q
+        |  FROM bg JOIN q USING (c1, c2) GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, n_bi, sum_q,
+        |  CAST(ntile(3) OVER (PARTITION BY d.lang
+        |    ORDER BY CAST(sum_q AS DOUBLE) / CAST(n_bi AS DOUBLE) DESC,
+        |      d.doc_id) AS INTEGER) AS bucket
+        |FROM documents d JOIN sc USING (doc_id)
+        |WHERE n_bi > 0
         |ORDER BY doc_id""".stripMargin,
 
     "t_bpe_check" ->
