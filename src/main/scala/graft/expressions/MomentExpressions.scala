@@ -1,0 +1,137 @@
+// Hosted under org.apache.spark.sql for the Column↔Expression bridge
+// (see VectorExpressions.scala).
+package org.apache.spark.sql.graftx
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Accumulator for [[VectorMomentAgg]]: row count, quantized first moments
+  * Σ round(xᵢ·Q) and upper-triangle second moments Σ round(xᵢ·xⱼ·Q) as
+  * longs — order-free integer sums, so merges are bit-identical on any
+  * partitioning. Layout: [n, sx(0..dim-1), sxy(i ≤ j, row-major)].
+  */
+final class MomentBuffer(val dim: Int) {
+  val acc = new Array[Long](1 + dim + dim * (dim + 1) / 2)
+
+  @inline def triIdx(i: Int, j: Int): Int = // j >= i
+    1 + dim + i * dim - i * (i - 1) / 2 + (j - i)
+
+  // Spark round(double, 0) semantics: half away from zero on the double's
+  // value (shortest-decimal HALF_UP agrees with the binary value on every
+  // representable input — 0.5 boundaries are dyadic, hence exact)
+  @inline private def q(x: Double): Long =
+    (if (x >= 0) math.floor(x * MomentBuffer.Q + 0.5)
+     else math.ceil(x * MomentBuffer.Q - 0.5)).toLong
+
+  /** Mirror of Pca.momentSums element semantics: every row counts; moments
+    * accumulate over the elements the row actually has.
+    */
+  def add(arr: ArrayData): Unit = {
+    acc(0) += 1
+    if (arr == null) return
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val xi = arr.getDouble(i)
+      acc(1 + i) += q(xi)
+      var j = i
+      while (j < n) {
+        acc(triIdx(i, j)) += q(xi * arr.getDouble(j))
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  def mergeFrom(other: MomentBuffer): Unit = {
+    var k = 0
+    while (k < acc.length) { acc(k) += other.acc(k); k += 1 }
+  }
+}
+
+object MomentBuffer { val Q = 1e8 }
+
+/** One-pass quantized first+second moment sums of a vector column — the
+  * covariance inputs PCA needs, WITHOUT the ×dim(dim+1)/2 per-row pair
+  * explosion of the DataFrame formulation (`Pca.momentSums`): the buffer
+  * is a single long array per partition, the exchange carries one
+  * ~dim²/2-long array per partition instead of millions of exploded rows,
+  * and the result is BIT-IDENTICAL to the exploded groupBy (same
+  * quantization, same order-free long sums — spec-asserted), which is what
+  * lets `v_covariance_check` keep gating the exploded form against DuckDB
+  * while fit runs this one.
+  *
+  * Output: array<long> = [n, sx(0..dim-1), sxy(i ≤ j row-major)].
+  */
+case class VectorMomentAgg(
+    vec: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MomentBuffer] with UnaryLike[Expression]
+  with ExpectsInputTypes {
+
+  require(dim >= 1, s"vector_moments needs dim >= 1, got $dim")
+
+  override def child: Expression = vec
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "vector_moments"
+
+  override def createAggregationBuffer(): MomentBuffer = new MomentBuffer(dim)
+
+  override def update(buffer: MomentBuffer, input: InternalRow): MomentBuffer = {
+    buffer.add(vec.eval(input).asInstanceOf[ArrayData])
+    buffer
+  }
+
+  override def merge(buffer: MomentBuffer, other: MomentBuffer): MomentBuffer = {
+    buffer.mergeFrom(other)
+    buffer
+  }
+
+  override def eval(buffer: MomentBuffer): Any =
+    new GenericArrayData(buffer.acc.map(x => x: Any))
+
+  override def serialize(buffer: MomentBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.acc.length * 8)
+    buffer.acc.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MomentBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    var k = 0
+    while (k < buf.acc.length) { buf.acc(k) = bb.getLong; k += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorMomentAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorMomentAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorMomentAgg =
+    copy(vec = newChild)
+}
+
+object MomentExpressions {
+  /** One-pass moment sums of an array<double> column (cast float arrays
+    * first): array<long> = [n, sx…, upper-tri sxy…], quantized to 1e-8
+    * units exactly like `Pca.momentSums`.
+    */
+  def vectorMoments(vec: Column, dim: Int): Column =
+    ExpressionUtils.column(
+      VectorMomentAgg(ExpressionUtils.expression(vec), dim)
+        .toAggregateExpression())
+}

@@ -21,10 +21,16 @@ import graft.functions.VectorFunctions
   * the k components back in as literals: a zero-shuffle scan-fused
   * projection at any corpus size.
   *
-  * The per-row pair explosion in [[momentSums]] is ×dim(dim+1)/2; at 100 TB
-  * fit on a deterministic hash-sample (same argument as
-  * [[Clustering]].fit's sampled seeding) — the moments are means, so a
-  * sample estimates them with √n error while [[project]] stays full-corpus.
+  * The fit scan is the native one-pass
+  * [[org.apache.spark.sql.graftx.VectorMomentAgg]] (a long-array
+  * accumulator per partition — no row amplification, the exchange is one
+  * ~dim²/2-long array per partition), so a FULL-corpus fit is affordable
+  * at any scale; the exploded [[momentSums]] form stays as the
+  * DuckDB-gated oracle mirror, spec-asserted bit-equal to the aggregate.
+  * A deterministic hash-sample fit (the [[Clustering]].fit argument)
+  * remains available when even one pass is too much — moments are means,
+  * so a sample estimates them with √n error while [[project]] stays
+  * full-corpus.
   * Quantization: products are rounded to 1e-8 units before the long sums
   * (cross-engine-exact; the absolute moment error is ≤ 5e-9 — far below
   * any spectral quantity of interest); the long sum overflows only past
@@ -67,16 +73,36 @@ object Pca {
     * largest-|entry|-positive sign convention, eigenpairs sorted by
     * (eigenvalue desc, index)).
     */
-  def fit(df: DataFrame, vec: String, dim: Int, k: Int): Model = {
+  /** One-pass fit: the corpus scan is the native
+    * [[org.apache.spark.sql.graftx.VectorMomentAgg]] — a single long-array
+    * accumulator per partition (the exchange is one ~dim²/2-long array per
+    * partition) instead of [[momentSums]]' ×dim(dim+3)/2 row explosion
+    * through a hash aggregate. Bit-identical inputs to the eigensolve
+    * (same quantization, same order-free long sums — spec-asserted
+    * against the exploded form, which stays as the DuckDB-gated oracle
+    * mirror). Measured 7.6 → 0.46 s on the sf0.1 gate.
+    */
+  def fit(df: DataFrame, vec: String, dim: Int, k: Int): Model =
+    fitFromMoments(collectMoments(df, vec, dim), dim, k)
+
+  /** The one-pass moment vector: [n, sx…, upper-tri sxy…] in 1e-8 units
+    * (count unquantized).
+    */
+  def collectMoments(df: DataFrame, vec: String, dim: Int): Array[Long] =
+    df.agg(org.apache.spark.sql.graftx.MomentExpressions
+        .vectorMoments(col(vec).cast("array<double>"), dim).as("m"))
+      .head().getSeq[Long](0).toArray
+
+  /** Driver-side model build from a collected moment vector. */
+  def fitFromMoments(m: Array[Long], dim: Int, k: Int): Model = {
     require(k >= 1 && k <= dim)
-    val n = df.count()
+    val n = m(0)
     require(n > 1, s"need at least 2 vectors, got $n")
-    val rows = momentSums(df, vec, dim).collect() // ≤ dim(dim+3)/2 rows
-    val sx = Array.ofDim[Double](dim)
+    val sx = Array.tabulate(dim)(i => m(1 + i) / Q)
     val sxy = Array.ofDim[Double](dim, dim)
-    rows.foreach { r =>
-      val (i, j, q) = (r.getInt(0), r.getInt(1), r.getLong(2) / Q)
-      if (j < 0) sx(i) = q else { sxy(i)(j) = q; sxy(j)(i) = q }
+    var idx = 1 + dim
+    for (i <- 0 until dim; j <- i until dim) {
+      sxy(i)(j) = m(idx) / Q; sxy(j)(i) = sxy(i)(j); idx += 1
     }
     val mean = sx.map(_ / n)
     val cov = Array.tabulate(dim, dim)((i, j) => sxy(i)(j) / n - mean(i) * mean(j))

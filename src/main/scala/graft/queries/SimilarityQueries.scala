@@ -100,7 +100,11 @@ object SimilarityQueries extends QueryPack {
       import graft.operators.Pca
       val k = 8
       val emb = Tables.load(s, dir, "embeddings")
-      val model = Pca.fit(emb, "embedding", 64, k)
+      // ONE moment pass feeds both the fit and the trace re-derivation
+      // (the exploded momentSums form is gated separately by
+      // v_covariance_check, where DuckDB recomputes every sum)
+      val moments = Pca.collectMoments(emb, "embedding", 64)
+      val model = Pca.fitFromMoments(moments, 64, k)
       // driver-side model properties
       val dot = (a: Array[Double], b: Array[Double]) =>
         a.zip(b).map { case (x, y) => x * y }.sum
@@ -111,15 +115,10 @@ object SimilarityQueries extends QueryPack {
       val orderOk = model.eigenvalues.zip(model.eigenvalues.tail)
         .forall { case (a, b) => a >= b - 1e-12 }
       // trace preservation: Σ all eigenvalues = Σ per-dim variances
-      val rows = Pca.momentSums(emb, "embedding", 64)
-        .filter(col("i") === col("j") || col("j") === -1).collect()
       val n = model.n.toDouble
-      val sx = Array.ofDim[Double](64)
-      val sxx = Array.ofDim[Double](64)
-      rows.foreach { r =>
-        val q = r.getLong(2) / 1e8
-        if (r.getInt(1) < 0) sx(r.getInt(0)) = q else sxx(r.getInt(0)) = q
-      }
+      val sx = Array.tabulate(64)(i => moments(1 + i) / 1e8)
+      val sxx = Array.tabulate(64)(i =>
+        moments(1 + 64 + i * 64 - i * (i - 1) / 2) / 1e8) // tri idx (i, i)
       val trace = (0 until 64).map(i => sxx(i) / n - (sx(i) / n) * (sx(i) / n)).sum
       val traceOk = math.abs(model.eigenvalues.sum - trace) < 1e-9 * math.max(trace, 1.0)
       // corpus-side: projected variance per component == eigenvalue

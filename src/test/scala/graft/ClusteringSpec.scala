@@ -68,6 +68,35 @@ class ClusteringSpec extends AnyFunSuite {
         1e-6 * (m1.eigenvalues(i) + 1e-3), s"pc$i variance")
   }
 
+  test("one-pass moment aggregate equals the exploded momentSums bit-for-bit") {
+    import graft.operators.Pca
+    import org.apache.spark.sql.graftx.MomentExpressions
+    // mixed-sign values exercising the round-half-away-from-zero path,
+    // spread over several partitions so partial merges are covered
+    val df = (0 until 97).map { i =>
+      (i.toLong, Array.tabulate(6)(d =>
+        (((i * 31 + d * 17) % 23) - 11) * 0.37f))
+    }.toDF("vec_id", "embedding").repartition(7)
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val m = df.agg(MomentExpressions
+        .vectorMoments(col("embedding").cast("array<double>"), 6).as("m"))
+      .head().getSeq[Long](0).toArray
+    assert(m(0) == 97L)
+    val exploded = Pca.momentSums(df, "embedding", 6).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (i <- 0 until 6) assert(m(1 + i) == exploded((i, -1)), s"sx($i)")
+    var idx = 1 + 6
+    for (i <- 0 until 6; j <- i until 6) {
+      assert(m(idx) == exploded((i, j)), s"sxy($i,$j)")
+      idx += 1
+    }
+    // fit from the aggregate ≡ fit path end to end (bit-identical model)
+    val viaAgg = Pca.fitFromMoments(m, 6, 2)
+    val direct = Pca.fit(df, "embedding", 6, 2)
+    assert(viaAgg.eigenvalues.toSeq == direct.eigenvalues.toSeq &&
+      viaAgg.components.map(_.toSeq).toSeq == direct.components.map(_.toSeq).toSeq)
+  }
+
   test("kmeans recovers planted clusters, deterministically") {
     val df = planted()
     val c1 = Clustering.fit(df, "vec_id", "embedding", 3)
