@@ -82,6 +82,46 @@ object Sinks {
       .parquet(path)
   }
 
+  /** OPTIMIZE-style small-file compaction of an EXISTING parquet directory
+    * — the table-maintenance pass that fixes the many-tiny-files state
+    * streaming/incremental writers accumulate (every downstream scan pays
+    * per-file open + footer + scheduling costs; at 100 TB a 10⁶-file table
+    * is a planning-time problem before it is an IO one).
+    *
+    * Target file count = ceil(total data bytes / targetFileBytes), rewrite
+    * via `coalesce` — shuffle-FREE bin-packing of input partitions (no
+    * Exchange in the plan; rows never repartition by content, so the
+    * rewrite moves bytes exactly once). The scan itself already packs
+    * small files toward `spark.sql.files.maxPartitionBytes`, so when that
+    * packing is COARSER than the target the read partitioning stands
+    * (coalesce only reduces) — the file count written is
+    * min(target, scan partitions), which the method returns. Writes to
+    * `outPath`, never in place: readers of `inPath` stay correct mid-run,
+    * and the atomic swap/rename is the caller's step.
+    */
+  def compactDir(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, s"bad target size: $targetFileBytes")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
+    }
+    val n = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val scanParts = df.rdd.getNumPartitions
+    val out = math.max(1, math.min(n, scanParts))
+    (if (scanParts > out) df.coalesce(out) else df)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .parquet(outPath)
+    out
+  }
+
   def writeBucketed(df: DataFrame, table: String, bucketKey: String,
       buckets: Int = 32): Unit =
     df.write.mode(SaveMode.Overwrite)

@@ -209,6 +209,44 @@ object Graph {
     lab.select(col("v").as("vertex"), col("lab").as("community"))
   }
 
+  /** Per-vertex local clustering coefficient C(v) = 2·T(v)/(d(v)·(d(v)−1))
+    * — the how-clique-like-is-my-neighborhood score (community quality,
+    * spam-graph screens). Input contract: CANONICAL undirected edges
+    * (src < dst, distinct, no self-loops).
+    *
+    * Scale shape: triangles enumerate once each on the canonical order
+    * (wedge a<m<c equi-join + closing-edge join — the [[Graph]] triangle
+    * pattern; pre-cut hub edges upstream, as the brand-graph query's
+    * median cut does, to bound wedge fan-out), then explode to their 3
+    * corners for the per-vertex count — ×3 amplification of the sparse
+    * TRIANGLE set only, never of the edge set. Degrees are one
+    * map-side-combinable count over the symmetric view.
+    *
+    * Output: (`vertex`, `deg`, `n_tri`, `coeff`); degree-0/1 vertices
+    * score 0.0.
+    */
+  def clusteringCoefficients(edges: DataFrame, src: String,
+      dst: String): DataFrame = {
+    val e = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint()
+    val deg = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("m"), col("e2.b").as("c"))
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val triPerV = tri
+      .select(explode(array(col("a"), col("m"), col("c"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerV, Seq("v"), "left")
+      .select(col("v").as("vertex"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("coeff"))
+  }
+
   /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC 2014) — converges in O(log² n) rounds regardless of component

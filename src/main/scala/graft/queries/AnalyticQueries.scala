@@ -200,6 +200,62 @@ object AnalyticQueries extends QueryPack {
         .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
     }),
 
+    // Benford first-digit screen on transaction amounts — the classic
+    // fabricated-data / unit-mixing detector on financial columns. The
+    // digit comes from exact integer cents (floor(x·100 + 0.5) — double→
+    // string repr is NOT cross-engine-safe, integer→string is; ×100 never
+    // changes the leading nonzero digit), and the expected-frequency and
+    // chi-square terms are identical IEEE chains quantized to micro-units.
+    // One map-side-combinable 9-group aggregation: scan-bound at any scale.
+    "a_benford" -> ((s, dir) => {
+      val digit = substring(
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+          .cast("string"), 1, 1)
+      val counts = Tables.load(s, dir, "lineitem")
+        .select(digit.as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val tot = counts.agg(sum(col("n_obs")).as("n_total"))
+      val p = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+      val diff = col("n_obs").cast("double") - col("n_total").cast("double") * p
+      counts.crossJoin(broadcast(tot)) // 9 rows × 1 row
+        .select(col("digit"), col("n_obs"), col("n_total"),
+          round(p * lit(1e6)).cast("long").as("exp_q"),
+          round(diff * diff / (col("n_total").cast("double") * p) * lit(1e6))
+            .cast("long").as("chi_q"))
+        .orderBy(col("digit"))
+    }),
+
+    // Per-vertex local clustering coefficient over the same median-cut
+    // brand co-occurrence graph as a_triangle_count: triangles explode to
+    // their 3 corners for the per-vertex count; 2T/(d(d−1)) is one IEEE
+    // division of exact integers, so every coefficient hash-matches.
+    "a_clustering_coeff" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pt = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val ob = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+        .distinct()
+      val pw = ob.as("x")
+        .join(ob.as("y"), col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("a"), col("y.b").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+      val wm = org.apache.spark.sql.expressions.Window
+        .orderBy(col("w"), col("a"), col("b"))
+      val med = pw
+        .withColumn("__rn", row_number().over(wm))
+        .crossJoin(broadcast(pw.agg(count(lit(1)).as("__n"))))
+        .agg(max(when(col("__rn") === ceil(col("__n") * 0.5), col("w")))
+          .as("med"))
+      val e = pw.crossJoin(broadcast(med))
+        .filter(col("w") > col("med"))
+        .select(col("a"), col("b"))
+      graft.operators.Graph.clusteringCoefficients(e, "a", "b")
+        .orderBy(col("vertex"))
+    }),
+
     // PageRank over the part co-purchase graph (parts linked when they
     // co-occur in an order — both directions, so no dangling mass), in
     // fixed-point INTEGER arithmetic: every rank a BIGINT in micro-units,
@@ -463,6 +519,53 @@ object AnalyticQueries extends QueryPack {
         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
         |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges""".stripMargin,
+
+    "a_benford" ->
+      """WITH d AS (SELECT substring(CAST(CAST(floor(l_extendedprice * 100
+        |      + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM lineitem),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM c)
+        |SELECT digit, n_obs, n_total,
+        |  CAST(round(log10(CAST(1.0 AS DOUBLE)
+        |    + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)) * 1000000)
+        |    AS BIGINT) AS exp_q,
+        |  CAST(round((CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE)
+        |      * log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)))
+        |    * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE)
+        |      * log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)))
+        |    / (CAST(n_total AS DOUBLE)
+        |      * log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)))
+        |    * 1000000) AS BIGINT) AS chi_q
+        |FROM c CROSS JOIN t
+        |ORDER BY digit""".stripMargin,
+
+    "a_clustering_coeff" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pw AS (SELECT x.b AS a, y.b AS b, CAST(count(*) AS BIGINT) AS w
+        |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+        |  GROUP BY x.b, y.b),
+        |r AS (SELECT w, row_number() OVER (ORDER BY w, a, b) AS rn,
+        |    COUNT(*) OVER () AS n FROM pw),
+        |med AS (SELECT max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+        |    THEN w END) AS med FROM r),
+        |e AS (SELECT a, b FROM pw CROSS JOIN med WHERE w > med),
+        |tri AS (SELECT e1.a, e1.b AS m, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tv AS (SELECT a AS v FROM tri UNION ALL SELECT m FROM tri
+        |  UNION ALL SELECT c FROM tri),
+        |tpv AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM tv GROUP BY v),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v)
+        |SELECT deg.v AS vertex, deg, COALESCE(n_tri, 0) AS n_tri,
+        |  CASE WHEN deg >= 2 THEN CAST(2.0 AS DOUBLE)
+        |      * CAST(COALESCE(n_tri, 0) AS DOUBLE)
+        |      / CAST(deg * (deg - 1) AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS coeff
+        |FROM deg LEFT JOIN tpv ON tpv.v = deg.v
+        |ORDER BY vertex""".stripMargin,
 
     "a_link_prediction" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

@@ -140,6 +140,21 @@ class GraphSpec extends AnyFunSuite {
     assert(lp.values.toSet.size == 1, s"star must converge to one community: $lp")
   }
 
+  test("clustering coefficients hand-computed on square + chord + pendant") {
+    // square 1-2-3-4 with chord 1-3 and pendant 4-5:
+    // triangles (1,2,3), (1,3,4); degrees 1:3 2:2 3:3 4:3 5:1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L), (4L, 5L))
+      .toDF("a", "b")
+    val got = Graph.clusteringCoefficients(e, "a", "b")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got(1L) == ((3L, 2L, 2.0 * 2 / 6)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 2L, 2.0 * 2 / 6)))
+    assert(got(4L) == ((3L, 1L, 2.0 * 1 / 6)))
+    assert(got(5L) == ((1L, 0L, 0.0)), "degree-1 vertex must score 0")
+  }
+
   test("adamic-adar scores hand-computed on a square + chord-center graph") {
     // square 1-2-3-4 with center 5 adjacent to 1 and 3:
     // degrees: 1→3, 2→2, 3→3, 4→2, 5→2

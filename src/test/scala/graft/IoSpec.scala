@@ -184,6 +184,32 @@ class IoSpec extends AnyFunSuite {
     assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
   }
 
+  test("compactDir: many small files → target count, lossless, no shuffle") {
+    import graft.io.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = (1L to 5000L).map(i => (i, s"row$i", i * 1.5)).toDF("id", "s", "v")
+    df.repartition(32).write.parquet(s"$dir/small")
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$dir/small") == 32, "fixture must start fragmented")
+    // huge target → everything packs into one file
+    val n1 = Sinks.compactDir(spark, s"$dir/small", s"$dir/one")
+    assert(n1 == 1 && parquetFiles(s"$dir/one") == 1)
+    val back = spark.read.parquet(s"$dir/one")
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // tiny target → several files (bounded by the scan's own small-file
+    // packing), still lossless
+    val n2 = Sinks.compactDir(spark, s"$dir/small", s"$dir/few",
+      targetFileBytes = 16 * 1024)
+    assert(n2 > 1 && parquetFiles(s"$dir/few") == n2, s"n2=$n2")
+    val back2 = spark.read.parquet(s"$dir/few")
+    assert(back2.exceptAll(df).isEmpty && df.exceptAll(back2).isEmpty)
+    // the rewrite plan is coalesce-only: no Exchange
+    val p = spark.read.parquet(s"$dir/small").coalesce(2)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("approx_count_distinct path: HLL counts within 5% of exact on daily agg") {
     val silver = graft.datagen.TransactionGen.generate(spark, 2000)
       .withColumn("transaction_date", to_timestamp($"transaction_date"))
