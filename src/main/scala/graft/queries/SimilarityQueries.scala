@@ -318,6 +318,75 @@ object SimilarityQueries extends QueryPack {
     // (c) per-query result shape, (d) recall@k against exact L2 brute force
     // above a floor (PQ is lossy — the floor is the contract, measured with
     // margin). Oracle: constants + the query count.
+    // OPQ's first-order effect (Ge et al. 2013 §2: rotate, THEN product-
+    // quantize): PCA-rotate embeddings onto their variance axes so the PQ
+    // subspace cuts align with the data. Gates: (a) the 64×64 rotation is
+    // orthonormal (driver-exact); (b) rotation preserves neighbor
+    // structure — exact-L2 top-k over ROTATED vectors recovers ≥90% of
+    // the exact top-k over the originals (an isometry up to fp rounding);
+    // (c) ADC search over PQ codes of the rotated corpus holds the same
+    // recall floor as v_pq_check. Scale: the rotation is the zero-shuffle
+    // Pca.project projection, checkpointed once so Lloyd rounds and both
+    // searches reuse it.
+    "v_opq_check" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.l2DistanceSq
+      import graft.operators.{Pca, Pq, TopK}
+      val pqM = 8
+      val emb = Tables.load(s, dir, "embeddings")
+      val rot = Pca.fit(emb, "embedding", 64, 64)
+      val dotv = (a: Array[Double], b: Array[Double]) =>
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val orthoOk = (0 until 64).forall(i => (i until 64).forall { j =>
+        math.abs(dotv(rot.components(i), rot.components(j)) -
+          (if (i == j) 1.0 else 0.0)) < 1e-9
+      })
+      val rotated = Pca.project(emb, "embedding", rot)
+        .select(col("vec_id"),
+          array((0 until 64).map(i => col(s"pc$i")): _*).as("rvec"))
+        .localCheckpoint() // rotation computed once: train + search + brute
+      val qsR = rotated.filter(col("vec_id") % 97 === 0).localCheckpoint()
+      val nq = qsR.agg(count(lit(1)).as("n_queries"))
+      def bruteTopK(corpus: org.apache.spark.sql.DataFrame,
+          queries: org.apache.spark.sql.DataFrame, vec: String) =
+        TopK.perKey(
+          corpus.select(col("vec_id").as("neighbor_id"), col(vec).as("__cv"))
+            .join(broadcast(queries.select(col("vec_id").as("query_id"),
+              col(vec).as("__qv"))),
+              col("query_id") =!= col("neighbor_id"))
+            .withColumn("__d", l2DistanceSq(col("__qv"), col("__cv"))
+              * lit(-1.0)), // heap keeps largest → negate for nearest
+          "query_id", "__d", "neighbor_id", k, descending = true)
+          .select(col("query_id"), col("neighbor_id"))
+      val exactOrig = bruteTopK(emb, queriesOf(emb), "embedding")
+        .localCheckpoint()
+      val exactRot = bruteTopK(rotated, qsR, "rvec").localCheckpoint()
+      val overlap = exactRot
+        .join(exactOrig, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("__h"))
+      val invariantOk = overlap.crossJoin(broadcast(nq))
+        .select(((col("__h").cast("double") /
+          (col("n_queries") * k).cast("double")) >= 0.90).cast("int")
+          .as("rotation_invariant_ok"))
+      val books = Pq.trainCodebooks(rotated, "vec_id", "rvec",
+        m = pqM, k = 32, maxIter = 3)
+      val topk = Pq.adcTopK(rotated, qsR, "vec_id", "rvec", books, k)
+        .localCheckpoint()
+      val shapeBad = topk.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") =!= k)
+        .agg(count(lit(1)).as("shape_bad"))
+      val recallOk = topk.select(col("query_id"), col("neighbor_id"))
+        .join(exactRot, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("__r"))
+        .crossJoin(broadcast(nq))
+        .select(((col("__r").cast("double") /
+          (col("n_queries") * k).cast("double")) >= 0.10).cast("int")
+          .as("recall_ok"))
+      nq.crossJoin(shapeBad).crossJoin(invariantOk).crossJoin(recallOk)
+        .select(col("n_queries"), lit(if (orthoOk) 1 else 0).as("ortho_ok"),
+          col("shape_bad"), col("rotation_invariant_ok"), col("recall_ok"))
+    }),
+
     "v_pq_check" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.VectorFunctions.{dot, l2DistanceSq}
@@ -866,6 +935,14 @@ object SimilarityQueries extends QueryPack {
       """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
         |   WHERE vec_id % 97 = 0) AS n_queries,
         |  CAST(0 AS BIGINT) AS row_mismatch""".stripMargin,
+
+    "v_opq_check" ->
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 97 = 0) AS n_queries,
+        |  CAST(1 AS INTEGER) AS ortho_ok,
+        |  CAST(0 AS BIGINT) AS shape_bad,
+        |  CAST(1 AS INTEGER) AS rotation_invariant_ok,
+        |  CAST(1 AS INTEGER) AS recall_ok""".stripMargin,
 
     "v_ivfpq_rerank" ->
       """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
