@@ -24,20 +24,41 @@ final class MomentBuffer(val dim: Int) {
   @inline def triIdx(i: Int, j: Int): Int = // j >= i
     1 + dim + i * dim - i * (i - 1) / 2 + (j - i)
 
-  // Spark round(double, 0) semantics: half away from zero on the double's
-  // value (shortest-decimal HALF_UP agrees with the binary value on every
-  // representable input — 0.5 boundaries are dyadic, hence exact)
-  @inline private def q(x: Double): Long =
-    (if (x >= 0) math.floor(x * MomentBuffer.Q + 0.5)
-     else math.ceil(x * MomentBuffer.Q - 0.5)).toLong
+  // Spark round(double, 0) semantics (BigDecimal.valueOf(x).setScale(0,
+  // HALF_UP)). Fast path: floor(v + 0.5) — but the IEEE ADD can round a
+  // value just BELOW a half boundary up onto it (the JDK-8010430 case:
+  // v = 0.49999999999999994 → v + 0.5 == 1.0 exactly), where HALF_UP on
+  // the shortest-decimal value gives 0. So any result landing within one
+  // part in 1e9 of its half boundary re-rounds through the exact
+  // BigDecimal path Spark itself uses — the guard fires ~never on real
+  // data, keeping the fast path hot.
+  @inline private def q(x: Double): Long = {
+    val v = x * MomentBuffer.Q
+    val eps = math.ulp(math.abs(v) + 0.5) * 2 // hazard zone of the ADD
+    if (v >= 0) {
+      val r = math.floor(v + 0.5)
+      if (math.abs(v - (r - 0.5)) <= eps)
+        java.math.BigDecimal.valueOf(v)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      else r.toLong
+    } else {
+      val r = math.ceil(v - 0.5)
+      if (math.abs(v - (r + 0.5)) <= eps)
+        java.math.BigDecimal.valueOf(v)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      else r.toLong
+    }
+  }
 
   /** Mirror of Pca.momentSums element semantics: every row counts; moments
-    * accumulate over the elements the row actually has.
+    * accumulate over the elements the row actually has, CLAMPED to `dim`
+    * (momentSums' element_at never reads past dim; without the clamp an
+    * over-length row would corrupt the sxy region and overrun the buffer).
     */
   def add(arr: ArrayData): Unit = {
     acc(0) += 1
     if (arr == null) return
-    val n = arr.numElements()
+    val n = math.min(arr.numElements(), dim)
     var i = 0
     while (i < n) {
       val xi = arr.getDouble(i)

@@ -279,10 +279,14 @@ object Multimodal {
     * Output: (`media_id`, `ahash`) with grid² bits.
     */
   def averageHash(grid: DataFrame): DataFrame = {
-    val tot = grid.filter(col("cell") >= 0)
+    // staged: the grid input typically carries the real pixel decode; the
+    // totals aggregation and the join side would otherwise each re-decode
+    // the corpus (the Dedup.intersectionCounts convention)
+    val g = grid.filter(col("cell") >= 0).localCheckpoint()
+    val tot = g
       .groupBy(col("media_id"))
       .agg(sum(col("n_px")).as("__tn"), sum(col("lum_sum")).as("__tl"))
-    grid.filter(col("cell") >= 0)
+    g
       .join(tot, Seq("media_id"))
       .withColumn("__bit",
         (col("lum_sum") * col("__tn") > col("__tl") * col("n_px")).cast("long"))
@@ -304,7 +308,11 @@ object Multimodal {
       bandBits: Int = 8): DataFrame = {
     require(maxDist >= 0, s"negative maxDist: $maxDist")
     val nBands = maxDist + 1
-    val banded = hashes.select(col("media_id"), col("ahash"),
+    // staged: referenced by both self-join sides and the final left join —
+    // without this the upstream hash computation (and whatever feeds it)
+    // re-executes three times
+    val h = hashes.localCheckpoint()
+    val banded = h.select(col("media_id"), col("ahash"),
         explode(sequence(lit(0), lit(nBands - 1))).as("__band"))
       .withColumn("__key",
         expr(s"(ahash >> (__band * $bandBits)) & ${(1 << bandBits) - 1}"))
@@ -319,7 +327,7 @@ object Multimodal {
     val partners = cand.select(col("id_a").as("media_id"))
       .unionByName(cand.select(col("id_b").as("media_id")))
       .groupBy(col("media_id")).agg(count(lit(1)).as("n_neardups"))
-    hashes.join(partners, Seq("media_id"), "left")
+    h.join(partners, Seq("media_id"), "left")
       .select(col("media_id"), col("ahash"),
         coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
   }

@@ -73,7 +73,9 @@ object NaiveBayes {
     // doc-count priors — 1 row
     val d = corpus.agg(sum(when(label, 1L).otherwise(0L)).as("dp"),
       count(lit(1)).as("n")).head()
-    val (dp, n) = (d.getLong(0), d.getLong(1))
+    val n = d.getLong(1)
+    require(n > 0, "Naive Bayes needs a non-empty training corpus")
+    val dp = Option(d.get(0)).fold(0L)(_.asInstanceOf[Long])
     val v = inVocab.size // may be < vocabSize on tiny corpora
     val denP = totP + v + 1; val denN = totN + v + 1
     Model(
@@ -90,18 +92,30 @@ object NaiveBayes {
     * functions — no explode, no join, no shuffle.
     */
   def score(docs: DataFrame, text: String, model: Model): DataFrame = {
-    def classSum(table: Map[String, Long], oov: Long): Column = {
-      val m = typedlit(table)
-      aggregate(TextFunctions.tokens(col(text)), lit(0L),
-        (acc, tk) => acc + coalesce(element_at(m, tk), lit(oov)))
-    }
+    // ONE higher-order aggregate folds (count, ref-sum, other-sum) in a
+    // single struct accumulator, so the regex normalize/tokenize chain
+    // evaluates ONCE per row — three separate columns would re-tokenize
+    // per column (ArrayAggregate is CodegenFallback, so codegen CSE can't
+    // share the subtree across expressions)
+    val mPos = typedlit(model.posTable)
+    val mNeg = typedlit(model.negTable)
+    val acc0 = struct(lit(0L).as("n"), lit(0L).as("r"), lit(0L).as("o"))
+    val folded = aggregate(TextFunctions.tokens(col(text)), acc0,
+      (acc, tk) => struct(
+        (acc.getField("n") + 1L).as("n"),
+        (acc.getField("r") +
+          coalesce(element_at(mPos, tk), lit(model.posOov))).as("r"),
+        (acc.getField("o") +
+          coalesce(element_at(mNeg, tk), lit(model.negOov))).as("o")))
     docs
-      .withColumn("n_toks", size(TextFunctions.tokens(col(text))).cast("long"))
-      .withColumn("sum_ref_q", classSum(model.posTable, model.posOov))
-      .withColumn("sum_other_q", classSum(model.negTable, model.negOov))
+      .withColumn("__s", folded)
+      .withColumn("n_toks", col("__s.n"))
+      .withColumn("sum_ref_q", col("__s.r"))
+      .withColumn("sum_other_q", col("__s.o"))
       .withColumn("margin_q",
         col("sum_ref_q") + lit(model.posPrior)
           - col("sum_other_q") - lit(model.negPrior))
       .withColumn("pred", (col("margin_q") >= 0).cast("long"))
+      .drop("__s")
   }
 }

@@ -51,7 +51,10 @@ object NgramLm {
       .select(explode(bigramStructs(col("__toks"))).as("__p"))
       .select(col("__p.w1"), col("__p.w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val n = toks.agg(sum(size(col("__toks")))).head().getLong(0)
+    val n = Option(toks.agg(sum(size(col("__toks")))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    require(n > 0,
+      "Stupid Backoff needs a non-empty training slice (0 tokens seen)")
     (bi, uni, n)
   }
 

@@ -17,6 +17,50 @@ import graft.ops.Aggregations.sumStable
   */
 object AnalyticQueries extends QueryPack {
 
+  /** Symmetric part co-occurrence graph (parts linked when they share an
+    * order) — shared by a_pagerank_parts, a_communities.
+    */
+  private def partGraph(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val op = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    op.as("x")
+      .join(op.as("y"), col("x.ok") === col("y.ok") && col("x.p") =!= col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+  }
+
+  /** Canonical (a < b) brand co-occurrence graph, cut at the median pair
+    * weight — shared by a_triangle_count, a_clustering_coeff. The median
+    * cut is the hub-edge prefilter that bounds wedge fan-out.
+    */
+  private def brandGraph(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pt = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val ob = li.join(pt, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+    val pw = ob.as("x")
+      .join(ob.as("y"), col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+      .groupBy(col("x.b").as("a"), col("y.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val wm = org.apache.spark.sql.expressions.Window
+      .orderBy(col("w"), col("a"), col("b"))
+    val med = pw
+      .withColumn("__rn", row_number().over(wm))
+      .crossJoin(broadcast(pw.agg(count(lit(1)).as("__n"))))
+      .agg(max(when(col("__rn") === ceil(col("__n") * 0.5), col("w")))
+        .as("med"))
+    pw.crossJoin(broadcast(med))
+      .filter(col("w") > col("med"))
+      .select(col("a"), col("b"))
+  }
+
   override def queries: Map[String, Query] = Map(
     // Q13 shape: customer count distribution incl. zero-order customers.
     "q13_custdist" -> ((s, dir) => {
@@ -169,29 +213,7 @@ object AnalyticQueries extends QueryPack {
     // degree-ordering refinement bounds the wedge join by the arboricity,
     // and the edge list here is brand-vocabulary-sized, not data-sized.
     "a_triangle_count" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pt = Tables.load(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"))
-      val ob = li.join(pt, col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-        .distinct()
-      val pw = ob.as("x")
-        .join(ob.as("y"), col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
-        .groupBy(col("x.b").as("a"), col("y.b").as("b"))
-        .agg(count(lit(1)).as("w"))
-        .localCheckpoint()
-      val wm = org.apache.spark.sql.expressions.Window
-        .orderBy(col("w"), col("a"), col("b"))
-      val med = pw
-        .withColumn("__rn", row_number().over(wm))
-        .crossJoin(broadcast(pw.agg(count(lit(1)).as("__n"))))
-        .agg(max(when(col("__rn") === ceil(col("__n") * 0.5), col("w")))
-          .as("med"))
-      val e = pw.crossJoin(broadcast(med))
-        .filter(col("w") > col("med"))
-        .select(col("a"), col("b"))
-        .localCheckpoint()
+      val e = brandGraph(s, dir).localCheckpoint()
       val wedges = e.select(col("a"), col("b").as("m"))
         .join(e.select(col("a").as("m"), col("b").as("c")), Seq("m"))
       val tri = wedges.join(
@@ -230,29 +252,7 @@ object AnalyticQueries extends QueryPack {
     // their 3 corners for the per-vertex count; 2T/(d(d−1)) is one IEEE
     // division of exact integers, so every coefficient hash-matches.
     "a_clustering_coeff" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pt = Tables.load(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"))
-      val ob = li.join(pt, col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-        .distinct()
-      val pw = ob.as("x")
-        .join(ob.as("y"), col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
-        .groupBy(col("x.b").as("a"), col("y.b").as("b"))
-        .agg(count(lit(1)).as("w"))
-        .localCheckpoint()
-      val wm = org.apache.spark.sql.expressions.Window
-        .orderBy(col("w"), col("a"), col("b"))
-      val med = pw
-        .withColumn("__rn", row_number().over(wm))
-        .crossJoin(broadcast(pw.agg(count(lit(1)).as("__n"))))
-        .agg(max(when(col("__rn") === ceil(col("__n") * 0.5), col("w")))
-          .as("med"))
-      val e = pw.crossJoin(broadcast(med))
-        .filter(col("w") > col("med"))
-        .select(col("a"), col("b"))
-      graft.operators.Graph.clusteringCoefficients(e, "a", "b")
+      graft.operators.Graph.clusteringCoefficients(brandGraph(s, dir), "a", "b")
         .orderBy(col("vertex"))
     }),
 
@@ -284,14 +284,7 @@ object AnalyticQueries extends QueryPack {
     }),
 
     "a_pagerank_parts" -> ((s, dir) => {
-      val op = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val e = op.as("x")
-        .join(op.as("y"), col("x.ok") === col("y.ok") && col("x.p") =!= col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b"))
-        .distinct()
-      graft.operators.Graph.pageRankInt(e, "a", "b", iters = 3)
+      graft.operators.Graph.pageRankInt(partGraph(s, dir), "a", "b", iters = 3)
         .orderBy(col("rank").desc, col("vertex"))
         .limit(20)
         .select(col("vertex").as("part_id"), col("rank").as("rank_micro"))
@@ -302,14 +295,8 @@ object AnalyticQueries extends QueryPack {
     // label. The oracle unrolls the exact recurrence as CTEs with a
     // window-argmax — structurally independent of the struct-max plan.
     "a_communities" -> ((s, dir) => {
-      val op = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val e = op.as("x")
-        .join(op.as("y"), col("x.ok") === col("y.ok") && col("x.p") =!= col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b"))
-        .distinct()
-      graft.operators.Graph.labelPropagation(e, "a", "b", iters = 3)
+      graft.operators.Graph.labelPropagation(partGraph(s, dir), "a", "b",
+          iters = 3)
         .select(col("vertex").as("part_id"), col("community"))
         .orderBy(col("part_id"))
     }),

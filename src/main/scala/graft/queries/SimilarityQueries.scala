@@ -662,8 +662,10 @@ object SimilarityQueries extends QueryPack {
       val books = Pq.trainResidualCodebooks(emb, "vec_id", "embedding",
         coarse, 8, 32, maxIter = 3)
       val qs = queriesOf(emb).localCheckpoint()
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_ivf_index").toString
+      // fixed per-JVM path, overwritten each run — a fresh temp dir per
+      // execution would leak one full index copy per bench pass
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ivfpq_indexed").toString
       Pq.writeIndex(
         Pq.encodeIndex(emb, "vec_id", "embedding", coarse, books), tmp)
       val viaIndex = Pq.ivfAdcTopKIndexed(s.read.parquet(tmp), qs, "vec_id",

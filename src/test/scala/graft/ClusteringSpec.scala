@@ -97,6 +97,36 @@ class ClusteringSpec extends AnyFunSuite {
       viaAgg.components.map(_.toSeq).toSeq == direct.components.map(_.toSeq).toSeq)
   }
 
+  test("moment aggregate: over-length rows clamp to dim; near-half rounding " +
+    "matches Spark round exactly") {
+    import graft.operators.Pca
+    import org.apache.spark.sql.graftx.MomentExpressions
+    // rows LONGER than the declared dim: the aggregate must mirror
+    // momentSums' element_at bound (read dim elements, never overrun)
+    val long3 = Seq((1L, Seq(1.5, -2.25, 99.0)), (2L, Seq(0.5, 3.0, -7.0)))
+      .toDF("vec_id", "embedding")
+    val m = long3.agg(MomentExpressions
+        .vectorMoments(col("embedding"), 2).as("m"))
+      .head().getSeq[Long](0).toArray
+    val exploded = Pca.momentSums(long3, "embedding", 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m(0) == 2L)
+    for (i <- 0 until 2) assert(m(1 + i) == exploded((i, -1)))
+    assert(m(3) == exploded((0, 0)) && m(4) == exploded((0, 1)) &&
+      m(5) == exploded((1, 1)))
+    // the JDK-8010430 near-half case: x·1e8 lands one ulp below a half
+    // boundary, where floor(x+0.5)'s ADD rounds up but HALF_UP must not
+    val tricky = 4.9999999999999994e-9
+    val t = Seq((1L, Seq(tricky))).toDF("vec_id", "embedding")
+    val viaAgg = t.agg(MomentExpressions.vectorMoments(col("embedding"), 1))
+      .head().getSeq[Long](0)(1)
+    val viaRound = t.select(
+      round(element_at(col("embedding"), 1) * lit(1e8)).cast("long"))
+      .head().getLong(0)
+    assert(viaAgg == viaRound,
+      s"aggregate $viaAgg must equal Spark round $viaRound on the tie hazard")
+  }
+
   test("kmeans recovers planted clusters, deterministically") {
     val df = planted()
     val c1 = Clustering.fit(df, "vec_id", "embedding", 3)
