@@ -143,6 +143,35 @@ object PretrainQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus datasheet (the "Datasheets for Datasets" deliverable a
+    // training-data pipeline publishes with every release): one row per
+    // source with doc/char/token totals, language spread, empty-doc count,
+    // and the exact LOWER-MEDIAN document length (deterministic order
+    // (n_chars, doc_id), element ⌈n/2⌉ — a per-source window, no global
+    // sort). All integer metrics → hash-exact.
+    "x_dataset_card" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          rawTokCount.cast("long").as("n_tok"))
+        .localCheckpoint() // feeds the totals AND the median window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val med = docs
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("__rn") === ceil(col("__n") * 0.5))
+        .select(col("source"), col("n_chars").as("median_chars"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tok")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum((col("n_tok") === 0).cast("long")).as("n_empty"))
+        .join(med, Seq("source"))
+        .orderBy(col("source"))
+    }),
+
     // Stupid Backoff LM scoring (Brants et al. 2007 — the count-based LM
     // built FOR distributed corpora): counts train on the even-doc_id half
     // so odd docs exercise the bigram→unigram→OOV-floor backoff chain.
@@ -543,6 +572,26 @@ object PretrainQueries extends QueryPack {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    "x_dataset_card" ->
+      s"""WITH d AS (SELECT doc_id, source, lang, n_chars,
+         |    CAST($rawTokCountSql AS BIGINT) AS n_tok FROM documents),
+         |r AS (SELECT source, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY source) AS n FROM d),
+         |med AS (SELECT source, n_chars AS median_chars FROM r
+         |  WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)),
+         |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(sum(CASE WHEN n_tok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_empty
+         |  FROM d GROUP BY source)
+         |SELECT agg.*, med.median_chars
+         |FROM agg JOIN med USING (source)
+         |ORDER BY source""".stripMargin,
+
     // full count-table retrain in SQL: same train split, same backoff
     // chain and division order, same micro-nat quantization
     "t_stupid_backoff" ->
