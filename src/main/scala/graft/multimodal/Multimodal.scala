@@ -304,19 +304,19 @@ object Multimodal {
     * recomputes the counts from a brute-force all-pairs compare — an
     * independent plan.)
     */
-  def ahashNearDupCounts(hashes: DataFrame, maxDist: Int = 1,
+  /** The ≤maxDist-Hamming pair set itself: (id_a < id_b) via the banded
+    * pigeonhole join. Shared core of [[ahashNearDupCounts]] and the
+    * cluster-collapse query. Input `hashes` should already be staged.
+    */
+  def ahashNearDupPairs(hashes: DataFrame, maxDist: Int = 1,
       bandBits: Int = 8): DataFrame = {
     require(maxDist >= 0, s"negative maxDist: $maxDist")
     val nBands = maxDist + 1
-    // staged: referenced by both self-join sides and the final left join —
-    // without this the upstream hash computation (and whatever feeds it)
-    // re-executes three times
-    val h = hashes.localCheckpoint()
-    val banded = h.select(col("media_id"), col("ahash"),
+    val banded = hashes.select(col("media_id"), col("ahash"),
         explode(sequence(lit(0), lit(nBands - 1))).as("__band"))
       .withColumn("__key",
         expr(s"(ahash >> (__band * $bandBits)) & ${(1 << bandBits) - 1}"))
-    val cand = banded.as("x")
+    banded.as("x")
       .join(banded.as("y"),
         col("x.__band") === col("y.__band") && col("x.__key") === col("y.__key")
           && col("x.media_id") < col("y.media_id"))
@@ -324,6 +324,16 @@ object Multimodal {
         col("y.media_id").as("id_b"), col("y.ahash").as("hb"))
       .distinct()
       .filter(expr("bit_count(ha ^ hb)") <= maxDist)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  def ahashNearDupCounts(hashes: DataFrame, maxDist: Int = 1,
+      bandBits: Int = 8): DataFrame = {
+    // staged: referenced by both self-join sides and the final left join —
+    // without this the upstream hash computation (and whatever feeds it)
+    // re-executes three times
+    val h = hashes.localCheckpoint()
+    val cand = ahashNearDupPairs(h, maxDist, bandBits)
     val partners = cand.select(col("id_a").as("media_id"))
       .unionByName(cand.select(col("id_b").as("media_id")))
       .groupBy(col("media_id")).agg(count(lit(1)).as("n_neardups"))

@@ -83,6 +83,25 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // Image dup CLUSTERS: connected components over the ≤1-bit aHash pair
+    // graph (transitive near-dup groups — the keep-one-per-cluster unit),
+    // singletons labeled by themselves. The oracle recomputes the pair
+    // graph brute-force and the closure as a recursive CTE — independent
+    // of both the banded join and the min-label propagation.
+    "m_ahash_clusters" -> ((s, dir) => {
+      val hashes = Multimodal.averageHash(Multimodal.gridFeatures(
+        Multimodal.imageTable(Tables.load(s, dir, "documents"))).toDF())
+        .localCheckpoint() // feeds pairs AND the singleton left join
+      val pairs = Multimodal.ahashNearDupPairs(hashes, maxDist = 1)
+      val comp = graft.operators.Graph
+        .connectedComponents(pairs, "id_a", "id_b")
+      hashes.join(comp.withColumnRenamed("vertex", "media_id"),
+          Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("component"), col("media_id")).as("cluster_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL audio decode: payloads are genuine RIFF/WAVE PCM16 files; every
     // output field is parsed from the fmt/data chunks and sample_sum is
     // recomputed from the decoded PCM stream. The oracle recomputes all of
@@ -207,6 +226,47 @@ object MultimodalQueries extends QueryPack {
         |SELECT h.media_id, h.ahash,
         |  COALESCE(pc.n_neardups, 0) AS n_neardups
         |FROM hsh h LEFT JOIN pc USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // brute-force pair graph + recursive-CTE closure — independent of the
+    // banded candidate join AND the distributed min-label propagation
+    "m_ahash_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, text,
+        |    doc_id % 64 + 16 AS w, doc_id % 48 + 12 AS h FROM documents),
+        |px AS (SELECT doc_id, text, w, h,
+        |    unnest(range(0, w * h)) AS i FROM d),
+        |c AS (SELECT doc_id,
+        |    CAST((i // w) * 4 // h * 4 + (i % w) * 4 // w AS INTEGER) AS cell,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE
+        |      ord(substr(text, CAST((i * 3) % length(text) AS INTEGER) + 1, 1))
+        |      + ord(substr(text, CAST((i * 3 + 1) % length(text) AS INTEGER) + 1, 1))
+        |      + ord(substr(text, CAST((i * 3 + 2) % length(text) AS INTEGER) + 1, 1))
+        |    END AS lum
+        |  FROM px),
+        |g AS (SELECT doc_id, cell, CAST(count(*) AS BIGINT) AS n_px,
+        |    CAST(sum(lum) AS BIGINT) AS lum_sum
+        |  FROM c GROUP BY doc_id, cell),
+        |tt AS (SELECT doc_id, CAST(sum(n_px) AS BIGINT) AS tn,
+        |    CAST(sum(lum_sum) AS BIGINT) AS tl FROM g GROUP BY doc_id),
+        |hsh AS (SELECT g.doc_id AS media_id,
+        |    CAST(sum(CASE WHEN lum_sum * tn > tl * n_px
+        |      THEN CAST(power(2, cell) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS ahash
+        |  FROM g JOIN tt ON g.doc_id = tt.doc_id GROUP BY g.doc_id),
+        |jp AS (SELECT a.media_id AS ia, b.media_id AS ib
+        |  FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 1),
+        |edges AS (SELECT ia AS a, ib AS b FROM jp
+        |  UNION ALL SELECT ib, ia FROM jp),
+        |reach(s, t2) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t2 = e.a),
+        |comp AS (SELECT s AS media_id, least(s, min(t2)) AS cluster_id
+        |  FROM reach GROUP BY s)
+        |SELECT h.media_id,
+        |  COALESCE(comp.cluster_id, h.media_id) AS cluster_id
+        |FROM hsh h LEFT JOIN comp USING (media_id)
         |ORDER BY media_id""".stripMargin,
 
     // GIF geometry is a pure function of doc_id (w = id%10+4, h = id%8+3,

@@ -281,6 +281,29 @@ class OpsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("domain cap: randomized corpora always equal the textbook window") {
+    import graft.ops.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(0xd0341bcaL)
+    for (trial <- 1 to 5) {
+      val nDoms = 1 + rnd.nextInt(6)
+      val rows = (0 until nDoms).flatMap { d =>
+        val size = 1 + rnd.nextInt(120)
+        (0 until size).map(i => (rnd.nextLong().abs, s"dom$d"))
+      }.distinct
+      val cap = 1 + rnd.nextInt(40)
+      val df = rows.toDF("id", "dom").repartition(1 + rnd.nextInt(6))
+      val got = Sampling.domainCap(df, "id", "dom", cap)
+        .select($"id", $"dom").as[(Long, String)].collect().toSet
+      val w = Window.partitionBy($"dom")
+        .orderBy(md5($"id".cast("string")), $"id")
+      val want = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= cap)
+        .select($"id", $"dom").as[(Long, String)].collect().toSet
+      assert(got == want, s"trial $trial (cap=$cap, doms=$nDoms)")
+    }
+  }
+
   test("domain cap: ranking windows are per (domain, bucket), never per domain") {
     import graft.ops.Sampling
     val df = (1L to 500L).map(i => (i, "only")).toDF("id", "dom")
