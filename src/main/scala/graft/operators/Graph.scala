@@ -150,6 +150,55 @@ object Graph {
     r.select(col("v").as("vertex"), col("r").as("rank"))
   }
 
+  /** PERSONALIZED PageRank: teleport mass returns only to the `seeds` set
+    * — the related-items / recommendations shape (rank every vertex by
+    * proximity to a query set under the damped walk):
+    *
+    *   r₀(v)   = scale·[v ∈ S]
+    *   rₖ₊₁(v) = (15·scale·[v ∈ S]) div 100
+    *              + (85 · Σ_{(u,v)∈E} (rₖ(u) div deg(u))) div 100
+    *
+    * Same integer fixed-point arithmetic, per-round shape, overflow bound,
+    * and oracle-unrollability as [[pageRankInt]]; the only change is the
+    * seed indicator riding the vertex frame (one broadcast-friendly
+    * left-semi flag, checkpointed with it). Vertices unreachable from the
+    * seeds stay at rank 0 — the property that makes PPR a proximity
+    * measure rather than a global centrality.
+    *
+    * Output: (`vertex`, `rank`) in `1/scale` units.
+    */
+  def personalizedPageRankInt(edges: DataFrame, src: String, dst: String,
+      seeds: DataFrame, seedCol: String, iters: Int = 3,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "personalizedPageRankInt needs at least one round")
+    val e = edges.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val sd = seeds.select(col(seedCol).cast("long").as("v")).distinct()
+    val verts = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .distinct()
+      .join(sd.withColumn("__seed", lit(1L)), Seq("v"), "left")
+      .select(col("v"), coalesce(col("__seed"), lit(0L)).as("__seed"))
+      .localCheckpoint()
+    val base = (15L * scale) / 100L
+    var r = verts.withColumn("r", col("__seed") * scale)
+      .select(col("v"), col("r"))
+    for (_ <- 1 to iters) {
+      val rd = deg.join(r.withColumnRenamed("v", "a"), Seq("a"))
+      val contrib = e.join(rd, Seq("a"))
+        .groupBy(col("b").as("v"))
+        .agg(sum(expr("r div d")).as("s"))
+      r = verts.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (col("__seed") * base + expr("(85 * coalesce(s, 0L)) div 100"))
+            .as("r"))
+    }
+    r.select(col("v").as("vertex"), col("r").as("rank"))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan, Albert,
     * Kumara 2007) made DETERMINISTIC: every vertex starts labeled with
     * itself; each round every vertex simultaneously adopts the most common

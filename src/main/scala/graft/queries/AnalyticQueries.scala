@@ -290,6 +290,23 @@ object AnalyticQueries extends QueryPack {
         .select(col("vertex").as("part_id"), col("rank").as("rank_micro"))
     }),
 
+    // Personalized PageRank from a seed slice of parts (p % 53 == 0) —
+    // the related-items proximity ranking: teleport mass returns only to
+    // the seeds, so scores measure closeness to the query set. Same
+    // integer recurrence as a_pagerank_parts with a seed indicator; the
+    // oracle unrolls it term by term.
+    "a_ppr_parts" -> ((s, dir) => {
+      val e = partGraph(s, dir)
+      val seeds = Tables.load(s, dir, "part")
+        .filter(col("p_partkey") % 53 === 0)
+        .select(col("p_partkey"))
+      graft.operators.Graph
+        .personalizedPageRankInt(e, "a", "b", seeds, "p_partkey", iters = 3)
+        .orderBy(col("rank").desc, col("vertex"))
+        .limit(20)
+        .select(col("vertex").as("part_id"), col("rank").as("rank_micro"))
+    }),
+
     // Deterministic label-propagation communities over the same symmetric
     // part co-occurrence graph: 3 synchronous rounds, ties to the smallest
     // label. The oracle unrolls the exact recurrence as CTEs with a
@@ -595,6 +612,30 @@ object AnalyticQueries extends QueryPack {
          |${round(1)},
          |${round(2)},
          |${round(3)}
+         |SELECT v AS part_id, r AS rank_micro FROM r3
+         |ORDER BY rank_micro DESC, part_id LIMIT 20""".stripMargin
+    },
+
+    "a_ppr_parts" -> {
+      // one damped personalized round: teleport only to the seed flag
+      def pround(k: Int): String =
+        s"""c$k AS (SELECT e.b AS vv, SUM(r${k - 1}.r // deg.d) AS s
+           |  FROM e JOIN deg ON e.a = deg.a JOIN r${k - 1} ON r${k - 1}.v = e.a
+           |  GROUP BY e.b),
+           |r$k AS (SELECT v.v,
+           |    CAST(v.sd * 150000 + (85 * COALESCE(c$k.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM v LEFT JOIN c$k ON c$k.vv = v.v)""".stripMargin
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |    FROM lineitem),
+         |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p <> y.p),
+         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+         |v AS (SELECT v, CASE WHEN v % 53 = 0 THEN 1 ELSE 0 END AS sd
+         |  FROM (SELECT a AS v FROM e UNION SELECT b FROM e)),
+         |r0 AS (SELECT v, CAST(sd * 1000000 AS BIGINT) AS r FROM v),
+         |${pround(1)},
+         |${pround(2)},
+         |${pround(3)}
          |SELECT v AS part_id, r AS rank_micro FROM r3
          |ORDER BY rank_micro DESC, part_id LIMIT 20""".stripMargin
     },

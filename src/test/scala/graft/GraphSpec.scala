@@ -140,6 +140,36 @@ class GraphSpec extends AnyFunSuite {
     assert(lp.values.toSet.size == 1, s"star must converge to one community: $lp")
   }
 
+  test("personalized pagerank: mass reaches only the seed's component; " +
+    "disconnected vertices stay 0; equals an in-memory fold") {
+    // path 1-2-3-4 (both directions) + disconnected pair 10-11; seed {1}
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (10L, 11L), (11L, 10L)).toDF("a", "b")
+    val seeds = Seq(Tuple1(1L)).toDF("s")
+    val got = Graph.personalizedPageRankInt(edges, "a", "b", seeds, "s",
+        iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(10L) == 0L && got(11L) == 0L,
+      "unreachable component must hold zero mass")
+    // every vertex within 3 hops of the seed has received mass (note the
+    // per-round amounts are NOT monotone in distance at small iteration
+    // counts — the walk pushes mass outward as a wave)
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) > 0L), got.toString)
+    // independent in-memory fold of the same integer recurrence
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L),
+      4L -> Seq(3L), 10L -> Seq(11L), 11L -> Seq(10L))
+    val vs = adj.keySet
+    var r = vs.map(v => v -> (if (v == 1L) 1000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map(
+        vs.toSeq.map(_ -> 0L): _*)
+      for ((u, ns) <- adj; n <- ns) contrib(n) += r(u) / ns.size
+      r = vs.map(v => v ->
+        ((if (v == 1L) 150000L else 0L) + 85L * contrib(v) / 100L)).toMap
+    }
+    assert(got == r, s"got $got want $r")
+  }
+
   test("clustering coefficients hand-computed on square + chord + pendant") {
     // square 1-2-3-4 with chord 1-3 and pendant 4-5:
     // triangles (1,2,3), (1,3,4); degrees 1:3 2:2 3:3 4:3 5:1
