@@ -93,8 +93,12 @@ object MultimodalQueries extends QueryPack {
         Multimodal.imageTable(Tables.load(s, dir, "documents"))).toDF())
         .localCheckpoint() // feeds pairs AND the singleton left join
       val pairs = Multimodal.ahashNearDupPairs(hashes, maxDist = 1)
+      // star variant: Hamming-1 chains through a dense hash space can run
+      // far past min-label propagation's diameter budget (the sf0.1 depth
+      // gate caught exactly that — 32 mislabeled vertices at 20 rounds);
+      // large/small-star converges in O(log² n) rounds regardless
       val comp = graft.operators.Graph
-        .connectedComponents(pairs, "id_a", "id_b")
+        .connectedComponentsStar(pairs, "id_a", "id_b")
       hashes.join(comp.withColumnRenamed("vertex", "media_id"),
           Seq("media_id"), "left")
         .select(col("media_id"),

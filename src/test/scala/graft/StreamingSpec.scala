@@ -387,4 +387,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(nKeys == expected)
     } finally q.stop()
   }
+
+  test("naive bayes scoring streams ≡ batch (frozen model, stateless projection)") {
+    // the production deployment: train the reference classifier offline,
+    // then score live ingest with the frozen model — scoring is a
+    // stateless zero-shuffle projection, so it must compose into
+    // readStream unchanged and reproduce the batch scores exactly
+    import graft.ops.NaiveBayes
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-nb").toString
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(300).localCheckpoint()
+    val model = NaiveBayes.train(docs, "text",
+      $"source".isin("src0", "src1", "src2"), vocabSize = 200)
+    docs.write.parquet(s"$dir/in")
+    val q = NaiveBayes.score(
+        spark.readStream.schema(docs.schema).parquet(s"$dir/in"), "text", model)
+      .select($"doc_id", $"margin_q", $"pred")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("nb_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("nb_stream")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val batch = NaiveBayes
+        .score(spark.read.parquet(s"$dir/in"), "text", model)
+        .select($"doc_id", $"margin_q", $"pred")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
 }
