@@ -87,6 +87,39 @@ object Robust {
         (sumStable(col(valueCol)) / count(lit(1))).as("trimmed_mean"))
   }
 
+  /** Winsorized per-key mean: the tail values CLAMP to the trim-boundary
+    * order statistics instead of being dropped — the robust-mean variant
+    * that keeps n constant (metric pipelines prefer it when counts must
+    * reconcile across reports, where [[trimmedMean]] changes the
+    * denominator). Boundaries are real data values (rank cut+1 from below,
+    * rank n−cut from above, same deterministic (value, id) order as the
+    * trim), clamping is exact selection, and the mean goes through the
+    * decimal-stable sum — engine-exact end to end. One window pass + one
+    * aggregation; per-key state is O(1).
+    */
+  def winsorizedMean(df: DataFrame, keyCol: String, valueCol: String,
+      idCol: String, trim: Double = 0.1): DataFrame = {
+    require(trim >= 0 && trim < 0.5, s"trim must be in [0, 0.5), got $trim")
+    import graft.ops.Aggregations.sumStable
+    val wr = Window.partitionBy(col(keyCol)).orderBy(col(valueCol), col(idCol))
+    val wp = Window.partitionBy(col(keyCol))
+    df.select(col(keyCol), col(valueCol), col(idCol))
+      .withColumn("__rn", row_number().over(wr))
+      .withColumn("__n", count(lit(1)).over(wp))
+      .withColumn("__cut", floor(col("__n").cast("double") * lit(trim)))
+      .withColumn("__lo",
+        max(when(col("__rn") === col("__cut") + 1, col(valueCol))).over(wp))
+      .withColumn("__hi",
+        max(when(col("__rn") === col("__n") - col("__cut"), col(valueCol)))
+          .over(wp))
+      .withColumn("__w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("__lo")).as("lo_bound"), max(col("__hi")).as("hi_bound"),
+        (sumStable(col("__w")) / count(lit(1))).as("winsorized_mean"))
+  }
+
   /** Per-key Gini concentration index of a non-negative integer measure —
     * the data-balance diagnostic (how unevenly are characters/tokens
     * spread across a source's documents): G = Σᵢ (2i − n − 1)·x₍ᵢ₎ /

@@ -286,6 +286,15 @@ object EventQueries extends QueryPack {
           "event_type", "value", "event_id", trim = 0.1)
         .orderBy(col("event_type"))),
 
+    // Winsorized mean per event type — the tail-clamping complement of the
+    // trimmed mean (n stays constant, so counts reconcile across reports);
+    // boundaries are order statistics of real values, clamping is exact
+    // selection, sum is decimal-stable → engine-exact.
+    "e_winsorized_mean" -> ((s, dir) =>
+      graft.ops.Robust.winsorizedMean(Tables.load(s, dir, "events"),
+          "event_type", "value", "event_id", trim = 0.1)
+        .orderBy(col("event_type"))),
+
     // Robust (median/MAD) outlier screen on event values per type — the
     // data-quality gate that doesn't move when the anomalies themselves
     // shift the mean. All statistics are order statistics of real data
@@ -452,6 +461,27 @@ object EventQueries extends QueryPack {
         |  CAST(CAST(sum(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
         |    / count(*) AS trimmed_mean
         |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e_winsorized_mean" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |b AS (SELECT event_type,
+        |    max(CASE WHEN rn = floor(CAST(n AS DOUBLE) * 0.1) + 1
+        |      THEN value END) AS lo_bound,
+        |    max(CASE WHEN rn = n - floor(CAST(n AS DOUBLE) * 0.1)
+        |      THEN value END) AS hi_bound
+        |  FROM r GROUP BY event_type)
+        |SELECT r.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  lo_bound, hi_bound,
+        |  CAST(CAST(sum(CAST(least(greatest(value, lo_bound), hi_bound)
+        |    AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+        |    / count(*) AS winsorized_mean
+        |FROM r JOIN b USING (event_type)
+        |GROUP BY r.event_type, lo_bound, hi_bound
+        |ORDER BY r.event_type""".stripMargin,
 
     "e_resample_interp" ->
       """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h,

@@ -553,6 +553,26 @@ class OpsSpec extends AnyFunSuite {
     assert(maxArea <= 4096 / 2, s"partition bounding box too fat: $maxArea")
   }
 
+  test("winsorized mean: tails clamp to boundary order statistics; n constant") {
+    import graft.ops.Robust
+    // 10 values 1..9 + 1000 at trim 0.1: cut = 1, lo = value at rank 2 = 2,
+    // hi = value at rank 9 = 9 → clamped set {2,2,3,4,5,6,7,8,9,9}
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }.toDF("k", "v", "id")
+    val r = Robust.winsorizedMean(df, "k", "v", "id", trim = 0.1)
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(r == (("g", 10L, 2.0, 9.0, 5.5)), r.toString)
+    // tiny group: cut = 0 → boundaries are min/max → plain mean, n kept
+    val tiny = Seq(("h", 3.0, 1L), ("h", 5.0, 2L)).toDF("k", "v", "id")
+    val r2 = Robust.winsorizedMean(tiny, "k", "v", "id", trim = 0.1)
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(r2 == (("h", 2L, 3.0, 5.0, 4.0)), r2.toString)
+    // vs trimmedMean on the same data: winsorize keeps all 10 rows
+    val t = Robust.trimmedMean(df, "k", "v", "id", trim = 0.1)
+      .select($"n_kept").as[Long].head()
+    assert(t == 8L && r._2 == 10L)
+  }
+
   test("MAD outliers: hand-computed stats; median immune to the outlier") {
     import graft.ops.Robust
     // values 1..9 plus one wild corrupt point: med = 5.5's lower → with
