@@ -61,12 +61,17 @@ final class MomentBuffer(val dim: Int) {
     val n = math.min(arr.numElements(), dim)
     var i = 0
     while (i < n) {
-      val xi = arr.getDouble(i)
-      acc(1 + i) += q(xi)
-      var j = i
-      while (j < n) {
-        acc(triIdx(i, j)) += q(xi * arr.getDouble(j))
-        j += 1
+      // element_at semantics: a NULL element yields null, which the
+      // exploded form's sum() skips — mirror that here (for sxy either
+      // null operand nulls the product)
+      if (!arr.isNullAt(i)) {
+        val xi = arr.getDouble(i)
+        acc(1 + i) += q(xi)
+        var j = i
+        while (j < n) {
+          if (!arr.isNullAt(j)) acc(triIdx(i, j)) += q(xi * arr.getDouble(j))
+          j += 1
+        }
       }
       i += 1
     }

@@ -291,8 +291,12 @@ object Multimodal {
       .withColumn("__bit",
         (col("lum_sum") * col("__tn") > col("__tl") * col("n_px")).cast("long"))
       .groupBy(col("media_id"))
-      .agg(sum(col("__bit") * expr("CAST(power(2, cell) AS BIGINT)"))
-        .as("ahash"))
+      // shiftleft, NOT pow()+cast: the double→bigint cast saturates at
+      // 2^63 (cell 63 would silently become Long.MaxValue); a true bit
+      // shift is exact for every cell 0..63 (cell 63 yields the sign bit —
+      // fine, the pair join reads bands with a LOGICAL shift)
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), cell)")
+        * col("__bit")).as("ahash"))
   }
 
   /** Per-image count of near-duplicate partners: images whose aHash is
@@ -315,7 +319,9 @@ object Multimodal {
     val banded = hashes.select(col("media_id"), col("ahash"),
         explode(sequence(lit(0), lit(nBands - 1))).as("__band"))
       .withColumn("__key",
-        expr(s"(ahash >> (__band * $bandBits)) & ${(1 << bandBits) - 1}"))
+        // LOGICAL shift: an arithmetic >> would sign-extend a 64-bit hash
+        // (cell 63 set ⇒ negative) and corrupt the high band keys
+        expr(s"shiftrightunsigned(ahash, __band * $bandBits) & ${(1 << bandBits) - 1}"))
     banded.as("x")
       .join(banded.as("y"),
         col("x.__band") === col("y.__band") && col("x.__key") === col("y.__key")

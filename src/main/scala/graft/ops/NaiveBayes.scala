@@ -44,7 +44,11 @@ object NaiveBayes {
       posPrior: Long, negPrior: Long)
 
   private def q(num: Long, den: Long): Long =
-    Math.round(Math.log(num.toDouble / den.toDouble) * 1e6)
+    // HALF_UP away from zero — the repo-wide (and DuckDB round()) tie
+    // convention; Math.round is half-up toward +∞, which diverges on
+    // negative .5 boundaries
+    java.math.BigDecimal.valueOf(Math.log(num.toDouble / den.toDouble) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
 
   /** One corpus pass + bounded driver work. `label` must be a boolean
     * Column (true = reference class); `text` the raw text column name.

@@ -662,10 +662,11 @@ object SimilarityQueries extends QueryPack {
       val books = Pq.trainResidualCodebooks(emb, "vec_id", "embedding",
         coarse, 8, 32, maxIter = 3)
       val qs = queriesOf(emb).localCheckpoint()
-      // fixed per-JVM path, overwritten each run — a fresh temp dir per
-      // execution would leak one full index copy per bench pass
-      val tmp = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_ivfpq_indexed").toString
+      // per-JVM path (applicationId is stable within a JVM, unique across
+      // JVMs), overwritten each run — no leak per bench pass, and no
+      // overwrite-vs-read race when Verify and Bench run concurrently
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfpq_indexed_${s.sparkContext.applicationId}").toString
       Pq.writeIndex(
         Pq.encodeIndex(emb, "vec_id", "embedding", coarse, books), tmp)
       val viaIndex = Pq.ivfAdcTopKIndexed(s.read.parquet(tmp), qs, "vec_id",

@@ -97,6 +97,34 @@ class ClusteringSpec extends AnyFunSuite {
       viaAgg.components.map(_.toSeq).toSeq == direct.components.map(_.toSeq).toSeq)
   }
 
+  test("moment aggregate mirrors element_at null-element semantics " +
+    "(null elements skipped, like the exploded sum)") {
+    import graft.operators.Pca
+    import org.apache.spark.sql.graftx.MomentExpressions
+    // rows whose ARRAYS contain null elements: element_at yields null there,
+    // sum() skips it — the aggregate must contribute nothing for that
+    // element (and null either operand of a cross term)
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.5, null, 3.0)),
+      (2L, Seq[java.lang.Double](null, 2.0, null)),
+      (3L, Seq[java.lang.Double](4.0, -1.0, 0.5))
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val m = df.agg(MomentExpressions
+        .vectorMoments(col("embedding"), 3).as("m"))
+      .head().getSeq[Long](0).toArray
+    val exploded = Pca.momentSums(df, "embedding", 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m(0) == 3L)
+    for (i <- 0 until 3)
+      assert(m(1 + i) == exploded.getOrElse((i, -1), 0L), s"sx($i)")
+    var idx = 1 + 3
+    for (i <- 0 until 3; j <- i until 3) {
+      assert(m(idx) == exploded.getOrElse((i, j), 0L), s"sxy($i,$j)")
+      idx += 1
+    }
+  }
+
   test("moment aggregate: over-length rows clamp to dim; near-half rounding " +
     "matches Spark round exactly") {
     import graft.operators.Pca

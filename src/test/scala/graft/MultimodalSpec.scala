@@ -326,4 +326,26 @@ class MultimodalSpec extends AnyFunSuite {
       .select($"media_id", $"n_neardups").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L), got.toString)
   }
+
+  test("average hash is exact at grid=8 (64 bits): the sign bit sets " +
+    "cleanly and the banded pair join still matches on high bands") {
+    // one bright cell at index 63 (the sign bit) over an otherwise-dark
+    // image: the old power(2,cell) double cast saturated here; shiftleft
+    // must give exactly Long.MinValue (bit 63 alone)
+    val grid = (0 until 64).map(c =>
+      (1L, c, 1L, if (c == 63) 100L else 0L))
+      .toDF("media_id", "cell", "n_px", "lum_sum")
+    val h = Multimodal.averageHash(grid).as[(Long, Long)].collect().toMap
+    assert(h == Map(1L -> Long.MinValue), s"bit-63 hash: $h")
+    // negative hashes through the banded join: ids 1/2 differ only in bit
+    // 0 (distance 1, both negative); id 3 is distance 2 away. Arithmetic
+    // band extraction would sign-extend the high bands into garbage.
+    val hashes = Seq(
+      (1L, Long.MinValue | 0x01L), (2L, Long.MinValue),
+      (3L, Long.MinValue | 0x03L))
+      .toDF("media_id", "ahash")
+    val pairs = Multimodal.ahashNearDupPairs(hashes, maxDist = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L)), pairs.toString)
+  }
 }
