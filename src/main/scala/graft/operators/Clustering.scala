@@ -23,21 +23,33 @@ object Clustering {
 
   /** 0-based cell index of the max-cosine centroid, as a pure per-row
     * expression: centroids are driver-side constants, so assignment is one
-    * narrow projection of k codegen'd dot products — no join, no shuffle.
-    * Ties break to the smallest index (struct max compares cosine first,
-    * then the negated index). `nrm` is the row's precomputed L2 norm.
+    * narrow projection — no join, no shuffle. Ties break to the smallest
+    * index (struct max compares cosine first, then the negated index).
+    * `nrm` is the row's precomputed L2 norm.
+    *
+    * Up to `literalMax` centroids the projection is k codegen'd literal dot
+    * products; beyond that (large-k training — the IVFADC coarse-quantizer
+    * regime) it switches to the embedded-array
+    * [[org.apache.spark.sql.graftx.CosineArgmaxCell]] kernel, which keeps
+    * the plan O(1) in k (the literal struct-max tree is linear in k —
+    * Janino recompile + per-stage serialization blow up past a few hundred
+    * cells). The two paths are bit-identical (same score shape, fold order,
+    * SQL-ordering tie-breaks — spec-asserted at equal k).
     */
-  def assignCell(vec: Column, nrm: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (cvec, j) =>
-      // centroid norm is a driver constant; same left-fold + sqrt as the
-      // executor-side recompute, so gate comparisons are bit-exact
-      val cn = math.sqrt(cvec.map(x => x * x).sum)
-      val safe = if (cn == 0.0) 1.0 else cn
-      struct((dot(vec, typedlit(cvec)) / (nrm * lit(safe))).as("s"),
-        lit(-j).as("nj"))
-    }
-    -array_max(array(scored: _*)).getField("nj")
-  }
+  def assignCell(vec: Column, nrm: Column, centroids: Seq[Seq[Double]],
+      literalMax: Int = Pq.LiteralCellThreshold): Column =
+    if (centroids.size <= literalMax) {
+      val scored = centroids.zipWithIndex.map { case (cvec, j) =>
+        // centroid norm is a driver constant; same left-fold + sqrt as the
+        // executor-side recompute, so gate comparisons are bit-exact
+        val cn = math.sqrt(cvec.map(x => x * x).sum)
+        val safe = if (cn == 0.0) 1.0 else cn
+        struct((dot(vec, typedlit(cvec)) / (nrm * lit(safe))).as("s"),
+          lit(-j).as("nj"))
+      }
+      -array_max(array(scored: _*)).getField("nj")
+    } else org.apache.spark.sql.graftx.PqExpressions
+      .cosineArgmaxCell(vec, nrm, centroids)
 
   /** `df` plus a `cellCol` column assigning each row to its nearest (by
     * cosine) centroid. Narrow — adds zero exchanges to the plan.

@@ -165,24 +165,45 @@ object Pq {
   // coding keeps quantization error far below raw-vector PQ at equal bits.
   // ---------------------------------------------------------------------
 
+  /** Above this coarse-cell count the probe/residual paths switch from
+    * plan-LITERAL centroids (C struct expressions / a C·dim `typedlit`) to
+    * the embedded-array kernels ([[org.apache.spark.sql.graftx.CoarseProbe]]
+    * etc.): the literal plan tree is linear in C — Janino recompiles it per
+    * plan and the driver serializes it per stage — which caps C at a few
+    * hundred, while the kernels keep the plan O(1) and ship the centroid
+    * table once per stage inside the broadcast task binary (the same
+    * transport [[codesExpr]] has always used for the codebooks). Both paths
+    * are bit-identical by construction (same score shape, fold order, and
+    * SQL-ordering tie-breaks — spec-asserted at equal C), so the switch is
+    * purely mechanical.
+    */
+  val LiteralCellThreshold: Int = 256
+
   /** 0-based L2-argmin cell id for a full vector against the literal coarse
     * centroids — the [[codesExpr]] kernel with one "subspace" spanning the
     * whole dimension (the partial score ‖c‖² − 2·v·c has the same argmin as
-    * full L2; ties to the smallest cell index).
+    * full L2; ties to the smallest cell index). Already an embedded-array
+    * kernel — safe at any C.
     */
   def coarseCellExpr(vec: Column, coarse: Seq[Seq[Double]]): Column =
     element_at(codesExpr(vec, Seq(coarse)), 1)
 
   /** `df` plus the coarse cell id and the residual v − centroid(cell), as
-    * one zero-shuffle projection (centroids are driver-literal model state).
+    * one zero-shuffle projection (centroids are driver-side model state —
+    * plan literals up to `literalMax` cells, embedded-kernel beyond).
     */
   def withResidual(df: DataFrame, vec: String, coarse: Seq[Seq[Double]],
-      cellCol: String = "__cell", resCol: String = "__res"): DataFrame = {
+      cellCol: String = "__cell", resCol: String = "__res",
+      literalMax: Int = LiteralCellThreshold): DataFrame = {
     val vd = col(vec).cast("array<double>")
-    df.withColumn(cellCol, coarseCellExpr(vd, coarse))
-      .withColumn(resCol,
+    val withCell = df.withColumn(cellCol, coarseCellExpr(vd, coarse))
+    if (coarse.size <= literalMax)
+      withCell.withColumn(resCol,
         zip_with(vd, element_at(typedlit(coarse), col(cellCol) + 1),
           (a, b) => a - b))
+    else
+      withCell.withColumn(resCol, org.apache.spark.sql.graftx.PqExpressions
+        .coarseResidual(vd, col(cellCol).cast("int"), coarse))
   }
 
   /** PQ codebooks trained on coarse-cell RESIDUALS — same single-scan Lloyd
@@ -208,9 +229,11 @@ object Pq {
     */
   def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
-      k: Int, nProbe: Int): DataFrame =
-    ivfAdcTopKIndexed(encodeIndex(corpus, id, vec, coarse, codebooks),
-      queries, id, vec, coarse, codebooks, k, nProbe)
+      k: Int, nProbe: Int,
+      literalMax: Int = LiteralCellThreshold): DataFrame =
+    ivfAdcTopKIndexed(
+      encodeIndex(corpus, id, vec, coarse, codebooks, literalMax),
+      queries, id, vec, coarse, codebooks, k, nProbe, literalMax)
 
   /** The persisted-index representation: (neighbor_id, cell, code) — a
     * zero-shuffle encoding projection. This is the table a production
@@ -221,8 +244,9 @@ object Pq {
     */
   def encodeIndex(corpus: DataFrame, id: String, vec: String,
       coarse: Seq[Seq[Double]],
-      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
-    withResidual(corpus, vec, coarse)
+      codebooks: Seq[Seq[Seq[Double]]],
+      literalMax: Int = LiteralCellThreshold): DataFrame =
+    withResidual(corpus, vec, coarse, literalMax = literalMax)
       .select(col(id).as("neighbor_id"), col("__cell").as("cell"),
         codesExpr(col("__res"), codebooks).as("code"))
 
@@ -240,7 +264,8 @@ object Pq {
     */
   def ivfAdcTopKIndexed(index: DataFrame, queries: DataFrame, id: String,
       vec: String, coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int,
+      literalMax: Int = LiteralCellThreshold): DataFrame = {
     require(nProbe >= 1 && nProbe <= coarse.size,
       s"nProbe $nProbe out of range for ${coarse.size} cells")
     val m = codebooks.size
@@ -248,24 +273,37 @@ object Pq {
       col("cell").cast("int").as("__cell"), col("code").as("__code"))
     val qd = queries.select(col(id).as("query_id"),
       col(vec).cast("array<double>").as("__qv"))
-    // nProbe closest cells: per-cell partial L2 score against the literal
-    // centroids (‖c‖² − 2·q·c, driver-side ‖c‖² left-fold matches the
-    // executor-side dot fold bit-for-bit), smallest-(score, cell) first
-    val cellScores = coarse.zipWithIndex.map { case (cvec, j) =>
-      val cn2 = cvec.foldLeft(0.0)((a, x) => a + x * x)
-      struct((lit(cn2) - lit(2.0) *
-        graft.functions.VectorFunctions.dot(col("__qv"), typedlit(cvec)))
-        .as("d"), lit(j).as("j"))
-    }
+    // nProbe closest cells per query, smallest-(score, cell) first. Small C:
+    // per-cell partial L2 against LITERAL centroids (‖c‖² − 2·q·c,
+    // driver-side ‖c‖² left-fold matches the executor-side dot fold
+    // bit-for-bit) sorted as C structs. Large C: the bounded-insertion
+    // embedded-array kernel — same scores, same (score, cell) order, plan
+    // size O(1) instead of O(C) (spec-asserted identical at equal C).
+    // Either way the probe frame carries exactly |Q|·nProbe rows.
+    val probeArr =
+      if (coarse.size <= literalMax) {
+        val cellScores = coarse.zipWithIndex.map { case (cvec, j) =>
+          val cn2 = cvec.foldLeft(0.0)((a, x) => a + x * x)
+          struct((lit(cn2) - lit(2.0) *
+            graft.functions.VectorFunctions.dot(col("__qv"), typedlit(cvec)))
+            .as("d"), lit(j).as("j"))
+        }
+        slice(array_sort(array(cellScores: _*)), 1, nProbe).getField("j")
+      } else org.apache.spark.sql.graftx.PqExpressions
+        .coarseProbe(col("__qv"), coarse, nProbe)
     val probed = qd
-      .withColumn("__probe", slice(array_sort(array(cellScores: _*)), 1, nProbe))
+      .withColumn("__probe", probeArr)
       .select(col("query_id"), col("__qv"),
-        explode(col("__probe").getField("j")).as("__cell"))
+        explode(col("__probe")).as("__cell"))
     // per probed (query, cell): residual table against THAT cell's centroid
-    val q = probed
-      .withColumn("__qres",
+    val qres =
+      if (coarse.size <= literalMax)
         zip_with(col("__qv"), element_at(typedlit(coarse), col("__cell") + 1),
-          (a, b) => a - b))
+          (a, b) => a - b)
+      else org.apache.spark.sql.graftx.PqExpressions
+        .coarseResidual(col("__qv"), col("__cell").cast("int"), coarse)
+    val q = probed
+      .withColumn("__qres", qres)
       .select(col("query_id"), col("__cell"),
         org.apache.spark.sql.graftx.PqExpressions
           .pqDistTable(col("__qres"), codebooks).as("__tbl"))

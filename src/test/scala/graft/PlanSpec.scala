@@ -86,6 +86,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("ivfadc large-C: kernel probe keeps the same plan shape — probe side " +
+      "is the bounded |Q|·nProbe explode feeding the cell equi-join") {
+    import graft.operators.{Clustering, Pq}
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, dir, "embeddings")
+    val coarse = Clustering.fit(emb, "vec_id", "embedding", 4, maxIter = 1)
+    val books = Pq.trainResidualCodebooks(emb, "vec_id", "embedding", coarse,
+      m = 8, k = 4, maxIter = 1)
+    val qs = emb.filter(col("vec_id") % 97 === 0)
+    // literalMax = 0 forces the kernel path at any C (the production
+    // switch engages it past LiteralCellThreshold cells)
+    val p = Pq.ivfAdcTopK(emb, qs, "vec_id", "embedding", coarse, books,
+        k = 5, nProbe = 2, literalMax = 0)
+      .queryExecution.explainString(FormattedMode)
+    // same scale shape as the literal path: hash equi-join on __cell with
+    // the probe side broadcast, bounded-heap final reduction
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("Left keys [1]: [__cell"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_bounded_topk"), p)
+    assert(!p.contains("Window"), p)
+    // the probe side entering the join is the per-query coarse_probe array
+    // exploded — structurally ≤ |Q|·nProbe rows; the centroid table rides
+    // the expression object, so the plan mentions only its SIZE
+    assert(p.contains("coarse_probe"), p)
+    assert(p.contains("explode(__probe"), p)
+    assert(p.contains("coarse_residual"), p)
+  }
+
   test("blocked cosine near-dup is an equi-join: no BNLJ, no cartesian") {
     val p = plan("v_cosine_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
