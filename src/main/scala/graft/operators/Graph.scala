@@ -159,17 +159,17 @@ object Graph {
     *              + (85 · Σ_{(u,v)∈E} (rₖ(u) div deg(u))) div 100
     *
     * Same integer fixed-point arithmetic, per-round shape, overflow bound,
-    * and oracle-unrollability as [[pageRankInt]]; the only change is the
-    * seed indicator riding the vertex frame (one broadcast-friendly
-    * left-semi flag, checkpointed with it). Vertices unreachable from the
-    * seeds stay at rank 0 — the property that makes PPR a proximity
-    * measure rather than a global centrality.
+    * salted-hub-join option, and oracle-unrollability as [[pageRankInt]];
+    * the only change is the seed indicator riding the vertex frame (one
+    * broadcast-friendly left-semi flag, checkpointed with it). Vertices
+    * unreachable from the seeds stay at rank 0 — the property that makes
+    * PPR a proximity measure rather than a global centrality.
     *
     * Output: (`vertex`, `rank`) in `1/scale` units.
     */
   def personalizedPageRankInt(edges: DataFrame, src: String, dst: String,
       seeds: DataFrame, seedCol: String, iters: Int = 3,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L, saltBuckets: Int = 1): DataFrame = {
     require(iters >= 1, "personalizedPageRankInt needs at least one round")
     val e = edges.select(col(src).cast("long").as("a"),
         col(dst).cast("long").as("b"))
@@ -187,8 +187,14 @@ object Graph {
     var r = verts.withColumn("r", col("__seed") * scale)
       .select(col("v"), col("r"))
     for (_ <- 1 to iters) {
+      // same hub-source mitigation as pageRankInt: the edge side salts,
+      // the one-row-per-vertex (rank, degree) side replicates buckets×;
+      // long sums are order-insensitive, so ranks are bit-identical
       val rd = deg.join(r.withColumnRenamed("v", "a"), Seq("a"))
-      val contrib = e.join(rd, Seq("a"))
+      val joined =
+        if (saltBuckets == 1) e.join(rd, Seq("a"))
+        else graft.ops.Skew.saltedInnerJoin(e, rd, Seq("a"), saltBuckets)
+      val contrib = joined
         .groupBy(col("b").as("v"))
         .agg(sum(expr("r div d")).as("s"))
       r = verts.join(contrib, Seq("v"), "left")
@@ -265,35 +271,65 @@ object Graph {
     *
     * Scale shape: triangles enumerate once each on the canonical order
     * (wedge a<m<c equi-join + closing-edge join — the [[Graph]] triangle
-    * pattern; pre-cut hub edges upstream, as the brand-graph query's
-    * median cut does, to bound wedge fan-out), then explode to their 3
-    * corners for the per-vertex count — ×3 amplification of the sparse
-    * TRIANGLE set only, never of the edge set. Degrees are one
-    * map-side-combinable count over the symmetric view.
+    * pattern), then explode to their 3 corners for the per-vertex count —
+    * ×3 amplification of the sparse TRIANGLE set only, never of the edge
+    * set. Degrees are one map-side-combinable count over the symmetric
+    * view.
+    *
+    * `maxDeg` is the in-op hub cap (parity with [[adamicAdar]]): the wedge
+    * self-join is quadratic in the center's degree, so a single 10⁶-degree
+    * hub would put 10¹² wedge rows on the plan. Vertices with degree >
+    * `maxDeg` are removed from the graph and the coefficient is computed
+    * on the INDUCED subgraph of the remaining vertices — a well-defined
+    * semantics (both the reported degree and the triangles are measured in
+    * the same capped graph, so 0 ≤ coeff ≤ 1 always holds). Capped hub
+    * vertices are still emitted, carrying their FULL degree with `n_tri`
+    * and `coeff` null — callers see exactly which vertices were cut rather
+    * than silently wrong scores. When no vertex exceeds the cap the output
+    * is identical to the uncapped computation.
     *
     * Output: (`vertex`, `deg`, `n_tri`, `coeff`); degree-0/1 vertices
-    * score 0.0.
+    * score 0.0; degree-over-cap vertices score null.
     */
   def clusteringCoefficients(edges: DataFrame, src: String,
-      dst: String): DataFrame = {
+      dst: String, maxDeg: Int = 1000): DataFrame = {
     val e = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint()
-    val deg = e.select(col("a").as("v"))
+    // full-graph degrees: the vertex universe + the hub screen (staged —
+    // read by the hub anti-joins and the final output join)
+    val degFull = e.select(col("a").as("v"))
       .unionByName(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .localCheckpoint()
+    val hubs = degFull.filter(col("deg") > maxDeg).select(col("v"))
+    val eCap = e
+      .join(hubs.select(col("v").as("a")), Seq("a"), "left_anti")
+      .join(hubs.select(col("v").as("b")), Seq("b"), "left_anti")
+      .select(col("a"), col("b"))
+      .localCheckpoint() // reused: capped degrees + three triangle scans
+    val degCap = eCap.select(col("a").as("v"))
+      .unionByName(eCap.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degc"))
+    val tri = eCap.as("e1")
+      .join(eCap.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("a"), col("e1.b").as("m"), col("e2.b").as("c"))
-      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .join(eCap.select(col("a"), col("b").as("c")), Seq("a", "c"))
     val triPerV = tri
       .select(explode(array(col("a"), col("m"), col("c"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
-    deg.join(triPerV, Seq("v"), "left")
-      .select(col("v").as("vertex"), col("deg"),
-        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
-        when(col("deg") >= 2,
-          lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
-            (col("deg") * (col("deg") - 1)).cast("double"))
-          .otherwise(lit(0.0)).as("coeff"))
+    val isHub = col("deg") > maxDeg
+    degFull
+      .join(degCap, Seq("v"), "left")
+      .join(triPerV, Seq("v"), "left")
+      .select(col("v").as("vertex"),
+        when(isHub, col("deg"))
+          .otherwise(coalesce(col("degc"), lit(0L))).as("deg"),
+        when(isHub, lit(null).cast("long"))
+          .otherwise(coalesce(col("n_tri"), lit(0L))).as("n_tri"),
+        when(isHub, lit(null).cast("double"))
+          .otherwise(when(coalesce(col("degc"), lit(0L)) >= 2,
+            lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+              (col("degc") * (col("degc") - 1)).cast("double"))
+            .otherwise(lit(0.0))).as("coeff"))
   }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds

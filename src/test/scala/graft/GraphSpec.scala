@@ -185,6 +185,31 @@ class GraphSpec extends AnyFunSuite {
     assert(got(5L) == ((1L, 0L, 0.0)), "degree-1 vertex must score 0")
   }
 
+  test("clustering coefficients: maxDeg cap nulls hub vertices and scores " +
+    "the rest on the induced subgraph") {
+    // triangle {1,2,3} + hub 100 adjacent to 1..12 (degree 12): with
+    // maxDeg = 10 the hub is cut, the triangle survives intact, and
+    // leaves 4..12 lose their only edge (degree 0 in the induced graph)
+    val e = (Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++
+      (1L to 12L).map(i => (i, 100L))).toDF("a", "b")
+    val got = Graph.clusteringCoefficients(e, "a", "b", maxDeg = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    // hub: FULL degree reported, n_tri/coeff null (marked, not wrong)
+    assert(got(100L)._1 == 12L && got(100L)._2 == -1L && got(100L)._3.isNaN)
+    // triangle corners: degree and triangles measured in the capped graph
+    for (v <- Seq(1L, 2L, 3L))
+      assert(got(v) == ((2L, 1L, 1.0)), s"vertex $v: ${got(v)}")
+    // orphaned leaves: degree 0 in the induced graph, score 0
+    for (v <- 4L to 12L) assert(got(v) == ((0L, 0L, 0.0)), s"leaf $v")
+    // cap not binding ⇒ bit-identical to the uncapped computation
+    val capped = Graph.clusteringCoefficients(e, "a", "b", maxDeg = 1000)
+    val plain = Graph.clusteringCoefficients(e, "a", "b")
+    assert(capped.exceptAll(plain).isEmpty && plain.exceptAll(capped).isEmpty)
+  }
+
   test("adamic-adar scores hand-computed on a square + chord-center graph") {
     // square 1-2-3-4 with center 5 adjacent to 1 and 3:
     // degrees: 1→3, 2→2, 3→3, 4→2, 5→2
@@ -212,6 +237,30 @@ class GraphSpec extends AnyFunSuite {
     assert(salted === plain)
     assert(salted === prRef(star, 3))
     assert(salted(0L) > salted(1L))
+  }
+
+  test("salted personalized pagerank is bit-identical on a hub-source star") {
+    // same hub shape as the pageRankInt salting spec, seeded at a leaf:
+    // salted ≡ unsalted ≡ the in-memory integer fold
+    val star = (1L to 400L).flatMap(i => Seq((0L, i), (i, 0L)))
+    val df = star.toDF("a", "b")
+    val seeds = Seq(Tuple1(7L)).toDF("s")
+    val salted = Graph.personalizedPageRankInt(df, "a", "b", seeds, "s",
+      iters = 3, saltBuckets = 8).as[(Long, Long)].collect().toMap
+    val plain = Graph.personalizedPageRankInt(df, "a", "b", seeds, "s",
+      iters = 3).as[(Long, Long)].collect().toMap
+    assert(salted === plain)
+    // independent fold of the seeded recurrence
+    val adj = star.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val vs = adj.keySet
+    var r = vs.map(v => v -> (if (v == 7L) 1000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map(vs.toSeq.map(_ -> 0L): _*)
+      for ((u, ns) <- adj; n <- ns) contrib(n) += r(u) / ns.size
+      r = vs.map(v => v ->
+        ((if (v == 7L) 150000L else 0L) + 85L * contrib(v) / 100L)).toMap
+    }
+    assert(salted === r)
   }
 
   test("star variant handles a random multi-component graph") {
