@@ -43,6 +43,61 @@ object Sinks {
       .option("compression", "snappy")
       .parquet(path)
 
+  // -------------------------------------------------------------------
+  // Incremental gold maintenance (SCALING.md: the nightly full gold
+  // recompute is the pipeline's own scale cliff at 100 TB of silver
+  // history). These writers replace ONLY the partitions present in the
+  // incoming frame — Spark's dynamic partition-overwrite, the
+  // `replaceWhere` idea without a table format — so a batch that touches
+  // 2 of 120 months rewrites 2 directories, not the table. The full
+  // overwrite above stays the default for reference parity
+  // (`silver_to_gold.py:141-149` replaces the whole gold root).
+  // -------------------------------------------------------------------
+
+  /** S5 incremental — overwrite only the y/m partitions present in `df`;
+    * all other gold daily partitions are left byte-untouched
+    * (spec-asserted via file mtimes).
+    */
+  def overwriteGoldDailyPartitions(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("year", "month")
+      .option("compression", "snappy")
+      .parquet(path)
+
+  /** S6 incremental — overwrite only the year partitions present in `df`. */
+  def overwriteGoldMonthlyPartitions(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("year")
+      .option("compression", "snappy")
+      .parquet(path)
+
+  /** S7 incremental — key-merge into the unpartitioned customer table:
+    * existing rows for `keyCol` values present in `updates` are replaced,
+    * everything else is carried over. The rewrite is bounded by the
+    * CUSTOMER dimension (one row per customer), never by fact history —
+    * the table this merges is already the small aggregate. The merged
+    * frame is materialized (localCheckpoint) BEFORE the overwrite because
+    * it reads the path it is about to replace.
+    */
+  def mergeGoldCustomer(spark: org.apache.spark.sql.SparkSession,
+      updates: DataFrame, keyCol: String, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(p))
+        spark.read.parquet(path)
+          .join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
+            "left_anti")
+          .unionByName(updates)
+      else updates
+    val staged = merged.localCheckpoint()
+    try writeGoldCustomer(staged, path)
+    finally org.apache.spark.sql.graftx.CheckpointUtils
+      .unpersistLocalCheckpoint(staged)
+  }
+
   /** Bucketed fact-table layout: `bucketBy` + `sortBy` on the join key,
     * registered through the session catalog (`saveAsTable` — bucket specs
     * live in table metadata, not parquet, so path-based reads can't use

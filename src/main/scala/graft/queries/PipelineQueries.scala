@@ -140,7 +140,41 @@ object PipelineQueries extends QueryPack {
     "p_profile_columns" -> ((s, dir) =>
       graft.ops.Profile.numericProfile(
         Tables.load(s, dir, "documents"), Seq("doc_id", "n_chars"))
-        .orderBy(col("column"))))
+        .orderBy(col("column"))),
+
+    // Incremental gold maintenance gate: the cleaned transactions re-played
+    // as 3 MONTH-SLICED silver batches through SilverToGold.runIncremental
+    // — each run re-aggregates and dynamically overwrites only the y/m
+    // partitions its batch touches, from a silver scan statically pruned
+    // to those partitions. The final on-disk gold daily table must equal
+    // the one-shot full aggregation (the p_daily_agg oracle): per-partition
+    // re-aggregation is idempotent in how the rows arrived. Batch subdirs
+    // are overwritten per invocation (idempotent under bench re-runs);
+    // the path is applicationId-suffixed (no cross-JVM race).
+    "p_gold_incremental" -> ((s, dir) => {
+      import graft.jobs.SilverToGold
+      val base = cleaned(s, dir).localCheckpoint()
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gold_inc_${s.sparkContext.applicationId}").toString
+      val cfg = graft.config.PipelineConfig(
+        rawPath = tmp, silverPath = s"$tmp/silver", goldPath = s"$tmp/gold",
+        clock = Some(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+      for (i <- 0 until 3) {
+        val batch = base.filter(pmod(col("month"), lit(3)) === i)
+          .localCheckpoint()
+        batch.write.mode("overwrite")
+          .partitionBy("year", "month", "day")
+          .option("compression", "snappy")
+          .parquet(s"$tmp/silver/batch=$i")
+        SilverToGold.runIncremental(s, cfg, batch)
+      }
+      s.read.parquet(cfg.goldDailyPath)
+        .select(col("year"), col("month"), col("day"), col("customer_id"),
+          col("transaction_count"), col("total_amount"), col("avg_amount"),
+          col("min_amount"), col("max_amount"), col("unique_transactions"),
+          col("aggregation_level"))
+        .orderBy(col("year"), col("month"), col("day"), col("customer_id"))
+    }))
 
   override def oracleSql: Map[String, String] = Map(
     "p_profile_columns" ->
@@ -208,5 +242,14 @@ object PipelineQueries extends QueryPack {
     "p_quality_counts" ->
       s"""$cleanedSql
          |SELECT (SELECT COUNT(*) FROM tx) AS initial_count,
-         |       (SELECT COUNT(*) FROM cleaned) AS final_count""".stripMargin)
+         |       (SELECT COUNT(*) FROM cleaned) AS final_count""".stripMargin,
+
+    // the incremental maintenance must land exactly on the full recompute
+    "p_gold_incremental" ->
+      s"""$cleanedSql
+         |SELECT year, month, day, customer_id,
+         |  $aggMeasuresSql,
+         |  'daily' AS aggregation_level
+         |FROM cleaned GROUP BY year, month, day, customer_id
+         |ORDER BY year, month, day, customer_id""".stripMargin)
 }

@@ -84,6 +84,87 @@ class PipelineSpec extends AnyFunSuite {
     assert(first == second)
   }
 
+  test("incremental gold ≡ full recompute after N overlapping batches; " +
+    "untouched partitions are never rewritten") {
+    val root = tmp()
+    val cfg = PipelineConfig(s"$root/raw", s"$root/silver", s"$root/gold",
+      clock = clock)
+    // full silver once, then re-play it as 3 HASH-split batches (so a y/m
+    // partition accumulates rows across batches — the late-data case: the
+    // incremental run must re-aggregate the whole partition each time)
+    TransactionGen.writeJsonl(TransactionGen.generate(spark, 1200), s"$root/raw")
+    val bronze = graft.io.Sources.bronzeJson(spark, s"$root/raw")
+    val all = BronzeToSilver.transform(bronze, clock).localCheckpoint()
+    for (i <- 0 until 3) {
+      val batch = all.filter(pmod(xxhash64($"transaction_id"), lit(3)) === i)
+        .localCheckpoint()
+      graft.io.Sinks.writeSilver(batch, s"$root/silver")
+      SilverToGold.runIncremental(spark, cfg, batch)
+    }
+    // reference result: the full recompute over the same silver
+    val fullCfg = cfg.copy(goldPath = s"$root/gold_full")
+    SilverToGold.run(spark, fullCfg)
+    for (sub <- Seq("daily_aggregations", "monthly_aggregations",
+        "customer_insights")) {
+      val inc = spark.read.parquet(s"$root/gold/$sub")
+      val full = spark.read.parquet(s"$root/gold_full/$sub")
+        .select(inc.columns.map(col): _*)
+      assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+        s"$sub: incremental != full recompute")
+    }
+  }
+
+  test("incremental gold prunes the silver scan to touched partitions and " +
+    "leaves other gold partition files byte-untouched") {
+    val root = tmp()
+    val cfg = PipelineConfig(s"$root/raw", s"$root/silver", s"$root/gold",
+      clock = clock)
+    // two months of data; ingest month 1 fully, then a month-2-only batch
+    val rows = Seq(
+      ("t1", "c1", 50.0, "2024-01-15 10:00:00"),
+      ("t2", "c2", 70.0, "2024-01-20 11:00:00"),
+      ("t3", "c1", 20.0, "2024-02-03 09:00:00"))
+      .toDF("transaction_id", "customer_id", "amount", "td")
+      .select($"transaction_id", $"customer_id", $"amount",
+        to_timestamp($"td").as("transaction_date"))
+      .withColumn("transaction_type", lit("purchase"))
+    val silverAll = BronzeToSilver.transform(
+      rows.withColumn("transaction_date",
+        date_format($"transaction_date", "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("_corrupt_record", lit(null).cast("string")),
+      clock).localCheckpoint()
+    val jan = silverAll.filter($"month" === 1).localCheckpoint()
+    val feb = silverAll.filter($"month" === 2).localCheckpoint()
+    graft.io.Sinks.writeSilver(jan, s"$root/silver")
+    SilverToGold.runIncremental(spark, cfg, jan)
+    // snapshot January's gold-daily files (path → mtime)
+    def janFiles(): Map[String, Long] = {
+      val d = new java.io.File(s"$root/gold/daily_aggregations/year=2024/month=1")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = janFiles()
+    assert(before.nonEmpty)
+    // the February batch must not rewrite January's partition
+    graft.io.Sinks.writeSilver(feb, s"$root/silver")
+    SilverToGold.runIncremental(spark, cfg, feb)
+    assert(janFiles() == before,
+      "untouched y/m partition was rewritten by an unrelated batch")
+    assert(new java.io.File(
+      s"$root/gold/daily_aggregations/year=2024/month=2").exists())
+    // the pruned silver scan: the daily aggregation's scan carries the
+    // touched-partition literals as PartitionFilters
+    val silver = graft.io.Sources.silverParquet(spark, s"$root/silver")
+    val pruned = silver.filter($"year" === 2024 && $"month" === 2)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("month"), scan)
+    // both customers' insights survived the merge (c1 updated, c2 carried)
+    val cust = spark.read.parquet(s"$root/gold/customer_insights")
+    assert(cust.count() == 2)
+    assert(cust.filter($"customer_id" === "c1")
+      .head().getAs[Long]("lifetime_transactions") == 2L)
+  }
+
   test("adversarial bronze rows are cleaned: dups, nulls, bad dates, non-positive amounts") {
     val root = tmp()
     val rows = Seq(
