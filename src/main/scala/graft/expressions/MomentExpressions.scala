@@ -151,6 +151,128 @@ case class VectorMomentAgg(
     copy(vec = newChild)
 }
 
+/** Accumulator for [[VectorCrossMomentAgg]]: row count + the FULL dim×dim
+  * quantized cross-product sums Σ round(xᵢ·yⱼ·Q) — the X^T·Ŷ correlation
+  * matrix OPQ's orthogonal-Procrustes step needs (not symmetric, so no
+  * triangle packing). Same quantization and order-free long sums as
+  * [[MomentBuffer]]. Layout: [n, m(i·dim + j)].
+  */
+final class CrossMomentBuffer(val dim: Int) {
+  val acc = new Array[Long](1 + dim * dim)
+
+  @inline private def q(x: Double): Long = {
+    val v = x * MomentBuffer.Q
+    val eps = math.ulp(math.abs(v) + 0.5) * 2
+    if (v >= 0) {
+      val r = math.floor(v + 0.5)
+      if (math.abs(v - (r - 0.5)) <= eps)
+        java.math.BigDecimal.valueOf(v)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      else r.toLong
+    } else {
+      val r = math.ceil(v - 0.5)
+      if (math.abs(v - (r + 0.5)) <= eps)
+        java.math.BigDecimal.valueOf(v)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      else r.toLong
+    }
+  }
+
+  def add(x: ArrayData, y: ArrayData): Unit = {
+    acc(0) += 1
+    if (x == null || y == null) return
+    val nx = math.min(x.numElements(), dim)
+    val ny = math.min(y.numElements(), dim)
+    var i = 0
+    while (i < nx) {
+      if (!x.isNullAt(i)) {
+        val xi = x.getDouble(i)
+        var j = 0
+        while (j < ny) {
+          if (!y.isNullAt(j)) acc(1 + i * dim + j) += q(xi * y.getDouble(j))
+          j += 1
+        }
+      }
+      i += 1
+    }
+  }
+
+  def mergeFrom(other: CrossMomentBuffer): Unit = {
+    var k = 0
+    while (k < acc.length) { acc(k) += other.acc(k); k += 1 }
+  }
+}
+
+/** One-pass quantized cross-moment matrix of two vector columns — the
+  * distributed input to OPQ's rotation update (minimize ‖X·Rᵀ − Ŷ‖² over
+  * orthonormal R ⇒ SVD of Σ x·ŷᵀ). One long-array accumulator per
+  * partition, exchange = one dim²-long array per partition; bit-identical
+  * on any partitioning (quantized order-free long sums).
+  *
+  * Output: array<long> = [n, m(i·dim + j)] with m = Σ round(xᵢ·yⱼ·10⁸).
+  */
+case class VectorCrossMomentAgg(
+    left: Expression,
+    right: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CrossMomentBuffer]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression]
+  with ExpectsInputTypes {
+
+  require(dim >= 1, s"vector_cross_moments needs dim >= 1, got $dim")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "vector_cross_moments"
+
+  override def createAggregationBuffer(): CrossMomentBuffer =
+    new CrossMomentBuffer(dim)
+
+  override def update(buffer: CrossMomentBuffer,
+      input: InternalRow): CrossMomentBuffer = {
+    buffer.add(left.eval(input).asInstanceOf[ArrayData],
+      right.eval(input).asInstanceOf[ArrayData])
+    buffer
+  }
+
+  override def merge(buffer: CrossMomentBuffer,
+      other: CrossMomentBuffer): CrossMomentBuffer = {
+    buffer.mergeFrom(other)
+    buffer
+  }
+
+  override def eval(buffer: CrossMomentBuffer): Any =
+    new GenericArrayData(buffer.acc.map(x => x: Any))
+
+  override def serialize(buffer: CrossMomentBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.acc.length * 8)
+    buffer.acc.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CrossMomentBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    var k = 0
+    while (k < buf.acc.length) { buf.acc(k) = bb.getLong; k += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): VectorCrossMomentAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): VectorCrossMomentAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VectorCrossMomentAgg =
+    copy(left = newLeft, right = newRight)
+}
+
 object MomentExpressions {
   /** One-pass moment sums of an array<double> column (cast float arrays
     * first): array<long> = [n, sx…, upper-tri sxy…], quantized to 1e-8
@@ -159,5 +281,14 @@ object MomentExpressions {
   def vectorMoments(vec: Column, dim: Int): Column =
     ExpressionUtils.column(
       VectorMomentAgg(ExpressionUtils.expression(vec), dim)
+        .toAggregateExpression())
+
+  /** One-pass cross-moment matrix Σ round(xᵢ·yⱼ·10⁸) of two array<double>
+    * columns: array<long> = [n, dim×dim row-major].
+    */
+  def vectorCrossMoments(x: Column, y: Column, dim: Int): Column =
+    ExpressionUtils.column(
+      VectorCrossMomentAgg(ExpressionUtils.expression(x),
+        ExpressionUtils.expression(y), dim)
         .toAggregateExpression())
 }

@@ -130,6 +130,91 @@ object Pca {
     }.drop("__cv")
   }
 
+  /** Orthogonal-Procrustes solution: the orthonormal R (rows = basis)
+    * maximizing tr(R·M) — equivalently minimizing Σ‖R·xc − ŷ‖² for
+    * M = Σ xc·ŷᵀ — via SVD M = U·S·Vᵀ ⇒ R = V·Uᵀ (Ge et al., "Optimized
+    * Product Quantization", CVPR 2013, eq. 7). The SVD reuses the
+    * deterministic [[jacobiEigen]] kernel on MᵀM (V, S²), reconstructs
+    * U = M·V·S⁻¹, completes any null-space columns by Gram-Schmidt over
+    * the canonical basis (index order — deterministic), and re-orthonormal-
+    * izes U by modified Gram-Schmidt so R is orthonormal to machine
+    * precision regardless of M's conditioning. Paired sign flips of
+    * (uₖ, vₖ) cancel in V·Uᵀ, so no sign convention is needed. A 64×64
+    * driver-side problem at embedding dims.
+    */
+  private[graft] def procrustesRotation(
+      m: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = m.length
+    val mtm = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var r = 0
+      while (r < d) { s += m(r)(i) * m(r)(j); r += 1 }
+      s
+    }
+    val (eig, vv) = jacobiEigen(mtm)
+    val order = eig.indices.sortBy(i => (-eig(i), i))
+    // v(k) = k-th right singular vector; sv(k) = k-th singular value
+    val v = order.map(c => Array.tabulate(d)(r => vv(r)(c))).toArray
+    val sv = order.map(i => math.sqrt(math.max(eig(i), 0.0))).toArray
+    val u = Array.ofDim[Double](d, d) // u(k) = k-th left singular vector
+    val have = Array.fill(d)(false)
+    val tol = math.max(sv.headOption.getOrElse(0.0), 1.0) * 1e-12
+    for (k <- 0 until d if sv(k) > tol) {
+      var r = 0
+      while (r < d) {
+        var s = 0.0; var c = 0
+        while (c < d) { s += m(r)(c) * v(k)(c); c += 1 }
+        u(k)(r) = s / sv(k)
+        r += 1
+      }
+      have(k) = true
+    }
+    def mgsAgainst(cand: Array[Double], upto: Int): Unit =
+      for (k2 <- 0 until upto if have(k2)) {
+        var pr = 0.0; var i = 0
+        while (i < d) { pr += cand(i) * u(k2)(i); i += 1 }
+        i = 0
+        while (i < d) { cand(i) -= pr * u(k2)(i); i += 1 }
+      }
+    // null-space completion: first canonical basis vector with a
+    // non-negligible orthogonal remainder (deterministic index order)
+    for (k <- 0 until d if !have(k)) {
+      var e = 0
+      while (!have(k) && e < d) {
+        val cand = Array.tabulate(d)(i => if (i == e) 1.0 else 0.0)
+        mgsAgainst(cand, d)
+        val nn = math.sqrt(cand.map(x => x * x).sum)
+        if (nn > 1e-8) {
+          u(k) = cand.map(_ / nn); have(k) = true
+        }
+        e += 1
+      }
+      require(have(k), "Procrustes U completion failed")
+    }
+    // final MGS pass: U orthonormal to machine precision even when M is
+    // ill-conditioned (the reconstructed uₖ drift otherwise)
+    for (k <- 0 until d) {
+      val cand = u(k)
+      var k2 = 0
+      while (k2 < k) {
+        var pr = 0.0; var i = 0
+        while (i < d) { pr += cand(i) * u(k2)(i); i += 1 }
+        i = 0
+        while (i < d) { cand(i) -= pr * u(k2)(i); i += 1 }
+        k2 += 1
+      }
+      val nn = math.sqrt(cand.map(x => x * x).sum)
+      require(nn > 1e-10, s"degenerate U column $k")
+      var i = 0
+      while (i < d) { cand(i) /= nn; i += 1 }
+    }
+    // R = V·Uᵀ: R(i)(j) = Σ_k v(k)(i)·u(k)(j)
+    Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < d) { s += v(k)(i) * u(k)(j); k += 1 }
+      s
+    }
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix (textbook
     * rotations; Golub & Van Loan §8.5). Returns (eigenvalues, V) with
     * columns of V the eigenvectors. O(dim³) per sweep on the DRIVER —

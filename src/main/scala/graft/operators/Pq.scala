@@ -75,8 +75,31 @@ object Pq {
       .orderBy(col("__h"), col("__id"))
       .limit(k).select(col("__v")).collect()
       .map(_.getSeq[Double](0).toSeq)
-    var books: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
       seedRows.toSeq.map(v => v.slice(mi * sub, mi * sub + sub)))
+    lloydRounds(base, books, m, sub, maxIter)
+  }
+
+  /** Continue Lloyd from GIVEN codebooks — the warm restart OPQ's
+    * alternations need (re-seeding each alternation would discard the
+    * coupled rotation/codebook state and break the monotone-distortion
+    * guarantee). Same single-scan round shape as [[trainCodebooks]].
+    */
+  def refineCodebooks(df: DataFrame, id: String, vec: String,
+      books: Seq[Seq[Seq[Double]]], maxIter: Int): Seq[Seq[Seq[Double]]] = {
+    val base = df.select(col(id).cast("string").as("__id"),
+        col(vec).cast("array<double>").as("__v"))
+      .localCheckpoint()
+    try lloydRounds(base, books, books.size, books.head.head.size, maxIter)
+    finally org.apache.spark.sql.graftx.CheckpointUtils
+      .unpersistLocalCheckpoint(base)
+  }
+
+  private def lloydRounds(base: DataFrame, init: Seq[Seq[Seq[Double]]],
+      m: Int, sub: Int, maxIter: Int): Seq[Seq[Seq[Double]]] = {
+    import graft.ops.Aggregations.sumStable
+    val k = init.head.size
+    var books = init
     for (_ <- 1 to maxIter) {
       // stage the assignment BEFORE the posexplode: CollapseProject would
       // otherwise inline the m·k-dot code expression into every exploded

@@ -193,6 +193,61 @@ class PqSpec extends AnyFunSuite {
       .filter(col("count") =!= 3).count() == 0)
   }
 
+  test("full OPQ: distortion is monotone non-increasing across " +
+    "alternations, beats the same-budget axis-aligned PQ on correlated " +
+    "data, stays orthonormal, and is deterministic") {
+    import graft.operators.{Opq, Pq}
+    import graft.ops.Aggregations.sumStable
+    import graft.functions.VectorFunctions.l2DistanceSq
+    // planted CROSS-SUBSPACE correlation (m=2 cuts at dim 2): two latents
+    // drive dims (0,2) and (1,3), so axis-aligned subspace quantization
+    // wastes its codewords on duplicated information — the case OPQ's
+    // learned rotation exists for
+    val df = (0 until 400).map { i =>
+      val z1 = ((i * 31 % 23) - 11) * 0.5
+      val z2 = ((i * 17 % 19) - 9) * 0.3
+      val n1 = ((i * 13 % 7) - 3) * 0.01
+      val n2 = ((i * 29 % 11) - 5) * 0.01
+      (i.toLong, Seq(z1 + n1, z2 + n2, z1 - n1, z2 - n2))
+    }.toDF("vec_id", "embedding").repartition(5).localCheckpoint()
+    val model = Opq.fit(df, "vec_id", "embedding", m = 2, k = 4,
+      alternations = 3, initIters = 2)
+    // (1) orthonormal rotation
+    val d = model.rotation.length
+    for (i <- 0 until d; j <- i until d) {
+      val dotv = model.rotation(i).zip(model.rotation(j))
+        .map { case (a, b) => a * b }.sum
+      assert(math.abs(dotv - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"rotation rows $i,$j not orthonormal: $dotv")
+    }
+    // (2) monotone distortion (the alternating-minimization guarantee)
+    val ds = model.distortions
+    assert(ds.size == 4)
+    for (t <- 1 until ds.size)
+      assert(ds(t) <= ds(t - 1) * (1.0 + 1e-6),
+        s"distortion rose at alternation $t: ${ds(t - 1)} -> ${ds(t)}")
+    // (3) strictly better than axis-aligned PQ with the SAME total Lloyd
+    // budget (2 init + 3 alternation rounds) on this correlated fixture
+    val plainBooks = Pq.trainCodebooks(df, "vec_id", "embedding",
+      m = 2, k = 4, maxIter = 5)
+    val plainE = df
+      .withColumn("__vd", col("embedding").cast("array<double>"))
+      .withColumn("__code", Pq.codesExpr(col("__vd"), plainBooks))
+      .withColumn("__hat", flatten(array(plainBooks.zipWithIndex.map {
+        case (cb, mi) => element_at(typedlit(cb),
+          element_at(col("__code"), mi + 1) + 1) }: _*)))
+      .agg(sumStable(l2DistanceSq(col("__vd"), col("__hat"))))
+      .head().getDouble(0)
+    assert(ds.last < plainE,
+      s"OPQ ${ds.last} must beat axis-aligned $plainE on correlated data")
+    // (4) deterministic: a second fit is bit-identical
+    val model2 = Opq.fit(df, "vec_id", "embedding", m = 2, k = 4,
+      alternations = 3, initIters = 2)
+    assert(model.rotation.map(_.toSeq).toSeq == model2.rotation.map(_.toSeq).toSeq)
+    assert(model.codebooks == model2.codebooks)
+    assert(model.distortions == model2.distortions)
+  }
+
   test("large-k assignCell: cosine argmax kernel ≡ literal struct-max, " +
     "ties and zero-norm edge cases included") {
     import graft.operators.Clustering
