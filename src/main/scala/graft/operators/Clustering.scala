@@ -175,8 +175,18 @@ object Clustering {
     * Scale: the pairwise work is confined within cells by an equi-join on
     * the cell id — k is the knob bounding expected cell size (the paper's
     * point: clustering makes near-quadratic dedup tractable by only
-    * comparing semantic neighbors). Cross-cell near-dups are out of scope
-    * by design.
+    * comparing semantic neighbors). Cross-cell near-dups at CELL BOUNDARIES
+    * are the known blind spot; `probeMargin` > 0 closes it with the IVF
+    * nProbe idea applied to dedup: a row also probes every cell whose
+    * cosine is within `probeMargin` of its best cell, so two near-identical
+    * vectors that straddle a Voronoi boundary still meet in at least one
+    * shared probe cell (their cosines to every centroid differ by at most
+    * ≈ their mutual angle, so a margin of that order guarantees the
+    * overlap). Rows replicate only to boundary cells — interior rows
+    * (the vast majority for small margins) keep exactly one copy, so the
+    * pair work grows by the boundary fraction, not a multiple. The default
+    * 0.0 keeps the original single-cell semantics (and the
+    * `v_semdedup_check` gate) bit-unchanged.
     *
     * Fat-cell hardening: a skewed cell (k too small, or a degenerate
     * embedding mode) would re-create the n² problem on ONE reducer, so
@@ -193,19 +203,43 @@ object Clustering {
     * the pair's larger id, so the keep-first semantics are unchanged.
     */
   def semDeDupLabels(df: DataFrame, id: String, vec: String, k: Int,
-      tau: Double, maxIter: Int = 10, fatCellRows: Int = 100000): DataFrame = {
+      tau: Double, maxIter: Int = 10, fatCellRows: Int = 100000,
+      probeMargin: Double = 0.0): DataFrame = {
     require(fatCellRows >= 1, s"fatCellRows must be >= 1, got $fatCellRows")
+    require(probeMargin >= 0.0, s"negative probeMargin: $probeMargin")
     val centroids = fit(df, id, vec, k, maxIter)
     // assignment + norm computed once, reused by both join sides
     val labeled = assign(df.select(col(id), col(vec)), vec, centroids, "cell")
       .withColumn("__nrm", l2Norm(col(vec)))
       .localCheckpoint()
-    // per-cell block count G (≤ k rows — broadcast to the row stream)
-    val gOf = labeled.groupBy(col("cell"))
+    // the pair-generation stream: one row per (row, probed cell). With no
+    // margin this IS the labeled frame (primary cell only — the original
+    // path, bit-unchanged); with a margin each row replicates to every
+    // cell scoring within probeMargin of its best (primary included)
+    val probed =
+      if (probeMargin == 0.0)
+        labeled.select(col(id), col(vec), col("__nrm"), col("cell"))
+      else {
+        val scored = array(centroids.zipWithIndex.map { case (cvec, j) =>
+          val cn = math.sqrt(cvec.map(x => x * x).sum)
+          val safe = if (cn == 0.0) 1.0 else cn
+          struct((dot(col(vec), typedlit(cvec)) / (col("__nrm") * lit(safe)))
+            .as("s"), lit(j).as("j"))
+        }: _*)
+        labeled
+          .withColumn("__scored", scored)
+          .withColumn("__best", array_max(col("__scored")).getField("s"))
+          .select(col(id), col(vec), col("__nrm"),
+            explode(filter(col("__scored"),
+              c => c.getField("s") >= col("__best") - lit(probeMargin))
+              .getField("j")).as("cell"))
+      }
+    // per-cell block count G over the PROBED stream (≤ k rows — broadcast)
+    val gOf = probed.groupBy(col("cell"))
       .agg(ceil(count(lit(1)).cast("double") / fatCellRows).cast("int")
         .as("__nblk")) // NOT "__G": column resolution is case-insensitive,
       // and a name differing from "__g" only by case silently aliases it
-    val withG = labeled.join(broadcast(gOf), Seq("cell"))
+    val withG = probed.join(broadcast(gOf), Seq("cell"))
       .withColumn("__g", pmod(xxhash64(col(id)), col("__nblk")).cast("int"))
     val a = withG.select(col("cell"), col("__g").as("__i"),
       explode(sequence(col("__g"), col("__nblk") - 1)).as("__j"),
@@ -216,7 +250,9 @@ object Clustering {
       col(id).as("__idb"), col(vec).as("__vb"), col("__nrm").as("__nb"))
     val pruned = a.join(b, Seq("cell", "__i", "__j"))
       // same-block pairs meet twice (both orientations) — keep one; cross-
-      // block pairs meet exactly once in either orientation — keep it
+      // block pairs meet exactly once in either orientation — keep it.
+      // (With probing a pair can additionally meet once per SHARED probe
+      // cell; the terminal distinct() collapses those.)
       .filter(col("__i") =!= col("__j") || col("__ida") < col("__idb"))
       .filter(cosineWithNorms(col("__va"), col("__vb"),
         col("__na"), col("__nb")) >= tau)
