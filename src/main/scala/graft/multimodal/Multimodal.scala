@@ -165,6 +165,59 @@ object Multimodal {
     }
   }
 
+  /** REAL compressed-codec payloads: each document becomes a genuine
+    * BASELINE JPEG (grayscale, quality 50, standard tables — full DCT +
+    * huffman bitstream via [[JpegCodec.encodeGray]]) whose 8×8 blocks are
+    * CONSTANT, the block value cycling through the text bytes. Constant
+    * blocks are what make a LOSSY codec oracle-checkable: the decode is a
+    * closed-form integer function of the block value (see
+    * [[JpegCodec]]'s exactness contract), so DuckDB recomputes the pixel
+    * sums without a DCT. General-content decode (AC coefficients, color,
+    * edge replication) is spec-verified against the platform decoder.
+    */
+  def jpegTable(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w = 8 * ((id % 5).toInt + 2)
+          val h = 8 * ((id % 3).toInt + 2)
+          val tb = Option(text).getOrElse("").getBytes("UTF-8")
+          val wb = w / 8
+          val bytes = JpegCodec.encodeGray(w, h, (x, y) => {
+            val bi = (y / 8) * wb + (x / 8)
+            if (tb.isEmpty) 0 else tb(bi % tb.length) & 0xFF
+          }, quality = 50)
+          MediaRecord(id, "image", bytes, "jpeg", w, h, 0L)
+        }
+      }
+  }
+
+  /** Per-image pixel sums from a GENUINELY DECODED JPEG — huffman bits,
+    * DC prediction, dequantization, and IDCT all through
+    * [[JpegCodec.decodePixels]]. Undecodable payloads surface as
+    * (-1, -1, 0).
+    */
+  case class JpegStats(media_id: Long, width: Int, height: Int, px_sum: Long)
+
+  def jpegStats(media: Dataset[MediaRecord]): Dataset[JpegStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        JpegCodec.decodePixels(r.bytes) match {
+          case Some((w, h, _, px)) =>
+            var s = 0L
+            var i = 0
+            while (i < px.length) { s += px(i) & 0xFF; i += 1 }
+            JpegStats(r.media_id, w, h, s)
+          case None => JpegStats(r.media_id, -1, -1, 0L)
+        }
+      }
+    }
+  }
+
   /** Nearest-neighbor RGB resize of a decoded interleaved pixel stream:
     * output pixel (x, y) samples source (⌊x·w/rw⌋, ⌊y·h/rh⌋) — the standard
     * integer floor mapping, exact for up- and downscale. Pure function over

@@ -52,6 +52,18 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("media_id"), col("frame_index"))
     }),
 
+    // REAL baseline-JPEG decode: payloads are genuine quality-50 JPEGs
+    // (full DCT + huffman bitstream) with CONSTANT 8×8 blocks cycling the
+    // text bytes; JpegCodec decodes them back through huffman + DC
+    // prediction + dequant + IDCT. Constant blocks make the lossy
+    // round-trip a closed-form integer function (see JpegCodec), so the
+    // oracle recomputes every pixel sum exactly — a hash match proves the
+    // entire compressed path end to end.
+    "m_jpeg_stats" -> ((s, dir) =>
+      Multimodal.jpegStats(
+        Multimodal.jpegTable(Tables.load(s, dir, "documents"))).toDF()
+        .orderBy(col("media_id"))),
+
     // REAL resize: decode (BMP de-pad / PNG inflate+defilter), halve both
     // axes by nearest-neighbor, sum the RESIZED channels. The oracle
     // recomputes each resized pixel's source byte straight from
@@ -136,6 +148,25 @@ object MultimodalQueries extends QueryPack {
         |  CAST(doc_id % 64 + 16 AS INTEGER) AS width,
         |  CAST(doc_id % 48 + 12 AS INTEGER) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "m_jpeg_stats" -> {
+      // per block b: v = text byte at b mod len (0 for empty text);
+      // quality-50 DC round-trip r = round_half_away((v−128)/2),
+      // pixel = clamp(2r+128); the block contributes 64·pixel
+      s"""WITH d AS (SELECT doc_id, text,
+         |    8 * (doc_id % 5 + 2) AS w, 8 * (doc_id % 3 + 2) AS h
+         |  FROM documents)
+         |SELECT doc_id AS media_id,
+         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(64 * list_sum(list_transform(
+         |      range(0, (w // 8) * (h // 8), 1),
+         |      b -> LEAST(255, GREATEST(0, 2 * CAST(ROUND(
+         |        (ord(substr(text, CAST(b % length(text) AS INTEGER) + 1, 1))
+         |          - 128) / 2.0) AS INTEGER) + 128)))) AS BIGINT) END
+         |    AS px_sum
+         |FROM d ORDER BY media_id""".stripMargin
+    },
 
     "m_pixel_stats" -> {
       // channel c sum = Σ over pixel-stream positions i ≡ c (mod 3) of the

@@ -327,6 +327,96 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L), got.toString)
   }
 
+  test("jpeg: constant blocks round-trip integer-exactly through the DC path") {
+    import graft.multimodal.JpegCodec
+    // 4×2 blocks, values covering clamp-high (255), ties (odd values), 0
+    val vals = Array(0, 37, 127, 128, 200, 255, 64, 99)
+    val (w, h) = (32, 16)
+    val enc = JpegCodec.encodeGray(w, h,
+      (x, y) => vals((y / 8) * 4 + (x / 8)), quality = 50)
+    val (dw, dh, nc, px) = JpegCodec.decodePixels(enc).get
+    assert((dw, dh, nc) == ((w, h, 1)))
+    // the closed-form DC round-trip at quality 50 (q00 = 16):
+    // r = round_half_away((v−128)/2); pixel = clamp(2r + 128)
+    def expect(v: Int): Int = {
+      val r = java.math.BigDecimal.valueOf((v - 128) / 2.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).intValueExact()
+      math.min(255, math.max(0, 2 * r + 128))
+    }
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = expect(vals((y / 8) * 4 + (x / 8)))
+      assert((px(y * w + x) & 0xFF) == want, s"($x,$y)")
+    }
+  }
+
+  test("jpeg: gradient gray round-trips within codec error bounds and " +
+    "matches the PLATFORM decoder; odd dims edge-replicate correctly") {
+    import graft.multimodal.JpegCodec
+    val (w, h) = (37, 21) // forces edge replication on both axes
+    def pix(x: Int, y: Int): Int = (x * 5 + y * 7) % 256
+    val enc = JpegCodec.encodeGray(w, h, pix, quality = 90)
+    val (dw, dh, nc, px) = JpegCodec.decodePixels(enc).get
+    assert((dw, dh, nc) == ((w, h, 1)))
+    val maxErr = (for (y <- 0 until h; x <- 0 until w)
+      yield math.abs((px(y * w + x) & 0xFF) - pix(x, y))).max
+    assert(maxErr <= 24, s"round-trip error too high: $maxErr")
+    // independent reference: the JDK's libjpeg-based ImageIO reader must
+    // agree with our decoder on OUR bitstream (different IDCTs → ±2)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(enc))
+    assert(img.getWidth == w && img.getHeight == h)
+    val iioErr = (for (y <- 0 until h; x <- 0 until w) yield {
+      val ref = img.getRaster.getSample(x, y, 0)
+      math.abs((px(y * w + x) & 0xFF) - ref)
+    }).max
+    assert(iioErr <= 2, s"platform-decoder disagreement: $iioErr")
+  }
+
+  test("jpeg: 4:4:4 color round-trips and the platform decoder agrees") {
+    import graft.multimodal.JpegCodec
+    val (w, h) = (24, 16)
+    def rgb(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 11) % 256, (y * 13) % 256, (x * 3 + y * 5) % 256)
+    val enc = JpegCodec.encodeRgb(w, h, rgb, quality = 90)
+    val (dw, dh, nc, px) = JpegCodec.decodePixels(enc).get
+    assert((dw, dh, nc) == ((w, h, 3)))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(enc))
+    val iioErr = (for (y <- 0 until h; x <- 0 until w) yield {
+      val argb = img.getRGB(x, y)
+      val refs = Seq((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
+      (0 until 3).map(c =>
+        math.abs((px((y * w + x) * 3 + c) & 0xFF) - refs(c))).max
+    }).max
+    // YCbCr→RGB conversions differ slightly across decoders (integer vs
+    // float paths) — a small fixed tolerance is the honest contract
+    assert(iioErr <= 4, s"platform-decoder disagreement: $iioErr")
+    val rtErr = (for (y <- 0 until h; x <- 0 until w) yield {
+      val (r, g, b) = rgb(x, y)
+      Seq(math.abs((px((y * w + x) * 3) & 0xFF) - r),
+        math.abs((px((y * w + x) * 3 + 1) & 0xFF) - g),
+        math.abs((px((y * w + x) * 3 + 2) & 0xFF) - b)).max
+    }).max
+    assert(rtErr <= 48, s"color round-trip error too high: $rtErr")
+  }
+
+  test("jpeg meta: dims and components parse; non-baseline and junk reject") {
+    import graft.multimodal.JpegCodec
+    val g = JpegCodec.encodeGray(19, 7, (x, y) => x + y, quality = 75)
+    assert(JpegCodec.decodeMeta(g).contains(JpegCodec.JpegMeta(19, 7, 1)))
+    val c = JpegCodec.encodeRgb(8, 8, (_, _) => (1, 2, 3))
+    assert(JpegCodec.decodeMeta(c).contains(JpegCodec.JpegMeta(8, 8, 3)))
+    assert(JpegCodec.decodeMeta(Array[Byte](1, 2, 3, 4)).isEmpty)
+    // flip SOF0 to SOF2 (progressive): an honest decoder REJECTS rather
+    // than mis-reads
+    val prog = g.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sofAt + 1) = 0xC2.toByte
+    assert(JpegCodec.decodeMeta(prog).isEmpty)
+    assert(JpegCodec.decodePixels(prog).isEmpty)
+  }
+
   test("average hash is exact at grid=8 (64 bits): the sign bit sets " +
     "cleanly and the banded pair join still matches on high bands") {
     // one bright cell at index 63 (the sign bit) over an otherwise-dark
