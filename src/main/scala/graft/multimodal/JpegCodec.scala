@@ -496,9 +496,10 @@ object JpegCodec {
             Component(u8(bytes, o), u8(bytes, o + 1) >> 4,
               u8(bytes, o + 1) & 0x0F, u8(bytes, o + 2))
           }
-          // this decoder handles 1×1 sampling on every component (gray +
-          // 4:4:4); subsampled files are honestly rejected, not mis-read
-          if (comps.exists(c => c.hSamp != 1 || c.vSamp != 1)) return None
+          // sampling factors 1..2 (gray, 4:4:4, 4:2:2, 4:2:0 — the real-
+          // world formats); exotic factors are honestly rejected
+          if (comps.exists(c => c.hSamp < 1 || c.hSamp > 2 ||
+              c.vSamp < 1 || c.vSamp > 2)) return None
         case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
             0xCD | 0xCE | 0xCF =>
           return None // non-baseline SOF: progressive/arithmetic/lossless
@@ -566,89 +567,123 @@ object JpegCodec {
     out
   }
 
+  /** Decode one entropy-coded block into dequantized natural-order
+    * coefficients; returns false on a malformed stream.
+    */
+  private def decodeBlock(br: BitReader, dcT: DecodeTable, acT: DecodeTable,
+      q: Array[Int], preds: Array[Int], c: Int, f: Array[Int]): Boolean = {
+    java.util.Arrays.fill(f, 0)
+    val s = dcT.decode(br)
+    if (s < 0) return false
+    val diffBits = if (s == 0) 0 else br.readBits(s)
+    if (diffBits < 0) return false
+    preds(c) += extend(diffBits, s)
+    f(0) = preds(c) * q(0)
+    var k = 1
+    while (k < 64) {
+      val rs = acT.decode(br)
+      if (rs < 0) return false
+      val run = rs >> 4
+      val sz = rs & 0x0F
+      if (sz == 0) {
+        if (run == 15) k += 16 // ZRL
+        else return true // EOB
+      } else {
+        k += run
+        if (k > 63) return false
+        val vb = br.readBits(sz)
+        if (vb < 0) return false
+        f(ZigZag(k)) = extend(vb, sz) * q(ZigZag(k))
+        k += 1
+      }
+    }
+    true
+  }
+
   /** Full pixel decode: (width, height, nComponents, samples) — samples
     * are interleaved per pixel (gray: 1 byte; color: RGB via the JFIF
-    * inverse transform). None on anything but well-formed baseline
-    * 1×1-sampled streams.
+    * inverse transform). Handles gray, 4:4:4, 4:2:2, and 4:2:0 sampling
+    * (subsampled chroma upsamples by pixel replication — the box filter);
+    * anything else returns None.
     */
   def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     val h0 = parseHeaders(bytes).getOrElse(return None)
     val w = h0.width; val h = h0.height
     val nc = h0.comps.length
     if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
-    val planes = Array.fill(nc)(new Array[Int](bw * 8 * bh * 8))
+    val maxH = h0.comps.map(_.hSamp).max
+    val maxV = h0.comps.map(_.vSamp).max
+    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+    // per-component plane: mcusX·8·hSamp wide, mcusY·8·vSamp tall
+    val strides = h0.comps.map(c => mcusX * 8 * c.hSamp)
+    val planes = h0.comps.zipWithIndex.map { case (c, i) =>
+      new Array[Int](strides(i) * mcusY * 8 * c.vSamp)
+    }
     val br = new BitReader(bytes, h0.scanStart)
     val preds = new Array[Int](nc)
+    val f = new Array[Int](64)
     var mcu = 0
-    val totalMcus = bw * bh
+    val totalMcus = mcusX * mcusY
     while (mcu < totalMcus) {
       if (h0.restartInterval > 0 && mcu > 0 &&
           mcu % h0.restartInterval == 0) {
         if (!br.resync()) return None
         java.util.Arrays.fill(preds, 0)
       }
-      val bx = mcu % bw
-      val by = mcu / bw
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
       var c = 0
       while (c < nc) {
         val comp = h0.comps(c)
         val dcT = h0.dcTabs.getOrElse(comp.dcTab, return None)
         val acT = h0.acTabs.getOrElse(comp.acTab, return None)
         val q = h0.quant.getOrElse(comp.quantId, return None)
-        val f = new Array[Int](64)
-        val s = dcT.decode(br)
-        if (s < 0) return None
-        val diffBits = if (s == 0) 0 else br.readBits(s)
-        if (diffBits < 0) return None
-        preds(c) += extend(diffBits, s)
-        f(0) = preds(c) * q(0)
-        var k = 1
-        var done = false
-        while (!done && k < 64) {
-          val rs = acT.decode(br)
-          if (rs < 0) return None
-          val run = rs >> 4
-          val sz = rs & 0x0F
-          if (sz == 0) {
-            if (run == 15) k += 16 // ZRL
-            else done = true // EOB
-          } else {
-            k += run
-            if (k > 63) return None
-            val vb = br.readBits(sz)
-            if (vb < 0) return None
-            f(ZigZag(k)) = extend(vb, sz) * q(ZigZag(k))
-            k += 1
-          }
-        }
-        val px = idctBlock(f)
+        val stride = strides(c)
         val plane = planes(c)
-        var yy = 0
-        while (yy < 8) {
-          var xx = 0
-          while (xx < 8) {
-            plane((by * 8 + yy) * (bw * 8) + bx * 8 + xx) = px(yy * 8 + xx)
-            xx += 1
+        var byi = 0
+        while (byi < comp.vSamp) {
+          var bxi = 0
+          while (bxi < comp.hSamp) {
+            if (!decodeBlock(br, dcT, acT, q, preds, c, f)) return None
+            val px = idctBlock(f)
+            val ox = (mx * comp.hSamp + bxi) * 8
+            val oy = (my * comp.vSamp + byi) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                plane((oy + yy) * stride + ox + xx) = px(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            bxi += 1
           }
-          yy += 1
+          byi += 1
         }
         c += 1
       }
       mcu += 1
     }
-    val stride = bw * 8
+    // sample component planes at each output pixel (floor mapping — the
+    // replicate upsample for subsampled chroma; full-res comps read 1:1)
+    def sample(c: Int, x: Int, y: Int): Int = {
+      val comp = h0.comps(c)
+      val sx = x * comp.hSamp / maxH
+      val sy = y * comp.vSamp / maxV
+      planes(c)(sy * strides(c) + sx)
+    }
     val out = new Array[Byte](w * h * nc)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        if (nc == 1) out(y * w + x) = planes(0)(y * stride + x).toByte
+        if (nc == 1) out(y * w + x) = sample(0, x, y).toByte
         else {
-          val yv = planes(0)(y * stride + x)
-          val cb = planes(1)(y * stride + x) - 128
-          val cr = planes(2)(y * stride + x) - 128
+          val yv = sample(0, x, y)
+          val cb = sample(1, x, y) - 128
+          val cr = sample(2, x, y) - 128
           def cl(d: Double): Byte =
             math.min(255, math.max(0, math.floor(d + 0.5).toInt)).toByte
           out((y * w + x) * 3) = cl(yv + 1.402 * cr)
@@ -660,5 +695,100 @@ object JpegCodec {
       y += 1
     }
     Some((w, h, nc, out))
+  }
+
+  /** Baseline 4:2:0 color JPEG from RGB — the dominant real-world
+    * sampling: luma at full resolution (4 blocks per MCU), chroma
+    * box-downsampled 2×2 (one block each per MCU).
+    */
+  def encodeRgb420(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+      quality: Int = 50): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    val qL = scaledQuant(StdLumaQ, quality)
+    val qC = scaledQuant(StdChromaQ, quality)
+    val n = w * h
+    val ys = new Array[Int](n)
+    val cbF = new Array[Double](n)
+    val crF = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val (r, g, b) = rgb(i % w, i / w)
+      ys(i) = math.min(255, math.max(0,
+        roundHalfAway(0.299 * r + 0.587 * g + 0.114 * b)))
+      cbF(i) = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+      crF(i) = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+      i += 1
+    }
+    // chroma planes at half resolution: 2×2 box mean (edge-replicated)
+    val cw = (w + 1) / 2
+    val ch = (h + 1) / 2
+    val cbs = new Array[Int](cw * ch)
+    val crs = new Array[Int](cw * ch)
+    var cy = 0
+    while (cy < ch) {
+      var cx = 0
+      while (cx < cw) {
+        var sb = 0.0; var sr = 0.0
+        var k = 0
+        while (k < 4) {
+          val sx = math.min(w - 1, cx * 2 + (k & 1))
+          val sy = math.min(h - 1, cy * 2 + (k >> 1))
+          sb += cbF(sy * w + sx); sr += crF(sy * w + sx)
+          k += 1
+        }
+        cbs(cy * cw + cx) = math.min(255, math.max(0, roundHalfAway(sb / 4)))
+        crs(cy * cw + cx) = math.min(255, math.max(0, roundHalfAway(sr / 4)))
+        cx += 1
+      }
+      cy += 1
+    }
+    val os = new java.io.ByteArrayOutputStream()
+    os.write(0xFF); os.write(0xD8)
+    segment(os, 0xE0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    segment(os, 0xDB, Array(0.toByte) ++ ZigZag.map(nat => qL(nat).toByte))
+    segment(os, 0xDB, Array(1.toByte) ++ ZigZag.map(nat => qC(nat).toByte))
+    segment(os, 0xC0, Array[Byte](8) ++ be16(h) ++ be16(w) ++
+      Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    segment(os, 0xC4, dhtBody(0, 0, DcLumaBits, DcLumaVals))
+    segment(os, 0xC4, dhtBody(1, 0, AcLumaBits, AcLumaVals))
+    segment(os, 0xC4, dhtBody(0, 1, DcChromaBits, DcChromaVals))
+    segment(os, 0xC4, dhtBody(1, 1, AcChromaBits, AcChromaVals))
+    segment(os, 0xDA, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    val bw = new BitWriter(os)
+    val dcL = encodeTable(DcLumaBits, DcLumaVals)
+    val acL = encodeTable(AcLumaBits, AcLumaVals)
+    val dcC = encodeTable(DcChromaBits, DcChromaVals)
+    val acC = encodeTable(AcChromaBits, AcChromaVals)
+    val preds = new Array[Int](3)
+    val mcusX = (w + 15) / 16
+    val mcusY = (h + 15) / 16
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        // 4 luma blocks (2×2 within the 16×16 MCU tile), then Cb, Cr
+        var byi = 0
+        while (byi < 2) {
+          var bxi = 0
+          while (bxi < 2) {
+            preds(0) = writeBlock(bw, fdctQuantZz(
+              blockOf(ys, w, h, mx * 2 + bxi, my * 2 + byi), qL),
+              preds(0), dcL, acL)
+            bxi += 1
+          }
+          byi += 1
+        }
+        preds(1) = writeBlock(bw,
+          fdctQuantZz(blockOf(cbs, cw, ch, mx, my), qC), preds(1), dcC, acC)
+        preds(2) = writeBlock(bw,
+          fdctQuantZz(blockOf(crs, cw, ch, mx, my), qC), preds(2), dcC, acC)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    os.write(0xFF); os.write(0xD9)
+    os.toByteArray
   }
 }

@@ -400,6 +400,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rtErr <= 48, s"color round-trip error too high: $rtErr")
   }
 
+  test("jpeg 4:2:0: chroma-constant streams agree with the platform " +
+    "decoder; varying chroma round-trips within subsampling bounds") {
+    import graft.multimodal.JpegCodec
+    // r=g=b gradient ⇒ Cb=Cr=128 everywhere: the chroma planes quantize
+    // to exact DC-only 128 blocks, so the UPSAMPLING FILTER is irrelevant
+    // and our box replicate must agree with libjpeg's fancy upsample
+    val (w, h) = (35, 19) // odd dims: chroma plane edge-replicates
+    def gray(x: Int, y: Int): (Int, Int, Int) = {
+      val v = (x * 6 + y * 9) % 256; (v, v, v)
+    }
+    val enc = JpegCodec.encodeRgb420(w, h, gray, quality = 90)
+    assert(JpegCodec.decodeMeta(enc).contains(JpegCodec.JpegMeta(w, h, 3)))
+    val (dw, dh, nc, px) = JpegCodec.decodePixels(enc).get
+    assert((dw, dh, nc) == ((w, h, 3)))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(enc))
+    assert(img.getWidth == w && img.getHeight == h)
+    val iioErr = (for (y <- 0 until h; x <- 0 until w) yield {
+      val argb = img.getRGB(x, y)
+      val refs = Seq((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
+      (0 until 3).map(c =>
+        math.abs((px((y * w + x) * 3 + c) & 0xFF) - refs(c))).max
+    }).max
+    assert(iioErr <= 4, s"platform-decoder disagreement: $iioErr")
+    // genuinely varying chroma: subsampling discards detail by design —
+    // the contract is a BOUNDED round-trip error, tight on average
+    val (w2, h2) = (24, 16)
+    def colorful(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 7) % 256, (y * 11) % 256, (x * 3 + y * 5) % 256)
+    val enc2 = JpegCodec.encodeRgb420(w2, h2, colorful, quality = 90)
+    val (_, _, _, px2) = JpegCodec.decodePixels(enc2).get
+    val errs = for (y <- 0 until h2; x <- 0 until w2; c <- 0 until 3) yield {
+      val want = c match {
+        case 0 => colorful(x, y)._1
+        case 1 => colorful(x, y)._2
+        case _ => colorful(x, y)._3
+      }
+      math.abs((px2((y * w2 + x) * 3 + c) & 0xFF) - want)
+    }
+    assert(errs.max <= 64, s"4:2:0 worst-pixel error: ${errs.max}")
+    assert(errs.sum.toDouble / errs.size <= 12.0,
+      s"4:2:0 mean error: ${errs.sum.toDouble / errs.size}")
+  }
+
   test("jpeg meta: dims and components parse; non-baseline and junk reject") {
     import graft.multimodal.JpegCodec
     val g = JpegCodec.encodeGray(19, 7, (x, y) => x + y, quality = 75)

@@ -71,6 +71,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/silver").count() == 500)
   }
 
+  test("streaming ingest with gold maintenance: the incremental gold end " +
+    "state equals a full recompute over the accumulated silver") {
+    val root = tmp()
+    val cfg = PipelineConfig(s"$root/raw", s"$root/silver", s"$root/gold",
+      checkpointPath = s"$root/ckpt", clock = clock, incremental = true)
+    TransactionGen.writeJsonl(TransactionGen.generate(spark, 300), s"$root/raw")
+    IncrementalIngest.run(spark, cfg, maintainGold = true)
+    assert(new java.io.File(s"$root/gold/daily_aggregations").exists())
+    // a second file drop: only the delta flows through the bookmark, and
+    // only its touched gold partitions re-aggregate
+    TransactionGen.generate(spark, 600)
+      .filter($"transaction_id" > "txn_00000299")
+      .coalesce(1).write.mode("append").json(s"$root/raw")
+    IncrementalIngest.run(spark, cfg, maintainGold = true)
+    val fullCfg = cfg.copy(goldPath = s"$root/gold_full")
+    SilverToGold.run(spark, fullCfg)
+    for (sub <- Seq("daily_aggregations", "monthly_aggregations",
+        "customer_insights")) {
+      val inc = spark.read.parquet(s"$root/gold/$sub")
+      val full = spark.read.parquet(s"$root/gold_full/$sub")
+        .select(inc.columns.map(col): _*)
+      assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+        s"$sub: streaming-maintained gold != full recompute")
+    }
+  }
+
   test("gold overwrite is idempotent: re-run produces identical tables") {
     val root = tmp()
     TransactionGen.writeJsonl(TransactionGen.generate(spark, 400), s"$root/raw")
