@@ -287,6 +287,32 @@ object PretrainQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Distributed SUFFIX ARRAY (prefix doubling, Manber-Myers) over a
+    // 10%-doc sample: the gate demands the full PERMUTATION — every
+    // (rank, doc, off) triple must hash-match DuckDB's naive direct
+    // suffix sort (a structurally independent mechanism: log-round rank
+    // doubling + terasort-style ranking vs one big string sort).
+    "t_suffix_array" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+      graft.operators.Suffix.suffixArray(docs, "doc_id", "text")
+        .select(col("rank"), col("doc").as("doc_id"), col("off"))
+        .orderBy(col("rank"))
+    }),
+
+    // Longest repeated substring per sampled doc (capped at 64 chars) —
+    // the Lee et al. 2022 exact-substring dedup statistic (t_dup_spans
+    // finds FIXED 13-gram repeats; this finds MAXIMAL ones). Adjacency
+    // comes from OUR suffix ranks; the oracle re-derives it from its own
+    // independent sort + window functions.
+    "t_longest_repeat" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+      graft.operators.Suffix.longestRepeat(docs, "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("max_repeat"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LEARNED BPE tokenizer gate: the distributed word-count pass feeds a
     // deterministic driver-side merge trainer (count desc, pair asc ties —
     // mirrored exactly by the oracle's argmax), and the learned merges bake
@@ -749,6 +775,44 @@ object PretrainQueries extends QueryPack {
         |  CAST(coalesce(n_hits, 0) >= 1 AS INTEGER) AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
         |LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the naive direct suffix sort — structurally independent of the
+    // prefix-doubling construction it verifies
+    "t_suffix_array" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |    WHERE doc_id % 10 = 0 AND length(text) > 0),
+        |pos AS (SELECT doc_id, CAST(u.i AS INTEGER) AS off,
+        |    substr(text, CAST(u.i AS INTEGER) + 1) AS sfx
+        |  FROM d, UNNEST(range(0, length(text))) AS u(i))
+        |SELECT CAST(row_number() OVER (ORDER BY sfx, doc_id, off) - 1
+        |    AS BIGINT) AS rank,
+        |  doc_id, off
+        |FROM pos ORDER BY rank""".stripMargin,
+
+    "t_longest_repeat" -> {
+      def lcp(nbr: String) =
+        s"""CAST(list_sum(list_transform(range(1, 65), k ->
+           |  CASE WHEN length(win) >= k
+           |    AND substr(win, 1, CAST(k AS INTEGER))
+           |      = substr($nbr, 1, CAST(k AS INTEGER))
+           |  THEN 1 ELSE 0 END)) AS INTEGER)""".stripMargin
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |pos AS (SELECT doc_id, CAST(u.i AS INTEGER) AS off,
+         |    substr(text, CAST(u.i AS INTEGER) + 1) AS sfx,
+         |    substr(text, CAST(u.i AS INTEGER) + 1, 64) AS win
+         |  FROM d, UNNEST(range(0, length(text))) AS u(i)
+         |  WHERE length(text) > 0),
+         |ord AS (SELECT doc_id, win,
+         |    lead(win) OVER (ORDER BY sfx, doc_id, off) AS nw,
+         |    lag(win)  OVER (ORDER BY sfx, doc_id, off) AS pw
+         |  FROM pos),
+         |sc AS (SELECT doc_id,
+         |    GREATEST(${lcp("nw")}, ${lcp("pw")}) AS l FROM ord)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(MAX(sc.l), 0) AS INTEGER) AS max_repeat
+         |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    },
 
     // same gram construction as t_decontaminate but WITHOUT the DISTINCT:
     // dup-span counting is positional, so multiplicity must survive

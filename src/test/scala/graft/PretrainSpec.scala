@@ -684,4 +684,72 @@ class PretrainSpec extends AnyFunSuite {
     // capped-out tokens flow into the pooled OOV mass, not silently dropped
     assert(m1.posOov != m1.negOov || m1.posTable != m1.negTable)
   }
+
+  test("suffix array: prefix doubling reproduces the textbook banana " +
+    "order and the naive sort on a multi-doc corpus with tied suffixes") {
+    import graft.operators.Suffix
+    val banana = Seq((1L, "banana")).toDF("doc_id", "text")
+    val got = Suffix.suffixArray(banana, "doc_id", "text")
+      .orderBy("rank").select("off").as[Int].collect().toSeq
+    assert(got == Seq(5, 3, 1, 0, 4, 2), s"banana order: $got")
+    // multi-doc, byte-identical suffixes ("abc" twice) tie by (doc, off),
+    // and an empty doc contributes no positions
+    val docs = Seq((10L, "xyzabc"), (20L, "abc"), (30L, ""))
+      .toDF("doc_id", "text")
+    val sa = Suffix.suffixArray(docs, "doc_id", "text")
+      .orderBy("rank").select("doc", "off")
+      .as[(Long, Int)].collect().toSeq
+    // naive driver-side reference: sort (suffix, doc, off)
+    val ref = Seq((10L, "xyzabc"), (20L, "abc")).flatMap { case (d, t) =>
+      (0 until t.length).map(o => (t.substring(o), d, o))
+    }.sorted.map(x => (x._2, x._3))
+    assert(sa == ref, s"multi-doc order: $sa vs $ref")
+  }
+
+  test("suffix array matches the naive sort on a pseudo-random corpus, " +
+    "bit-identically on any partitioning") {
+    import graft.operators.Suffix
+    // deterministic LCG strings over a tiny alphabet (forces deep ties —
+    // many rounds of doubling actually resolve something)
+    def lcg(seed: Long): Iterator[Long] = Iterator.iterate(seed)(x =>
+      x * 6364136223846793005L + 1442695040888963407L)
+    val docs = (0 until 30).map { d =>
+      val len = 5 + (d * 7) % 40
+      val s = lcg(d + 11).take(len)
+        .map(x => "abz"(Math.floorMod(x, 3).toInt)).mkString
+      (d.toLong, s)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Suffix.suffixArray(df, "doc_id", "text")
+      .orderBy("rank").select("doc", "off").as[(Long, Int)].collect().toSeq
+    val got7 = Suffix.suffixArray(df.repartition(7), "doc_id", "text")
+      .orderBy("rank").select("doc", "off").as[(Long, Int)].collect().toSeq
+    val ref = docs.flatMap { case (d, t) =>
+      (0 until t.length).map(o => (t.substring(o), d, o))
+    }.sorted.map(x => (x._2, x._3))
+    assert(got == ref, "suffix order must equal the naive sort")
+    assert(got7 == ref, "suffix order must be partitioning-independent")
+  }
+
+  test("longest repeated substring: cross-doc and within-doc repeats, " +
+    "cap respected, empty and unique docs score 0") {
+    import graft.operators.Suffix
+    val docs = Seq(
+      (1L, "banana"),              // within-doc repeat "ana" → 3
+      (2L, "the quick brown fox"), // shares " qu"? no — but spaces repeat
+      (3L, "the quick brown fox"), // exact dup of doc 2 → full length 19
+      (4L, ""),                    // empty → 0
+      (5L, "qx")                   // 'q' occurs in docs 2/3 → 1
+    ).toDF("doc_id", "text")
+    val got = Suffix.longestRepeat(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == 3, s"banana: ${got(1L)}")
+    assert(got(2L) == 19 && got(3L) == 19, s"dup docs: $got")
+    assert(got(4L) == 0)
+    assert(got(5L) == 1, s"single shared char: ${got(5L)}")
+    // the cap clamps long matches (dup docs at cap 8 report 8)
+    val capped = Suffix.longestRepeat(docs, "doc_id", "text", cap = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped(2L) == 8 && capped(1L) == 3)
+  }
 }
