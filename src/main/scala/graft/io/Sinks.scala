@@ -251,4 +251,45 @@ object Sinks {
       .option("compression", "snappy")
       .parquet(path)
   }
+
+  /** QUANTILE-boundary Z-order — the skew refinement [[writeZOrdered]]
+    * documents: cell boundaries are the axes' EXACT percentile cuts (one
+    * `percentile` aggregation per axis — deterministic, unlike
+    * approx_percentile whose sketch merges are partitioning-dependent),
+    * so every cell holds ~1/256 of the rows no matter how skewed an axis
+    * is, and the Morton tiling keeps its two-axis pruning power where the
+    * uniform grid degrades to single-axis behavior. The cut array (255
+    * doubles per axis) folds back as a literal; binning is one
+    * higher-order fold per row — a one-shot, IO-bound write pass, where
+    * CodegenFallback is irrelevant. Z-value mechanics are unchanged from
+    * [[writeZOrdered]].
+    */
+  def writeZOrderedQuantile(df: DataFrame, path: String, colA: String,
+      colB: String, partitions: Int,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    import org.apache.spark.sql.functions.{aggregate, expr, typedlit, when}
+    val ps = (1 until 256).map(_ / 256.0)
+    val r = df.agg(
+      expr(s"percentile(CAST($colA AS DOUBLE), array(${ps.mkString(",")}))"),
+      expr(s"percentile(CAST($colB AS DOUBLE), array(${ps.mkString(",")}))"))
+      .head()
+    def cuts(i: Int): Seq[Double] =
+      Option(r.getSeq[Double](i)).getOrElse(Seq.fill(255)(0.0))
+    def cell(c: String, cu: Seq[Double]) =
+      aggregate(typedlit(cu), lit(0L), (acc, b) =>
+        acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
+    def spread(bits: Column, offset: Int) = (0 until 8)
+      .map(i => shiftleft(shiftright(bits, i).bitwiseAND(lit(1L)), 2 * i + offset))
+      .reduce(_ bitwiseOR _)
+    val z = spread(cell(colA, cuts(0)), 0)
+      .bitwiseOR(spread(cell(colB, cuts(1)), 1))
+    df.withColumn("__z", z)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", "snappy")
+      .parquet(path)
+  }
 }

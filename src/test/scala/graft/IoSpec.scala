@@ -184,6 +184,43 @@ class IoSpec extends AnyFunSuite {
     assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
   }
 
+  test("quantile z-order keeps two-axis pruning under heavy skew where " +
+    "the uniform grid collapses; lossless") {
+    val dir = Files.createTempDirectory("graft-zq").toString
+    // 99% of x mass packed into [0, 4), 1% flung to a huge sparse tail:
+    // the uniform 256-cell grid puts the whole dense region in ONE x-cell
+    // (z can no longer distinguish x there), while quantile cuts spend
+    // ~253 cells inside it
+    val df = (0 until 10000).map { i =>
+      val x = if (i % 100 < 99) (i % 400) * 0.01 else 10000.0 + i
+      (x, (i % 50).toDouble, i.toLong)
+    }.toDF("x", "y", "id").repartition(8)
+    graft.io.Sinks.writeZOrdered(df, s"$dir/u", "x", "y", partitions = 16)
+    graft.io.Sinks.writeZOrderedQuantile(df, s"$dir/q", "x", "y",
+      partitions = 16)
+    // a dense-region range predicate: files whose stats could contain it
+    def hitFiles(path: String): (Int, Int) = {
+      import java.io.File
+      val files = new File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+      val hits = files.count { f =>
+        val r = spark.read.parquet(f).agg(min($"x"), max($"x"))
+          .as[(Double, Double)].head()
+        r._1 <= 2.0 && 1.0 <= r._2 // overlaps [1.0, 2.0]
+      }
+      (hits, files.size)
+    }
+    val (hu, nu) = hitFiles(s"$dir/u")
+    val (hq, nq) = hitFiles(s"$dir/q")
+    assert(nq >= 8 && nu >= 8)
+    // quantile tiling must prune the skewed axis at least 2× better
+    assert(hq * 2 <= hu, s"quantile $hq/$nq vs uniform $hu/$nu")
+    // lossless rewrite
+    val back = spark.read.parquet(s"$dir/q")
+    assert(back.columns.toSeq == Seq("x", "y", "id"))
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("compactDir: many small files → target count, lossless, no shuffle") {
     import graft.io.Sinks
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
