@@ -432,6 +432,109 @@ object Graph {
         coalesce(col("component"), col("v")).as("component"))
   }
 
+  /** k-core peel: `iters` synchronous rounds of "drop every vertex whose
+    * degree in the surviving subgraph is < k" — the standard web-graph /
+    * interaction-graph density screen (the k-core is where spam farms and
+    * dense communities live; the periphery peels away). Run to the
+    * fixpoint this computes THE k-core (unique, independent of peel
+    * order); truncated at `iters` it is the well-defined "survivors of
+    * `iters` synchronous peels", which an oracle can unroll round by
+    * round — the [[labelPropagation]] fixed-round contract. Size `iters`
+    * to the observed cascade depth (peeling cascades are shallow: each
+    * round needs a vertex that was ABOVE k to fall below it, so depth is
+    * bounded by the degree spread, not the graph size).
+    *
+    * `edges` must be symmetric, distinct, irreflexive (both directions
+    * present — the [[labelPropagation]] contract), so degree(v) is the
+    * row count with `src` = v.
+    *
+    * Scale posture: each round is one map-side-combinable degree count
+    * plus two left-semi joins of the narrow (long, long) edge list
+    * against the shrinking survivor set — no row ever widens, and the
+    * edge frame is re-checkpointed per round so the loop holds one
+    * working copy (the [[connectedComponents]] discipline). Survivor
+    * sets only shrink, so every round is no more expensive than the
+    * first.
+    *
+    * Output: (`vertex`, `deg`) for every vertex with ≥1 surviving edge —
+    * `deg` measured in the surviving subgraph after the last round.
+    */
+  def kCorePeel(edges: DataFrame, src: String, dst: String, k: Int,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1, "kCorePeel needs at least one round")
+    var e = edges.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val surv = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("a").as("v"))
+        .localCheckpoint() // read twice (both endpoint screens)
+      val next = e
+        .join(surv.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(surv.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      org.apache.spark.sql.graftx.CheckpointUtils.unpersistLocalCheckpoint(e)
+      org.apache.spark.sql.graftx.CheckpointUtils.unpersistLocalCheckpoint(surv)
+      e = next
+    }
+    e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .select(col("a").as("vertex"), col("deg"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) in fixed-point INTEGER
+    * arithmetic: a directed edge u→v means hub u endorses authority v;
+    * each round authorities sum their in-hubs, hubs sum their
+    * out-authorities, and each side renormalizes so its MAXIMUM score is
+    * exactly `scale` (integer multiply then truncating divide — the
+    * max-norm replaces the paper's L2 norm because it keeps every
+    * operation integral, so a 1000-executor run is bit-identical to the
+    * single-node oracle; the eigenvector direction is the same). Runs
+    * exactly `iters` rounds — oracle-unrollable like [[pageRankInt]].
+    *
+    *   a′(v) = Σ_{u→v} h(u);  a(v) = (a′(v)·scale) div max a′
+    *   h′(u) = Σ_{u→v} a(v);  h(u) = (h′(u)·scale) div max h′
+    *
+    * Per round: two narrow (long, long) equi-joins + two map-side-
+    * combinable sums; the raw-score frames are checkpointed so the two
+    * tiny max fetches (single-row driver reads — bounded model state)
+    * don't recompute the round. Overflow bound: raw sums are ≤ N·scale,
+    * and the renormalization multiplies by `scale` before dividing, so
+    * N·scale² must fit a signed long — N < 9·10⁶ at the default
+    * micro-unit scale; lower `scale` for larger graphs (10⁹ vertices →
+    * scale ≤ 3000).
+    *
+    * Output: (`vertex`, `hub`, `auth`) — hubs carry null `auth` unless
+    * the vertex also receives edges, and vice versa; scores in
+    * `1/scale` units.
+    */
+  def hitsInt(edges: DataFrame, src: String, dst: String,
+      iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "hitsInt needs at least one round")
+    val e = edges.select(col(src).cast("long").as("u"),
+        col(dst).cast("long").as("v"))
+      .distinct()
+      .localCheckpoint()
+    var h = e.select(col("u")).distinct().withColumn("h", lit(scale))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(h, Seq("u"))
+        .groupBy(col("v")).agg(sum(col("h")).as("ar"))
+        .localCheckpoint() // feeds both the max fetch and the rescale
+      val am = aRaw.agg(max(col("ar"))).head().getLong(0)
+      a = aRaw.select(col("v"), expr(s"(ar * $scale) div $am").as("a"))
+      val hRaw = e.join(a, Seq("v"))
+        .groupBy(col("u")).agg(sum(col("a")).as("hr"))
+        .localCheckpoint()
+      val hm = hRaw.agg(max(col("hr"))).head().getLong(0)
+      h = hRaw.select(col("u"), expr(s"(hr * $scale) div $hm").as("h"))
+    }
+    h.select(col("u").as("vertex"), col("h"))
+      .join(a.select(col("v").as("vertex"), col("a")), Seq("vertex"), "full_outer")
+      .select(col("vertex"), col("h").as("hub"), col("a").as("auth"))
+  }
+
   /** Adamic-Adar link prediction (Adamic & Adar, Social Networks 2003):
     * for every NON-adjacent pair (u, v) with at least one common neighbor,
     * score Σ_{w ∈ Γ(u)∩Γ(v)} 1/ln(deg w) — rarer shared neighbors count

@@ -262,6 +262,84 @@ object Similarity {
       .drop(vec)
   }
 
+  /** Sign-bit BINARY quantization: bit i of the signature is 1 iff
+    * `vec[i] ≥ 0`, packed little-endian into ⌈dim/64⌉ longs — 1 bit/dim,
+    * the cheapest compression rung below int8 (64 dims of fp32 collapse
+    * into one machine word; Hamming distance is one XOR + POPCNT). The
+    * identity sign(x) comparison (rather than a learned threshold) is the
+    * standard choice for zero-centered embedding spaces.
+    */
+  def signPack(vec: org.apache.spark.sql.Column, dim: Int)
+      : org.apache.spark.sql.Column = {
+    val words = (dim + 63) / 64
+    transform(sequence(lit(0), lit(words - 1)), w =>
+      aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) => {
+        val i = w * lit(64) + b
+        when(i < dim && element_at(vec, (i + lit(1)).cast("int")) >= 0,
+          acc.bitwiseOR(call_function("shiftleft", lit(1L), b)))
+          .otherwise(acc)
+      }))
+  }
+
+  /** Hamming distance between two packed sign signatures ([[signPack]]):
+    * Σ popcount(a XOR b) over the word arrays — codegen'd bit ops, no
+    * branching, ~dim/64 machine instructions per pair.
+    */
+  def hammingDist(sa: org.apache.spark.sql.Column,
+      sb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(sa, sb, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0L), (acc, c) => acc + c.cast("long"))
+
+  /** Exact Hamming top-k over sign signatures: for each query, the k
+    * corpus rows with the fewest sign disagreements (ties to the smaller
+    * id — a total order, so the result is partitioning-independent and
+    * oracle-checkable). Same single-pass shape as [[bruteForceTopK]]:
+    * queries broadcast (signatures only — 8 bytes per 64 dims), corpus
+    * streams once, bounded k-heap reduction.
+    *
+    * Output: (`query_id`, `neighbor_id`, `hamming`, `rank`).
+    */
+  def binaryHammingTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, dim: Int, k: Int): DataFrame = {
+    val c = corpus.select(col(id).as("neighbor_id"),
+      signPack(col(vec), dim).as("__cs"))
+    val q = queries.select(col(id).as("query_id"),
+      signPack(col(vec), dim).as("__qs"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__hd", hammingDist(col("__qs"), col("__cs")))
+    TopK.perKey(scored, "query_id", "__hd", "neighbor_id", k,
+        descending = false)
+      .select(col("query_id"), col("neighbor_id"),
+        col("__hd").cast("long").as("hamming"), col("rank"))
+  }
+
+  /** Binary top-k with exact rerank: the approximate pass scans ONLY the
+    * packed sign bits (⌈dim/64⌉ longs per row — 32× less bandwidth than
+    * fp32, XOR+POPCNT per word) and keeps the `rerankFactor`·k
+    * Hamming-nearest candidates per query; the exact pass point-fetches
+    * those candidates' fp32 vectors and rescores with the exact cosine —
+    * the [[int8RerankTopK]] asymmetry one compression rung further down.
+    * Returned scores are exact; only set membership depends on the sign
+    * approximation (so recall, not precision, is the tuning target —
+    * grow `rerankFactor` until recall flattens).
+    */
+  def binaryRerankTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, dim: Int, k: Int, rerankFactor: Int = 5): DataFrame = {
+    val candidates = binaryHammingTopK(corpus, queries, id, vec, dim,
+        k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = withNorm(corpus, vec)
+      .select(col(id).as("neighbor_id"), col(vec).as("__cv"), col("__nrm").as("__cn"))
+    val qv = withNorm(queries, vec)
+      .select(col(id).as("query_id"), col(vec).as("__qv"), col("__nrm").as("__qn"))
+    val rescored = candidates
+      .join(cv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine_sim",
+        cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+    TopK.perKey(rescored, "query_id", "cosine_sim", "neighbor_id", k,
+      descending = true)
+  }
+
   /** Quantized top-k with exact rerank: the approximate pass scores every
     * (query, corpus) pair on int8 arrays only — the codegen'd
     * [[org.apache.spark.sql.graftx.Int8DotProduct]] inner loop with scales

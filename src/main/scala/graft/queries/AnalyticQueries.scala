@@ -318,6 +318,66 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("part_id"))
     }),
 
+    // k-core density screen over the bipartite customer–part purchase
+    // graph (vertex = customer, or part offset by 10⁹; edge = "bought at
+    // least once", both directions): 4 synchronous peel rounds at k=20
+    // strip the sparse periphery — the web-graph quality screen that
+    // isolates the densely-interacting core. Fixed rounds keep the
+    // oracle unrollable; the peel cascade here fixes in ≤4 rounds at
+    // both gate scales (verified), so this IS the k-core. Degrees on
+    // this graph are scale-INVARIANT (orders-per-customer and
+    // customers-per-part are constant in sf), so the fixed k holds at
+    // any sf.
+    "a_kcore" -> ((s, dir) => {
+      val cp = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_partkey") + lit(1000000000L)).as("p"))
+        .distinct()
+      val e = cp.select(col("c").as("a"), col("p").as("b"))
+        .unionByName(cp.select(col("p").as("a"), col("c").as("b")))
+      graft.operators.Graph.kCorePeel(e, "a", "b", k = 20, iters = 4)
+        .select(
+          when(col("vertex") >= 1000000000L, lit("part")).otherwise(lit("cust"))
+            .as("side"),
+          when(col("vertex") >= 1000000000L, col("vertex") - 1000000000L)
+            .otherwise(col("vertex")).as("node_id"),
+          col("deg"))
+        .orderBy(col("side"), col("node_id"))
+    }),
+
+    // HITS hubs & authorities over the directed customer→part purchase
+    // graph: hub customers endorse authority parts; three max-normalized
+    // integer rounds (bit-identical to the oracle's unrolled CTEs), then
+    // the top 20 of each side. The part namespace offsets by 10⁹ so a
+    // custkey can never alias a partkey.
+    "a_hits" -> ((s, dir) => {
+      val cp = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("u"),
+          (col("l_partkey") + lit(1000000000L)).as("v"))
+        .distinct()
+      val r = graft.operators.Graph.hitsInt(cp, "u", "v", iters = 3)
+        .localCheckpoint() // read twice (hub slice + auth slice)
+      val auth = r.filter(col("auth").isNotNull)
+        .orderBy(col("auth").desc, col("vertex")).limit(20)
+        .select(lit("auth").as("role"),
+          (col("vertex") - 1000000000L).as("node_id"),
+          col("auth").as("score"))
+      val hub = r.filter(col("hub").isNotNull)
+        .orderBy(col("hub").desc, col("vertex")).limit(20)
+        .select(lit("hub").as("role"), col("vertex").as("node_id"),
+          col("hub").as("score"))
+      auth.unionByName(hub)
+        .orderBy(col("role"), col("score").desc, col("node_id"))
+    }),
+
     // Bivariate statistics per return flag: Pearson correlation and the
     // simple-OLS slope/intercept of extendedprice on quantity, all derived
     // from decimal-exact Σx/Σy/Σxy/Σx²/Σy² (order-insensitive merges, so
@@ -664,6 +724,63 @@ object AnalyticQueries extends QueryPack {
          |${lpRound(3)}
          |SELECT v AS part_id, CAST(lab AS BIGINT) AS community FROM l3
          |ORDER BY part_id""".stripMargin
+    },
+
+    "a_kcore" -> {
+      // one synchronous peel round: degrees over the surviving symmetric
+      // edge set, survivors = deg >= 20, edges keep only survivor pairs
+      def peel(r: Int): String =
+        s"""d$r AS (SELECT a AS v, count(*) AS d FROM e${r - 1} GROUP BY a),
+           |s$r AS (SELECT v FROM d$r WHERE d >= 20),
+           |e$r AS (SELECT e.a, e.b FROM e${r - 1} e
+           |  JOIN s$r sa ON e.a = sa.v JOIN s$r sb ON e.b = sb.v)""".stripMargin
+      s"""WITH cp AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+         |    CAST(l_partkey AS BIGINT) + 1000000000 AS p
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e0 AS (SELECT c AS a, p AS b FROM cp UNION ALL SELECT p, c FROM cp),
+         |${peel(1)},
+         |${peel(2)},
+         |${peel(3)},
+         |${peel(4)},
+         |fin AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg
+         |  FROM e4 GROUP BY a)
+         |SELECT CASE WHEN v >= 1000000000 THEN 'part' ELSE 'cust' END AS side,
+         |  CAST(CASE WHEN v >= 1000000000 THEN v - 1000000000 ELSE v END
+         |    AS BIGINT) AS node_id,
+         |  deg
+         |FROM fin ORDER BY side, node_id""".stripMargin
+    },
+
+    "a_hits" -> {
+      // one HITS round: authorities sum in-hubs then max-normalize to the
+      // micro-unit scale (integer multiply, truncating //); hubs likewise
+      def hround(r: Int): String =
+        s"""ar$r AS (SELECT cp.v, SUM(h${r - 1}.h) AS ar
+           |  FROM cp JOIN h${r - 1} ON cp.u = h${r - 1}.u GROUP BY cp.v),
+           |am$r AS (SELECT max(ar) AS m FROM ar$r),
+           |a$r AS (SELECT v, (ar * 1000000) // m AS a
+           |  FROM ar$r CROSS JOIN am$r),
+           |hr$r AS (SELECT cp.u, SUM(a$r.a) AS hr
+           |  FROM cp JOIN a$r ON cp.v = a$r.v GROUP BY cp.u),
+           |hm$r AS (SELECT max(hr) AS m FROM hr$r),
+           |h$r AS (SELECT u, (hr * 1000000) // m AS h
+           |  FROM hr$r CROSS JOIN hm$r)""".stripMargin
+      s"""WITH cp AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u,
+         |    CAST(l_partkey AS BIGINT) + 1000000000 AS v
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |h0 AS (SELECT DISTINCT u, CAST(1000000 AS BIGINT) AS h FROM cp),
+         |${hround(1)},
+         |${hround(2)},
+         |${hround(3)},
+         |auth AS (SELECT 'auth' AS role,
+         |    CAST(v - 1000000000 AS BIGINT) AS node_id,
+         |    CAST(a AS BIGINT) AS score
+         |  FROM a3 ORDER BY a DESC, v LIMIT 20),
+         |hub AS (SELECT 'hub' AS role, CAST(u AS BIGINT) AS node_id,
+         |    CAST(h AS BIGINT) AS score
+         |  FROM h3 ORDER BY h DESC, u LIMIT 20)
+         |SELECT * FROM auth UNION ALL SELECT * FROM hub
+         |ORDER BY role, score DESC, node_id""".stripMargin
     },
 
     "a_regression_stats" -> {

@@ -125,6 +125,40 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Brown double exponential smoothing (α=1/2) with trend forecast:
+    // s1 = EWMA of the series, s2 = EWMA of s1 (folded in ONE pass with a
+    // struct accumulator), level = 2s1−s2, trend = s1−s2 (α/(1−α)=1),
+    // one-step forecast = level + trend — the trend-aware upgrade of
+    // e_ewma_smooth. The oracle replays the IDENTICAL fold order via a
+    // recursive CTE, so results are bit-exact. Same scale shape as the
+    // EWMA: per-user sequences are bounded, collected once, never
+    // shuffled element-wise.
+    "e_double_smooth" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts2"),
+          col("event_id"), col("value"))
+      val x1 = expr("element_at(transform(seq, r -> r.value), 1)")
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sort_array(collect_list(
+            struct(col("ts2"), col("event_id"), col("value")))).as("seq"))
+        .select(col("user_id"), col("n"),
+          aggregate(
+            expr("slice(transform(seq, r -> r.value), 2, 1000000000)"),
+            struct(x1.as("s1"), x1.as("s2")),
+            (acc, x) => struct(
+              ((acc.getField("s1") + x) / lit(2.0)).as("s1"),
+              ((acc.getField("s2") + (acc.getField("s1") + x) / lit(2.0))
+                / lit(2.0)).as("s2"))).as("st"))
+        .select(col("user_id"), col("n"),
+          col("st.s1").as("s1"), col("st.s2").as("s2"),
+          (lit(2.0) * col("st.s1") - col("st.s2")).as("level"),
+          (col("st.s1") - col("st.s2")).as("trend"),
+          ((lit(2.0) * col("st.s1") - col("st.s2"))
+            + (col("st.s1") - col("st.s2"))).as("forecast"))
+        .orderBy(col("user_id"))
+    }),
+
     // Behavioral sequence mining: event-type trigrams along each user's
     // time-ordered stream, counted corpus-wide — the "what do users do
     // next" building block of journey analysis. One per-user window (two
@@ -387,6 +421,27 @@ object EventQueries extends QueryPack {
         |SELECT user_id, n,
         |  list_reduce(vals, (acc, x) -> (acc + x) / CAST(2.0 AS DOUBLE)) AS ewma
         |FROM g ORDER BY user_id""".stripMargin,
+
+    "e_double_smooth" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    list(value ORDER BY date_trunc('second', ts), event_id) AS vals
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id, 1 AS t, n, vals, vals[1] AS s1, vals[1] AS s2
+        |  FROM g
+        |  UNION ALL
+        |  SELECT user_id, t + 1, n, vals,
+        |    (s1 + vals[t + 1]) / CAST(2.0 AS DOUBLE),
+        |    (s2 + (s1 + vals[t + 1]) / CAST(2.0 AS DOUBLE))
+        |      / CAST(2.0 AS DOUBLE)
+        |  FROM r WHERE t < n),
+        |f AS (SELECT user_id, n, s1, s2 FROM r WHERE t = n)
+        |SELECT user_id, n, s1, s2,
+        |  CAST(2.0 AS DOUBLE) * s1 - s2 AS level,
+        |  s1 - s2 AS trend,
+        |  (CAST(2.0 AS DOUBLE) * s1 - s2) + (s1 - s2) AS forecast
+        |FROM f ORDER BY user_id""".stripMargin,
 
     "e_behavior_trigrams" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -80,6 +80,37 @@ object SimilarityQueries extends QueryPack {
       qs.agg(count(lit(1)).as("n_queries")).crossJoin(diff) // 1-row × 1-row
     }),
 
+    // Sign-bit binary quantization, exact Hamming top-k: 64 fp32 dims
+    // collapse into ONE packed long per vector (32× less scan bandwidth;
+    // XOR+POPCNT per pair) and the k Hamming-nearest corpus rows per query
+    // are value-exact against DuckDB's per-dimension sign-mismatch count —
+    // the packed-word path and the dimension-loop path must agree bit for
+    // bit. Ties to the smaller id make the set a total order.
+    "v_binary_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.binaryHammingTopK(emb, queriesOf(emb), "vec_id",
+          "embedding", 64, k)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Binary shortlist + exact fp32 rerank vs the exact brute force: the
+    // recall numerator (|rerank top-k ∩ brute top-k|) is re-derived
+    // INDEPENDENTLY by DuckDB (sign loop + window ranks) — sign bits keep
+    // far less of the geometry than int8, so unlike v_int8_check the sets
+    // legitimately differ and the gate pins the exact overlap instead.
+    "v_binary_rerank" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qs = queriesOf(emb)
+      val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k)
+        .select(col("query_id"), col("neighbor_id"))
+      val bin = Similarity.binaryRerankTopK(emb, qs, "vec_id", "embedding",
+          64, k)
+        .select(col("query_id"), col("neighbor_id"))
+      val overlap = bin.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+      qs.agg(count(lit(1)).as("n_queries")).crossJoin(overlap) // 1-row × 1-row
+    }),
+
     // PCA moment table, value-exact: the distributed half of Pca.fit —
     // dim(dim+3)/2 integer-quantized first/second moment sums (products
     // rounded to 1e-8 units; long sums are order-free, so the table is
@@ -840,6 +871,47 @@ object SimilarityQueries extends QueryPack {
       """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
         |   WHERE vec_id % 97 = 0) AS n_queries,
         |  CAST(0 AS BIGINT) AS set_diff""".stripMargin,
+
+    "v_binary_topk" ->
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings
+         |    WHERE vec_id % 97 = 0),
+         |hd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(len(list_filter(range(1, len(q.embedding) + 1),
+         |      i -> (q.embedding[i] >= 0) <> (c.embedding[i] >= 0)))
+         |      AS BIGINT) AS hamming
+         |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY hamming, neighbor_id) AS INTEGER) AS rank FROM hd)
+         |SELECT query_id, neighbor_id, hamming, rank FROM ranked
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin,
+
+    "v_binary_rerank" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+         |sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q", "c")} / (q.nrm * c.nrm) AS cs
+         |  FROM q JOIN e c ON q.vec_id <> c.vec_id),
+         |brute AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+         |    FROM sims) WHERE rnk <= $k),
+         |hd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    len(list_filter(range(1, len(q.embedding) + 1),
+         |      i -> (q.embedding[i] >= 0) <> (c.embedding[i] >= 0))) AS hdist
+         |  FROM q JOIN e c ON q.vec_id <> c.vec_id),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY hdist, neighbor_id) AS rnk
+         |    FROM hd) WHERE rnk <= ${k * 5}),
+         |rr AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT s.query_id, s.neighbor_id, row_number() OVER (
+         |      PARTITION BY s.query_id ORDER BY sims.cs DESC, s.neighbor_id)
+         |      AS rnk
+         |    FROM short s JOIN sims ON sims.query_id = s.query_id
+         |      AND sims.neighbor_id = s.neighbor_id) WHERE rnk <= $k)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM rr
+         |    JOIN brute USING (query_id, neighbor_id)) AS n_overlap""".stripMargin,
 
     "v_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),

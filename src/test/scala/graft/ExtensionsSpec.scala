@@ -127,6 +127,59 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(brute.nonEmpty && int8 == brute)
   }
 
+  test("signPack packs sign bits little-endian, any dim, multi-word") {
+    // dim 3: signs (+,−,+) → bits 0 and 2 → word 0b101 = 5
+    val d3 = Seq(Tuple1(Seq(1.0f, -2.0f, 0.5f))).toDF("v")
+      .select(Similarity.signPack($"v", 3).as("s")).as[Seq[Long]].head()
+    assert(d3 === Seq(5L))
+    // dim 70: all-positive → word0 = all 64 bits, word1 = low 6 bits
+    val d70 = Seq(Tuple1(Seq.fill(70)(1.0f))).toDF("v")
+      .select(Similarity.signPack($"v", 70).as("s")).as[Seq[Long]].head()
+    assert(d70 === Seq(-1L, 63L))
+    // zero counts as non-negative (bit set)
+    val z = Seq(Tuple1(Seq(0.0f, -0.0f))).toDF("v")
+      .select(Similarity.signPack($"v", 2).as("s")).as[Seq[Long]].head()
+    assert(z === Seq(3L)) // IEEE −0.0 ≥ 0 in SQL comparison
+  }
+
+  test("packed-word hamming ≡ per-dimension sign-mismatch count") {
+    val pairs = embeddings.as("x")
+      .join(embeddings.as("y"), $"x.vec_id" < $"y.vec_id")
+      .limit(500)
+      .select(
+        Similarity.hammingDist(
+          Similarity.signPack($"x.embedding", 64),
+          Similarity.signPack($"y.embedding", 64)).as("packed"),
+        aggregate(
+          zip_with($"x.embedding", $"y.embedding",
+            (a, b) => ((a >= 0) =!= (b >= 0)).cast("long")),
+          lit(0L), (acc, m) => acc + m).as("loop"))
+    assert(pairs.filter($"packed" =!= $"loop").isEmpty)
+    assert(pairs.filter($"packed" > 0).count() > 0)
+  }
+
+  test("binary rerank: exact scores from the brute universe, sane recall") {
+    val qs = embeddings.filter($"vec_id" % 97 === 0)
+    val brute = Similarity.bruteForceTopK(embeddings, qs, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id", $"cosine_sim")
+      .as[(Long, Long, Double)].collect()
+    val bin = Similarity.binaryRerankTopK(embeddings, qs, "vec_id",
+        "embedding", 64, 5)
+      .select($"query_id", $"neighbor_id", $"cosine_sim")
+      .as[(Long, Long, Double)].collect()
+    // every rerank score is THE exact cosine for that pair (point-fetch
+    // rescore) — check against the full exact pair map
+    val exactAll = Similarity.bruteForceTopK(embeddings, qs, "vec_id",
+        "embedding", 1000)
+      .select($"query_id", $"neighbor_id", $"cosine_sim")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(bin.forall(r => exactAll((r._1, r._2)) === r._3))
+    val recall = (bin.map(r => (r._1, r._2)).toSet &
+      brute.map(r => (r._1, r._2)).toSet).size.toDouble / brute.length
+    assert(recall >= 0.3, s"binary rerank recall $recall collapsed")
+  }
+
   test("hard negatives: top-k different-label rows, vs driver-side recompute") {
     val qs = embeddings.filter($"vec_id" % 97 === 0)
     val got = Similarity

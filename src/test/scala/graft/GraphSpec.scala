@@ -283,4 +283,72 @@ class GraphSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.values.toSet === Set(0L, 20L, 40L))
   }
+
+  /** Symmetrize an undirected edge list (the kCorePeel/labelPropagation
+    * input contract).
+    */
+  private def sym(edges: (Long, Long)*) =
+    edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct.toDF("a", "b")
+
+  test("kCorePeel: pendant chain peels, clique survives with full degrees") {
+    // 4-clique {1,2,3,4} + pendant path 4-5-6: at k=2 the path peels from
+    // the leaf inward (6 first, then 5), the clique is untouched
+    val clique = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val e = sym(clique ++ Seq((4L, 5L), (5L, 6L)): _*)
+    val got = Graph.kCorePeel(e, "a", "b", k = 2, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // at k=4 even the clique dies (max degree is 3)
+    assert(Graph.kCorePeel(e, "a", "b", k = 4, iters = 3).isEmpty)
+  }
+
+  test("kCorePeel truncated at iters matches the synchronous driver fold") {
+    // long pendant chain off a triangle: each round peels exactly one
+    // chain vertex, so iters below the chain length leaves a remnant —
+    // verify the truncated semantics against a driver-side replay
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    def replay(iters: Int): Map[Long, Long] = {
+      var adj = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      for (_ <- 1 to iters) {
+        val deg = adj.groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= 2).keySet
+        adj = adj.filter { case (a, b) => keep(a) && keep(b) }
+      }
+      adj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    }
+    for (iters <- Seq(1, 2, 4)) {
+      val got = Graph.kCorePeel(sym(e: _*), "a", "b", k = 2, iters = iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got === replay(iters), s"iters=$iters")
+    }
+  }
+
+  test("hitsInt: max-normalized integer recurrence, hand-computed") {
+    // bipartite: hub 1 endorses parts 10,11,12; hub 2 endorses only 10.
+    // Hand-unrolled three rounds of aₖ/hₖ with truncating integer div.
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)).toDF("u", "v")
+    val got = Graph.hitsInt(e, "u", "v", iters = 3)
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((Some(1000000L), None)))
+    assert(got(2L) === ((Some(416666L), None)))
+    assert(got(10L) === ((None, Some(1000000L))))
+    assert(got(11L) === ((None, Some(700000L))))
+    assert(got(12L) === ((None, Some(700000L))))
+  }
+
+  test("hitsInt is partitioning-invariant (integer ops only)") {
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
+    val edges = lcg(11L).take(400).grouped(2).collect {
+      case Seq(x, y) => (Math.floorMod(x, 30L), 100L + Math.floorMod(y, 40L))
+    }.toSeq
+    val base = edges.toDF("u", "v")
+    val a = Graph.hitsInt(base, "u", "v", iters = 3)
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    val b = Graph.hitsInt(base.repartition(7), "u", "v", iters = 3)
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
 }

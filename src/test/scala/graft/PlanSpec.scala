@@ -63,6 +63,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("binary hamming top-k: sign-bit scan reduces via bounded heaps, " +
+    "query side broadcasts") {
+    // the packed-signature scan must fold through the k-heap aggregate
+    // (partial+final) with the tiny query side broadcast — and the fp32
+    // rerank must stay out of the approximate scan entirely
+    val p = plan("v_binary_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert("partial_bounded_topk".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("ivfadc: corpus joins probed cells by EQUI-join — no full-corpus " +
       "ADC scan, bounded final reduction") {
     import graft.operators.{Clustering, Pq}
