@@ -252,6 +252,38 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Hilbert-curve layout over TWO numeric columns — [[writeZOrdered]]
+    * with the Morton interleave replaced by the Hilbert index
+    * ([[graft.ops.Locality.hilbertValue2]]): consecutive curve positions
+    * are always ADJACENT grid cells, so range-clustered files get
+    * strictly better worst-case bounding boxes than Morton tiles (the
+    * Morton curve teleports across the grid at every power-of-two
+    * boundary; Hilbert never does). Same uniform 256-cell normalization,
+    * same one-exchange write shape, same trade-offs otherwise.
+    */
+  def writeHilbert(df: DataFrame, path: String, colA: String, colB: String,
+      partitions: Int, maxRecordsPerFile: Long = 5000000L): Unit = {
+    val r = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    val (loA, hiA, loB, hiB) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    def cell(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L)
+      else least(lit(255L), greatest(lit(0L),
+        floor((col(c).cast("double") - lo) / (hi - lo) * 256.0).cast("long")))
+    val h = graft.ops.Locality.hilbertValue2(
+      cell(colA, loA, hiA), cell(colB, loB, hiB), 8)
+    df.withColumn("__h", h)
+      .repartitionByRange(partitions, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", "snappy")
+      .parquet(path)
+  }
+
   /** QUANTILE-boundary Z-order — the skew refinement [[writeZOrdered]]
     * documents: cell boundaries are the axes' EXACT percentile cuts (one
     * `percentile` aggregation per axis — deterministic, unlike

@@ -75,6 +75,42 @@ object SamplingQueries extends QueryPack {
             .as("locality_ok"))
     }),
 
+    // Hilbert-curve layout quality on the same two axes as
+    // x_zorder_layout: the per-bucket bounding-box span sums for the
+    // Hilbert clustering, the Morton clustering, and the naive single-
+    // axis split, all value-exact (the Hilbert recurrence is pure integer
+    // CASE arithmetic the oracle unrolls level by level). locality_ok
+    // asserts the ≥2× win over naive; the h-vs-z sums make the
+    // Hilbert/Morton comparison inspectable.
+    "x_hilbert_layout" -> ((s, dir) => {
+      import graft.ops.Locality
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").cast("long").as("x"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long").as("y"))
+      val withH = base
+        .withColumn("h", Locality.hilbertValue2(col("x"), col("y"), zBits))
+        .withColumn("z", Locality.zValue2(col("x"), col("y"), zBits))
+        .localCheckpoint() // scanned by three layouts + the maxima
+      val lims = withH.agg(max(col("h")).as("hm"), max(col("z")).as("zm"),
+        max(col("x")).as("xm"))
+      val staged = withH.crossJoin(broadcast(lims))
+      def spanSum(bucket: org.apache.spark.sql.Column, out: String) =
+        staged.groupBy(bucket.as("__b"))
+          .agg((max(col("x")) - min(col("x")) +
+            max(col("y")) - min(col("y"))).as("__s"))
+          .agg(sum(col("__s")).as(out))
+      val hs = spanSum(expr(s"(h * $zBuckets) div (hm + 1)"), "h_span_sum")
+      val zs = spanSum(expr(s"(z * $zBuckets) div (zm + 1)"), "z_span_sum")
+      val ns = spanSum(expr(s"(x * $zBuckets) div (xm + 1)"), "naive_span_sum")
+      withH.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(hs).crossJoin(zs).crossJoin(ns) // 1-row frames
+        .select(col("n_rows"), col("h_span_sum"), col("z_span_sum"),
+          col("naive_span_sum"),
+          (col("h_span_sum") * 2 < col("naive_span_sum")).cast("int")
+            .as("locality_ok"))
+    }),
+
     // Cross-split near-dup leakage: pairs from the shingle-Jaccard near-dup
     // set whose members landed in DIFFERENT train/val/test splits — the
     // leaks a random document-level split lets through whenever near-dups
@@ -275,6 +311,56 @@ object SamplingQueries extends QueryPack {
         |  COALESCE(CAST(k.n_kept AS BIGINT), CAST(0 AS BIGINT)) AS n_kept
         |FROM c LEFT JOIN k ON c.source = k.source
         |ORDER BY c.source""".stripMargin,
+
+    "x_hilbert_layout" -> {
+      // the Hilbert xy2d recurrence unrolled level by level — identical
+      // integer CASE arithmetic to Locality.hilbertValue2's fold; levels
+      // MATERIALIZED so the per-level x/y references don't compound into
+      // an exponential inlined expression
+      val n1 = (1L << zBits) - 1
+      def lev(i: Int, prev: String, name: String): String = {
+        val s = 1L << i
+        val ss = 1L << (2 * i)
+        s"""$name AS MATERIALIZED (SELECT x0, y0,
+           |  d + $ss * (CASE WHEN (x & $s) = 0
+           |    THEN (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)
+           |    ELSE 3 - (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) END) AS d,
+           |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0
+           |    THEN $n1 - y ELSE y END) ELSE x END AS x,
+           |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0
+           |    THEN $n1 - x ELSE x END) ELSE y END AS y
+           |  FROM $prev)""".stripMargin
+      }
+      val levels = ((zBits - 1) to 0 by -1).map { i =>
+        val prev = if (i == zBits - 1) "lstart" else s"l${i + 1}"
+        lev(i, prev, s"l$i")
+      }.mkString(",\n")
+      val zTerms = (0 until zBits).map(i =>
+        s"((x0 >> $i) & 1) * ${1L << (2 * i)} + ((y0 >> $i) & 1) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT CAST(o_custkey AS BIGINT) AS x,
+         |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS y
+         |  FROM orders),
+         |lstart AS (SELECT x AS x0, y AS y0, CAST(0 AS BIGINT) AS d, x, y
+         |  FROM base),
+         |$levels,
+         |wz AS (SELECT x0 AS x, y0 AS y, d AS h, $zTerms AS z FROM l0),
+         |m AS (SELECT max(h) AS hm, max(z) AS zm, max(x) AS xm FROM wz),
+         |hs AS (SELECT CAST(sum(span) AS BIGINT) AS h_span_sum FROM (
+         |  SELECT max(x) - min(x) + max(y) - min(y) AS span
+         |  FROM wz CROSS JOIN m GROUP BY (h * $zBuckets) // (hm + 1))),
+         |zs AS (SELECT CAST(sum(span) AS BIGINT) AS z_span_sum FROM (
+         |  SELECT max(x) - min(x) + max(y) - min(y) AS span
+         |  FROM wz CROSS JOIN m GROUP BY (z * $zBuckets) // (zm + 1))),
+         |ns AS (SELECT CAST(sum(span) AS BIGINT) AS naive_span_sum FROM (
+         |  SELECT max(x) - min(x) + max(y) - min(y) AS span
+         |  FROM wz CROSS JOIN m GROUP BY (x * $zBuckets) // (xm + 1)))
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_rows,
+         |  hs.h_span_sum, zs.z_span_sum, ns.naive_span_sum,
+         |  CAST(CASE WHEN hs.h_span_sum * 2 < ns.naive_span_sum
+         |    THEN 1 ELSE 0 END AS INTEGER) AS locality_ok
+         |FROM hs CROSS JOIN zs CROSS JOIN ns""".stripMargin
+    },
 
     "x_zorder_layout" -> {
       // the Morton interleave as explicit integer bit terms — identical

@@ -221,6 +221,75 @@ class IoSpec extends AnyFunSuite {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("hilbertValue2: matches reference xy2d, bijective, and ADJACENT — " +
+    "consecutive codes are 1-manhattan-step cells") {
+    val bits = 6
+    val n = 1 << bits
+    // reference implementation: the canonical xy2d loop
+    def xy2d(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = (n / 2).toLong
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val grid = (for (x <- 0L until n; y <- 0L until n) yield (x, y))
+      .toDF("x", "y")
+    val got = grid.select($"x", $"y",
+        graft.ops.Locality.hilbertValue2($"x", $"y", bits).as("h"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.forall { case (x, y, h) => h == xy2d(x, y) })
+    // bijection onto [0, n²)
+    val byD = got.map { case (x, y, h) => h -> ((x, y)) }.toMap
+    assert(byD.size == n * n && byD.keys.min == 0L && byD.keys.max == n * n - 1)
+    // the Hilbert property Morton lacks: every consecutive pair of curve
+    // positions is Manhattan-adjacent (Morton violates this at every
+    // power-of-two boundary)
+    for (d <- 1L until n * n) {
+      val (x1, y1) = byD(d - 1)
+      val (x2, y2) = byD(d)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at d=$d")
+    }
+  }
+
+  test("hilbert write: files tile BOTH axes, prunable on either; lossless") {
+    val dir = Files.createTempDirectory("graft-hilbert").toString
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+      .repartition(8)
+    graft.io.Sinks.writeHilbert(li, s"$dir/out", "l_orderkey", "l_partkey",
+      partitions = 16)
+    import java.io.File
+    val files = new File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    assert(files.size >= 8, s"expected >=8 hilbert files, got ${files.size}")
+    val ranges = files.map { f =>
+      spark.read.parquet(f).agg(
+        min($"l_orderkey"), max($"l_orderkey"),
+        min($"l_partkey"), max($"l_partkey"))
+        .as[(Long, Long, Long, Long)].head()
+    }
+    val (loO, hiO) = (ranges.map(_._1).min, ranges.map(_._2).max)
+    val (loP, hiP) = (ranges.map(_._3).min, ranges.map(_._4).max)
+    val midO = (loO + hiO) / 2
+    val midP = (loP + hiP) / 2
+    val hitO = ranges.count(r => r._1 <= midO && midO <= r._2)
+    val hitP = ranges.count(r => r._3 <= midP && midP <= r._4)
+    assert(hitO <= files.size * 3 / 4, s"orderkey axis not tiled: $hitO/${files.size}")
+    assert(hitP <= files.size * 3 / 4, s"partkey axis not tiled: $hitP/${files.size}")
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.columns.toSeq == Seq("l_orderkey", "l_partkey", "l_quantity"))
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+  }
+
   test("compactDir: many small files → target count, lossless, no shuffle") {
     import graft.io.Sinks
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
