@@ -53,7 +53,33 @@ object TextQueries extends QueryPack {
        |    + 0.25 * (1.0 - least(1.0, abs(avg_token_len - 5.0) / 5.0)) AS quality_score
        |  FROM m)""".stripMargin
 
+  /** Fixed blocklist for the Aho-Corasick screen: overlapping-prone
+    * phrases, sub-word substrings, nested patterns ("agg" ⊃ "gg"), and a
+    * never-matching entry — the shapes that break naive counting.
+    */
+  private[queries] val blockPatterns = Seq(
+    "table", "table table", "a a", "scan", "agg", "gg",
+    "value table", "stream sort", "spark", "zzz-unseen")
+
   override def queries: Map[String, Query] = Map(
+    // Multi-pattern blocklist screen in ONE automaton pass per document
+    // (native Aho-Corasick expression — a P-entry blocklist costs the
+    // same single corpus scan as one pattern, where per-pattern contains
+    // loops scan P times). ALL occurrences count, overlapping included;
+    // the oracle recomputes every pattern's count by per-position
+    // substring equality — a structurally independent O(len·P) mechanism
+    // the automaton must match exactly.
+    "t_blocklist_hits" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          org.apache.spark.sql.graftx.AhoCorasickExpressions
+            .multiPatternCounts(col("text"), blockPatterns).as("__c"))
+        .select(col("doc_id"),
+          aggregate(col("__c"), lit(0L), (a, x) => a + x).as("total_hits"),
+          size(filter(col("__c"), c => c > 0L)).cast("long")
+            .as("n_patterns_hit"))
+        .orderBy(col("doc_id"))),
+
     // Per-source quality cutoff: keep the best 20% of each source by the
     // composite quality score (ties by doc_id). Value-exact oracle: the
     // score arithmetic is the bit-identical t_text_stats formula and both
@@ -402,6 +428,21 @@ object TextQueries extends QueryPack {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    "t_blocklist_hits" -> {
+      val vals = blockPatterns
+        .map(p => s"('${p.replace("'", "''")}')").mkString(", ")
+      s"""WITH p AS (SELECT * FROM (VALUES $vals) t(pat)),
+         |h AS (SELECT d.doc_id, p.pat,
+         |    CAST(len(list_filter(range(1, len(d.text) - len(p.pat) + 2),
+         |      i -> substr(d.text, CAST(i AS INTEGER),
+         |        CAST(len(p.pat) AS INTEGER)) = p.pat)) AS BIGINT) AS hits
+         |  FROM documents d CROSS JOIN p)
+         |SELECT doc_id, CAST(sum(hits) AS BIGINT) AS total_hits,
+         |  CAST(count(CASE WHEN hits > 0 THEN 1 END) AS BIGINT)
+         |    AS n_patterns_hit
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "t_quality_filter" ->
       s"""WITH $qualityScoredCte
          |SELECT doc_id, source, quality_score FROM q

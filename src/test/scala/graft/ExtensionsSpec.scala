@@ -465,6 +465,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rAll == 1.0, s"probing every cell must recover exact top-k, got $rAll")
   }
 
+  test("aho-corasick counts every overlapping occurrence ≡ naive sliding " +
+    "count, incl. nested and shared-suffix patterns") {
+    import org.apache.spark.sql.graftx.AhoCorasickExpressions.multiPatternCounts
+    def naive(text: String, p: String): Long =
+      (0 to text.length - p.length)
+        .count(i => text.regionMatches(i, p, 0, p.length)).toLong
+    val pats = Seq("he", "she", "his", "hers", "aa", "a", "ushers")
+    val texts = Seq("ushers", "aaaa", "ahishers", "xyz", "aaha aa shehe",
+      "hehehe", "a")
+    val got = texts.toDF("t")
+      .select($"t", multiPatternCounts($"t", pats).as("c"))
+      .as[(String, Seq[Long])].collect().toMap
+    for (t <- texts; (p, i) <- pats.zipWithIndex)
+      assert(got(t)(i) == naive(t, p), s"text='$t' pat='$p'")
+    // classic fixture sanity: "ushers" fires she, he, hers, ushers once
+    assert(got("ushers") == Seq(1L, 1L, 0L, 1L, 0L, 0L, 1L))
+    // overlap: "aaaa" has 3 overlapping "aa", 4 "a"
+    assert(got("aaaa")(4) == 3L && got("aaaa")(5) == 4L)
+    // null text → null result
+    val n = Seq((1, null: String)).toDF("id", "t")
+      .select(multiPatternCounts($"t", pats).as("c")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("language guess picks the profile with most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
