@@ -378,6 +378,20 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("role"), col("score").desc, col("node_id"))
     }),
 
+    // Pareto frontier (2-D skyline) of parts maximizing (size, price) —
+    // the "best trade-off set" shape. The operator needs no dominance
+    // join (per-x max + distributed running-max filter + duplicate-
+    // preserving semi-join back); the oracle is the textbook NOT EXISTS
+    // dominance anti-join — structurally independent mechanisms that must
+    // agree row-for-row.
+    "a_skyline_parts" -> ((s, dir) =>
+      graft.operators.Skyline.skyline2(
+        Tables.load(s, dir, "part")
+          .select(col("p_partkey"), col("p_size"), col("p_retailprice")),
+        "p_size", "p_retailprice")
+        .orderBy(col("p_size").desc, col("p_retailprice").desc,
+          col("p_partkey"))),
+
     // Bivariate statistics per return flag: Pearson correlation and the
     // simple-OLS slope/intercept of extendedprice on quantity, all derived
     // from decimal-exact Σx/Σy/Σxy/Σx²/Σy² (order-insensitive merges, so
@@ -782,6 +796,14 @@ object AnalyticQueries extends QueryPack {
          |SELECT * FROM auth UNION ALL SELECT * FROM hub
          |ORDER BY role, score DESC, node_id""".stripMargin
     },
+
+    "a_skyline_parts" ->
+      """SELECT p_size, p_retailprice, p_partkey
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_size >= p.p_size AND q.p_retailprice >= p.p_retailprice
+        |    AND (q.p_size > p.p_size OR q.p_retailprice > p.p_retailprice))
+        |ORDER BY p_size DESC, p_retailprice DESC, p_partkey""".stripMargin,
 
     "a_regression_stats" -> {
       def stable(e: String) =

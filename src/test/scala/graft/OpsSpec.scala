@@ -604,4 +604,33 @@ class OpsSpec extends AnyFunSuite {
     // mad at rn 2 = 2.0 → cut 6 → one outlier
     assert(r(1) == (("b", 3L, 4.0, 2.0, 1L, 96.0)))
   }
+
+  test("skyline2 ≡ brute-force dominance on random, duplicate-heavy, and " +
+    "anticorrelated fixtures; partitioning-invariant") {
+    import spark.implicits._
+    def brute(pts: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+      pts.filter { p => !pts.exists(q =>
+        q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3))
+      }.toSet
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L)
+    val random = lcg(3L).take(400).grouped(2).zipWithIndex.collect {
+      case (Seq(x, y), i) =>
+        (i.toLong, Math.floorMod(x, 40L), Math.floorMod(y, 40L))
+    }.toSeq
+    // duplicates of a frontier point must ALL survive; anticorrelated
+    // diagonal = everything is the frontier
+    val dupes = random ++ random.take(30).map(r => (r._1 + 1000, r._2, r._3))
+    val diag = (0L until 50L).map(i => (i, i, 49L - i))
+    for ((pts, label) <- Seq((random, "random"), (dupes, "dupes"),
+        (diag, "diag"))) {
+      val df = pts.toDF("id", "x", "y")
+      for (parts <- Seq(1, 4)) {
+        val got = graft.operators.Skyline
+          .skyline2(df.repartition(parts), "x", "y")
+          .select($"id", $"x", $"y").as[(Long, Long, Long)].collect().toSet
+        assert(got === brute(pts), s"$label/parts=$parts")
+      }
+    }
+  }
 }
