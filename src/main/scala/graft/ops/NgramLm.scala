@@ -58,6 +58,63 @@ object NgramLm {
     (bi, uni, n)
   }
 
+  /** Per-document INTERPOLATED KNESER-NEY bigram score (Kneser & Ney,
+    * ICASSP 1995; Chen & Goodman, CSL 1999 — the standard n-gram
+    * smoothing Stupid Backoff trades away for distributability):
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁)
+    *              + D·N₁₊(w₁·)/c(w₁) · P_cont(w₂)     c(w₁) > 0
+    *            = P_cont(w₂)                            unseen context
+    *   P_cont(w₂) = N₁₊(·w₂)/T,  floored at 1/T for never-continuing w₂
+    *
+    * with fixed discount D, N₁₊(w₁·)/N₁₊(·w₂) the distinct-continuation /
+    * distinct-history type counts, and T the total distinct bigram types.
+    * For a seen context whose continuations are all in-vocabulary the
+    * probabilities sum EXACTLY to 1 (Σ np(w₂) = T telescopes the
+    * interpolation mass) — the normalization Stupid Backoff lacks.
+    *
+    * The punchline for the distributed setting: every model statistic
+    * (context totals, both type counts, T) derives from the ONE bigram
+    * count table by map-side-combinable aggregations — no extra corpus
+    * pass vs Stupid Backoff — and scoring stays three narrow hash joins
+    * against corpus-sized tables plus a per-doc sum. Same micro-nat
+    * integer quantization contract as [[score]].
+    *
+    * Output: (`id`, `n_bi`, `sum_q`); < 2-token documents score (0, 0).
+    */
+  def scoreKneserNey(docs: DataFrame, id: String, text: String,
+      bi: DataFrame, discount: Double = 0.75): DataFrame = {
+    val ctx = bi.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("__c1"), count(lit(1)).as("__n1p"))
+    val prec = bi.groupBy(col("w2")).agg(count(lit(1)).as("__np"))
+    val t = bi.count() // one model scalar, like counts()'s N
+    require(t > 0,
+      "Kneser-Ney needs a non-empty bigram table (0 bigram types seen)")
+    val bg = docs
+      .select(col(id), TextFunctions.tokens(col(text)).as("__toks"))
+      .select(col(id), explode(bigramStructs(col("__toks"))).as("__p"))
+      .select(col(id), col("__p.w1"), col("__p.w2"))
+    val scored = bg
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(prec, Seq("w2"), "left")
+      .withColumn("__pc",
+        coalesce(col("__np"), lit(1L)).cast("double") / lit(t.toDouble))
+      .withColumn("__s",
+        when(col("__c1").isNotNull,
+          greatest(coalesce(col("c12"), lit(0L)).cast("double")
+              - lit(discount), lit(0.0)) / col("__c1").cast("double")
+            + lit(discount) * col("__n1p").cast("double")
+              / col("__c1").cast("double") * col("__pc"))
+        .otherwise(col("__pc")))
+      .withColumn("__q", round(log(col("__s")) * lit(1e6)).cast("long"))
+    val per = scored.groupBy(col(id))
+      .agg(count(lit(1)).as("n_bi"), sum(col("__q")).as("sum_q"))
+    docs.select(col(id)).join(per, Seq(id), "left")
+      .select(col(id), coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("sum_q"), lit(0L)).as("sum_q"))
+  }
+
   /** Per-document Stupid Backoff score: (doc_id, n_bi, sum_q) with sum_q
     * the integer micro-nat sum over the doc's bigrams. Documents with
     * fewer than two tokens score (0, 0).

@@ -186,6 +186,21 @@ object PretrainQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated Kneser-Ney on the same train/score split — the
+    // properly-normalized contrast to t_stupid_backoff (discounted seen
+    // mass redistributed by CONTINUATION-type probability, Σ P = 1 for
+    // seen contexts). All model statistics reduce from the one bigram
+    // table; the oracle re-derives every count and mirrors the exact
+    // IEEE interpolation chain, micro-nat quantized.
+    "t_kneser_ney" -> ((s, dir) => {
+      import graft.ops.NgramLm
+      val docs = Tables.load(s, dir, "documents")
+      val (bi, _, _) = NgramLm.counts(
+        docs.filter(col("doc_id") % 2 === 0), "text")
+      NgramLm.scoreKneserNey(docs, "doc_id", "text", bi)
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction: per-stage match counts plus a fingerprint of the fully
     // redacted text — the md5 makes the gate sensitive to every redacted
     // byte, not just the counts. Pure per-row regex projection: fuses into
@@ -620,6 +635,40 @@ object PretrainQueries extends QueryPack {
 
     // full count-table retrain in SQL: same train split, same backoff
     // chain and division order, same micro-nat quantization
+    "t_kneser_ney" ->
+      s"""WITH t AS (SELECT doc_id, ${TextQueries.toksSql} AS toks FROM documents),
+         |tr AS (SELECT doc_id, toks FROM t WHERE doc_id % 2 = 0),
+         |bi AS (SELECT w[i] AS w1, w[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
+         |  FROM (SELECT toks AS w FROM tr),
+         |    LATERAL (SELECT unnest(range(1, len(w))) AS i)
+         |  WHERE len(w) >= 2 GROUP BY w1, w2),
+         |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n1p FROM bi GROUP BY w1),
+         |prec AS (SELECT w2, CAST(count(*) AS BIGINT) AS np FROM bi GROUP BY w2),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bi),
+         |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |  FROM (SELECT doc_id, toks AS w FROM t),
+         |    LATERAL (SELECT unnest(range(1, len(w))) AS i)
+         |  WHERE len(w) >= 2),
+         |sc AS (SELECT doc_id,
+         |    CAST(round(ln(CASE WHEN c1 IS NOT NULL THEN
+         |      greatest(CAST(COALESCE(c12, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE),
+         |        CAST(0.0 AS DOUBLE)) / CAST(c1 AS DOUBLE)
+         |      + CAST(0.75 AS DOUBLE) * CAST(n1p AS DOUBLE) / CAST(c1 AS DOUBLE)
+         |        * (CAST(COALESCE(np, 1) AS DOUBLE) / CAST(t AS DOUBLE))
+         |    ELSE CAST(COALESCE(np, 1) AS DOUBLE) / CAST(t AS DOUBLE)
+         |    END) * 1000000) AS BIGINT) AS q
+         |  FROM bg
+         |  LEFT JOIN bi USING (w1, w2)
+         |  LEFT JOIN ctx USING (w1)
+         |  LEFT JOIN prec USING (w2), tt),
+         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi,
+         |    CAST(sum(q) AS BIGINT) AS sum_q FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(n_bi, 0) AS n_bi,
+         |  COALESCE(sum_q, 0) AS sum_q
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     "t_stupid_backoff" ->
       s"""WITH t AS (SELECT doc_id, ${TextQueries.toksSql} AS toks FROM documents),
          |tr AS (SELECT doc_id, toks FROM t WHERE doc_id % 2 = 0),

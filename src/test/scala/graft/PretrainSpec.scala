@@ -752,4 +752,37 @@ class PretrainSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(capped(2L) == 8 && capped(1L) == 3)
   }
+
+  test("kneser-ney: seen-context probabilities sum to EXACTLY 1 over the " +
+    "continuation vocab; unseen context falls back to continuation mass") {
+    import graft.ops.NgramLm
+    val train = Seq("a b", "a b", "a c", "b c", "c a b", "b a a")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (bi, _, _) = NgramLm.counts(train, "text")
+    val lefts = bi.select($"w1").distinct().as[String].collect().sorted
+    val rights = bi.select($"w2").distinct().as[String].collect().sorted
+    // one 2-token score doc per (context, continuation) pair: its sum_q IS
+    // the micro-nat log P(w2|w1)
+    val scoreDocs = for ((w1, i) <- lefts.zipWithIndex.toSeq;
+        (w2, j) <- rights.zipWithIndex)
+      yield ((i * 100 + j).toLong, s"$w1 $w2")
+    val byDoc = NgramLm
+      .scoreKneserNey(scoreDocs.toDF("doc_id", "text"), "doc_id", "text", bi)
+      .filter($"n_bi" === 1)
+      .select($"doc_id", $"sum_q").as[(Long, Long)].collect()
+      .map(r => r._1 -> math.exp(r._2 / 1e6)).toMap
+    // the Chen-Goodman telescoping identity: discounted seen mass plus
+    // redistributed continuation mass is exactly 1 per seen context
+    for ((w1, i) <- lefts.zipWithIndex) {
+      val s = rights.indices.map(j => byDoc((i * 100 + j).toLong)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"context '$w1' sums to $s")
+    }
+    // unseen context backs off fully to P_cont = np(w2)/T
+    val t = bi.count().toDouble
+    val npB = bi.filter($"w2" === "b").count().toDouble
+    val un = NgramLm.scoreKneserNey(
+        Seq((9999L, "zzz b")).toDF("doc_id", "text"), "doc_id", "text", bi)
+      .select($"sum_q").as[Long].head()
+    assert(math.abs(math.exp(un / 1e6) - npB / t) < 1e-6)
+  }
 }
