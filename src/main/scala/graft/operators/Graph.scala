@@ -535,6 +535,71 @@ object Graph {
       .select(col("vertex"), col("h").as("hub"), col("a").as("auth"))
   }
 
+  /** DETERMINISTIC random-walk corpus (the DeepWalk / node2vec(p=q=1)
+    * sampling pass — Perozzi et al., KDD 2014): `walksPerVertex` walks of
+    * `steps` hops from every start vertex, where hop k of walk w at
+    * vertex v moves to neighbor number
+    *
+    *   (v·1103515245 + w·12345 + k·2747636419 + seed) mod deg(v)
+    *
+    * over the neighbor list sorted by id — a linear-congruential mix in
+    * plain non-overflowing integer arithmetic, so the exact same walks
+    * come out of any engine, partitioning, or retry (a true RNG would
+    * make the corpus unreproducible and the oracle impossible; walk
+    * STATISTICS only need hash-grade mixing, the LCG constants are the
+    * classic glibc/Numerical-Recipes pair).
+    *
+    * Scale shape: the indexed adjacency (one per-vertex-partitioned
+    * row_number window — never global) and the degree table checkpoint
+    * once; each hop is ONE narrow equi-join on (vertex, chosen-index)
+    * carrying (start, walk, long) triples. Walk frames grow as
+    * |starts|·W rows regardless of step count. Vertex ids must stay
+    * below ~8·10⁹ so the mix product fits a signed long (DuckDB errors
+    * on overflow where Spark would wrap — the bound keeps both exact).
+    *
+    * Start vertices absent from the edge list emit their step-0 row and
+    * stop (nothing to walk). Output: (`start`, `walk`, `step`, `vertex`).
+    */
+  def deterministicWalks(edges: DataFrame, src: String, dst: String,
+      starts: DataFrame, startCol: String, steps: Int, walksPerVertex: Int,
+      seed: Long = 12345L): DataFrame = {
+    require(steps >= 1 && walksPerVertex >= 1, "need ≥1 step and ≥1 walk")
+    val e = edges.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"))
+      .distinct()
+      .localCheckpoint() // feeds adjacency + degrees
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("b"))
+    val adj = e.withColumn("idx", (row_number().over(wn) - 1).cast("long"))
+      .localCheckpoint() // probed every hop
+    val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    var cur = starts.select(col(startCol).cast("long").as("start"))
+      .distinct()
+      .select(col("start"),
+        explode(sequence(lit(0), lit(walksPerVertex - 1))).as("walk"))
+      .withColumn("step", lit(0))
+      .withColumn("vertex", col("start"))
+    var out = cur
+    for (k <- 1 to steps) {
+      val h = col("vertex") * lit(1103515245L) + col("walk") * lit(12345L) +
+        lit(k.toLong) * lit(2747636419L) + lit(seed)
+      val next = cur
+        .join(deg.withColumnRenamed("a", "vertex"), Seq("vertex"))
+        .select(col("start"), col("walk"), col("vertex").as("a"),
+          (h % col("d")).as("idx"))
+        .join(adj, Seq("a", "idx"))
+        .select(col("start"), col("walk"), lit(k).as("step"),
+          col("b").as("vertex"))
+        .localCheckpoint() // keeps hop plans flat; every hop frame stays
+      // materialized — each is |starts|·W narrow rows and the union
+      // output reads them all, so nothing is unpersisted here
+      cur = next
+      out = out.unionByName(cur)
+    }
+    out
+  }
+
   /** Adamic-Adar link prediction (Adamic & Adar, Social Networks 2003):
     * for every NON-adjacent pair (u, v) with at least one common neighbor,
     * score Σ_{w ∈ Γ(u)∩Γ(v)} 1/ln(deg w) — rarer shared neighbors count

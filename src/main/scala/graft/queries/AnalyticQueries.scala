@@ -378,6 +378,20 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("role"), col("score").desc, col("node_id"))
     }),
 
+    // DeepWalk-style walk corpus over the part co-occurrence graph: two
+    // deterministic 3-hop walks from every 31st part — the sampling pass
+    // that feeds skip-gram graph-embedding training. The LCG neighbor
+    // choice is plain integer arithmetic, so the oracle replays every
+    // hop exactly.
+    "a_walk_corpus" -> ((s, dir) => {
+      val starts = Tables.load(s, dir, "part")
+        .filter(col("p_partkey") % 31 === 0)
+        .select(col("p_partkey"))
+      graft.operators.Graph.deterministicWalks(partGraph(s, dir), "a", "b",
+          starts, "p_partkey", steps = 3, walksPerVertex = 2)
+        .orderBy(col("start"), col("walk"), col("step"))
+    }),
+
     // Pareto frontier (2-D skyline) of parts maximizing (size, price) —
     // the "best trade-off set" shape. The operator needs no dominance
     // join (per-x max + distributed running-max filter + duplicate-
@@ -795,6 +809,37 @@ object AnalyticQueries extends QueryPack {
          |  FROM h3 ORDER BY h DESC, u LIMIT 20)
          |SELECT * FROM auth UNION ALL SELECT * FROM hub
          |ORDER BY role, score DESC, node_id""".stripMargin
+    },
+
+    "a_walk_corpus" -> {
+      // one deterministic hop: LCG-pick a neighbor index mod degree
+      def hop(k: Int): String =
+        s"""s$k AS (SELECT s.start, s.walk, $k AS step, adj.b AS vertex
+           |  FROM s${k - 1} s JOIN deg ON deg.a = s.vertex
+           |  JOIN adj ON adj.a = s.vertex
+           |    AND adj.idx = (s.vertex * 1103515245 + s.walk * 12345
+           |      + $k * 2747636419 + 12345) % deg.d)""".stripMargin
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |    FROM lineitem),
+         |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p <> y.p),
+         |adj AS (SELECT a, b,
+         |    CAST(row_number() OVER (PARTITION BY a ORDER BY b) - 1
+         |      AS BIGINT) AS idx
+         |  FROM e),
+         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+         |st AS (SELECT CAST(p_partkey AS BIGINT) AS start FROM part
+         |  WHERE p_partkey % 31 = 0),
+         |s0 AS (SELECT start, w.walk, 0 AS step, start AS vertex
+         |  FROM st CROSS JOIN (VALUES (0), (1)) w(walk)),
+         |${hop(1)},
+         |${hop(2)},
+         |${hop(3)}
+         |SELECT start, walk, step, vertex FROM s0
+         |UNION ALL SELECT * FROM s1
+         |UNION ALL SELECT * FROM s2
+         |UNION ALL SELECT * FROM s3
+         |ORDER BY start, walk, step""".stripMargin
     },
 
     "a_skyline_parts" ->

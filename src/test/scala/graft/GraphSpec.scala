@@ -324,6 +324,48 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministicWalks replays the LCG hop-for-hop; edges only; " +
+    "partitioning-invariant") {
+    val edges = sym((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val starts = Seq(1L, 3L, 99L).toDF("v") // 99 absent: step-0 row only
+    def run(parts: Int) = Graph.deterministicWalks(
+        edges.repartition(parts), "a", "b", starts, "v",
+        steps = 3, walksPerVertex = 2)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    val got = run(1)
+    assert(got === run(5))
+    // driver replay of the exact recurrence
+    val adj = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val want = scala.collection.mutable.Set.empty[(Long, Int, Int, Long)]
+    for (s <- Seq(1L, 3L, 99L); w <- 0 to 1) {
+      want += ((s, w, 0, s))
+      var v = s
+      var k = 1
+      var alive = adj.contains(v)
+      while (alive && k <= 3) {
+        val ns = adj(v)
+        val h = v * 1103515245L + w * 12345L + k * 2747636419L + 12345L
+        v = ns((h % ns.size).toInt)
+        want += ((s, w, k, v))
+        alive = adj.contains(v)
+        k += 1
+      }
+    }
+    assert(got === want.toSet)
+    // every consecutive hop is a real edge
+    val byWalk = got.toSeq.groupBy(t => (t._1, t._2))
+    val edgeSet = adj.toSeq.flatMap { case (a, bs) => bs.map(b => (a, b)) }.toSet
+    for ((_, steps) <- byWalk) {
+      val path = steps.sortBy(_._3).map(_._4)
+      path.sliding(2).foreach {
+        case Seq(a, b) => assert(edgeSet((a, b)))
+        case _ =>
+      }
+    }
+  }
+
   test("hitsInt: max-normalized integer recurrence, hand-computed") {
     // bipartite: hub 1 endorses parts 10,11,12; hub 2 endorses only 10.
     // Hand-unrolled three rounds of aₖ/hₖ with truncating integer div.
