@@ -535,6 +535,49 @@ object Graph {
       .select(col("vertex"), col("h").as("hub"), col("a").as("auth"))
   }
 
+  /** Per-community Newman modularity terms (Newman & Girvan, PRE 2004)
+    * for a vertex→community labeling over a SYMMETRIC edge list:
+    *
+    *   Q = Σ_c [ intra2_c/2m − (deg_c/2m)² ]
+    *
+    * with intra2_c the within-community count of DIRECTED edge rows (each
+    * undirected edge twice — exactly 2m-normalized), deg_c the community
+    * degree sum. Terms quantize to 1e-8 units per community BEFORE any
+    * cross-community reduction, so Σ term_q is an order-free long sum —
+    * the engine-exactness discipline of the moment aggregates.
+    *
+    * Scale shape: one degree aggregation, two narrow label equi-joins,
+    * two map-side-combinable per-community sums; 2m rides a broadcast
+    * 1-row frame, never a driver literal.
+    *
+    * Output: (`community`, `intra2`, `deg_c`, `term_q`), one row per
+    * community; Q_micro×100 = Σ term_q.
+    */
+  def modularityTerms(edges: DataFrame, src: String, dst: String,
+      labels: DataFrame, vertexCol: String, communityCol: String): DataFrame = {
+    val e = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint()
+    val lab = labels.select(col(vertexCol).as("v"), col(communityCol).as("c"))
+    val tot = e.agg(count(lit(1)).as("e2"))
+    val deg = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val degC = deg.join(lab.withColumnRenamed("v", "a"), Seq("a"))
+      .groupBy(col("c")).agg(sum(col("d")).as("deg_c"))
+    val intra = e
+      .join(lab.select(col("v").as("a"), col("c").as("ca")), Seq("a"))
+      .join(lab.select(col("v").as("b"), col("c").as("cb")), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("intra2"))
+    val e2d = col("e2").cast("double")
+    degC.join(intra, Seq("c"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("c").as("community"),
+        coalesce(col("intra2"), lit(0L)).as("intra2"),
+        col("deg_c"),
+        round((coalesce(col("intra2"), lit(0L)).cast("double") / e2d
+          - (col("deg_c").cast("double") / e2d)
+            * (col("deg_c").cast("double") / e2d)) * lit(1e8))
+          .cast("long").as("term_q"))
+  }
+
   /** DETERMINISTIC random-walk corpus (the DeepWalk / node2vec(p=q=1)
     * sampling pass — Perozzi et al., KDD 2014): `walksPerVertex` walks of
     * `steps` hops from every start vertex, where hop k of walk w at

@@ -378,6 +378,42 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("role"), col("score").desc, col("node_id"))
     }),
 
+    // Newman modularity of the 3-round LPA communities over the part
+    // co-occurrence graph — the standard partition-quality score,
+    // term-quantized per community so the cross-community sum is
+    // order-free. One row per community; Σ term_q is Q in 1e-8 units.
+    "a_modularity" -> ((s, dir) => {
+      val e = partGraph(s, dir).localCheckpoint()
+      val lab = graft.operators.Graph.labelPropagation(e, "a", "b", iters = 3)
+      graft.operators.Graph
+        .modularityTerms(e, "a", "b", lab, "vertex", "community")
+        .orderBy(col("community"))
+    }),
+
+    // Degree assortativity (Newman, PRL 2002): the Pearson correlation of
+    // endpoint degrees over the symmetric edge list — do hubs link hubs?
+    // Same decimal-exact moment-sum discipline as a_regression_stats.
+    "a_assortativity" -> ((s, dir) => {
+      val e = partGraph(s, dir).localCheckpoint()
+      val deg = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      val pairs = e
+        .join(deg.select(col("a"), col("d").as("dx")), Seq("a"))
+        .join(deg.select(col("a").as("b"), col("d").as("dy")), Seq("b"))
+        .select(col("dx").cast("double").as("x"),
+          col("dy").cast("double").as("y"))
+      val m = pairs.agg(count(lit(1)).as("n"),
+        sumStable(col("x")).as("sx"), sumStable(col("y")).as("sy"),
+        sumStable(col("x") * col("y")).as("sxy"),
+        sumStable(col("x") * col("x")).as("sxx"),
+        sumStable(col("y") * col("y")).as("syy"))
+      val nd = col("n").cast("double")
+      m.select(col("n"),
+        ((col("sxy") - col("sx") * col("sy") / nd) /
+          sqrt((col("sxx") - col("sx") * col("sx") / nd) *
+            (col("syy") - col("sy") * col("sy") / nd)))
+          .as("assortativity"))
+    }),
+
     // DeepWalk-style walk corpus over the part co-occurrence graph: two
     // deterministic 3-hop walks from every 31st part — the sampling pass
     // that feeds skip-gram graph-embedding training. The LCG neighbor
@@ -809,6 +845,66 @@ object AnalyticQueries extends QueryPack {
          |  FROM h3 ORDER BY h DESC, u LIMIT 20)
          |SELECT * FROM auth UNION ALL SELECT * FROM hub
          |ORDER BY role, score DESC, node_id""".stripMargin
+    },
+
+    "a_modularity" -> {
+      // LPA rounds identical to a_communities' oracle, then the Newman
+      // terms over the raw (self-vote-free) graph
+      def lpRound(k: Int): String =
+        s"""c$k AS (SELECT e.b AS vv, l.lab, count(*) AS c
+           |  FROM e JOIN l${k - 1} l ON l.v = e.a GROUP BY e.b, l.lab),
+           |w$k AS (SELECT vv, lab FROM (
+           |    SELECT vv, lab,
+           |      row_number() OVER (PARTITION BY vv ORDER BY c DESC, lab) AS rn
+           |    FROM c$k) WHERE rn = 1),
+           |l$k AS (SELECT v.v, COALESCE(w$k.lab, v.v) AS lab
+           |  FROM v LEFT JOIN w$k ON w$k.vv = v.v)""".stripMargin
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |    FROM lineitem),
+         |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p <> y.p),
+         |v AS (SELECT a AS v FROM e0 UNION SELECT b FROM e0),
+         |e AS (SELECT a, b FROM e0 UNION ALL SELECT v, v FROM v),
+         |l0 AS (SELECT v, v AS lab FROM v),
+         |${lpRound(1)},
+         |${lpRound(2)},
+         |${lpRound(3)},
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS e2 FROM e0),
+         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM e0 GROUP BY a),
+         |degc AS (SELECT CAST(l.lab AS BIGINT) AS c,
+         |    CAST(sum(deg.d) AS BIGINT) AS deg_c
+         |  FROM deg JOIN l3 l ON l.v = deg.a GROUP BY 1),
+         |intra AS (SELECT CAST(la.lab AS BIGINT) AS c,
+         |    CAST(count(*) AS BIGINT) AS intra2
+         |  FROM e0 JOIN l3 la ON la.v = e0.a JOIN l3 lb ON lb.v = e0.b
+         |  WHERE la.lab = lb.lab GROUP BY 1)
+         |SELECT degc.c AS community, COALESCE(intra2, 0) AS intra2, deg_c,
+         |  CAST(round((CAST(COALESCE(intra2, 0) AS DOUBLE) / CAST(e2 AS DOUBLE)
+         |    - (CAST(deg_c AS DOUBLE) / CAST(e2 AS DOUBLE))
+         |      * (CAST(deg_c AS DOUBLE) / CAST(e2 AS DOUBLE))) * 1e8)
+         |    AS BIGINT) AS term_q
+         |FROM degc LEFT JOIN intra ON intra.c = degc.c CROSS JOIN tot
+         |ORDER BY community""".stripMargin
+    },
+
+    "a_assortativity" -> {
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |    FROM lineitem),
+         |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p <> y.p),
+         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+         |p AS (SELECT CAST(dx.d AS DOUBLE) AS x, CAST(dy.d AS DOUBLE) AS y
+         |  FROM e JOIN deg dx ON dx.a = e.a JOIN deg dy ON dy.a = e.b),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    ${stable("x")} AS sx, ${stable("y")} AS sy,
+         |    ${stable("x * y")} AS sxy,
+         |    ${stable("x * x")} AS sxx, ${stable("y * y")} AS syy
+         |  FROM p)
+         |SELECT n,
+         |  (sxy - sx * sy / CAST(n AS DOUBLE))
+         |    / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+         |      * (syy - sy * sy / CAST(n AS DOUBLE))) AS assortativity
+         |FROM m""".stripMargin
     },
 
     "a_walk_corpus" -> {

@@ -324,6 +324,20 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("modularityTerms hand-computed on two cliques joined by a bridge") {
+    val k4a = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val k4b = for (a <- 5L to 8L; b <- 5L to 8L if a < b) yield (a, b)
+    val e = sym((k4a ++ k4b :+ ((4L, 5L))): _*)
+    val lab = (1L to 8L).map(v => (v, if (v <= 4) 1L else 2L))
+      .toDF("vertex", "community")
+    // E2 = 26; each clique: intra2 = 12, deg_c = 13 (bridge endpoint +1)
+    // term = 12/26 − (13/26)² = 0.21153846…
+    val got = Graph.modularityTerms(e, "a", "b", lab, "vertex", "community")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 12L, 13L, 21153846L),
+      (2L, 12L, 13L, 21153846L)))
+  }
+
   test("deterministicWalks replays the LCG hop-for-hop; edges only; " +
     "partitioning-invariant") {
     val edges = sym((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
