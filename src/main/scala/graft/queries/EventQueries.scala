@@ -159,6 +159,38 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Multi-touch attribution (first / last / linear) — every purchase
+    // credits the click/view touches of the same user in the preceding
+    // 7 days. Candidate pairs come from the banded range equi-join (no
+    // BNLJ); ranking is one per-purchase window over the bounded touch
+    // set; credits are integer micro-units (linear = truncating
+    // 10⁶ div n), so the per-channel totals are engine-exact.
+    "e_attribution" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts2"),
+          col("event_id"), col("event_type"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts2").as("t_ts"),
+          col("event_id").as("t_id"), col("event_type").as("t_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts2").as("p_ts"),
+          col("event_id").as("p_id"))
+      val pairs = graft.operators.Temporal.bandedRangeJoin(
+        touches, purchases, "user_id", "t_ts", "p_ts", 0L, 604800L)
+      val w = Window.partitionBy(col("p_id")).orderBy(col("t_ts"), col("t_id"))
+      val ranked = pairs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nt", count(lit(1)).over(Window.partitionBy(col("p_id"))))
+      ranked.groupBy(col("t_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("rn") === 1, lit(1000000L)).otherwise(lit(0L)))
+            .as("first_q"),
+          sum(when(col("rn") === col("nt"), lit(1000000L)).otherwise(lit(0L)))
+            .as("last_q"),
+          sum(expr("CAST(1000000 AS BIGINT) div nt")).as("linear_q"))
+        .orderBy(col("t_type"))
+    }),
+
     // Behavioral sequence mining: event-type trigrams along each user's
     // time-ordered stream, counted corpus-wide — the "what do users do
     // next" building block of journey analysis. One per-user window (two
@@ -421,6 +453,29 @@ object EventQueries extends QueryPack {
         |SELECT user_id, n,
         |  list_reduce(vals, (acc, x) -> (acc + x) / CAST(2.0 AS DOUBLE)) AS ewma
         |FROM g ORDER BY user_id""".stripMargin,
+
+    "e_attribution" ->
+      """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts2,
+        |    event_id, event_type FROM events),
+        |t AS (SELECT user_id, ts2 AS t_ts, event_id AS t_id,
+        |    event_type AS t_type FROM e
+        |  WHERE event_type IN ('click', 'view')),
+        |p AS (SELECT user_id, ts2 AS p_ts, event_id AS p_id FROM e
+        |  WHERE event_type = 'purchase'),
+        |pr AS (SELECT t.t_type, t.t_ts, t.t_id, p.p_id
+        |  FROM t JOIN p ON t.user_id = p.user_id
+        |    AND epoch(p.p_ts) - epoch(t.t_ts) > 0
+        |    AND epoch(p.p_ts) - epoch(t.t_ts) <= 604800),
+        |r AS (SELECT t_type, p_id,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn,
+        |    count(*) OVER (PARTITION BY p_id) AS nt FROM pr)
+        |SELECT t_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1000000 ELSE 0 END) AS BIGINT)
+        |    AS first_q,
+        |  CAST(sum(CASE WHEN rn = nt THEN 1000000 ELSE 0 END) AS BIGINT)
+        |    AS last_q,
+        |  CAST(sum(1000000 // nt) AS BIGINT) AS linear_q
+        |FROM r GROUP BY t_type ORDER BY t_type""".stripMargin,
 
     "e_double_smooth" ->
       """WITH RECURSIVE g AS (
