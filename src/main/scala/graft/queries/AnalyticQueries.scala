@@ -31,6 +31,18 @@ object AnalyticQueries extends QueryPack {
       .distinct()
   }
 
+  /** Two deterministic 3-hop walks from every 31st part over the part
+    * co-occurrence graph — shared by a_walk_corpus, a_skipgram_pairs.
+    */
+  private def walkFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val starts = Tables.load(s, dir, "part")
+      .filter(col("p_partkey") % 31 === 0)
+      .select(col("p_partkey"))
+    graft.operators.Graph.deterministicWalks(partGraph(s, dir), "a", "b",
+      starts, "p_partkey", steps = 3, walksPerVertex = 2)
+  }
+
   /** Canonical (a < b) brand co-occurrence graph, cut at the median pair
     * weight — shared by a_triangle_count, a_clustering_coeff. The median
     * cut is the hub-edge prefilter that bounds wedge fan-out.
@@ -419,13 +431,23 @@ object AnalyticQueries extends QueryPack {
     // that feeds skip-gram graph-embedding training. The LCG neighbor
     // choice is plain integer arithmetic, so the oracle replays every
     // hop exactly.
-    "a_walk_corpus" -> ((s, dir) => {
-      val starts = Tables.load(s, dir, "part")
-        .filter(col("p_partkey") % 31 === 0)
-        .select(col("p_partkey"))
-      graft.operators.Graph.deterministicWalks(partGraph(s, dir), "a", "b",
-          starts, "p_partkey", steps = 3, walksPerVertex = 2)
-        .orderBy(col("start"), col("walk"), col("step"))
+    "a_walk_corpus" -> ((s, dir) =>
+      walkFrame(s, dir).orderBy(col("start"), col("walk"), col("step"))),
+
+    // Skip-gram training pairs from the walk corpus (word2vec over
+    // graphs): every ordered (center, context) pair within window 2
+    // along each walk, counted — the direct input to embedding training.
+    // One self-equi-join per walk key (walks are 4 rows each, so the
+    // pair fan-out is a small constant) + one map-combinable count.
+    "a_skipgram_pairs" -> ((s, dir) => {
+      val w = walkFrame(s, dir).localCheckpoint() // both join sides
+      w.as("x").join(w.as("y"),
+          col("x.start") === col("y.start") && col("x.walk") === col("y.walk")
+            && col("x.step") =!= col("y.step")
+            && abs(col("x.step") - col("y.step")) <= 2)
+        .groupBy(col("x.vertex").as("center"), col("y.vertex").as("context"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("center"), col("context"))
     }),
 
     // Pareto frontier (2-D skyline) of parts maximizing (size, price) —
@@ -551,6 +573,39 @@ object AnalyticQueries extends QueryPack {
 
   private def stable(expr: String) =
     s"CAST(CAST(SUM(CAST($expr AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+  /** Oracle mirror of [[walkFrame]]: the deterministic-walk CTE chain,
+    * ending in a `walks(start, walk, step, vertex)` relation.
+    */
+  private def walkCtes: String = {
+    // one deterministic hop: LCG-pick a neighbor index mod degree
+    def hop(k: Int): String =
+      s"""s$k AS (SELECT s.start, s.walk, $k AS step, adj.b AS vertex
+         |  FROM s${k - 1} s JOIN deg ON deg.a = s.vertex
+         |  JOIN adj ON adj.a = s.vertex
+         |    AND adj.idx = (s.vertex * 1103515245 + s.walk * 12345
+         |      + $k * 2747636419 + 12345) % deg.d)""".stripMargin
+    s"""op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+       |    FROM lineitem),
+       |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM op x JOIN op y ON x.ok = y.ok AND x.p <> y.p),
+       |adj AS (SELECT a, b,
+       |    CAST(row_number() OVER (PARTITION BY a ORDER BY b) - 1
+       |      AS BIGINT) AS idx
+       |  FROM e),
+       |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+       |st AS (SELECT CAST(p_partkey AS BIGINT) AS start FROM part
+       |  WHERE p_partkey % 31 = 0),
+       |s0 AS (SELECT start, w.walk, 0 AS step, start AS vertex
+       |  FROM st CROSS JOIN (VALUES (0), (1)) w(walk)),
+       |${hop(1)},
+       |${hop(2)},
+       |${hop(3)},
+       |walks AS (SELECT start, walk, step, vertex FROM s0
+       |  UNION ALL SELECT * FROM s1
+       |  UNION ALL SELECT * FROM s2
+       |  UNION ALL SELECT * FROM s3)""".stripMargin
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "q13_custdist" ->
@@ -907,36 +962,19 @@ object AnalyticQueries extends QueryPack {
          |FROM m""".stripMargin
     },
 
-    "a_walk_corpus" -> {
-      // one deterministic hop: LCG-pick a neighbor index mod degree
-      def hop(k: Int): String =
-        s"""s$k AS (SELECT s.start, s.walk, $k AS step, adj.b AS vertex
-           |  FROM s${k - 1} s JOIN deg ON deg.a = s.vertex
-           |  JOIN adj ON adj.a = s.vertex
-           |    AND adj.idx = (s.vertex * 1103515245 + s.walk * 12345
-           |      + $k * 2747636419 + 12345) % deg.d)""".stripMargin
-      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
-         |    FROM lineitem),
-         |e AS (SELECT DISTINCT x.p AS a, y.p AS b
-         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p <> y.p),
-         |adj AS (SELECT a, b,
-         |    CAST(row_number() OVER (PARTITION BY a ORDER BY b) - 1
-         |      AS BIGINT) AS idx
-         |  FROM e),
-         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
-         |st AS (SELECT CAST(p_partkey AS BIGINT) AS start FROM part
-         |  WHERE p_partkey % 31 = 0),
-         |s0 AS (SELECT start, w.walk, 0 AS step, start AS vertex
-         |  FROM st CROSS JOIN (VALUES (0), (1)) w(walk)),
-         |${hop(1)},
-         |${hop(2)},
-         |${hop(3)}
-         |SELECT start, walk, step, vertex FROM s0
-         |UNION ALL SELECT * FROM s1
-         |UNION ALL SELECT * FROM s2
-         |UNION ALL SELECT * FROM s3
-         |ORDER BY start, walk, step""".stripMargin
-    },
+    "a_walk_corpus" ->
+      s"""WITH $walkCtes
+         |SELECT start, walk, step, vertex FROM walks
+         |ORDER BY start, walk, step""".stripMargin,
+
+    "a_skipgram_pairs" ->
+      s"""WITH $walkCtes
+         |SELECT x.vertex AS center, y.vertex AS context,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM walks x JOIN walks y
+         |  ON x.start = y.start AND x.walk = y.walk AND x.step <> y.step
+         |  AND abs(x.step - y.step) <= 2
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "a_skyline_parts" ->
       """SELECT p_size, p_retailprice, p_partkey

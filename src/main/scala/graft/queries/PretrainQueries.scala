@@ -186,6 +186,29 @@ object PretrainQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // word2vec negative-sampling distribution (Mikolov et al., NIPS
+    // 2013): P_neg(w) ∝ c(w)^0.75, integer-quantized. The 3/4 power is
+    // computed as sqrt(sqrt(c³)) — each sqrt is IEEE correctly-rounded in
+    // BOTH engines where a libm pow() is not — and weights quantize
+    // per-token BEFORE the normalizing sum, so the table is engine-exact.
+    // One explode + two map-combinable aggregations; c³ stays exactly
+    // representable below c ≈ 2·10⁵ (quantize coarser past that).
+    "t_negative_table" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+      val uni = docs
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val w34 = sqrt(sqrt((col("c") * col("c") * col("c")).cast("double")))
+      val wq = uni.select(col("tok"), col("c"),
+        round(w34 * lit(1e6)).cast("long").as("wq"))
+      val tot = wq.agg(sum(col("wq")).as("twq"))
+      wq.crossJoin(broadcast(tot)) // 1-row total
+        .select(col("tok"), col("c"),
+          expr("(wq * CAST(1000000000 AS BIGINT)) div twq").as("neg_q"))
+        .orderBy(col("tok"))
+    }),
+
     // Interpolated Kneser-Ney on the same train/score split — the
     // properly-normalized contrast to t_stupid_backoff (discounted seen
     // mass redistributed by CONTINUATION-type probability, Σ P = 1 for
@@ -635,6 +658,19 @@ object PretrainQueries extends QueryPack {
 
     // full count-table retrain in SQL: same train split, same backoff
     // chain and division order, same micro-nat quantization
+    "t_negative_table" ->
+      s"""WITH t AS (SELECT doc_id, ${TextQueries.toksSql} AS toks
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+         |wq AS (SELECT tok, c,
+         |    CAST(round(sqrt(sqrt(CAST(c * c * c AS DOUBLE))) * 1000000)
+         |      AS BIGINT) AS wq
+         |  FROM uni),
+         |tot AS (SELECT CAST(sum(wq) AS BIGINT) AS twq FROM wq)
+         |SELECT tok, c, CAST((wq * 1000000000) // twq AS BIGINT) AS neg_q
+         |FROM wq CROSS JOIN tot ORDER BY tok""".stripMargin,
+
     "t_kneser_ney" ->
       s"""WITH t AS (SELECT doc_id, ${TextQueries.toksSql} AS toks FROM documents),
          |tr AS (SELECT doc_id, toks FROM t WHERE doc_id % 2 = 0),
