@@ -73,5 +73,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HyperplaneBands(args(0), intArg(args(1), "hyperplane_bands", 1),
         intArg(args(2), "hyperplane_bands", 2))
     })
+    register("aho_corasick_counts", { args =>
+      arity("aho_corasick_counts", args, 2)
+      val pats = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.CreateArray(cs, _) =>
+          cs.map {
+            case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+              org.apache.spark.sql.types.StringType) => s.toString
+            case other => throw new IllegalArgumentException(
+              s"aho_corasick_counts: patterns must be string literals, got $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"aho_corasick_counts: argument 2 must be array(<string literals>), got $other")
+      }
+      AhoCorasickCounts(args(0), pats.toSeq)
+    })
   }
 }

@@ -262,6 +262,31 @@ object Similarity {
       .drop(vec)
   }
 
+  /** MUTUAL k-nearest-neighbor pairs: (a, b) kept iff b is in a's top-k
+    * AND a is in b's top-k — the reciprocal filter that turns a kNN graph
+    * into a high-precision near-dup / cluster-seed edge set (asymmetric
+    * hub neighbors, the classic false-positive source, drop out because
+    * the hub doesn't reciprocate). Composes the bounded-heap top-k
+    * ([[bruteForceTopK]] here; swap in any of the approximate paths for
+    * scale) with one narrow self-equi-join on the (query, neighbor) pair
+    * — the kNN lists are |V|·k rows, so the reciprocity join never
+    * touches vectors.
+    *
+    * Output: (`id_a`, `id_b`, `cosine_sim`) with id_a < id_b.
+    */
+  def mutualTopK(df: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+    val knn = bruteForceTopK(df, df, id, vec, k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
+      .localCheckpoint() // both sides of the reciprocity join
+    knn.as("x")
+      .join(knn.as("y"),
+        col("x.query_id") === col("y.neighbor_id") &&
+          col("x.neighbor_id") === col("y.query_id") &&
+          col("x.query_id") < col("x.neighbor_id"))
+      .select(col("x.query_id").as("id_a"), col("x.neighbor_id").as("id_b"),
+        col("x.cosine_sim"))
+  }
+
   /** Sign-bit BINARY quantization: bit i of the signature is 1 iff
     * `vec[i] ≥ 0`, packed little-endian into ⌈dim/64⌉ longs — 1 bit/dim,
     * the cheapest compression rung below int8 (64 dims of fp32 collapse

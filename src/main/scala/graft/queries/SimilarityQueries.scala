@@ -80,6 +80,17 @@ object SimilarityQueries extends QueryPack {
       qs.agg(count(lit(1)).as("n_queries")).crossJoin(diff) // 1-row × 1-row
     }),
 
+    // Mutual (reciprocal) kNN pairs over a deterministic 1-in-7 corpus
+    // slice: the high-precision near-dup edge set — hub false positives
+    // drop out because the hub doesn't reciprocate. Value-exact against
+    // DuckDB's double-window recomputation.
+    "v_mutual_knn" -> ((s, dir) => {
+      val sub = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 7 === 0)
+      Similarity.mutualTopK(sub, "vec_id", "embedding", k)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Sign-bit binary quantization, exact Hamming top-k: 64 fp32 dims
     // collapse into ONE packed long per vector (32× less scan bandwidth;
     // XOR+POPCNT per pair) and the k Hamming-nearest corpus rows per query
@@ -871,6 +882,23 @@ object SimilarityQueries extends QueryPack {
       """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
         |   WHERE vec_id % 97 = 0) AS n_queries,
         |  CAST(0 AS BIGINT) AS set_diff""".stripMargin,
+
+    "v_mutual_knn" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm
+         |  FROM embeddings WHERE vec_id % 7 = 0),
+         |sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q", "c")} / (q.nrm * c.nrm) AS cs
+         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id),
+         |knn AS (SELECT query_id, neighbor_id, cs FROM (
+         |    SELECT query_id, neighbor_id, cs, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+         |    FROM sims) WHERE rnk <= $k)
+         |SELECT x.query_id AS id_a, x.neighbor_id AS id_b,
+         |  x.cs AS cosine_sim
+         |FROM knn x JOIN knn y
+         |  ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
+         |  AND x.query_id < x.neighbor_id
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "v_binary_topk" ->
       s"""WITH q AS (SELECT vec_id, embedding FROM embeddings

@@ -595,6 +595,17 @@ class ExtensionsSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT minhash_signature(shingle_array(text, 3), doc_id) FROM __ext_docs")
     }
+
+    val sqlAc = spark.sql(
+      """SELECT doc_id, aho_corasick_counts(text, array('the', 'a a')) AS c
+        |FROM __ext_docs""".stripMargin)
+    val dslAc = docs.select($"doc_id",
+      org.apache.spark.sql.graftx.AhoCorasickExpressions
+        .multiPatternCounts($"text", Seq("the", "a a")).as("c"))
+    assert(sqlAc.exceptAll(dslAc).isEmpty && dslAc.exceptAll(sqlAc).isEmpty)
+    intercept[Exception] {
+      spark.sql("SELECT aho_corasick_counts(text, array(text)) FROM __ext_docs")
+    }
   }
 
   test("char-presence mask prefilter is recall-safe: lev ≤ k ⟹ ≤ 2k mask bits flip") {
