@@ -535,6 +535,103 @@ object Graph {
       .select(col("vertex"), col("h").as("hub"), col("a").as("auth"))
   }
 
+  /** Multi-source BFS layers: dist(v) = hop distance to the NEAREST seed,
+    * computed as exactly `maxDepth` synchronous min-propagation rounds —
+    * the graph-distance feature pass (how far is every page from the
+    * trusted set / every document from a labeled cluster). Fixed rounds
+    * keep it oracle-unrollable; vertices unreached within `maxDepth` hops
+    * emit null (distance genuinely unknown at that budget, NOT infinity).
+    *
+    * Per round: one narrow (long, long) edge⋈distance equi-join and one
+    * map-side-combinable min — the [[connectedComponents]] shape with
+    * min(d+1) in place of min(label), frames re-checkpointed per round.
+    *
+    * Output: (`vertex`, `dist`) for every vertex in the edge list.
+    */
+  def bfsLayers(edges: DataFrame, src: String, dst: String,
+      seeds: DataFrame, seedCol: String, maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 1, "bfsLayers needs at least one round")
+    val e = edges.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"))
+      .localCheckpoint()
+    val verts = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .distinct()
+      .localCheckpoint()
+    val sd = seeds.select(col(seedCol).cast("long").as("v")).distinct()
+    var d = verts.join(sd.withColumn("__s", lit(0L)), Seq("v"), "left")
+      .select(col("v"), col("__s").as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to maxDepth) {
+      val cand = e.join(d.filter(col("dist").isNotNull)
+          .select(col("v").as("a"), col("dist")), Seq("a"))
+        .select(col("b").as("v"), (col("dist") + 1L).as("dist"))
+      val next = d.unionByName(cand)
+        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      org.apache.spark.sql.graftx.CheckpointUtils.unpersistLocalCheckpoint(d)
+      d = next
+    }
+    d.select(col("v").as("vertex"), col("dist"))
+  }
+
+  /** Seeded LABEL SPREADING (the Zhou et al. 2004 shape in fixed-point
+    * integer arithmetic): labeled seed vertices inject constant per-class
+    * mass every round, mass diffuses along out-edges degree-normalized
+    * and damped, and each vertex predicts the argmax class — the
+    * semi-supervised propagation pass (spread a few thousand human
+    * quality labels over a near-dup / link graph). The recurrence is the
+    * [[personalizedPageRankInt]] one run for ALL classes at once (the
+    * class rides as a grouping column — one plan regardless of |L|):
+    *
+    *   m₀(v,l)   = scale·[v ∈ S_l]
+    *   mₖ₊₁(v,l) = (15·scale·[v ∈ S_l]) div 100
+    *               + (85 · Σ_{(u,v)∈E} (mₖ(u,l) div deg(u))) div 100
+    *
+    * Same overflow bound and salting considerations as PPR (multiply the
+    * bound by |L| classes). Ties break to the SMALLEST label; vertices
+    * reached by no class mass emit null.
+    *
+    * Output: (`vertex`, `label`, `mass`) — the winning class and its
+    * final fixed-point mass.
+    */
+  def labelSpread(edges: DataFrame, src: String, dst: String,
+      seeds: DataFrame, seedCol: String, labelCol: String,
+      iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "labelSpread needs at least one round")
+    val e = edges.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val verts = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .distinct()
+      .localCheckpoint()
+    val sd = seeds.select(col(seedCol).cast("long").as("v"),
+        col(labelCol).cast("long").as("l"))
+      .distinct()
+      .localCheckpoint()
+    val base = (15L * scale) / 100L
+    var m = sd.withColumn("m", lit(scale))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(deg, Seq("a"))
+        .join(m.select(col("v").as("a"), col("l"), col("m")), Seq("a"))
+        .groupBy(col("b").as("v"), col("l"))
+        .agg(sum(expr("m div d")).as("s"))
+        .select(col("v"), col("l"), expr("(85 * s) div 100").as("m"))
+      m = sd.withColumn("m", lit(base))
+        .unionByName(contrib)
+        .groupBy(col("v"), col("l")).agg(sum(col("m")).as("m"))
+    }
+    // argmax class per vertex: max over the (mass, −label) struct
+    val winner = m.groupBy(col("v"))
+      .agg(max(struct(col("m"), (-col("l")).as("nl"))).as("w"))
+      .select(col("v"), (-col("w.nl")).as("label"), col("w.m").as("mass"))
+    verts.join(winner, Seq("v"), "left")
+      .select(col("v").as("vertex"), col("label"), col("mass"))
+  }
+
   /** Per-community Newman modularity terms (Newman & Girvan, PRE 2004)
     * for a vertex→community labeling over a SYMMETRIC edge list:
     *

@@ -390,6 +390,37 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("role"), col("score").desc, col("node_id"))
     }),
 
+    // Multi-source BFS layers: hop distance from the every-101st-part
+    // seed set over the co-occurrence graph — the graph-distance feature
+    // pass (trusted-set proximity). Exactly 3 synchronous min-propagation
+    // rounds; unreached vertices stay null.
+    "a_bfs_layers" -> ((s, dir) => {
+      val seeds = Tables.load(s, dir, "part")
+        .filter(col("p_partkey") % 101 === 0)
+        .select(col("p_partkey"))
+      graft.operators.Graph.bfsLayers(partGraph(s, dir), "a", "b",
+          seeds, "p_partkey", maxDepth = 3)
+        .select(col("vertex").as("part_id"), col("dist"))
+        .orderBy(col("part_id"))
+    }),
+
+    // Seeded label spreading: every 29th part carries class p%3; three
+    // damped integer diffusion rounds (the PPR recurrence run for all
+    // classes at once), then the per-vertex argmax class — the
+    // semi-supervised label-propagation pass for spreading sparse human
+    // labels over an interaction graph. Oracle unrolls the recurrence
+    // per class and argmaxes with a window.
+    "a_label_spread" -> ((s, dir) => {
+      val seeds = Tables.load(s, dir, "part")
+        .filter(col("p_partkey") % 29 === 0)
+        .select(col("p_partkey"),
+          (col("p_partkey") % 3).cast("long").as("cls"))
+      graft.operators.Graph.labelSpread(partGraph(s, dir), "a", "b",
+          seeds, "p_partkey", "cls", iters = 3)
+        .select(col("vertex").as("part_id"), col("label"), col("mass"))
+        .orderBy(col("part_id"))
+    }),
+
     // Newman modularity of the 3-round LPA communities over the part
     // co-occurrence graph — the standard partition-quality score,
     // term-quantized per community so the cross-community sum is
@@ -900,6 +931,64 @@ object AnalyticQueries extends QueryPack {
          |  FROM h3 ORDER BY h DESC, u LIMIT 20)
          |SELECT * FROM auth UNION ALL SELECT * FROM hub
          |ORDER BY role, score DESC, node_id""".stripMargin
+    },
+
+    "a_bfs_layers" -> {
+      // one min-propagation round: candidates = neighbor dist + 1, min
+      // with the previous frame (SQL min ignores nulls in both engines)
+      def bround(k: Int): String =
+        s"""c$k AS (SELECT e.b AS v, d.dist + 1 AS dist
+           |  FROM e JOIN d${k - 1} d ON d.v = e.a WHERE d.dist IS NOT NULL),
+           |d$k AS (SELECT v, min(dist) AS dist FROM (
+           |  SELECT * FROM d${k - 1} UNION ALL SELECT * FROM c$k)
+           |  GROUP BY v)""".stripMargin
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |    FROM lineitem),
+         |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p <> y.p),
+         |verts AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+         |sd AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS v FROM part
+         |  WHERE p_partkey % 101 = 0),
+         |d0 AS (SELECT verts.v,
+         |    CASE WHEN sd.v IS NOT NULL THEN CAST(0 AS BIGINT) END AS dist
+         |  FROM verts LEFT JOIN sd ON sd.v = verts.v),
+         |${bround(1)},
+         |${bround(2)},
+         |${bround(3)}
+         |SELECT v AS part_id, CAST(dist AS BIGINT) AS dist FROM d3
+         |ORDER BY part_id""".stripMargin
+    },
+
+    "a_label_spread" -> {
+      // one damped per-class diffusion round (the PPR recurrence with the
+      // class as a grouping column)
+      def sround(k: Int): String =
+        s"""c$k AS (SELECT e.b AS v, r.l, SUM(r.m // deg.d) AS s
+           |  FROM e JOIN deg ON deg.a = e.a
+           |  JOIN r${k - 1} r ON r.v = e.a GROUP BY e.b, r.l),
+           |r$k AS (SELECT v, l, CAST(sum(m) AS BIGINT) AS m FROM (
+           |  SELECT v, l, CAST(150000 AS BIGINT) AS m FROM sd
+           |  UNION ALL SELECT v, l, (85 * s) // 100 FROM c$k)
+           |  GROUP BY v, l)""".stripMargin
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |    FROM lineitem),
+         |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p <> y.p),
+         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+         |verts AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+         |sd AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS v,
+         |    CAST(p_partkey % 3 AS BIGINT) AS l FROM part
+         |  WHERE p_partkey % 29 = 0),
+         |r0 AS (SELECT v, l, CAST(1000000 AS BIGINT) AS m FROM sd),
+         |${sround(1)},
+         |${sround(2)},
+         |${sround(3)},
+         |win AS (SELECT v, l AS label, m AS mass FROM (
+         |  SELECT v, l, m, row_number() OVER (PARTITION BY v
+         |    ORDER BY m DESC, l) AS rn FROM r3) WHERE rn = 1)
+         |SELECT verts.v AS part_id, win.label, win.mass
+         |FROM verts LEFT JOIN win ON win.v = verts.v
+         |ORDER BY part_id""".stripMargin
     },
 
     "a_modularity" -> {

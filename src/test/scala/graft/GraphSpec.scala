@@ -324,6 +324,55 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("bfsLayers: multi-seed min distances, depth budget leaves nulls") {
+    val path = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    def run(seeds: Seq[Long], depth: Int) =
+      Graph.bfsLayers(path, "a", "b", seeds.toDF("v"), "v", depth)
+        .as[(Long, Option[Long])].collect().toMap
+    assert(run(Seq(1L), 3) === Map(1L -> Some(0L), 2L -> Some(1L),
+      3L -> Some(2L), 4L -> Some(3L), 5L -> None, 6L -> None))
+    // two seeds: every vertex takes the NEARER one
+    assert(run(Seq(1L, 6L), 3) === Map(1L -> Some(0L), 2L -> Some(1L),
+      3L -> Some(2L), 4L -> Some(2L), 5L -> Some(1L), 6L -> Some(0L)))
+  }
+
+  test("labelSpread equals the in-memory per-class fold; ties to the " +
+    "smaller class") {
+    // two triangles bridged at 3-4; seeds: vertex 1 class 0, vertex 6
+    // class 1
+    val g = sym((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L))
+    val seeds = Seq((1L, 0L), (6L, 1L)).toDF("v", "cls")
+    val got = Graph.labelSpread(g, "a", "b", seeds, "v", "cls", iters = 3)
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // in-memory replay of the documented recurrence
+    val adj = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seedOf = Map(1L -> 0L, 6L -> 1L)
+    var m = seedOf.map { case (v, l) => (v, l) -> 1000000L }
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map
+        .empty[(Long, Long), Long].withDefaultValue(0L)
+      for (((u, l), mass) <- m; n <- adj(u))
+        contrib((n, l)) += mass / adj(u).size
+      val next = scala.collection.mutable.Map
+        .empty[(Long, Long), Long].withDefaultValue(0L)
+      for (((v, l), s) <- contrib) next((v, l)) += 85L * s / 100L
+      for ((v, l) <- seedOf) next((v, l)) += 150000L
+      m = next.toMap
+    }
+    val want = m.groupBy(_._1._1).map { case (v, ms) =>
+      val (bl, bm) = ms.map { case ((_, l), mass) => (l, mass) }
+        .toSeq.sortBy { case (l, mass) => (-mass, l) }.head
+      v -> ((Some(bl), Some(bm)))
+    }
+    for ((v, want2) <- want) assert(got(v) === want2, s"vertex $v")
+    // cluster membership follows the nearer seed
+    assert(got(2L)._1 === Some(0L) && got(5L)._1 === Some(1L))
+  }
+
   test("modularityTerms hand-computed on two cliques joined by a bridge") {
     val k4a = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
     val k4b = for (a <- 5L to 8L; b <- 5L to 8L if a < b) yield (a, b)

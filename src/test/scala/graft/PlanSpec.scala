@@ -63,6 +63,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("skyline: no cartesian/BNLJ; the frontier filter is windowed per " +
+    "partition, not one global sort") {
+    val p = plan("a_skyline_parts")
+    assert(!p.contains("CartesianProduct"), p)
+    // phase-1 window partitions by the range-partition id, so at least
+    // one Window node keys on __pid (a single global-partition window
+    // would show an empty partition spec for every Window)
+    assert(p.contains("__pid"), p)
+  }
+
+  test("walk corpus: hops are equi-joins (no BNLJ), adjacency window is " +
+    "per-vertex") {
+    val p = plan("a_walk_corpus")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("binary hamming top-k: sign-bit scan reduces via bounded heaps, " +
     "query side broadcasts") {
     // the packed-signature scan must fold through the k-heap aggregate
