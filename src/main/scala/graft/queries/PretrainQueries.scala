@@ -186,6 +186,42 @@ object PretrainQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // T5-style span corruption: deterministic i.i.d. masking (two-round
+    // multiplicative hash — reproducible on any engine/partitioning),
+    // maximal masked runs collapse to <extra_id_k> sentinels in the
+    // input, sentinel-prefixed spans become the target. The md5
+    // fingerprints make the gate sensitive to every byte of both sides;
+    // the oracle replays the identical fold via a recursive CTE.
+    "t_span_corrupt" -> ((s, dir) =>
+      graft.ops.SpanCorrupt
+        .corrupt(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          col("n_spans"),
+          md5(concat_ws(" ", col("input_tokens"))).as("input_fp"),
+          md5(concat_ws(" ", col("target_tokens"))).as("target_fp"))
+        .orderBy(col("doc_id"))),
+
+    // Per-token branching entropy H(next|w) — the successor-variety
+    // signal segmentation methods (and repetitive-text detectors) key on:
+    // low entropy = formulaic continuations. Per-(w1,w2) terms quantize
+    // to nano-nats BEFORE the per-token sum, so totals are order-free
+    // longs; everything reduces from the one bigram count table.
+    "t_branching_entropy" -> ((s, dir) => {
+      import graft.ops.NgramLm
+      val (bi, _, _) = NgramLm.counts(
+        Tables.load(s, dir, "documents"), "text")
+      val p = col("c12").cast("double") / col("__c1").cast("double")
+      val ctx = bi.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("__c1"), count(lit(1)).as("n_next"))
+      bi.join(ctx, Seq("w1"))
+        .select(col("w1"), col("__c1"), col("n_next"),
+          round(-(p * log(p)) * lit(1e9)).cast("long").as("__tq"))
+        .groupBy(col("w1").as("tok"))
+        .agg(max(col("__c1")).as("c1"), max(col("n_next")).as("n_next"),
+          sum(col("__tq")).as("h_q"))
+        .orderBy(col("tok"))
+    }),
+
     // word2vec negative-sampling distribution (Mikolov et al., NIPS
     // 2013): P_neg(w) ∝ c(w)^0.75, integer-quantized. The 3/4 power is
     // computed as sqrt(sqrt(c³)) — each sqrt is IEEE correctly-rounded in
@@ -658,6 +694,54 @@ object PretrainQueries extends QueryPack {
 
     // full count-table retrain in SQL: same train split, same backoff
     // chain and division order, same micro-nat quantization
+    "t_span_corrupt" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, ${TextQueries.toksSql} AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, toks, 0 AS i, 0 AS k, false AS pm,
+         |    CAST([] AS VARCHAR[]) AS inp, CAST([] AS VARCHAR[]) AS tgt
+         |  FROM t
+         |  UNION ALL
+         |  SELECT doc_id, toks, i + 1,
+         |    CASE WHEN msk AND NOT pm THEN k + 1 ELSE k END,
+         |    msk,
+         |    CASE WHEN NOT msk THEN list_append(inp, tok)
+         |         WHEN msk AND NOT pm THEN
+         |           list_append(inp, '<extra_id_' || k || '>')
+         |         ELSE inp END,
+         |    CASE WHEN msk AND NOT pm THEN
+         |           list_append(list_append(tgt, '<extra_id_' || k || '>'), tok)
+         |         WHEN msk AND pm THEN list_append(tgt, tok)
+         |         ELSE tgt END
+         |  FROM (SELECT *, toks[i + 1] AS tok,
+         |      ((((doc_id * 2654435761 + i) % 1048576) * 2654435761 + 12345)
+         |        % 1048576) % 5 = 0 AS msk
+         |    FROM r WHERE i < len(toks)))
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(tgt) - k AS BIGINT) AS n_masked,
+         |  CAST(k AS BIGINT) AS n_spans,
+         |  md5(array_to_string(inp, ' ')) AS input_fp,
+         |  md5(array_to_string(tgt, ' ')) AS target_fp
+         |FROM r WHERE i = len(toks) ORDER BY doc_id""".stripMargin,
+
+    "t_branching_entropy" ->
+      s"""WITH t AS (SELECT doc_id, ${TextQueries.toksSql} AS toks
+         |  FROM documents),
+         |bi AS (SELECT w[i] AS w1, w[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
+         |  FROM (SELECT toks AS w FROM t),
+         |    LATERAL (SELECT unnest(range(1, len(w))) AS i)
+         |  WHERE len(w) >= 2 GROUP BY w1, w2),
+         |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n_next FROM bi GROUP BY w1),
+         |terms AS (SELECT bi.w1, ctx.c1, ctx.n_next,
+         |    CAST(round(-((CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+         |      * ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))) * 1e9)
+         |      AS BIGINT) AS tq
+         |  FROM bi JOIN ctx ON ctx.w1 = bi.w1)
+         |SELECT w1 AS tok, max(c1) AS c1, max(n_next) AS n_next,
+         |  CAST(sum(tq) AS BIGINT) AS h_q
+         |FROM terms GROUP BY w1 ORDER BY tok""".stripMargin,
+
     "t_negative_table" ->
       s"""WITH t AS (SELECT doc_id, ${TextQueries.toksSql} AS toks
          |  FROM documents WHERE doc_id % 2 = 0),

@@ -753,6 +753,55 @@ class PretrainSpec extends AnyFunSuite {
     assert(capped(2L) == 8 && capped(1L) == 3)
   }
 
+  test("span corruption replays the deterministic mask; sentinels number " +
+    "runs; input+target reassemble the document") {
+    import graft.ops.SpanCorrupt
+    val docs = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lambda mu"),
+      (7L, "one two three"), (13L, ""), (21L, "solo"))
+      .toDF("doc_id", "text")
+    val got = SpanCorrupt.corrupt(docs, "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"n_masked", $"n_spans",
+        $"input_tokens", $"target_tokens")
+      .as[(Long, Long, Long, Long, Seq[String], Seq[String])]
+      .collect().map(r => r._1 -> r).toMap
+    def maskOf(doc: Long, i: Int): Boolean =
+      ((((doc * 2654435761L + i) % 1048576L) * 2654435761L + 12345L)
+        % 1048576L) % 5 == 0
+    for ((doc, (_, nt, nm, ns, inp, tgt)) <- got) {
+      val toks = docs.filter($"doc_id" === doc).as[(Long, String)].head()
+        ._2.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+      assert(nt == toks.length)
+      val masks = toks.indices.map(i => maskOf(doc, i))
+      assert(nm == masks.count(identity))
+      val spans = masks.indices.count(i => masks(i) && (i == 0 || !masks(i - 1)))
+      assert(ns == spans)
+      // driver replay of the fold
+      var (ri, rt, k, pm) = (Seq.empty[String], Seq.empty[String], 0, false)
+      for (i <- toks.indices) {
+        if (!masks(i)) { ri :+= toks(i); pm = false }
+        else if (!pm) {
+          ri :+= s"<extra_id_$k>"; rt ++= Seq(s"<extra_id_$k>", toks(i))
+          k += 1; pm = true
+        } else rt :+= toks(i)
+      }
+      assert(inp == ri && tgt == rt, s"doc $doc")
+      // reconstruction: replacing sentinel j in the input with span j's
+      // tokens from the target yields the original document
+      val spanToks = rt.foldLeft(Vector.empty[Vector[String]]) { (acc, t) =>
+        if (t.startsWith("<extra_id_")) acc :+ Vector.empty[String]
+        else acc.init :+ (acc.last :+ t)
+      }
+      val rebuilt = inp.flatMap { t =>
+        if (t.startsWith("<extra_id_"))
+          spanToks(t.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+        else Seq(t)
+      }
+      assert(rebuilt == toks, s"doc $doc reconstruction")
+    }
+    assert(got(13L)._2 == 0 && got(13L)._5.isEmpty && got(13L)._6.isEmpty)
+  }
+
   test("kneser-ney: seen-context probabilities sum to EXACTLY 1 over the " +
     "continuation vocab; unseen context falls back to continuation mass") {
     import graft.ops.NgramLm
