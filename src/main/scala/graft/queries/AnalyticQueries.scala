@@ -390,6 +390,33 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("role"), col("score").desc, col("node_id"))
     }),
 
+    // Chi-square independence screen between two categorical columns
+    // (order priority × order status): per-cell (obs−exp)²/exp terms in
+    // micro-units — quantized per cell, so the statistic Σ chi_q is an
+    // order-free long sum. One contingency aggregation + broadcast
+    // margins; scan-bound at any scale.
+    "a_chi2_independence" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("r"), col("o_orderstatus").as("c"))
+      val cells = o.groupBy(col("r"), col("c")).agg(count(lit(1)).as("n_obs"))
+        .localCheckpoint() // feeds margins + the cell table
+      val rowTot = cells.groupBy(col("r")).agg(sum(col("n_obs")).as("rt"))
+      val colTot = cells.groupBy(col("c")).agg(sum(col("n_obs")).as("ct"))
+      val tot = cells.agg(sum(col("n_obs")).as("n"))
+      val exp0 = col("rt").cast("double") * col("ct").cast("double") /
+        col("n").cast("double")
+      val dev = col("n_obs").cast("double") - exp0
+      cells
+        .join(broadcast(rowTot), Seq("r"))
+        .join(broadcast(colTot), Seq("c"))
+        .crossJoin(broadcast(tot))
+        .select(col("r").as("o_orderpriority"), col("c").as("o_orderstatus"),
+          col("n_obs"),
+          round(exp0 * lit(1e6)).cast("long").as("exp_q"),
+          round(dev * dev / exp0 * lit(1e6)).cast("long").as("chi_q"))
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+    }),
+
     // Multi-source BFS layers: hop distance from the every-101st-part
     // seed set over the co-occurrence graph — the graph-distance feature
     // pass (trusted-set proximity). Exactly 3 synchronous min-propagation
@@ -932,6 +959,26 @@ object AnalyticQueries extends QueryPack {
          |SELECT * FROM auth UNION ALL SELECT * FROM hub
          |ORDER BY role, score DESC, node_id""".stripMargin
     },
+
+    "a_chi2_independence" ->
+      """WITH cells AS (SELECT o_orderpriority AS r, o_orderstatus AS c,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT r, CAST(sum(n_obs) AS BIGINT) AS rt FROM cells GROUP BY r),
+        |ct AS (SELECT c, CAST(sum(n_obs) AS BIGINT) AS ct FROM cells GROUP BY c),
+        |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM cells)
+        |SELECT cells.r AS o_orderpriority, cells.c AS o_orderstatus, n_obs,
+        |  CAST(round(CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+        |    / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS exp_q,
+        |  CAST(round((CAST(n_obs AS DOUBLE) - CAST(rt.rt AS DOUBLE)
+        |      * CAST(ct.ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(n_obs AS DOUBLE) - CAST(rt.rt AS DOUBLE)
+        |      * CAST(ct.ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS chi_q
+        |FROM cells JOIN rt ON rt.r = cells.r JOIN ct ON ct.c = cells.c
+        |CROSS JOIN tot
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
 
     "a_bfs_layers" -> {
       // one min-propagation round: candidates = neighbor dist + 1, min

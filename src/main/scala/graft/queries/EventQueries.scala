@@ -159,6 +159,35 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Two-sample Kolmogorov-Smirnov distance between the purchase and
+    // click value distributions — the classic nonparametric drift test
+    // (complement to the binned PSI). Values discretize to cents, so the
+    // ECDF window runs over the BOUNDED distinct-bucket support (never
+    // data-sized rows); per-bucket |F1−F2| quantizes to nano-units before
+    // the order-free max.
+    "e_ks_test" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("b"))
+      val counts = ev.groupBy(col("b"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("c1"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c2"))
+        .localCheckpoint() // feeds totals + the ECDF pass
+      val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val w = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts.crossJoin(broadcast(tot))
+        .withColumn("f1",
+          sum(col("c1")).over(w).cast("double") / col("n1").cast("double"))
+        .withColumn("f2",
+          sum(col("c2")).over(w).cast("double") / col("n2").cast("double"))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(round(abs(col("f1") - col("f2")) * lit(1e9)).cast("long"))
+            .as("d_q"))
+    }),
+
     // Multi-touch attribution (first / last / linear) — every purchase
     // credits the click/view touches of the same user in the preceding
     // 7 days. Candidate pairs come from the banded range equi-join (no
@@ -453,6 +482,29 @@ object EventQueries extends QueryPack {
         |SELECT user_id, n,
         |  list_reduce(vals, (acc, x) -> (acc + x) / CAST(2.0 AS DOUBLE)) AS ewma
         |FROM g ORDER BY user_id""".stripMargin,
+
+    "e_ks_test" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS b
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |c AS (SELECT b,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM e GROUP BY b),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+        |f AS (SELECT b,
+        |    CAST(sum(c1) OVER (ORDER BY b) AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      AS f1,
+        |    CAST(sum(c2) OVER (ORDER BY b) AS DOUBLE) / CAST(n2 AS DOUBLE)
+        |      AS f2,
+        |    n1, n2
+        |  FROM c CROSS JOIN t)
+        |SELECT max(n1) AS n1, max(n2) AS n2,
+        |  max(CAST(round(abs(f1 - f2) * 1e9) AS BIGINT)) AS d_q
+        |FROM f""".stripMargin,
 
     "e_attribution" ->
       """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts2,
