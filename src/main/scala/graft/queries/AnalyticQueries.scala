@@ -390,6 +390,40 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("role"), col("score").desc, col("node_id"))
     }),
 
+    // Spearman rank correlation of quantity vs price per return flag —
+    // the robust (monotone-invariant) complement to a_regression_stats'
+    // Pearson. Tie-corrected average ranks from min-rank + tie-count
+    // windows (integer-exact), then the Pearson of the rank columns
+    // through the decimal-stable moment sums. Per-flag windows follow the
+    // a_price_quantiles precedent.
+    "a_spearman" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("f"),
+          col("l_quantity").cast("double").as("x"), col("l_extendedprice").as("y"))
+      def avgRank(c: String) = {
+        import org.apache.spark.sql.expressions.Window
+        val wr = Window.partitionBy(col("f")).orderBy(col(c))
+        val wt = Window.partitionBy(col("f"), col(c))
+        rank().over(wr).cast("double") +
+          (count(lit(1)).over(wt).cast("double") - 1.0) / 2.0
+      }
+      val ranked = li
+        .withColumn("rx", avgRank("x"))
+        .withColumn("ry", avgRank("y"))
+      val m = ranked.groupBy(col("f"))
+        .agg(count(lit(1)).as("n"),
+          sumStable(col("rx")).as("sx"), sumStable(col("ry")).as("sy"),
+          sumStable(col("rx") * col("ry")).as("sxy"),
+          sumStable(col("rx") * col("rx")).as("sxx"),
+          sumStable(col("ry") * col("ry")).as("syy"))
+      val nd = col("n").cast("double")
+      m.select(col("f").as("l_returnflag"), col("n"),
+          ((col("sxy") - col("sx") * col("sy") / nd) /
+            sqrt((col("sxx") - col("sx") * col("sx") / nd) *
+              (col("syy") - col("sy") * col("sy") / nd))).as("spearman"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Chi-square independence screen between two categorical columns
     // (order priority × order status): per-cell (obs−exp)²/exp terms in
     // micro-units — quantized per cell, so the statistic Σ chi_q is an
@@ -958,6 +992,30 @@ object AnalyticQueries extends QueryPack {
          |  FROM h3 ORDER BY h DESC, u LIMIT 20)
          |SELECT * FROM auth UNION ALL SELECT * FROM hub
          |ORDER BY role, score DESC, node_id""".stripMargin
+    },
+
+    "a_spearman" -> {
+      s"""WITH b AS (SELECT l_returnflag AS f,
+         |    CAST(l_quantity AS DOUBLE) AS x, l_extendedprice AS y
+         |  FROM lineitem),
+         |r AS (SELECT f,
+         |    CAST(rank() OVER (PARTITION BY f ORDER BY x) AS DOUBLE)
+         |      + (CAST(count(*) OVER (PARTITION BY f, x) AS DOUBLE)
+         |        - CAST(1.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE) AS rx,
+         |    CAST(rank() OVER (PARTITION BY f ORDER BY y) AS DOUBLE)
+         |      + (CAST(count(*) OVER (PARTITION BY f, y) AS DOUBLE)
+         |        - CAST(1.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE) AS ry
+         |  FROM b),
+         |m AS (SELECT f, CAST(count(*) AS BIGINT) AS n,
+         |    ${stable("rx")} AS sx, ${stable("ry")} AS sy,
+         |    ${stable("rx * ry")} AS sxy,
+         |    ${stable("rx * rx")} AS sxx, ${stable("ry * ry")} AS syy
+         |  FROM r GROUP BY f)
+         |SELECT f AS l_returnflag, n,
+         |  (sxy - sx * sy / CAST(n AS DOUBLE))
+         |    / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+         |      * (syy - sy * sy / CAST(n AS DOUBLE))) AS spearman
+         |FROM m ORDER BY l_returnflag""".stripMargin
     },
 
     "a_chi2_independence" ->

@@ -80,6 +80,32 @@ object SimilarityQueries extends QueryPack {
       qs.agg(count(lit(1)).as("n_queries")).crossJoin(diff) // 1-row × 1-row
     }),
 
+    // Contrastive TRIPLET mining — the (anchor, positive, hard-negative)
+    // training-data pass: positives are the exact blocked near-dup pairs,
+    // negatives the 3 most-similar DIFFERENT-label rows per anchor, with
+    // the margin pos−neg carried for loss weighting. Pure composition of
+    // two oracle-green primitives; the whole triple table is value-exact.
+    "v_triplets" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val pos = Similarity
+        .cosineNearDupBlocked(emb, "vec_id", "embedding", tau)
+        .select(col("id_a").as("anchor_id"), col("id_b").as("positive_id"),
+          col("cosine_sim").as("pos_sim"))
+        .localCheckpoint() // feeds the anchor set + the final join
+      val anchors = emb.join(
+        pos.select(col("anchor_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      val negs = Similarity
+        .hardNegativesTopK(emb, anchors, "vec_id", "embedding", "label", 3)
+        .select(col("query_id").as("anchor_id"),
+          col("neighbor_id").as("negative_id"),
+          col("cosine_sim").as("neg_sim"), col("rank"))
+      pos.join(negs, Seq("anchor_id"))
+        .select(col("anchor_id"), col("positive_id"), col("negative_id"),
+          col("pos_sim"), col("neg_sim"),
+          (col("pos_sim") - col("neg_sim")).as("margin"), col("rank"))
+        .orderBy(col("anchor_id"), col("positive_id"), col("rank"))
+    }),
+
     // Mutual (reciprocal) kNN pairs over a deterministic 1-in-7 corpus
     // slice: the high-precision near-dup edge set — hub false positives
     // drop out because the hub doesn't reciprocate. Value-exact against
@@ -882,6 +908,28 @@ object SimilarityQueries extends QueryPack {
       """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
         |   WHERE vec_id % 97 = 0) AS n_queries,
         |  CAST(0 AS BIGINT) AS set_diff""".stripMargin,
+
+    "v_triplets" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding, $normSql AS nrm
+         |  FROM embeddings),
+         |nd AS (SELECT a.vec_id AS anchor_id, b.vec_id AS positive_id,
+         |    ${dotSql("a", "b")} / (a.nrm * b.nrm) AS pos_sim
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a", "b")} / (a.nrm * b.nrm) >= $tau),
+         |an AS (SELECT DISTINCT anchor_id FROM nd),
+         |q AS (SELECT e.* FROM e JOIN an ON an.anchor_id = e.vec_id),
+         |sims AS (SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+         |    ${dotSql("q", "c")} / (q.nrm * c.nrm) AS neg_sim
+         |  FROM q JOIN e c ON q.vec_id <> c.vec_id
+         |    AND q.label IS DISTINCT FROM c.label),
+         |hn AS (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY neg_sim DESC, negative_id) AS INTEGER) AS rank
+         |  FROM sims)
+         |SELECT nd.anchor_id, positive_id, negative_id, pos_sim, neg_sim,
+         |  pos_sim - neg_sim AS margin, rank
+         |FROM nd JOIN hn ON hn.anchor_id = nd.anchor_id
+         |WHERE rank <= 3
+         |ORDER BY nd.anchor_id, positive_id, rank""".stripMargin,
 
     "v_mutual_knn" ->
       s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm
