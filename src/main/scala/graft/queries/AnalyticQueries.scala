@@ -390,6 +390,37 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("role"), col("score").desc, col("node_id"))
     }),
 
+    // Poisson bootstrap (Chamandy et al. 2012 — the resampling scheme
+    // that works WITHOUT knowing n or materializing resamples): each row
+    // draws a hash-derived Poisson(1) weight per replicate, so 50
+    // bootstrap means per return flag come from one 50× map-side
+    // explosion straight into a combinable weighted aggregation — no
+    // global sort, no row-index join, the only shuffle is flag×replicate
+    // partials. Weights come from integer CDF cutoffs on a 2²⁰-ring
+    // two-round hash (engine-exact; capped at 7, CDF residual 1e-5).
+    "a_bootstrap_means" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .withColumn("rep", explode(sequence(lit(0), lit(49))))
+      val u = ((col("l_orderkey") * lit(2654435761L)
+        + col("l_linenumber").cast("long") * lit(97L)
+        + col("rep").cast("long")) % lit(1048576L) * lit(2654435761L)
+        + lit(12345L)) % lit(1048576L)
+      val cuts = Seq(385749L, 771499L, 964373L, 1028665L, 1044738L,
+        1047952L, 1048488L, 1048565L)
+      val w = cuts.zipWithIndex.foldRight(lit(8L): org.apache.spark.sql.Column) {
+        case ((c, k), rest) => when(u < c, k.toLong).otherwise(rest)
+      }
+      li.withColumn("w", w)
+        .groupBy(col("l_returnflag"), col("rep"))
+        .agg(sum(col("w")).as("n_eff"),
+          sumStable(col("w").cast("double") * col("l_quantity")).as("sum_w"))
+        .select(col("l_returnflag"), col("rep"), col("n_eff"),
+          (col("sum_w") / col("n_eff").cast("double")).as("boot_mean"))
+        .orderBy(col("l_returnflag"), col("rep"))
+    }),
+
     // Spearman rank correlation of quantity vs price per return flag —
     // the robust (monotone-invariant) complement to a_regression_stats'
     // Pearson. Tie-corrected average ranks from min-rank + tie-count
@@ -992,6 +1023,30 @@ object AnalyticQueries extends QueryPack {
          |  FROM h3 ORDER BY h DESC, u LIMIT 20)
          |SELECT * FROM auth UNION ALL SELECT * FROM hub
          |ORDER BY role, score DESC, node_id""".stripMargin
+    },
+
+    "a_bootstrap_means" -> {
+      val cuts = Seq(385749L, 771499L, 964373L, 1028665L, 1044738L,
+        1047952L, 1048488L, 1048565L)
+      val wCase = cuts.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+      s"""WITH b AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+         |    l_quantity, r.rep
+         |  FROM lineitem CROSS JOIN (SELECT unnest(range(0, 50)) AS rep) r),
+         |h AS (SELECT l_returnflag, rep, l_quantity,
+         |    ((l_orderkey * 2654435761 + l_linenumber * 97 + rep) % 1048576
+         |      * 2654435761 + 12345) % 1048576 AS u
+         |  FROM b),
+         |w AS (SELECT l_returnflag, rep, l_quantity,
+         |    CAST($wCase AS BIGINT) AS w FROM h),
+         |m AS (SELECT l_returnflag, CAST(rep AS INTEGER) AS rep,
+         |    CAST(sum(w) AS BIGINT) AS n_eff,
+         |    ${stable("CAST(w AS DOUBLE) * l_quantity")} AS sum_w
+         |  FROM w GROUP BY 1, 2)
+         |SELECT l_returnflag, rep, n_eff,
+         |  sum_w / CAST(n_eff AS DOUBLE) AS boot_mean
+         |FROM m ORDER BY l_returnflag, rep""".stripMargin
     },
 
     "a_spearman" -> {
