@@ -75,6 +75,42 @@ object SamplingQueries extends QueryPack {
             .as("locality_ok"))
     }),
 
+    // Mutual-information feature ranking: how much does each candidate
+    // feature (language; length bucket) tell you about a document's
+    // source — the feature-selection screen before training a curation
+    // classifier. MI = Σ p(f,s)·ln(p(f,s)/(p(f)p(s))), per-cell terms
+    // quantized to nano-nats BEFORE the sum (order-free total). One
+    // contingency aggregation per feature, margins broadcast.
+    "x_feature_mi" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          least(floor(length(col("text")) / 100).cast("long"), lit(5L))
+            .as("len_b"))
+        .localCheckpoint() // scanned once per feature
+      def mi(feat: org.apache.spark.sql.Column, name: String) = {
+        val cells = docs.groupBy(feat.as("f"), col("source").as("s"))
+          .agg(count(lit(1)).as("n_fs"))
+          .localCheckpoint()
+        val fm = cells.groupBy(col("f")).agg(sum(col("n_fs")).as("n_f"))
+        val sm = cells.groupBy(col("s")).agg(sum(col("n_fs")).as("n_s"))
+        val tot = cells.agg(sum(col("n_fs")).as("n"))
+        val nd = col("n").cast("double")
+        val pfs = col("n_fs").cast("double") / nd
+        val ratio = pfs / ((col("n_f").cast("double") / nd) *
+          (col("n_s").cast("double") / nd))
+        cells
+          .join(broadcast(fm), Seq("f")).join(broadcast(sm), Seq("s"))
+          .crossJoin(broadcast(tot))
+          .select(lit(name).as("feature"),
+            round(pfs * log(ratio) * lit(1e9)).cast("long").as("__tq"))
+          .groupBy(col("feature"))
+          .agg(count(lit(1)).as("n_cells"), sum(col("__tq")).as("mi_q"))
+      }
+      mi(col("lang"), "lang")
+        .unionByName(mi(col("len_b").cast("string"), "len_bucket"))
+        .orderBy(col("feature"))
+    }),
+
     // Hilbert-curve layout quality on the same two axes as
     // x_zorder_layout: the per-bucket bounding-box span sums for the
     // Hilbert clustering, the Morton clustering, and the naive single-
@@ -311,6 +347,35 @@ object SamplingQueries extends QueryPack {
         |  COALESCE(CAST(k.n_kept AS BIGINT), CAST(0 AS BIGINT)) AS n_kept
         |FROM c LEFT JOIN k ON c.source = k.source
         |ORDER BY c.source""".stripMargin,
+
+    "x_feature_mi" -> {
+      def miSql(fexpr: String, name: String): String =
+        s"""SELECT feature, CAST(count(*) AS BIGINT) AS n_cells,
+           |  CAST(sum(tq) AS BIGINT) AS mi_q FROM (
+           |  SELECT '$name' AS feature,
+           |    CAST(round((CAST(n_fs AS DOUBLE) / CAST(n AS DOUBLE))
+           |      * ln((CAST(n_fs AS DOUBLE) / CAST(n AS DOUBLE))
+           |        / ((CAST(n_f AS DOUBLE) / CAST(n AS DOUBLE))
+           |          * (CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE))))
+           |      * 1e9) AS BIGINT) AS tq
+           |  FROM (SELECT $fexpr AS f, source AS s,
+           |      CAST(count(*) AS BIGINT) AS n_fs FROM d GROUP BY 1, 2) c
+           |  JOIN (SELECT $fexpr AS f, CAST(count(*) AS BIGINT) AS n_f
+           |    FROM d GROUP BY 1) fm USING (f)
+           |  JOIN (SELECT source AS s, CAST(count(*) AS BIGINT) AS n_s
+           |    FROM d GROUP BY 1) sm USING (s)
+           |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM d) t)
+           |GROUP BY feature""".stripMargin
+      s"""WITH d AS (SELECT source, lang,
+         |    CAST(least(CAST(floor(length(text) / 100) AS BIGINT), 5)
+         |      AS VARCHAR) AS len_b
+         |  FROM documents)
+         |SELECT * FROM (
+         |${miSql("lang", "lang")}
+         |UNION ALL
+         |${miSql("len_b", "len_bucket")})
+         |ORDER BY feature""".stripMargin
+    },
 
     "x_hilbert_layout" -> {
       // the Hilbert xy2d recurrence unrolled level by level — identical

@@ -301,6 +301,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("span corruption streams ≡ batch (stateless hash-masked projection)") {
+    // the denoising-objective generator must produce the SAME pairs in a
+    // live ingest as in backfill — guaranteed because masking is a pure
+    // function of (doc_id, position), never of arrival order
+    val dir = Files.createTempDirectory("graft-stream-corrupt").toString
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(150)
+    docs.write.parquet(s"$dir/in")
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.SpanCorrupt.corrupt(df, "doc_id", "text")
+        .select($"doc_id", $"n_masked", $"n_spans",
+          concat_ws(" ", $"input_tokens").as("inp"),
+          concat_ws(" ", $"target_tokens").as("tgt"))
+    val q = transform(spark.readStream.schema(docs.schema).parquet(s"$dir/in"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("corrupt_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("corrupt_stream").orderBy($"doc_id").collect()
+      val batch = transform(spark.read.parquet(s"$dir/in"))
+        .orderBy($"doc_id").collect()
+      assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+      assert(streamed.exists(_.getLong(2) > 0)) // spans actually occur
+    } finally q.stop()
+  }
+
   test("curation pipeline (quality gate + decontaminate) streams ≡ batch") {
     // the corpus-curation chain is per-document given a broadcast benchmark
     // (quality score: stateless projection; decontamination: per-doc gram
