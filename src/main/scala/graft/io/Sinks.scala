@@ -226,30 +226,50 @@ object Sinks {
     * binning array) are the refinement; the z-value mechanics are
     * unchanged.
     */
-  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-      partitions: Int, maxRecordsPerFile: Long = 5000000L): Unit = {
+  /** Uniform 256-cell grid coordinates over each column's [min, max]
+    * span — the shared normalization of the curve writers (one min/max
+    * agg, no global sort). Degenerate spans collapse to cell 0.
+    */
+  private def uniformCells(df: DataFrame, colA: String, colB: String)
+      : (Column, Column) = {
     val r = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
-    val (loA, hiA, loB, hiB) =
-      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     def cell(c: String, lo: Double, hi: Double) =
       if (hi <= lo) lit(0L)
       else least(lit(255L), greatest(lit(0L),
         floor((col(c).cast("double") - lo) / (hi - lo) * 256.0).cast("long")))
+    (cell(colA, r.getDouble(0), r.getDouble(1)),
+      cell(colB, r.getDouble(2), r.getDouble(3)))
+  }
+
+  /** Morton interleave of two 8-bit cell coordinates. */
+  private def mortonOfCells(cellA: Column, cellB: Column): Column = {
     def spread(bits: Column, offset: Int) = (0 until 8)
       .map(i => shiftleft(shiftright(bits, i).bitwiseAND(lit(1L)), 2 * i + offset))
       .reduce(_ bitwiseOR _)
-    val z = spread(cell(colA, loA, hiA), 0)
-      .bitwiseOR(spread(cell(colB, loB, hiB), 1))
-    df.withColumn("__z", z)
-      .repartitionByRange(partitions, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    spread(cellA, 0).bitwiseOR(spread(cellB, 1))
+  }
+
+  /** Shared write tail of the curve layouts: range-cluster on the curve
+    * index, sort within partitions, drop the helper column, write.
+    */
+  private def writeCurveClustered(df: DataFrame, path: String,
+      curve: Column, partitions: Int, maxRecordsPerFile: Long): Unit =
+    df.withColumn("__curve", curve)
+      .repartitionByRange(partitions, col("__curve"))
+      .sortWithinPartitions(col("__curve"))
+      .drop("__curve")
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .option("compression", "snappy")
       .parquet(path)
+
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      partitions: Int, maxRecordsPerFile: Long = 5000000L): Unit = {
+    val (ca, cb) = uniformCells(df, colA, colB)
+    writeCurveClustered(df, path, mortonOfCells(ca, cb), partitions,
+      maxRecordsPerFile)
   }
 
   /** Hilbert-curve layout over TWO numeric columns — [[writeZOrdered]]
@@ -263,25 +283,10 @@ object Sinks {
     */
   def writeHilbert(df: DataFrame, path: String, colA: String, colB: String,
       partitions: Int, maxRecordsPerFile: Long = 5000000L): Unit = {
-    val r = df.agg(
-      min(col(colA).cast("double")), max(col(colA).cast("double")),
-      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
-    val (loA, hiA, loB, hiB) =
-      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
-    def cell(c: String, lo: Double, hi: Double) =
-      if (hi <= lo) lit(0L)
-      else least(lit(255L), greatest(lit(0L),
-        floor((col(c).cast("double") - lo) / (hi - lo) * 256.0).cast("long")))
-    val h = graft.ops.Locality.hilbertValue2(
-      cell(colA, loA, hiA), cell(colB, loB, hiB), 8)
-    df.withColumn("__h", h)
-      .repartitionByRange(partitions, col("__h"))
-      .sortWithinPartitions(col("__h"))
-      .drop("__h")
-      .write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .option("compression", "snappy")
-      .parquet(path)
+    val (ca, cb) = uniformCells(df, colA, colB)
+    writeCurveClustered(df, path,
+      graft.ops.Locality.hilbertValue2(ca, cb, 8), partitions,
+      maxRecordsPerFile)
   }
 
   /** QUANTILE-boundary Z-order — the skew refinement [[writeZOrdered]]
@@ -310,18 +315,8 @@ object Sinks {
     def cell(c: String, cu: Seq[Double]) =
       aggregate(typedlit(cu), lit(0L), (acc, b) =>
         acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
-    def spread(bits: Column, offset: Int) = (0 until 8)
-      .map(i => shiftleft(shiftright(bits, i).bitwiseAND(lit(1L)), 2 * i + offset))
-      .reduce(_ bitwiseOR _)
-    val z = spread(cell(colA, cuts(0)), 0)
-      .bitwiseOR(spread(cell(colB, cuts(1)), 1))
-    df.withColumn("__z", z)
-      .repartitionByRange(partitions, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .option("compression", "snappy")
-      .parquet(path)
+    writeCurveClustered(df, path,
+      mortonOfCells(cell(colA, cuts(0)), cell(colB, cuts(1))), partitions,
+      maxRecordsPerFile)
   }
 }

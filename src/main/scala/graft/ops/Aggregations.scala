@@ -35,6 +35,20 @@ object Aggregations {
   /** Order-insensitive average: exact decimal sum, IEEE double division. */
   def avgStable(c: Column): Column = sumStable(c) / count(c)
 
+  /** Pearson correlation from the five decimal-stable moment sums (`n`,
+    * `sx`, `sy`, `sxy`, `sxx`, `syy` columns). The IEEE operation ORDER
+    * here is load-bearing — every oracle mirrors this exact chain — so
+    * all consumers (regression stats, assortativity, Spearman-of-ranks)
+    * share it instead of re-typing it.
+    */
+  def pearsonFromMoments(n: Column, sx: Column, sy: Column, sxy: Column,
+      sxx: Column, syy: Column): Column = {
+    val nd = n.cast(DoubleType)
+    (sxy - sx * sy / nd) /
+      org.apache.spark.sql.functions.sqrt(
+        (sxx - sx * sx / nd) * (syy - sy * sy / nd))
+  }
+
   /** The 6 shared measures of A1/A2 (`silver_to_gold.py:20-28,38-46`). */
   private def measures(approxDistinct: Boolean): Seq[Column] = Seq(
     count(col("transaction_id")).as("transaction_count"),

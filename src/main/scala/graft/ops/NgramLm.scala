@@ -83,7 +83,11 @@ object NgramLm {
     * Output: (`id`, `n_bi`, `sum_q`); < 2-token documents score (0, 0).
     */
   def scoreKneserNey(docs: DataFrame, id: String, text: String,
-      bi: DataFrame, discount: Double = 0.75): DataFrame = {
+      biIn: DataFrame, discount: Double = 0.75): DataFrame = {
+    // the bigram table feeds FOUR consumers (ctx, prec, the T count, the
+    // scoring join) — checkpoint once so the training corpus is not
+    // re-tokenized and re-shuffled per consumer
+    val bi = biIn.localCheckpoint()
     val ctx = bi.groupBy(col("w1"))
       .agg(sum(col("c12")).as("__c1"), count(lit(1)).as("__n1p"))
     val prec = bi.groupBy(col("w2")).agg(count(lit(1)).as("__np"))

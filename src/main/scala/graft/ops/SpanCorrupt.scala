@@ -20,6 +20,9 @@ import graft.functions.TextFunctions
   * so the corruption is exactly reproducible on any engine, partitioning,
   * or retry — the [[graft.operators.Graph.deterministicWalks]] contract —
   * and an oracle can replay every span (a true RNG could not be gated).
+  * Doc ids must stay below 2⁶³/2654435761 ≈ 3.4·10⁹ so the first mix
+  * product fits a signed long (the walks bound, same reason: an engine
+  * that ERRORS on overflow must agree with one that wraps).
   * Expected mask density is 1/rate; spans arise where masked positions
   * happen to be adjacent, matching the i.i.d.-corruption variant.
   *

@@ -43,6 +43,21 @@ object AnalyticQueries extends QueryPack {
       starts, "p_partkey", steps = 3, walksPerVertex = 2)
   }
 
+  /** Distinct (customer, part+10^9) purchase pairs — the bipartite frame
+    * shared by a_kcore (symmetrized) and a_hits (directed). The offset
+    * keeps the two id namespaces disjoint.
+    */
+  private def custPartPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        (col("l_partkey") + lit(1000000000L)).as("p"))
+      .distinct()
+
   /** Canonical (a < b) brand co-occurrence graph, cut at the median pair
     * weight — shared by a_triangle_count, a_clustering_coeff. The median
     * cut is the hub-edge prefilter that bounds wedge fan-out.
@@ -341,14 +356,7 @@ object AnalyticQueries extends QueryPack {
     // customers-per-part are constant in sf), so the fixed k holds at
     // any sf.
     "a_kcore" -> ((s, dir) => {
-      val cp = Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").cast("long").as("c"),
-          (col("l_partkey") + lit(1000000000L)).as("p"))
-        .distinct()
+      val cp = custPartPairs(s, dir)
       val e = cp.select(col("c").as("a"), col("p").as("b"))
         .unionByName(cp.select(col("p").as("a"), col("c").as("b")))
       graft.operators.Graph.kCorePeel(e, "a", "b", k = 20, iters = 4)
@@ -367,14 +375,8 @@ object AnalyticQueries extends QueryPack {
     // the top 20 of each side. The part namespace offsets by 10⁹ so a
     // custkey can never alias a partkey.
     "a_hits" -> ((s, dir) => {
-      val cp = Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").cast("long").as("u"),
-          (col("l_partkey") + lit(1000000000L)).as("v"))
-        .distinct()
+      val cp = custPartPairs(s, dir)
+        .select(col("c").as("u"), col("p").as("v"))
       val r = graft.operators.Graph.hitsInt(cp, "u", "v", iters = 3)
         .localCheckpoint() // read twice (hub slice + auth slice)
       val auth = r.filter(col("auth").isNotNull)
@@ -447,11 +449,9 @@ object AnalyticQueries extends QueryPack {
           sumStable(col("rx") * col("ry")).as("sxy"),
           sumStable(col("rx") * col("rx")).as("sxx"),
           sumStable(col("ry") * col("ry")).as("syy"))
-      val nd = col("n").cast("double")
       m.select(col("f").as("l_returnflag"), col("n"),
-          ((col("sxy") - col("sx") * col("sy") / nd) /
-            sqrt((col("sxx") - col("sx") * col("sx") / nd) *
-              (col("syy") - col("sy") * col("sy") / nd))).as("spearman"))
+          graft.ops.Aggregations.pearsonFromMoments(col("n"), col("sx"),
+            col("sy"), col("sxy"), col("sxx"), col("syy")).as("spearman"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -541,11 +541,9 @@ object AnalyticQueries extends QueryPack {
         sumStable(col("x") * col("y")).as("sxy"),
         sumStable(col("x") * col("x")).as("sxx"),
         sumStable(col("y") * col("y")).as("syy"))
-      val nd = col("n").cast("double")
       m.select(col("n"),
-        ((col("sxy") - col("sx") * col("sy") / nd) /
-          sqrt((col("sxx") - col("sx") * col("sx") / nd) *
-            (col("syy") - col("sy") * col("sy") / nd)))
+        graft.ops.Aggregations.pearsonFromMoments(col("n"), col("sx"),
+          col("sy"), col("sxy"), col("sxx"), col("syy"))
           .as("assortativity"))
     }),
 

@@ -112,21 +112,31 @@ object SamplingQueries extends QueryPack {
     }),
 
     // Hilbert-curve layout quality on the same two axes as
-    // x_zorder_layout: the per-bucket bounding-box span sums for the
-    // Hilbert clustering, the Morton clustering, and the naive single-
-    // axis split, all value-exact (the Hilbert recurrence is pure integer
-    // CASE arithmetic the oracle unrolls level by level). locality_ok
-    // asserts the ≥2× win over naive; the h-vs-z sums make the
-    // Hilbert/Morton comparison inspectable.
+    // x_zorder_layout, measured on the shared 2^hBits GRID (both axes
+    // normalized — the curve operators' documented [0, 2^bits) domain;
+    // raw o_custkey outgrows a fixed bit budget with sf, and raw-unit
+    // spans would weight the axes by their arbitrary value ranges):
+    // per-bucket bounding-box span sums for the Hilbert clustering, the
+    // Morton clustering, and the naive single-axis split, all value-exact
+    // (the Hilbert recurrence is pure integer CASE arithmetic the oracle
+    // unrolls level by level). locality_ok asserts the ≥2× win over
+    // naive; the h-vs-z sums make the Hilbert/Morton comparison
+    // inspectable (near-uniform data tiles compactly under BOTH curves —
+    // Hilbert's adjacency guarantee is spec-proven, not span-visible
+    // here).
     "x_hilbert_layout" -> ((s, dir) => {
       import graft.ops.Locality
-      val base = Tables.load(s, dir, "orders")
-        .select(col("o_custkey").cast("long").as("x"),
+      val base0 = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").cast("long").as("rx"),
           datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
-            .cast("long").as("y"))
-      val withH = base
-        .withColumn("h", Locality.hilbertValue2(col("x"), col("y"), zBits))
-        .withColumn("z", Locality.zValue2(col("x"), col("y"), zBits))
+            .cast("long").as("ry"))
+        .localCheckpoint() // feeds the grid maxima + the indexed frame
+      val lims0 = base0.agg(max(col("rx")).as("xm0"), max(col("ry")).as("ym0"))
+      val withH = base0.crossJoin(broadcast(lims0))
+        .select(expr(s"(rx * ${1L << hBits}) div (xm0 + 1)").as("x"),
+          expr(s"(ry * ${1L << hBits}) div (ym0 + 1)").as("y"))
+        .withColumn("h", Locality.hilbertValue2(col("x"), col("y"), hBits))
+        .withColumn("z", Locality.zValue2(col("x"), col("y"), hBits))
         .localCheckpoint() // scanned by three layouts + the maxima
       val lims = withH.agg(max(col("h")).as("hm"), max(col("z")).as("zm"),
         max(col("x")).as("xm"))
@@ -308,6 +318,10 @@ object SamplingQueries extends QueryPack {
     }))
 
   private val zBits = 16
+  // the Hilbert gate's shared grid: 8 bits per axis, matching the curve
+  // writers' 256-cell normalization (a finer grid under-populates and the
+  // span metric stops measuring tiling)
+  private val hBits = 8
   private val zBuckets = 64
 
   override def oracleSql: Map[String, String] = Map(
@@ -382,12 +396,12 @@ object SamplingQueries extends QueryPack {
       // integer CASE arithmetic to Locality.hilbertValue2's fold; levels
       // MATERIALIZED so the per-level x/y references don't compound into
       // an exponential inlined expression
-      val n1 = (1L << zBits) - 1
+      val n1 = (1L << hBits) - 1
       def lev(i: Int, prev: String, name: String): String = {
         val s = 1L << i
         val ss = 1L << (2 * i)
         s"""$name AS MATERIALIZED (SELECT x0, y0,
-           |  d + $ss * (CASE WHEN (x & $s) = 0
+           |  d + CAST($ss AS BIGINT) * (CASE WHEN (x & $s) = 0
            |    THEN (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)
            |    ELSE 3 - (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) END) AS d,
            |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0
@@ -396,16 +410,22 @@ object SamplingQueries extends QueryPack {
            |    THEN $n1 - x ELSE x END) ELSE y END AS y
            |  FROM $prev)""".stripMargin
       }
-      val levels = ((zBits - 1) to 0 by -1).map { i =>
-        val prev = if (i == zBits - 1) "lstart" else s"l${i + 1}"
+      val levels = ((hBits - 1) to 0 by -1).map { i =>
+        val prev = if (i == hBits - 1) "lstart" else s"l${i + 1}"
         lev(i, prev, s"l$i")
       }.mkString(",\n")
-      val zTerms = (0 until zBits).map(i =>
-        s"((x0 >> $i) & 1) * ${1L << (2 * i)} + ((y0 >> $i) & 1) * ${1L << (2 * i + 1)}")
+      val zTerms = (0 until hBits).map(i =>
+        s"((x0 >> $i) & 1) * CAST(${1L << (2 * i)} AS BIGINT) " +
+          s"+ ((y0 >> $i) & 1) * CAST(${1L << (2 * i + 1)} AS BIGINT)")
         .mkString(" + ")
-      s"""WITH base AS (SELECT CAST(o_custkey AS BIGINT) AS x,
-         |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS y
+      s"""WITH base0 AS (SELECT CAST(o_custkey AS BIGINT) AS rx,
+         |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS ry
          |  FROM orders),
+         |lims0 AS (SELECT max(rx) AS xm0, max(ry) AS ym0 FROM base0),
+         |base AS (SELECT
+         |    (rx * ${1L << hBits}) // (xm0 + 1) AS x,
+         |    (ry * ${1L << hBits}) // (ym0 + 1) AS y
+         |  FROM base0 CROSS JOIN lims0),
          |lstart AS (SELECT x AS x0, y AS y0, CAST(0 AS BIGINT) AS d, x, y
          |  FROM base),
          |$levels,

@@ -75,9 +75,11 @@ object TextQueries extends QueryPack {
           org.apache.spark.sql.graftx.AhoCorasickExpressions
             .multiPatternCounts(col("text"), blockPatterns).as("__c"))
         .select(col("doc_id"),
-          aggregate(col("__c"), lit(0L), (a, x) => a + x).as("total_hits"),
-          size(filter(col("__c"), c => c > 0L)).cast("long")
-            .as("n_patterns_hit"))
+          // null text scores (0, 0) — the NgramLm short-document convention
+          coalesce(aggregate(col("__c"), lit(0L), (a, x) => a + x), lit(0L))
+            .as("total_hits"),
+          coalesce(size(filter(col("__c"), c => c > 0L)).cast("long"),
+            lit(0L)).as("n_patterns_hit"))
         .orderBy(col("doc_id"))),
 
     // Per-source quality cutoff: keep the best 20% of each source by the
@@ -437,7 +439,7 @@ object TextQueries extends QueryPack {
          |      i -> substr(d.text, CAST(i AS INTEGER),
          |        CAST(len(p.pat) AS INTEGER)) = p.pat)) AS BIGINT) AS hits
          |  FROM documents d CROSS JOIN p)
-         |SELECT doc_id, CAST(sum(hits) AS BIGINT) AS total_hits,
+         |SELECT doc_id, CAST(COALESCE(sum(hits), 0) AS BIGINT) AS total_hits,
          |  CAST(count(CASE WHEN hits > 0 THEN 1 END) AS BIGINT)
          |    AS n_patterns_hit
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
