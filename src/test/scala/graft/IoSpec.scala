@@ -206,7 +206,12 @@ class IoSpec extends AnyFunSuite {
       val hits = files.count { f =>
         val r = spark.read.parquet(f).agg(min($"x"), max($"x"))
           .as[(Double, Double)].head()
-        r._1 <= 2.0 && 1.0 <= r._2 // overlaps [1.0, 2.0]
+        // a NARROW dense-region predicate (~5% of the dense mass): the
+        // uniform grid holds the whole dense region in one x-cell so
+        // every file matches, while quantile cells resolve it — the wide
+        // margin keeps the assertion clear of range-boundary sampling
+        // jitter (this was a rare marginal flake at [1.0, 2.0])
+        r._1 <= 1.2 && 1.0 <= r._2 // overlaps [1.0, 1.2]
       }
       (hits, files.size)
     }

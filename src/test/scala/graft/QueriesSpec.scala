@@ -66,13 +66,17 @@ class QueriesSpec extends AnyFunSuite {
     // shuffle fan-out
     val names = Seq("e_ewma_smooth", "e_moment_stats", "a_regression_stats",
       "e_autocorr", "e_drift_psi")
+    // restore the PREVIOUS value — a hardcoded restore left the shared
+    // session at a different fan-out for every later suite (the source
+    // of a rare boundary-sampling flake in the layout specs)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
     for (n <- names) {
       val a = SparkEntry.queries(n)(spark, dir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")
       try {
         val b = SparkEntry.queries(n)(spark, dir).collect().toSeq
         assert(a == b, s"$n changed under repartitioning")
-      } finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
   }
 
