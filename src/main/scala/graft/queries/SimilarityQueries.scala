@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Clustering, Similarity}
+import graft.operators.{Clustering, Dbscan, Similarity}
 
 /** Similarity-search queries over the `embeddings` table (64-dim float
   * vectors). Brute-force variants are oracle-checked bit-exactly: both
@@ -374,6 +374,24 @@ object SimilarityQueries extends QueryPack {
           (countDistinct(col("__cell")) <= kmCells).cast("int")
             .as("cells_bounded"))
         .crossJoin(subopt) // 1-row × 1-row
+    }),
+
+    // Grid-blocked DBSCAN over the first two embedding dims, VALUE-EXACT
+    // against a brute-force oracle: every role (core/border/noise) and
+    // every cluster label must match the all-pairs + recursive-closure
+    // recomputation. eps is density-scaled (eps² = 0.2/n) so the expected
+    // neighbor count — and with it the oracle's closure cost — is pinned
+    // across scale factors; distances are fixed-shape IEEE doubles, so
+    // the eps predicate agrees bit-exactly cross-engine.
+    "v_dbscan_check" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val n = emb.count() // bounded driver scalar — sizes eps, like k-means' k
+      val pts = emb.select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      Dbscan.cluster(pts, "vec_id", "x", "y", 0.2 / n.toDouble, minPts = 4)
+        .select(col("id").as("vec_id"), col("role"), col("cluster"))
+        .orderBy(col("vec_id"))
     }),
 
     // Product-quantization gate: train m=8 × k=32 L2 codebooks, ADC-search
@@ -1152,6 +1170,47 @@ object SimilarityQueries extends QueryPack {
         |  CAST(0 AS BIGINT) AS dist_mismatch,
         |  CAST(0 AS BIGINT) AS set_diff,
         |  CAST(1 AS INTEGER) AS recall_ok""".stripMargin,
+
+    "v_dbscan_check" ->
+      """WITH RECURSIVE n AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings),
+        |p AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+        |pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM p a JOIN p b ON a.vec_id < b.vec_id, n
+        |  WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)
+        |    <= CAST(0.2 AS DOUBLE)/CAST(n AS DOUBLE)),
+        |deg AS (SELECT vec_id, count(*) AS nb FROM
+        |  (SELECT ia AS vec_id FROM pr UNION ALL SELECT ib FROM pr)
+        |  GROUP BY vec_id),
+        |pts AS (SELECT p.vec_id, COALESCE(deg.nb, 0) + 1 AS sz
+        |  FROM p LEFT JOIN deg USING (vec_id)),
+        |core AS (SELECT vec_id FROM pts WHERE sz >= 4),
+        |ce0 AS (SELECT ia, ib FROM pr
+        |  WHERE ia IN (SELECT vec_id FROM core)
+        |    AND ib IN (SELECT vec_id FROM core)),
+        |edges AS (SELECT ia AS a, ib AS b FROM ce0
+        |  UNION ALL SELECT ib, ia FROM ce0),
+        |reach(s, t2) AS (SELECT a, b FROM edges
+        |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t2 = e.a),
+        |comp AS (SELECT s AS vec_id, least(s, min(t2)) AS cl
+        |  FROM reach GROUP BY s),
+        |corelab AS (SELECT c.vec_id, COALESCE(comp.cl, c.vec_id) AS cluster
+        |  FROM core c LEFT JOIN comp USING (vec_id)),
+        |border AS (SELECT x.vec_id, min(cl.cluster) AS cluster FROM
+        |  (SELECT ia AS vec_id, ib AS nbr FROM pr
+        |    UNION ALL SELECT ib, ia FROM pr) x
+        |  JOIN corelab cl ON x.nbr = cl.vec_id
+        |  WHERE x.vec_id NOT IN (SELECT vec_id FROM core)
+        |  GROUP BY x.vec_id)
+        |SELECT p.vec_id, CASE WHEN corelab.vec_id IS NOT NULL THEN 'core'
+        |    WHEN border.vec_id IS NOT NULL THEN 'border'
+        |    ELSE 'noise' END AS role,
+        |  COALESCE(corelab.cluster, border.cluster, CAST(-1 AS BIGINT))
+        |    AS cluster
+        |FROM p LEFT JOIN corelab ON p.vec_id = corelab.vec_id
+        |LEFT JOIN border ON p.vec_id = border.vec_id
+        |ORDER BY p.vec_id""".stripMargin,
 
     "v_kmeans_check" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,

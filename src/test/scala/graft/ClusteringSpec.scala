@@ -341,4 +341,45 @@ class ClusteringSpec extends AnyFunSuite {
     assert(l1.length == df.count())
     assert(l1.forall(r => r.getInt(2) == 0 || r.getInt(2) == 1))
   }
+
+  /** Two planted blobs + a border point + density-unreachable chain tail:
+    * every role and label hand-computed (eps = 1, minPts = 3). Blob A
+    * straddles the x = 0 grid boundary, so a pair meeting across adjacent
+    * cells (including a NEGATIVE cell index) exercises the 3x3 stencil.
+    */
+  private def dbscanFixture() = Seq(
+    (1L, -0.1, 0.0), // core, cluster 1 (blob A)
+    (2L, 0.1, 0.0),  // core, cluster 1
+    (3L, 0.0, 0.5),  // core, cluster 1
+    (4L, 10.0, 10.0), // core, cluster 4 (blob B)
+    (5L, 10.6, 10.0), // core, cluster 4
+    (6L, 10.0, 10.6), // core, cluster 4
+    (7L, 1.0, 0.0),  // border: one core neighbor (2), not core itself
+    (8L, 50.0, 50.0), // noise: isolated
+    (9L, 2.1, 0.0)   // noise: only neighbor is the BORDER point 7 —
+                     // density-unreachable, the classic DBSCAN subtlety
+  ).toDF("id", "x", "y")
+
+  test("dbscan: hand-computed roles and labels on the planted fixture") {
+    import graft.operators.Dbscan
+    val out = Dbscan.cluster(dbscanFixture(), "id", "x", "y",
+        eps2 = 1.0, minPts = 3)
+      .orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "core", 1L), (2L, "core", 1L), (3L, "core", 1L),
+      (4L, "core", 4L), (5L, "core", 4L), (6L, "core", 4L),
+      (7L, "border", 1L), (8L, "noise", -1L), (9L, "noise", -1L)))
+  }
+
+  test("dbscan: labeling is invariant under partitioning") {
+    import graft.operators.Dbscan
+    val base = dbscanFixture()
+    val a = Dbscan.cluster(base.repartition(1), "id", "x", "y", 1.0, 3)
+      .orderBy("id").collect().toSeq
+    val b = Dbscan.cluster(base.repartition(13, col("y")), "id", "x", "y",
+        1.0, 3)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
 }
