@@ -48,6 +48,24 @@ object DedupQueries extends QueryPack {
        |ORDER BY id_a, id_b""".stripMargin
 
   override def queries: Map[String, Query] = Map(
+
+    // Fellegi-Sunter probabilistic record linkage on customers: block on
+    // nation, compare (segment, balance band, name-tail quasi-identifier),
+    // u-probabilities estimated exactly from value frequencies, score =
+    // fixed-order likelihood-ratio product (no logs — bit-exact
+    // cross-engine). VALUE-EXACT oracle: every surviving pair's odds and
+    // agreement count must match the SQL recomputation.
+    "d_record_linkage" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("long").as("band"),
+          col("c_name").substr(length(col("c_name")) - 1, lit(2)).as("tail"))
+      graft.operators.RecordLinkage.fsPairOdds(c, "c_custkey", "c_nationkey",
+          Seq(("seg", 0.9, 0.1), ("band", 0.9, 0.1), ("tail", 0.85, 0.15)),
+          minOdds = 30.0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "d_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("canonical_id"))),
@@ -296,6 +314,51 @@ object DedupQueries extends QueryPack {
        |ORDER BY id_a, id_b""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "d_record_linkage" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal / CAST(1000.0 AS DOUBLE)) AS BIGINT)
+        |      AS band,
+        |    substr(c_name, CAST(length(c_name) AS INTEGER) - 1, 2) AS tail
+        |  FROM customer),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |us AS (SELECT CAST(sum(CAST(cc AS DECIMAL(19,0))
+        |    * CAST(cc AS DECIMAL(19,0))) AS DOUBLE) AS sq
+        |  FROM (SELECT count(*) AS cc FROM c GROUP BY seg)),
+        |ub AS (SELECT CAST(sum(CAST(cc AS DECIMAL(19,0))
+        |    * CAST(cc AS DECIMAL(19,0))) AS DOUBLE) AS sq
+        |  FROM (SELECT count(*) AS cc FROM c GROUP BY band)),
+        |ut AS (SELECT CAST(sum(CAST(cc AS DECIMAL(19,0))
+        |    * CAST(cc AS DECIMAL(19,0))) AS DOUBLE) AS sq
+        |  FROM (SELECT count(*) AS cc FROM c GROUP BY tail)),
+        |st AS (SELECT
+        |    us.sq / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)) AS u_seg,
+        |    ub.sq / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)) AS u_band,
+        |    ut.sq / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)) AS u_tail
+        |  FROM n, us, ub, ut),
+        |sc AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    CAST(a.seg IS NOT DISTINCT FROM b.seg AS INTEGER)
+        |      + CAST(a.band IS NOT DISTINCT FROM b.band AS INTEGER)
+        |      + CAST(a.tail IS NOT DISTINCT FROM b.tail AS INTEGER)
+        |      AS n_agree,
+        |    (CASE WHEN a.seg IS NOT DISTINCT FROM b.seg
+        |        THEN CAST(0.9 AS DOUBLE) / u_seg
+        |        ELSE CAST(0.1 AS DOUBLE) / (CAST(1.0 AS DOUBLE) - u_seg)
+        |      END)
+        |    * (CASE WHEN a.band IS NOT DISTINCT FROM b.band
+        |        THEN CAST(0.9 AS DOUBLE) / u_band
+        |        ELSE CAST(0.1 AS DOUBLE) / (CAST(1.0 AS DOUBLE) - u_band)
+        |      END)
+        |    * (CASE WHEN a.tail IS NOT DISTINCT FROM b.tail
+        |        THEN CAST(0.85 AS DOUBLE) / u_tail
+        |        ELSE CAST(0.15 AS DOUBLE) / (CAST(1.0 AS DOUBLE) - u_tail)
+        |      END) AS odds
+        |  FROM c a JOIN c b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey,
+        |    st)
+        |SELECT id_a, id_b, n_agree, odds FROM sc
+        |WHERE odds >= CAST(30.0 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "d_fuzzy_match" ->
       """WITH p AS (SELECT p_partkey, p_name FROM part),
         |q AS (SELECT p_partkey AS q_key,

@@ -633,4 +633,44 @@ class OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fellegi-sunter odds match an in-memory replay (incl. null fields)") {
+    import graft.operators.RecordLinkage
+    // one block; f1 frequencies {x:3, y:2, z:1, null:2}, f2 {p:3, q:3, r:2}
+    // — two null-f1 rows so a null<=>null AGREEMENT pair exists
+    val rows: Seq[(Long, String, Option[String], String)] = Seq(
+      (1L, "B", Some("x"), "p"), (2L, "B", Some("x"), "p"),
+      (3L, "B", Some("x"), "q"), (4L, "B", Some("y"), "q"),
+      (5L, "B", Some("y"), "r"), (6L, "B", Some("z"), "r"),
+      (7L, "B", None, "p"), (8L, "B", None, "q"))
+    val df = rows.toDF("id", "blk", "f1", "f2")
+    val fields = Seq(("f1", 0.9, 0.1), ("f2", 0.85, 0.15))
+    val got = RecordLinkage.fsPairOdds(df, "id", "blk", fields, minOdds = 0.0)
+      .orderBy($"id_a", $"id_b")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    // replay with the same double-arithmetic shape
+    val n = rows.size.toDouble
+    val u1 = (3.0 * 3.0 + 2.0 * 2.0 + 1.0 + 2.0 * 2.0) / (n * n)
+    val u2 = (3.0 * 3.0 + 3.0 * 3.0 + 2.0 * 2.0) / (n * n)
+    def odds(a: (Long, String, Option[String], String),
+        b: (Long, String, Option[String], String)): (Int, Double) = {
+      val e1 = a._3 == b._3
+      val e2 = a._4 == b._4
+      val o = (if (e1) 0.9 / u1 else 0.1 / (1.0 - u1)) *
+        (if (e2) 0.85 / u2 else 0.15 / (1.0 - u2))
+      ((if (e1) 1 else 0) + (if (e2) 1 else 0), o)
+    }
+    val want = (for {
+      a <- rows; b <- rows if a._1 < b._1
+    } yield {
+      val (na, o) = odds(a, b)
+      (a._1, b._1, na, o)
+    }).sortBy(r => (r._1, r._2))
+    assert(got == want) // bit-exact, including the null<=>null agreements
+    // threshold keeps exactly the pairs at/above it
+    val thresh = want.map(_._4).sorted.apply(want.size / 2)
+    val kept = RecordLinkage.fsPairOdds(df, "id", "blk", fields, thresh)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(kept == want.filter(_._4 >= thresh).toSet)
+  }
 }
