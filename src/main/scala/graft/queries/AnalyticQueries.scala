@@ -455,6 +455,17 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Closed-form ridge regression (price ~ quantity + discount): ONE
+    // scan reduces to nine decimal-stable Gram sums, then every λ in the
+    // grid is a free 1-row Cramer projection — sufficient statistics
+    // once, hyperparameter sweep at zero extra scans. λ=0 is exact OLS.
+    // Oracle retypes the identical determinant chain — value-exact.
+    "a_ridge_check" -> ((s, dir) =>
+      graft.ops.Ridge.fit2(Tables.load(s, dir, "lineitem"),
+          "l_quantity", "l_discount", "l_extendedprice",
+          Seq(0.0, 1000.0, 100000.0))
+        .orderBy(col("lambda"))),
+
     // Chi-square independence screen between two categorical columns
     // (order priority × order status): per-cell (obs−exp)²/exp terms in
     // micro-units — quantized per cell, so the statistic Σ chi_q is an
@@ -1069,6 +1080,36 @@ object AnalyticQueries extends QueryPack {
          |    / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
          |      * (syy - sy * sy / CAST(n AS DOUBLE))) AS spearman
          |FROM m ORDER BY l_returnflag""".stripMargin
+    },
+
+    "a_ridge_check" -> {
+      def det3(a: String, b: String, c: String, d: String, e: String,
+          f: String, g: String, h: String, i: String) =
+        s"$a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g)" +
+          s" + $c * ($d * $h - $e * $g)"
+      val (e0, i0) = ("(s11 + lambda)", "(s22 + lambda)")
+      val det = det3("nd", "s1", "s2", "s1", e0, "s12", "s2", "s12", i0)
+      val d0 = det3("sy", "s1", "s2", "s1y", e0, "s12", "s2y", "s12", i0)
+      val d1 = det3("nd", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", i0)
+      val d2 = det3("nd", "s1", "sy", "s1", e0, "s1y", "s2", "s12", "s2y")
+      s"""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    ${stable("CAST(l_quantity AS DOUBLE)")} AS s1,
+         |    ${stable("CAST(l_discount AS DOUBLE)")} AS s2,
+         |    ${stable("CAST(l_extendedprice AS DOUBLE)")} AS sy,
+         |    ${stable("CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)")} AS s11,
+         |    ${stable("CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE)")} AS s12,
+         |    ${stable("CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE)")} AS s22,
+         |    ${stable("CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)")} AS s1y,
+         |    ${stable("CAST(l_discount AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)")} AS s2y
+         |  FROM lineitem),
+         |g AS (SELECT m.*, CAST(n AS DOUBLE) AS nd, l.lambda
+         |  FROM m, (SELECT unnest([CAST(0.0 AS DOUBLE),
+         |    CAST(1000.0 AS DOUBLE), CAST(100000.0 AS DOUBLE)]) AS lambda) l)
+         |SELECT lambda, n,
+         |  ($d0) / ($det) AS beta0,
+         |  ($d1) / ($det) AS beta1,
+         |  ($d2) / ($det) AS beta2
+         |FROM g ORDER BY lambda""".stripMargin
     },
 
     "a_chi2_independence" ->

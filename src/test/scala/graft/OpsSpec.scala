@@ -634,6 +634,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ridge fit2: recovers a planted linear model at lambda=0, shrinks " +
+      "with lambda, bit-reproducible across partitionings") {
+    import graft.ops.Ridge
+    // y = 7 + 3*x1 - 2*x2 exactly (x1, x2 not collinear)
+    val df = (0 until 200).map { i =>
+      val x1 = (i % 13).toDouble
+      val x2 = ((i * 5) % 7).toDouble
+      (i.toLong, x1, x2, 7.0 + 3.0 * x1 - 2.0 * x2)
+    }.toDF("id", "x1", "x2", "y")
+    val fit = Ridge.fit2(df, "x1", "x2", "y", Seq(0.0, 100.0, 10000.0))
+      .orderBy($"lambda")
+      .as[(Double, Long, Double, Double, Double)].collect().toSeq
+    val ols = fit.head
+    assert(math.abs(ols._3 - 7.0) < 1e-8 && math.abs(ols._4 - 3.0) < 1e-8 &&
+      math.abs(ols._5 + 2.0) < 1e-8)
+    // ridge shrinks slope magnitudes monotonically in lambda
+    val slopes = fit.map(r => math.abs(r._4) + math.abs(r._5))
+    assert(slopes == slopes.sorted.reverse && slopes.distinct.size == 3)
+    val again = Ridge.fit2(df.repartition(7, $"x2"), "x1", "x2", "y",
+        Seq(0.0, 100.0, 10000.0))
+      .orderBy($"lambda")
+      .as[(Double, Long, Double, Double, Double)].collect().toSeq
+    assert(again == fit) // decimal sums: partitioning cannot move a bit
+  }
+
   test("fellegi-sunter odds match an in-memory replay (incl. null fields)") {
     import graft.operators.RecordLinkage
     // one block; f1 frequencies {x:3, y:2, z:1, null:2}, f2 {p:3, q:3, r:2}
