@@ -159,6 +159,50 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Holt-Winters additive triple smoothing (α=β=γ=1/2, weekly period 7)
+    // over each event type's daily decimal-stable totals: level + trend +
+    // seasonal state folded in ONE pass with a struct accumulator whose
+    // 7-slot seasonal array updates by slice-concat. Halving keeps every
+    // step an exact IEEE operation; the oracle replays the identical fold
+    // as a recursive CTE — bit-exact. Same scale shape as e_double_smooth:
+    // the fold runs over the BOUNDED per-type daily series (one row per
+    // day), never over raw events.
+    "e_holt_winters" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(graft.ops.Aggregations.sumStable(col("value")).as("v"))
+      val g = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sort_array(collect_list(struct(col("d"), col("v")))).as("seq"))
+      val x1 = expr("element_at(transform(seq, r -> r.v), 1)")
+      val fold = aggregate(
+        expr("slice(transform(seq, r -> r.v), 2, 1000000000)"),
+        struct(x1.as("l"), lit(0.0).as("b"),
+          array_repeat(lit(0.0), 7).as("s"), lit(1).as("t")),
+        (acc, x) => {
+          val t = acc.getField("t")
+          val idx = (t % 7) + 1 // 1-based seasonal slot of observation t+1
+          val sOld = element_at(acc.getField("s"), idx)
+          val l0 = acc.getField("l")
+          val b0 = acc.getField("b")
+          val lNew = ((x - sOld) + (l0 + b0)) / lit(2.0)
+          val bNew = ((lNew - l0) + b0) / lit(2.0)
+          val sNew = ((x - lNew) + sOld) / lit(2.0)
+          struct(lNew.as("l"), bNew.as("b"),
+            concat(slice(acc.getField("s"), lit(1), idx - 1), array(sNew),
+              slice(acc.getField("s"), idx + 1, lit(7) - idx)).as("s"),
+            (t + 1).as("t"))
+        })
+      val nextSeason = element_at(col("st.s"),
+        (col("n") % 7 + 1).cast("int"))
+      g.select(col("event_type"), col("n"), fold.as("st"))
+        .select(col("event_type"), col("n"),
+          col("st.l").as("level"), col("st.b").as("trend"),
+          nextSeason.as("season_next"),
+          (col("st.l") + col("st.b") + nextSeason).as("forecast"))
+        .orderBy(col("event_type"))
+    }),
+
     // Two-sample Kolmogorov-Smirnov distance between the purchase and
     // click value distributions — the classic nonparametric drift test
     // (complement to the binned PSI). Values discretize to cents, so the
@@ -549,6 +593,37 @@ object EventQueries extends QueryPack {
         |  s1 - s2 AS trend,
         |  (CAST(2.0 AS DOUBLE) * s1 - s2) + (s1 - s2) AS forecast
         |FROM f ORDER BY user_id""".stripMargin,
+
+    "e_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR)
+        |      AS DOUBLE) AS v
+        |  FROM events GROUP BY event_type, d),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    list(v ORDER BY d) AS vals
+        |  FROM daily GROUP BY event_type),
+        |r AS (
+        |  SELECT event_type, 1 AS t, n, vals, vals[1] AS l,
+        |    CAST(0.0 AS DOUBLE) AS b,
+        |    list_transform(range(7), x -> CAST(0.0 AS DOUBLE)) AS s
+        |  FROM g
+        |  UNION ALL
+        |  SELECT event_type, t + 1, n, vals,
+        |    ((vals[t+1] - s[(t % 7) + 1]) + (l + b)) / CAST(2.0 AS DOUBLE),
+        |    ((((vals[t+1] - s[(t % 7) + 1]) + (l + b)) / CAST(2.0 AS DOUBLE)
+        |      - l) + b) / CAST(2.0 AS DOUBLE),
+        |    s[1:(t % 7)] ||
+        |      [((vals[t+1] - ((vals[t+1] - s[(t % 7) + 1]) + (l + b))
+        |          / CAST(2.0 AS DOUBLE)) + s[(t % 7) + 1])
+        |        / CAST(2.0 AS DOUBLE)] ||
+        |      s[(t % 7) + 2:7]
+        |  FROM r WHERE t < n),
+        |f AS (SELECT event_type, n, l, b, s FROM r WHERE t = n)
+        |SELECT event_type, n, l AS level, b AS trend,
+        |  s[(n % 7) + 1] AS season_next,
+        |  l + b + s[(n % 7) + 1] AS forecast
+        |FROM f ORDER BY event_type""".stripMargin,
 
     "e_behavior_trigrams" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -28,6 +28,35 @@ class QueriesSpec extends AnyFunSuite {
 
   // -- cross-query invariants for the behavioral/stats families ---------
 
+  test("holt-winters fold matches a driver-side replay bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Aggregations.sumStable
+    val daily = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(sumStable(col("value")).as("v"))
+      .orderBy(col("event_type"), col("d"))
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    val got = SparkEntry.queries("e_holt_winters")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    for ((et, series) <- daily.groupBy(_._1)) {
+      val xs = series.map(_._2) // already day-ordered within type
+      var l = xs.head; var b = 0.0; val s = Array.fill(7)(0.0)
+      for (t <- 1 until xs.length) {
+        val idx = t % 7
+        val sOld = s(idx)
+        val lNew = ((xs(t) - sOld) + (l + b)) / 2.0
+        val bNew = ((lNew - l) + b) / 2.0
+        s(idx) = ((xs(t) - lNew) + sOld) / 2.0
+        l = lNew; b = bNew
+      }
+      val nxt = s(xs.length % 7)
+      assert(got(et) == ((xs.length.toLong, l, b, nxt, l + b + nxt)), et)
+    }
+  }
+
   test("funnel stages are monotone and bounded by the user population") {
     import org.apache.spark.sql.functions._
     val f = SparkEntry.queries("e_funnel_stages")(spark, dir)
