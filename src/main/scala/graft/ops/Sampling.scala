@@ -281,6 +281,73 @@ object Sampling {
     whole.unionByName(boundary).drop("__h", "__b", "__n", "__q")
   }
 
+  /** Neyman-allocation stratified sample (Neyman 1934): the `budget` is
+    * split across strata proportional to N_h·S_h — big AND volatile strata
+    * get the rows; near-constant strata contribute almost nothing to the
+    * estimator's variance and get few. The optimal allocation for
+    * estimating a population mean under a fixed sample budget.
+    *
+    * One scan reduces each stratum to (count, Σv, Σv²) through the
+    * decimal-stable sums (order-free → the allocation is deterministic);
+    * selection within a stratum is the n_h smallest md5(id) rows via the
+    * bounded k-heap [[graft.operators.TopK.perKey]] — the exchange carries
+    * partitions·k pairs per stratum, never the stratum itself (the
+    * row_number formulation the oracle uses would shuffle every row of a
+    * 100 TB fact to one reducer per stratum). The only driver state is the
+    * heap bound max(n_h) — one tiny collect off the allocation frame.
+    *
+    * Output: one row per stratum — (strata, big_n, n_target, n_selected,
+    * checksum, v_sum) where checksum is the order-free Σ of the selected
+    * rows' 32-bit hash slices and v_sum their decimal-stable value total.
+    */
+  def neymanSelect(df: DataFrame, idCol: String, strataCol: String,
+      valueCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val v = col(valueCol).cast("double")
+    val m = df.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("big_n"),
+      Aggregations.sumStable(v).as("sv"),
+      Aggregations.sumStable(v * v).as("sv2"))
+    val nD = col("big_n").cast("double")
+    val varE = (col("sv2") - col("sv") * col("sv") / nD) / (nD - lit(1.0))
+    // quantize each weight to the DECIMAL(38,10) grid BEFORE the ratio:
+    // tw is then an exact decimal sum of the same grid values, so a
+    // stratum holding all the weight divides to exactly 1.0 (floor must
+    // not shave a row off the budget on the w==tw boundary)
+    val a0 = m.withColumn("w",
+      when(col("big_n") > 1, nD * sqrt(varE)).otherwise(lit(0.0))
+        .cast("decimal(38,10)").cast("string").cast("double"))
+    val tw = a0.agg(Aggregations.sumStable(col("w")).as("tw"))
+    val alloc = a0.crossJoin(broadcast(tw)) // 1-row totals frame
+      .withColumn("n_target",
+        when(col("tw") > lit(0.0),
+          least(floor(lit(budget.toDouble) * col("w") / col("tw")),
+            col("big_n")))
+          .otherwise(lit(0L)))
+      .select(col(strataCol), col("big_n"), col("n_target"))
+      .localCheckpoint() // feeds the heap bound, the cut, and the output
+    // bounded driver scalar (the heap size), like k-means' k
+    val maxNh = alloc.agg(max(col("n_target"))).head().getLong(0).toInt
+    val scored = df.select(col(strataCol), col(idCol),
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long").as("__h"))
+    val sel = graft.operators.TopK
+      .perKey(scored, strataCol, "__h", idCol, math.max(maxNh, 1),
+        descending = false)
+      .join(alloc.select(col(strataCol), col("n_target")), Seq(strataCol))
+      .filter(col("rank") <= col("n_target"))
+      .join(df.select(col(idCol), v.as("__v")), Seq(idCol))
+    val sg = sel.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("n_selected"),
+      sum(col("__h").cast("long")).as("checksum"),
+      Aggregations.sumStable(col("__v")).as("v_sum"))
+    alloc.join(sg, Seq(strataCol), "left")
+      .select(col(strataCol), col("big_n"), col("n_target"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("checksum"), lit(0L)).as("checksum"),
+        coalesce(col("v_sum"), lit(0.0)).as("v_sum"))
+  }
+
   def weightedSample(df: DataFrame, idCol: String, strataCol: String,
       weightCol: String, k: Int, salt: String = "wsample"): DataFrame = {
     // u ∈ (0, 1]: 13 hex chars = 52 bits, exactly representable in a double

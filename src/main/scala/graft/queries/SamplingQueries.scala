@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Sampling
+import graft.ops.{Aggregations, Sampling}
 
 /** Deterministic corpus splitting and stratified sampling — the
   * select-what-to-train-on surface of a training-data pipeline.
@@ -17,6 +17,101 @@ object SamplingQueries extends QueryPack {
   private val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   override def queries: Map[String, Query] = Map(
+
+    // Neyman-allocation stratified sampling: budget split ∝ N_h·S_h from
+    // one moment scan, selection = n_h smallest md5(id) per stratum via
+    // the bounded k-heap (exchange ≤ partitions·k per stratum — never the
+    // stratum). Oracle replays allocation + selection with row_number —
+    // value-exact on counts, checksums, and stable value sums.
+    "x_neyman_sample" -> ((s, dir) =>
+      Sampling.neymanSelect(Tables.load(s, dir, "events"),
+          "event_id", "event_type", "value", budget = 500)
+        .orderBy(col("event_type"))),
+
+    // Smoothed + leave-one-out target encoding (the standard high-
+    // cardinality categorical → numeric feature prep): enc(v) =
+    // (Σy_v + m·ȳ)/(n_v + m) with prior weight m=10; the LOO variant
+    // excludes each row's own target — per-row values are fingerprinted
+    // through Σ⌊loo·10⁶⌋ and Σ⌊loo²·10⁶⌋ micro-unit BIGINTs
+    // (byte-sensitive, no cancellation identity; binary floor of an
+    // IEEE-exact product is bit-identical cross-engine, unlike the
+    // double→DECIMAL cast which rounds shortest-repr in Spark but binary
+    // in DuckDB). One tiny per-category frame broadcasts back onto the
+    // fact — the encode itself is a zero-shuffle projection.
+    "x_target_encode" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          col("c_acctbal").cast("double").as("y"))
+      val g = c.groupBy(col("seg")).agg(count(lit(1)).as("n"),
+        Aggregations.sumStable(col("y")).as("sy"))
+      val tot = c.agg(count(lit(1)).as("tn"),
+        Aggregations.sumStable(col("y")).as("ty"))
+      val gWithGm = g.crossJoin(broadcast(tot)) // 1-row global frame
+        .withColumn("gm", col("ty") / col("tn").cast("double"))
+        .localCheckpoint() // feeds the encode AND the per-row LOO join
+      val enc = gWithGm.withColumn("enc_smooth",
+        (col("sy") + lit(10.0) * col("gm"))
+          / (col("n").cast("double") + lit(10.0)))
+      val loo = c.join(broadcast(gWithGm.select(col("seg"), col("n"),
+          col("sy"), col("gm"))), Seq("seg"))
+        .withColumn("loo", when(col("n") > 1,
+            (col("sy") - col("y")) / (col("n").cast("double") - lit(1.0)))
+          .otherwise(col("gm")))
+        .groupBy(col("seg"))
+        .agg(sum(floor(col("loo") * lit(1e6)).cast("long")).as("loo_sum"),
+          sum(floor(col("loo") * col("loo") * lit(1e6)).cast("long"))
+            .as("loo_sq"))
+      enc.join(loo, Seq("seg"))
+        .select(col("seg"), col("n"), col("enc_smooth"),
+          col("loo_sum"), col("loo_sq"))
+        .orderBy(col("seg"))
+    }),
+
+    // k-anonymity / l-diversity screen over the (nation, segment,
+    // balance-band) quasi-identifier: the privacy re-identification
+    // report a dataset card publishes. Pure integer aggregation —
+    // scan-bound at any scale.
+    "x_k_anonymity" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("long").as("band"),
+          col("c_name").substr(length(col("c_name")) - 1, lit(2))
+            .as("tail"))
+      c.groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+        .agg(count(lit(1)).as("gn"), countDistinct(col("tail")).as("ld"))
+        .agg(count(lit(1)).as("n_groups"),
+          min(col("gn")).as("k_anonymity"),
+          sum(when(col("gn") < 5, col("gn")).otherwise(0L))
+            .as("rows_lt5"),
+          sum(when(col("gn") < 5, 1L).otherwise(0L)).as("groups_lt5"),
+          min(col("ld")).as("l_diversity_min"))
+    }),
+
+    // Feature hashing (Weinberger et al. 2009, the "hashing trick"):
+    // tokens land in 64 buckets by a 32-bit md5 slice, with a ±1 sign
+    // from the next hash bit — collisions cancel in expectation, the
+    // vectorizer needs NO vocabulary pass. Per-doc values aggregate
+    // map-side; the gate publishes per-bucket integer totals
+    // (value-exact).
+    "x_feature_hash" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val h = conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+      val perDoc = toks
+        .select(col("doc_id"), pmod(h, lit(64L)).cast("int").as("bucket"),
+          when(pmod(shiftright(h, 6), lit(2L)) === 0L, 1L).otherwise(-1L)
+            .as("sgn"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(sum(col("sgn")).as("v"))
+      perDoc.groupBy(col("bucket"))
+        .agg(sum(col("v")).as("total"), sum(abs(col("v"))).as("l1"),
+          count(lit(1)).as("nnz_docs"))
+        .orderBy(col("bucket"))
+    }),
+
     // Reproducible per-epoch loader order (ops.Sampling.epochShardOrder):
     // two epochs × four shards over the documents table — every (epoch,
     // shard, position, doc_id) row is a pure function of md5, so the full
@@ -325,6 +420,117 @@ object SamplingQueries extends QueryPack {
   private val zBuckets = 64
 
   override def oracleSql: Map[String, String] = Map(
+
+    "x_neyman_sample" -> {
+      def stable(e: String) =
+        s"CAST(CAST(SUM(CAST($e AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+      s"""WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS big_n,
+         |    ${stable("CAST(value AS DOUBLE)")} AS sv,
+         |    ${stable("CAST(value AS DOUBLE) * CAST(value AS DOUBLE)")} AS sv2
+         |  FROM events GROUP BY event_type),
+         |a0 AS (SELECT event_type, big_n,
+         |    CAST(CAST(CAST(
+         |    CASE WHEN big_n > 1 THEN CAST(big_n AS DOUBLE)
+         |      * sqrt((sv2 - sv * sv / CAST(big_n AS DOUBLE))
+         |        / (CAST(big_n AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+         |      ELSE CAST(0.0 AS DOUBLE) END
+         |    AS DECIMAL(38,10)) AS VARCHAR) AS DOUBLE) AS w
+         |  FROM m),
+         |tw AS (SELECT ${stable("w")} AS tw FROM a0),
+         |al AS (SELECT event_type, big_n,
+         |    CASE WHEN tw > CAST(0.0 AS DOUBLE)
+         |      THEN least(CAST(floor(CAST(500.0 AS DOUBLE) * w / tw)
+         |        AS BIGINT), big_n)
+         |      ELSE CAST(0 AS BIGINT) END AS n_target
+         |  FROM a0, tw),
+         |h AS (SELECT event_type, event_id, CAST(value AS DOUBLE) AS v,
+         |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) AS hh
+         |  FROM events),
+         |r AS (SELECT event_type, event_id, v, hh, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY hh, event_id) AS rn
+         |  FROM h),
+         |sel AS (SELECT r.* FROM r JOIN al USING (event_type)
+         |  WHERE rn <= n_target),
+         |sg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_selected,
+         |    CAST(sum(hh) AS BIGINT) AS checksum, ${stable("v")} AS v_sum
+         |  FROM sel GROUP BY event_type)
+         |SELECT al.event_type, big_n, n_target,
+         |  COALESCE(n_selected, 0) AS n_selected,
+         |  COALESCE(checksum, 0) AS checksum,
+         |  COALESCE(v_sum, CAST(0.0 AS DOUBLE)) AS v_sum
+         |FROM al LEFT JOIN sg USING (event_type)
+         |ORDER BY al.event_type""".stripMargin
+    },
+
+    "x_target_encode" -> {
+      def stable(e: String) =
+        s"CAST(CAST(SUM(CAST($e AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+      s"""WITH c AS (SELECT c_custkey, c_mktsegment AS seg,
+         |    CAST(c_acctbal AS DOUBLE) AS y FROM customer),
+         |g AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+         |    ${stable("y")} AS sy FROM c GROUP BY seg),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS tn,
+         |    ${stable("y")} AS ty FROM c),
+         |gg AS (SELECT seg, n, sy, ty / CAST(tn AS DOUBLE) AS gm
+         |  FROM g, tot),
+         |enc AS (SELECT seg, n,
+         |    (sy + CAST(10.0 AS DOUBLE) * gm)
+         |      / (CAST(n AS DOUBLE) + CAST(10.0 AS DOUBLE)) AS enc_smooth
+         |  FROM gg),
+         |lo AS (SELECT c.seg,
+         |    CASE WHEN n > 1 THEN (sy - y)
+         |        / (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))
+         |      ELSE gm END AS loo
+         |  FROM c JOIN gg ON c.seg = gg.seg),
+         |la AS (SELECT seg,
+         |    CAST(sum(CAST(floor(loo * CAST(1000000.0 AS DOUBLE))
+         |      AS BIGINT)) AS BIGINT) AS loo_sum,
+         |    CAST(sum(CAST(floor(loo * loo * CAST(1000000.0 AS DOUBLE))
+         |      AS BIGINT)) AS BIGINT) AS loo_sq FROM lo GROUP BY seg)
+         |SELECT enc.seg, n, enc_smooth, loo_sum, loo_sq
+         |FROM enc JOIN la ON enc.seg = la.seg
+         |ORDER BY enc.seg""".stripMargin
+    },
+
+    "x_k_anonymity" ->
+      """WITH q AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / CAST(1000.0 AS DOUBLE)) AS BIGINT)
+        |      AS band,
+        |    substr(c_name, CAST(length(c_name) AS INTEGER) - 1, 2) AS tail
+        |  FROM customer),
+        |g AS (SELECT c_nationkey, c_mktsegment, band,
+        |    CAST(count(*) AS BIGINT) AS gn,
+        |    CAST(count(DISTINCT tail) AS BIGINT) AS ld
+        |  FROM q GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  min(gn) AS k_anonymity,
+        |  CAST(sum(CASE WHEN gn < 5 THEN gn ELSE 0 END) AS BIGINT)
+        |    AS rows_lt5,
+        |  CAST(sum(CASE WHEN gn < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_lt5,
+        |  min(ld) AS l_diversity_min
+        |FROM g""".stripMargin,
+
+    "x_feature_hash" ->
+      """WITH norm AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w
+        |  FROM norm),
+        |h AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hh
+        |  FROM toks WHERE length(w) > 0),
+        |pd AS (SELECT doc_id, CAST(hh % 64 AS INTEGER) AS bucket,
+        |    CAST(sum(CASE WHEN (hh // 64) % 2 = 0 THEN 1 ELSE -1 END)
+        |      AS BIGINT) AS v
+        |  FROM h GROUP BY doc_id, bucket)
+        |SELECT bucket, CAST(sum(v) AS BIGINT) AS total,
+        |  CAST(sum(abs(v)) AS BIGINT) AS l1,
+        |  CAST(count(*) AS BIGINT) AS nnz_docs
+        |FROM pd GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "x_epoch_order" ->
       """WITH eps AS (SELECT unnest(range(0, 2)) AS epoch),
         |k AS (SELECT d.doc_id, CAST(e.epoch AS INTEGER) AS epoch,

@@ -258,6 +258,37 @@ class OpsSpec extends AnyFunSuite {
     assert(s3.count(_ != 200L) == 3 && s3.contains(100L))
   }
 
+  test("Neyman allocation: budget follows N·S, selection matches the window formulation") {
+    import graft.ops.Sampling
+    import org.apache.spark.sql.expressions.Window
+    // stratum a: high variance (alternating 0/100); stratum b: constant
+    // (S=0 → zero allocation); stratum c: single row (undefined variance
+    // → zero weight by the big_n>1 guard)
+    val df = ((1L to 100L).map(i => (i, "a", if (i % 2 == 0) 100.0 else 0.0)) ++
+      (101L to 200L).map(i => (i, "b", 7.0)) :+ ((300L, "c", 5.0)))
+      .toDF("id", "grp", "v").repartition(7)
+    val got = Sampling.neymanSelect(df, "id", "grp", "v", budget = 30)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // all weight sits on stratum a → it takes the whole budget
+    assert(got("a").getLong(2) == 30 && got("a").getLong(3) == 30)
+    assert(got("b").getLong(2) == 0 && got("b").getLong(3) == 0)
+    assert(got("c").getLong(2) == 0 && got("c").getLong(3) == 0)
+    // independent textbook formulation: row_number over (md5, id)
+    val h = conv(substring(md5($"id".cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val want = df.select($"grp", $"id", h.as("h"), $"v")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"grp").orderBy($"h", $"id")))
+      .filter($"rn" <= 30 && $"grp" === "a")
+      .agg(sum($"h"), sum($"v")).head()
+    assert(got("a").getLong(4) == want.getLong(0), "checksum must match window selection")
+    assert(math.abs(got("a").getDouble(5) - want.getDouble(1)) < 1e-9)
+    // deterministic across physical partitionings
+    val again = Sampling.neymanSelect(df.repartition(3), "id", "grp", "v", budget = 30)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again == got.map { case (k, r) => k -> r.toSeq })
+  }
+
   test("domain cap: equals the textbook window on a hot domain; small domains untouched") {
     import graft.ops.Sampling
     import org.apache.spark.sql.expressions.Window
