@@ -82,6 +82,57 @@ object TextQueries extends QueryPack {
             lit(0L)).as("n_patterns_hit"))
         .orderBy(col("doc_id"))),
 
+    // ROUGE-1/2 overlap (Lin 2004) between deterministic document pairs
+    // (doc 2k = candidate vs doc 2k+1 = reference): clipped n-gram
+    // matches Σ_g min(cnt_C, cnt_R) — the eval-overlap / near-dup-audit
+    // metric between generated and reference text. All counts are exact
+    // integers; the one F1 division is a single IEEE op. Gram counts
+    // shuffle on (pair, gram) — bounded by document length, never by
+    // corpus size; no pair materializes a cross product.
+    "t_rouge_overlap" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          tokens(col("text")).as("toks"))
+        .withColumn("pair_id", floor(col("doc_id") / lit(2.0)).cast("long"))
+        .withColumn("side", pmod(col("doc_id"), lit(2L)))
+        // sequence(0, -1) would COUNT DOWN (negative default step) —
+        // short docs must short-circuit to the empty bigram list
+        .withColumn("bi", expr("CASE WHEN size(toks) < 2 " +
+          "THEN CAST(array() AS array<string>) " +
+          "ELSE transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i + 1])) END"))
+      def grams(c: String) = d
+        .select(col("pair_id"), col("side"), explode(col(c)).as("g"))
+        .groupBy(col("pair_id"), col("side"), col("g"))
+        .agg(count(lit(1)).as("n"))
+      def clipped(cnt: org.apache.spark.sql.DataFrame, out: String) = cnt
+        .filter(col("side") === 0)
+        .select(col("pair_id"), col("g"), col("n").as("cn"))
+        .join(cnt.filter(col("side") === 1)
+          .select(col("pair_id"), col("g"), col("n").as("rn")),
+          Seq("pair_id", "g"))
+        .groupBy(col("pair_id"))
+        .agg(sum(least(col("cn"), col("rn"))).as(out))
+      val tot = d.groupBy(col("pair_id")).agg(
+        sum(when(col("side") === 0, size(col("toks")))).as("c_tokens"),
+        sum(when(col("side") === 1, size(col("toks")))).as("r_tokens"),
+        sum(when(col("side") === 0, size(col("bi")))).as("c_bigrams"),
+        sum(when(col("side") === 1, size(col("bi")))).as("r_bigrams"),
+        count(lit(1)).as("sides"))
+        .filter(col("sides") === 2)
+      tot.join(clipped(grams("toks"), "uni_match"), Seq("pair_id"), "left")
+        .join(clipped(grams("bi"), "bi_match"), Seq("pair_id"), "left")
+        .select(col("pair_id"), col("c_tokens"), col("r_tokens"),
+          coalesce(col("uni_match"), lit(0L)).as("uni_match"),
+          col("c_bigrams"), col("r_bigrams"),
+          coalesce(col("bi_match"), lit(0L)).as("bi_match"),
+          when(col("c_bigrams") + col("r_bigrams") > 0,
+            lit(2.0) * coalesce(col("bi_match"), lit(0L))
+              / (col("c_bigrams") + col("r_bigrams")).cast("double"))
+            .otherwise(lit(0.0)).as("f1_bigram"))
+        .orderBy(col("pair_id"))
+    }),
+
     // Per-source quality cutoff: keep the best 20% of each source by the
     // composite quality score (ties by doc_id). Value-exact oracle: the
     // score arithmetic is the bit-identical t_text_stats formula and both
@@ -444,6 +495,48 @@ object TextQueries extends QueryPack {
          |    AS n_patterns_hit
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    "t_rouge_overlap" ->
+      s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side, toks,
+         |    list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i + 1]) AS bi
+         |  FROM t),
+         |u AS (SELECT pair_id, side, g, count(*) AS n FROM
+         |    (SELECT pair_id, side, unnest(toks) AS g FROM d)
+         |  GROUP BY 1, 2, 3),
+         |b AS (SELECT pair_id, side, g, count(*) AS n FROM
+         |    (SELECT pair_id, side, unnest(bi) AS g FROM d)
+         |  GROUP BY 1, 2, 3),
+         |um AS (SELECT x.pair_id,
+         |    CAST(sum(least(x.n, y.n)) AS BIGINT) AS uni_match
+         |  FROM u x JOIN u y ON x.pair_id = y.pair_id AND x.g = y.g
+         |    AND x.side = 0 AND y.side = 1 GROUP BY 1),
+         |bm AS (SELECT x.pair_id,
+         |    CAST(sum(least(x.n, y.n)) AS BIGINT) AS bi_match
+         |  FROM b x JOIN b y ON x.pair_id = y.pair_id AND x.g = y.g
+         |    AND x.side = 0 AND y.side = 1 GROUP BY 1),
+         |tot AS (SELECT pair_id,
+         |    CAST(sum(CASE WHEN side = 0 THEN len(toks) END) AS BIGINT)
+         |      AS c_tokens,
+         |    CAST(sum(CASE WHEN side = 1 THEN len(toks) END) AS BIGINT)
+         |      AS r_tokens,
+         |    CAST(sum(CASE WHEN side = 0 THEN len(bi) END) AS BIGINT)
+         |      AS c_bigrams,
+         |    CAST(sum(CASE WHEN side = 1 THEN len(bi) END) AS BIGINT)
+         |      AS r_bigrams
+         |  FROM d GROUP BY pair_id HAVING count(*) = 2)
+         |SELECT tot.pair_id, c_tokens, r_tokens,
+         |  COALESCE(uni_match, 0) AS uni_match, c_bigrams, r_bigrams,
+         |  COALESCE(bi_match, 0) AS bi_match,
+         |  CASE WHEN c_bigrams + r_bigrams > 0
+         |    THEN CAST(2.0 AS DOUBLE) * COALESCE(bi_match, 0)
+         |      / CAST(c_bigrams + r_bigrams AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS f1_bigram
+         |FROM tot LEFT JOIN um ON tot.pair_id = um.pair_id
+         |LEFT JOIN bm ON tot.pair_id = bm.pair_id
+         |ORDER BY tot.pair_id""".stripMargin,
 
     "t_quality_filter" ->
       s"""WITH $qualityScoredCte
