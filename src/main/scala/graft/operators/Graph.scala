@@ -575,6 +575,45 @@ object Graph {
     d.select(col("v").as("vertex"), col("dist"))
   }
 
+  /** Per-seed BFS distances from a SAMPLED source set — the state behind
+    * sampled harmonic / closeness centrality (Boldi & Vigna 2014's
+    * pragmatic answer to exact all-pairs distances being hopeless at
+    * scale: run |S| tagged BFS waves at once and estimate from those).
+    * Unlike [[bfsLayers]] (which folds all seeds into ONE frontier via
+    * min), the seed id rides every frame as a grouping column, so the
+    * recurrence is |S| independent BFS runs in a single plan per round —
+    * one narrow edge⋈state equi-join and one map-side-combinable
+    * min per round, the [[labelSpread]] shape with min(d+1) for mass.
+    *
+    * State is (seed, vertex, dist) for REACHED pairs only — never the
+    * dense |S|×|V| frame; the caller bounds it with the seed sample size
+    * and `maxDepth`, exactly the knobs the centrality estimator already
+    * has to pick.
+    *
+    * Output: (`seed`, `vertex`, `dist`) with dist ∈ [0, maxDepth].
+    */
+  def multiSourceDistances(edges: DataFrame, src: String, dst: String,
+      seeds: DataFrame, seedCol: String, maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 1, "multiSourceDistances needs at least one round")
+    val e = edges.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"))
+      .localCheckpoint()
+    val sd = seeds.select(col(seedCol).cast("long").as("seed")).distinct()
+    var d = sd.select(col("seed"), col("seed").as("v"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to maxDepth) {
+      val cand = e.join(
+          d.select(col("seed"), col("v").as("a"), col("dist")), Seq("a"))
+        .select(col("seed"), col("b").as("v"), (col("dist") + 1L).as("dist"))
+      val next = d.unionByName(cand)
+        .groupBy(col("seed"), col("v")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      org.apache.spark.sql.graftx.CheckpointUtils.unpersistLocalCheckpoint(d)
+      d = next
+    }
+    d.select(col("seed"), col("v").as("vertex"), col("dist"))
+  }
+
   /** Seeded LABEL SPREADING (the Zhou et al. 2004 shape in fixed-point
     * integer arithmetic): labeled seed vertices inject constant per-class
     * mass every round, mass diffuses along out-edges degree-normalized

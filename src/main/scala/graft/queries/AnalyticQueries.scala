@@ -507,6 +507,27 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("part_id"))
     }),
 
+    // Sampled harmonic centrality (Boldi & Vigna 2014): Σ_seeds 1/d(s,v)
+    // over a deterministic seed sample, each term as the exact integer
+    // 10⁶ div d — the "how reachable is this node" score without
+    // all-pairs distances. Per-seed BFS waves share one plan (seed rides
+    // as a grouping column); the oracle unrolls the same rounds with the
+    // seed column carried.
+    "a_harmonic_centrality" -> ((s, dir) => {
+      val seeds = Tables.load(s, dir, "part")
+        .filter(col("p_partkey") % 101 === 0)
+        .select(col("p_partkey"))
+      graft.operators.Graph.multiSourceDistances(partGraph(s, dir),
+          "a", "b", seeds, "p_partkey", maxDepth = 3)
+        .filter(col("dist") > 0)
+        .groupBy(col("vertex"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum(expr("CAST(1000000 AS BIGINT) div dist")).as("h_micro"))
+        .select(col("vertex").as("part_id"), col("n_sources"),
+          col("h_micro"))
+        .orderBy(col("part_id"))
+    }),
+
     // Seeded label spreading: every 29th part carries class p%3; three
     // damped integer diffusion rounds (the PPR recurrence run for all
     // classes at once), then the per-vertex argmax class — the
@@ -1156,6 +1177,31 @@ object AnalyticQueries extends QueryPack {
          |${bround(3)}
          |SELECT v AS part_id, CAST(dist AS BIGINT) AS dist FROM d3
          |ORDER BY part_id""".stripMargin
+    },
+
+    "a_harmonic_centrality" -> {
+      // per-seed min-propagation round: the a_bfs_layers recurrence with
+      // the seed id carried through every frame
+      def hround(k: Int): String =
+        s"""c$k AS (SELECT d.seed, e.b AS v, d.dist + 1 AS dist
+           |  FROM e JOIN d${k - 1} d ON d.v = e.a),
+           |d$k AS (SELECT seed, v, min(dist) AS dist FROM (
+           |  SELECT * FROM d${k - 1} UNION ALL SELECT * FROM c$k)
+           |  GROUP BY seed, v)""".stripMargin
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |    FROM lineitem),
+         |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p <> y.p),
+         |sd AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS seed
+         |  FROM part WHERE p_partkey % 101 = 0),
+         |d0 AS (SELECT seed, seed AS v, CAST(0 AS BIGINT) AS dist
+         |  FROM sd),
+         |${hround(1)},
+         |${hround(2)},
+         |${hround(3)}
+         |SELECT v AS part_id, CAST(count(*) AS BIGINT) AS n_sources,
+         |  CAST(sum(1000000 // dist) AS BIGINT) AS h_micro
+         |FROM d3 WHERE dist > 0 GROUP BY v ORDER BY part_id""".stripMargin
     },
 
     "a_label_spread" -> {

@@ -336,6 +336,23 @@ class GraphSpec extends AnyFunSuite {
       3L -> Some(2L), 4L -> Some(2L), 5L -> Some(1L), 6L -> Some(0L)))
   }
 
+  test("multiSourceDistances: per-seed tagged waves, reached pairs only") {
+    val path = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val got = Graph.multiSourceDistances(path, "a", "b",
+        Seq(1L, 6L).toDF("v"), "v", maxDepth = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // seed 1 and seed 6 each reach 2 hops; NO min-folding across seeds
+    // (vertex 4 is dist 2 from 6 and unreached from 1)
+    assert(got === Map((1L, 1L) -> 0L, (1L, 2L) -> 1L, (1L, 3L) -> 2L,
+      (6L, 6L) -> 0L, (6L, 5L) -> 1L, (6L, 4L) -> 2L))
+    // a seed absent from the edge list still reports itself at dist 0
+    val iso = Graph.multiSourceDistances(path, "a", "b",
+        Seq(99L).toDF("v"), "v", maxDepth = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(iso === Seq((99L, 99L, 0L)))
+  }
+
   test("labelSpread equals the in-memory per-class fold; ties to the " +
     "smaller class") {
     // two triangles bridged at 3-4; seeds: vertex 1 class 0, vertex 6
