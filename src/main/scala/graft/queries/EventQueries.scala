@@ -203,6 +203,46 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // Classical additive seasonal decomposition (the moving-average
+    // method, period 7): trend = centered 7-day MA, seasonal index =
+    // per-weekday mean of the detrended series, remainder = what's left —
+    // the first-look diagnostic for any daily metric. ALL state is exact
+    // integer cents scaled to avoid division (trend_sum7 = Σ7 days,
+    // detrended = 7·v − trend_sum7, remainder pre-multiplied by the
+    // seasonal denominator), so the only doubles are final single
+    // divisions. Edge days and gap-broken frames emit null trend — a
+    // row-frame MA over a gapped series would silently average
+    // non-adjacent days.
+    "e_classical_decompose" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("v_cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("dow",
+          pmod(datediff(col("d"), lit("1970-01-01")), lit(7)).cast("long"))
+        .withColumn("trend_sum7",
+          when(count(lit(1)).over(w) === 7 &&
+            datediff(max(col("d")).over(w), min(col("d")).over(w)) === 6,
+            sum(col("v_cents")).over(w)))
+        .withColumn("detr", when(col("trend_sum7").isNotNull,
+          lit(7L) * col("v_cents") - col("trend_sum7")))
+        .localCheckpoint() // feeds the seasonal agg AND the final join
+      val seas = t.filter(col("detr").isNotNull)
+        .groupBy(col("event_type"), col("dow"))
+        .agg(sum(col("detr")).as("seas_num"),
+          count(lit(1)).as("seas_den"))
+      t.join(seas, Seq("event_type", "dow"), "left")
+        .select(col("event_type"), col("d"), col("v_cents"), col("dow"),
+          col("trend_sum7"),
+          (col("trend_sum7").cast("double") / lit(700.0)).as("trend"),
+          col("seas_num"), col("seas_den"),
+          (col("seas_den") * col("detr") - col("seas_num"))
+            .as("rem_scaled"))
+        .orderBy(col("event_type"), col("d"))
+    }),
+
     // Two-sample Kolmogorov-Smirnov distance between the purchase and
     // click value distributions — the classic nonparametric drift test
     // (complement to the binned PSI). Values discretize to cents, so the
@@ -624,6 +664,35 @@ object EventQueries extends QueryPack {
         |  s[(n % 7) + 1] AS season_next,
         |  l + b + s[(n % 7) + 1] AS forecast
         |FROM f ORDER BY event_type""".stripMargin,
+
+    "e_classical_decompose" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS v_cents
+        |  FROM events GROUP BY event_type, d),
+        |t AS (SELECT event_type, d, v_cents,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(d AS DATE)) % 7
+        |      AS BIGINT) AS dow,
+        |    CASE WHEN count(*) OVER w = 7 AND date_diff('day',
+        |        CAST(min(d) OVER w AS DATE), CAST(max(d) OVER w AS DATE))
+        |        = 6
+        |      THEN CAST(sum(v_cents) OVER w AS BIGINT) END AS trend_sum7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT *, CASE WHEN trend_sum7 IS NOT NULL
+        |    THEN 7 * v_cents - trend_sum7 END AS detr FROM t),
+        |seas AS (SELECT event_type, dow,
+        |    CAST(sum(detr) AS BIGINT) AS seas_num,
+        |    CAST(count(*) AS BIGINT) AS seas_den
+        |  FROM t2 WHERE detr IS NOT NULL GROUP BY 1, 2)
+        |SELECT t2.event_type, d, v_cents, t2.dow, trend_sum7,
+        |  CAST(trend_sum7 AS DOUBLE) / CAST(700.0 AS DOUBLE) AS trend,
+        |  seas_num, seas_den,
+        |  CAST(seas_den * detr - seas_num AS BIGINT) AS rem_scaled
+        |FROM t2 LEFT JOIN seas
+        |  ON t2.event_type = seas.event_type AND t2.dow = seas.dow
+        |ORDER BY t2.event_type, d""".stripMargin,
 
     "e_behavior_trigrams" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
