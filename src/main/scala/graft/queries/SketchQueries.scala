@@ -137,6 +137,18 @@ object SketchQueries extends QueryPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // EXACT distributed order statistics (two-scan selection): the value
+    // at rank 1+⌊f·(N−1)⌋ for seven fractions over lineitem prices — the
+    // audit-grade complement to the rank-bounded sketch above. Pass 1
+    // ships only a 4096-bucket histogram to the driver; pass 2 walks
+    // distinct values inside the targeted buckets. The oracle's global
+    // row_number sort is exactly the plan this operator exists to avoid.
+    "a_exact_quantiles" -> ((s, dir) =>
+      graft.operators.Selection.exactQuantiles(
+          Tables.load(s, dir, "lineitem"), "l_extendedprice",
+          Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0))
+        .orderBy(col("frac"))),
+
     // Theta-sketch SET ALGEBRA over the distinct customer sets of two order
     // statuses: one pass builds a per-status sketch (map-side combinable,
     // raw custkeys never shuffle), then union/intersection/difference run
@@ -194,6 +206,19 @@ object SketchQueries extends QueryPack {
         |  CAST(1 AS INTEGER) AS rank_ok
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "a_exact_quantiles" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+        |    FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+        |f AS (SELECT CAST(p AS DOUBLE) AS frac FROM (VALUES (0.0),
+        |    (0.01), (0.25), (0.5), (0.75), (0.99), (1.0)) t(p)),
+        |t AS (SELECT frac, CAST(1 + floor(frac
+        |      * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS rank
+        |  FROM f, n)
+        |SELECT frac, rank, x AS value FROM t JOIN r ON r.rn = t.rank
+        |ORDER BY frac""".stripMargin,
 
     "a_theta_ops" ->
       """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
