@@ -112,6 +112,48 @@ object SamplingQueries extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // UniMax budget allocation (Chung et al. 2023): split a total token
+    // budget over sources smallest-first, each source capped at 4 epochs
+    // of its own corpus, leftover flowing to larger sources — the
+    // multilingual/multi-domain mixing rule that avoids both starving
+    // small domains and over-repeating them. Token counts reduce
+    // distributed; the greedy itself folds over the BOUNDED per-source
+    // list in pure integer arithmetic (remaining div m), replayed
+    // bit-exactly by the oracle's recursive CTE.
+    "x_unimax_mix" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val counts = Tables.load(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(TextFunctions.tokens(col("text"))).cast("long"))
+          .as("c"))
+        .filter(col("c") > 0)
+      val g = counts.agg(
+        sort_array(collect_list(struct(col("c"), col("source"))))
+          .as("seq"),
+        expr("sum(c) div 2").as("b"), // budget: half the corpus total
+        count(lit(1)).as("nl"))
+      val emptyOut = expr(
+        "CAST(array() AS array<struct<source:string,c:bigint,alloc:bigint>>)")
+      val fold = aggregate(col("seq"),
+        struct(col("b").as("r"), col("nl").as("m"), emptyOut.as("out")),
+        (acc, x) => {
+          val r = acc.getField("r")
+          val m = acc.getField("m")
+          // exact integer division: operands stay far under 2^53
+          val fair = ((r - pmod(r, m)) / m).cast("long")
+          val alloc = least(fair, lit(4L) * x.getField("c"))
+          struct((r - alloc).as("r"), (m - 1L).as("m"),
+            concat(acc.getField("out"), array(struct(
+              x.getField("source").as("source"),
+              x.getField("c").as("c"), alloc.as("alloc")))).as("out"))
+        })
+      g.select(explode(fold.getField("out")).as("row"))
+        .select(col("row.source").as("source"), col("row.c").as("c"),
+          col("row.alloc").as("alloc"),
+          expr("(row.alloc * 1000000) div row.c").as("epochs_micro"))
+        .orderBy(col("source"))
+    }),
+
     // Reproducible per-epoch loader order (ops.Sampling.epochShardOrder):
     // two epochs × four shards over the documents table — every (epoch,
     // shard, position, doc_id) row is a pure function of md5, so the full
@@ -530,6 +572,29 @@ object SamplingQueries extends QueryPack {
         |  CAST(sum(abs(v)) AS BIGINT) AS l1,
         |  CAST(count(*) AS BIGINT) AS nnz_docs
         |FROM pd GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "x_unimax_mix" ->
+      s"""WITH RECURSIVE t AS (SELECT source,
+         |    CAST(sum(len(${TextQueries.toksSql})) AS BIGINT) AS c
+         |  FROM documents GROUP BY source),
+         |t2 AS (SELECT * FROM t WHERE c > 0),
+         |o AS (SELECT source, c,
+         |    row_number() OVER (ORDER BY c, source) AS i FROM t2),
+         |tot AS (SELECT CAST(sum(c) // 2 AS BIGINT) AS b,
+         |    CAST(count(*) AS BIGINT) AS nl FROM t2),
+         |rec AS (
+         |  SELECT CAST(0 AS BIGINT) AS i, b AS rem, nl AS m,
+         |    CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS c,
+         |    CAST(NULL AS BIGINT) AS alloc
+         |  FROM tot
+         |  UNION ALL
+         |  SELECT o.i, rec.rem - least(rec.rem // rec.m, 4 * o.c),
+         |    rec.m - 1, o.source, o.c,
+         |    least(rec.rem // rec.m, 4 * o.c)
+         |  FROM rec JOIN o ON o.i = rec.i + 1)
+         |SELECT source, c, alloc,
+         |  CAST((alloc * 1000000) // c AS BIGINT) AS epochs_micro
+         |FROM rec WHERE i > 0 ORDER BY source""".stripMargin,
 
     "x_epoch_order" ->
       """WITH eps AS (SELECT unnest(range(0, 2)) AS epoch),
