@@ -82,6 +82,39 @@ object TextQueries extends QueryPack {
             lit(0L)).as("n_patterns_hit"))
         .orderBy(col("doc_id"))),
 
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): integer
+    // PageRank over the corpus-wide word co-occurrence graph (adjacent
+    // content words, length ≥ 4, symmetric distinct edges) — the
+    // unsupervised keyword scorer. Words become 60-bit md5 vertex ids in
+    // BOTH engines (a collision would merge identically on both sides —
+    // value-exactness survives), so no global row_number id-assignment
+    // window exists anywhere. Rank mass reuses Graph.pageRankInt
+    // unchanged; the oracle unrolls the same integer recurrence.
+    "t_textrank_keywords" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(tokens(col("text")).as("t0"))
+        .select(expr("filter(t0, w -> length(w) >= 4)").as("t"))
+        .filter(size(col("t")) >= 2)
+      val pairs = toks.select(explode(expr("transform(" +
+          "sequence(0, size(t) - 2), " +
+          "i -> named_struct('x', t[i], 'y', t[i + 1]))")).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .filter(col("x") =!= col("y"))
+      val und = pairs
+        .unionByName(pairs.select(col("y").as("x"), col("x").as("y")))
+        .distinct()
+        .localCheckpoint() // feeds edges AND the id→word map
+      def wid(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val edges = und.select(wid(col("x")).as("a"), wid(col("y")).as("b"))
+      val vocab = und.select(col("x").as("word")).distinct()
+        .select(col("word"), wid(col("word")).as("vertex"))
+      graft.operators.Graph.pageRankInt(edges, "a", "b", iters = 3)
+        .join(vocab, Seq("vertex"))
+        .orderBy(col("rank").desc, col("word")).limit(30)
+        .select(col("word"), col("rank").as("rank_micro"))
+    }),
+
     // ROUGE-1/2 overlap (Lin 2004) between deterministic document pairs
     // (doc 2k = candidate vs doc 2k+1 = reference): clipped n-gram
     // matches Σ_g min(cnt_C, cnt_R) — the eval-overlap / near-dup-audit
@@ -494,6 +527,43 @@ object TextQueries extends QueryPack {
          |  CAST(count(CASE WHEN hits > 0 THEN 1 END) AS BIGINT)
          |    AS n_patterns_hit
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "t_textrank_keywords" -> {
+      // one damped integer PageRank round — the a_pagerank_parts
+      // recurrence verbatim, over the word graph
+      def round(k: Int): String =
+        s"""c$k AS (SELECT e.b AS vv, SUM(r${k - 1}.r // deg.d) AS s
+           |  FROM e JOIN deg ON e.a = deg.a
+           |  JOIN r${k - 1} ON r${k - 1}.v = e.a
+           |  GROUP BY e.b),
+           |r$k AS (SELECT v.v,
+           |    CAST(150000 + (85 * COALESCE(c$k.s, 0)) // 100 AS BIGINT)
+           |      AS r
+           |  FROM v LEFT JOIN c$k ON c$k.vv = v.v)""".stripMargin
+      s"""WITH t1 AS (SELECT list_filter($toksSql, w -> length(w) >= 4)
+         |    AS t FROM documents),
+         |t2 AS (SELECT t FROM t1 WHERE len(t) >= 2),
+         |pr0 AS (SELECT unnest(list_transform(range(1, len(t)),
+         |    i -> {'x': t[i], 'y': t[i + 1]})) AS p FROM t2),
+         |pr AS (SELECT p.x AS x, p.y AS y FROM pr0 WHERE p.x <> p.y),
+         |p2 AS (SELECT DISTINCT x, y FROM
+         |  (SELECT x, y FROM pr UNION ALL SELECT y AS x, x AS y FROM pr)),
+         |e AS (SELECT CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) AS a,
+         |    CAST(('0x' || substr(md5(y), 1, 15)) AS BIGINT) AS b
+         |  FROM p2),
+         |vocab AS (SELECT x AS word,
+         |    CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) AS id
+         |  FROM (SELECT DISTINCT x FROM p2)),
+         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+         |v AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+         |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM v),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT word, r AS rank_micro FROM r3
+         |JOIN vocab ON vocab.id = r3.v
+         |ORDER BY rank_micro DESC, word LIMIT 30""".stripMargin
     },
 
     "t_rouge_overlap" ->
