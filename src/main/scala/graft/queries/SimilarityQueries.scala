@@ -106,6 +106,62 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("anchor_id"), col("positive_id"), col("rank"))
     }),
 
+    // Maximal marginal relevance (Carbonell & Goldstein 1998): greedily
+    // pick 5 of each query's 20 nearest candidates maximizing
+    // rel/2 − maxSimToSelected/2 — the diversity-aware re-ranker that
+    // keeps a retrieval batch from being 5 copies of the same passage.
+    // Five unrolled rounds of bounded per-query work: candidate pairwise
+    // sims are ≤ 20² rows per query, each round is one struct-max argmax
+    // (no windows); halving is exact IEEE, so the oracle's replay of the
+    // identical greedy matches bit for bit. Ties break to the smaller id.
+    "v_mmr_select" -> ((s, dir) => {
+      import graft.functions.VectorFunctions
+      val emb = Tables.load(s, dir, "embeddings")
+      val cand = Similarity
+        .bruteForceTopK(emb, queriesOf(emb), "vec_id", "embedding", 20)
+        .select(col("query_id"), col("neighbor_id").as("nid"),
+          col("cosine_sim").as("rel"))
+      val ce = cand
+        .join(emb.select(col("vec_id").as("nid"), col("embedding")),
+          Seq("nid"))
+        .select(col("query_id"), col("nid"), col("rel"), col("embedding"))
+        .localCheckpoint() // re-read every greedy round
+      val sims = ce.as("i").join(ce.as("j"),
+          col("i.query_id") === col("j.query_id") &&
+            col("i.nid") =!= col("j.nid"))
+        .select(col("i.query_id").as("query_id"), col("i.nid").as("i"),
+          col("j.nid").as("j"),
+          VectorFunctions.cosine(col("i.embedding"), col("j.embedding"))
+            .as("sim"))
+        .localCheckpoint() // re-read every greedy round
+      def argmax(df: org.apache.spark.sql.DataFrame,
+          score: org.apache.spark.sql.Column) = df
+        .groupBy(col("query_id"))
+        .agg(max(struct(score.as("s"), (-col("nid")).as("negid"))).as("m"))
+        .select(col("query_id"), (-col("m.negid")).as("nid"),
+          col("m.s").as("score"))
+      var sel = argmax(ce, col("rel") / lit(2.0) - lit(0.0))
+        .withColumn("pick", lit(1))
+      for (r <- 2 to 5) {
+        val remaining = ce.join(sel.select(col("query_id"), col("nid")),
+          Seq("query_id", "nid"), "left_anti")
+        val ms = sims
+          .join(sel.select(col("query_id"), col("nid").as("j")),
+            Seq("query_id", "j"))
+          .groupBy(col("query_id"), col("i").as("nid"))
+          .agg(max(col("sim")).as("maxsim"))
+        val scored = remaining.join(ms, Seq("query_id", "nid"))
+          .select(col("query_id"), col("nid"),
+            (col("rel") / lit(2.0) - col("maxsim") / lit(2.0)).as("sc"))
+        sel = sel
+          .unionByName(argmax(scored, col("sc")).withColumn("pick", lit(r)))
+          .localCheckpoint() // keeps round plans from nesting
+      }
+      sel.select(col("query_id"), col("pick").as("pick_rank"),
+          col("nid").as("neighbor_id"), col("score"))
+        .orderBy(col("query_id"), col("pick_rank"))
+    }),
+
     // Mutual (reciprocal) kNN pairs over a deterministic 1-in-7 corpus
     // slice: the high-precision near-dup edge set — hub false positives
     // drop out because the hub doesn't reciprocate. Value-exact against
@@ -1006,6 +1062,60 @@ object SimilarityQueries extends QueryPack {
          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
          |  (SELECT CAST(count(*) AS BIGINT) FROM rr
          |    JOIN brute USING (query_id, neighbor_id)) AS n_overlap""".stripMargin,
+
+    "v_mmr_select" -> {
+      // one greedy MMR round: drop the already-selected, score the rest
+      // by rel/2 − maxSimToSelected/2, keep the per-query argmax
+      def mround(r: Int): String =
+        s"""rem$r AS (SELECT c.* FROM cemb c LEFT JOIN sel${r - 1} s
+           |  ON c.query_id = s.query_id AND c.nid = s.nid
+           |  WHERE s.nid IS NULL),
+           |ms$r AS (SELECT sims.query_id, sims.i AS nid,
+           |    max(sims.sim) AS m
+           |  FROM sims JOIN sel${r - 1} s
+           |    ON sims.query_id = s.query_id AND sims.j = s.nid
+           |  GROUP BY 1, 2),
+           |sc$r AS (SELECT rem$r.query_id, rem$r.nid,
+           |    rem$r.rel / CAST(2.0 AS DOUBLE)
+           |      - ms$r.m / CAST(2.0 AS DOUBLE) AS sc
+           |  FROM rem$r JOIN ms$r ON rem$r.query_id = ms$r.query_id
+           |    AND rem$r.nid = ms$r.nid),
+           |p$r AS (SELECT query_id, nid, sc FROM (SELECT *, row_number()
+           |    OVER (PARTITION BY query_id ORDER BY sc DESC, nid) AS rk
+           |  FROM sc$r) WHERE rk = 1),
+           |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL
+           |  SELECT query_id, nid, sc, $r AS pick FROM p$r)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm
+         |    FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+         |allsims AS (SELECT q.vec_id AS query_id, c.vec_id AS nid,
+         |    ${dotSql("q", "c")} / (q.nrm * c.nrm) AS rel
+         |  FROM q JOIN e c ON q.vec_id <> c.vec_id),
+         |cand AS (SELECT query_id, nid, rel FROM (SELECT *, row_number()
+         |    OVER (PARTITION BY query_id ORDER BY rel DESC, nid) AS rk
+         |  FROM allsims) WHERE rk <= 20),
+         |cemb AS (SELECT cand.query_id, cand.nid, cand.rel, e.embedding,
+         |    e.nrm
+         |  FROM cand JOIN e ON e.vec_id = cand.nid),
+         |sims AS (SELECT i.query_id, i.nid AS i, j.nid AS j,
+         |    ${dotSql("i", "j")} / (i.nrm * j.nrm) AS sim
+         |  FROM cemb i JOIN cemb j
+         |    ON i.query_id = j.query_id AND i.nid <> j.nid),
+         |s1 AS (SELECT query_id, nid,
+         |    rel / CAST(2.0 AS DOUBLE) - CAST(0.0 AS DOUBLE) AS sc
+         |  FROM cemb),
+         |p1 AS (SELECT query_id, nid, sc FROM (SELECT *, row_number()
+         |    OVER (PARTITION BY query_id ORDER BY sc DESC, nid) AS rk
+         |  FROM s1) WHERE rk = 1),
+         |sel1 AS (SELECT query_id, nid, sc, 1 AS pick FROM p1),
+         |${mround(2)},
+         |${mround(3)},
+         |${mround(4)},
+         |${mround(5)}
+         |SELECT query_id, CAST(pick AS INTEGER) AS pick_rank,
+         |  nid AS neighbor_id, sc AS score
+         |FROM sel5 ORDER BY query_id, pick_rank""".stripMargin
+    },
 
     "v_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
