@@ -581,6 +581,62 @@ object Multimodal {
     }
   }
 
+  /** Per-frame audio features over the decoded PCM16 stream — the classic
+    * speech-pipeline front end (framing + energy + zero-crossing rate + peak),
+    * kept in exact integer arithmetic so the gate can recompute every value:
+    *
+    *  - frames start at `f*hop` for every start < nSamples and span
+    *    `[start, min(n, start+frameLen))` — trailing partial frames included
+    *    (their `n_samples` says how short they are);
+    *  - `energy` = Σ s², `peak` = max |s| (PCM16 ⇒ 160·32767² fits a Long);
+    *  - `zero_crossings` counts i with sign(s[i-1]) ≠ sign(s[i]) inside the
+    *    frame, where sign is the predicate `s ≥ 0` (a 0-sample is positive).
+    *
+    * Scale: pure per-record flatMap — no shuffle, no state; fan-out is
+    * bounded by n/hop frames per clip, so a 100 TB audio corpus streams
+    * through at scan speed and downstream aggs see only the small numeric
+    * frame rows, never the waveform bytes.
+    */
+  case class AudioFrame(
+      media_id: Long,
+      frame_index: Int,
+      n_samples: Int,
+      energy: Long,
+      zero_crossings: Int,
+      peak: Int)
+
+  def audioFrameFeatures(media: Dataset[MediaRecord],
+      frameLen: Int = 160, hop: Int = 80): Dataset[AudioFrame] = {
+    require(frameLen > 0 && hop > 0, "frameLen and hop must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      MediaContainers.decodeWavSamples(r.bytes) match {
+        case Some((_, samples)) =>
+          val n = samples.length
+          val nFrames = if (n == 0) 0 else (n - 1) / hop + 1
+          (0 until nFrames).map { f =>
+            val lo = f * hop
+            val hi = math.min(n, lo + frameLen)
+            var energy = 0L
+            var zc = 0
+            var peak = 0
+            var i = lo
+            while (i < hi) {
+              val s = samples(i).toLong
+              energy += s * s
+              val a = math.abs(samples(i).toInt)
+              if (a > peak) peak = a
+              if (i > lo && ((samples(i - 1) >= 0) != (samples(i) >= 0))) zc += 1
+              i += 1
+            }
+            AudioFrame(r.media_id, f, hi - lo, energy, zc, peak)
+          }
+        case None => Seq.empty
+      }
+    }
+  }
+
   /** REAL frame sampling: every `stride`-th frame payload parsed out of the
     * AVI movi list (byte sums prove the frame bytes round-tripped), or
     * every `stride`-th PCM16 block of a WAV. `frame_index` is the index in

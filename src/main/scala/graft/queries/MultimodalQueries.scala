@@ -128,6 +128,15 @@ object MultimodalQueries extends QueryPack {
         Multimodal.audioTable(Tables.load(s, dir, "documents"))).toDF()
         .orderBy(col("media_id"))),
 
+    // Speech front end over REAL WAVs: 160-sample frames every 80 samples,
+    // integer energy / zero-crossing / peak per frame. The oracle re-derives
+    // every frame value from (doc_id, text) through the documented sample
+    // law — a hash match proves decode + framing + all three features.
+    "m_audio_frames" -> ((s, dir) =>
+      Multimodal.audioFrameFeatures(
+        Multimodal.audioTable(Tables.load(s, dir, "documents"))).toDF()
+        .orderBy(col("media_id"), col("frame_index"))),
+
     // REAL video frame sampling: payloads are genuine AVI containers; every
     // 2nd frame is parsed out of the movi list and byte-summed. Oracle
     // recomputes frame geometry + sums from (doc_id, text).
@@ -338,6 +347,38 @@ object MultimodalQueries extends QueryPack {
         |      i -> (ord(substr(text, CAST(i % length(text) AS INTEGER) + 1, 1))
         |            - 96) * 256)) AS BIGINT) END AS sample_sum
         |FROM d ORDER BY media_id""".stripMargin,
+
+    // sample i = (ord(text[i mod len]) - 96) * 256, n = doc_id%500+100;
+    // frames of 160 samples every 80. energy = Σ s², zcr counts sign flips
+    // of the predicate (s >= 0) ⟺ (ord >= 96), peak = max |s|. Empty text
+    // encodes silence → all-zero features.
+    "m_audio_frames" ->
+      """WITH d AS (SELECT doc_id AS media_id, text,
+        |    doc_id % 500 + 100 AS n FROM documents),
+        |g AS (SELECT media_id, text, n,
+        |    unnest(range(0, (n - 1) // 80 + 1)) AS fi FROM d),
+        |f AS (SELECT media_id, text, fi,
+        |    CAST(fi * 80 AS BIGINT) AS lo,
+        |    CAST(LEAST(n, fi * 80 + 160) AS BIGINT) AS hi FROM g),
+        |v AS (SELECT media_id, fi, lo, hi,
+        |    CASE WHEN length(text) = 0 THEN NULL
+        |      ELSE list_transform(range(lo, hi),
+        |        i -> ord(substr(text, CAST(i % length(text) AS INTEGER) + 1, 1))
+        |             - 96) END AS s FROM f)
+        |SELECT media_id, CAST(fi AS INTEGER) AS frame_index,
+        |  CAST(hi - lo AS INTEGER) AS n_samples,
+        |  CASE WHEN s IS NULL THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(list_sum(list_transform(s,
+        |      x -> CAST(x AS BIGINT) * x * 65536)) AS BIGINT) END AS energy,
+        |  CASE WHEN s IS NULL THEN CAST(0 AS INTEGER)
+        |    ELSE CAST(COALESCE(list_sum(list_transform(range(1, hi - lo),
+        |      j -> CASE WHEN (s[CAST(j AS INTEGER)] >= 0)
+        |                  <> (s[CAST(j AS INTEGER) + 1] >= 0)
+        |           THEN 1 ELSE 0 END)), 0) AS INTEGER) END AS zero_crossings,
+        |  CASE WHEN s IS NULL THEN CAST(0 AS INTEGER)
+        |    ELSE CAST(list_max(list_transform(s, x -> abs(x) * 256))
+        |         AS INTEGER) END AS peak
+        |FROM v ORDER BY media_id, frame_index""".stripMargin,
 
     // AVI geometry is a pure function of doc_id (w = id%16+8, h = id%12+6,
     // frames = id%6+2, rows padded to 4 bytes); frame f's byte j is

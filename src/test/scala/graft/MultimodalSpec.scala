@@ -461,6 +461,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(JpegCodec.decodePixels(prog).isEmpty)
   }
 
+  test("audioFrameFeatures: exact energy/zcr/peak on a hand-computed grid, " +
+    "trailing partial frames included, 0-sample counts as positive") {
+    // 10 samples, frameLen=4, hop=3 → frame starts 0,3,6,9 (last is len 1)
+    val samples = Array[Short](100, -200, 0, -300, 400, 0, -1, 2, -2, 5)
+    val wav = MediaContainers.encodeWav(8000, samples)
+    val media = Seq(
+      Multimodal.MediaRecord(7L, "audio", wav, "wav", 0, 0, 1L)).toDS()
+    val got = Multimodal.audioFrameFeatures(media, frameLen = 4, hop = 3)
+      .collect().sortBy(_.frame_index)
+      .map(f => (f.frame_index, f.n_samples, f.energy, f.zero_crossings, f.peak))
+    assert(got.toSeq == Seq(
+      // [100,-200,0,-300]: 0 is "positive" so −200→0 and 0→−300 both flip
+      (0, 4, 140000L, 3, 300),
+      (1, 4, 250001L, 2, 400), // [-300,400,0,-1]: 400→0 is not a crossing
+      (2, 4, 34L, 3, 5),       // [-1,2,-2,5]
+      (3, 1, 25L, 0, 5)),      // trailing 1-sample frame: no pairs → zcr 0
+      got.mkString(", "))
+    // non-WAV payloads contribute no frames (decoder gate, not an error)
+    val junk = Seq(
+      Multimodal.MediaRecord(8L, "audio", Array[Byte](1, 2, 3), "wav", 0, 0, 0L)).toDS()
+    assert(Multimodal.audioFrameFeatures(junk).count() == 0)
+  }
+
   test("average hash is exact at grid=8 (64 bits): the sign bit sets " +
     "cleanly and the banded pair join still matches on high bands") {
     // one bright cell at index 63 (the sign bit) over an otherwise-dark
