@@ -637,6 +637,69 @@ object Multimodal {
     }
   }
 
+  /** Walsh–Hadamard block spectrum over the decoded PCM16 stream — an exact
+    * integer orthogonal transform (the workhorse of perceptual audio
+    * fingerprinting, e.g. Haitsma & Kalker 2002's band-energy front end,
+    * here with the ±1 Hadamard basis so every coefficient is an integer).
+    *
+    * The stream is cut into consecutive `block`-sample windows (last window
+    * zero-padded); each window runs a fast O(n log n) WHT butterfly whose
+    * coefficient k equals Σⱼ s[j]·(−1)^popcount(j AND k) (Hadamard order);
+    * coefficients are grouped `bandsOf` at a time and emitted as per-band
+    * energies Σ W². PCM16 bounds: |W| ≤ block·32768, W² ≤ 2⁴⁰ — Long-safe.
+    *
+    * Scale: per-record flatMap, no shuffle; the waveform collapses to
+    * block·8 small integer rows per clip, so downstream joins/aggs never
+    * see audio bytes.
+    */
+  case class WhtBand(media_id: Long, block_index: Int, band: Int, energy: Long)
+
+  def whtSpectrum(media: Dataset[MediaRecord],
+      block: Int = 32, bandsOf: Int = 4): Dataset[WhtBand] = {
+    require(block > 0 && (block & (block - 1)) == 0, "block must be a power of two")
+    require(bandsOf > 0 && block % bandsOf == 0, "bandsOf must divide block")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      MediaContainers.decodeWavSamples(r.bytes) match {
+        case Some((_, samples)) =>
+          val n = samples.length
+          val nBlocks = (n + block - 1) / block
+          (0 until nBlocks).flatMap { b =>
+            val w = new Array[Long](block)
+            var j = 0
+            while (j < block) {
+              val idx = b * block + j
+              w(j) = if (idx < n) samples(idx).toLong else 0L
+              j += 1
+            }
+            // in-place fast WHT (Hadamard order): len-span butterflies
+            var len = 1
+            while (len < block) {
+              var i = 0
+              while (i < block) {
+                var k = i
+                while (k < i + len) {
+                  val x = w(k); val y = w(k + len)
+                  w(k) = x + y; w(k + len) = x - y
+                  k += 1
+                }
+                i += 2 * len
+              }
+              len <<= 1
+            }
+            (0 until block / bandsOf).map { g =>
+              var e = 0L
+              var k = g * bandsOf
+              while (k < (g + 1) * bandsOf) { e += w(k) * w(k); k += 1 }
+              WhtBand(r.media_id, b, g, e)
+            }
+          }
+        case None => Seq.empty
+      }
+    }
+  }
+
   /** REAL frame sampling: every `stride`-th frame payload parsed out of the
     * AVI movi list (byte sums prove the frame bytes round-tripped), or
     * every `stride`-th PCM16 block of a WAV. `frame_index` is the index in

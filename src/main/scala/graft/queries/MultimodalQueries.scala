@@ -137,6 +137,16 @@ object MultimodalQueries extends QueryPack {
         Multimodal.audioTable(Tables.load(s, dir, "documents"))).toDF()
         .orderBy(col("media_id"), col("frame_index"))),
 
+    // Walsh–Hadamard band energies over REAL WAVs: 32-sample blocks, 8 bands
+    // of 4 Hadamard-order coefficients, all exact integers. The engine runs
+    // the O(n log n) butterfly; the oracle recomputes every coefficient from
+    // the closed form (−1)^popcount(j AND k) — two structurally different
+    // algorithms that must agree bit-for-bit.
+    "m_wht_spectrum" -> ((s, dir) =>
+      Multimodal.whtSpectrum(
+        Multimodal.audioTable(Tables.load(s, dir, "documents"))).toDF()
+        .orderBy(col("media_id"), col("block_index"), col("band"))),
+
     // REAL video frame sampling: payloads are genuine AVI containers; every
     // 2nd frame is parsed out of the movi list and byte-summed. Oracle
     // recomputes frame geometry + sums from (doc_id, text).
@@ -379,6 +389,31 @@ object MultimodalQueries extends QueryPack {
         |    ELSE CAST(list_max(list_transform(s, x -> abs(x) * 256))
         |         AS INTEGER) END AS peak
         |FROM v ORDER BY media_id, frame_index""".stripMargin,
+
+    // WHT coefficient k of block b = Σ_{j<32} s(32b+j)·(−1)^popcount(j&k),
+    // s(i) = (ord(text[i mod len]) − 96)·256 for i < n (= id%500+100), else
+    // 0 (zero-pad); band g energy = Σ_{k=4g..4g+3} W(k)². Empty text →
+    // silence → zero energies (blocks still emitted).
+    "m_wht_spectrum" ->
+      """WITH d AS (SELECT doc_id AS media_id, text, length(text) AS len,
+        |    doc_id % 500 + 100 AS n FROM documents),
+        |b AS (SELECT media_id, text, len, n,
+        |    unnest(range(0, (n + 31) // 32)) AS bi FROM d),
+        |g AS (SELECT media_id, text, len, n, bi,
+        |    unnest(range(0, 8)) AS band FROM b)
+        |SELECT media_id, CAST(bi AS INTEGER) AS block_index,
+        |  CAST(band AS INTEGER) AS band,
+        |  CAST(list_sum(list_transform(
+        |    list_transform(range(band * 4, band * 4 + 4), k ->
+        |      CAST(list_sum(list_transform(range(0, 32), j ->
+        |        (CASE WHEN bi * 32 + j >= n OR len = 0 THEN 0
+        |          ELSE (ord(substr(text,
+        |            CAST((bi * 32 + j) % len AS INTEGER) + 1, 1)) - 96) * 256
+        |          END)
+        |        * (CASE WHEN bit_count(j & k) % 2 = 1 THEN -1 ELSE 1 END)))
+        |        AS BIGINT)),
+        |    w -> w * w)) AS BIGINT) AS energy
+        |FROM g ORDER BY media_id, block_index, band""".stripMargin,
 
     // AVI geometry is a pure function of doc_id (w = id%16+8, h = id%12+6,
     // frames = id%6+2, rows padded to 4 bytes); frame f's byte j is

@@ -484,6 +484,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.audioFrameFeatures(junk).count() == 0)
   }
 
+  test("whtSpectrum: butterfly equals the popcount closed form, zero-pads " +
+    "the tail block, and satisfies Parseval (ΣW² = block·Σs²)") {
+    val samples = Array.tabulate(40)(i => ((i * 997 - 11000) % 20000).toShort)
+    val wav = MediaContainers.encodeWav(8000, samples)
+    val media = Seq(
+      Multimodal.MediaRecord(3L, "audio", wav, "wav", 0, 0, 1L)).toDS()
+    val bands = Multimodal.whtSpectrum(media).collect()
+    assert(bands.length == 2 * 8) // 40 samples → 2 blocks of 32, 8 bands each
+    // closed form: W(k) = Σ_j s(32b+j)·(−1)^popcount(j&k), pad s=0 past n
+    def s(i: Int): Long = if (i < 40) samples(i).toLong else 0L
+    def w(b: Int, k: Int): Long = (0 until 32).map(j =>
+      s(32 * b + j) * (if (java.lang.Integer.bitCount(j & k) % 2 == 1) -1 else 1)).sum
+    for (band <- bands) {
+      val expect = (band.band * 4 until band.band * 4 + 4)
+        .map(k => { val c = w(band.block_index, k); c * c }).sum
+      assert(band.energy == expect, s"block ${band.block_index} band ${band.band}")
+    }
+    // Parseval per block: unnormalized Hadamard gives ΣW² = 32·Σs²
+    for (b <- 0 to 1) {
+      val lhs = bands.filter(_.block_index == b).map(_.energy).sum
+      val rhs = 32L * (0 until 32).map(j => s(32 * b + j) * s(32 * b + j)).sum
+      assert(lhs == rhs, s"Parseval block $b")
+    }
+  }
+
   test("average hash is exact at grid=8 (64 bits): the sign bit sets " +
     "cleanly and the banded pair join still matches on high bands") {
     // one bright cell at index 63 (the sign bit) over an otherwise-dark
