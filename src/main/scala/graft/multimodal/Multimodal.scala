@@ -654,6 +654,46 @@ object Multimodal {
     */
   case class WhtBand(media_id: Long, block_index: Int, band: Int, energy: Long)
 
+  /** Per-block WHT band energies: blocks of `block` samples (tail
+    * zero-padded, at most `maxBlocks` blocks), fast in-place butterfly,
+    * coefficients grouped `bandsOf` at a time into Σ W² energies.
+    */
+  private def blockBandEnergies(samples: Array[Short], block: Int,
+      bandsOf: Int, maxBlocks: Int): Array[Array[Long]] = {
+    val n = samples.length
+    val nBlocks = math.min((n + block - 1) / block, maxBlocks)
+    Array.tabulate(nBlocks) { b =>
+      val w = new Array[Long](block)
+      var j = 0
+      while (j < block) {
+        val idx = b * block + j
+        w(j) = if (idx < n) samples(idx).toLong else 0L
+        j += 1
+      }
+      // in-place fast WHT (Hadamard order): len-span butterflies
+      var len = 1
+      while (len < block) {
+        var i = 0
+        while (i < block) {
+          var k = i
+          while (k < i + len) {
+            val x = w(k); val y = w(k + len)
+            w(k) = x + y; w(k + len) = x - y
+            k += 1
+          }
+          i += 2 * len
+        }
+        len <<= 1
+      }
+      Array.tabulate(block / bandsOf) { g =>
+        var e = 0L
+        var k = g * bandsOf
+        while (k < (g + 1) * bandsOf) { e += w(k) * w(k); k += 1 }
+        e
+      }
+    }
+  }
+
   def whtSpectrum(media: Dataset[MediaRecord],
       block: Int = 32, bandsOf: Int = 4): Dataset[WhtBand] = {
     require(block > 0 && (block & (block - 1)) == 0, "block must be a power of two")
@@ -663,42 +703,50 @@ object Multimodal {
     media.flatMap { r =>
       MediaContainers.decodeWavSamples(r.bytes) match {
         case Some((_, samples)) =>
-          val n = samples.length
-          val nBlocks = (n + block - 1) / block
-          (0 until nBlocks).flatMap { b =>
-            val w = new Array[Long](block)
-            var j = 0
-            while (j < block) {
-              val idx = b * block + j
-              w(j) = if (idx < n) samples(idx).toLong else 0L
-              j += 1
-            }
-            // in-place fast WHT (Hadamard order): len-span butterflies
-            var len = 1
-            while (len < block) {
-              var i = 0
-              while (i < block) {
-                var k = i
-                while (k < i + len) {
-                  val x = w(k); val y = w(k + len)
-                  w(k) = x + y; w(k + len) = x - y
-                  k += 1
-                }
-                i += 2 * len
-              }
-              len <<= 1
-            }
-            (0 until block / bandsOf).map { g =>
-              var e = 0L
-              var k = g * bandsOf
-              while (k < (g + 1) * bandsOf) { e += w(k) * w(k); k += 1 }
-              WhtBand(r.media_id, b, g, e)
-            }
-          }
+          val es = blockBandEnergies(samples, block, bandsOf, Int.MaxValue)
+          es.indices.flatMap(b =>
+            es(b).indices.map(g => WhtBand(r.media_id, b, g, es(b)(g))))
         case None => Seq.empty
       }
     }
   }
+
+  /** Perceptual audio fingerprint in the Haitsma & Kalker 2002 shape: bit
+    * (b−1)·7+m is set iff the band-energy difference E(b,m)−E(b,m+1)
+    * INCREASED from block b−1 to block b (strictly; ties → 0). With 8 WHT
+    * bands that is 7 bits per block over blocks 1..min(nBlocks,maxBlocks)−1
+    * — up to 63 bits, so the fingerprint is a non-negative Long and slots
+    * straight into [[ahashNearDupPairs]]' banded Hamming join.
+    *
+    * Scale: one map over the clips (no shuffle); the downstream dedup join
+    * ships only (id, 8-byte fp) pairs, never audio.
+    */
+  def audioFingerprint(media: Dataset[MediaRecord], block: Int = 32,
+      bandsOf: Int = 4, maxBlocks: Int = 10): DataFrame = {
+    require(maxBlocks >= 2 && (maxBlocks - 1) * (block / bandsOf - 1) <= 63,
+      "fingerprint must fit in 63 bits")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val nBands = block / bandsOf
+    media.flatMap { r =>
+      MediaContainers.decodeWavSamples(r.bytes).map { case (_, samples) =>
+        val es = blockBandEnergies(samples, block, bandsOf, maxBlocks)
+        var acc = 0L
+        for (b <- 1 until es.length; m <- 0 until nBands - 1) {
+          val diff = (es(b)(m) - es(b)(m + 1)) - (es(b - 1)(m) - es(b - 1)(m + 1))
+          if (diff > 0) acc |= 1L << ((b - 1) * (nBands - 1) + m)
+        }
+        (r.media_id, acc)
+      } // undecodable clips contribute no fingerprint row
+    }.toDF("media_id", "afp")
+  }
+
+  /** Near-duplicate audio pairs: banded Hamming self-join over the
+    * fingerprints (pigeonhole-complete for distance ≤ maxDist).
+    */
+  def audioNearDupPairs(media: Dataset[MediaRecord], maxDist: Int = 2): DataFrame =
+    ahashNearDupPairs(
+      audioFingerprint(media).withColumnRenamed("afp", "ahash"), maxDist)
 
   /** REAL frame sampling: every `stride`-th frame payload parsed out of the
     * AVI movi list (byte sums prove the frame bytes round-tripped), or

@@ -14,6 +14,36 @@ import graft.multimodal.Multimodal
   */
 object MultimodalQueries extends QueryPack {
 
+  /** Shared oracle CTEs: per-doc WHT band energies (es, 1-based list,
+    * E(b,m) = es[b*8+m+1]) and the 63-bit audio fingerprint (f.afp) —
+    * the closed-form mirror of Multimodal.audioFingerprint.
+    */
+  private val AudioFpCtes: String =
+    """d AS (SELECT doc_id AS media_id, text, length(text) AS len,
+      |    doc_id % 500 + 100 AS n,
+      |    LEAST((doc_id % 500 + 100 + 31) // 32, 10) AS nb FROM documents),
+      |e AS (SELECT media_id, nb, list_transform(range(0, nb * 8), t ->
+      |    CAST(list_sum(list_transform(
+      |      list_transform(range((t % 8) * 4, (t % 8) * 4 + 4), k ->
+      |        CAST(list_sum(list_transform(range(0, 32), j ->
+      |          (CASE WHEN (t // 8) * 32 + j >= n OR len = 0 THEN 0
+      |            ELSE (ord(substr(text,
+      |              CAST(((t // 8) * 32 + j) % len AS INTEGER) + 1, 1)) - 96)
+      |              * 256 END)
+      |          * (CASE WHEN bit_count(j & k) % 2 = 1 THEN -1 ELSE 1 END)))
+      |          AS BIGINT)),
+      |      w -> w * w)) AS BIGINT)) AS es FROM d),
+      |f AS (SELECT media_id,
+      |  CAST(COALESCE(list_sum(list_transform(range(0, (nb - 1) * 7), p ->
+      |    CASE WHEN
+      |      (es[CAST((p // 7 + 1) * 8 + p % 7 + 1 AS INTEGER)]
+      |       - es[CAST((p // 7 + 1) * 8 + p % 7 + 2 AS INTEGER)])
+      |      - (es[CAST((p // 7) * 8 + p % 7 + 1 AS INTEGER)]
+      |       - es[CAST((p // 7) * 8 + p % 7 + 2 AS INTEGER)]) > 0
+      |    THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+      |    ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS afp
+      |  FROM e)""".stripMargin
+
   override def queries: Map[String, Query] = Map(
     // Metadata path is fully SQL-expressible → oracle-checked.
     "m_media_meta" -> ((s, dir) =>
@@ -146,6 +176,24 @@ object MultimodalQueries extends QueryPack {
       Multimodal.whtSpectrum(
         Multimodal.audioTable(Tables.load(s, dir, "documents"))).toDF()
         .orderBy(col("media_id"), col("block_index"), col("band"))),
+
+    // Perceptual audio fingerprints (Haitsma–Kalker shape) over the WHT
+    // band energies: 7 sign-of-energy-delta bits per block, ≤63 bits total.
+    // Oracle recomputes every energy from the closed form and reassembles
+    // the bit pattern — an exact end-to-end audio-hash check.
+    "m_audio_fp" -> ((s, dir) =>
+      Multimodal.audioFingerprint(
+        Multimodal.audioTable(Tables.load(s, dir, "documents")))
+        .orderBy(col("media_id"))),
+
+    // Near-duplicate audio: banded Hamming self-join over the fingerprints
+    // (pigeonhole-complete at distance ≤ 2). Oracle brute-forces all pairs
+    // with bit_count(xor) — a structurally different (quadratic) algorithm
+    // that the banded join must reproduce exactly.
+    "m_audio_fp_dups" -> ((s, dir) =>
+      Multimodal.audioNearDupPairs(
+        Multimodal.audioTable(Tables.load(s, dir, "documents")), maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))),
 
     // REAL video frame sampling: payloads are genuine AVI containers; every
     // 2nd frame is parsed out of the movi list and byte-summed. Oracle
@@ -414,6 +462,21 @@ object MultimodalQueries extends QueryPack {
         |        AS BIGINT)),
         |    w -> w * w)) AS BIGINT) AS energy
         |FROM g ORDER BY media_id, block_index, band""".stripMargin,
+
+    // fingerprint bit p (= (b−1)·7+m) is set iff the band-energy delta
+    // E(b,m)−E(b,m+1) strictly increased from block b−1 to b; energies are
+    // the m_wht_spectrum closed form, blocks capped at 10. es is 1-based:
+    // E(b,m) = es[b*8+m+1].
+    "m_audio_fp" ->
+      s"""WITH $AudioFpCtes
+         |SELECT media_id, afp FROM f ORDER BY media_id""".stripMargin,
+
+    "m_audio_fp_dups" ->
+      s"""WITH $AudioFpCtes
+         |SELECT a.media_id AS id_a, b.media_id AS id_b
+         |FROM f a, f b
+         |WHERE a.media_id < b.media_id AND bit_count(xor(a.afp, b.afp)) <= 2
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // AVI geometry is a pure function of doc_id (w = id%16+8, h = id%12+6,
     // frames = id%6+2, rows padded to 4 bytes); frame f's byte j is

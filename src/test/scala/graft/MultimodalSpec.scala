@@ -509,6 +509,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audioFingerprint: identical clips collide, a lightly perturbed clip " +
+    "stays within the Hamming budget, junk decodes to no row") {
+    def wav(perturb: Int): Array[Byte] = {
+      val s = Array.tabulate(320)(i => (((i * 131) % 200 - 100) * 64).toShort)
+      if (perturb >= 0) s(perturb) = (s(perturb) + 20000).toShort
+      MediaContainers.encodeWav(8000, s)
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav(-1), "wav", 0, 0, 1L),
+      Multimodal.MediaRecord(2L, "audio", wav(-1), "wav", 0, 0, 1L), // exact dup
+      Multimodal.MediaRecord(3L, "audio", wav(40), "wav", 0, 0, 1L), // 1 sample off
+      Multimodal.MediaRecord(4L, "audio", Array[Byte](9, 9), "wav", 0, 0, 1L))
+      .toDS()
+    val fps = Multimodal.audioFingerprint(media)
+      .as[(Long, Long)].collect().toMap
+    assert(fps.keySet == Set(1L, 2L, 3L), "junk row must vanish")
+    assert(fps(1L) == fps(2L))
+    assert(fps.values.forall(_ >= 0), "63-bit fingerprints are non-negative")
+    // one perturbed sample touches one block's energies, which feed the
+    // delta bits at that block AND the next → at most 2·7 = 14 bits flip
+    val d13 = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+    assert(d13 >= 1 && d13 <= 14, s"distance 1↔3 = $d13")
+    val pairs = Multimodal.audioNearDupPairs(media, maxDist = 14)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)), pairs.toString)
+  }
+
   test("average hash is exact at grid=8 (64 bits): the sign bit sets " +
     "cleanly and the banded pair join still matches on high bands") {
     // one bright cell at index 63 (the sign bit) over an otherwise-dark
