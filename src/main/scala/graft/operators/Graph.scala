@@ -483,6 +483,63 @@ object Graph {
       .select(col("a").as("vertex"), col("deg"))
   }
 
+  /** k-truss peel: `iters` synchronous rounds of "drop every edge whose
+    * SUPPORT (number of triangles it closes in the surviving subgraph) is
+    * < k−2" — the edge-level sibling of [[kCorePeel]] (Cohen 2008). The
+    * truss is a stronger cohesion screen than the core: an edge survives
+    * only if its endpoints share k−2 common neighbors, so bridges and
+    * barbell necks peel away even when both endpoints are high-degree.
+    * Run to fixpoint this is THE k-truss (unique); truncated at `iters`
+    * it is the well-defined "survivors of `iters` synchronous peels" the
+    * oracle can unroll round by round.
+    *
+    * Input contract: CANONICAL undirected edges (src < dst, distinct, no
+    * self-loops) — the [[clusteringCoefficients]] contract, so triangles
+    * enumerate once each via the a<m<c wedge + closing-edge equi-joins.
+    *
+    * Scale posture: each round is the sparse oriented triangle
+    * enumeration (never an all-pairs step; wedge fan-out is bounded by
+    * the caller's hub prefilter, e.g. the median-weight cut), a ×3
+    * explode of the TRIANGLE set only, one map-side-combinable count per
+    * edge, and a semi-join of the narrow edge list against the survivors.
+    * Edge sets only shrink, so round 1 is the most expensive.
+    *
+    * Output: (src, dst, `support`) for the surviving edges, support
+    * measured in the FINAL surviving subgraph (≥ k−2 iff the peel reached
+    * its fixpoint; triangle-free survivors can only exist when k = 2).
+    */
+  def kTrussPeel(edges: DataFrame, src: String, dst: String, k: Int,
+      iters: Int = 3): DataFrame = {
+    require(k >= 2, s"k-truss needs k >= 2, got $k")
+    require(iters >= 1, "kTrussPeel needs at least one round")
+    var e = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint()
+    def support(ed: DataFrame): DataFrame = {
+      val tri = ed.as("e1")
+        .join(ed.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("a"), col("e1.b").as("m"), col("e2.b").as("c"))
+        .join(ed.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      tri.select(explode(array(
+          struct(col("a").as("x"), col("m").as("y")),
+          struct(col("m").as("x"), col("c").as("y")),
+          struct(col("a").as("x"), col("c").as("y")))).as("t"))
+        .groupBy(col("t.x").as("a"), col("t.y").as("b"))
+        .agg(count(lit(1)).as("support"))
+    }
+    for (_ <- 1 to iters) {
+      val keep = support(e).filter(col("support") >= k - 2)
+        .select(col("a"), col("b"))
+      // k = 2 keeps support-0 edges, which have no support row at all —
+      // the semi-join would wrongly drop them, so short-circuit
+      val next = (if (k <= 2) e
+        else e.join(keep, Seq("a", "b"), "left_semi")).localCheckpoint()
+      org.apache.spark.sql.graftx.CheckpointUtils.unpersistLocalCheckpoint(e)
+      e = next
+    }
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a").as(src), col("b").as(dst),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999) in fixed-point INTEGER
     * arithmetic: a directed edge u→v means hub u endorses authority v;
     * each round authorities sum their in-hubs, hubs sum their

@@ -283,6 +283,17 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("vertex"))
     }),
 
+    // 12-truss of the brand graph: 3 synchronous support-peel rounds (the
+    // sf0.01 cascade is 150 → 103 → 78 → 78, i.e. the fixpoint, so the
+    // third round also proves idempotence). Oracle unrolls each round with
+    // MATERIALIZED CTEs; support is re-derived per round from a triangle
+    // self-join — the engine's semi-join peel must match edge for edge.
+    "a_ktruss" -> ((s, dir) => {
+      graft.operators.Graph.kTrussPeel(brandGraph(s, dir), "a", "b",
+          k = 12, iters = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // PageRank over the part co-purchase graph (parts linked when they
     // co-occur in an order — both directions, so no dangling mass), in
     // fixed-point INTEGER arithmetic: every rank a BIGINT in micro-units,
@@ -902,6 +913,44 @@ object AnalyticQueries extends QueryPack {
         |    ELSE CAST(0.0 AS DOUBLE) END AS coeff
         |FROM deg LEFT JOIN tpv ON tpv.v = deg.v
         |ORDER BY vertex""".stripMargin,
+
+    "a_ktruss" -> {
+      // one synchronous peel round r: triangles of e{r-1} (oriented a<m<c),
+      // per-edge support via the 3-corner union, survivors keep sup >= 10
+      def peel(r: Int): String =
+        s"""t$r AS (SELECT e1.a AS a, e1.b AS m, e2.b AS c
+           |  FROM e${r - 1} e1 JOIN e${r - 1} e2 ON e1.b = e2.a
+           |  JOIN e${r - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |s$r AS MATERIALIZED (SELECT x AS a, y AS b, count(*) AS sup FROM (
+           |    SELECT a AS x, m AS y FROM t$r
+           |    UNION ALL SELECT m AS x, c AS y FROM t$r
+           |    UNION ALL SELECT a AS x, c AS y FROM t$r) GROUP BY x, y),
+           |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+           |  JOIN s$r s ON e.a = s.a AND e.b = s.b AND s.sup >= 10)""".stripMargin
+      s"""WITH ob AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+         |    FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |pw AS MATERIALIZED (SELECT x.b AS a, y.b AS b, CAST(count(*) AS BIGINT) AS w
+         |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+         |  GROUP BY x.b, y.b),
+         |r AS (SELECT w, row_number() OVER (ORDER BY w, a, b) AS rn,
+         |    COUNT(*) OVER () AS n FROM pw),
+         |med AS (SELECT max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+         |    THEN w END) AS med FROM r),
+         |e0 AS MATERIALIZED (SELECT a, b FROM pw CROSS JOIN med WHERE w > med),
+         |${peel(1)},
+         |${peel(2)},
+         |${peel(3)},
+         |tf AS (SELECT e1.a AS a, e1.b AS m, e2.b AS c
+         |  FROM e3 e1 JOIN e3 e2 ON e1.b = e2.a
+         |  JOIN e3 e3x ON e3x.a = e1.a AND e3x.b = e2.b),
+         |sf AS (SELECT x AS a, y AS b, CAST(count(*) AS BIGINT) AS sup FROM (
+         |    SELECT a AS x, m AS y FROM tf
+         |    UNION ALL SELECT m AS x, c AS y FROM tf
+         |    UNION ALL SELECT a AS x, c AS y FROM tf) GROUP BY x, y)
+         |SELECT e.a, e.b, CAST(COALESCE(sf.sup, 0) AS BIGINT) AS support
+         |FROM e3 e LEFT JOIN sf ON e.a = sf.a AND e.b = sf.b
+         |ORDER BY e.a, e.b""".stripMargin
+    },
 
     "a_link_prediction" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

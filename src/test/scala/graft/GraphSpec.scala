@@ -290,6 +290,24 @@ class GraphSpec extends AnyFunSuite {
   private def sym(edges: (Long, Long)*) =
     edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct.toDF("a", "b")
 
+  test("kTrussPeel: 4-truss keeps the K5, drops the bridge and the pendant " +
+    "triangle; k=2 keeps even support-0 edges") {
+    // K5 on 1..5 (each edge closes 3 triangles), bridge 5-6 (support 0),
+    // pendant triangle 6-7-8 (each edge support 1); canonical a < b
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val edges = (k5 ++ Seq((5L, 6L), (6L, 7L), (6L, 8L), (7L, 8L)))
+      .toDF("a", "b")
+    val t4 = Graph.kTrussPeel(edges, "a", "b", k = 4, iters = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t4 == k5.map { case (a, b) => (a, b, 3L) }.toSet, t4.toString)
+    // k = 2 (support >= 0): nothing peels, including the triangle-free
+    // bridge — the semi-join short-circuit under test
+    assert(Graph.kTrussPeel(edges, "a", "b", k = 2, iters = 2).count() == 14)
+    // k = 5 (support >= 3): K5 still stands; k = 6 empties the graph
+    assert(Graph.kTrussPeel(edges, "a", "b", k = 5, iters = 2).count() == 10)
+    assert(Graph.kTrussPeel(edges, "a", "b", k = 6, iters = 2).count() == 0)
+  }
+
   test("kCorePeel: pendant chain peels, clique survives with full degrees") {
     // 4-clique {1,2,3,4} + pendant path 4-5-6: at k=2 the path peels from
     // the leaf inward (6 first, then 5), the clique is untouched
