@@ -408,4 +408,32 @@ object Similarity {
     TopK.perKey(rescored, "query_id", "cosine_sim", "neighbor_id", k,
       descending = true)
   }
+
+  /** Johnson–Lindenstrauss sketch with a DETERMINISTIC Rademacher matrix:
+    * projected coordinate k = Σⱼ s(k,j)·v[j] where the ±1 sign s(k,j) is
+    * the parity of popcount((k+1)·73856093 XOR (j+1)·19349663) — pure
+    * integer arithmetic, so the "random" matrix needs no storage, no
+    * broadcast, and no RNG state: every executor (and the oracle)
+    * rederives any entry on demand. Unscaled (no 1/√m factor): callers
+    * compare projected distances to each other, where a common scale
+    * cancels; sign flips are IEEE-exact, and the fold over j is
+    * left-to-right, so results are bit-reproducible.
+    *
+    * Scale posture: one narrow projection expression per row — no
+    * shuffle, no join; a 10⁹×768-dim corpus becomes 10⁹×m doubles in a
+    * single codegen'd scan, the standard preconditioner before LSH /
+    * coarse quantization when the native dimension is too wide to bucket.
+    */
+  def randomProjection(vectors: DataFrame, id: String, vec: String,
+      targetDim: Int = 8): DataFrame = {
+    require(targetDim >= 1 && targetDim <= 64, s"bad targetDim: $targetDim")
+    val ys = (0 until targetDim).map { kk =>
+      expr(s"""aggregate(sequence(0, size($vec) - 1), CAST(0.0 AS DOUBLE),
+        (acc, j) -> acc + CAST(element_at($vec, j + 1) AS DOUBLE) *
+          (CASE WHEN bit_count(CAST(${(kk + 1) * 73856093L} AS BIGINT)
+              ^ ((j + 1) * CAST(19349663 AS BIGINT))) % 2 = 0
+            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))""")
+    }
+    vectors.select(col(id), array(ys: _*).as("proj"))
+  }
 }

@@ -48,6 +48,19 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Johnson–Lindenstrauss sketch with the storage-free deterministic
+    // Rademacher matrix (sign = popcount parity of an integer mix of the
+    // two indices). Long-format dump of every projected coordinate; the
+    // oracle rederives the matrix AND the left-to-right fold, so a hash
+    // match proves both the sign law and the exact summation order.
+    "v_jl_projection" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.randomProjection(emb, "vec_id", "embedding", targetDim = 8)
+        .select(col("vec_id"),
+          posexplode(col("proj")).as(Seq("proj_dim", "val")))
+        .orderBy(col("vec_id"), col("proj_dim"))
+    }),
+
     // Hard-negative mining: per query, top-k cosine among DIFFERENT-label
     // corpus rows — value-exact oracle (same bit-exact dot-product contract
     // as v_cosine_topk, plus the label-mismatch predicate).
@@ -1130,6 +1143,18 @@ object SimilarityQueries extends QueryPack {
          |  FROM sims)
          |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked
          |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin,
+
+    "v_jl_projection" ->
+      """WITH p AS (SELECT vec_id, embedding,
+        |    unnest(range(0, 8)) AS proj_dim FROM embeddings)
+        |SELECT vec_id, CAST(proj_dim AS INTEGER) AS proj_dim,
+        |  list_sum(list_transform(range(1, len(embedding) + 1), i ->
+        |    CAST(embedding[i] AS DOUBLE) *
+        |    (CASE WHEN bit_count(xor((proj_dim + 1) * 73856093,
+        |        CAST(i AS BIGINT) * 19349663)) % 2 = 0
+        |      THEN CAST(1.0 AS DOUBLE)
+        |      ELSE CAST(-1.0 AS DOUBLE) END))) AS val
+        |FROM p ORDER BY vec_id, proj_dim""".stripMargin,
 
     "v_covariance_check" ->
       """WITH s2 AS (SELECT ii - 1 AS i, jj - 1 AS j,

@@ -127,6 +127,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(brute.nonEmpty && int8 == brute)
   }
 
+  test("randomProjection: sign law matches a Scala recompute; unscaled " +
+    "Rademacher JL preserves total norm within the concentration band") {
+    // exact per-entry check against an independent in-memory fold
+    val v = Array(0.5f, -1.25f, 2.0f, 0.125f, -3.5f)
+    val got = Similarity.randomProjection(
+      Seq((1L, v)).toDF("vec_id", "embedding"), "vec_id", "embedding", 4)
+      .select($"proj").as[Seq[Double]].head()
+    val want = (0 until 4).map { k =>
+      var acc = 0.0
+      for (j <- v.indices) {
+        val s = if (java.lang.Long.bitCount(
+          ((k + 1) * 73856093L) ^ ((j + 1) * 19349663L)) % 2 == 0) 1.0 else -1.0
+        acc += v(j).toDouble * s
+      }
+      acc
+    }
+    assert(got == want, s"$got vs $want")
+    // E‖Rv‖² = m·‖v‖² for ±1 entries: the corpus-level ratio concentrates
+    val m = 8
+    val r = Similarity.randomProjection(embeddings, "vec_id", "embedding", m)
+      .select(aggregate($"proj", lit(0.0), (a, x) => a + x * x).as("py"))
+      .agg(sum($"py")).as[Double].head() /
+      (m * embeddings.select(
+        aggregate($"embedding", lit(0.0), (a, x) =>
+          a + x.cast("double") * x.cast("double")).as("pv"))
+        .agg(sum($"pv")).as[Double].head())
+    assert(r > 0.7 && r < 1.3, s"norm-preservation ratio $r")
+  }
+
   test("signPack packs sign bits little-endian, any dim, multi-word") {
     // dim 3: signs (+,−,+) → bits 0 and 2 → word 0b101 = 5
     val d3 = Seq(Tuple1(Seq(1.0f, -2.0f, 0.5f))).toDF("v")
