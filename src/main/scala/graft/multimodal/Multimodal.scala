@@ -365,6 +365,45 @@ object Multimodal {
     * pigeonhole join. Shared core of [[ahashNearDupCounts]] and the
     * cluster-collapse query. Input `hashes` should already be staged.
     */
+  /** Difference hash (dHash): the GRADIENT sibling of [[averageHash]] —
+    * bit = "is this cell dimmer than its right neighbor" (and, below the
+    * horizontal block, "than the cell beneath"), so the hash keys on local
+    * luminance structure rather than the global mean and is insensitive to
+    * uniform brightness shifts. On the g×g grid that is g·(g−1) horizontal
+    * + g·(g−1) vertical bits (24 at g=4). Cell averages never materialize:
+    * the comparison cross-multiplies integer (lum_sum, n_px) pairs, exact
+    * for any uneven cell geometry.
+    *
+    * Scale: two narrow self-equi-joins on (media_id, cell) over ≤ g² rows
+    * per image + one map-combinable sum — no pixel data, no skew (cell
+    * cardinality is constant).
+    */
+  def differenceHash(grid: DataFrame, g: Int = 4): DataFrame = {
+    require(g >= 2 && 2 * g * (g - 1) <= 63, s"bad grid: $g")
+    val gf = grid.filter(col("cell") >= 0).localCheckpoint()
+    val l = gf.select(col("media_id"), col("cell"),
+      col("n_px").as("ln"), col("lum_sum").as("ls"))
+    val right = gf.select(col("media_id"), (col("cell") - 1).as("cell"),
+      col("n_px").as("rn"), col("lum_sum").as("rs"))
+    val below = gf.select(col("media_id"), (col("cell") - g).as("cell"),
+      col("n_px").as("rn"), col("lum_sum").as("rs"))
+    val horiz = l.join(right, Seq("media_id", "cell"))
+      .filter(col("cell") % g < g - 1)
+      .select(col("media_id"),
+        // integer row index: col / lit is DOUBLE division in Spark
+        (floor(col("cell") / g) * (g - 1) + col("cell") % g)
+          .cast("int").as("pos"),
+        (col("ls") * col("rn") < col("rs") * col("ln")).cast("long").as("bit"))
+    val vert = l.join(below, Seq("media_id", "cell"))
+      .select(col("media_id"),
+        (lit(g * (g - 1)) + col("cell")).cast("int").as("pos"),
+        (col("ls") * col("rn") < col("rs") * col("ln")).cast("long").as("bit"))
+    horiz.unionByName(vert)
+      .groupBy(col("media_id"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), pos)") * col("bit"))
+        .as("dhash"))
+  }
+
   def ahashNearDupPairs(hashes: DataFrame, maxDist: Int = 1,
       bandBits: Int = 8): DataFrame = {
     require(maxDist >= 0, s"negative maxDist: $maxDist")

@@ -177,6 +177,20 @@ object MultimodalQueries extends QueryPack {
         Multimodal.audioTable(Tables.load(s, dir, "documents"))).toDF()
         .orderBy(col("media_id"), col("block_index"), col("band"))),
 
+    // Gradient (difference) hash near-dups: brightness-shift-invariant
+    // sibling of m_ahash_dups on the same real pixel decode. Oracle
+    // recomputes the 24-bit gradient hash from the pixel law and
+    // brute-forces the Hamming pairs the banded join must reproduce.
+    "m_dhash_dups" -> ((s, dir) => {
+      val gf = Multimodal.gridFeatures(
+        Multimodal.imageTable(Tables.load(s, dir, "documents"))).toDF()
+      Multimodal.ahashNearDupCounts(
+          Multimodal.differenceHash(gf).withColumnRenamed("dhash", "ahash"),
+          maxDist = 1)
+        .withColumnRenamed("ahash", "dhash")
+        .orderBy(col("media_id"))
+    }),
+
     // Perceptual audio fingerprints (Haitsma–Kalker shape) over the WHT
     // band energies: 7 sign-of-energy-delta bits per block, ≤63 bits total.
     // Oracle recomputes every energy from the closed form and reassembles
@@ -462,6 +476,51 @@ object MultimodalQueries extends QueryPack {
         |        AS BIGINT)),
         |    w -> w * w)) AS BIGINT) AS energy
         |FROM g ORDER BY media_id, block_index, band""".stripMargin,
+
+    // dhash bit layout: horizontal (cell r,c vs r,c+1) at pos r·3+c for
+    // c<3; vertical (cell vs cell+4) at pos 12+cell. avg comparison is the
+    // exact cross-multiplication lum_l·n_r < lum_r·n_l.
+    "m_dhash_dups" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    doc_id % 64 + 16 AS w, doc_id % 48 + 12 AS h FROM documents),
+        |px AS (SELECT doc_id, text, w, h,
+        |    unnest(range(0, w * h)) AS i FROM d),
+        |c AS (SELECT doc_id,
+        |    CAST((i // w) * 4 // h * 4 + (i % w) * 4 // w AS INTEGER) AS cell,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE
+        |      ord(substr(text, CAST((i * 3) % length(text) AS INTEGER) + 1, 1))
+        |      + ord(substr(text, CAST((i * 3 + 1) % length(text) AS INTEGER) + 1, 1))
+        |      + ord(substr(text, CAST((i * 3 + 2) % length(text) AS INTEGER) + 1, 1))
+        |    END AS lum
+        |  FROM px),
+        |g AS (SELECT doc_id, cell, CAST(count(*) AS BIGINT) AS n_px,
+        |    CAST(sum(lum) AS BIGINT) AS lum_sum
+        |  FROM c GROUP BY doc_id, cell),
+        |hb AS (
+        |  SELECT l.doc_id, CAST((l.cell // 4) * 3 + l.cell % 4 AS INTEGER) AS pos,
+        |    CASE WHEN l.lum_sum * r.n_px < r.lum_sum * l.n_px
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM g l JOIN g r ON l.doc_id = r.doc_id AND r.cell = l.cell + 1
+        |  WHERE l.cell % 4 < 3
+        |  UNION ALL
+        |  SELECT l.doc_id, CAST(12 + l.cell AS INTEGER) AS pos,
+        |    CASE WHEN l.lum_sum * r.n_px < r.lum_sum * l.n_px
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM g l JOIN g r ON l.doc_id = r.doc_id AND r.cell = l.cell + 4),
+        |hsh AS (SELECT doc_id AS media_id,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << pos)) AS BIGINT) AS dhash
+        |  FROM hb GROUP BY doc_id),
+        |pairs AS (SELECT a.media_id AS ia, b.media_id AS ib
+        |  FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 1),
+        |pc AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_neardups
+        |  FROM (SELECT ia AS media_id FROM pairs
+        |        UNION ALL SELECT ib FROM pairs)
+        |  GROUP BY media_id)
+        |SELECT h.media_id, h.dhash,
+        |  COALESCE(pc.n_neardups, 0) AS n_neardups
+        |FROM hsh h LEFT JOIN pc USING (media_id)
+        |ORDER BY media_id""".stripMargin,
 
     // fingerprint bit p (= (b−1)·7+m) is set iff the band-energy delta
     // E(b,m)−E(b,m+1) strictly increased from block b−1 to b; energies are

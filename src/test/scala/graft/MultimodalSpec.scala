@@ -509,6 +509,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("differenceHash: bit layout matches a hand fold and the hash is " +
+    "invariant to uniform brightness shifts") {
+    // cell (r,c) average = r*4+c (strictly increasing left-to-right and
+    // top-to-bottom) → every horizontal and vertical bit fires
+    val grid = (0 until 16).map(c => (1L, c, 10L, (c * 10).toLong))
+      .toDF("media_id", "cell", "n_px", "lum_sum")
+    val all = Multimodal.differenceHash(grid).as[(Long, Long)].collect().head._2
+    assert(all == (1L << 24) - 1, s"got $all") // 12 horiz + 12 vert bits
+    // uniform shift: lum_sum += k·n_px leaves every gradient comparison
+    val shifted = (0 until 16).map(c => (1L, c, 10L, (c * 10 + 7 * 10).toLong))
+      .toDF("media_id", "cell", "n_px", "lum_sum")
+    assert(Multimodal.differenceHash(shifted)
+      .as[(Long, Long)].collect().head._2 == all)
+    // hand fold on a mixed grid with uneven cell sizes (cross-multiply
+    // correctness): avg = lum/n, bit fires iff left avg < right avg
+    val lums = Array(5L, 3L, 9L, 9L, 1L, 8L, 2L, 6L, 7L, 7L, 0L, 4L,
+      2L, 9L, 5L, 5L)
+    val ns = Array(1L, 2L, 3L, 1L, 2L, 1L, 2L, 3L, 1L, 2L, 1L, 2L,
+      3L, 1L, 2L, 1L)
+    val mixed = (0 until 16).map(c => (9L, c, ns(c), lums(c) * ns(c)))
+      .toDF("media_id", "cell", "n_px", "lum_sum")
+    // direct recompute with the cross-multiplied integer rule
+    // (lum_sum = avg·n, so lum_l·n_r < lum_r·n_l ⟺ avg_l·n_l·n_r < avg_r·n_r·n_l)
+    var want = 0L
+    for (r <- 0 until 4; c <- 0 until 3) {
+      val i = r * 4 + c
+      if (lums(i) * ns(i) * ns(i + 1) < lums(i + 1) * ns(i + 1) * ns(i))
+        want |= 1L << (r * 3 + c)
+    }
+    for (i <- 0 until 12)
+      if (lums(i) * ns(i) * ns(i + 4) < lums(i + 4) * ns(i + 4) * ns(i))
+        want |= 1L << (12 + i)
+    val got = Multimodal.differenceHash(mixed).as[(Long, Long)]
+      .collect().head._2
+    assert(got == want, s"$got vs $want")
+  }
+
   test("audioFingerprint: identical clips collide, a lightly perturbed clip " +
     "stays within the Hamming budget, junk decodes to no row") {
     def wav(perturb: Int): Array[Byte] = {
