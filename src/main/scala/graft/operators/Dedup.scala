@@ -68,6 +68,37 @@ object Dedup {
     docShingleArrays(df, id, text, n)
       .select(col(id), explode(col("shingles")).as("shingle"))
 
+  /** Per-document n-gram NOVELTY against the corpus prefix in id order: a
+    * shingle is novel in doc d iff no doc with a smaller id contains it
+    * (min-id-wins, so every shingle is novel exactly once corpus-wide).
+    * The classic curriculum / crawl-freshness signal: recrawls and
+    * boilerplate-heavy documents score near 0, genuinely new content near
+    * 10⁶. `novelty_q` = n_novel·10⁶ div n_grams (exact integer division —
+    * no cross-engine float risk); shingle-less docs score (0, 0, 0).
+    *
+    * Scale: one inverted-index aggregation (map-combinable min per
+    * shingle) + one narrow join back — the [[jaccardPairs]] index shape,
+    * never all-pairs. Joins on the shingle STRING for oracle parity; at
+    * petabyte scale key on xxhash64(shingle) exactly as `hashShingles`
+    * does for Jaccard.
+    */
+  def noveltyScores(df: DataFrame, id: String, text: String,
+      n: Int = 3): DataFrame = {
+    val sh = shingles(df, id, text, n).localCheckpoint() // read twice
+    val first = sh.groupBy(col("shingle")).agg(min(col(id)).as("__first"))
+    val perDoc = sh.join(first, Seq("shingle"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col(id) === col("__first")).cast("long")).as("n_novel"))
+    df.select(col(id)).join(perDoc, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("n_novel * 1000000 div n_grams"))
+          .as("novelty_q"))
+  }
+
   /** Exact Jaccard near-duplicate pairs via an inverted shingle index:
     * explode → self-join on shingle → per-pair intersection count → Jaccard.
     * The standard scalable formulation — cost is Σ over shingles of df²,

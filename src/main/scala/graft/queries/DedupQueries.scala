@@ -75,6 +75,14 @@ object DedupQueries extends QueryPack {
         minJaccard = tau)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Shingle novelty vs the id-ordered corpus prefix: min-id-wins first
+    // introduction; novelty_q is exact integer micro-units. The oracle
+    // re-derives first-introduction through the same min aggregation over
+    // the shared shingle law.
+    "d_novelty_scores" -> ((s, dir) =>
+      Dedup.noveltyScores(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Asymmetric containment (Broder): C(A→B) = |A∩B|/|A| ≥ 0.6 — catches
     // short-doc-quoted-in-long-doc subsumption that symmetric Jaccard
     // misses. Same inverted index; each pair scored in both directions.
@@ -392,6 +400,20 @@ object DedupQueries extends QueryPack {
       """SELECT md5(text) AS content_fp, min(doc_id) AS canonical_id,
         |  count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin,
+
+    "d_novelty_scores" ->
+      s"""WITH $shinglesSql,
+         |first AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY s),
+         |pd AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN sh.doc_id = fd THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_novel
+         |  FROM sh JOIN first ON sh.s = first.s GROUP BY sh.doc_id)
+         |SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
+         |  COALESCE(n_novel, 0) AS n_novel,
+         |  CAST(CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0
+         |    ELSE n_novel * 1000000 // n_grams END AS BIGINT) AS novelty_q
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "d_jaccard_pairs" -> jaccardPairsSql,
     "d_jaccard_pairs_fast" -> jaccardPairsSql,

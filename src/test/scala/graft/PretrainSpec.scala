@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.PiiFunctions
+import graft.operators.Dedup
 import graft.ops.{LineDedup, Packing, Sampling}
 
 /** Unit semantics for the pretraining-corpus operators: PII redaction,
@@ -565,6 +566,23 @@ class PretrainSpec extends AnyFunSuite {
     } yield (order(a), order(b), (b - a).toLong)).toSet
     assert(got === want)
     assert(got.nonEmpty)
+  }
+
+  test("noveltyScores: first doc scores 10^6, exact recrawl 0, partial " +
+    "overlap counts only unseen shingles; short docs score (0,0,0)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),        // 2 shingles, both novel
+      (2L, "alpha beta gamma delta"),        // exact recrawl → 0
+      (3L, "beta gamma delta epsilon zeta"), // 3 shingles, 2 unseen
+      (4L, "too short")                      // < 3 tokens → no shingles
+    ).toDF("doc_id", "text")
+    val got = Dedup.noveltyScores(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1000000L),
+      (2L, 2L, 0L, 0L),
+      (3L, 3L, 2L, 666666L), // 2·10⁶ div 3 truncates
+      (4L, 0L, 0L, 0L)), got.toString)
   }
 
   test("dsir: target-vocabulary docs outrank disjoint-vocabulary docs, " +
