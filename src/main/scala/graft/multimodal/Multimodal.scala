@@ -830,6 +830,73 @@ object Multimodal {
     }
   }
 
+  /** Shot-boundary detection over REAL AVI frame payloads: the classic
+    * frame-difference cut detector — per consecutive frame pair, the
+    * absolute change in total frame intensity (here the exact byte sum of
+    * the decoded DIB payload); a cut fires when the delta exceeds
+    * `threshold`. Integer end to end.
+    *
+    * Scale: per-record flatMap over the container bytes (frames never
+    * shuffle); emits one small row per frame transition. A smarter
+    * detector (histogram distance, edge change ratio) slots into the same
+    * per-partition loop without changing the plan shape.
+    */
+  case class ShotBoundary(
+      media_id: Long, frame_index: Int, delta: Long, is_cut: Boolean)
+
+  def shotBoundaries(media: Dataset[MediaRecord],
+      threshold: Long = 40L): Dataset[ShotBoundary] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      MediaContainers.decodeAviFrames(r.bytes) match {
+        case Some(frames) =>
+          val sums = frames.map { f =>
+            var s = 0L; var i = 0
+            while (i < f.length) { s += f(i) & 0xFF; i += 1 }
+            s
+          }
+          (1 until sums.length).map { f =>
+            val d = math.abs(sums(f) - sums(f - 1))
+            ShotBoundary(r.media_id, f, d, d > threshold)
+          }
+        case None => Seq.empty
+      }
+    }
+  }
+
+  /** Anti-aliased 2:1 audio decimation with the exact integer FIR
+    * [1, 2, 1]: output sample i (in quarter-units — the ÷4 normalization
+    * is deliberately NOT applied, keeping every value an exact integer) is
+    * y(i) = s(2i−1) + 2·s(2i) + s(2i+1) for the interior centers
+    * i = 1 .. (n−2)/2. Emitted as per-clip aggregates (count / sum /
+    * |sum| / peak) so a 100 TB corpus produces one tiny row per clip; the
+    * resampled waveform itself never needs to exist as a column.
+    */
+  case class DecimatedAudio(
+      media_id: Long, n_in: Int, n_out: Int,
+      y_sum: Long, y_abs_sum: Long, y_peak: Long)
+
+  def audioDecimate(media: Dataset[MediaRecord]): Dataset[DecimatedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      MediaContainers.decodeWavSamples(r.bytes).map { case (_, samples) =>
+        val n = samples.length
+        var i = 1
+        var s = 0L; var as = 0L; var pk = 0L; var cnt = 0
+        while (2 * i + 1 < n) {
+          val y = samples(2 * i - 1).toLong + 2L * samples(2 * i) +
+            samples(2 * i + 1)
+          s += y; as += math.abs(y)
+          if (math.abs(y) > pk) pk = math.abs(y)
+          cnt += 1; i += 1
+        }
+        DecimatedAudio(r.media_id, n, cnt, s, as, pk)
+      }
+    }
+  }
+
   /** Embedding-ready output: features as array<float> column joined back to
     * metadata — the handoff point into [[graft.operators.Similarity]].
     */

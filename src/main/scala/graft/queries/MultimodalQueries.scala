@@ -209,6 +209,22 @@ object MultimodalQueries extends QueryPack {
         Multimodal.audioTable(Tables.load(s, dir, "documents")), maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Shot-boundary detection on REAL AVI payloads: per-transition byte-sum
+    // delta + cut flag at threshold 40. Oracle recomputes sums from the
+    // frame law and takes the lag window — decode + delta + threshold all
+    // proven exact.
+    "m_shot_bounds" -> ((s, dir) =>
+      Multimodal.shotBoundaries(
+        Multimodal.videoTable(Tables.load(s, dir, "documents"))).toDF()
+        .orderBy(col("media_id"), col("frame_index"))),
+
+    // Integer-FIR 2:1 decimation aggregates over REAL WAVs: [1,2,1] in
+    // exact quarter-units, per-clip count/sum/|sum|/peak.
+    "m_audio_decimate" -> ((s, dir) =>
+      Multimodal.audioDecimate(
+        Multimodal.audioTable(Tables.load(s, dir, "documents"))).toDF()
+        .orderBy(col("media_id"))),
+
     // REAL video frame sampling: payloads are genuine AVI containers; every
     // 2nd frame is parsed out of the movi list and byte-summed. Oracle
     // recomputes frame geometry + sums from (doc_id, text).
@@ -536,6 +552,49 @@ object MultimodalQueries extends QueryPack {
          |FROM f a, f b
          |WHERE a.media_id < b.media_id AND bit_count(xor(a.afp, b.afp)) <= 2
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // frame byte sums from the m_video_frames law (stride 1), deltas via
+    // lag, cut at delta > 40
+    "m_shot_bounds" ->
+      """WITH d AS (SELECT doc_id AS media_id, text,
+        |    doc_id % 16 + 8 AS w, doc_id % 12 + 6 AS h,
+        |    doc_id % 6 + 2 AS nf FROM documents),
+        |g AS (SELECT media_id, text,
+        |    ((3 * w + 3) // 4) * 4 * h AS fsz,
+        |    unnest(range(0, nf)) AS fi FROM d),
+        |s AS (SELECT media_id, fi,
+        |  CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(list_sum(list_transform(range(0, fsz),
+        |      j -> ord(substr(text, CAST((fi + j) % length(text) AS INTEGER) + 1, 1))))
+        |      AS BIGINT) END AS bsum FROM g),
+        |dl AS (SELECT media_id, CAST(fi AS INTEGER) AS frame_index,
+        |    abs(bsum - lag(bsum) OVER (PARTITION BY media_id ORDER BY fi))
+        |      AS delta FROM s)
+        |SELECT media_id, frame_index, CAST(delta AS BIGINT) AS delta,
+        |  delta > 40 AS is_cut
+        |FROM dl WHERE delta IS NOT NULL
+        |ORDER BY media_id, frame_index""".stripMargin,
+
+    // y(i) = s(2i−1) + 2·s(2i) + s(2i+1), i = 1..(n−2)//2, with the
+    // m_audio_meta sample law s(i) = (ord(text[i mod len]) − 96)·256
+    "m_audio_decimate" ->
+      """WITH d AS (SELECT doc_id AS media_id, text, length(text) AS len,
+        |    doc_id % 500 + 100 AS n FROM documents),
+        |y AS (SELECT media_id, len, n,
+        |  list_transform(range(1, (n - 2) // 2 + 1), i ->
+        |    CASE WHEN len = 0 THEN CAST(0 AS BIGINT) ELSE
+        |      CAST((ord(substr(text, CAST((2*i - 1) % len AS INTEGER) + 1, 1)) - 96)
+        |        + 2 * (ord(substr(text, CAST((2*i) % len AS INTEGER) + 1, 1)) - 96)
+        |        + (ord(substr(text, CAST((2*i + 1) % len AS INTEGER) + 1, 1)) - 96)
+        |      AS BIGINT) * 256 END) AS ys FROM d)
+        |SELECT media_id, CAST(n AS INTEGER) AS n_in,
+        |  CAST(len(ys) AS INTEGER) AS n_out,
+        |  CAST(COALESCE(list_sum(ys), 0) AS BIGINT) AS y_sum,
+        |  CAST(COALESCE(list_sum(list_transform(ys, v -> abs(v))), 0)
+        |    AS BIGINT) AS y_abs_sum,
+        |  CAST(COALESCE(list_max(list_transform(ys, v -> abs(v))), 0)
+        |    AS BIGINT) AS y_peak
+        |FROM y ORDER BY media_id""".stripMargin,
 
     // AVI geometry is a pure function of doc_id (w = id%16+8, h = id%12+6,
     // frames = id%6+2, rows padded to 4 bytes); frame f's byte j is

@@ -509,6 +509,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("shotBoundaries: cut fires only across the planted discontinuity; " +
+    "audioDecimate matches a hand fold of the [1,2,1] FIR") {
+    // 4 frames: two dark, two bright → one cut at transition index 2
+    val fsz = MediaContainers.dibFrameSize(4, 3)
+    val frames = Seq(
+      Array.fill(fsz)(10.toByte), Array.fill(fsz)(11.toByte),
+      Array.fill(fsz)(90.toByte), Array.fill(fsz)(91.toByte))
+    val avi = MediaContainers.encodeAvi(4, 3, 10, frames)
+    val vids = Seq(Multimodal.MediaRecord(5L, "video", avi, "avi", 4, 3, 1L)).toDS()
+    val cuts = Multimodal.shotBoundaries(vids).collect().sortBy(_.frame_index)
+      .map(b => (b.frame_index, b.delta, b.is_cut))
+    assert(cuts.toSeq == Seq(
+      (1, fsz.toLong, false), (2, 79L * fsz, true), (3, fsz.toLong, false)),
+      cuts.mkString(", "))
+    // decimation: hand fold over 9 samples → centers i = 1..3
+    val s = Array[Short](4, -8, 12, 0, -6, 10, 2, -4, 6)
+    val wav = MediaContainers.encodeWav(8000, s)
+    val aud = Seq(Multimodal.MediaRecord(6L, "audio", wav, "wav", 0, 0, 1L)).toDS()
+    val got = Multimodal.audioDecimate(aud).collect().head
+    val ys = (1 to 3).map(i => s(2 * i - 1) + 2L * s(2 * i) + s(2 * i + 1))
+    assert((got.n_in, got.n_out, got.y_sum, got.y_abs_sum, got.y_peak) ==
+      (9, 3, ys.sum, ys.map(math.abs).sum, ys.map(math.abs).max),
+      got.toString)
+  }
+
   test("differenceHash: bit layout matches a hand fold and the hash is " +
     "invariant to uniform brightness shifts") {
     // cell (r,c) average = r*4+c (strictly increasing left-to-right and
