@@ -573,6 +573,42 @@ object PretrainQueries extends QueryPack {
         .limit(20)
     }),
 
+    // Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001) — the LM
+    // retrieval contrast to t_bm25_topk: EVERY document scores every query
+    // term (absent terms fall back to μ·p(t|C)), so long boilerplate pages
+    // rank below short topical ones even at zero hits. Same per-term
+    // micro-nat quantization before the integer per-doc sum. Scale shape:
+    // tf rows ∝ query hits; cf and tot_tok are tiny broadcasts; the only
+    // corpus-width work is the dl projection.
+    "t_query_likelihood" -> ((s, dir) => {
+      val terms = Seq("data", "query", "dup")
+      val mu = lit(2000.0)
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val dls = base
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        .localCheckpoint() // reused: per-doc rows + corpus token total
+      val stats = dls.agg(sum(col("dl")).as("tot_tok"))
+      val tf = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // reused: per-doc hits + corpus frequencies
+      val cfreq = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cf"))
+      dls.crossJoin(broadcast(cfreq))
+        .join(tf, Seq("doc_id", "tok"), "left")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("dl"),
+          round(log((coalesce(col("tf"), lit(0L)).cast("double") +
+              mu * (col("cf").cast("double") / col("tot_tok").cast("double"))) /
+              (col("dl").cast("double") + mu)) * lit(1e6))
+            .cast("long").as("q"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("dl")).as("dl"), sum(col("q")).as("score_q"))
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Crawl-domain analytics: URL → host via the codegen'd parse_url
     // builtin, registrable domain + tld by label split, per-domain doc/char
     // rollup with a blocklist cut — the standard crawl-curation step
@@ -1138,6 +1174,29 @@ object PretrainQueries extends QueryPack {
          |SELECT doc_id, tok AS top_term, CAST(tf AS BIGINT) AS tf,
          |  CAST(tok_df AS BIGINT) AS tok_df
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "t_query_likelihood" ->
+      s"""WITH t AS (SELECT doc_id, ${TextQueries.toksSql} AS w FROM documents),
+         |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+         |stats AS (SELECT CAST(sum(dl) AS BIGINT) AS tot_tok FROM dls),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+         |  WHERE tok IN ('data', 'query', 'dup')
+         |  GROUP BY doc_id, tok),
+         |cf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY tok),
+         |c AS (SELECT dls.doc_id, dls.dl, CAST(round(
+         |    ln((CAST(COALESCE(tf.tf, 0) AS DOUBLE)
+         |        + CAST(2000.0 AS DOUBLE)
+         |          * (CAST(cf.cf AS DOUBLE) / CAST(tot_tok AS DOUBLE)))
+         |       / (CAST(dls.dl AS DOUBLE) + CAST(2000.0 AS DOUBLE)))
+         |    * 1000000) AS BIGINT) AS q
+         |  FROM dls CROSS JOIN cf
+         |  LEFT JOIN tf ON tf.doc_id = dls.doc_id AND tf.tok = cf.tok
+         |  CROSS JOIN stats)
+         |SELECT doc_id, CAST(max(dl) AS BIGINT) AS dl,
+         |  CAST(sum(q) AS BIGINT) AS score_q
+         |FROM c GROUP BY doc_id
+         |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
 
     "t_bm25_topk" ->
       s"""WITH t AS (SELECT doc_id, ${TextQueries.toksSql} AS w FROM documents),

@@ -568,6 +568,17 @@ class PretrainSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("query likelihood: smoothed scores are negative log-ratios, ranked " +
+    "desc, and every doc (hit or not) is scoreable") {
+    val got = graft.SparkEntry.queries("t_query_likelihood")(
+      spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 20)
+    // num = tf + μ·p ≤ dl + μ = den ⇒ every per-term log-ratio ≤ 0
+    assert(got.forall(_._3 <= 0L), got.take(3).mkString(", "))
+    assert(got.map(_._3).toSeq == got.map(_._3).sortBy(-_).toSeq)
+  }
+
   test("noveltyScores: first doc scores 10^6, exact recrawl 0, partial " +
     "overlap counts only unseen shingles; short docs score (0,0,0)") {
     val docs = Seq(
