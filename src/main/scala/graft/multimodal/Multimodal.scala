@@ -830,6 +830,46 @@ object Multimodal {
     }
   }
 
+  /** Central-difference gradient energy over the REAL pixel decode — the
+    * classic sharpness / blur screen for image corpora (blurry or flat
+    * crawl images score near 0 and get filtered before training). Gray is
+    * the un-normalized channel sum r+g+b; energies are exact integers:
+    * gx = Σ |gray(x+1,y) − gray(x−1,y)| over interior columns,
+    * gy = Σ |gray(x,y+1) − gray(x,y−1)| over interior rows.
+    * Full Sobel or Laplacian variants drop into the same per-partition
+    * loop without changing the plan.
+    */
+  case class GradientEnergy(
+      media_id: Long, width: Int, height: Int,
+      gx_energy: Long, gy_energy: Long)
+
+  def gradientEnergy(media: Dataset[MediaRecord]): Dataset[GradientEnergy] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      ImageCodec.decodePixels(r.bytes).map { case (w, h, px) =>
+        def gray(x: Int, y: Int): Int = {
+          val s = (y * w + x) * 3
+          (px(s) & 0xFF) + (px(s + 1) & 0xFF) + (px(s + 2) & 0xFF)
+        }
+        var gx = 0L; var gy = 0L
+        var y = 0
+        while (y < h) {
+          var x = 1
+          while (x < w - 1) { gx += math.abs(gray(x + 1, y) - gray(x - 1, y)); x += 1 }
+          y += 1
+        }
+        var x = 0
+        while (x < w) {
+          var yy = 1
+          while (yy < h - 1) { gy += math.abs(gray(x, yy + 1) - gray(x, yy - 1)); yy += 1 }
+          x += 1
+        }
+        GradientEnergy(r.media_id, w, h, gx, gy)
+      }
+    }
+  }
+
   /** Shot-boundary detection over REAL AVI frame payloads: the classic
     * frame-difference cut detector — per consecutive frame pair, the
     * absolute change in total frame intensity (here the exact byte sum of

@@ -177,6 +177,14 @@ object MultimodalQueries extends QueryPack {
         Multimodal.audioTable(Tables.load(s, dir, "documents"))).toDF()
         .orderBy(col("media_id"), col("block_index"), col("band"))),
 
+    // Sharpness screen: central-difference gradient energy over the REAL
+    // BMP/PNG pixel decode, exact integers both axes. Oracle recomputes
+    // both sums from the pixel law.
+    "m_gradient_energy" -> ((s, dir) =>
+      Multimodal.gradientEnergy(
+        Multimodal.imageTable(Tables.load(s, dir, "documents"))).toDF()
+        .orderBy(col("media_id"))),
+
     // Gradient (difference) hash near-dups: brightness-shift-invariant
     // sibling of m_ahash_dups on the same real pixel decode. Oracle
     // recomputes the 24-bit gradient hash from the pixel law and
@@ -492,6 +500,36 @@ object MultimodalQueries extends QueryPack {
         |        AS BIGINT)),
         |    w -> w * w)) AS BIGINT) AS energy
         |FROM g ORDER BY media_id, block_index, band""".stripMargin,
+
+    // gray(p) = byte(3p) + byte(3p+1) + byte(3p+2) with the m_pixel_stats
+    // byte law; gx over interior columns (1 ≤ p%w ≤ w−2), gy over interior
+    // rows (1 ≤ p//w ≤ h−2)
+    "m_gradient_energy" ->
+      """WITH d AS (SELECT doc_id AS media_id, text, length(text) AS len,
+        |    doc_id % 64 + 16 AS w, doc_id % 48 + 12 AS h FROM documents)
+        |SELECT media_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CASE WHEN len = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    CAST(list_sum(list_transform(range(0, w * h), p ->
+        |      CASE WHEN p % w >= 1 AND p % w <= w - 2 THEN
+        |        abs((ord(substr(text, CAST((3*(p+1)) % len AS INTEGER) + 1, 1))
+        |           + ord(substr(text, CAST((3*(p+1)+1) % len AS INTEGER) + 1, 1))
+        |           + ord(substr(text, CAST((3*(p+1)+2) % len AS INTEGER) + 1, 1)))
+        |          - (ord(substr(text, CAST((3*(p-1)) % len AS INTEGER) + 1, 1))
+        |           + ord(substr(text, CAST((3*(p-1)+1) % len AS INTEGER) + 1, 1))
+        |           + ord(substr(text, CAST((3*(p-1)+2) % len AS INTEGER) + 1, 1))))
+        |      ELSE 0 END)) AS BIGINT) END AS gx_energy,
+        |  CASE WHEN len = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    CAST(list_sum(list_transform(range(0, w * h), p ->
+        |      CASE WHEN p // w >= 1 AND p // w <= h - 2 THEN
+        |        abs((ord(substr(text, CAST((3*(p+w)) % len AS INTEGER) + 1, 1))
+        |           + ord(substr(text, CAST((3*(p+w)+1) % len AS INTEGER) + 1, 1))
+        |           + ord(substr(text, CAST((3*(p+w)+2) % len AS INTEGER) + 1, 1)))
+        |          - (ord(substr(text, CAST((3*(p-w)) % len AS INTEGER) + 1, 1))
+        |           + ord(substr(text, CAST((3*(p-w)+1) % len AS INTEGER) + 1, 1))
+        |           + ord(substr(text, CAST((3*(p-w)+2) % len AS INTEGER) + 1, 1))))
+        |      ELSE 0 END)) AS BIGINT) END AS gy_energy
+        |FROM d ORDER BY media_id""".stripMargin,
 
     // dhash bit layout: horizontal (cell r,c vs r,c+1) at pos r·3+c for
     // c<3; vertical (cell vs cell+4) at pos 12+cell. avg comparison is the

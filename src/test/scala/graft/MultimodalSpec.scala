@@ -509,6 +509,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("gradientEnergy: flat image scores 0, a vertical step edge puts all " +
+    "energy in gx, hand fold matches on a textured fixture") {
+    def bmp(w: Int, h: Int, pix: Int => Byte) =
+      ImageCodec.encodeBmp(w, h, pix)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", bmp(6, 5, _ => 77.toByte),
+        "bmp", 6, 5, 0L),
+      // left half dark, right half bright: gray jumps across x = 2|3
+      Multimodal.MediaRecord(2L, "image",
+        bmp(6, 5, i => if ((i / 3) % 6 < 3) 10.toByte else 90.toByte),
+        "bmp", 6, 5, 0L),
+      Multimodal.MediaRecord(3L, "image",
+        bmp(4, 4, i => ((i * 37) % 101).toByte), "bmp", 4, 4, 0L))
+      .toDS()
+    val g = Multimodal.gradientEnergy(media).collect()
+      .map(e => e.media_id -> e).toMap
+    assert((g(1L).gx_energy, g(1L).gy_energy) == (0L, 0L))
+    assert(g(2L).gx_energy > 0 && g(2L).gy_energy == 0L, g(2L).toString)
+    // hand fold on the textured 4×4
+    val px = Array.tabulate(4 * 4 * 3)(i => ((i * 37) % 101).toByte)
+    def gray(x: Int, y: Int) = (0 until 3).map(c =>
+      px((y * 4 + x) * 3 + c) & 0xFF).sum
+    val wantGx = (for (y <- 0 until 4; x <- 1 to 2)
+      yield math.abs(gray(x + 1, y) - gray(x - 1, y)).toLong).sum
+    val wantGy = (for (x <- 0 until 4; y <- 1 to 2)
+      yield math.abs(gray(x, y + 1) - gray(x, y - 1)).toLong).sum
+    assert((g(3L).gx_energy, g(3L).gy_energy) == (wantGx, wantGy))
+  }
+
   test("shotBoundaries: cut fires only across the planted discontinuity; " +
     "audioDecimate matches a hand fold of the [1,2,1] FIR") {
     // 4 frames: two dark, two bright → one cut at transition index 2
