@@ -48,6 +48,33 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Matryoshka-style truncation evaluation: retrieval with only the
+    // FIRST 8 embedding dimensions vs the full-width exact top-k — the
+    // standard check before shipping truncated vectors to a cheaper index
+    // tier. Both rankings are exact brute force (the sliced one runs on
+    // slice()'d arrays), per-query overlap and recall in exact integer
+    // micro-units. Oracle re-ranks both widths independently in SQL.
+    "v_matryoshka_eval" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cut = emb.withColumn("embedding", slice(col("embedding"), 1, 8))
+      val full = Similarity.bruteForceTopK(emb, queriesOf(emb),
+        "vec_id", "embedding", k)
+      val trunc = Similarity.bruteForceTopK(cut, queriesOf(cut),
+        "vec_id", "embedding", k)
+      full.select(col("query_id"), col("neighbor_id"))
+        .join(trunc.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+        .join(queriesOf(emb).select(col("vec_id").as("query_id")),
+          Seq("query_id"), "right")
+        .select(col("query_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          // k = 10 divides 10⁶, so recall stays in exact integer units
+          (coalesce(col("n_overlap"), lit(0L)) * lit(1000000L / k))
+            .as("recall_q"))
+        .orderBy(col("query_id"))
+    }),
+
     // Johnson–Lindenstrauss sketch with the storage-free deterministic
     // Rademacher matrix (sign = popcount parity of an integer mix of the
     // two indices). Long-format dump of every projected coordinate; the
@@ -1143,6 +1170,38 @@ object SimilarityQueries extends QueryPack {
          |  FROM sims)
          |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked
          |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin,
+
+    "v_matryoshka_eval" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+         |full_r AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${dotSql("q", "c")} / (q.nrm * c.nrm) DESC, c.vec_id)
+         |      AS rnk
+         |  FROM q JOIN e c ON q.vec_id <> c.vec_id),
+         |t AS (SELECT vec_id, embedding[1:8] AS embedding FROM embeddings),
+         |t2 AS (SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(range(1, 9), i ->
+         |      CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+         |      AS nrm FROM t),
+         |qt AS (SELECT * FROM t2 WHERE vec_id % 97 = 0),
+         |tr_r AS (
+         |  SELECT qt.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY qt.vec_id
+         |      ORDER BY list_sum(list_transform(range(1, 9), i ->
+         |          CAST(qt.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         |        / (qt.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |  FROM qt JOIN t2 c ON qt.vec_id <> c.vec_id),
+         |ov AS (SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM (SELECT * FROM full_r WHERE rnk <= $k) f
+         |  JOIN (SELECT * FROM tr_r WHERE rnk <= $k) t
+         |    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+         |  GROUP BY f.query_id)
+         |SELECT q.vec_id AS query_id, COALESCE(n_overlap, 0) AS n_overlap,
+         |  CAST(COALESCE(n_overlap, 0) * ${1000000L / k} AS BIGINT) AS recall_q
+         |FROM q LEFT JOIN ov ON ov.query_id = q.vec_id
+         |ORDER BY query_id""".stripMargin,
 
     "v_jl_projection" ->
       """WITH p AS (SELECT vec_id, embedding,
