@@ -632,6 +632,86 @@ object Graph {
     d.select(col("v").as("vertex"), col("dist"))
   }
 
+  /** SAMPLED Brandes betweenness centrality (Brandes 2001; Bader et al.'s
+    * sampling regime) in fixed-point INTEGER arithmetic. For every seed s:
+    * a synchronous BFS builds per-layer frames (seed, v, σ) where σ counts
+    * shortest s→v paths (sum over parents — exact integers); then the
+    * dependency recursion accumulates BACKWARD layer by layer in quantized
+    * micro-units: each DAG edge (v, u) with u one layer deeper contributes
+    * ⌊σ(v)·(10⁶ + δq(u)) / σ(u)⌋, and δq(v) is the integer sum of its
+    * edge contributions — the [[pageRankInt]] convention, so the per-group
+    * sums are order-free and the oracle can replay every division.
+    * bc_q(v) = Σ over seeds of δq(v), v ≠ s (≈ 10⁶ × the true sampled
+    * betweenness; truncation error < 1 micro-unit per DAG edge).
+    *
+    * Budget semantics ([[bfsLayers]] contract): paths longer than
+    * `maxDepth` hops do not exist for this estimate, and the deepest
+    * layer's vertices carry δ = 0 (they end every budgeted path), so the
+    * output covers vertices reached at layers 1..maxDepth−1.
+    *
+    * `edges` must be symmetric, distinct, irreflexive for the undirected
+    * reading. Scale posture: everything is (seed, v)-keyed narrow frames —
+    * per layer one edge⋈frontier equi-join, one map-combinable sum, one
+    * anti-join (forward) / one left join (backward); seeds are a SAMPLE
+    * (that is the published estimator), so frame width is |S|·|V| at
+    * worst, tunable by the seed rate, never all-pairs.
+    *
+    * Output: (`vertex`, `n_seeds`, `bc_q`) — n_seeds = how many sampled
+    * sources reached the vertex inside the accumulation window.
+    */
+  def betweennessInt(edges: DataFrame, src: String, dst: String,
+      seeds: DataFrame, seedCol: String, maxDepth: Int = 3,
+      unit: Long = 1000000L): DataFrame = {
+    require(maxDepth >= 2, "betweennessInt needs maxDepth >= 2")
+    val e = edges.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"))
+      .localCheckpoint()
+    val sd = seeds.select(col(seedCol).cast("long").as("seed")).distinct()
+    var layers = Vector(
+      sd.select(col("seed"), col("seed").as("v"), lit(1L).as("sigma"))
+        .localCheckpoint())
+    var visited = layers(0).select(col("seed"), col("v")).localCheckpoint()
+    for (_ <- 1 to maxDepth) {
+      val cand = e
+        .join(layers.last.select(col("seed"), col("v").as("a"), col("sigma")),
+          Seq("a"))
+        .groupBy(col("seed"), col("b").as("v"))
+        .agg(sum(col("sigma")).as("sigma"))
+      val nf = cand.join(visited, Seq("seed", "v"), "left_anti")
+        .localCheckpoint()
+      val nextVisited = visited
+        .unionByName(nf.select(col("seed"), col("v")))
+        .localCheckpoint()
+      org.apache.spark.sql.graftx.CheckpointUtils
+        .unpersistLocalCheckpoint(visited)
+      visited = nextVisited
+      layers :+= nf
+    }
+    // backward dependency accumulation; `deltas` is always layer d+1
+    var deltas = layers(maxDepth)
+      .select(col("seed"), col("v"), col("sigma"), lit(0L).as("delta"))
+    var acc = Vector.empty[DataFrame]
+    for (d <- (maxDepth - 1) to 1 by -1) {
+      val contrib = layers(d)
+        .select(col("seed"), col("v").as("a"), col("sigma").as("sv"))
+        .join(e, Seq("a"))
+        .join(deltas.select(col("seed"), col("v").as("b"),
+          col("sigma").as("su"), col("delta").as("du")), Seq("seed", "b"))
+        .groupBy(col("seed"), col("a").as("v"))
+        .agg(sum(expr(s"(sv * ($unit + du)) div su")).as("dsum"))
+      val dd = layers(d).join(contrib, Seq("seed", "v"), "left")
+        .select(col("seed"), col("v"), col("sigma"),
+          coalesce(col("dsum"), lit(0L)).as("delta"))
+        .localCheckpoint()
+      deltas = dd
+      acc :+= dd
+    }
+    acc.reduce(_ unionByName _)
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n_seeds"), sum(col("delta")).as("bc_q"))
+      .select(col("v").as("vertex"), col("n_seeds"), col("bc_q"))
+  }
+
   /** Per-seed BFS distances from a SAMPLED source set — the state behind
     * sampled harmonic / closeness centrality (Boldi & Vigna 2014's
     * pragmatic answer to exact all-pairs distances being hopeless at

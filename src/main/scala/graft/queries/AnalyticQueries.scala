@@ -524,6 +524,21 @@ object AnalyticQueries extends QueryPack {
     // all-pairs distances. Per-seed BFS waves share one plan (seed rides
     // as a grouping column); the oracle unrolls the same rounds with the
     // seed column carried.
+    // Sampled Brandes betweenness in fixed-point integers over the part
+    // co-occurrence graph — seeds are the a_harmonic_centrality sample.
+    // The oracle unrolls both passes: 3 BFS layers with exact path counts,
+    // then the dependency recursion with every per-edge ⌊σv(10⁶+δu)/σu⌋
+    // division replayed.
+    "a_betweenness" -> ((s, dir) => {
+      val seeds = Tables.load(s, dir, "part")
+        .filter(col("p_partkey") % 101 === 0)
+        .select(col("p_partkey"))
+      graft.operators.Graph.betweennessInt(partGraph(s, dir), "a", "b",
+          seeds, "p_partkey", maxDepth = 3)
+        .select(col("vertex").as("part_id"), col("n_seeds"), col("bc_q"))
+        .orderBy(col("part_id"))
+    }),
+
     "a_harmonic_centrality" -> ((s, dir) => {
       val seeds = Tables.load(s, dir, "part")
         .filter(col("p_partkey") % 101 === 0)
@@ -1226,6 +1241,56 @@ object AnalyticQueries extends QueryPack {
          |${bround(3)}
          |SELECT v AS part_id, CAST(dist AS BIGINT) AS dist FROM d3
          |ORDER BY part_id""".stripMargin
+    },
+
+    "a_betweenness" -> {
+      // forward: per-layer path counts (sum over parents), frontier =
+      // candidates minus visited; backward: integer dependency recursion
+      s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+         |    l_partkey AS p FROM lineitem),
+         |e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p <> y.p),
+         |sd AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS seed
+         |  FROM part WHERE p_partkey % 101 = 0),
+         |l0 AS MATERIALIZED (SELECT seed, seed AS v,
+         |  CAST(1 AS BIGINT) AS sigma FROM sd),
+         |c1 AS (SELECT l.seed, e.b AS v, CAST(sum(l.sigma) AS BIGINT) AS sigma
+         |  FROM l0 l JOIN e ON e.a = l.v GROUP BY 1, 2),
+         |l1 AS MATERIALIZED (SELECT c1.seed, c1.v, c1.sigma FROM c1
+         |  LEFT JOIN l0 ON l0.seed = c1.seed AND l0.v = c1.v
+         |  WHERE l0.v IS NULL),
+         |c2 AS (SELECT l.seed, e.b AS v, CAST(sum(l.sigma) AS BIGINT) AS sigma
+         |  FROM l1 l JOIN e ON e.a = l.v GROUP BY 1, 2),
+         |vis1 AS (SELECT seed, v FROM l0 UNION ALL SELECT seed, v FROM l1),
+         |l2 AS MATERIALIZED (SELECT c2.seed, c2.v, c2.sigma FROM c2
+         |  LEFT JOIN vis1 ON vis1.seed = c2.seed AND vis1.v = c2.v
+         |  WHERE vis1.v IS NULL),
+         |c3 AS (SELECT l.seed, e.b AS v, CAST(sum(l.sigma) AS BIGINT) AS sigma
+         |  FROM l2 l JOIN e ON e.a = l.v GROUP BY 1, 2),
+         |vis2 AS (SELECT seed, v FROM vis1 UNION ALL SELECT seed, v FROM l2),
+         |l3 AS MATERIALIZED (SELECT c3.seed, c3.v, c3.sigma FROM c3
+         |  LEFT JOIN vis2 ON vis2.seed = c3.seed AND vis2.v = c3.v
+         |  WHERE vis2.v IS NULL),
+         |d3 AS (SELECT seed, v, sigma, CAST(0 AS BIGINT) AS delta FROM l3),
+         |x2 AS (SELECT l.seed, l.v,
+         |    CAST(sum((l.sigma * (1000000 + nx.delta)) // nx.sigma)
+         |      AS BIGINT) AS dsum
+         |  FROM l2 l JOIN e ON e.a = l.v
+         |  JOIN d3 nx ON nx.seed = l.seed AND nx.v = e.b GROUP BY 1, 2),
+         |d2 AS MATERIALIZED (SELECT l.seed, l.v, l.sigma,
+         |    COALESCE(x2.dsum, 0) AS delta
+         |  FROM l2 l LEFT JOIN x2 ON x2.seed = l.seed AND x2.v = l.v),
+         |x1 AS (SELECT l.seed, l.v,
+         |    CAST(sum((l.sigma * (1000000 + nx.delta)) // nx.sigma)
+         |      AS BIGINT) AS dsum
+         |  FROM l1 l JOIN e ON e.a = l.v
+         |  JOIN d2 nx ON nx.seed = l.seed AND nx.v = e.b GROUP BY 1, 2),
+         |d1 AS (SELECT l.seed, l.v, l.sigma, COALESCE(x1.dsum, 0) AS delta
+         |  FROM l1 l LEFT JOIN x1 ON x1.seed = l.seed AND x1.v = l.v)
+         |SELECT v AS part_id, CAST(count(*) AS BIGINT) AS n_seeds,
+         |  CAST(sum(delta) AS BIGINT) AS bc_q
+         |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+         |GROUP BY v ORDER BY part_id""".stripMargin
     },
 
     "a_harmonic_centrality" -> {

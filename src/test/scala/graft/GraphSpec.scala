@@ -290,6 +290,31 @@ class GraphSpec extends AnyFunSuite {
   private def sym(edges: (Long, Long)*) =
     edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct.toDF("a", "b")
 
+  test("betweennessInt: chain dependencies accumulate through layers and " +
+    "the diamond splits flow by exact path-count ratios") {
+    def sym(ps: (Long, Long)*) =
+      (ps ++ ps.map(_.swap)).toDF("a", "b")
+    def seedsOf(ids: Long*) = ids.toDF("s")
+    // path 1-2-3-4-5, seed 1, depth 3: δ(3)=10⁶, δ(2)=2·10⁶; 4 is the
+    // deepest layer (δ 0, excluded), 5 unreached
+    val path = Graph.betweennessInt(sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+        "a", "b", seedsOf(1L), "s", maxDepth = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(path == Set((2L, 1L, 2000000L), (3L, 1L, 1000000L)), path.toString)
+    // diamond 1-2-4, 1-3-4: two shortest paths; each middle carries σ-ratio
+    // 1/2 of the unit flow
+    val diamond = sym((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val one = Graph.betweennessInt(diamond, "a", "b", seedsOf(1L), "s",
+        maxDepth = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(one == Set((2L, 1L, 500000L), (3L, 1L, 500000L)), one.toString)
+    // symmetric seeds double the split and the seed count
+    val two = Graph.betweennessInt(diamond, "a", "b", seedsOf(1L, 4L), "s",
+        maxDepth = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(two == Set((2L, 2L, 1000000L), (3L, 2L, 1000000L)), two.toString)
+  }
+
   test("kTrussPeel: 4-truss keeps the K5, drops the bridge and the pendant " +
     "triangle; k=2 keeps even support-0 edges") {
     // K5 on 1..5 (each edge closes 3 triangles), bridge 5-6 (support 0),
