@@ -76,6 +76,25 @@ object EventQueries extends QueryPack {
     // correlation over pairs derives from decimal-exact sums through the
     // same double shape as a_regression_stats, so r1 is bit-equal
     // cross-engine. One window + one mergeable aggregation.
+    // Burstiness screen: per-user index of dispersion (variance-to-mean of
+    // ACTIVE-day event counts) in exact integer micro-units — Poisson
+    // traffic sits near 10⁶, bots and scripted bursts far above. One
+    // narrow two-level aggregation; dispersion_q = (n·Σx²−(Σx)²)·10⁶ div
+    // ((n−1)·Σx) never touches a double.
+    "e_burstiness" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("n_events"),
+          sum(col("x") * col("x")).as("s2"))
+        .filter(col("n_days") >= 2)
+        .select(col("user_id"), col("n_days"), col("n_events"),
+          expr("""((n_days * s2 - n_events * n_events) * 1000000)
+                  div ((n_days - 1) * n_events)""").as("dispersion_q"))
+        .orderBy(col("user_id"))
+    }),
+
     "e_autocorr" -> ((s, dir) => {
       import graft.ops.Aggregations.sumStable
       val w = Window.partitionBy(col("event_type"))
@@ -529,6 +548,17 @@ object EventQueries extends QueryPack {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    "e_burstiness" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS n_events,
+        |    CAST(sum(x * x) AS BIGINT) AS s2 FROM daily GROUP BY 1)
+        |SELECT user_id, n_days, n_events,
+        |  CAST(((n_days * s2 - n_events * n_events) * 1000000)
+        |    // ((n_days - 1) * n_events) AS BIGINT) AS dispersion_q
+        |FROM a WHERE n_days >= 2 ORDER BY user_id""".stripMargin,
+
     "e_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,

@@ -73,6 +73,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__pid"), p)
   }
 
+  test("betweenness: forward frontier and backward dependency rounds are " +
+    "equi-joins — no BNLJ, no cartesian, no window") {
+    val p = plan("a_betweenness")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p) // per-(seed,v) sums, never a sort-rank
+  }
+
+  test("k-truss: triangle enumeration and the support peel are equi-joins") {
+    val p = plan("a_ktruss")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("walk corpus: hops are equi-joins (no BNLJ), adjacency window is " +
     "per-vertex") {
     val p = plan("a_walk_corpus")
