@@ -524,6 +524,46 @@ object AnalyticQueries extends QueryPack {
     // all-pairs distances. Per-seed BFS waves share one plan (seed rides
     // as a grouping column); the oracle unrolls the same rounds with the
     // seed column carried.
+    // RFM (recency / frequency / monetary) customer segmentation with
+    // TIE-COHERENT quintiles: scores come from comparing each customer
+    // against the four exact 20/40/60/80% order-statistic boundaries
+    // (Selection.exactQuantiles — two scans, no global-sort ntile, so the
+    // segmentation survives 10⁹ customers), equal values always share a
+    // score. Monetary is exact integer cents. rfm_code = r·100+f·10+m.
+    "a_rfm_segments" -> ((s, dir) => {
+      import graft.operators.Selection
+      val orders = Tables.load(s, dir, "orders")
+      val anchor = orders.agg(max(col("o_orderdate")).as("anchor"))
+      val base = orders.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("cents"))
+        .crossJoin(broadcast(anchor))
+        .select(col("o_custkey").as("custkey"),
+          datediff(col("anchor"), col("last_order")).cast("long")
+            .as("recency"),
+          col("frequency"), col("cents"))
+        .localCheckpoint() // read by three boundary scans + the scorer
+      val fr = Seq(0.2, 0.4, 0.6, 0.8)
+      def bounds(c: String): Seq[Double] =
+        Selection.exactQuantiles(base, c, fr)
+          .orderBy(col("frac")).select(col("value"))
+          .collect().map(_.getDouble(0)).toSeq // 4 values: bounded fetch
+      def above(c: String, bs: Seq[Double]) =
+        bs.map(b => when(col(c) > lit(b), 1).otherwise(0))
+          .reduce(_ + _)
+      val (br, bf, bm) = (bounds("recency"), bounds("frequency"), bounds("cents"))
+      base.select(col("custkey"), col("recency"), col("frequency"),
+          col("cents"),
+          (lit(5) - above("recency", br)).as("r_score"),
+          (lit(1) + above("frequency", bf)).as("f_score"),
+          (lit(1) + above("cents", bm)).as("m_score"))
+        .withColumn("rfm_code",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .orderBy(col("custkey"))
+    }),
+
     // Sampled Brandes betweenness in fixed-point integers over the part
     // co-occurrence graph — seeds are the a_harmonic_centrality sample.
     // The oracle unrolls both passes: 3 BFS layers with exact path counts,
@@ -1241,6 +1281,50 @@ object AnalyticQueries extends QueryPack {
          |${bround(3)}
          |SELECT v AS part_id, CAST(dist AS BIGINT) AS dist FROM d3
          |ORDER BY part_id""".stripMargin
+    },
+
+    "a_rfm_segments" -> {
+      // per-dim boundary: value at rank 1 + floor(f·(N−1)) — the
+      // Selection.exactQuantiles lower-interpolation convention
+      def dimBounds(tag: String, expr: String): String =
+        s"""r$tag AS (SELECT v, row_number() OVER (ORDER BY v) AS rn
+           |  FROM (SELECT CAST($expr AS DOUBLE) AS v FROM base)),
+           |b$tag AS (SELECT
+           |  max(CASE WHEN rn = 1 + CAST(floor(0.2 * (n - 1)) AS BIGINT)
+           |    THEN v END) AS b1,
+           |  max(CASE WHEN rn = 1 + CAST(floor(0.4 * (n - 1)) AS BIGINT)
+           |    THEN v END) AS b2,
+           |  max(CASE WHEN rn = 1 + CAST(floor(0.6 * (n - 1)) AS BIGINT)
+           |    THEN v END) AS b3,
+           |  max(CASE WHEN rn = 1 + CAST(floor(0.8 * (n - 1)) AS BIGINT)
+           |    THEN v END) AS b4
+           |  FROM r$tag CROSS JOIN nn)""".stripMargin
+      s"""WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+         |base AS (SELECT o_custkey AS custkey,
+         |    CAST(datediff('day', CAST(max(o_orderdate) AS DATE),
+         |      CAST(a AS DATE)) AS BIGINT) AS recency,
+         |    CAST(count(*) AS BIGINT) AS frequency,
+         |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS cents
+         |  FROM orders CROSS JOIN anchor GROUP BY o_custkey, a),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+         |${dimBounds("r", "recency")},
+         |${dimBounds("f", "frequency")},
+         |${dimBounds("m", "cents")},
+         |scored AS (SELECT custkey, recency, frequency, cents,
+         |  5 - ((recency > br.b1)::INT + (recency > br.b2)::INT
+         |     + (recency > br.b3)::INT + (recency > br.b4)::INT) AS r_score,
+         |  1 + ((frequency > bf.b1)::INT + (frequency > bf.b2)::INT
+         |     + (frequency > bf.b3)::INT + (frequency > bf.b4)::INT) AS f_score,
+         |  1 + ((cents > bm.b1)::INT + (cents > bm.b2)::INT
+         |     + (cents > bm.b3)::INT + (cents > bm.b4)::INT) AS m_score
+         |  FROM base CROSS JOIN br CROSS JOIN bf CROSS JOIN bm)
+         |SELECT custkey, recency, frequency, cents,
+         |  CAST(r_score AS INTEGER) AS r_score,
+         |  CAST(f_score AS INTEGER) AS f_score,
+         |  CAST(m_score AS INTEGER) AS m_score,
+         |  CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm_code
+         |FROM scored ORDER BY custkey""".stripMargin
     },
 
     "a_betweenness" -> {
