@@ -579,6 +579,32 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("part_id"))
     }),
 
+    // Neighborhood function N(h) (the HyperANF statistic, computed EXACTLY
+    // on the sampled seed set instead of with HLL registers): how many
+    // (seed, vertex) pairs sit within h hops, with the cumulative fraction
+    // of the depth-budget total in integer micro-units — the effective-
+    // diameter read-off (smallest h with frac ≥ 0.9). Reuses the per-seed
+    // BFS frames; one narrow aggregation over (seed, vertex, dist).
+    "a_neighborhood_fn" -> ((s, dir) => {
+      val seeds = Tables.load(s, dir, "part")
+        .filter(col("p_partkey") % 101 === 0)
+        .select(col("p_partkey"))
+      // aggregate to ≤ 4 (dist, count) rows FIRST; the cumulative non-equi
+      // join then touches only those 4 rows, never the pair frame
+      val byDist = graft.operators.Graph.multiSourceDistances(
+          partGraph(s, dir), "a", "b", seeds, "p_partkey", maxDepth = 3)
+        .groupBy(col("dist")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val hs = byDist.sparkSession.range(0, 4).select(col("id").as("h"))
+      val per = hs.join(byDist, col("dist") <= col("h"))
+        .groupBy(col("h")).agg(sum(col("c")).as("n_pairs"))
+      val tot = byDist.agg(sum(col("c")).as("n_total"))
+      per.crossJoin(broadcast(tot))
+        .select(col("h").cast("int").as("h"), col("n_pairs"),
+          expr("(n_pairs * 1000000) div n_total").as("frac_q"))
+        .orderBy(col("h"))
+    }),
+
     "a_harmonic_centrality" -> ((s, dir) => {
       val seeds = Tables.load(s, dir, "part")
         .filter(col("p_partkey") % 101 === 0)
@@ -1375,6 +1401,34 @@ object AnalyticQueries extends QueryPack {
          |  CAST(sum(delta) AS BIGINT) AS bc_q
          |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
          |GROUP BY v ORDER BY part_id""".stripMargin
+    },
+
+    "a_neighborhood_fn" -> {
+      def hround(k: Int): String =
+        s"""c$k AS (SELECT d.seed, e.b AS v, d.dist + 1 AS dist
+           |  FROM e JOIN d${k - 1} d ON d.v = e.a),
+           |d$k AS (SELECT seed, v, min(dist) AS dist FROM (
+           |  SELECT * FROM d${k - 1} UNION ALL SELECT * FROM c$k)
+           |  GROUP BY seed, v)""".stripMargin
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |    FROM lineitem),
+         |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p <> y.p),
+         |sd AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS seed
+         |  FROM part WHERE p_partkey % 101 = 0),
+         |d0 AS (SELECT seed, seed AS v, CAST(0 AS BIGINT) AS dist FROM sd),
+         |${hround(1)},
+         |${hround(2)},
+         |${hround(3)},
+         |bd AS MATERIALIZED (SELECT dist, CAST(count(*) AS BIGINT) AS c
+         |  FROM d3 GROUP BY dist),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM bd),
+         |per AS (SELECT h.h, CAST(sum(bd.c) AS BIGINT) AS n_pairs
+         |  FROM (SELECT unnest(range(0, 4)) AS h) h
+         |  JOIN bd ON bd.dist <= h.h GROUP BY h.h)
+         |SELECT CAST(h AS INTEGER) AS h, n_pairs,
+         |  CAST((n_pairs * 1000000) // n_total AS BIGINT) AS frac_q
+         |FROM per CROSS JOIN tot ORDER BY h""".stripMargin
     },
 
     "a_harmonic_centrality" -> {
