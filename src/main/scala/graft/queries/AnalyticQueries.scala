@@ -356,6 +356,39 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("part_id"))
     }),
 
+    // Per-community CONDUCTANCE φ = cut / min(vol, vol_rest) over the
+    // a_communities labels — the complement of modularity (a low-φ
+    // community is genuinely separable; LPA labels with high φ are noise).
+    // Cut and volume both count directed (symmetric) edges, so φ is an
+    // exact integer ratio in micro-units. Two narrow label joins + three
+    // map-combinable aggregations.
+    "a_conductance" -> ((s, dir) => {
+      val g = partGraph(s, dir).localCheckpoint()
+      val labels = graft.operators.Graph.labelPropagation(g, "a", "b",
+          iters = 3)
+        .select(col("vertex").as("v"), col("community").as("lab"))
+        .localCheckpoint() // read by the volume and both cut joins
+      val deg = g.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+      val vol = deg.join(labels, Seq("v"))
+        .groupBy(col("lab")).agg(sum(col("d")).as("vol"))
+        .localCheckpoint() // read by the total and the output join
+      val tot = vol.agg(sum(col("vol")).as("tv"))
+      val cut = g
+        .join(labels.select(col("v").as("a"), col("lab").as("la")), Seq("a"))
+        .join(labels.select(col("v").as("b"), col("lab").as("lb")), Seq("b"))
+        .filter(col("la") =!= col("lb"))
+        .groupBy(col("la").as("lab")).agg(count(lit(1)).as("cut_edges"))
+      vol.join(cut, Seq("lab"), "left").crossJoin(broadcast(tot))
+        .withColumn("cut0", coalesce(col("cut_edges"), lit(0L)))
+        .withColumn("mvol", least(col("vol"), col("tv") - col("vol")))
+        .select(col("lab").as("community"), col("vol"),
+          col("cut0").as("cut_edges"),
+          when(col("mvol") === 0, lit(0L))
+            .otherwise(expr("(cut0 * 1000000) div mvol"))
+            .as("conductance_q"))
+        .orderBy(col("community"))
+    }),
+
     // k-core density screen over the bipartite customer–part purchase
     // graph (vertex = customer, or part offset by 10⁹; edge = "bought at
     // least once", both directions): 4 synchronous peel rounds at k=20
@@ -1126,6 +1159,45 @@ object AnalyticQueries extends QueryPack {
          |${lpRound(3)}
          |SELECT v AS part_id, CAST(lab AS BIGINT) AS community FROM l3
          |ORDER BY part_id""".stripMargin
+    },
+
+    "a_conductance" -> {
+      // a_communities' unrolled LPA labels, then directed cut / volume
+      def lpRound(k: Int): String =
+        s"""c$k AS (SELECT e.b AS vv, l.lab, count(*) AS c
+           |  FROM e JOIN l${k - 1} l ON l.v = e.a GROUP BY e.b, l.lab),
+           |w$k AS (SELECT vv, lab FROM (
+           |    SELECT vv, lab,
+           |      row_number() OVER (PARTITION BY vv ORDER BY c DESC, lab) AS rn
+           |    FROM c$k) WHERE rn = 1),
+           |l$k AS (SELECT v.v, COALESCE(w$k.lab, v.v) AS lab
+           |  FROM v LEFT JOIN w$k ON w$k.vv = v.v)""".stripMargin
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |    FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p <> y.p),
+         |v AS (SELECT a AS v FROM e0 UNION SELECT b FROM e0),
+         |e AS (SELECT a, b FROM e0 UNION ALL SELECT v, v FROM v),
+         |l0 AS (SELECT v, v AS lab FROM v),
+         |${lpRound(1)},
+         |${lpRound(2)},
+         |${lpRound(3)},
+         |lab AS MATERIALIZED (SELECT v, lab FROM l3),
+         |deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d
+         |  FROM e0 GROUP BY a),
+         |vol AS MATERIALIZED (SELECT lab, CAST(sum(d) AS BIGINT) AS vol
+         |  FROM deg JOIN lab USING (v) GROUP BY lab),
+         |tot AS (SELECT CAST(sum(vol) AS BIGINT) AS tv FROM vol),
+         |cut AS (SELECT la.lab, CAST(count(*) AS BIGINT) AS cut
+         |  FROM e0 JOIN lab la ON la.v = e0.a JOIN lab lb ON lb.v = e0.b
+         |  WHERE la.lab <> lb.lab GROUP BY la.lab)
+         |SELECT vol.lab AS community, vol,
+         |  COALESCE(cut, 0) AS cut_edges,
+         |  CAST(CASE WHEN LEAST(vol, tv - vol) = 0 THEN 0
+         |    ELSE (COALESCE(cut, 0) * 1000000) // LEAST(vol, tv - vol)
+         |    END AS BIGINT) AS conductance_q
+         |FROM vol LEFT JOIN cut ON cut.lab = vol.lab CROSS JOIN tot
+         |ORDER BY community""".stripMargin
     },
 
     "a_kcore" -> {
