@@ -356,6 +356,30 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("part_id"))
     }),
 
+    // Degree distribution + Hill/MLE power-law exponent estimate
+    // α = 1 + n / Σ ln(dᵢ/d_min) — the scale-free check that tells a
+    // skew-mitigation plan whether hub salting is mandatory. Per-vertex
+    // log terms quantized to micro-nats BEFORE the order-free integer sum;
+    // α comes out as exact integer micro-units.
+    "a_degree_powerlaw" -> ((s, dir) => {
+      val deg = partGraph(s, dir)
+        .groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+        .localCheckpoint() // read by the extrema fetch and the sum
+      val ext = deg.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"),
+        count(lit(1)).as("n"))
+      deg.crossJoin(broadcast(ext))
+        .select(col("n"), col("dmin"), col("dmax"),
+          round(log(col("d").cast("double") / col("dmin").cast("double"))
+            * lit(1e6)).cast("long").as("q"))
+        .groupBy(col("n"), col("dmin"), col("dmax"))
+        .agg(sum(col("q")).as("sum_ln_q"))
+        .select(col("n").as("n_vertices"), col("dmin").as("d_min"),
+          col("dmax").as("d_max"), col("sum_ln_q"),
+          when(col("sum_ln_q") <= 0, lit(0L))
+            .otherwise(expr("1000000 + (n * 1000000000000) div sum_ln_q"))
+            .as("alpha_q"))
+    }),
+
     // Per-community CONDUCTANCE φ = cut / min(vol, vol_rest) over the
     // a_communities labels — the complement of modularity (a low-φ
     // community is genuinely separable; LPA labels with high φ are noise).
@@ -1160,6 +1184,26 @@ object AnalyticQueries extends QueryPack {
          |SELECT v AS part_id, CAST(lab AS BIGINT) AS community FROM l3
          |ORDER BY part_id""".stripMargin
     },
+
+    "a_degree_powerlaw" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |    FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM op x JOIN op y ON x.ok = y.ok AND x.p <> y.p),
+        |deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d
+        |  FROM e GROUP BY a),
+        |ext AS (SELECT CAST(min(d) AS BIGINT) AS dmin,
+        |    CAST(max(d) AS BIGINT) AS dmax,
+        |    CAST(count(*) AS BIGINT) AS n FROM deg),
+        |s AS (SELECT n, dmin, dmax,
+        |    CAST(sum(CAST(round(ln(CAST(d AS DOUBLE) / CAST(dmin AS DOUBLE))
+        |      * 1000000) AS BIGINT)) AS BIGINT) AS sum_ln_q
+        |  FROM deg CROSS JOIN ext GROUP BY n, dmin, dmax)
+        |SELECT n AS n_vertices, dmin AS d_min, dmax AS d_max, sum_ln_q,
+        |  CAST(CASE WHEN sum_ln_q <= 0 THEN 0
+        |    ELSE 1000000 + (n * 1000000000000) // sum_ln_q END AS BIGINT)
+        |    AS alpha_q
+        |FROM s""".stripMargin,
 
     "a_conductance" -> {
       // a_communities' unrolled LPA labels, then directed cut / volume
