@@ -870,6 +870,38 @@ object Multimodal {
     }
   }
 
+  /** Per-image gray-level histogram (8 buckets over the r+g+b sum range
+    * [0, 765]) — the front half of the entropy/contrast quality screen.
+    * Bucket counts are exact integers from the real pixel decode; the
+    * entropy itself is assembled downstream in SQL expressions (the
+    * engine-log convention shared with the text entropy queries), so this
+    * stays a pure integer scan.
+    */
+  case class GrayBucket(media_id: Long, bucket: Int, n_px: Long)
+
+  def grayHistogram(media: Dataset[MediaRecord],
+      buckets: Int = 8): Dataset[GrayBucket] = {
+    require(buckets >= 2 && buckets <= 256, s"bad buckets: $buckets")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      ImageCodec.decodePixels(r.bytes) match {
+        case Some((w, h, px)) =>
+          val counts = new Array[Long](buckets)
+          var p = 0
+          while (p < w * h) {
+            val s = p * 3
+            val gray = (px(s) & 0xFF) + (px(s + 1) & 0xFF) + (px(s + 2) & 0xFF)
+            counts(gray * buckets / 766) += 1
+            p += 1
+          }
+          counts.indices.filter(counts(_) > 0)
+            .map(b => GrayBucket(r.media_id, b, counts(b)))
+        case None => Seq.empty
+      }
+    }
+  }
+
   /** Shot-boundary detection over REAL AVI frame payloads: the classic
     * frame-difference cut detector — per consecutive frame pair, the
     * absolute change in total frame intensity (here the exact byte sum of

@@ -177,6 +177,26 @@ object MultimodalQueries extends QueryPack {
         Multimodal.audioTable(Tables.load(s, dir, "documents"))).toDF()
         .orderBy(col("media_id"), col("block_index"), col("band"))),
 
+    // Contrast screen: Shannon entropy of the 8-bucket gray histogram over
+    // the REAL pixel decode — flat/synthetic images score near 0, textured
+    // photos near ln 8. Per-bucket micro-nat terms quantize BEFORE the
+    // order-free integer sum (the t_token_entropy convention).
+    "m_image_entropy" -> ((s, dir) => {
+      val hist = Multimodal.grayHistogram(
+        Multimodal.imageTable(Tables.load(s, dir, "documents"))).toDF()
+        .localCheckpoint() // read by totals and the per-bucket terms
+      val tot = hist.groupBy(col("media_id")).agg(sum(col("n_px")).as("n"))
+      hist.join(tot, Seq("media_id"))
+        .select(col("media_id"), col("n"),
+          round(negate(col("n_px").cast("double") / col("n").cast("double")
+              * log(col("n_px").cast("double") / col("n").cast("double")))
+            * lit(1e6)).cast("long").as("q"))
+        .groupBy(col("media_id"))
+        .agg(max(col("n")).as("n_px"), count(lit(1)).as("n_buckets"),
+          sum(col("q")).as("entropy_q"))
+        .orderBy(col("media_id"))
+    }),
+
     // Sharpness screen: central-difference gradient energy over the REAL
     // BMP/PNG pixel decode, exact integers both axes. Oracle recomputes
     // both sums from the pixel law.
@@ -500,6 +520,33 @@ object MultimodalQueries extends QueryPack {
         |        AS BIGINT)),
         |    w -> w * w)) AS BIGINT) AS energy
         |FROM g ORDER BY media_id, block_index, band""".stripMargin,
+
+    // bucket = (r+g+b)·8 // 766; per-bucket term −p·ln(p) in micro-nats
+    "m_image_entropy" ->
+      """WITH d AS (SELECT doc_id AS media_id, text, length(text) AS len,
+        |    doc_id % 64 + 16 AS w, doc_id % 48 + 12 AS h FROM documents),
+        |px AS (SELECT media_id, text, len,
+        |    unnest(range(0, w * h)) AS p FROM d),
+        |g AS (SELECT media_id,
+        |    (CASE WHEN len = 0 THEN 0 ELSE
+        |      ord(substr(text, CAST((3*p) % len AS INTEGER) + 1, 1))
+        |      + ord(substr(text, CAST((3*p+1) % len AS INTEGER) + 1, 1))
+        |      + ord(substr(text, CAST((3*p+2) % len AS INTEGER) + 1, 1))
+        |     END) * 8 // 766 AS bucket
+        |  FROM px),
+        |hist AS (SELECT media_id, bucket, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2),
+        |tot AS (SELECT media_id, CAST(sum(c) AS BIGINT) AS n
+        |  FROM hist GROUP BY 1),
+        |q AS (SELECT hist.media_id, n,
+        |    CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS q
+        |  FROM hist JOIN tot USING (media_id))
+        |SELECT media_id, CAST(max(n) AS BIGINT) AS n_px,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(q) AS BIGINT) AS entropy_q
+        |FROM q GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     // gray(p) = byte(3p) + byte(3p+1) + byte(3p+2) with the m_pixel_stats
     // byte law; gx over interior columns (1 ≤ p%w ≤ w−2), gy over interior

@@ -509,6 +509,22 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("grayHistogram: flat image fills one bucket; an exact half/half " +
+    "two-tone splits 50/50 (entropy ln 2 downstream)") {
+    val flat = Seq(Multimodal.MediaRecord(1L, "image",
+      ImageCodec.encodeBmp(6, 4, _ => 50.toByte), "bmp", 6, 4, 0L)).toDS()
+    val hf = Multimodal.grayHistogram(flat).collect()
+    assert(hf.length == 1 && hf.head.n_px == 24)
+    assert(hf.head.bucket == 150 * 8 / 766)
+    // rows of 10s and rows of 90s: pixel p's row decides its tone
+    val twoTone = Seq(Multimodal.MediaRecord(2L, "image",
+      ImageCodec.encodeBmp(6, 4,
+        i => if ((i / 3 / 6) % 2 == 0) 10.toByte else 90.toByte),
+      "bmp", 6, 4, 0L)).toDS()
+    val ht = Multimodal.grayHistogram(twoTone).collect().sortBy(_.bucket)
+    assert(ht.length == 2 && ht.forall(_.n_px == 12), ht.mkString(", "))
+  }
+
   test("gradientEnergy: flat image scores 0, a vertical step edge puts all " +
     "energy in gx, hand fold matches on a textured fixture") {
     def bmp(w: Int, h: Int, pix: Int => Byte) =
