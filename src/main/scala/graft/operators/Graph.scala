@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
 
 /** Iterative graph operators for the dedup pipeline. The one that matters
   * at 100 TB: connected components over the near-duplicate pair graph, to
@@ -633,16 +634,27 @@ object Graph {
   }
 
   /** SAMPLED Brandes betweenness centrality (Brandes 2001; Bader et al.'s
-    * sampling regime) in fixed-point INTEGER arithmetic. For every seed s:
-    * a synchronous BFS builds per-layer frames (seed, v, σ) where σ counts
-    * shortest s→v paths (sum over parents — exact integers); then the
-    * dependency recursion accumulates BACKWARD layer by layer in quantized
-    * micro-units: each DAG edge (v, u) with u one layer deeper contributes
-    * ⌊σ(v)·(10⁶ + δq(u)) / σ(u)⌋, and δq(v) is the integer sum of its
-    * edge contributions — the [[pageRankInt]] convention, so the per-group
-    * sums are order-free and the oracle can replay every division.
+    * sampling regime) in fixed-point INTEGER arithmetic, organized
+    * register-per-vertex (Bader & Madduri's multi-source layout; Boldi &
+    * Vigna's HyperANF is the bitmap analogue): per-seed σ/δ counters ride
+    * ONE array per vertex, so every round is an |E|-row equi-join
+    * aggregating into |V| groups — never an |E|·|S| pair fan-out into
+    * |S|·|V| groups, and never a shuffle proportional to the fan-out
+    * (the element-wise [[org.apache.spark.sql.graftx.LongVectorSumAgg]]
+    * collapses it map-side).
+    *
+    * Forward, per layer: σ(v)[s] = Σ over neighbor parents of σ[s]
+    * (exact long sums), masked to first-reach by a packed visited bitmap
+    * (⌈|S|/64⌉ words per vertex, maintained by codegen'd `bit_or`).
+    * Backward, per layer, quantized per CHILD in micro-units: u publishes
+    * tq(u)[s] = ⌊(10⁶ + δq(u)[s])·10⁶ / σ(u)[s]⌋, parents sum tq over
+    * their out-edges element-wise, and δq(v)[s] = ⌊σ(v)[s]·Σtq / 10⁶⌋.
+    * Every division is integer and replayable by the oracle; σ(u) ≥ σ(v)
+    * on a DAG edge bounds each σ(v)·tq(u) term by (10⁶+δq(u))·10⁶, so the
+    * ladder stays inside a long for max degree up to ~2000 at depth 3.
     * bc_q(v) = Σ over seeds of δq(v), v ≠ s (≈ 10⁶ × the true sampled
-    * betweenness; truncation error < 1 micro-unit per DAG edge).
+    * betweenness; quantization error < deg·σ(v)/10⁶ micro-units per
+    * vertex vs. the per-edge-exact recursion).
     *
     * Budget semantics ([[bfsLayers]] contract): paths longer than
     * `maxDepth` hops do not exist for this estimate, and the deepest
@@ -650,11 +662,11 @@ object Graph {
     * output covers vertices reached at layers 1..maxDepth−1.
     *
     * `edges` must be symmetric, distinct, irreflexive for the undirected
-    * reading. Scale posture: everything is (seed, v)-keyed narrow frames —
-    * per layer one edge⋈frontier equi-join, one map-combinable sum, one
-    * anti-join (forward) / one left join (backward); seeds are a SAMPLE
-    * (that is the published estimator), so frame width is |S|·|V| at
-    * worst, tunable by the seed rate, never all-pairs.
+    * reading. Scale posture: seeds are a SAMPLE (that is the published
+    * estimator) and are collected once to index the registers — bounded
+    * driver state by construction, the |S| knob also bounds the array
+    * width; state frames are |V| rows × O(|S|) longs (the same data the
+    * (seed,v) pair form holds, minus the per-pair row overhead).
     *
     * Output: (`vertex`, `n_seeds`, `bc_q`) — n_seeds = how many sampled
     * sources reached the vertex inside the accumulation window.
@@ -663,24 +675,58 @@ object Graph {
       seeds: DataFrame, seedCol: String, maxDepth: Int = 3,
       unit: Long = 1000000L): DataFrame = {
     require(maxDepth >= 2, "betweennessInt needs maxDepth >= 2")
+    val spark = edges.sparkSession
+    val seedIds = seeds.select(col(seedCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: seeds are the sample
+    val outSchema = StructType(Seq(
+      StructField("vertex", LongType),
+      StructField("n_seeds", LongType),
+      StructField("bc_q", LongType)))
+    if (seedIds.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
+    val n = seedIds.length
+    val nWords = (n + 63) / 64
     val e = edges.select(col(src).cast("long").as("a"),
         col(dst).cast("long").as("b"))
       .localCheckpoint()
-    val sd = seeds.select(col(seedCol).cast("long").as("seed")).distinct()
-    var layers = Vector(
-      sd.select(col("seed"), col("seed").as("v"), lit(1L).as("sigma"))
-        .localCheckpoint())
-    var visited = layers(0).select(col("seed"), col("v")).localCheckpoint()
+    val sigSchema = StructType(Seq(
+      StructField("v", LongType),
+      StructField("sig", ArrayType(LongType, containsNull = false))))
+    val initRows = seedIds.zipWithIndex.map { case (s, i) =>
+      Row(s,
+        Seq.tabulate(n)(j => if (j == i) 1L else 0L))
+    }
+    var layers = Vector(spark.createDataFrame(
+        spark.sparkContext.parallelize(initRows.toSeq, 1), sigSchema)
+      .localCheckpoint())
+    // packed visited bitmap: sig-nonzero bits of every layer so far,
+    // folded word-wise with codegen'd bit_or
+    val wordCols = (0 until nWords).map { w =>
+      expr(s"aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, j) -> " +
+        s"IF(${w * 64} + j < $n AND element_at(sig, ${w * 64} + j + 1) != 0, " +
+        s"acc | shiftleft(CAST(1 AS BIGINT), j), acc))").as(s"w$w")
+    }
+    val orAgg = (0 until nWords).map(w => expr(s"bit_or(w$w)").as(s"w$w"))
+    var visited = layers(0).select(col("v") +: wordCols: _*).localCheckpoint()
     for (_ <- 1 to maxDepth) {
       val cand = e
-        .join(layers.last.select(col("seed"), col("v").as("a"), col("sigma")),
-          Seq("a"))
-        .groupBy(col("seed"), col("b").as("v"))
-        .agg(sum(col("sigma")).as("sigma"))
-      val nf = cand.join(visited, Seq("seed", "v"), "left_anti")
+        .join(layers.last.select(col("v").as("a"), col("sig")), Seq("a"))
+        .groupBy(col("b").as("v"))
+        .agg(org.apache.spark.sql.graftx.VectorSumExpressions
+          .vectorSumLong(col("sig"), n).as("cand"))
+      val words = concat((0 until nWords)
+        .map(w => array(coalesce(col(s"w$w"), lit(0L)))): _*)
+      val nf = cand.join(visited, Seq("v"), "left")
+        .withColumn("words", words)
+        .select(col("v"), expr("transform(cand, (x, i) -> " +
+          "IF((shiftright(element_at(words, CAST(i div 64 AS INT) + 1), " +
+          "CAST(i % 64 AS INT)) & 1) = 1, CAST(0 AS BIGINT), x))").as("sig"))
+        .filter(expr("exists(sig, x -> x != 0)"))
         .localCheckpoint()
       val nextVisited = visited
-        .unionByName(nf.select(col("seed"), col("v")))
+        .unionByName(nf.select(col("v") +: wordCols: _*))
+        .groupBy(col("v")).agg(orAgg.head, orAgg.tail: _*)
         .localCheckpoint()
       org.apache.spark.sql.graftx.CheckpointUtils
         .unpersistLocalCheckpoint(visited)
@@ -689,66 +735,131 @@ object Graph {
     }
     // backward dependency accumulation; `deltas` is always layer d+1
     var deltas = layers(maxDepth)
-      .select(col("seed"), col("v"), col("sigma"), lit(0L).as("delta"))
+      .select(col("v"), col("sig"),
+        expr(s"array_repeat(CAST(0 AS BIGINT), $n)").as("delta"))
     var acc = Vector.empty[DataFrame]
     for (d <- (maxDepth - 1) to 1 by -1) {
-      val contrib = layers(d)
-        .select(col("seed"), col("v").as("a"), col("sigma").as("sv"))
-        .join(e, Seq("a"))
-        .join(deltas.select(col("seed"), col("v").as("b"),
-          col("sigma").as("su"), col("delta").as("du")), Seq("seed", "b"))
-        .groupBy(col("seed"), col("a").as("v"))
-        .agg(sum(expr(s"(sv * ($unit + du)) div su")).as("dsum"))
-      val dd = layers(d).join(contrib, Seq("seed", "v"), "left")
-        .select(col("seed"), col("v"), col("sigma"),
-          coalesce(col("dsum"), lit(0L)).as("delta"))
+      // per-child quantized terms, then the element-wise map-combinable
+      // per-parent sum: the |E| fan-out lives only inside the partial
+      // aggregate, and unreached seeds (σ = 0) contribute nothing
+      val tq = deltas.select(col("v").as("b"),
+        expr(s"zip_with(sig, delta, (sg, dl) -> IF(sg = 0, " +
+          s"CAST(0 AS BIGINT), (($unit + dl) * $unit) div sg))").as("tq"))
+      val tsum = e.join(tq, Seq("b"))
+        .groupBy(col("a").as("v"))
+        .agg(org.apache.spark.sql.graftx.VectorSumExpressions
+          .vectorSumLong(col("tq"), n).as("tsum"))
+      val dd = layers(d).join(tsum, Seq("v"), "left")
+        .select(col("v"), col("sig"),
+          expr(s"CASE WHEN tsum IS NULL THEN " +
+            s"array_repeat(CAST(0 AS BIGINT), $n) ELSE " +
+            s"zip_with(sig, tsum, (sg, t) -> (sg * t) div $unit) END")
+            .as("delta"))
         .localCheckpoint()
       deltas = dd
       acc :+= dd
     }
-    acc.reduce(_ unionByName _)
+    acc.map(_.select(col("v"),
+        expr("CAST(size(filter(sig, x -> x != 0)) AS BIGINT)").as("cnt"),
+        expr("aggregate(delta, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("dsum")))
+      .reduce(_ unionByName _)
       .groupBy(col("v"))
-      .agg(count(lit(1)).as("n_seeds"), sum(col("delta")).as("bc_q"))
+      .agg(sum(col("cnt")).as("n_seeds"), sum(col("dsum")).as("bc_q"))
       .select(col("v").as("vertex"), col("n_seeds"), col("bc_q"))
   }
 
   /** Per-seed BFS distances from a SAMPLED source set — the state behind
     * sampled harmonic / closeness centrality (Boldi & Vigna 2014's
     * pragmatic answer to exact all-pairs distances being hopeless at
-    * scale: run |S| tagged BFS waves at once and estimate from those).
-    * Unlike [[bfsLayers]] (which folds all seeds into ONE frontier via
-    * min), the seed id rides every frame as a grouping column, so the
-    * recurrence is |S| independent BFS runs in a single plan per round —
-    * one narrow edge⋈state equi-join and one map-side-combinable
-    * min per round, the [[labelSpread]] shape with min(d+1) for mass.
+    * scale: run |S| tagged BFS waves at once and estimate from those),
+    * organized as HyperANF organizes its registers: the per-seed
+    * reached-set is a PACKED BITMAP of ⌈|S|/64⌉ words per VERTEX, so a
+    * round is one |E|-row equi-join aggregating into |V| groups with
+    * codegen'd `bit_or` — never an |E|·|S| pair fan-out into |S|·|V|
+    * groups. Newly-set bits per round record that round's BFS layer
+    * (first-reach = BFS distance); the (seed, vertex, dist) rows only
+    * materialize in the final explode, after all the heavy lifting.
     *
-    * State is (seed, vertex, dist) for REACHED pairs only — never the
-    * dense |S|×|V| frame; the caller bounds it with the seed sample size
-    * and `maxDepth`, exactly the knobs the centrality estimator already
-    * has to pick.
+    * Seeds are collected once to index the bits — bounded driver state by
+    * construction (they are the sample; |S| is the estimator's own knob,
+    * and also bounds the row width). State frames are |V| rows × ⌈|S|/64⌉
+    * longs — 64 seeds per word of the pair-form's footprint.
     *
-    * Output: (`seed`, `vertex`, `dist`) with dist ∈ [0, maxDepth].
+    * Output: (`seed`, `vertex`, `dist`) with dist ∈ [0, maxDepth] —
+    * reached pairs only, identical to the tagged-pair formulation.
     */
   def multiSourceDistances(edges: DataFrame, src: String, dst: String,
       seeds: DataFrame, seedCol: String, maxDepth: Int = 3): DataFrame = {
     require(maxDepth >= 1, "multiSourceDistances needs at least one round")
+    val spark = edges.sparkSession
+    val seedIds = seeds.select(col(seedCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: seeds are the sample
+    val outSchema = StructType(Seq(
+      StructField("seed", LongType),
+      StructField("vertex", LongType),
+      StructField("dist", LongType)))
+    if (seedIds.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
+    val n = seedIds.length
+    val nWords = (n + 63) / 64
+    val wNames = (0 until nWords).map(w => s"w$w")
     val e = edges.select(col(src).cast("long").as("a"),
         col(dst).cast("long").as("b"))
       .localCheckpoint()
-    val sd = seeds.select(col(seedCol).cast("long").as("seed")).distinct()
-    var d = sd.select(col("seed"), col("seed").as("v"), lit(0L).as("dist"))
-      .localCheckpoint()
-    for (_ <- 1 to maxDepth) {
-      val cand = e.join(
-          d.select(col("seed"), col("v").as("a"), col("dist")), Seq("a"))
-        .select(col("seed"), col("b").as("v"), (col("dist") + 1L).as("dist"))
-      val next = d.unionByName(cand)
-        .groupBy(col("seed"), col("v")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
-      org.apache.spark.sql.graftx.CheckpointUtils.unpersistLocalCheckpoint(d)
-      d = next
+    val initSchema = StructType(
+      StructField("v", LongType) +:
+        wNames.map(wn => StructField(wn, LongType)))
+    val initRows = seedIds.zipWithIndex.map { case (s, i) =>
+      Row.fromSeq(s +:
+        Seq.tabulate(nWords)(w => if (i / 64 == w) 1L << (i % 64) else 0L))
     }
-    d.select(col("seed"), col("v").as("vertex"), col("dist"))
+    def ckpt(df: DataFrame) = df.localCheckpoint()
+    var frontier = ckpt(spark.createDataFrame(
+      spark.sparkContext.parallelize(initRows.toSeq, 1), initSchema))
+    var reached = ckpt(frontier.select(col("v") +: wNames.map(col): _*))
+    val orAgg = wNames.map(wn => expr(s"bit_or($wn)").as(wn))
+    var outFrames = Vector(frontier.withColumn("dist", lit(0L)))
+    for (d <- 1 to maxDepth) {
+      val cand = e
+        .join(frontier.withColumnRenamed("v", "a"), Seq("a"))
+        .groupBy(col("b").as("v"))
+        .agg(orAgg.head, orAgg.tail: _*)
+      // first-reach mask: bits set by a neighbor this round minus bits
+      // already owned — those are exactly the distance-d pairs
+      val nf = ckpt(cand
+        .join(reached.select(col("v") +:
+          wNames.map(wn => col(wn).as(s"o$wn")): _*), Seq("v"), "left")
+        .select(col("v") +: wNames.map(wn =>
+          expr(s"$wn & ~coalesce(o$wn, CAST(0 AS BIGINT))").as(wn)): _*)
+        .filter(wNames.map(wn => col(wn) =!= 0L).reduce(_ || _)))
+      val nextReached = ckpt(reached.unionByName(nf)
+        .groupBy(col("v")).agg(orAgg.head, orAgg.tail: _*))
+      org.apache.spark.sql.graftx.CheckpointUtils
+        .unpersistLocalCheckpoint(reached)
+      reached = nextReached
+      frontier = nf
+      outFrames :+= nf.withColumn("dist", lit(d.toLong))
+    }
+    // explode packed bits back to (seed, vertex, dist) rows; the idx→seed
+    // map is the collected sample, broadcast back as a tiny frame
+    val idxDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        seedIds.zipWithIndex.map { case (s, i) =>
+          Row(i, s)
+        }.toSeq, 1),
+      StructType(Seq(StructField("idx", IntegerType),
+        StructField("seed", LongType))))
+    val idxArr = expr("filter(flatten(array(" +
+      (0 until nWords).map(w => s"transform(sequence(0, 63), j -> " +
+        s"IF((shiftright(w$w, j) & 1) = 1, ${w * 64} + j, -1))")
+        .mkString(", ") +
+      ")), x -> x >= 0)")
+    outFrames.reduce(_ unionByName _)
+      .select(col("v").as("vertex"), col("dist"), explode(idxArr).as("idx"))
+      .join(broadcast(idxDf), Seq("idx"))
+      .select(col("seed"), col("vertex"), col("dist"))
   }
 
   /** Seeded LABEL SPREADING (the Zhou et al. 2004 shape in fixed-point

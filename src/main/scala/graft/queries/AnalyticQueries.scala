@@ -624,8 +624,8 @@ object AnalyticQueries extends QueryPack {
     // Sampled Brandes betweenness in fixed-point integers over the part
     // co-occurrence graph — seeds are the a_harmonic_centrality sample.
     // The oracle unrolls both passes: 3 BFS layers with exact path counts,
-    // then the dependency recursion with every per-edge ⌊σv(10⁶+δu)/σu⌋
-    // division replayed.
+    // then the per-child-quantized dependency recursion (tq = ⌊(10⁶+δu)·
+    // 10⁶/σu⌋ per child, δv = ⌊σv·Σtq/10⁶⌋) with every division replayed.
     "a_betweenness" -> ((s, dir) => {
       val seeds = Tables.load(s, dir, "part")
         .filter(col("p_partkey") % 101 === 0)
@@ -1498,21 +1498,20 @@ object AnalyticQueries extends QueryPack {
          |  LEFT JOIN vis2 ON vis2.seed = c3.seed AND vis2.v = c3.v
          |  WHERE vis2.v IS NULL),
          |d3 AS (SELECT seed, v, sigma, CAST(0 AS BIGINT) AS delta FROM l3),
-         |x2 AS (SELECT l.seed, l.v,
-         |    CAST(sum((l.sigma * (1000000 + nx.delta)) // nx.sigma)
-         |      AS BIGINT) AS dsum
-         |  FROM l2 l JOIN e ON e.a = l.v
-         |  JOIN d3 nx ON nx.seed = l.seed AND nx.v = e.b GROUP BY 1, 2),
+         |t2 AS (SELECT e.a, nx.seed,
+         |    CAST(sum(((1000000 + nx.delta) * 1000000) // nx.sigma)
+         |      AS BIGINT) AS tsum
+         |  FROM d3 nx JOIN e ON e.b = nx.v GROUP BY 1, 2),
          |d2 AS MATERIALIZED (SELECT l.seed, l.v, l.sigma,
-         |    COALESCE(x2.dsum, 0) AS delta
-         |  FROM l2 l LEFT JOIN x2 ON x2.seed = l.seed AND x2.v = l.v),
-         |x1 AS (SELECT l.seed, l.v,
-         |    CAST(sum((l.sigma * (1000000 + nx.delta)) // nx.sigma)
-         |      AS BIGINT) AS dsum
-         |  FROM l1 l JOIN e ON e.a = l.v
-         |  JOIN d2 nx ON nx.seed = l.seed AND nx.v = e.b GROUP BY 1, 2),
-         |d1 AS (SELECT l.seed, l.v, l.sigma, COALESCE(x1.dsum, 0) AS delta
-         |  FROM l1 l LEFT JOIN x1 ON x1.seed = l.seed AND x1.v = l.v)
+         |    COALESCE((l.sigma * t2.tsum) // 1000000, 0) AS delta
+         |  FROM l2 l LEFT JOIN t2 ON t2.seed = l.seed AND t2.a = l.v),
+         |t1 AS (SELECT e.a, nx.seed,
+         |    CAST(sum(((1000000 + nx.delta) * 1000000) // nx.sigma)
+         |      AS BIGINT) AS tsum
+         |  FROM d2 nx JOIN e ON e.b = nx.v GROUP BY 1, 2),
+         |d1 AS (SELECT l.seed, l.v, l.sigma,
+         |    COALESCE((l.sigma * t1.tsum) // 1000000, 0) AS delta
+         |  FROM l1 l LEFT JOIN t1 ON t1.seed = l.seed AND t1.a = l.v)
          |SELECT v AS part_id, CAST(count(*) AS BIGINT) AS n_seeds,
          |  CAST(sum(delta) AS BIGINT) AS bc_q
          |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)

@@ -396,6 +396,32 @@ class GraphSpec extends AnyFunSuite {
     assert(iso === Seq((99L, 99L, 0L)))
   }
 
+  test("packed multi-source state crosses the 64-seed word boundary: " +
+    "star with 70 leaf seeds") {
+    // star: center 0, leaves 1..70, every leaf a seed — 70 seeds needs two
+    // bitmap words / a 70-wide σ register, so word indexing and the
+    // element-wise sum both cross the boundary
+    val star = sym((1L to 70L).map(l => (0L, l)): _*)
+    val seeds = (1L to 70L).toDF("v")
+    val dists = Graph.multiSourceDistances(star, "a", "b", seeds, "v",
+        maxDepth = 2)
+      .as[(Long, Long, Long)].collect()
+    // per seed: itself at 0, center at 1, the 69 other leaves at 2
+    assert(dists.length === 70 * 71, dists.length.toString)
+    assert(dists.count(_._3 == 0L) === 70)
+    assert(dists.filter(_._3 == 1L).map(_._2).toSet === Set(0L))
+    assert(dists.count(_._3 == 2L) === 70 * 69)
+    assert(dists.filter(d => d._1 == 67L && d._3 == 2L).map(_._2).toSet ===
+      ((1L to 70L).toSet - 67L))
+    // betweenness: every 2-hop leaf→leaf path crosses the center, so per
+    // seed δ(center) = 69·10⁶ (σ ratios all 1); leaves sit in layer 2
+    // with δ = 0 but still count toward n_seeds
+    val bc = Graph.betweennessInt(star, "a", "b", seeds, "v", maxDepth = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(bc(0L) === ((70L, 70L * 69L * 1000000L)), bc(0L).toString)
+    (1L to 70L).foreach { l => assert(bc(l) === ((69L, 0L)), s"leaf $l") }
+  }
+
   test("labelSpread equals the in-memory per-class fold; ties to the " +
     "smaller class") {
     // two triangles bridged at 3-4; seeds: vertex 1 class 0, vertex 6
