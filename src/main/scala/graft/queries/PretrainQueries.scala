@@ -425,6 +425,45 @@ object PretrainQueries extends QueryPack {
           col("rt_viol"), col("mono_viol"), col("vocab_viol"))
     }),
 
+    // LEARNED unigram-LM tokenizer gate (Kudo 2018, hard-EM/Viterbi
+    // variant): the SAME distributed word-count pass as BPE feeds the
+    // driver trainer — substring seeding capped top-V (count desc, piece
+    // asc) plus full character coverage, then two EM rounds where piece
+    // counts come from each dictionary word's Viterbi best segmentation
+    // under integer micro-nat log-probs (ties to the larger split point).
+    // The oracle replays ALL of it in SQL: seeding, both DP forward
+    // passes (split point packed into the low 5 bits of the max-reduced
+    // score), backtracking, count re-estimation, and the quantized-ln
+    // M-step. The learned model bakes into the codegen'd unigram_encode
+    // projection; corpus-wide invariants (round-trip, token count ≤ char
+    // count, multi-char tokens closed over the vocab) ride the output.
+    "t_unigram_vocab" -> ((s, dir) => {
+      import graft.ops.{Bpe, UnigramLm}
+      import org.apache.spark.sql.graftx.{UnigramLmExpressions, VectorExpressions}
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val wc = Bpe.wordCounts(docs, "text").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val model = UnigramLm.train(wc, vocabSize = 60)
+      val toks = UnigramLmExpressions.unigramEncode(col("text"),
+        model.map { case (p, _, l) => (p, l) })
+      val chars = array_join(
+        VectorExpressions.shingleArrAll(col("text"), 1), "")
+      val multi = model.map(_._1).filter(_.length > 1).sorted
+      val inv = docs.select(
+          (array_join(toks, "") =!= chars).cast("long").as("rt"),
+          (size(toks) > length(chars)).cast("long").as("mono"),
+          (size(array_except(
+            array_distinct(filter(toks, t => length(t) > 1)),
+            typedLit(multi))) > 0).cast("long").as("ov"))
+        .agg(sum(col("rt")).as("rt_viol"), sum(col("mono")).as("mono_viol"),
+          sum(col("ov")).as("closure_viol"))
+      val top = model.sortBy { case (p, n, _) => (-n, p) }.take(20)
+      top.toDF("piece", "n", "logp_q")
+        .crossJoin(broadcast(inv)) // 1-row invariant frame
+        .orderBy(col("n").desc, col("piece"))
+    }),
+
     // Content-defined chunking: boundaries from a local rolling hash, so
     // edits don't shift chunk identity and near-identical docs share
     // interior chunks (the storage-dedup unit; chunk-level exact dedup is
@@ -707,7 +746,96 @@ object PretrainQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }))
 
+  /** Full SQL replay of the unigram-LM trainer: substring seeding with the
+    * top-V cap and single-char coverage union, then per EM round a
+    * position-ordered Viterbi forward pass (split point packed into the
+    * low 5 bits of the max-reduced score — max score, ties to the larger
+    * split point, exactly the trainer's rule), a backtracking walk
+    * emitting the chosen pieces, count re-estimation with the single-char
+    * floor, and the quantized-ln M-step. Round boundaries MATERIALIZED so
+    * DuckDB cannot re-inline the unrolled recurrence.
+    */
+  private def unigramOracle: String = {
+    val W = 16; val L = 4; val R = 2; val V = 60
+    val SHIFT = "1000000000"
+    def fwd(r: Int): String = {
+      val states = (1 to W).map { i =>
+        val arcs = (1 to math.min(L, i)).map { l =>
+          val j = i - l
+          s"""SELECT s.word, s.c, (s.sc + p.lp + $SHIFT) * 32 + $j AS packed
+             |      FROM s${r}_$j s JOIN p${r - 1} p
+             |        ON p.piece = substring(s.word, ${j + 1}, $l)
+             |      WHERE length(s.word) >= $i""".stripMargin
+        }.mkString("\n    UNION ALL\n    ")
+        s"""b${r}_$i AS (SELECT word, c, max(packed) AS packed FROM (
+           |    $arcs
+           |  ) GROUP BY word, c),
+           |s${r}_$i AS MATERIALIZED (SELECT word, c, $i AS i,
+           |  CAST(packed // 32 - $SHIFT AS BIGINT) AS sc,
+           |  CAST(packed % 32 AS BIGINT) AS j FROM b${r}_$i)""".stripMargin
+      }
+      (s"s${r}_0 AS (SELECT word, c, 0 AS i, CAST(0 AS BIGINT) AS sc, " +
+        "CAST(-1 AS BIGINT) AS j FROM w)") +: states
+    }.mkString(",\n")
+    def back(r: Int): String = {
+      val sAll = s"S$r AS (" +
+        (1 to W).map(i => s"SELECT word, i, j FROM s${r}_$i")
+          .mkString(" UNION ALL ") + ")"
+      val steps = (1 to W).map { t =>
+        s"""k${r}_$t AS MATERIALIZED (SELECT k.word, k.c, s.j AS i,
+           |  substring(k.word, CAST(s.j + 1 AS INT), CAST(k.i - s.j AS INT)) AS piece
+           |  FROM k${r}_${t - 1} k JOIN S$r s ON s.word = k.word AND s.i = k.i
+           |  WHERE k.i > 0)""".stripMargin
+      }
+      (Seq(sAll,
+        s"k${r}_0 AS (SELECT word, c, CAST(length(word) AS BIGINT) AS i FROM w)") ++
+        steps).mkString(",\n")
+    }
+    def mstep(r: Int): String =
+      s"""kk$r AS (${(1 to W).map(t => s"SELECT c, piece FROM k${r}_$t")
+          .mkString(" UNION ALL ")}),
+         |nc$r AS (SELECT kk.piece, CAST(sum(kk.c) AS BIGINT) AS n
+         |  FROM kk$r kk JOIN p${r - 1} p ON p.piece = kk.piece
+         |  GROUP BY kk.piece),
+         |v$r AS MATERIALIZED (SELECT p.piece,
+         |    CASE WHEN length(p.piece) = 1 THEN GREATEST(coalesce(nc.n, 0), 1)
+         |         ELSE nc.n END AS n
+         |  FROM p${r - 1} p LEFT JOIN nc$r nc ON nc.piece = p.piece
+         |  WHERE length(p.piece) = 1 OR coalesce(nc.n, 0) > 0),
+         |t$r AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM v$r),
+         |p$r AS MATERIALIZED (SELECT piece, n,
+         |  CAST(round(ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+         |  FROM v$r CROSS JOIN t$r)""".stripMargin
+    val emRounds = (1 to R)
+      .map(r => fwd(r) + ",\n" + back(r) + ",\n" + mstep(r))
+      .mkString(",\n")
+    s"""WITH norm AS (SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+       |  FROM documents),
+       |wo AS (SELECT unnest(string_split(t, ' ')) AS word FROM norm
+       |  WHERE length(t) > 0),
+       |w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS c FROM wo
+       |  WHERE length(word) <= $W GROUP BY word),
+       |cand AS MATERIALIZED (SELECT substring(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       |    CAST(sum(c) AS BIGINT) AS n
+       |  FROM w, LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i),
+       |       LATERAL (SELECT unnest(range(1, ${L + 1})) AS l)
+       |  WHERE i + l - 1 <= length(word) GROUP BY 1),
+       |topv AS (SELECT piece, n FROM cand ORDER BY n DESC, piece LIMIT $V),
+       |v0 AS MATERIALIZED (SELECT piece, n FROM cand WHERE length(piece) = 1
+       |  UNION SELECT piece, n FROM topv),
+       |t0 AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM v0),
+       |p0 AS MATERIALIZED (SELECT piece, n,
+       |  CAST(round(ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+       |  FROM v0 CROSS JOIN t0),
+       |$emRounds
+       |SELECT piece, n, lp AS logp_q,
+       |  CAST(0 AS BIGINT) AS rt_viol, CAST(0 AS BIGINT) AS mono_viol,
+       |  CAST(0 AS BIGINT) AS closure_viol
+       |FROM p$R ORDER BY n DESC, piece LIMIT 20""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "t_unigram_vocab" -> unigramOracle,
     "x_dataset_card" ->
       s"""WITH d AS (SELECT doc_id, source, lang, n_chars,
          |    CAST($rawTokCountSql AS BIGINT) AS n_tok FROM documents),

@@ -863,4 +863,45 @@ class PretrainSpec extends AnyFunSuite {
       .select($"sum_q").as[Long].head()
     assert(math.abs(math.exp(un / 1e6) - npB / t) < 1e-6)
   }
+
+  test("unigram-LM: Viterbi prefers the high-probability piece, ties go " +
+    "to the larger split point, OOV chars pass through") {
+    import graft.ops.UnigramLm
+    // "ab" four times as likely as its chars: lp(ab) > lp(a)+lp(b) →
+    // Viterbi takes the multi-char piece
+    val lp = Map("a" -> -3000000L, "b" -> -3000000L, "ab" -> -2000000L)
+    assert(UnigramLm.viterbi("abab", lp, 4, -30000000L) ===
+      List("ab", "ab"))
+    // exact tie: lp(ab) == lp(a)+lp(b) — the larger split point wins, so
+    // the LAST arc is the single char, recursively: all single chars
+    val tie = Map("a" -> -1000000L, "b" -> -1000000L, "ab" -> -2000000L)
+    assert(UnigramLm.viterbi("ab", tie, 4, -30000000L) === List("a", "b"))
+    // chars outside the model consume the OOV arc and emit themselves
+    assert(UnigramLm.viterbi("axb", lp, 4, -30000000L) ===
+      List("a", "x", "b"))
+  }
+
+  test("unigram-LM training: seeding covers chars, EM counts follow the " +
+    "best segmentation, zero-count multi-char pieces drop") {
+    import graft.ops.UnigramLm
+    // corpus: "ab" ×8, "cd" ×2 — seed candidates: a,b,c,d,ab,cd; every
+    // piece survives capping (vocabSize covers all)
+    val model = UnigramLm.train(Seq(("ab", 8L), ("cd", 2L)), vocabSize = 10)
+      .map { case (p, n, l) => p -> ((n, l)) }.toMap
+    // seed counts: a=8,b=8,ab=8,c=2,d=2,cd=2 (total 30). Round 1: lp(ab)
+    // = ln(8/30) > lp(a)+lp(b) = 2·ln(8/30) → "ab" segments as [ab];
+    // same for cd → counts: ab=8, cd=2, chars floor to 1 (total 14).
+    // Round 2 repeats the same choice.
+    assert(model("ab") === ((8L, UnigramLm.quantLn(8L, 14L))),
+      model.toString)
+    assert(model("cd") === ((2L, UnigramLm.quantLn(2L, 14L))))
+    (Seq("a", "b", "c", "d")).foreach { ch =>
+      assert(model(ch) === ((1L, UnigramLm.quantLn(1L, 14L))), s"char $ch")
+    }
+    assert(model.size === 6)
+    // words longer than maxWordLen are excluded from the dictionary: a
+    // 17-char word contributes nothing
+    val longOnly = UnigramLm.train(Seq(("a" * 17, 5L)), vocabSize = 10)
+    assert(longOnly.isEmpty)
+  }
 }
