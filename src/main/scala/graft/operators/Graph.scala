@@ -862,6 +862,68 @@ object Graph {
       .select(col("seed"), col("vertex"), col("dist"))
   }
 
+  /** HyperANF (Boldi, Rosa & Vigna 2011): the neighborhood function
+    * N(h) = |{(u,v) : dist(u,v) ≤ h}| estimated with an HLL register per
+    * VERTEX instead of a reached-set — the formulation whose state is
+    * O(|V|·2^lgK) bytes regardless of how many sources there are, i.e.
+    * the ONLY shape that reaches all-pairs territory on a big graph
+    * (the exact [[multiSourceDistances]] bitmap is |V|·|S| bits and caps
+    * at sampled sources). Each round unions every vertex's register into
+    * its out-neighbors' (one |E|-row equi-join into a map-combinable
+    * `hll_union_agg`, then a narrow merge join with the previous state —
+    * registers are monotone, so propagating full sketches is the
+    * published recurrence), and N(h) reads off as the sum of per-vertex
+    * estimates.
+    *
+    * `sources` picks whose ids enter the registers: pass all vertices for
+    * the true all-pairs statistic, or a sample to make the estimate
+    * exactly checkable against the bitmap-exact sibling (the gate does
+    * this). DataSketches hashing is deterministic, so the estimate is a
+    * fixed number per input — a tolerance check against exact is green
+    * forever, not flaky.
+    *
+    * Output: (`h`, `est`) for h ∈ [0, maxDepth] — est = estimated number
+    * of (source, vertex) pairs within h hops (integer: the estimator
+    * rounds per vertex).
+    */
+  def hyperAnf(edges: DataFrame, src: String, dst: String,
+      sources: DataFrame, srcCol: String, maxDepth: Int = 3,
+      lgK: Int = 9): DataFrame = {
+    require(maxDepth >= 1, "hyperAnf needs at least one round")
+    val spark = edges.sparkSession
+    val e = edges.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"))
+      .localCheckpoint()
+    var state = sources
+      .select(col(srcCol).cast("long").as("v"))
+      .distinct()
+      .groupBy(col("v"))
+      .agg(hll_sketch_agg(col("v"), lit(lgK)).as("sk"))
+      .localCheckpoint()
+    def total(st: DataFrame): Long = st
+      .agg(sum(hll_sketch_estimate(col("sk"))).as("t"))
+      .collect()(0).getLong(0) // bounded: one scalar per round
+    var ests = Vector(0 -> total(state))
+    for (h <- 1 to maxDepth) {
+      val cand = e
+        .join(state.withColumnRenamed("v", "a"), Seq("a"))
+        .groupBy(col("b").as("v"))
+        .agg(hll_union_agg(col("sk"), lit(true)).as("nsk"))
+      val next = state.join(cand, Seq("v"), "full")
+        .select(col("v"),
+          when(col("sk").isNull, col("nsk"))
+            .when(col("nsk").isNull, col("sk"))
+            .otherwise(hll_union(col("sk"), col("nsk"), true)).as("sk"))
+        .localCheckpoint()
+      org.apache.spark.sql.graftx.CheckpointUtils
+        .unpersistLocalCheckpoint(state)
+      state = next
+      ests :+= h -> total(state)
+    }
+    import spark.implicits._
+    ests.toDF("h", "est")
+  }
+
   /** Seeded LABEL SPREADING (the Zhou et al. 2004 shape in fixed-point
     * integer arithmetic): labeled seed vertices inject constant per-class
     * mass every round, mass diffuses along out-edges degree-normalized

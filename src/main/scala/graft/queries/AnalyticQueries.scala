@@ -662,6 +662,34 @@ object AnalyticQueries extends QueryPack {
         .orderBy(col("h"))
     }),
 
+    // HyperANF: the neighborhood function via an HLL register per vertex
+    // (Boldi-Rosa-Vigna) — the O(|V|·2^lgK) state shape that reaches
+    // all-pairs territory where the exact bitmap caps at sampled sources.
+    // Gated on the SAME source sample as a_neighborhood_fn so the exact
+    // cumulative pair counts are independently recomputable: the oracle
+    // replays the exact BFS; the register estimate must land within ±15%
+    // of it per h (deterministic hashing — green is green forever).
+    "a_hyperanf" -> ((s, dir) => {
+      val seeds = Tables.load(s, dir, "part")
+        .filter(col("p_partkey") % 101 === 0)
+        .select(col("p_partkey"))
+      val g = partGraph(s, dir).localCheckpoint() // shared by both paths
+      val est = graft.operators.Graph.hyperAnf(g, "a", "b",
+        seeds, "p_partkey", maxDepth = 3, lgK = 9)
+      val byDist = graft.operators.Graph.multiSourceDistances(
+          g, "a", "b", seeds, "p_partkey", maxDepth = 3)
+        .groupBy(col("dist")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val hs = byDist.sparkSession.range(0, 4).select(col("id").as("h"))
+      val exact = hs.join(byDist, col("dist") <= col("h"))
+        .groupBy(col("h")).agg(sum(col("c")).as("n_pairs"))
+      exact.join(est, exact("h") === est("h"))
+        .select(exact("h").cast("int").as("h"), col("n_pairs"),
+          when(abs(col("est") - col("n_pairs")).cast("double") /
+            col("n_pairs") <= 0.15, 1L).otherwise(0L).as("est_ok"))
+        .orderBy(col("h"))
+    }),
+
     "a_harmonic_centrality" -> ((s, dir) => {
       val seeds = Tables.load(s, dir, "part")
         .filter(col("p_partkey") % 101 === 0)
@@ -1516,6 +1544,34 @@ object AnalyticQueries extends QueryPack {
          |  CAST(sum(delta) AS BIGINT) AS bc_q
          |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
          |GROUP BY v ORDER BY part_id""".stripMargin
+    },
+
+    "a_hyperanf" -> {
+      // exact cumulative pair counts replayed per h; the register estimate
+      // must sit inside the ±15% band (deterministic → stable flag)
+      def hround(k: Int): String =
+        s"""c$k AS (SELECT d.seed, e.b AS v, d.dist + 1 AS dist
+           |  FROM e JOIN d${k - 1} d ON d.v = e.a),
+           |d$k AS (SELECT seed, v, min(dist) AS dist FROM (
+           |  SELECT * FROM d${k - 1} UNION ALL SELECT * FROM c$k)
+           |  GROUP BY seed, v)""".stripMargin
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |    FROM lineitem),
+         |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.ok = y.ok AND x.p <> y.p),
+         |sd AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS seed
+         |  FROM part WHERE p_partkey % 101 = 0),
+         |d0 AS (SELECT seed, seed AS v, CAST(0 AS BIGINT) AS dist FROM sd),
+         |${hround(1)},
+         |${hround(2)},
+         |${hround(3)},
+         |bd AS MATERIALIZED (SELECT dist, CAST(count(*) AS BIGINT) AS c
+         |  FROM d3 GROUP BY dist)
+         |SELECT CAST(h.h AS INTEGER) AS h,
+         |  CAST(sum(bd.c) AS BIGINT) AS n_pairs,
+         |  CAST(1 AS BIGINT) AS est_ok
+         |FROM (SELECT unnest(range(0, 4)) AS h) h
+         |JOIN bd ON bd.dist <= h.h GROUP BY h.h ORDER BY h""".stripMargin
     },
 
     "a_neighborhood_fn" -> {

@@ -422,6 +422,22 @@ class GraphSpec extends AnyFunSuite {
     (1L to 70L).foreach { l => assert(bc(l) === ((69L, 0L)), s"leaf $l") }
   }
 
+  test("hyperAnf: register estimates are exact at tiny cardinalities and " +
+    "match the per-h reached-pair counts") {
+    // path 1-2-3-4-5, sources {1,5}: reached pairs per h —
+    // h=0: 2 (selves), h=1: 4, h=2: 6, h=3: 8
+    val path = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val got = Graph.hyperAnf(path, "a", "b", Seq(1L, 5L).toDF("v"), "v",
+        maxDepth = 3, lgK = 12)
+      .as[(Int, Long)].collect().toMap
+    assert(got === Map(0 -> 2L, 1 -> 4L, 2 -> 6L, 3 -> 8L), got.toString)
+    // all-sources mode: every vertex a source — N(1) = 2|E| + |V|
+    val all = Graph.hyperAnf(path, "a", "b", (1L to 5L).toDF("v"), "v",
+        maxDepth = 1, lgK = 12)
+      .as[(Int, Long)].collect().toMap
+    assert(all === Map(0 -> 5L, 1 -> 13L), all.toString)
+  }
+
   test("labelSpread equals the in-memory per-class fold; ties to the " +
     "smaller class") {
     // two triangles bridged at 3-4; seeds: vertex 1 class 0, vertex 6
