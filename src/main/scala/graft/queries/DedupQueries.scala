@@ -301,7 +301,19 @@ object DedupQueries extends QueryPack {
       Dedup.sortedNeighborhoodPairs(docs, "doc_id",
           TextFunctions.normalize(col("text")), w = 5)
         .orderBy(col("id_a"), col("id_b"))
-    }))
+    }),
+
+    // Greedy submodular coverage selection (the complement of dedup): the
+    // k documents that together cover the most distinct shingles, in greedy
+    // order with deterministic tie-breaks. The oracle unrolls all k rounds
+    // as CTEs — argmax, covered-set union, and every marginal count are
+    // re-derived by DuckDB, so the whole greedy TRAJECTORY is value-exact.
+    "d_coverage_select" -> ((s, dir) =>
+      graft.operators.Coverage.greedySelect(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        k = coverageK)))
+
+  private[queries] val coverageK = 5
 
   /** Full-recompute exact Jaccard restricted to pairs touching the mod-3
     * "new batch" — the incremental path must find exactly these.
@@ -321,7 +333,39 @@ object DedupQueries extends QueryPack {
        |  AND (id_a % 3 = 0 OR id_b % 3 = 0)
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Unrolled k-round greedy coverage: round t's gains count shingles not
+    * in the covered union c(t-1); winner = (max gain, min doc_id).
+    */
+  private def coverageSelectSql(k: Int): String = {
+    val rounds = (1 to k).map { t =>
+      val uDef =
+        if (t == 1) ""
+        else s"u$t AS (SELECT doc_id, s FROM sh " +
+          s"WHERE s NOT IN (SELECT s FROM c${t - 1})),\n"
+      val uncov = if (t == 1) "sh" else s"u$t"
+      val cDef =
+        if (t == 1) "c1 AS (SELECT DISTINCT s FROM sh " +
+          "WHERE doc_id = (SELECT doc_id FROM w1))"
+        else s"c$t AS (SELECT s FROM c${t - 1} UNION SELECT s FROM sh " +
+          s"WHERE doc_id = (SELECT doc_id FROM w$t))"
+      s"""${uDef}g$t AS (SELECT doc_id, count(*) AS g FROM $uncov GROUP BY doc_id),
+         |w$t AS (SELECT doc_id, g FROM g$t ORDER BY g DESC, doc_id LIMIT 1),
+         |$cDef""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to k)
+      .map(t => s"SELECT $t AS round, doc_id, g FROM w$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH $shinglesSql,
+       |$rounds,
+       |sel AS ($sel)
+       |SELECT CAST(round AS INTEGER) AS round, doc_id,
+       |  CAST(g AS BIGINT) AS gain,
+       |  CAST(SUM(g) OVER (ORDER BY round) AS BIGINT) AS covered_total
+       |FROM sel ORDER BY round""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "d_coverage_select" -> coverageSelectSql(coverageK),
     "d_record_linkage" ->
       """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment AS seg,
         |    CAST(floor(c_acctbal / CAST(1000.0 AS DOUBLE)) AS BIGINT)

@@ -262,6 +262,57 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_type"), col("d"))
     }),
 
+    // Two-sided CUSUM changepoint detection (Page 1954) over each event
+    // type's daily totals, fully in integer half-cents — zero doubles, so
+    // every cusum value and alarm flag is engine-exact. The max(0, ·)
+    // recursion is rewritten as the window identity S_i = C_i − min(0,
+    // min_{j≤i} C_j) with C = cumsum(d), so one ordered pass per type
+    // replaces the sequential fold. Robust location/scale come from exact
+    // order statistics (lower median, lower-median MAD) instead of μ/σ —
+    // no sqrt, no IEEE drift. Slack k = MAD/2 (the ±half-scale deadband),
+    // alarm at S > 8·MAD. Scale posture: the per-type series is BOUNDED by
+    // the calendar (one row per day), so the rank/cumsum windows never see
+    // data-sized partitions; raw events only feed the map-combinable
+    // daily aggregation.
+    "e_cusum_change" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+        .localCheckpoint() // feeds two rank passes + the cusum pass
+      val byType = Window.partitionBy(col("event_type"))
+      def lowerMedian(df: org.apache.spark.sql.DataFrame, c: String,
+          as: String) = {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col(c), col("d"))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(byType))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("event_type"), col(c).as(as))
+      }
+      val med = lowerMedian(daily, "v", "med")
+      val withMed = daily.join(broadcast(med), Seq("event_type"))
+        .withColumn("ad", abs(col("v") - col("med")))
+      val mad = lowerMedian(withMed, "ad", "mad")
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withMed.join(broadcast(mad), Seq("event_type"))
+        .withColumn("dp", lit(2L) * (col("v") - col("med")) - col("mad"))
+        .withColumn("dn", lit(2L) * (col("med") - col("v")) - col("mad"))
+        .withColumn("cp", sum(col("dp")).over(wc))
+        .withColumn("cn", sum(col("dn")).over(wc))
+        .withColumn("cusum_pos",
+          col("cp") - least(lit(0L), min(col("cp")).over(wc)))
+        .withColumn("cusum_neg",
+          col("cn") - least(lit(0L), min(col("cn")).over(wc)))
+        .select(col("event_type"), col("d"), col("v").as("v_cents"),
+          col("med"), col("mad"), col("cusum_pos"), col("cusum_neg"),
+          (col("cusum_pos") > lit(16L) * col("mad")).cast("int")
+            .as("alarm_pos"),
+          (col("cusum_neg") > lit(16L) * col("mad")).cast("int")
+            .as("alarm_neg"))
+        .orderBy(col("event_type"), col("d"))
+    }),
+
     // Two-sample Kolmogorov-Smirnov distance between the purchase and
     // click value distributions — the classic nonparametric drift test
     // (complement to the binned PSI). Values discretize to cents, so the
@@ -694,6 +745,45 @@ object EventQueries extends QueryPack {
         |  s[(n % 7) + 1] AS season_next,
         |  l + b + s[(n % 7) + 1] AS forecast
         |FROM f ORDER BY event_type""".stripMargin,
+
+    "e_cusum_change" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY event_type, d),
+        |medr AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v, d) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily),
+        |med AS (SELECT event_type, v AS med FROM medr
+        |  WHERE rn = (n + 1) // 2),
+        |wm AS (SELECT daily.event_type, d, v, med, abs(v - med) AS ad
+        |  FROM daily JOIN med ON daily.event_type = med.event_type),
+        |madr AS (SELECT event_type, ad,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ad, d) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM wm),
+        |mad AS (SELECT event_type, ad AS mad FROM madr
+        |  WHERE rn = (n + 1) // 2),
+        |dd AS (SELECT wm.event_type, d, v, med, mad,
+        |    2 * (v - med) - mad AS dp, 2 * (med - v) - mad AS dn
+        |  FROM wm JOIN mad ON wm.event_type = mad.event_type),
+        |c AS (SELECT event_type, d, v, med, mad,
+        |    sum(dp) OVER w AS cp, sum(dn) OVER w AS cn
+        |  FROM dd
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT event_type, d, v, med, mad,
+        |    cp - least(0, min(cp) OVER w) AS cusum_pos,
+        |    cn - least(0, min(cn) OVER w) AS cusum_neg
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, d, v AS v_cents, med, mad,
+        |  CAST(cusum_pos AS BIGINT) AS cusum_pos,
+        |  CAST(cusum_neg AS BIGINT) AS cusum_neg,
+        |  CAST(cusum_pos > 16 * mad AS INTEGER) AS alarm_pos,
+        |  CAST(cusum_neg > 16 * mad AS INTEGER) AS alarm_neg
+        |FROM s ORDER BY event_type, d""".stripMargin,
 
     "e_classical_decompose" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,

@@ -57,6 +57,38 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("cusum window identity matches the sequential max(0,·) recursion") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      .orderBy(col("event_type"), col("d"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val got = SparkEntry.queries("e_cusum_change")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s((s.length + 1) / 2 - 1)
+    }
+    for ((et, series) <- daily.groupBy(_._1)) {
+      val xs = series.map(_._2)
+      val med = lowerMedian(xs)
+      val mad = lowerMedian(xs.map(v => math.abs(v - med)))
+      var sp = 0L; var sn = 0L
+      val expect = xs.map { v =>
+        // textbook Page recursion in half-cents, slack = mad/2 each side
+        sp = math.max(0L, sp + 2L * (v - med) - mad)
+        sn = math.max(0L, sn + 2L * (med - v) - mad)
+        (sp, sn)
+      }
+      val gotSeries = got.toSeq.filter(_._1._1 == et)
+        .sortBy(_._1._2.getTime).map(_._2)
+      assert(gotSeries.map(t => (t._2, t._3)) == expect.toSeq, et)
+      assert(gotSeries.forall(t => t._1 == mad), s"$et mad")
+    }
+  }
+
   test("funnel stages are monotone and bounded by the user population") {
     import org.apache.spark.sql.functions._
     val f = SparkEntry.queries("e_funnel_stages")(spark, dir)

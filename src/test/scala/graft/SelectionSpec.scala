@@ -33,6 +33,27 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("greedy coverage selection follows the exact greedy trajectory") {
+    // shingle(3) sets: d1={abc,bcd,cde,def} d2={abc,bcd} d3={xyz,yzw,zwv}
+    // d4={cde,def,efg,fgh} d5={pqr}
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d"), (3L, "x y z w v"),
+      (4L, "c d e f g h"), (5L, "p q r")).toDF("doc_id", "text")
+    val got = graft.operators.Coverage
+      .greedySelect(docs, "doc_id", "text", k = 5)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // r1: d1/d4 tie at 4 -> min id d1; r2: d3=3 beats d4's remaining 2;
+    // r3: d4=2; r4: d5=1; r5: nothing uncovered remains -> early exit
+    assert(got == Seq((1, 1L, 4L, 4L), (2, 3L, 3L, 7L),
+      (3, 4L, 2L, 9L), (4, 5L, 1L, 10L)))
+    // k smaller than exhaustion: trajectory prefix is identical (greedy
+    // is prefix-stable — the selection order never depends on k)
+    val k2 = graft.operators.Coverage
+      .greedySelect(docs, "doc_id", "text", k = 2)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(k2 == got.take(2))
+  }
+
   test("all-equal column, single row, and null/NaN exclusion") {
     val same = Selection.exactQuantiles(
       Seq.fill(40)(3.25).toDF("x"), "x", Seq(0.0, 0.5, 1.0))
