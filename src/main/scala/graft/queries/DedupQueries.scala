@@ -21,7 +21,7 @@ object DedupQueries extends QueryPack {
   private[queries] val tauContain = 0.6
 
   /** DuckDB mirror of Dedup.shingleArray(n=3) exploded to (doc_id, s) rows. */
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     """norm AS (SELECT doc_id,
       |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
       |  FROM documents),

@@ -25,6 +25,12 @@ object TextQueries extends QueryPack {
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** "Curated" label for ranking evaluation — the same 4-of-20 source
+    * convention the Naive Bayes reference classifier trains on.
+    */
+  private[queries] val curatedSources: Seq[String] =
+    (0 to 3).map(i => s"src$i")
+
   private val stopSql =
     s"len(list_filter(toks, t -> list_contains(${inList(defaultStopwords)}, t)))"
 
@@ -200,6 +206,93 @@ object TextQueries extends QueryPack {
           min(col("quality_score")).as("min_score"),
           max(col("quality_score")).as("max_score"))
         .orderBy(col("source"), col("decile"))
+    }),
+
+    // Ranking evaluation of the quality score as a curated-vs-rest
+    // classifier: tie-corrected Mann-Whitney AUC over the micro-unit
+    // quantized score histogram. 2·auc·npos·nneg = Σ_buckets np_b·(2·cum_nn
+    // (below) + nn_b) — all integer, so auc_q is engine-exact. Scale
+    // posture: the groupBy runs over score BUCKETS (bounded by the 10⁶+1
+    // quantized value domain, not the corpus), the cumulative window scans
+    // those buckets once, and the final ratio divides in DECIMAL(38,0) so
+    // the arithmetic survives npos·nneg beyond the int64 range (N ≈ 10⁹⁺
+    // docs) — the same regime where a rank-the-whole-corpus formulation
+    // would need a global sort this shape never does.
+    "t_filter_auc" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("sq"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      Tables.load(s, dir, "documents")
+        .select(round(qualityScore(col("text")) * lit(1e6)).cast("long")
+            .as("sq"),
+          when(col("source").isin(curatedSources: _*), 1L).otherwise(0L)
+            .as("pos"))
+        .groupBy(col("sq"))
+        .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+        .withColumn("cnb", coalesce(sum(col("nn")).over(w), lit(0L)))
+        .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+          sum(col("np") * (lit(2L) * col("cnb") + col("nn"))).as("num2"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * num2) div " +
+            "(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg) AS BIGINT)")
+            .as("auc_q"))
+        .withColumn("gini_q", lit(2L) * col("auc_q") - lit(1000000L))
+    }),
+
+    // Heaps-law vocabulary growth: distinct 3-gram shingle TYPES V vs token
+    // count N at power-of-two prefix checkpoints of the id-ordered corpus,
+    // plus the Heaps exponent β from OLS on the quantized log-log pairs
+    // (shingle types, not unigrams: the fixture's unigram vocabulary is
+    // bounded by construction, and n-gram-type growth is the diversity
+    // signal a curation pipeline actually watches). First introduction is
+    // min-id-wins (the d_novelty_scores law), so V(c) needs only
+    // (shingle → min doc_id) — one narrow map-combinable shuffle however
+    // big the corpus; checkpoints bucketize by ceil(log2) VIA INTEGER
+    // BIN-STRING LENGTH (no float log2 at power boundaries), so the
+    // cumulative window runs over ≤ 64 bucket rows. The β ratio divides in
+    // DECIMAL(38,0) (micro-unit covariance sums can exceed int64·10⁶).
+    "t_heaps_law" -> ((s, dir) => {
+      def bucketOf(c: org.apache.spark.sql.Column) =
+        when(c <= 1L, lit(1)).otherwise(length(bin(c - 1))).cast("int")
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"),
+          org.apache.spark.sql.graftx.VectorExpressions
+            .shingleArr(col("text"), 3).as("sh"))
+        .localCheckpoint() // feeds the shingle-intro AND token-count passes
+      val vb = base.select(col("doc_id"), explode(col("sh")).as("term"))
+        .groupBy(col("term")).agg(min(col("doc_id")).as("m"))
+        .groupBy(bucketOf(col("m")).as("b")).agg(count(lit(1)).as("v"))
+      val nb = base
+        .select(bucketOf(col("doc_id")).as("b"),
+          size(col("toks")).cast("long").as("nt"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("nd"), sum(col("nt")).as("nt"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val cum = vb.join(nb, Seq("b"), "full_outer")
+        .select(col("b"),
+          sum(coalesce(col("nd"), lit(0L))).over(w).as("n_docs"),
+          sum(coalesce(col("nt"), lit(0L))).over(w).as("n_tokens"),
+          sum(coalesce(col("v"), lit(0L))).over(w).as("vocab"))
+        .filter(col("n_tokens") > 0 && col("vocab") > 0)
+        .select(col("b"),
+          expr("shiftleft(CAST(1 AS BIGINT), b)").as("prefix_max_id"),
+          col("n_docs"), col("n_tokens"), col("vocab"),
+          round(log(col("n_tokens")) * lit(1e6)).cast("long").as("x"),
+          round(log(col("vocab")) * lit(1e6)).cast("long").as("y"))
+        .localCheckpoint() // feeds the OLS scalar AND the output rows
+      val beta = cum.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) " +
+          "* sy)) div (CAST(n AS DECIMAL(38,0)) * sxx " +
+          "- CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)").as("beta_q"))
+      cum.crossJoin(broadcast(beta)) // 1-row scalar frame
+        .select(col("b"), col("prefix_max_id"), col("n_docs"),
+          col("n_tokens"), col("vocab"), col("beta_q"))
+        .orderBy(col("b"))
     }),
 
     // Tokenizer fertility per language: Σ subword-ish tokens / Σ whitespace
@@ -628,6 +721,66 @@ object TextQueries extends QueryPack {
          |  min(quality_score) AS min_score, max(quality_score) AS max_score
          |FROM d GROUP BY source, decile
          |ORDER BY source, decile""".stripMargin,
+
+    "t_heaps_law" ->
+      s"""WITH ${DedupQueries.shinglesSql},
+         |tm AS (SELECT s, min(doc_id) AS m FROM sh GROUP BY s),
+         |vb AS (SELECT CASE WHEN m <= 1 THEN 1
+         |      ELSE CAST(length(bin(m - 1)) AS INTEGER) END AS b,
+         |    CAST(count(*) AS BIGINT) AS v
+         |  FROM tm GROUP BY 1),
+         |nb AS (SELECT CASE WHEN doc_id <= 1 THEN 1
+         |      ELSE CAST(length(bin(doc_id - 1)) AS INTEGER) END AS b,
+         |    CAST(count(*) AS BIGINT) AS nd,
+         |    CAST(sum(len(w)) AS BIGINT) AS nt
+         |  FROM toks GROUP BY 1),
+         |cum0 AS (SELECT COALESCE(vb.b, nb.b) AS b,
+         |    sum(COALESCE(nd, 0)) OVER w AS n_docs,
+         |    sum(COALESCE(nt, 0)) OVER w AS n_tokens,
+         |    sum(COALESCE(v, 0)) OVER w AS vocab
+         |  FROM vb FULL OUTER JOIN nb ON vb.b = nb.b
+         |  WINDOW w AS (ORDER BY COALESCE(vb.b, nb.b)
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |cum AS (SELECT b, CAST(n_docs AS BIGINT) AS n_docs,
+         |    CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    CAST(vocab AS BIGINT) AS vocab,
+         |    CAST(round(ln(n_tokens) * 1e6) AS BIGINT) AS x,
+         |    CAST(round(ln(vocab) * 1e6) AS BIGINT) AS y
+         |  FROM cum0 WHERE n_tokens > 0 AND vocab > 0),
+         |beta AS (SELECT CAST((CAST(1000000 AS HUGEINT) *
+         |      (CAST(count(*) AS HUGEINT) * sum(x * y)
+         |        - CAST(sum(x) AS HUGEINT) * sum(y)))
+         |    // (CAST(count(*) AS HUGEINT) * sum(x * x)
+         |        - CAST(sum(x) AS HUGEINT) * sum(x)) AS BIGINT) AS beta_q
+         |  FROM cum)
+         |SELECT b, (CAST(1 AS BIGINT) << b) AS prefix_max_id,
+         |  n_docs, n_tokens, vocab, beta_q
+         |FROM cum CROSS JOIN beta ORDER BY b""".stripMargin,
+
+    "t_filter_auc" ->
+      s"""WITH $qualityScoredCte,
+         |sb AS (SELECT CAST(round(quality_score * 1e6) AS BIGINT) AS sq,
+         |    CASE WHEN source IN (${curatedSources.map(s => s"'$s'").mkString(", ")})
+         |      THEN 1 ELSE 0 END AS pos
+         |  FROM q),
+         |h AS (SELECT sq, CAST(sum(pos) AS BIGINT) AS np,
+         |    CAST(sum(1 - pos) AS BIGINT) AS nn
+         |  FROM sb GROUP BY sq),
+         |cu AS (SELECT sq, np, nn,
+         |    COALESCE(sum(nn) OVER (ORDER BY sq ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+         |  FROM h),
+         |tt AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         |    CAST(sum(nn) AS BIGINT) AS n_neg,
+         |    CAST(sum(np * (2 * cnb + nn)) AS HUGEINT) AS num2
+         |  FROM cu)
+         |SELECT n_pos, n_neg,
+         |  CAST((CAST(1000000 AS HUGEINT) * num2)
+         |    // (CAST(2 AS HUGEINT) * n_pos * n_neg) AS BIGINT) AS auc_q,
+         |  CAST(2 * ((CAST(1000000 AS HUGEINT) * num2)
+         |    // (CAST(2 AS HUGEINT) * n_pos * n_neg)) - 1000000 AS BIGINT)
+         |    AS gini_q
+         |FROM tt""".stripMargin,
 
     "t_token_fertility" ->
       s"""WITH m AS (SELECT lang,

@@ -89,6 +89,43 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram AUC equals the brute-force pairwise Mann-Whitney count") {
+    import org.apache.spark.sql.functions._
+    val curated = (0 to 3).map(i => s"src$i").toSet
+    val sc = graft.Tables.load(spark, dir, "documents")
+      .select(round(graft.functions.TextFunctions.qualityScore(col("text"))
+          * lit(1e6)).cast("long").as("sq"), col("source"))
+      .collect().map(r => (r.getLong(0), curated(r.getString(1))))
+    val pos = sc.filter(_._2).map(_._1)
+    val neg = sc.filterNot(_._2).map(_._1)
+    // num2 = Σ over positives of (2·strict wins + ties) = 2·U
+    val num2 = pos.map(p =>
+      2L * neg.count(_ < p) + neg.count(_ == p)).sum
+    val expAuc = (1000000L * num2) / (2L * pos.length * neg.length)
+    val got = SparkEntry.queries("t_filter_auc")(spark, dir).head()
+    assert(got.getLong(0) == pos.length && got.getLong(1) == neg.length)
+    assert(got.getLong(2) == expAuc, "auc_q")
+    assert(got.getLong(3) == 2 * expAuc - 1000000L, "gini_q")
+    // the score must actually rank (sanity that the gate isn't vacuous)
+    assert(got.getLong(2) != 500000L)
+  }
+
+  test("heaps-law checkpoints are monotone and the exponent is sublinear") {
+    val rows = SparkEntry.queries("t_heaps_law")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val sorted = rows.sortBy(_._1)
+    // cumulative prefixes: docs, tokens, vocab all non-decreasing
+    assert(sorted.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4
+    })
+    // vocabulary grows sublinearly in tokens: 0 < β < 1 (Heaps' law)
+    val beta = sorted.head._5
+    assert(rows.forall(_._5 == beta), "beta_q constant across rows")
+    assert(beta > 0L && beta < 1000000L, s"beta_q=$beta")
+  }
+
   test("funnel stages are monotone and bounded by the user population") {
     import org.apache.spark.sql.functions._
     val f = SparkEntry.queries("e_funnel_stages")(spark, dir)
