@@ -208,6 +208,54 @@ object TextQueries extends QueryPack {
         .orderBy(col("source"), col("decile"))
     }),
 
+    // Snorkel-style weak supervision (Ratner et al. 2017, the closed-form
+    // majority-vote variant): four labeling functions vote +1/-1/abstain
+    // per document (quality band, language agreement, length band,
+    // stopword density); pass 1 takes the unweighted majority, pass 2
+    // estimates each LF's accuracy against that majority with Laplace
+    // smoothing and re-scores every document with log-odds weights
+    // (micro-unit ints). The standard bootstrap for training a quality
+    // classifier when no labeled data exists. Scale posture: votes are a
+    // pure projection fused into the scan; the accuracy pass is ONE
+    // map-combinable 8-counter aggregate; the weight frame is one
+    // broadcast row — nothing data-sized shuffles.
+    "t_weak_labels" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          qualityScore(col("text")).as("qs"),
+          wsTokenCount(col("text")).as("wt"),
+          stopwordCount(col("text")).as("sw"),
+          langGuess(col("text")).as("lg"))
+      val v = base.select(col("doc_id"),
+          when(col("qs") >= 0.5, 1).when(col("qs") < 0.25, -1)
+            .otherwise(0).as("v1"),
+          when(col("lg") === col("lang"), 1).otherwise(-1).as("v2"),
+          when(col("wt") >= 20, 1).when(col("wt") < 5, -1)
+            .otherwise(0).as("v3"),
+          when(col("sw") * 10 >= col("wt"), 1).when(col("sw") === 0, -1)
+            .otherwise(0).as("v4"))
+        .withColumn("maj",
+          signum(col("v1") + col("v2") + col("v3") + col("v4")).cast("int"))
+        .localCheckpoint() // feeds the accuracy agg AND the final scoring
+      val accAgg = (1 to 4).flatMap { i => Seq(
+        sum(when(col("maj") =!= 0 && col(s"v$i") =!= 0, 1L).otherwise(0L))
+          .as(s"n$i"),
+        sum(when(col("maj") =!= 0 && col(s"v$i") === col("maj"), 1L)
+          .otherwise(0L)).as(s"a$i")) }
+      val wts = v.agg(accAgg.head, accAgg.tail: _*)
+        .select((1 to 4).map { i =>
+          round(log((col(s"a$i") + 1).cast("double") /
+            (col(s"n$i") - col(s"a$i") + 1).cast("double")) * lit(1e6))
+            .cast("long").as(s"w$i") }: _*)
+      val score = col("v1") * col("w1") + col("v2") * col("w2") +
+        col("v3") * col("w3") + col("v4") * col("w4")
+      v.crossJoin(broadcast(wts)) // 1-row weight frame
+        .select(col("doc_id"), col("v1"), col("v2"), col("v3"), col("v4"),
+          col("maj"), score.as("score_q"),
+          signum(score).cast("int").as("label"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Ranking evaluation of the quality score as a curated-vs-rest
     // classifier: tie-corrected Mann-Whitney AUC over the micro-unit
     // quantized score histogram. 2·auc·npos·nneg = Σ_buckets np_b·(2·cum_nn
@@ -756,6 +804,65 @@ object TextQueries extends QueryPack {
          |SELECT b, (CAST(1 AS BIGINT) << b) AS prefix_max_id,
          |  n_docs, n_tokens, vocab, beta_q
          |FROM cum CROSS JOIN beta ORDER BY b""".stripMargin,
+
+    "t_weak_labels" -> {
+      val scoreCols = langProfiles.map { case (l, words) =>
+        s"len(list_filter(toks, t -> list_contains(${inList(words)}, t))) AS score_$l"
+      }.mkString(",\n    ")
+      val langs = langProfiles.map(_._1)
+      val mx = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val guess = langs
+        .map(l => s"WHEN __mx > 0 AND score_$l = __mx THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      val wCols = (1 to 4).map { i =>
+        val a = s"sum(CASE WHEN maj != 0 AND v$i = maj THEN 1 ELSE 0 END)"
+        val n = s"sum(CASE WHEN maj != 0 AND v$i != 0 THEN 1 ELSE 0 END)"
+        s"CAST(round(ln(CAST($a + 1 AS DOUBLE) / " +
+          s"CAST($n - $a + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS w$i"
+      }.mkString(",\n    ")
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks
+         |  FROM documents),
+         |m AS (SELECT doc_id, lang, toks,
+         |    CAST(length(text) AS INTEGER) AS char_len,
+         |    CAST(len(toks) AS INTEGER) AS wt,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[^a-zA-Z0-9\\s]', '', 'g')) AS INTEGER) AS punct_chars,
+         |    CAST($stopSql AS INTEGER) AS sw,
+         |    CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))),
+         |        0) AS DOUBLE)
+         |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS avg_token_len,
+         |    $scoreCols
+         |  FROM t),
+         |g AS (SELECT *, $mx AS __mx FROM m),
+         |q AS (SELECT doc_id, lang, wt, sw,
+         |    0.25 * least(1.0, CAST(wt AS DOUBLE) / 50.0)
+         |    + 0.25 * (1.0 - least(1.0, CAST(punct_chars AS DOUBLE)
+         |        / CAST(greatest(char_len, 1) AS DOUBLE)))
+         |    + 0.25 * least(1.0, CAST(sw AS DOUBLE) * 10.0
+         |        / CAST(greatest(wt, 1) AS DOUBLE))
+         |    + 0.25 * (1.0 - least(1.0, abs(avg_token_len - 5.0) / 5.0))
+         |      AS qs,
+         |    $guess AS lg
+         |  FROM g),
+         |v AS (SELECT doc_id,
+         |    CASE WHEN qs >= 0.5 THEN 1 WHEN qs < 0.25 THEN -1
+         |      ELSE 0 END AS v1,
+         |    CASE WHEN lg = lang THEN 1 ELSE -1 END AS v2,
+         |    CASE WHEN wt >= 20 THEN 1 WHEN wt < 5 THEN -1
+         |      ELSE 0 END AS v3,
+         |    CASE WHEN sw * 10 >= wt THEN 1 WHEN sw = 0 THEN -1
+         |      ELSE 0 END AS v4
+         |  FROM q),
+         |vm AS (SELECT *,
+         |    CAST(sign(v1 + v2 + v3 + v4) AS INTEGER) AS maj FROM v),
+         |wts AS (SELECT
+         |    $wCols
+         |  FROM vm)
+         |SELECT doc_id, v1, v2, v3, v4, maj,
+         |  CAST(v1*w1 + v2*w2 + v3*w3 + v4*w4 AS BIGINT) AS score_q,
+         |  CAST(sign(v1*w1 + v2*w2 + v3*w3 + v4*w4) AS INTEGER) AS label
+         |FROM vm CROSS JOIN wts ORDER BY doc_id""".stripMargin
+    },
 
     "t_filter_auc" ->
       s"""WITH $qualityScoredCte,

@@ -126,6 +126,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(beta > 0L && beta < 1000000L, s"beta_q=$beta")
   }
 
+  test("weak-label log-odds weights match a driver-side replay") {
+    val rows = SparkEntry.queries("t_weak_labels")(spark, dir).collect()
+    val votes = rows.map(r => (Seq(r.getInt(1), r.getInt(2), r.getInt(3),
+      r.getInt(4)), r.getInt(5), r.getLong(6), r.getInt(7)))
+    val ws = (0 until 4).map { i =>
+      val n = votes.count(t => t._2 != 0 && t._1(i) != 0)
+      val a = votes.count(t => t._2 != 0 && t._1(i) == t._2)
+      BigDecimal(math.log((a + 1).toDouble / (n - a + 1).toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    votes.foreach { t =>
+      val sc = t._1.zip(ws).map { case (v, w) => v * w }.sum
+      assert(sc == t._3 && t._4 == java.lang.Long.signum(sc))
+    }
+    // both classes must actually occur (the vote isn't degenerate)
+    assert(votes.exists(_._4 > 0) && votes.exists(_._4 < 0))
+  }
+
   test("funnel stages are monotone and bounded by the user population") {
     import org.apache.spark.sql.functions._
     val f = SparkEntry.queries("e_funnel_stages")(spark, dir)
