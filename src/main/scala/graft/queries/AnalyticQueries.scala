@@ -862,6 +862,41 @@ object AnalyticQueries extends QueryPack {
         .limit(20)
     }),
 
+    // Item-item collaborative-filtering neighbors at PART granularity
+    // (data-sized, unlike the bounded-brand basket lift): cosine² between
+    // order-basket occurrence vectors, quantized to pico-units in
+    // DECIMAL(38,0) (sqrt-free — cos² preserves the ranking), top-3 per
+    // part via the bounded k-heap [[graft.operators.TopK.perKey]]. Scale
+    // posture: the pair fan-out is per-ORDER (Σ basket², baskets are small
+    // by domain), pair counts and part counts are map-combinable, and the
+    // final reduction exchanges ≤ partitions·k rows per part — never a
+    // per-part window over all neighbors.
+    "a_item_cosine" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint() // feeds the counts AND the pair join
+      val pc = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val pairs = li.as("x")
+        .join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") =!= col("y.pk"))
+        .groupBy(col("x.pk").as("part_id"), col("y.pk").as("nb"))
+        .agg(count(lit(1)).as("co"))
+      val scored = pairs
+        .join(pc.select(col("pk").as("part_id"), col("c").as("ci")),
+          Seq("part_id"))
+        .join(pc.select(col("pk").as("nb"), col("c").as("cj")), Seq("nb"))
+        .select(col("part_id"), col("nb").as("neighbor_id"),
+          expr("CAST((CAST(1000000000000 AS DECIMAL(38,0)) * co * co) " +
+            "div (CAST(ci AS DECIMAL(38,0)) * cj) AS BIGINT)").as("cos2_q"))
+      graft.operators.TopK
+        .perKey(scored, "part_id", "cos2_q", "neighbor_id", 3,
+          descending = true)
+        .select(col("part_id"), col("neighbor_id"),
+          col("cos2_q").cast("long").as("cos2_q"), col("rank"))
+        .orderBy(col("part_id"), col("rank"))
+    }),
+
     // Exact positional quantiles (percentile_disc semantics): the value at
     // rank ceil(p·n) under a total order — reproducible across engines,
     // unlike interpolating percentile functions whose fp arithmetic
@@ -1765,6 +1800,25 @@ object AnalyticQueries extends QueryPack {
          |  (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept
          |FROM e ORDER BY l_returnflag""".stripMargin
     },
+
+    "a_item_cosine" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem),
+        |pc AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY pk),
+        |pairs AS (SELECT x.pk AS i, y.pk AS j, CAST(count(*) AS BIGINT) AS co
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk != y.pk
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT i, j, co,
+        |    CAST((CAST(1000000000000 AS HUGEINT) * co * co)
+        |      // (CAST(ci.c AS HUGEINT) * cj.c) AS BIGINT) AS cos2_q
+        |  FROM pairs
+        |  JOIN pc ci ON i = ci.pk
+        |  JOIN pc cj ON j = cj.pk),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY i
+        |    ORDER BY cos2_q DESC, j) AS rank FROM sc)
+        |SELECT i AS part_id, j AS neighbor_id, cos2_q,
+        |  CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY part_id, rank""".stripMargin,
 
     "a_basket_lift" ->
       """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
