@@ -446,4 +446,82 @@ object Dedup {
         col("__rb") > col("__ra") && col("__rb") < col("__ra") + w)
       .select(col("id_a"), col("id_b"), (col("__rb") - col("__ra")).as("gap"))
   }
+
+  /** Expression-level let-binding: evaluate `value` ONCE per row and feed
+    * it to `body` as a lambda-bound variable. `transform` evaluates its
+    * input array a single time, so wrapping the value in a 1-element array
+    * and unwrapping the result defeats CollapseProject's re-inlining of an
+    * expensive expression into every downstream reference (the same hazard
+    * [[shingleArrayOfTokens]] documents) — without materializing an
+    * intermediate frame.
+    */
+  private[graft] def letBind(value: Column,
+      body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS local document fingerprinting): hash every word `k`-gram
+    * (md5 hex, so selection is engine-replayable lexicographic order — no
+    * engine-private hash), slide a window of `w` consecutive gram hashes,
+    * keep each window's minimum, and dedupe. The paper's guarantee: any
+    * shared token run of length ≥ w + k − 1 between two documents yields
+    * at least one shared selected fingerprint, while storing only
+    * ~2/(w+1) of the gram hashes. Documents shorter than one window keep
+    * the minimum of what they have; docs with < k tokens have no grams
+    * and drop out.
+    *
+    * Tie rule: windows select by VALUE minimum only (position-free), so
+    * the selected SET is independent of any tie-break — which is what the
+    * pair-matching consumer needs, and what makes the DuckDB oracle an
+    * exact mirror.
+    *
+    * Scale posture: the whole selection is ONE fused per-row projection
+    * (the gram-hash array is let-bound via [[letBind]], never re-computed
+    * per window), so it pipelines inside the scan stage; only the
+    * selected fingerprints — ~2/(w+1) of the grams — explode into the
+    * inverted-index join, the same narrow-key shape as [[jaccardPairs]].
+    *
+    * Output: (`id`, `fp`) distinct selected fingerprints per document.
+    */
+  def winnowFingerprints(df: DataFrame, id: String, text: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "winnowing needs k >= 1 and w >= 1")
+    val emptyArr = array().cast("array<string>")
+    val grams = letBind(TextFunctions.tokens(col(text)), tk =>
+      when(size(tk) >= k,
+        transform(sequence(lit(1), size(tk) - (k - 1)), i =>
+          md5(concat_ws(" ",
+            (0 until k).map(d => element_at(tk, i + d)): _*))))
+        .otherwise(emptyArr))
+    val fps = letBind(grams, hs =>
+      when(size(hs) >= 1,
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+          j => array_min(slice(hs, j, lit(w))))))
+        .otherwise(emptyArr))
+    df.select(col(id), explode(fps).as("fp"))
+  }
+
+  /** Cross-document winnowing match: pairs sharing selected fingerprints,
+    * scored by containment of the smaller fingerprint set in micro-units
+    * (id_a < id_b, score_q = ⌊10⁶·|∩| / min(|A|,|B|)⌋ ≥ `minScoreQ`).
+    * Same inverted-index economics as [[jaccardPairs]]: the join key is
+    * the fingerprint, so work scales with matches, not with pairs.
+    */
+  def winnowingPairs(df: DataFrame, id: String, text: String,
+      minScoreQ: Long, k: Int = 3, w: Int = 4): DataFrame = {
+    val f = winnowFingerprints(df, id, text, k, w).localCheckpoint()
+    val sizes = f.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val withN = f.join(sizes, Seq(id))
+    val pairs = withN.as("x")
+      .join(withN.as("y"),
+        col("x.fp") === col("y.fp") && col(s"x.$id") < col(s"y.$id"))
+      .groupBy(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        expr("(1000000 * n_common) div least(n_a, n_b)").as("score_q"))
+      .filter(col("score_q") >= minScoreQ)
+  }
 }

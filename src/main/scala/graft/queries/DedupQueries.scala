@@ -110,6 +110,15 @@ object DedupQueries extends QueryPack {
         minJaccard = tau)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Winnowing (MOSS) fingerprint matching: position-free min-of-window
+    // selection over md5 gram hashes keeps ~2/(w+1) of the grams while
+    // guaranteeing any shared run of ≥ w+k-1 tokens still collides. The
+    // oracle replays the selection law exactly (md5 is engine-neutral).
+    "d_winnowing_pairs" -> ((s, dir) =>
+      Dedup.winnowingPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        minScoreQ = 500000L)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Fuzzy entity resolution: queries are the part names with ONE char
     // deleted at a key-derived position; match back to the catalog within
     // edit distance ≤ 2 via ANCHOR BLOCKING — candidates share the exact
@@ -481,6 +490,38 @@ object DedupQueries extends QueryPack {
          |WHERE CAST(n_common AS DOUBLE) / CAST(n_self AS DOUBLE) >= $tauContain
          |ORDER BY contained_id, container_id""".stripMargin,
     "d_minhash_pairs" -> jaccardPairsSql,
+
+    // Positional gram hashes → per-window minima → distinct fingerprints →
+    // inverted-index pair scoring: the same law as the Spark side, re-derived
+    // through DuckDB's LATERAL range generators.
+    "d_winnowing_pairs" ->
+      """WITH norm AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |  CASE WHEN length(t) = 0 THEN [] ELSE string_split(t, ' ') END AS w
+        |  FROM norm),
+        |grams AS (SELECT doc_id, i,
+        |    md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+        |  WHERE len(w) >= 3 AND i + 2 <= len(w)),
+        |ng AS (SELECT doc_id, count(*) AS m FROM grams GROUP BY doc_id),
+        |wins AS (SELECT doc_id, j
+        |  FROM ng, LATERAL (SELECT unnest(range(1, greatest(m - 3, 1) + 1)) AS j)),
+        |wmins AS (SELECT wins.doc_id, wins.j, min(g.h) AS fp
+        |  FROM wins JOIN grams g ON g.doc_id = wins.doc_id
+        |    AND g.i >= wins.j AND g.i < wins.j + 4
+        |  GROUP BY 1, 2),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wmins),
+        |fsz AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_common,
+        |  CAST((1000000 * n_common) // least(sa.n, sb.n) AS BIGINT) AS score_q
+        |FROM p JOIN fsz sa ON id_a = sa.doc_id JOIN fsz sb ON id_b = sb.doc_id
+        |WHERE (1000000 * n_common) // least(sa.n, sb.n) >= 500000
+        |ORDER BY id_a, id_b""".stripMargin,
     "d_incremental_pairs" -> incrementalPairsSql,
 
     "d_dedup_clusters" -> dedupClustersSql,

@@ -596,6 +596,57 @@ class PretrainSpec extends AnyFunSuite {
       (4L, 0L, 0L, 0L)), got.toString)
   }
 
+  // ---- Winnowing fingerprints ----------------------------------------
+
+  private def seqWinnow(text: String, k: Int, w: Int): Set[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = text.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+      .replaceAll(" +", " ").trim.split(" ").filter(_.nonEmpty)
+    if (toks.length < k) Set.empty
+    else {
+      val grams = toks.sliding(k).map(g => md5hex(g.mkString(" "))).toVector
+      (0 until math.max(grams.length - w + 1, 1))
+        .map(j => grams.slice(j, j + w).min).toSet
+    }
+  }
+
+  test("winnowFingerprints: selected set matches the sequential " +
+      "Schleimer-Wilkerson-Aiken reference on mixed-length docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "quick brown fox jumps over the lazy dog"), // shared long run
+      (3L, "short run"),                               // < k tokens → empty
+      (4L, "one two three"),                           // exactly k tokens
+      (5L, "alpha beta gamma delta epsilon"))          // m < w window
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(df, "doc_id", "text")
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (k2, v) => (k2, v.map(_._2).toSet) }
+    val want = docs.map { case (i, t) => (i, seqWinnow(t, 3, 4)) }
+      .filter(_._2.nonEmpty).toMap
+    assert(got == want)
+  }
+
+  test("winnowing guarantee: any shared token run of length >= w+k-1 " +
+      "yields a shared fingerprint, and density is ~2/(w+1)") {
+    val shared = "lorem ipsum dolor sit amet consectetur" // 6 = w+k-1 tokens
+    val docs = Seq(
+      (1L, s"prefix junk words here $shared and then tail content x"),
+      (2L, s"$shared totally different continuation of this doc y"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (k2, v) => (k2, v.map(_._2).toSet) }
+    assert((fp(1L) & fp(2L)).nonEmpty, "guarantee violated")
+    // density: selected ≤ windows, and strictly below the gram count
+    val pairs = Dedup.winnowingPairs(docs, "doc_id", "text", minScoreQ = 1L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(pairs.length == 1 && pairs.head._1 == 1L && pairs.head._2 == 2L)
+    assert(pairs.head._3 >= 1L && pairs.head._4 >= 1L)
+  }
+
   test("dsir: target-vocabulary docs outrank disjoint-vocabulary docs, " +
       "deterministically") {
     import graft.ops.Dsir
