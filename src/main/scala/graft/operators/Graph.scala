@@ -1129,4 +1129,185 @@ object Graph {
       .agg(sum(col("aw")).as("aa_q"))
       .join(adj, Seq("u", "v"), "left_anti") // predict only MISSING links
   }
+
+  /** Borůvka minimum spanning forest over an undirected weighted graph
+    * (Borůvka 1926; the log-round distributed MST — Kruskal and Prim are
+    * inherently sequential, Borůvka's "every component grabs its lightest
+    * outgoing edge" step is one shuffle). Edges are totally ordered by
+    * (weight, min endpoint, max endpoint), which makes the selected forest
+    * UNIQUE and deterministic even under weight ties — the property that
+    * lets a round-unrolled SQL oracle replay the law term by term.
+    *
+    * Per round: (1) label edge endpoints with their component and keep
+    * cross-component edges; (2) per component, argmin cross edge by the
+    * total order (a map-combinable min-struct — no window); (3) every
+    * selected edge joins the forest (cut property: it is the minimum edge
+    * crossing the cut around its component); (4) contract: the selected
+    * pseudo-forest (each component points at its partner) has its unique
+    * 2-cycles broken toward the smaller label, then pointer-DOUBLING
+    * (p := p∘p, `maxJumps` times, early exit on fixpoint) collapses every
+    * chain to its root — full Borůvka contraction, so the component count
+    * at least halves per round and `maxRounds` = ⌈log₂ n⌉ suffices.
+    *
+    * Scale posture: the state is (vertex → component) plus the shrinking
+    * (component → parent) table; every step is a narrow equi-join or a
+    * map-side-combinable aggregation over (long, long, long) rows — no
+    * windows, no driver collects. Weights must already be integer
+    * (quantize upstream) so argmin is exact cross-engine.
+    *
+    * Output: (`id_a`, `id_b`, `w_q`) — the forest edges, id_a < id_b.
+    */
+  def boruvkaMst(edges: DataFrame, src: String, dst: String, weight: String,
+      maxRounds: Int = 16, maxJumps: Int = 16): DataFrame = {
+    val spark = edges.sparkSession
+    // canonical undirected edge list; parallel edges keep the minimum weight
+    val e0 = edges.select(
+        least(col(src), col(dst)).cast("long").as("u"),
+        greatest(col(src), col(dst)).cast("long").as("v"),
+        col(weight).cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    var comp = e0.select(col("u").as("vtx"))
+      .unionByName(e0.select(col("v").as("vtx")))
+      .distinct()
+      .withColumn("comp", col("vtx"))
+      .localCheckpoint()
+    var mst = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id_b",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("w_q",
+          org.apache.spark.sql.types.LongType))))
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      val cross = e0
+        .join(comp.select(col("vtx").as("u"), col("comp").as("cu")), Seq("u"))
+        .join(comp.select(col("vtx").as("v"), col("comp").as("cv")), Seq("v"))
+        .filter(col("cu") =!= col("cv"))
+        .localCheckpoint()
+      if (cross.isEmpty) { done = true }
+      else {
+        // both orientations so every component scores its incident cut;
+        // the partner label rides the struct BEHIND the (w, u, v) total
+        // order, so min() is argmin and carries the hook target for free
+        val both = cross.select(col("cu").as("c"),
+            struct(col("w"), col("u"), col("v"), col("cv").as("t")).as("k"))
+          .unionByName(cross.select(col("cv").as("c"),
+            struct(col("w"), col("u"), col("v"), col("cu").as("t")).as("k")))
+        val sel = both.groupBy(col("c")).agg(min(col("k")).as("k"))
+          .select(col("c"), col("k.w").as("w"), col("k.u").as("u"),
+            col("k.v").as("v"), col("k.t").as("t"))
+          .localCheckpoint()
+        mst = mst.unionByName(
+          sel.select(col("u").as("id_a"), col("v").as("id_b"),
+            col("w").as("w_q")).distinct())
+        // 2-cycle break: a mutually-selected pair roots at its smaller
+        // label; every other component hooks to its partner
+        val tm = sel.select(col("c"), col("t"))
+        val hooked = tm.as("x")
+          .join(tm.as("y"), col("x.t") === col("y.c"), "left")
+          .select(col("x.c").as("c"),
+            when(col("y.t") === col("x.c") && col("x.t") > col("x.c"),
+              col("x.c")).otherwise(col("x.t")).as("p"))
+        var pmap = comp.select(col("comp").as("c")).distinct()
+          .join(hooked, Seq("c"), "left")
+          .withColumn("p", coalesce(col("p"), col("c")))
+          .localCheckpoint()
+        var jump = 0
+        var stable = false
+        while (jump < maxJumps && !stable) {
+          val next = pmap.as("x")
+            .join(pmap.as("y"), col("x.p") === col("y.c"))
+            .select(col("x.c").as("c"), col("y.p").as("p"))
+            .localCheckpoint()
+          stable = next.as("n")
+            .join(pmap.as("o"), col("n.c") === col("o.c"))
+            .filter(col("n.p") =!= col("o.p")).isEmpty
+          org.apache.spark.sql.graftx.CheckpointUtils
+            .unpersistLocalCheckpoint(pmap)
+          pmap = next
+          jump += 1
+        }
+        val nextComp = comp
+          .join(pmap.withColumnRenamed("c", "comp"), Seq("comp"))
+          .select(col("vtx"), col("p").as("comp"))
+          .localCheckpoint()
+        org.apache.spark.sql.graftx.CheckpointUtils
+          .unpersistLocalCheckpoint(comp)
+        comp = nextComp
+      }
+      round += 1
+    }
+    mst.distinct()
+  }
+
+  /** Deterministic Luby maximal independent set (Luby 1986, with the
+    * random priorities replaced by the engine-neutral total order
+    * (md5(vertex), vertex) — same expected O(log n) rounds, but every
+    * round is exactly replayable by a SQL oracle). Per round, an ACTIVE
+    * vertex joins the MIS iff its priority beats every active neighbor's;
+    * MIS vertices and their neighbors then deactivate. Isolated-by-
+    * deactivation vertices win their (empty) neighborhood and join.
+    *
+    * Scale: state is the active-vertex set; each round is one equi-join
+    * of the edge list against it plus a map-combinable min — the
+    * PageRank shape. `edges` must contain both orientations.
+    *
+    * Output: (`vertex`, `mis_round`) — every vertex of the graph, with the
+    * 1-based round it entered the MIS, or 0 if it was dominated.
+    */
+  def lubyMis(edges: DataFrame, src: String, dst: String,
+      maxRounds: Int = 24): DataFrame = {
+    val e = edges.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val pri = struct(md5(col("vtx").cast("string")), col("vtx"))
+    var active = e.select(col("a").as("vtx")).distinct().localCheckpoint()
+    var result = active.sparkSession.createDataFrame(
+      active.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vertex",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("mis_round",
+          org.apache.spark.sql.types.LongType))))
+    var round = 1
+    while (round <= maxRounds && !active.isEmpty) {
+      // live edges: both endpoints active
+      val live = e
+        .join(active.withColumnRenamed("vtx", "a"), Seq("a"))
+        .join(active.withColumnRenamed("vtx", "b"), Seq("b"))
+      val nbrMin = live
+        .select(col("a").as("vtx"),
+          struct(md5(col("b").cast("string")), col("b")).as("np"))
+        .groupBy(col("vtx")).agg(min(col("np")).as("np"))
+      val winners = active.join(nbrMin, Seq("vtx"), "left")
+        .filter(col("np").isNull || pri < col("np"))
+        .select(col("vtx"))
+        .localCheckpoint()
+      result = result.unionByName(
+        winners.select(col("vtx").as("vertex"),
+          lit(round.toLong).as("mis_round")))
+      val dominated = e
+        .join(winners.withColumnRenamed("vtx", "a"), Seq("a"))
+        .select(col("b").as("vtx")).distinct()
+      val nextActive = active
+        .join(winners.unionByName(dominated).distinct(),
+          Seq("vtx"), "left_anti")
+        .localCheckpoint()
+      org.apache.spark.sql.graftx.CheckpointUtils
+        .unpersistLocalCheckpoint(active)
+      active = nextActive
+      round += 1
+    }
+    val verts = e.select(col("a").as("vertex")).distinct()
+    verts.join(result, Seq("vertex"), "left")
+      .select(col("vertex"), coalesce(col("mis_round"), lit(0L)).as("mis_round"))
+  }
 }

@@ -31,6 +31,39 @@ object AnalyticQueries extends QueryPack {
       .distinct()
   }
 
+  /** Weighted supplier co-supply graph: suppliers linked when they ship
+    * the same part, weight = the cheapest joint shipment in exact integer
+    * cents (min over shared parts of the two line items' summed cents) —
+    * shared by a_mst_suppliers, a_mis_suppliers. ~|S| vertices, dense.
+    */
+  private def supplierGraph(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sp = Tables.load(s, dir, "lineitem")
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+          .as("cents"))
+    sp.as("x")
+      .join(sp.as("y"),
+        col("x.pk") === col("y.pk") && col("x.sk") < col("y.sk"))
+      .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
+      .agg(min(col("x.cents") + col("y.cents")).as("w_q"))
+  }
+
+  /** Shared oracle CTEs for the supplier co-supply graph — the DuckDB
+    * mirror of [[supplierGraph]]: `e(u, v, w)` canonical weighted edges,
+    * `verts(vx)` the vertex set.
+    */
+  private val supplierGraphSql: String =
+    """sp AS MATERIALIZED (SELECT l_suppkey AS sk, l_partkey AS pk,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |e AS MATERIALIZED (SELECT x.sk AS u, y.sk AS v,
+      |    min(x.cents + y.cents) AS w
+      |  FROM sp x JOIN sp y ON x.pk = y.pk AND x.sk < y.sk
+      |  GROUP BY 1, 2),
+      |verts AS MATERIALIZED (SELECT u AS vx FROM e UNION SELECT v FROM e)"""
+      .stripMargin
+
   /** Two deterministic 3-hop walks from every 31st part over the part
     * co-occurrence graph — shared by a_walk_corpus, a_skipgram_pairs.
     */
@@ -319,6 +352,31 @@ object AnalyticQueries extends QueryPack {
       graft.operators.Graph.adamicAdar(e, "a", "b")
         .orderBy(col("aa_q").desc, col("u"), col("v"))
         .limit(20)
+    }),
+
+    // Borůvka minimum spanning forest over the supplier co-supply graph
+    // (suppliers linked when they ship the same part; weight = cheapest
+    // joint shipment in exact integer cents). Log-round distributed MST —
+    // each round every component grabs its lightest cut edge and the
+    // selected pseudo-forest contracts by pointer doubling. The oracle
+    // replays all rounds (argmin, 2-cycle break, 7 doubling jumps) term
+    // by term — the forest is unique under the (w, u, v) total order.
+    "a_mst_suppliers" -> ((s, dir) =>
+      graft.operators.Graph
+        .boruvkaMst(supplierGraph(s, dir), "u", "v", "w_q")
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Deterministic Luby maximal independent set over the same supplier
+    // graph: priorities are the engine-neutral (md5(vertex), vertex)
+    // order, so the expected-O(log n) randomized rounds become exactly
+    // SQL-replayable. Output = every vertex with its entry round (0 =
+    // dominated): the covering structure a dedup/sampling pass keeps.
+    "a_mis_suppliers" -> ((s, dir) => {
+      val g = supplierGraph(s, dir)
+      val und = g.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(g.select(col("v").as("a"), col("u").as("b")))
+      graft.operators.Graph.lubyMis(und, "a", "b")
+        .orderBy(col("vertex"))
     }),
 
     "a_pagerank_parts" -> ((s, dir) => {
@@ -1172,6 +1230,87 @@ object AnalyticQueries extends QueryPack {
         |LEFT JOIN adj ON c.u = adj.u AND c.v = adj.v
         |WHERE adj.u IS NULL
         |ORDER BY aa_q DESC, c.u, c.v LIMIT 20""".stripMargin,
+
+    "a_mst_suppliers" -> {
+      // full Borůvka replay: per round, (w, u, v)-argmin per component
+      // (window mirror of the engine's min-struct), 2-cycle break toward
+      // the smaller label, then exactly 7 pointer-doubling jumps (2^7 >
+      // |components|, so every chain reaches its root — the engine's
+      // early-exit fixpoint lands on the same labels). 7 rounds ≥ ⌈log₂ n⌉.
+      val R = 7
+      val J = 7
+      def round(k: Int): String = {
+        val jumps = (1 to J).map(j =>
+          s"""p${k}_$j AS MATERIALIZED (SELECT x.c, y.p
+             |  FROM p${k}_${j - 1} x JOIN p${k}_${j - 1} y ON x.p = y.c)"""
+            .stripMargin).mkString(",\n")
+        s"""lab$k AS MATERIALIZED (SELECT e.u, e.v, e.w, cu.c AS cu,
+           |    cv.c AS cv
+           |  FROM e JOIN comp${k - 1} cu ON cu.vx = e.u
+           |         JOIN comp${k - 1} cv ON cv.vx = e.v
+           |  WHERE cu.c <> cv.c),
+           |sel$k AS MATERIALIZED (SELECT c, w, u, v, t FROM (
+           |    SELECT c, w, u, v, t,
+           |      row_number() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+           |    FROM (SELECT cu AS c, w, u, v, cv AS t FROM lab$k
+           |          UNION ALL SELECT cv, w, u, v, cu FROM lab$k))
+           |  WHERE rn = 1),
+           |hook$k AS MATERIALIZED (SELECT x.c,
+           |    CASE WHEN y.t = x.c AND x.t > x.c THEN x.c ELSE x.t END AS p
+           |  FROM sel$k x LEFT JOIN sel$k y ON x.t = y.c),
+           |p${k}_0 AS MATERIALIZED (SELECT cs.c, COALESCE(hook$k.p, cs.c) AS p
+           |  FROM (SELECT DISTINCT c FROM comp${k - 1}) cs
+           |  LEFT JOIN hook$k USING (c)),
+           |$jumps,
+           |comp$k AS MATERIALIZED (SELECT comp${k - 1}.vx, p${k}_$J.p AS c
+           |  FROM comp${k - 1} JOIN p${k}_$J ON comp${k - 1}.c = p${k}_$J.c)"""
+          .stripMargin
+      }
+      val sels = (1 to R).map(k => s"SELECT u, v, w FROM sel$k")
+        .mkString("\n  UNION ")
+      s"""WITH $supplierGraphSql,
+         |comp0 AS MATERIALIZED (SELECT vx, vx AS c FROM verts),
+         |${(1 to R).map(round).mkString(",\n")}
+         |SELECT u AS id_a, v AS id_b, w AS w_q FROM (
+         |  $sels)
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "a_mis_suppliers" -> {
+      // Luby replay: per round the active-subgraph neighbor-minimum of
+      // md5 priorities (collision-free at this cardinality, so the md5
+      // order IS the engine's (md5, vertex) struct order), winners beat
+      // their minimum or have no live neighbors, winners ∪ dominated
+      // deactivate. 12 rounds ≫ the observed convergence; spent rounds
+      // are no-ops on the empty active set.
+      val R = 12
+      def round(k: Int): String =
+        s"""nm$k AS MATERIALIZED (SELECT ed.a AS vx,
+           |    min(md5(CAST(ed.b AS VARCHAR))) AS m
+           |  FROM ed JOIN act${k - 1} x ON ed.a = x.vx
+           |          JOIN act${k - 1} y ON ed.b = y.vx
+           |  GROUP BY ed.a),
+           |win$k AS MATERIALIZED (SELECT x.vx
+           |  FROM act${k - 1} x LEFT JOIN nm$k ON nm$k.vx = x.vx
+           |  WHERE nm$k.vx IS NULL OR md5(CAST(x.vx AS VARCHAR)) < nm$k.m),
+           |dom$k AS MATERIALIZED (SELECT DISTINCT ed.b AS vx
+           |  FROM ed JOIN win$k w ON ed.a = w.vx),
+           |act$k AS MATERIALIZED (SELECT vx FROM act${k - 1}
+           |  EXCEPT SELECT vx FROM win$k EXCEPT SELECT vx FROM dom$k)"""
+          .stripMargin
+      val wins = (1 to R).map(k => s"SELECT vx, $k AS rnd FROM win$k")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $supplierGraphSql,
+         |ed AS MATERIALIZED (SELECT u AS a, v AS b FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         |act0 AS MATERIALIZED (SELECT vx FROM verts),
+         |${(1 to R).map(round).mkString(",\n")},
+         |wr AS ($wins)
+         |SELECT verts.vx AS vertex,
+         |  CAST(COALESCE(wr.rnd, 0) AS BIGINT) AS mis_round
+         |FROM verts LEFT JOIN wr ON wr.vx = verts.vx
+         |ORDER BY vertex""".stripMargin
+    },
 
     "a_pagerank_parts" -> {
       // one damped integer round: rK = 150000 + (85 * Σ r_{K-1}//d) // 100;

@@ -545,6 +545,81 @@ class GraphSpec extends AnyFunSuite {
     assert(got(12L) === ((None, Some(700000L))))
   }
 
+  // sequential Kruskal under the same (w, u, v) total order — the
+  // independent reference for boruvkaMst
+  private def kruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val sorted = edges
+      .map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
+      .sortBy { case (u, v, w) => (w, u, v) }
+    sorted.collect { case (u, v, w) if find(u) != find(v) =>
+      parent(find(u)) = find(v); (u, v, w)
+    }.toSet
+  }
+
+  test("boruvkaMst matches sequential Kruskal on a weighted fixture with " +
+      "ties, long chains, and a disconnected component") {
+    // chain with increasing weights (deep selected-edge trees), a cycle
+    // with a tie, and an isolated 2-vertex component
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 3L, 6L), (3L, 4L, 7L), (4L, 5L, 8L), (5L, 6L, 9L),
+      (1L, 6L, 9L),                       // tie with (5,6) — order breaks it
+      (2L, 5L, 20L), (3L, 6L, 1L),        // shortcut edges
+      (100L, 101L, 3L))                   // separate forest component
+    val got = Graph.boruvkaMst(edges.toDF("a", "b", "w"), "a", "b", "w")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === kruskal(edges))
+    assert(got.size == 6) // 6 vertices -> 5 edges, + 1 in the second tree
+  }
+
+  test("boruvkaMst on a pseudo-random dense graph equals Kruskal and is " +
+      "partitioning-invariant") {
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
+    val raw = lcg(7L).take(900).grouped(3).collect {
+      case Seq(x, y, w) =>
+        (Math.floorMod(x, 40L), Math.floorMod(y, 40L), Math.floorMod(w, 50L))
+    }.toSeq.filter { case (a, b, _) => a != b }
+    // parallel edges keep the min weight — mirror the operator's dedupe law
+    val dedup = raw.groupBy { case (a, b, _) =>
+        (math.min(a, b), math.max(a, b)) }
+      .map { case ((u, v), es) => (u, v, es.map(_._3).min) }.toSeq
+    val df = raw.toDF("a", "b", "w")
+    val got = Graph.boruvkaMst(df, "a", "b", "w")
+      .as[(Long, Long, Long)].collect().toSet
+    val got7 = Graph.boruvkaMst(df.repartition(7), "a", "b", "w")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === kruskal(dedup))
+    assert(got === got7)
+  }
+
+  test("lubyMis: independent, maximal, deterministic, and dominated " +
+      "vertices report round 0") {
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
+    val pairs = lcg(3L).take(600).grouped(2).collect {
+      case Seq(x, y) => (Math.floorMod(x, 50L), Math.floorMod(y, 50L))
+    }.toSeq.filter { case (a, b) => a != b }
+    val und = (pairs ++ pairs.map(_.swap)).distinct
+    val got = Graph.lubyMis(und.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val mis = got.filter(_._2 > 0).keySet
+    val adj = und.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+    // independence: no edge has both endpoints in the MIS
+    assert(und.forall { case (a, b) => !(mis(a) && mis(b)) })
+    // maximality: every dominated vertex has a MIS neighbor
+    assert(got.collect { case (v, 0L) => v }
+      .forall(v => adj(v).exists(mis)))
+    // determinism across partitionings
+    val got7 = Graph.lubyMis(und.toDF("a", "b").repartition(5), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === got7)
+  }
+
   test("hitsInt is partitioning-invariant (integer ops only)") {
     def lcg(seed: Long): Iterator[Long] =
       Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
