@@ -425,6 +425,63 @@ object Multimodal {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Integer DCT-II basis table for [[dctHash]]: (u, x) → round(cos((2x+1)
+    * ·u·π/2g)·1024) — fixed-point Q10 weights, computed ONCE here and
+    * embedded verbatim in the oracle SQL, so both engines multiply the
+    * identical integer matrix (the only float op is this driver-side
+    * table build; everything per-row is exact long arithmetic).
+    */
+  def dctTable(g: Int): Seq[(Int, Int, Long)] =
+    for { u <- 0 until g; x <- 0 until g } yield
+      (u, x, math.round(math.cos((2 * x + 1) * u * math.Pi / (2.0 * g)) * 1024.0))
+
+  /** Perceptual DCT hash (pHash): the frequency-domain sibling of
+    * [[averageHash]] — quantized cell means (Q8 fixed point, truncating
+    * div) run through a separable integer 2-D DCT-II (row pass then
+    * column pass against the Q10 [[dctTable]]), and bit p is set iff AC
+    * coefficient p exceeds the exact median of the g²−1 AC coefficients.
+    * Keys on the image's coarse frequency structure, so it survives
+    * brightness/contrast shifts AND mild blur/resize that flip aHash
+    * bits. All arithmetic is long-exact (|F| ≤ g²·2¹⁰⁺¹⁰⁺¹⁸ ≪ 2⁶³), so a
+    * SQL oracle replays every coefficient bit-for-bit.
+    *
+    * Scale: two broadcast joins against the g²-row basis table and three
+    * map-combinable aggregations over ≤ g² rows per image — no pixel
+    * data crosses an exchange (the grid input already pooled it), and the
+    * per-image median sorts g²−1 longs inside one aggregation buffer.
+    *
+    * Output: (`media_id`, `phash`) — g²−1 ≤ 63 bits.
+    */
+  def dctHash(grid: DataFrame, g: Int = 8): DataFrame = {
+    require(g >= 2 && g * g - 1 <= 63, s"bad grid for dctHash: $g")
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val ct = dctTable(g).toDF("u", "x", "w")
+    val q = grid.filter(col("cell") >= 0)
+      .select(col("media_id"), (col("cell") % g).as("cx"),
+        expr(s"cell div $g").as("cy"),
+        expr("(lum_sum * 256) div n_px").as("q"))
+    val rowPass = q
+      .join(broadcast(ct.withColumnRenamed("x", "cx")), Seq("cx"))
+      .groupBy(col("media_id"), col("u"), col("cy"))
+      .agg(sum(col("w") * col("q")).as("gv"))
+    val colPass = rowPass
+      .join(broadcast(ct.select(col("u").as("v"), col("x").as("cy"),
+        col("w").as("w2"))), Seq("cy"))
+      .groupBy(col("media_id"), col("u"), col("v"))
+      .agg(sum(col("w2") * col("gv")).as("f"))
+    val ac = colPass.filter(col("u") =!= 0 || col("v") =!= 0)
+      .select(col("media_id"), (col("u") * g + col("v")).as("pos"), col("f"))
+    val med = ac.groupBy(col("media_id"))
+      .agg(element_at(array_sort(collect_list(col("f"))), (g * g) / 2)
+        .as("med"))
+    ac.join(med, Seq("media_id"))
+      .groupBy(col("media_id"))
+      .agg(sum(when(col("f") > col("med"),
+          expr("shiftleft(CAST(1 AS BIGINT), pos - 1)")).otherwise(0L))
+        .as("phash"))
+  }
+
   def ahashNearDupCounts(hashes: DataFrame, maxDist: Int = 1,
       bandBits: Int = 8): DataFrame = {
     // staged: referenced by both self-join sides and the final left join —

@@ -148,6 +148,23 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // Perceptual DCT hash (pHash) near-dups: quantized cell means through
+    // a separable integer 2-D DCT (Q10 fixed-point basis), bits = AC
+    // coefficient vs the exact AC median, then the banded Hamming join at
+    // distance ≤ 8 (9 bands × 7 bits — pigeonhole-complete over 63 bits).
+    // The oracle replays every DCT coefficient from the pixel law with
+    // the SAME embedded integer basis table and brute-forces the pairs.
+    "m_phash_dups" -> ((s, dir) => {
+      val gf = Multimodal.gridFeatures(
+        Multimodal.imageTable(Tables.load(s, dir, "documents")), grid = 8)
+        .toDF()
+      Multimodal.ahashNearDupCounts(
+          Multimodal.dctHash(gf).withColumnRenamed("phash", "ahash"),
+          maxDist = 8, bandBits = 7)
+        .withColumnRenamed("ahash", "phash")
+        .orderBy(col("media_id"))
+    }),
+
     // REAL audio decode: payloads are genuine RIFF/WAVE PCM16 files; every
     // output field is parsed from the fmt/data chunks and sample_sum is
     // recomputed from the decoded PCM stream. The oracle recomputes all of
@@ -350,6 +367,54 @@ object MultimodalQueries extends QueryPack {
         |SELECT doc_id AS media_id, cell, CAST(count(*) AS BIGINT) AS n_px,
         |  CAST(sum(lum) AS BIGINT) AS lum_sum
         |FROM c GROUP BY doc_id, cell ORDER BY media_id, cell""".stripMargin,
+
+    // every DCT coefficient re-derived from the pixel law with the SAME
+    // integer basis table the engine embeds; pairs brute-forced
+    "m_phash_dups" -> {
+      val vals = Multimodal.dctTable(8)
+        .map { case (u, x, w) => s"($u,$x,$w)" }.mkString(",")
+      s"""WITH d AS (SELECT doc_id, text,
+         |    doc_id % 64 + 16 AS w, doc_id % 48 + 12 AS h FROM documents),
+         |px AS (SELECT doc_id, text, w, h,
+         |    unnest(range(0, w * h)) AS i FROM d),
+         |c AS (SELECT doc_id,
+         |    CAST((i // w) * 8 // h * 8 + (i % w) * 8 // w AS INTEGER) AS cell,
+         |    CASE WHEN length(text) = 0 THEN 0 ELSE
+         |      ord(substr(text, CAST((i * 3) % length(text) AS INTEGER) + 1, 1))
+         |      + ord(substr(text, CAST((i * 3 + 1) % length(text) AS INTEGER) + 1, 1))
+         |      + ord(substr(text, CAST((i * 3 + 2) % length(text) AS INTEGER) + 1, 1))
+         |    END AS lum
+         |  FROM px),
+         |g AS (SELECT doc_id, cell, CAST(count(*) AS BIGINT) AS n_px,
+         |    CAST(sum(lum) AS BIGINT) AS lum_sum
+         |  FROM c GROUP BY doc_id, cell),
+         |ct(u, x, cw) AS (SELECT * FROM (VALUES $vals) t(u, x, cw)),
+         |q AS (SELECT doc_id, cell % 8 AS cx, cell // 8 AS cy,
+         |    (lum_sum * 256) // n_px AS qv FROM g),
+         |gp AS (SELECT doc_id, ct.u, q.cy, sum(ct.cw * q.qv) AS gv
+         |  FROM q JOIN ct ON ct.x = q.cx GROUP BY 1, 2, 3),
+         |fc AS (SELECT doc_id, gp.u, ct.u AS v, sum(ct.cw * gv) AS fv
+         |  FROM gp JOIN ct ON ct.x = gp.cy GROUP BY 1, 2, 3),
+         |ac AS (SELECT doc_id, u * 8 + v AS pos, fv FROM fc
+         |  WHERE NOT (u = 0 AND v = 0)),
+         |med AS (SELECT doc_id, list_sort(list(fv))[32] AS med
+         |  FROM ac GROUP BY doc_id),
+         |hsh AS (SELECT ac.doc_id AS media_id,
+         |    CAST(sum(CASE WHEN fv > med
+         |      THEN (CAST(1 AS BIGINT) << CAST(pos - 1 AS INTEGER))
+         |      ELSE 0 END) AS BIGINT) AS phash
+         |  FROM ac JOIN med ON ac.doc_id = med.doc_id GROUP BY 1),
+         |pairs AS (SELECT a.media_id AS ia, b.media_id AS ib
+         |  FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 8),
+         |pc AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_neardups
+         |  FROM (SELECT ia AS media_id FROM pairs
+         |        UNION ALL SELECT ib FROM pairs)
+         |  GROUP BY media_id)
+         |SELECT h.media_id, h.phash, COALESCE(pc.n_neardups, 0) AS n_neardups
+         |FROM hsh h LEFT JOIN pc USING (media_id)
+         |ORDER BY media_id""".stripMargin
+    },
 
     // hash re-derived from the byte-reconstruction CTE; partner counts via
     // brute-force all-pairs bit_count(xor) — independent of the banded join

@@ -664,4 +664,51 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L), (1L, 3L)), pairs.toString)
   }
+
+  // sequential mirror of dctHash: same Q8 quantization, same Q10 basis,
+  // same strict-median bit rule — an independent single-threaded derivation
+  private def seqDctHash(cells: Map[Int, (Long, Long)], g: Int): Long = {
+    val ct = Multimodal.dctTable(g)
+      .map { case (u, x, w) => ((u, x), w) }.toMap
+    val q = Array.tabulate(g, g) { (cy, cx) =>
+      val (npx, lum) = cells(cy * g + cx); lum * 256 / npx
+    }
+    val f = Array.tabulate(g, g) { (u, v) =>
+      (0 until g).map(cy => ct((v, cy)) *
+        (0 until g).map(cx => ct((u, cx)) * q(cy)(cx)).sum).sum
+    }
+    val ac = for { u <- 0 until g; v <- 0 until g; if u != 0 || v != 0 }
+      yield (u * g + v, f(u)(v))
+    val med = ac.map(_._2).sorted.apply((g * g) / 2 - 1)
+    ac.collect { case (pos, c) if c > med => 1L << (pos - 1) }.sum
+  }
+
+  test("dctHash: constant image hashes to 0; pseudo-random grids match " +
+      "the sequential DCT mirror exactly") {
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
+    // image 0: constant luminance (every AC coefficient is exactly 0);
+    // images 1-4: pseudo-random cell sums with uneven pixel counts
+    val rows = (for {
+      img <- 0 until 5
+      cell <- 0 until 64
+    } yield {
+      val npx = 1L + Math.floorMod(lcg(img * 64L + cell).drop(1).next(), 9L)
+      val lum = if (img == 0) npx * 300L
+        else Math.floorMod(lcg(img * 64L + cell).drop(2).next(), 765L * npx)
+      (img.toLong, cell, npx, lum)
+    }).toDF("media_id", "cell", "n_px", "lum_sum")
+    val got = Multimodal.dctHash(rows).as[(Long, Long)].collect().toMap
+    val want = (0 until 5).map { img =>
+      val cells = (0 until 64).map { cell =>
+        val npx = 1L + Math.floorMod(lcg(img * 64L + cell).drop(1).next(), 9L)
+        val lum = if (img == 0) npx * 300L
+          else Math.floorMod(lcg(img * 64L + cell).drop(2).next(), 765L * npx)
+        (cell, (npx, lum))
+      }.toMap
+      (img.toLong, seqDctHash(cells, 8))
+    }.toMap
+    assert(got(0L) == 0L, "constant image must hash to 0")
+    assert(got === want)
+  }
 }
