@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inter-annotator agreement over vote columns — the chance-corrected
+  * reliability screens a labeling pipeline runs before trusting its
+  * annotators (human or labeling-function): Cohen's kappa (1960) for
+  * pairs, Fleiss' kappa (1971) for the whole panel. Votes are +1 / -1
+  * with 0 = abstain. Every statistic is EXACT INTEGER arithmetic on
+  * count aggregates (the chance terms are rationals — numerator and
+  * denominator carried separately until one final truncating division),
+  * so results are bit-identical across engines and partitionings.
+  */
+object Agreement {
+
+  /** Pairwise Cohen's kappa: for each unordered column pair, restricted
+    * to items where BOTH vote, kappa = (p_o − p_e)/(1 − p_e) with the
+    * empirical marginal chance term. Cleared denominators:
+    * kappa = (agree·n − (a₊b₊ + a₋b₋)) / (n² − (a₊b₊ + a₋b₋)), reported
+    * in truncated micro-units (0 when the denominator is 0 — degenerate
+    * marginals make kappa undefined).
+    *
+    * Scale: votes melt to (id, lf, v) rows and self-join on the item id —
+    * co-partitioned, k²-fanout per item (k = |cols|, tiny) — then ONE
+    * map-combinable 6-counter aggregation per pair.
+    *
+    * Output: (`lf_a`, `lf_b`, `n_items`, `n_agree`, `kappa_q`).
+    */
+  def cohenKappaPairs(votes: DataFrame, id: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two annotators")
+    val long = votes.select(col(id).as("__id"),
+        explode(array(cols.map(c =>
+          struct(lit(c).as("lf"), col(c).cast("int").as("v"))): _*)).as("x"))
+      .select(col("__id"), col("x.lf").as("lf"), col("x.v").as("v"))
+      .filter(col("v") =!= 0)
+    long.as("a")
+      .join(long.as("b"),
+        col("a.__id") === col("b.__id") && col("a.lf") < col("b.lf"))
+      .groupBy(col("a.lf").as("lf_a"), col("b.lf").as("lf_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a.v") === col("b.v"), 1L).otherwise(0L)).as("agree"),
+        sum(when(col("a.v") === 1, 1L).otherwise(0L)).as("ap"),
+        sum(when(col("a.v") === -1, 1L).otherwise(0L)).as("am"),
+        sum(when(col("b.v") === 1, 1L).otherwise(0L)).as("bp"),
+        sum(when(col("b.v") === -1, 1L).otherwise(0L)).as("bm"))
+      .select(col("lf_a"), col("lf_b"), col("n").as("n_items"),
+        col("agree").as("n_agree"),
+        expr("""CASE WHEN n * n - (ap * bp + am * bm) = 0 THEN 0
+          ELSE (1000000 * (agree * n - (ap * bp + am * bm)))
+               div (n * n - (ap * bp + am * bm)) END""").as("kappa_q"))
+  }
+
+  /** Fleiss' kappa over the full panel, restricted to items where ALL k
+    * columns vote. With per-item category counts n_i± and category totals
+    * T±: S1 = Σᵢ Σ_c n_ic(n_ic−1), and after clearing the common Nk
+    * factor, kappa = (S1·Nk − (k−1)(T₊² + T₋²)) /
+    * ((k−1)·((Nk)² − T₊² − T₋²)) — one map-combinable aggregation.
+    *
+    * Output: one row (`n_items`, `s1`, `t_pos`, `t_neg`, `kappa_q`).
+    */
+  def fleissKappa(votes: DataFrame, cols: Seq[String]): DataFrame = {
+    val k = cols.size
+    require(k >= 2, "need at least two annotators")
+    val full = votes.filter(cols.map(c => col(c) =!= 0).reduce(_ && _))
+    val np = cols.map(c => when(col(c) === 1, 1L).otherwise(0L))
+      .reduce(_ + _)
+    full.select(np.as("np"), (lit(k.toLong) - np).as("nm"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("np") * (col("np") - 1) + col("nm") * (col("nm") - 1))
+          .as("s1"),
+        sum(col("np")).as("t_pos"), sum(col("nm")).as("t_neg"))
+      .select(col("n_items"), col("s1"), col("t_pos"), col("t_neg"),
+        expr(s"""CASE WHEN ($k - 1) * ((n_items * $k) * (n_items * $k)
+            - t_pos * t_pos - t_neg * t_neg) = 0 THEN 0
+          ELSE (1000000 * (s1 * n_items * $k
+              - ($k - 1) * (t_pos * t_pos + t_neg * t_neg)))
+            div (($k - 1) * ((n_items * $k) * (n_items * $k)
+              - t_pos * t_pos - t_neg * t_neg)) END""").as("kappa_q"))
+  }
+}

@@ -38,6 +38,81 @@ object TextQueries extends QueryPack {
     * bit-identical composite-score arithmetic (used by the per-source
     * cutoff and the decile calibration oracles).
     */
+  /** Shared vote frame for the weak-supervision family: four labeling
+    * functions (quality band, language agreement, length band, stopword
+    * density) voting +1/-1/0 per document, plus the unweighted majority —
+    * used by t_weak_labels, t_annotator_kappa, t_fleiss_kappa.
+    */
+  private def weakVotes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        qualityScore(col("text")).as("qs"),
+        wsTokenCount(col("text")).as("wt"),
+        stopwordCount(col("text")).as("sw"),
+        langGuess(col("text")).as("lg"))
+    base.select(col("doc_id"),
+        when(col("qs") >= 0.5, 1).when(col("qs") < 0.25, -1)
+          .otherwise(0).as("v1"),
+        when(col("lg") === col("lang"), 1).otherwise(-1).as("v2"),
+        when(col("wt") >= 20, 1).when(col("wt") < 5, -1)
+          .otherwise(0).as("v3"),
+        when(col("sw") * 10 >= col("wt"), 1).when(col("sw") === 0, -1)
+          .otherwise(0).as("v4"))
+      .withColumn("maj",
+        signum(col("v1") + col("v2") + col("v3") + col("v4")).cast("int"))
+  }
+
+  /** DuckDB mirror of [[weakVotes]] — CTE chain ending in
+    * `vm(doc_id, v1..v4, maj)`; shared by the weak-supervision oracles.
+    */
+  private lazy val weakVotesCtes: String = {
+    val scoreCols = langProfiles.map { case (l, words) =>
+      s"len(list_filter(toks, t -> list_contains(${inList(words)}, t))) AS score_$l"
+    }.mkString(",\n    ")
+    val langs = langProfiles.map(_._1)
+    val mx = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val guess = langs
+      .map(l => s"WHEN __mx > 0 AND score_$l = __mx THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""t AS (SELECT doc_id, lang, text, $toksSql AS toks
+       |  FROM documents),
+       |m AS (SELECT doc_id, lang, toks,
+       |    CAST(length(text) AS INTEGER) AS char_len,
+       |    CAST(len(toks) AS INTEGER) AS wt,
+       |    CAST(length(text) - length(regexp_replace(text,
+       |      '[^a-zA-Z0-9\\s]', '', 'g')) AS INTEGER) AS punct_chars,
+       |    CAST($stopSql AS INTEGER) AS sw,
+       |    CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))),
+       |        0) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS avg_token_len,
+       |    $scoreCols
+       |  FROM t),
+       |g AS (SELECT *, $mx AS __mx FROM m),
+       |q AS (SELECT doc_id, lang, wt, sw,
+       |    0.25 * least(1.0, CAST(wt AS DOUBLE) / 50.0)
+       |    + 0.25 * (1.0 - least(1.0, CAST(punct_chars AS DOUBLE)
+       |        / CAST(greatest(char_len, 1) AS DOUBLE)))
+       |    + 0.25 * least(1.0, CAST(sw AS DOUBLE) * 10.0
+       |        / CAST(greatest(wt, 1) AS DOUBLE))
+       |    + 0.25 * (1.0 - least(1.0, abs(avg_token_len - 5.0) / 5.0))
+       |      AS qs,
+       |    $guess AS lg
+       |  FROM g),
+       |v AS (SELECT doc_id,
+       |    CASE WHEN qs >= 0.5 THEN 1 WHEN qs < 0.25 THEN -1
+       |      ELSE 0 END AS v1,
+       |    CASE WHEN lg = lang THEN 1 ELSE -1 END AS v2,
+       |    CASE WHEN wt >= 20 THEN 1 WHEN wt < 5 THEN -1
+       |      ELSE 0 END AS v3,
+       |    CASE WHEN sw * 10 >= wt THEN 1 WHEN sw = 0 THEN -1
+       |      ELSE 0 END AS v4
+       |  FROM q),
+       |vm AS MATERIALIZED (SELECT *,
+       |    CAST(sign(v1 + v2 + v3 + v4) AS INTEGER) AS maj FROM v)"""
+      .stripMargin
+  }
+
   private def qualityScoredCte =
     s"""t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
        |m AS (
@@ -208,6 +283,22 @@ object TextQueries extends QueryPack {
         .orderBy(col("source"), col("decile"))
     }),
 
+    // Pairwise Cohen's kappa between the four labeling functions — the
+    // chance-corrected agreement screen run before trusting a weak-
+    // supervision panel (near-0 pairs are noise, negative pairs are
+    // systematic disagreement). Exact integer rational arithmetic; the
+    // oracle recomputes all six pairs from the replayed vote law.
+    "t_annotator_kappa" -> ((s, dir) =>
+      graft.ops.Agreement.cohenKappaPairs(weakVotes(s, dir), "doc_id",
+          Seq("v1", "v2", "v3", "v4"))
+        .orderBy(col("lf_a"), col("lf_b"))),
+
+    // Fleiss' kappa over the whole 4-function panel (items where all
+    // vote): the single-number panel reliability.
+    "t_fleiss_kappa" -> ((s, dir) =>
+      graft.ops.Agreement.fleissKappa(weakVotes(s, dir),
+        Seq("v1", "v2", "v3", "v4"))),
+
     // Snorkel-style weak supervision (Ratner et al. 2017, the closed-form
     // majority-vote variant): four labeling functions vote +1/-1/abstain
     // per document (quality band, language agreement, length band,
@@ -220,22 +311,7 @@ object TextQueries extends QueryPack {
     // map-combinable 8-counter aggregate; the weight frame is one
     // broadcast row — nothing data-sized shuffles.
     "t_weak_labels" -> ((s, dir) => {
-      val base = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          qualityScore(col("text")).as("qs"),
-          wsTokenCount(col("text")).as("wt"),
-          stopwordCount(col("text")).as("sw"),
-          langGuess(col("text")).as("lg"))
-      val v = base.select(col("doc_id"),
-          when(col("qs") >= 0.5, 1).when(col("qs") < 0.25, -1)
-            .otherwise(0).as("v1"),
-          when(col("lg") === col("lang"), 1).otherwise(-1).as("v2"),
-          when(col("wt") >= 20, 1).when(col("wt") < 5, -1)
-            .otherwise(0).as("v3"),
-          when(col("sw") * 10 >= col("wt"), 1).when(col("sw") === 0, -1)
-            .otherwise(0).as("v4"))
-        .withColumn("maj",
-          signum(col("v1") + col("v2") + col("v3") + col("v4")).cast("int"))
+      val v = weakVotes(s, dir)
         .localCheckpoint() // feeds the accuracy agg AND the final scoring
       val accAgg = (1 to 4).flatMap { i => Seq(
         sum(when(col("maj") =!= 0 && col(s"v$i") =!= 0, 1L).otherwise(0L))
@@ -806,55 +882,13 @@ object TextQueries extends QueryPack {
          |FROM cum CROSS JOIN beta ORDER BY b""".stripMargin,
 
     "t_weak_labels" -> {
-      val scoreCols = langProfiles.map { case (l, words) =>
-        s"len(list_filter(toks, t -> list_contains(${inList(words)}, t))) AS score_$l"
-      }.mkString(",\n    ")
-      val langs = langProfiles.map(_._1)
-      val mx = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
-      val guess = langs
-        .map(l => s"WHEN __mx > 0 AND score_$l = __mx THEN '$l'")
-        .mkString("CASE ", " ", " ELSE 'und' END")
       val wCols = (1 to 4).map { i =>
         val a = s"sum(CASE WHEN maj != 0 AND v$i = maj THEN 1 ELSE 0 END)"
         val n = s"sum(CASE WHEN maj != 0 AND v$i != 0 THEN 1 ELSE 0 END)"
         s"CAST(round(ln(CAST($a + 1 AS DOUBLE) / " +
           s"CAST($n - $a + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS w$i"
       }.mkString(",\n    ")
-      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks
-         |  FROM documents),
-         |m AS (SELECT doc_id, lang, toks,
-         |    CAST(length(text) AS INTEGER) AS char_len,
-         |    CAST(len(toks) AS INTEGER) AS wt,
-         |    CAST(length(text) - length(regexp_replace(text,
-         |      '[^a-zA-Z0-9\\s]', '', 'g')) AS INTEGER) AS punct_chars,
-         |    CAST($stopSql AS INTEGER) AS sw,
-         |    CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))),
-         |        0) AS DOUBLE)
-         |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS avg_token_len,
-         |    $scoreCols
-         |  FROM t),
-         |g AS (SELECT *, $mx AS __mx FROM m),
-         |q AS (SELECT doc_id, lang, wt, sw,
-         |    0.25 * least(1.0, CAST(wt AS DOUBLE) / 50.0)
-         |    + 0.25 * (1.0 - least(1.0, CAST(punct_chars AS DOUBLE)
-         |        / CAST(greatest(char_len, 1) AS DOUBLE)))
-         |    + 0.25 * least(1.0, CAST(sw AS DOUBLE) * 10.0
-         |        / CAST(greatest(wt, 1) AS DOUBLE))
-         |    + 0.25 * (1.0 - least(1.0, abs(avg_token_len - 5.0) / 5.0))
-         |      AS qs,
-         |    $guess AS lg
-         |  FROM g),
-         |v AS (SELECT doc_id,
-         |    CASE WHEN qs >= 0.5 THEN 1 WHEN qs < 0.25 THEN -1
-         |      ELSE 0 END AS v1,
-         |    CASE WHEN lg = lang THEN 1 ELSE -1 END AS v2,
-         |    CASE WHEN wt >= 20 THEN 1 WHEN wt < 5 THEN -1
-         |      ELSE 0 END AS v3,
-         |    CASE WHEN sw * 10 >= wt THEN 1 WHEN sw = 0 THEN -1
-         |      ELSE 0 END AS v4
-         |  FROM q),
-         |vm AS (SELECT *,
-         |    CAST(sign(v1 + v2 + v3 + v4) AS INTEGER) AS maj FROM v),
+      s"""WITH $weakVotesCtes,
          |wts AS (SELECT
          |    $wCols
          |  FROM vm)
@@ -863,6 +897,62 @@ object TextQueries extends QueryPack {
          |  CAST(sign(v1*w1 + v2*w2 + v3*w3 + v4*w4) AS INTEGER) AS label
          |FROM vm CROSS JOIN wts ORDER BY doc_id""".stripMargin
     },
+
+    // six pairs from the replayed vote law: both-vote restriction,
+    // agreement + marginal counters, cleared-denominator kappa with
+    // sign-safe truncating division (Spark div truncates toward zero,
+    // DuckDB // floors - the CASE makes them agree on negatives)
+    "t_annotator_kappa" ->
+      s"""WITH $weakVotesCtes,
+         |lv AS (SELECT doc_id, 'v1' AS lf, v1 AS v FROM vm
+         |  UNION ALL SELECT doc_id, 'v2', v2 FROM vm
+         |  UNION ALL SELECT doc_id, 'v3', v3 FROM vm
+         |  UNION ALL SELECT doc_id, 'v4', v4 FROM vm),
+         |nz AS MATERIALIZED (SELECT * FROM lv WHERE v != 0),
+         |p AS (SELECT a.lf AS lf_a, b.lf AS lf_b,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS agree,
+         |    CAST(sum(CASE WHEN a.v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ap,
+         |    CAST(sum(CASE WHEN a.v = -1 THEN 1 ELSE 0 END) AS BIGINT) AS am,
+         |    CAST(sum(CASE WHEN b.v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bp,
+         |    CAST(sum(CASE WHEN b.v = -1 THEN 1 ELSE 0 END) AS BIGINT) AS bm
+         |  FROM nz a JOIN nz b ON a.doc_id = b.doc_id AND a.lf < b.lf
+         |  GROUP BY 1, 2)
+         |SELECT lf_a, lf_b, n AS n_items, agree AS n_agree,
+         |  CAST(CASE WHEN n * n - (ap*bp + am*bm) = 0 THEN 0
+         |    WHEN agree * n - (ap*bp + am*bm) >= 0
+         |      THEN (1000000 * (agree*n - (ap*bp + am*bm)))
+         |        // (n*n - (ap*bp + am*bm))
+         |    ELSE -((1000000 * ((ap*bp + am*bm) - agree*n))
+         |        // (n*n - (ap*bp + am*bm)))
+         |  END AS BIGINT) AS kappa_q
+         |FROM p ORDER BY lf_a, lf_b""".stripMargin,
+
+    "t_fleiss_kappa" ->
+      s"""WITH $weakVotesCtes,
+         |fl AS (SELECT (CASE WHEN v1 = 1 THEN 1 ELSE 0 END
+         |    + CASE WHEN v2 = 1 THEN 1 ELSE 0 END
+         |    + CASE WHEN v3 = 1 THEN 1 ELSE 0 END
+         |    + CASE WHEN v4 = 1 THEN 1 ELSE 0 END) AS np
+         |  FROM vm WHERE v1 != 0 AND v2 != 0 AND v3 != 0 AND v4 != 0),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |    CAST(sum(np*(np-1) + (4-np)*(3-np)) AS BIGINT) AS s1,
+         |    CAST(sum(np) AS BIGINT) AS t_pos,
+         |    CAST(sum(4 - np) AS BIGINT) AS t_neg
+         |  FROM fl)
+         |SELECT n_items, s1, t_pos, t_neg,
+         |  CAST(CASE WHEN 3 * ((n_items*4)*(n_items*4)
+         |      - t_pos*t_pos - t_neg*t_neg) = 0 THEN 0
+         |    WHEN s1 * n_items * 4 - 3 * (t_pos*t_pos + t_neg*t_neg) >= 0
+         |      THEN (1000000 * (s1 * n_items * 4
+         |          - 3 * (t_pos*t_pos + t_neg*t_neg)))
+         |        // (3 * ((n_items*4)*(n_items*4) - t_pos*t_pos - t_neg*t_neg))
+         |    ELSE -((1000000 * (3 * (t_pos*t_pos + t_neg*t_neg)
+         |          - s1 * n_items * 4))
+         |        // (3 * ((n_items*4)*(n_items*4) - t_pos*t_pos - t_neg*t_neg)))
+         |  END AS BIGINT) AS kappa_q
+         |FROM ag""".stripMargin,
 
     "t_filter_auc" ->
       s"""WITH $qualityScoredCte,

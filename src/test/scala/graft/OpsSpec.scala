@@ -729,4 +729,35 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Int, Double)].collect().toSet
     assert(kept == want.filter(_._4 >= thresh).toSet)
   }
+
+  test("cohenKappaPairs: textbook 2x2 table gives 0.4, perfect " +
+      "disagreement gives -1, abstains are excluded") {
+    // classic example: po = 35/50, pe = 0.5 -> kappa = 0.4
+    val rows =
+      Seq.fill(20)((1, 1)) ++ Seq.fill(5)((1, -1)) ++
+      Seq.fill(10)((-1, 1)) ++ Seq.fill(15)((-1, -1)) ++
+      Seq.fill(7)((0, 1)) // v1 abstains — must not count
+    val df = rows.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "v1", "v2")
+    val got = graft.ops.Agreement.cohenKappaPairs(df, "id", Seq("v1", "v2"))
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("v1", "v2", 50L, 35L, 400000L)), got.toString)
+    val dis = (Seq.fill(10)((1, -1)) ++ Seq.fill(10)((-1, 1))).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "v1", "v2")
+    val gotDis = graft.ops.Agreement.cohenKappaPairs(dis, "id", Seq("v1", "v2"))
+      .as[(String, String, Long, Long, Long)].head()
+    assert(gotDis._5 == -1000000L)
+  }
+
+  test("fleissKappa: hand-computed 3-annotator panel gives 1/3; " +
+      "rows with any abstain drop out") {
+    val df = Seq(
+      (1L, 1, 1, 1), (2L, 1, 1, -1), (3L, -1, -1, -1), (4L, 1, -1, -1),
+      (5L, 0, 1, 1) // abstain row — excluded from the panel statistic
+    ).toDF("id", "v1", "v2", "v3")
+    val got = graft.ops.Agreement.fleissKappa(df, Seq("v1", "v2", "v3"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    // N=4, S1=16, T+=6, T-=6: kappa = 48/144 = 1/3 (truncated micro-units)
+    assert(got == ((4L, 16L, 6L, 6L, 333333L)), got.toString)
+  }
 }
