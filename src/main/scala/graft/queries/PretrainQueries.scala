@@ -123,6 +123,51 @@ object PretrainQueries extends QueryPack {
   private val rawTokCountSql =
     "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
 
+  /** DuckDB mirror of the trained-and-scored NB frame — CTE chain ending
+    * in `scored(doc_id, pos, n_toks, sum_ref_q, sum_other_q, margin_q)`;
+    * shared by t_nb_classifier and the calibration oracles.
+    */
+  private lazy val nbScoredCtes: String = {
+    val refIn = nbRefSources.map(s => s"'$s'").mkString("(", ", ", ")")
+    s"""t AS (SELECT doc_id, source, ${TextQueries.toksSql} AS toks FROM documents),
+       |lab AS (SELECT doc_id, source IN $refIn AS pos, toks FROM t),
+       |tk AS (SELECT doc_id, pos, unnest(toks) AS tok FROM lab),
+       |c AS (SELECT tok,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |  FROM tk GROUP BY tok),
+       |vocab AS (SELECT tok, np, nn FROM c ORDER BY np + nn DESC, tok LIMIT $nbVocab),
+       |den AS (SELECT
+       |    (SELECT coalesce(sum(np), 0) FROM c) + (SELECT count(*) FROM vocab) + 1 AS denp,
+       |    (SELECT coalesce(sum(nn), 0) FROM c) + (SELECT count(*) FROM vocab) + 1 AS denn,
+       |    (SELECT coalesce(sum(np), 0) FROM c) - (SELECT coalesce(sum(np), 0) FROM vocab) AS oovp,
+       |    (SELECT coalesce(sum(nn), 0) FROM c) - (SELECT coalesce(sum(nn), 0) FROM vocab) AS oovn),
+       |q AS (SELECT tok,
+       |    CAST(round(ln(CAST(np + 1 AS DOUBLE) / CAST(denp AS DOUBLE)) * 1000000) AS BIGINT) AS lqp,
+       |    CAST(round(ln(CAST(nn + 1 AS DOUBLE) / CAST(denn AS DOUBLE)) * 1000000) AS BIGINT) AS lqn
+       |  FROM vocab, den),
+       |qoov AS (SELECT
+       |    CAST(round(ln(CAST(oovp + 1 AS DOUBLE) / CAST(denp AS DOUBLE)) * 1000000) AS BIGINT) AS lqop,
+       |    CAST(round(ln(CAST(oovn + 1 AS DOUBLE) / CAST(denn AS DOUBLE)) * 1000000) AS BIGINT) AS lqon
+       |  FROM den),
+       |pri AS (SELECT
+       |    CAST(round(ln(CAST(dp + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE)) * 1000000) AS BIGINT) AS pp,
+       |    CAST(round(ln(CAST(n - dp + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE)) * 1000000) AS BIGINT) AS pn
+       |  FROM (SELECT CAST(sum(CASE WHEN source IN $refIn THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+       |      CAST(count(*) AS BIGINT) AS n FROM documents)),
+       |sc AS (SELECT doc_id,
+       |    CAST(sum(coalesce(lqp, lqop)) AS BIGINT) AS sum_ref_q,
+       |    CAST(sum(coalesce(lqn, lqon)) AS BIGINT) AS sum_other_q
+       |  FROM tk LEFT JOIN q USING (tok), qoov GROUP BY doc_id),
+       |scored AS MATERIALIZED (SELECT l.doc_id, l.pos,
+       |    CAST(len(l.toks) AS BIGINT) AS n_toks,
+       |    coalesce(sum_ref_q, 0) AS sum_ref_q,
+       |    coalesce(sum_other_q, 0) AS sum_other_q,
+       |    coalesce(sum_ref_q, 0) + pp - coalesce(sum_other_q, 0) - pn AS margin_q
+       |  FROM lab l LEFT JOIN sc USING (doc_id), pri)"""
+      .stripMargin
+  }
+
   override def queries: Map[String, Query] = Map(
     // fastText/CCNet-shape reference classifier: train multinomial Naive
     // Bayes to separate a curated "reference" slice (sources src0-3, the
@@ -141,6 +186,29 @@ object PretrainQueries extends QueryPack {
         .select(col("doc_id"), col("n_toks"), col("sum_ref_q"),
           col("sum_other_q"), col("margin_q"), col("pred"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Reliability diagram of the NB classifier in fixed logit-decile
+    // bins (midpoint-confidence convention — no per-row sigmoid, so every
+    // statistic is exact integer): the calibration screen run before the
+    // classifier's scores gate data selection.
+    "t_calibration_bins" -> ((s, dir) => {
+      import graft.ops.{Calibration, NaiveBayes}
+      val docs = Tables.load(s, dir, "documents")
+      val isRef = col("source").isin(nbRefSources: _*)
+      val model = NaiveBayes.train(docs, "text", isRef, nbVocab)
+      Calibration.reliabilityBins(
+          NaiveBayes.score(docs, "text", model), "margin_q", isRef)
+        .orderBy(col("bin"))
+    }),
+
+    // the scalar expected calibration error over the same bins
+    "t_calibration_ece" -> ((s, dir) => {
+      import graft.ops.{Calibration, NaiveBayes}
+      val docs = Tables.load(s, dir, "documents")
+      val isRef = col("source").isin(nbRefSources: _*)
+      val model = NaiveBayes.train(docs, "text", isRef, nbVocab)
+      Calibration.ece(NaiveBayes.score(docs, "text", model), "margin_q", isRef)
     }),
 
     // Corpus datasheet (the "Datasheets for Datasets" deliverable a
@@ -988,46 +1056,51 @@ object PretrainQueries extends QueryPack {
 
     // full model retrain in SQL: same vocab cap, same add-one smoothing
     // over vocab ∪ {OOV}, same micro-nat quantization, same priors
-    "t_nb_classifier" -> {
-      val refIn = nbRefSources.map(s => s"'$s'").mkString("(", ", ", ")")
-      s"""WITH t AS (SELECT doc_id, source, ${TextQueries.toksSql} AS toks FROM documents),
-         |lab AS (SELECT doc_id, source IN $refIn AS pos, toks FROM t),
-         |tk AS (SELECT doc_id, pos, unnest(toks) AS tok FROM lab),
-         |c AS (SELECT tok,
-         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
-         |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
-         |  FROM tk GROUP BY tok),
-         |vocab AS (SELECT tok, np, nn FROM c ORDER BY np + nn DESC, tok LIMIT $nbVocab),
-         |den AS (SELECT
-         |    (SELECT coalesce(sum(np), 0) FROM c) + (SELECT count(*) FROM vocab) + 1 AS denp,
-         |    (SELECT coalesce(sum(nn), 0) FROM c) + (SELECT count(*) FROM vocab) + 1 AS denn,
-         |    (SELECT coalesce(sum(np), 0) FROM c) - (SELECT coalesce(sum(np), 0) FROM vocab) AS oovp,
-         |    (SELECT coalesce(sum(nn), 0) FROM c) - (SELECT coalesce(sum(nn), 0) FROM vocab) AS oovn),
-         |q AS (SELECT tok,
-         |    CAST(round(ln(CAST(np + 1 AS DOUBLE) / CAST(denp AS DOUBLE)) * 1000000) AS BIGINT) AS lqp,
-         |    CAST(round(ln(CAST(nn + 1 AS DOUBLE) / CAST(denn AS DOUBLE)) * 1000000) AS BIGINT) AS lqn
-         |  FROM vocab, den),
-         |qoov AS (SELECT
-         |    CAST(round(ln(CAST(oovp + 1 AS DOUBLE) / CAST(denp AS DOUBLE)) * 1000000) AS BIGINT) AS lqop,
-         |    CAST(round(ln(CAST(oovn + 1 AS DOUBLE) / CAST(denn AS DOUBLE)) * 1000000) AS BIGINT) AS lqon
-         |  FROM den),
-         |pri AS (SELECT
-         |    CAST(round(ln(CAST(dp + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE)) * 1000000) AS BIGINT) AS pp,
-         |    CAST(round(ln(CAST(n - dp + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE)) * 1000000) AS BIGINT) AS pn
-         |  FROM (SELECT CAST(sum(CASE WHEN source IN $refIn THEN 1 ELSE 0 END) AS BIGINT) AS dp,
-         |      CAST(count(*) AS BIGINT) AS n FROM documents)),
-         |sc AS (SELECT doc_id,
-         |    CAST(sum(coalesce(lqp, lqop)) AS BIGINT) AS sum_ref_q,
-         |    CAST(sum(coalesce(lqn, lqon)) AS BIGINT) AS sum_other_q
-         |  FROM tk LEFT JOIN q USING (tok), qoov GROUP BY doc_id)
-         |SELECT l.doc_id, CAST(len(l.toks) AS BIGINT) AS n_toks,
-         |  coalesce(sum_ref_q, 0) AS sum_ref_q,
-         |  coalesce(sum_other_q, 0) AS sum_other_q,
-         |  coalesce(sum_ref_q, 0) + pp - coalesce(sum_other_q, 0) - pn AS margin_q,
-         |  CAST(CASE WHEN coalesce(sum_ref_q, 0) + pp - coalesce(sum_other_q, 0) - pn >= 0
-         |    THEN 1 ELSE 0 END AS BIGINT) AS pred
-         |FROM lab l LEFT JOIN sc USING (doc_id), pri
-         |ORDER BY doc_id""".stripMargin
+    "t_nb_classifier" ->
+      s"""WITH $nbScoredCtes
+         |SELECT doc_id, n_toks, sum_ref_q, sum_other_q, margin_q,
+         |  CAST(CASE WHEN margin_q >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // reliability bins replayed from the retrained-in-SQL NB margins:
+    // decile logit edges and midpoints are the SAME Scala-computed
+    // literals the engine embeds; per-bin positive rate is an exact
+    // truncating division
+    "t_calibration_bins" -> {
+      val edges = graft.ops.Calibration.decileEdgesQ
+      val binExpr = edges
+        .map(e => s"CASE WHEN margin_q >= $e THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      val mids = graft.ops.Calibration.decileMidsQ.mkString("[", ", ", "]")
+      s"""WITH $nbScoredCtes,
+         |b AS (SELECT $binExpr AS bin,
+         |    CASE WHEN pos THEN 1 ELSE 0 END AS p FROM scored),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(p) AS BIGINT) AS n_pos FROM b GROUP BY bin)
+         |SELECT CAST(bin AS INTEGER) AS bin, n_docs, n_pos,
+         |  CAST($mids[bin + 1] AS BIGINT) AS conf_q,
+         |  CAST((1000000 * n_pos) // n_docs AS BIGINT) AS posrate_q,
+         |  CAST(n_docs * abs((1000000 * n_pos) // n_docs
+         |    - $mids[bin + 1]) AS BIGINT) AS gap_w_q
+         |FROM g ORDER BY bin""".stripMargin
+    },
+
+    // the scalar expected calibration error over the same bins
+    "t_calibration_ece" -> {
+      val edges = graft.ops.Calibration.decileEdgesQ
+      val binExpr = edges
+        .map(e => s"CASE WHEN margin_q >= $e THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      val mids = graft.ops.Calibration.decileMidsQ.mkString("[", ", ", "]")
+      s"""WITH $nbScoredCtes,
+         |b AS (SELECT $binExpr AS bin,
+         |    CASE WHEN pos THEN 1 ELSE 0 END AS p FROM scored),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(p) AS BIGINT) AS n_pos FROM b GROUP BY bin)
+         |SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_docs * abs((1000000 * n_pos) // n_docs
+         |    - $mids[bin + 1])) // sum(n_docs) AS BIGINT) AS ece_q
+         |FROM g""".stripMargin
     },
 
     "t_pii_redact" ->

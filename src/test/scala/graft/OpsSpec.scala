@@ -730,6 +730,24 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == want.filter(_._4 >= thresh).toSet)
   }
 
+  test("calibration: logit-decile binning, midpoint confidence, and the " +
+      "count-weighted ECE match a hand computation") {
+    // margin 0 sits in bin 5 (edges <= 0 are the first five, inclusive);
+    // margin -3e6 sits below every edge in bin 0
+    val scored = (Seq.fill(2)((0L, true)) ++ Seq.fill(2)((0L, false)) ++
+      Seq.fill(6)((-3000000L, false))).toDF("margin_q", "pos")
+    val bins = graft.ops.Calibration
+      .reliabilityBins(scored, "margin_q", col("pos"))
+      .orderBy(col("bin"))
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(bins == Seq(
+      (0, 6L, 0L, 50000L, 0L, 300000L),
+      (5, 4L, 2L, 550000L, 500000L, 200000L)), bins.toString)
+    val e = graft.ops.Calibration.ece(scored, "margin_q", col("pos"))
+      .as[(Long, Long)].head()
+    assert(e == ((10L, 50000L)))
+  }
+
   test("cohenKappaPairs: textbook 2x2 table gives 0.4, perfect " +
       "disagreement gives -1, abstains are excluded") {
     // classic example: po = 35/50, pe = 0.5 -> kappa = 0.4
