@@ -255,6 +255,68 @@ object SimilarityQueries extends QueryPack {
         Tables.load(s, dir, "embeddings"), "embedding", 64)
         .orderBy(col("i"), col("j"))),
 
+    // Orthogonal Procrustes embedding alignment (Schönemann 1966) — the
+    // embedding-MIGRATION operator: when a corpus is re-embedded by a new
+    // model, solve R = argmin ‖AR − B‖ over rotations from ONE distributed
+    // cross-moment pass (VectorCrossMomentAgg: a dim² long-array per
+    // partition), SVD on the driver (64×64 Jacobi), and re-embed old
+    // vectors with a zero-shuffle literal-matrix projection. The gate
+    // plants B = A·P for a known signed-permutation P, recovers it, and
+    // verifies: cross-moment trace/L1 value-exact against the SQL replay
+    // (distributed part), R orthonormal, R ≡ P, and the corpus-wide
+    // aligned residual ~0 (driver/plan parts, literal-1 oracle — the
+    // d_simhash_check convention).
+    "v_procrustes_check" -> ((s, dir) => {
+      import graft.operators.Pca
+      val dim = 64
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("a"))
+        .localCheckpoint() // feeds the moment pass AND the residual scan
+      // planted signed permutation: b_k = s_k · a_{dim+1-k}, s_k = (−1)^(k−1)
+      val bCol = transform(sequence(lit(1), lit(dim)), k =>
+        when(pmod(k - 1, lit(2)) === 0,
+          element_at(col("a"), lit(dim + 1) - k))
+          .otherwise(-element_at(col("a"), lit(dim + 1) - k)))
+      val withB = emb.withColumn("b", bCol).localCheckpoint()
+      val arr = withB.select(org.apache.spark.sql.graftx.MomentExpressions
+        .vectorCrossMoments(col("a"), col("b"), dim).as("m"))
+        .head().getSeq[Long](0).toArray
+      val n = arr(0)
+      val traceQ = (0 until dim).map(i => arr(1 + i * dim + i)).reduce(_ + _)
+      val l1Q = (0 until dim).flatMap(i => (0 until dim)
+        .map(j => math.abs(arr(1 + i * dim + j)))).reduce(_ + _)
+      val m = Array.tabulate(dim, dim)((i, j) => arr(1 + i * dim + j) / 1e8)
+      val r = Pca.procrustesRotation(m)
+      // R orthonormal; R recovers Pᵀ(i)(j) = s_j at i = dim−1−j
+      val orthErr = (for (i <- 0 until dim; j <- 0 until dim) yield {
+        val d = (0 until dim).map(k => r(i)(k) * r(j)(k)).sum
+        math.abs(d - (if (i == j) 1.0 else 0.0))
+      }).max
+      // procrustesRotation returns V·Uᵀ — the map P itself (b = P·a as
+      // column vectors); the row-vector alignment matrix is its transpose
+      val plantErr = (for (i <- 0 until dim; j <- 0 until dim) yield {
+        val want = if (j == dim - 1 - i) (if (i % 2 == 0) 1.0 else -1.0)
+          else 0.0
+        math.abs(r(i)(j) - want)
+      }).max
+      // corpus-wide aligned residual Σ round(‖aRᵀ − b‖²·10⁸) — in-plan
+      val rLit = typedlit(
+        Array.tabulate(dim, dim)((i, j) => r(j)(i)).map(_.toSeq).toSeq)
+      val proj = transform(sequence(lit(1), lit(dim)), j =>
+        aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) =>
+          acc + element_at(col("a"), i) * element_at(element_at(rLit, i), j)))
+      val residQ = withB
+        .select(round(aggregate(zip_with(proj, col("b"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), _ + _) * lit(1e8))
+          .cast("long").as("rq"))
+        .agg(sum(col("rq")).as("resid_q"))
+      residQ.select(lit(n).as("n_vectors"), lit(traceQ).as("m_trace_q"),
+        lit(l1Q).as("m_l1_q"),
+        lit(if (orthErr < 1e-9) 1 else 0).as("orth_ok"),
+        lit(if (plantErr < 1e-9) 1 else 0).as("plant_ok"),
+        (abs(col("resid_q")) <= 10L).cast("int").as("resid_ok"))
+    }),
+
     // PCA mechanism gate: fit top-8 on the corpus, then verify the spectral
     // claims — components orthonormal and variance-ordered, trace preserved
     // (Σλ = tr cov), and the corpus-side projected variance of EVERY kept
@@ -1230,6 +1292,30 @@ object SimilarityQueries extends QueryPack {
         |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
         |  CAST(sum(q) AS BIGINT) AS sxy_q
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // distributed part (cross-moment trace + L1) value-exact from the
+    // planted-map replay; the driver-side rotation checks are literal 1s
+    "v_procrustes_check" ->
+      """WITH ab AS (SELECT vec_id,
+        |    list_transform(range(1, 65), k ->
+        |      CAST(embedding[k] AS DOUBLE)) AS a,
+        |    list_transform(range(1, 65), k ->
+        |      (CASE WHEN (k - 1) % 2 = 0 THEN 1 ELSE -1 END)
+        |        * CAST(embedding[65 - k] AS DOUBLE)) AS b
+        |  FROM embeddings),
+        |m AS (SELECT ii AS i, jj AS j,
+        |    CAST(sum(round(a[ii] * b[jj] * 1e8)) AS BIGINT) AS q
+        |  FROM ab,
+        |    LATERAL (SELECT unnest(range(1, 65)) AS ii),
+        |    LATERAL (SELECT unnest(range(1, 65)) AS jj)
+        |  GROUP BY 1, 2)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+        |    AS n_vectors,
+        |  CAST((SELECT sum(q) FROM m WHERE i = j) AS BIGINT) AS m_trace_q,
+        |  CAST((SELECT sum(abs(q)) FROM m) AS BIGINT) AS m_l1_q,
+        |  CAST(1 AS INTEGER) AS orth_ok,
+        |  CAST(1 AS INTEGER) AS plant_ok,
+        |  CAST(1 AS INTEGER) AS resid_ok""".stripMargin,
 
     "v_pca_check" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,

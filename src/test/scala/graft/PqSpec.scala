@@ -265,4 +265,25 @@ class PqSpec extends AnyFunSuite {
       col("embedding"), col("__nrm"), cents, literalMax = 0).as("c"))
     assert(lit.exceptAll(ker).isEmpty && ker.exceptAll(lit).isEmpty)
   }
+
+  test("procrustesRotation recovers a planted orthogonal map from the " +
+      "cross-moment matrix (column-vector convention: returns P itself)") {
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
+    val d = 4
+    val a = lcg(5L).take(32 * d).grouped(d)
+      .map(_.map(x => Math.floorMod(x, 2001L) / 1000.0 - 1.0).toArray).toArray
+    // planted map: 90° rotation in (0,1) crossed with a sign flip in (2,3)
+    val p = Array(
+      Array(0.0, -1.0, 0.0, 0.0), Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, -1.0, 0.0), Array(0.0, 0.0, 0.0, 1.0))
+    val b = a.map(v => Array.tabulate(d)(i =>
+      (0 until d).map(j => p(i)(j) * v(j)).sum))
+    val m = Array.tabulate(d, d)((i, j) =>
+      a.indices.map(r => a(r)(i) * b(r)(j)).sum)
+    val got = graft.operators.Pca.procrustesRotation(m)
+    val err = (for (i <- 0 until d; j <- 0 until d)
+      yield math.abs(got(i)(j) - p(i)(j))).max
+    assert(err < 1e-12, s"recovery error $err")
+  }
 }
