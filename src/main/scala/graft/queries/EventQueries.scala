@@ -380,6 +380,33 @@ object EventQueries extends QueryPack {
     // leads share it) + one narrow groupBy over a ≤|types|³ key space;
     // ordering is second-truncated-ts + event_id, so engines and retries
     // sequence ties identically.
+    // SAX-style symbolic motifs (Lin et al. 2003, with the Gaussian
+    // breakpoints replaced by EXACT per-user rank quartiles — no float
+    // mean/std, so the discretization is engine- and partition-exact):
+    // each user's values map to symbols 0-3 by within-user rank, and
+    // consecutive symbol 3-grams are the motif vocabulary — the discords/
+    // patterns screen a telemetry pipeline runs over raw series. One
+    // rank window + one lead window per user, then a global count.
+    "e_sax_motifs" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          date_trunc("second", col("ts")).as("ts2"))
+      val wr = Window.partitionBy(col("user_id"))
+        .orderBy(col("value"), col("ts2"), col("event_id"))
+      val wt = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts2"), col("event_id"))
+      base
+        .withColumn("rk", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .withColumn("sym", expr("((rk - 1) * 4) div n"))
+        .withColumn("s2", lead(col("sym"), 1).over(wt))
+        .withColumn("s3", lead(col("sym"), 2).over(wt))
+        .filter(col("s3").isNotNull)
+        .select(concat(col("sym"), col("s2"), col("s3")).as("motif"))
+        .groupBy(col("motif")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("motif"))
+    }),
+
     "e_behavior_trigrams" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts2"), col("event_id"))
@@ -813,6 +840,24 @@ object EventQueries extends QueryPack {
         |FROM t2 LEFT JOIN seas
         |  ON t2.event_type = seas.event_type AND t2.dow = seas.dow
         |ORDER BY t2.event_type, d""".stripMargin,
+
+    "e_sax_motifs" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    date_trunc('second', ts) AS ts2 FROM events),
+        |r AS (SELECT user_id, event_id, ts2,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value, ts2, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
+        |sy AS (SELECT user_id, event_id, ts2,
+        |    ((rk - 1) * 4) // n AS sym FROM r),
+        |g AS (SELECT sym, lead(sym, 1) OVER w AS s2, lead(sym, 2) OVER w AS s3
+        |  FROM sy WINDOW w AS (PARTITION BY user_id ORDER BY ts2, event_id)),
+        |t AS (SELECT CAST(sym AS VARCHAR) || CAST(s2 AS VARCHAR)
+        |    || CAST(s3 AS VARCHAR) AS motif
+        |  FROM g WHERE s3 IS NOT NULL)
+        |SELECT motif, CAST(count(*) AS BIGINT) AS n
+        |FROM t GROUP BY motif ORDER BY n DESC, motif""".stripMargin,
 
     "e_behavior_trigrams" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -140,4 +140,25 @@ class TemporalSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }
   }
+
+  test("SAX motifs: rank-quartile symbols on a monotone series give the " +
+      "staircase motif counts, per-user discretization is independent") {
+    // user 1: strictly increasing values 1..8 in time order ->
+    // symbols 0 0 1 1 2 2 3 3 -> motifs 001,011,112,122,223,233
+    // user 2: decreasing 4-value series -> symbols 3 2 1 0 -> 321, 210
+    val rows =
+      (1 to 8).map(i => (1L, i.toLong, ts(f"2024-01-01 00:00:0${i - 1}"),
+        i.toDouble)) ++
+      (1 to 4).map(i => (2L, 100L + i, ts(f"2024-01-01 00:01:0${i - 1}"),
+        (10 - i).toDouble))
+    val df = rows.toDF("user_id", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("sax").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // reuse the real table loader path so ts normalization is exercised
+    val got = graft.SparkEntry.queries("e_sax_motifs")(spark, tmp)
+      .as[(String, Long)].collect().toMap
+    val want = Map("001" -> 1L, "011" -> 1L, "112" -> 1L, "122" -> 1L,
+      "223" -> 1L, "233" -> 1L, "321" -> 1L, "210" -> 1L)
+    assert(got === want, got.toString)
+  }
 }
