@@ -1246,6 +1246,138 @@ object Graph {
     mst.distinct()
   }
 
+  /** Strongly connected components of a DIRECTED graph — min-label
+    * COLORING (Orzan 2004's coloring scheme with the random pivots
+    * replaced by deterministic minimum labels): per outer round, over the
+    * still-active subgraph, (1) propagate F(v) = min of v's forward
+    * (descendant) closure — an SCC invariant, so every SCC sits inside
+    * one F-color, and any v with F(v) = c reaches c WITHIN its color
+    * class; (2) flood forward from each color's pivot c over the
+    * color-restricted edges — exactly SCC(c) is reached (mutuality: F
+    * gives v→c, the flood gives c→v); (3) assign and remove one SCC per
+    * COLOR, then re-run on the residual. Both fixpoints are MONOTONE
+    * (min / growing set): extra rounds are no-ops, which is what lets a
+    * round-unrolled SQL oracle replay the law with any round budget ≥
+    * the engine's early exits.
+    *
+    * Scale: state is (vertex, label) × 2 plus the shrinking active set;
+    * each propagation step is one equi-join of the active edge list
+    * against a label table plus a map-combinable min — the PageRank
+    * shape. Budgets: `propRounds` bounds label propagation DISTANCE
+    * (graph diameter-ish), `outerRounds` bounds condensation peeling;
+    * vertices still live after the budget get scc_id −1 and a loud
+    * stderr warning (the [[connectedComponents]] convention).
+    *
+    * Output: (`vertex`, `scc_id`) — scc_id = min vertex id of the SCC,
+    * or −1 if unresolved within the budget.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, src: String,
+      dst: String, outerRounds: Int = 6, propRounds: Int = 32): DataFrame = {
+    val e0 = edges.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val verts = e0.select(col("a").as("v"))
+      .unionByName(e0.select(col("b").as("v")))
+      .distinct()
+      .localCheckpoint()
+    val spark = e0.sparkSession
+    var assigned = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("scc_id",
+          org.apache.spark.sql.types.LongType))))
+    // a SEPARATE checkpoint from verts: the outer loop unpersists the old
+    // active set each round, and verts must survive to the final join
+    var active = verts.localCheckpoint()
+    var outer = 0
+    while (outer < outerRounds && !active.isEmpty) {
+      val ea = e0
+        .join(active.withColumnRenamed("v", "a"), Seq("a"))
+        .join(active.withColumnRenamed("v", "b"), Seq("b"))
+        .localCheckpoint()
+      // one monotone min-propagation to (early-exit) fixpoint over the
+      // forward (descendant) closure
+      def propagate(): DataFrame = {
+        val (from, to) = ("a", "b")
+        var lbl = active.withColumn("l", col("v")).localCheckpoint()
+        var j = 0
+        var stable = false
+        while (j < propRounds && !stable) {
+          val next = lbl
+            .unionByName(ea
+              .join(lbl.withColumnRenamed("v", to), Seq(to))
+              .select(col(from).as("v"), col("l")))
+            .groupBy(col("v")).agg(min(col("l")).as("l"))
+            .localCheckpoint()
+          stable = next.as("n").join(lbl.as("o"), Seq("v"))
+            .filter(col("n.l") =!= col("o.l")).isEmpty
+          org.apache.spark.sql.graftx.CheckpointUtils
+            .unpersistLocalCheckpoint(lbl)
+          lbl = next
+          j += 1
+        }
+        if (!stable)
+          System.err.println(s"[graft] scc: propagation NOT at fixpoint " +
+            s"after $propRounds rounds — raise propRounds")
+        lbl
+      }
+      val f = propagate()
+      // color-restricted pivot reach (Orzan coloring): an SCC lies wholly
+      // inside one F-color (F is an SCC invariant), every v with F(v) = c
+      // reaches c within the color class (any intermediate w on the path
+      // has F(w) = c — smaller would contradict F(v) = c), so the color's
+      // pivot SCC is exactly the vertices FORWARD-reachable from c inside
+      // the class: one SCC assigned PER COLOR per round, which is what
+      // peels DAG-like condensations in logarithmic rounds instead of one
+      // pivot per round
+      val fa = f.select(col("v").as("a"), col("l").as("la"))
+      val fb = f.select(col("v").as("b"), col("l").as("lb"))
+      val colorEdges = ea.join(fa, Seq("a")).join(fb, Seq("b"))
+        .filter(col("la") === col("lb"))
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      var reach = f.filter(col("v") === col("l")).select(col("v"))
+        .localCheckpoint()
+      var rj = 0
+      var rStable = false
+      while (rj < propRounds && !rStable) {
+        val next = reach.unionByName(
+            colorEdges.join(reach.withColumnRenamed("v", "a"), Seq("a"))
+              .select(col("b").as("v")))
+          .distinct()
+          .localCheckpoint()
+        rStable = next.count() == reach.count() // monotone growing set
+        org.apache.spark.sql.graftx.CheckpointUtils
+          .unpersistLocalCheckpoint(reach)
+        reach = next
+        rj += 1
+      }
+      if (!rStable)
+        System.err.println(s"[graft] scc: pivot reach NOT at fixpoint " +
+          s"after $propRounds rounds — raise propRounds")
+      val newly = f.join(reach, Seq("v"))
+        .select(col("v"), col("l").as("scc_id"))
+        .localCheckpoint()
+      assigned = assigned.unionByName(newly)
+      val nextActive = active.join(newly, Seq("v"), "left_anti")
+        .localCheckpoint()
+      org.apache.spark.sql.graftx.CheckpointUtils
+        .unpersistLocalCheckpoint(active)
+      active = nextActive
+      outer += 1
+    }
+    if (!active.isEmpty)
+      System.err.println(s"[graft] scc: ${active.count()} vertices " +
+        s"unresolved after $outerRounds outer rounds — raise outerRounds")
+    verts.join(assigned, Seq("v"), "left")
+      .select(col("v").as("vertex"),
+        coalesce(col("scc_id"), lit(-1L)).as("scc_id"))
+  }
+
   /** Deterministic Luby maximal independent set (Luby 1986, with the
     * random priorities replaced by the engine-neutral total order
     * (md5(vertex), vertex) — same expected O(log n) rounds, but every

@@ -354,6 +354,27 @@ object AnalyticQueries extends QueryPack {
         .limit(20)
     }),
 
+    // Strongly connected components of the DIRECTED within-order part
+    // sequence graph (part at line n → part at line n+1): forward-backward
+    // min-label coloring, both closures monotone min-propagations, so the
+    // oracle replays every round with a fixed budget (≥ the engine's
+    // early-exit fixpoints — measured depth 5, budget 10×3).
+    "a_scc_parts" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_partkey").as("p"))
+      val e = li.as("x")
+        .join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("y.ln") === col("x.ln") + 1)
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      graft.operators.Graph
+        .stronglyConnectedComponents(e, "a", "b",
+          outerRounds = 3, propRounds = 10)
+        .orderBy(col("vertex"))
+    }),
+
     // Borůvka minimum spanning forest over the supplier co-supply graph
     // (suppliers linked when they ship the same part; weight = cheapest
     // joint shipment in exact integer cents). Log-round distributed MST —
@@ -1230,6 +1251,60 @@ object AnalyticQueries extends QueryPack {
         |LEFT JOIN adj ON c.u = adj.u AND c.v = adj.v
         |WHERE adj.u IS NULL
         |ORDER BY aa_q DESC, c.u, c.v LIMIT 20""".stripMargin,
+
+    "a_scc_parts" -> {
+      // full coloring replay: per outer round, 10 monotone min-propagation
+      // steps for the forward closure (fixpoint measured at 5 — spent
+      // steps are no-ops), the color-restricted edge set, a 10-step
+      // forward flood from each color pivot, one-SCC-per-color assignment,
+      // residual active set; 3 outer rounds (round 1 resolves the giant
+      // SCC)
+      val O = 3
+      val P = 10
+      def outer(k: Int): String = {
+        val fprop = (1 to P).map(j =>
+          s"""fw${k}_$j AS MATERIALIZED (SELECT t.v, min(t.l) AS l
+             |  FROM (SELECT v, l FROM fw${k}_${j - 1}
+             |    UNION ALL SELECT ea$k.a AS v, z.l
+             |    FROM ea$k JOIN fw${k}_${j - 1} z ON z.v = ea$k.b)
+             |    t
+             |  GROUP BY t.v)""".stripMargin).mkString(",\n")
+        val flood = (1 to P).map(j =>
+          s"""r${k}_$j AS MATERIALIZED (SELECT v FROM r${k}_${j - 1}
+             |  UNION SELECT ce.b AS v
+             |  FROM ce$k ce JOIN r${k}_${j - 1} x ON x.v = ce.a)"""
+            .stripMargin).mkString(",\n")
+        s"""ea$k AS MATERIALIZED (SELECT e.a, e.b
+           |  FROM e JOIN act${k - 1} x ON e.a = x.v
+           |         JOIN act${k - 1} y ON e.b = y.v),
+           |fw${k}_0 AS MATERIALIZED (SELECT v, v AS l FROM act${k - 1}),
+           |$fprop,
+           |ce$k AS MATERIALIZED (SELECT ea.a, ea.b FROM ea$k ea
+           |  JOIN fw${k}_$P fa ON fa.v = ea.a
+           |  JOIN fw${k}_$P fb ON fb.v = ea.b
+           |  WHERE fa.l = fb.l),
+           |r${k}_0 AS MATERIALIZED (SELECT v FROM fw${k}_$P WHERE v = l),
+           |$flood,
+           |new$k AS MATERIALIZED (SELECT f.v, f.l AS scc
+           |  FROM fw${k}_$P f JOIN r${k}_$P r ON r.v = f.v),
+           |act$k AS MATERIALIZED (SELECT v FROM act${k - 1}
+           |  EXCEPT SELECT v FROM new$k)""".stripMargin
+      }
+      val news = (1 to O).map(k => s"SELECT v, scc FROM new$k")
+        .mkString("\n    UNION ALL ")
+      s"""WITH li AS MATERIALIZED (SELECT l_orderkey AS ok,
+         |    l_linenumber AS ln, l_partkey AS p FROM lineitem),
+         |e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM li x JOIN li y ON x.ok = y.ok AND y.ln = x.ln + 1
+         |  WHERE x.p <> y.p),
+         |verts AS MATERIALIZED (SELECT a AS v FROM e UNION SELECT b FROM e),
+         |act0 AS MATERIALIZED (SELECT v FROM verts),
+         |${(1 to O).map(outer).mkString(",\n")}
+         |SELECT verts.v AS vertex, CAST(COALESCE(n.scc, -1) AS BIGINT)
+         |    AS scc_id
+         |FROM verts LEFT JOIN ($news) n ON n.v = verts.v
+         |ORDER BY vertex""".stripMargin
+    },
 
     "a_mst_suppliers" -> {
       // full Borůvka replay: per round, (w, u, v)-argmin per component

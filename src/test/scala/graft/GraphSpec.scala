@@ -597,6 +597,65 @@ class GraphSpec extends AnyFunSuite {
     assert(got === got7)
   }
 
+  // sequential Tarjan SCC, components labeled by their min vertex — the
+  // independent reference for stronglyConnectedComponents
+  private def tarjan(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val idx = scala.collection.mutable.Map[Long, Int]()
+    val low = scala.collection.mutable.Map[Long, Int]()
+    val onStack = scala.collection.mutable.Set[Long]()
+    val stack = scala.collection.mutable.Stack[Long]()
+    val comp = scala.collection.mutable.Map[Long, Long]()
+    var counter = 0
+    def strongconnect(v: Long): Unit = {
+      idx(v) = counter; low(v) = counter; counter += 1
+      stack.push(v); onStack += v
+      for (w <- adj.getOrElse(v, Seq.empty)) {
+        if (!idx.contains(w)) { strongconnect(w); low(v) = low(v) min low(w) }
+        else if (onStack(w)) low(v) = low(v) min idx(w)
+      }
+      if (low(v) == idx(v)) {
+        val members = scala.collection.mutable.Buffer[Long]()
+        var w = -1L
+        do { w = stack.pop(); onStack -= w; members += w } while (w != v)
+        val label = members.min
+        members.foreach(m => comp(m) = label)
+      }
+    }
+    verts.foreach(v => if (!idx.contains(v)) strongconnect(v))
+    comp.toMap
+  }
+
+  test("stronglyConnectedComponents matches Tarjan on cycles, bridges, " +
+      "chains, and a pseudo-random digraph; partitioning-invariant") {
+    // two 3-cycles joined by a one-way bridge, a tail chain, and the
+    // adversarial decreasing-id chain (one color per round — the slow
+    // condensation case, resolved within the default outer budget)
+    val fixture = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 10L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (12L, 20L), (20L, 21L),
+      (35L, 34L), (34L, 33L), (33L, 32L), (32L, 31L))
+    val got = Graph.stronglyConnectedComponents(
+      fixture.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === tarjan(fixture), got.toString)
+    // edges from two bit ranges of the SAME draw: the consecutive-draw
+    // pairing is a parity trap (the LCG alternates parity, making every
+    // edge odd->even — a bipartite DAG, no cycles at all)
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
+    val rand = lcg(13L).take(200).map(x =>
+      (Math.floorMod(x, 30L), Math.floorMod(x >> 17, 30L)))
+      .toSeq.filter { case (a, b) => a != b }
+    val df = rand.toDF("a", "b")
+    val g1 = Graph.stronglyConnectedComponents(df, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val g2 = Graph.stronglyConnectedComponents(df.repartition(7), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(g1 === tarjan(rand))
+    assert(g1 === g2)
+  }
+
   test("lubyMis: independent, maximal, deterministic, and dominated " +
       "vertices report round 0") {
     def lcg(seed: Long): Iterator[Long] =
