@@ -176,6 +176,58 @@ class PlanSpec extends AnyFunSuite {
       argLines.mkString("\n"))
   }
 
+  test("winnowing pairs: fingerprint join is an equi-join; exchanges " +
+      "carry fingerprints, never document text") {
+    val p = plan("d_winnowing_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val argLines = p.linesIterator.filter(l =>
+      l.contains("Arguments:") && l.contains("hashpartitioning")).toSeq
+    assert(argLines.nonEmpty)
+    assert(argLines.forall(!_.contains("text")), argLines.mkString("\n"))
+  }
+
+  test("pHash: basis-table joins broadcast, per-image reductions are " +
+      "hash aggregations, no BNLJ") {
+    // the full query checkpoints the hash frame (staging), which truncates
+    // its visible plan — assert the dctHash segment on its own
+    import org.apache.spark.sql.functions._
+    val grid = graft.multimodal.Multimodal.gridFeatures(
+      graft.multimodal.Multimodal.imageTable(
+        spark.read.parquet(s"$dir/documents.parquet")), grid = 8).toDF()
+    val hp = graft.multimodal.Multimodal.dctHash(grid)
+      .queryExecution.explainString(FormattedMode)
+    assert(hp.contains("BroadcastHashJoin"), hp) // 64-row DCT basis table
+    assert(!hp.contains("BroadcastNestedLoopJoin"), hp)
+    assert(!hp.contains("CartesianProduct"), hp)
+    assert(hp.contains("HashAggregate") || hp.contains("ObjectHashAggregate"),
+      hp)
+    val p = plan("m_phash_dups")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("annotator kappa: melt + self-equi-join on the item id, one " +
+      "map-combinable aggregation per pair, no window") {
+    val p = plan("t_annotator_kappa")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("sax motifs: per-user windows only — no global sort before the " +
+      "final 64-row aggregate") {
+    val p = plan("e_sax_motifs")
+    assert(!p.contains("CartesianProduct"), p)
+    // both windows partition by user_id; the only global ordering is the
+    // final presentation orderBy on the 64-row motif aggregate
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty)
+    val parts = p.linesIterator.filter(l =>
+      l.contains("Arguments:") && l.contains("windowspecdefinition")).toSeq
+    assert(parts.forall(_.contains("user_id")), parts.mkString("\n"))
+  }
+
   test("incremental dedup: equi-joins only, shingle arrays stay out of exchanges") {
     val p = plan("d_incremental_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
