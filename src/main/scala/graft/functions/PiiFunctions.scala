@@ -69,6 +69,62 @@ object PiiFunctions {
   def redactSql(textExpr: String): String =
     s"regexp_replace(${afterIpSql(textExpr)}, '$phonePattern', '$phoneToken', 'g')"
 
+  // ---- Payment-card detection (defensive PII scrubbing) ---------------
+  // A bare \d{16} regex false-positives on ids/timestamps; the standard
+  // practice is regex candidates + Luhn (ISO/IEC 7812) checksum
+  // validation. The checksum folds inside the same per-row projection
+  // (HOF aggregate over the 16 chars — codegen'd, zero shuffle).
+
+  val cardPattern = "\\b\\d{16}\\b"
+  val cardToken = "<CARD>"
+
+  /** Luhn validity of a 16-digit string: from the right, every second
+    * digit doubles (subtract 9 past 9); valid iff the total ≡ 0 mod 10.
+    * With 1-based left index i on 16 chars, doubled ⟺ i odd.
+    */
+  def luhnValid16(s: Column): Column = {
+    val chars = split(s, "")
+    val total = aggregate(sequence(lit(1), lit(16)), lit(0), (acc, i) => {
+      val d = element_at(chars, i).cast("int")
+      val dd = d * 2
+      acc + when(pmod(i, lit(2)) === 1,
+        when(dd > 9, dd - 9).otherwise(dd)).otherwise(d)
+    })
+    pmod(total, lit(10)) === 0
+  }
+
+  def cardCandidateCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(cardPattern), lit(0))).cast("int")
+
+  def cardValidCount(c: Column): Column =
+    size(filter(regexp_extract_all(c, lit(cardPattern), lit(0)),
+      luhnValid16(_))).cast("int")
+
+  /** Redact ONLY Luhn-valid candidates (checksum-failing digit runs are
+    * ids/timestamps, not cards): fold literal replaces of each valid
+    * candidate over the text.
+    */
+  def redactValidCards(c: Column): Column =
+    aggregate(filter(regexp_extract_all(c, lit(cardPattern), lit(0)),
+      luhnValid16(_)), c, (acc, s) => replace(acc, s, lit(cardToken)))
+
+  /** DuckDB mirror of the Luhn fold over a 16-char candidate expression. */
+  def luhnValidSql(sExpr: String): String =
+    s"""(list_sum(list_transform(range(1, 17), i ->
+       |  CASE WHEN i % 2 = 1 THEN
+       |    CASE WHEN 2 * CAST($sExpr[CAST(i AS INTEGER)] AS INTEGER) > 9
+       |      THEN 2 * CAST($sExpr[CAST(i AS INTEGER)] AS INTEGER) - 9
+       |      ELSE 2 * CAST($sExpr[CAST(i AS INTEGER)] AS INTEGER) END
+       |  ELSE CAST($sExpr[CAST(i AS INTEGER)] AS INTEGER) END)) % 10 = 0)"""
+      .stripMargin.replace("\n", " ")
+
+  def cardCandidateCountSql(textExpr: String): String =
+    s"CAST(len(regexp_extract_all($textExpr, '$cardPattern')) AS INTEGER)"
+
+  def cardValidCountSql(textExpr: String): String =
+    s"CAST(len(list_filter(regexp_extract_all($textExpr, '$cardPattern'), " +
+      s"s -> ${luhnValidSql("s")})) AS INTEGER)"
+
   def emailCountSql(textExpr: String): String =
     s"CAST(len(regexp_extract_all($textExpr, '$emailPattern')) AS INTEGER)"
 

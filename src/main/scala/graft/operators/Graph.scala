@@ -1173,6 +1173,10 @@ object Graph {
       .distinct()
       .withColumn("comp", col("vtx"))
       .localCheckpoint()
+    // the checkpoint-backed frame behind `comp` (comp itself may be an
+    // RDD-boundary wrapper after the stats rebase below — unpersisting
+    // the wrapper would miss the real blocks)
+    var compCp = comp
     var mst = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -1218,28 +1222,41 @@ object Graph {
           .join(hooked, Seq("c"), "left")
           .withColumn("p", coalesce(col("p"), col("c")))
           .localCheckpoint()
+        // chain depth is bounded by the live component count, so
+        // ⌈log₂ comps⌉ doublings reach every root — a closed-form bound
+        // beats a stability-check join per jump (the count is free: pmap
+        // is already materialized)
+        val needed = math.min(maxJumps,
+          64 - java.lang.Long.numberOfLeadingZeros(math.max(pmap.count() - 1, 1L)))
         var jump = 0
-        var stable = false
-        while (jump < maxJumps && !stable) {
+        while (jump < needed) {
           val next = pmap.as("x")
             .join(pmap.as("y"), col("x.p") === col("y.c"))
             .select(col("x.c").as("c"), col("y.p").as("p"))
             .localCheckpoint()
-          stable = next.as("n")
-            .join(pmap.as("o"), col("n.c") === col("o.c"))
-            .filter(col("n.p") =!= col("o.p")).isEmpty
           org.apache.spark.sql.graftx.CheckpointUtils
             .unpersistLocalCheckpoint(pmap)
           pmap = next
           jump += 1
         }
-        val nextComp = comp
+        // STATS REBASE (load-bearing): localCheckpoint PRESERVES the origin
+        // plan's sizeInBytes, and the pointer-doubling self-join SQUARES it
+        // per jump — compounding across rounds into a doubly-exponential
+        // BigInteger that Catalyst's stats visitor then multiplies at
+        // million-digit widths (measured: round 3 of a K1000 graph never
+        // returns, driver pinned in BigInteger.multiplyToomCook3). Passing
+        // the materialized rows through an RDD boundary resets the
+        // estimate to the conf default, bounding per-round stats growth.
+        val relabeled = comp
           .join(pmap.withColumnRenamed("c", "comp"), Seq("comp"))
           .select(col("vtx"), col("p").as("comp"))
           .localCheckpoint()
+        val nextComp = comp.sparkSession
+          .createDataFrame(relabeled.rdd, relabeled.schema)
         org.apache.spark.sql.graftx.CheckpointUtils
-          .unpersistLocalCheckpoint(comp)
+          .unpersistLocalCheckpoint(compCp)
         comp = nextComp
+        compCp = relabeled
       }
       round += 1
     }

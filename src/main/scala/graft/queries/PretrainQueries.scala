@@ -62,6 +62,50 @@ object PretrainQueries extends QueryPack {
       | || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
       | ELSE text END""".stripMargin.replace("\n", "")
 
+  /** Card-injected corpus: every 4th doc gains a Luhn-VALID 16-digit
+    * payment-card number, every (4k+2)th a checksum-broken twin — body
+    * derived from doc_id, check digit computed by the same integer fold
+    * both engines replay. Mirrored in the oracle SQL.
+    */
+  private def injectedCards = {
+    import graft.functions.PiiFunctions
+    val id = col("doc_id")
+    val body = concat(lit("4242424"),
+      lpad(pmod(id, lit(100000000L)).cast("string"), 8, "0"))
+    val bchars = split(body, "")
+    val s = aggregate(sequence(lit(1), lit(15)), lit(0), (acc, i) => {
+      val d = element_at(bchars, i).cast("int")
+      val dd = d * 2
+      acc + when(pmod(i, lit(2)) === 1,
+        when(dd > 9, dd - 9).otherwise(dd)).otherwise(d)
+    })
+    val check = pmod(lit(10) - pmod(s, lit(10)), lit(10))
+    val valid = concat(body, check.cast("string"))
+    val invalid = concat(body, pmod(check + 1, lit(10)).cast("string"))
+    when(pmod(id, lit(4)) === 0, concat(col("text"), lit(" card "), valid))
+      .when(pmod(id, lit(4)) === 2,
+        concat(col("text"), lit(" card "), invalid))
+      .otherwise(col("text"))
+  }
+
+  private val injectedCardsSql: String = {
+    val bodySql =
+      "'4242424' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')"
+    val sumSql =
+      s"""list_sum(list_transform(range(1, 16), i ->
+         |  CASE WHEN i % 2 = 1 THEN
+         |    CASE WHEN 2 * CAST(($bodySql)[CAST(i AS INTEGER)] AS INTEGER) > 9
+         |      THEN 2 * CAST(($bodySql)[CAST(i AS INTEGER)] AS INTEGER) - 9
+         |      ELSE 2 * CAST(($bodySql)[CAST(i AS INTEGER)] AS INTEGER) END
+         |  ELSE CAST(($bodySql)[CAST(i AS INTEGER)] AS INTEGER) END))"""
+        .stripMargin.replace("\n", " ")
+    s"""CASE WHEN doc_id % 4 = 0 THEN text || ' card ' || $bodySql
+       | || CAST((10 - ($sumSql % 10)) % 10 AS VARCHAR)
+       |WHEN doc_id % 4 = 2 THEN text || ' card ' || $bodySql
+       | || CAST(((10 - ($sumSql % 10)) % 10 + 1) % 10 AS VARCHAR)
+       |ELSE text END""".stripMargin.replace("\n", "")
+  }
+
   /** Deterministic per-doc source URL (crawl-metadata stand-in): host
     * `sub{id%5}.site{id%97}.{tld}` with tld by id%4, path `/p/{id}`.
     * Mirrored verbatim in the oracle SQL.
@@ -332,6 +376,24 @@ object PretrainQueries extends QueryPack {
     // redacted text — the md5 makes the gate sensitive to every redacted
     // byte, not just the counts. Pure per-row regex projection: fuses into
     // the scan stage, zero shuffle at any corpus size.
+    // Payment-card screen: regex candidates + Luhn (ISO/IEC 7812)
+    // checksum, the standard defense against \d{16} false positives —
+    // checksum-failing runs are ids/timestamps and stay untouched; only
+    // validated numbers redact. The whole thing is one codegen'd per-row
+    // projection (regexp + HOF checksum fold + literal-replace fold).
+    "t_pii_luhn" -> ((s, dir) => {
+      import graft.functions.PiiFunctions
+      val t = injectedCards
+      val red = PiiFunctions.redactValidCards(t)
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        PiiFunctions.cardCandidateCount(t).as("n_cards"),
+        PiiFunctions.cardValidCount(t).as("n_valid"),
+        length(red).cast("int").as("red_len"),
+        md5(red).as("red_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t_pii_redact" -> ((s, dir) => {
       val red = PiiFunctions.redactPii(injectedPii)
       Tables.load(s, dir, "documents").select(
@@ -1101,6 +1163,25 @@ object PretrainQueries extends QueryPack {
          |  CAST(sum(n_docs * abs((1000000 * n_pos) // n_docs
          |    - $mids[bin + 1])) // sum(n_docs) AS BIGINT) AS ece_q
          |FROM g""".stripMargin
+    },
+
+    "t_pii_luhn" -> {
+      import graft.functions.PiiFunctions
+      val cands = s"regexp_extract_all(t, '${PiiFunctions.cardPattern}')"
+      val validList =
+        s"list_filter($cands, s -> ${PiiFunctions.luhnValidSql("s")})"
+      s"""WITH p AS (SELECT doc_id, $injectedCardsSql AS t FROM documents),
+         |r AS (SELECT doc_id, t,
+         |    list_reduce(list_prepend(t, $validList),
+         |      (acc, s) -> replace(acc, s, '${PiiFunctions.cardToken}'))
+         |      AS red
+         |  FROM p)
+         |SELECT doc_id,
+         |  ${PiiFunctions.cardCandidateCountSql("t")} AS n_cards,
+         |  ${PiiFunctions.cardValidCountSql("t")} AS n_valid,
+         |  CAST(length(red) AS INTEGER) AS red_len,
+         |  md5(red) AS red_fp
+         |FROM r ORDER BY doc_id""".stripMargin
     },
 
     "t_pii_redact" ->

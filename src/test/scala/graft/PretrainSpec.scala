@@ -596,6 +596,25 @@ class PretrainSpec extends AnyFunSuite {
       (4L, 0L, 0L, 0L)), got.toString)
   }
 
+  test("Luhn card screen: the classic test card validates, off-by-one " +
+      "checksum fails, and only validated candidates redact") {
+    val df = Seq(
+      "pay 4242424242424242 now",          // valid (classic test number)
+      "ref 4242424242424241 stays",        // checksum-broken -> untouched
+      "two 4000056655665556 and 1234567812345678", // valid + invalid
+      "no cards here 123456").toDF("t")
+    val got = df.select(
+      PiiFunctions.cardCandidateCount(col("t")).as("n"),
+      PiiFunctions.cardValidCount(col("t")).as("v"),
+      PiiFunctions.redactValidCards(col("t")).as("r"))
+      .as[(Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1, 1, "pay <CARD> now"),
+      (1, 0, "ref 4242424242424241 stays"),
+      (2, 1, "two <CARD> and 1234567812345678"),
+      (0, 0, "no cards here 123456")), got.toString)
+  }
+
   // ---- Winnowing fingerprints ----------------------------------------
 
   private def seqWinnow(text: String, k: Int, w: Int): Set[String] = {
