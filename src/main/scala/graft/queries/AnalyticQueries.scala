@@ -1309,11 +1309,13 @@ object AnalyticQueries extends QueryPack {
     "a_mst_suppliers" -> {
       // full Borůvka replay: per round, (w, u, v)-argmin per component
       // (window mirror of the engine's min-struct), 2-cycle break toward
-      // the smaller label, then exactly 7 pointer-doubling jumps (2^7 >
-      // |components|, so every chain reaches its root — the engine's
-      // early-exit fixpoint lands on the same labels). 7 rounds ≥ ⌈log₂ n⌉.
-      val R = 7
-      val J = 7
+      // the smaller label, then exactly 10 pointer-doubling jumps (2^10 >
+      // |components| at BOTH the sf0.01 gate and the sf0.1 depth run, so
+      // every chain reaches its root — the engine's early-exit fixpoint
+      // lands on the same labels). 10 rounds ≥ ⌈log₂ n⌉; spent rounds
+      // select nothing and are no-ops.
+      val R = 10
+      val J = 10
       def round(k: Int): String = {
         val jumps = (1 to J).map(j =>
           s"""p${k}_$j AS MATERIALIZED (SELECT x.c, y.p
