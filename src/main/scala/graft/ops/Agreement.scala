@@ -47,9 +47,19 @@ object Agreement {
         sum(when(col("b.v") === -1, 1L).otherwise(0L)).as("bm"))
       .select(col("lf_a"), col("lf_b"), col("n").as("n_items"),
         col("agree").as("n_agree"),
-        expr("""CASE WHEN n * n - (ap * bp + am * bm) = 0 THEN 0
-          ELSE (1000000 * (agree * n - (ap * bp + am * bm)))
-               div (n * n - (ap * bp + am * bm)) END""").as("kappa_q"))
+        // widened through DECIMAL(38,0): 10⁶·n² passes int64 at ~3M
+        // co-voting items and BIGINT would wrap silently (the t_filter_auc
+        // regime); div on decimals truncates toward zero and returns
+        // BIGINT, so the output type and rounding law are unchanged
+        expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * n
+            - (CAST(ap AS DECIMAL(38,0)) * bp
+               + CAST(am AS DECIMAL(38,0)) * bm) = 0 THEN CAST(0 AS BIGINT)
+          ELSE (1000000 * (CAST(agree AS DECIMAL(38,0)) * n
+              - (CAST(ap AS DECIMAL(38,0)) * bp
+                 + CAST(am AS DECIMAL(38,0)) * bm)))
+            div (CAST(n AS DECIMAL(38,0)) * n
+              - (CAST(ap AS DECIMAL(38,0)) * bp
+                 + CAST(am AS DECIMAL(38,0)) * bm)) END""").as("kappa_q"))
   }
 
   /** Fleiss' kappa over the full panel, restricted to items where ALL k
@@ -72,11 +82,20 @@ object Agreement {
           .as("s1"),
         sum(col("np")).as("t_pos"), sum(col("nm")).as("t_neg"))
       .select(col("n_items"), col("s1"), col("t_pos"), col("t_neg"),
-        expr(s"""CASE WHEN ($k - 1) * ((n_items * $k) * (n_items * $k)
-            - t_pos * t_pos - t_neg * t_neg) = 0 THEN 0
-          ELSE (1000000 * (s1 * n_items * $k
-              - ($k - 1) * (t_pos * t_pos + t_neg * t_neg)))
-            div (($k - 1) * ((n_items * $k) * (n_items * $k)
-              - t_pos * t_pos - t_neg * t_neg)) END""").as("kappa_q"))
+        // same DECIMAL(38,0) widening as cohenKappaPairs — 10⁶·(Nk)²
+        // wraps int64 at ~750k fully-voted items for k=4
+        expr(s"""CASE WHEN ($k - 1)
+            * ((CAST(n_items AS DECIMAL(38,0)) * $k) * (n_items * $k)
+              - CAST(t_pos AS DECIMAL(38,0)) * t_pos
+              - CAST(t_neg AS DECIMAL(38,0)) * t_neg) = 0
+            THEN CAST(0 AS BIGINT)
+          ELSE (1000000 * (CAST(s1 AS DECIMAL(38,0)) * n_items * $k
+              - ($k - 1) * (CAST(t_pos AS DECIMAL(38,0)) * t_pos
+                + CAST(t_neg AS DECIMAL(38,0)) * t_neg)))
+            div (($k - 1)
+              * ((CAST(n_items AS DECIMAL(38,0)) * $k) * (n_items * $k)
+                - CAST(t_pos AS DECIMAL(38,0)) * t_pos
+                - CAST(t_neg AS DECIMAL(38,0)) * t_neg)) END""")
+          .as("kappa_q"))
   }
 }

@@ -41,6 +41,32 @@ object Bpe {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("c"))
 
+  /** The bounded driver handoff, as a frame: the trainer's exact truncation
+    * order (count desc, word asc — deterministic under ties) plus the
+    * `maxDictWords` cap pushed INTO the distributed plan, where it executes
+    * as a bounded per-partition heap + driver merge (TakeOrderedAndProject)
+    * instead of an unbounded collect. At 100 TB the distinct-word tail
+    * (typos, URLs, code) is effectively unbounded — the cap must bind
+    * BEFORE rows reach the driver, not after.
+    */
+  def topWordCountsFrame(corpus: DataFrame, text: String,
+      maxDictWords: Int = 1000000, unicode: Boolean = false): DataFrame =
+    wordCounts(corpus, text, unicode)
+      .orderBy(col("c").desc, col("word"))
+      .limit(maxDictWords)
+
+  /** Collected form of [[topWordCountsFrame]] — ≤ `maxDictWords` rows on
+    * the driver by construction. Semantics-identical to collecting the full
+    * dictionary and letting [[train]] truncate: `train` sorts and takes on
+    * the same (count desc, word asc) key.
+    */
+  def topWordCounts(corpus: DataFrame, text: String,
+      maxDictWords: Int = 1000000,
+      unicode: Boolean = false): Seq[(String, Long)] =
+    topWordCountsFrame(corpus, text, maxDictWords, unicode)
+      .collect().iterator
+      .map(r => (r.getString(0), r.getLong(1))).toVector
+
   /** Train `numMerges` merges on (word, count) pairs. Stops early when no
     * adjacent pair is left. `maxDictWords` keeps the driver dictionary
     * bounded: top-N by (count desc, word asc) — deterministic under ties.

@@ -41,6 +41,31 @@ object CharLm {
       .groupBy(col("c1"), col("c2"))
       .agg(count(lit(1)).as("b"))
 
+  /** Bounded driver handoff for [[bigramCounts]]: alphabet² is ~1.4k rows
+    * for ASCII corpora, but a raw-unicode crawl (CJK, emoji, mojibake) can
+    * push distinct bigrams toward hundreds of millions — so the handoff is
+    * capped at the `maxPairs` heaviest bigrams (count desc, then c1/c2 asc:
+    * deterministic under ties) INSIDE the plan, same shape as
+    * [[Bpe.topWordCountsFrame]]. The cap never binds on a sane alphabet;
+    * when it does, the model trains on the dominant sub-alphabet instead of
+    * OOMing the driver.
+    */
+  def topBigramCountsFrame(corpus: DataFrame, text: String,
+      maxPairs: Int = 1 << 20, unicode: Boolean = false): DataFrame =
+    bigramCounts(corpus, text, unicode)
+      .orderBy(col("b").desc, col("c1"), col("c2"))
+      .limit(maxPairs)
+
+  /** Collected form of [[topBigramCountsFrame]] — ≤ `maxPairs` rows on the
+    * driver by construction.
+    */
+  def topBigramCounts(corpus: DataFrame, text: String,
+      maxPairs: Int = 1 << 20,
+      unicode: Boolean = false): Seq[((String, String), Long)] =
+    topBigramCountsFrame(corpus, text, maxPairs, unicode)
+      .collect().iterator
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toVector
+
   /** The trained model: sorted alphabet and a row-major |A|×|A| table of
     * micro-nat log-probs `round(ln((b+1)/(u+V)) · 10⁶)` where `u` is the
     * predecessor count of the row char and V the alphabet size.

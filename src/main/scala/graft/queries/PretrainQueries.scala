@@ -528,8 +528,7 @@ object PretrainQueries extends QueryPack {
       import graft.ops.Bpe
       import org.apache.spark.sql.graftx.{BpeExpressions, VectorExpressions}
       val docs = Tables.load(s, dir, "documents")
-      val wc = Bpe.wordCounts(docs, "text").collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val wc = Bpe.topWordCounts(docs, "text")
       val merges = Bpe.train(wc, numMerges = 30)
       val vocabArr = Bpe.vocab(wc, merges).toSeq.sorted
       // first-pair count recomputed driver-side with the trainer's weights
@@ -572,8 +571,7 @@ object PretrainQueries extends QueryPack {
       import org.apache.spark.sql.graftx.{UnigramLmExpressions, VectorExpressions}
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
-      val wc = Bpe.wordCounts(docs, "text").collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val wc = Bpe.topWordCounts(docs, "text")
       val model = UnigramLm.train(wc, vocabSize = 60)
       val toks = UnigramLmExpressions.unigramEncode(col("text"),
         model.map { case (p, _, l) => (p, l) })
@@ -637,8 +635,7 @@ object PretrainQueries extends QueryPack {
       import graft.ops.CharLm
       import org.apache.spark.sql.graftx.CharLmExpressions
       val docs = Tables.load(s, dir, "documents")
-      val bg = CharLm.bigramCounts(docs, "text").collect()
-        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+      val bg = CharLm.topBigramCounts(docs, "text")
       val model = CharLm.train(bg)
       docs.select(col("doc_id"),
           CharLmExpressions.charLmScore(col("text"), model).as("s"))
@@ -660,8 +657,7 @@ object PretrainQueries extends QueryPack {
       import graft.ops.CharLm
       import org.apache.spark.sql.graftx.CharLmExpressions
       val docs = Tables.load(s, dir, "documents")
-      val bg = CharLm.bigramCounts(docs, "text").collect()
-        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+      val bg = CharLm.topBigramCounts(docs, "text")
       val model = CharLm.train(bg)
       val w = Window.partitionBy(col("lang"))
         .orderBy((col("sum_q").cast("double") / col("n_bi").cast("double")).desc,

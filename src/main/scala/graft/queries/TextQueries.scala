@@ -901,7 +901,9 @@ object TextQueries extends QueryPack {
     // six pairs from the replayed vote law: both-vote restriction,
     // agreement + marginal counters, cleared-denominator kappa with
     // sign-safe truncating division (Spark div truncates toward zero,
-    // DuckDB // floors - the CASE makes them agree on negatives)
+    // DuckDB // floors - the CASE makes them agree on negatives);
+    // products widen through HUGEINT, mirroring the Spark side's
+    // DECIMAL(38,0) casts, so 10**6 * n^2 never wraps int64
     "t_annotator_kappa" ->
       s"""WITH $weakVotesCtes,
          |lv AS (SELECT doc_id, 'v1' AS lf, v1 AS v FROM vm
@@ -918,16 +920,19 @@ object TextQueries extends QueryPack {
          |    CAST(sum(CASE WHEN b.v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bp,
          |    CAST(sum(CASE WHEN b.v = -1 THEN 1 ELSE 0 END) AS BIGINT) AS bm
          |  FROM nz a JOIN nz b ON a.doc_id = b.doc_id AND a.lf < b.lf
-         |  GROUP BY 1, 2)
+         |  GROUP BY 1, 2),
+         |h AS (SELECT lf_a, lf_b, n, agree,
+         |    CAST(n AS HUGEINT) * n AS n2,
+         |    CAST(ap AS HUGEINT) * bp + CAST(am AS HUGEINT) * bm AS ch,
+         |    CAST(agree AS HUGEINT) * n AS an
+         |  FROM p)
          |SELECT lf_a, lf_b, n AS n_items, agree AS n_agree,
-         |  CAST(CASE WHEN n * n - (ap*bp + am*bm) = 0 THEN 0
-         |    WHEN agree * n - (ap*bp + am*bm) >= 0
-         |      THEN (1000000 * (agree*n - (ap*bp + am*bm)))
-         |        // (n*n - (ap*bp + am*bm))
-         |    ELSE -((1000000 * ((ap*bp + am*bm) - agree*n))
-         |        // (n*n - (ap*bp + am*bm)))
+         |  CAST(CASE WHEN n2 - ch = 0 THEN 0
+         |    WHEN an - ch >= 0
+         |      THEN (1000000 * (an - ch)) // (n2 - ch)
+         |    ELSE -((1000000 * (ch - an)) // (n2 - ch))
          |  END AS BIGINT) AS kappa_q
-         |FROM p ORDER BY lf_a, lf_b""".stripMargin,
+         |FROM h ORDER BY lf_a, lf_b""".stripMargin,
 
     "t_fleiss_kappa" ->
       s"""WITH $weakVotesCtes,
@@ -940,19 +945,21 @@ object TextQueries extends QueryPack {
          |    CAST(sum(np*(np-1) + (4-np)*(3-np)) AS BIGINT) AS s1,
          |    CAST(sum(np) AS BIGINT) AS t_pos,
          |    CAST(sum(4 - np) AS BIGINT) AS t_neg
-         |  FROM fl)
+         |  FROM fl),
+         |h AS (SELECT n_items, s1, t_pos, t_neg,
+         |    (CAST(n_items AS HUGEINT) * 4) * (n_items * 4)
+         |      - CAST(t_pos AS HUGEINT) * t_pos
+         |      - CAST(t_neg AS HUGEINT) * t_neg AS dend,
+         |    CAST(s1 AS HUGEINT) * n_items * 4
+         |      - 3 * (CAST(t_pos AS HUGEINT) * t_pos
+         |        + CAST(t_neg AS HUGEINT) * t_neg) AS numr
+         |  FROM ag)
          |SELECT n_items, s1, t_pos, t_neg,
-         |  CAST(CASE WHEN 3 * ((n_items*4)*(n_items*4)
-         |      - t_pos*t_pos - t_neg*t_neg) = 0 THEN 0
-         |    WHEN s1 * n_items * 4 - 3 * (t_pos*t_pos + t_neg*t_neg) >= 0
-         |      THEN (1000000 * (s1 * n_items * 4
-         |          - 3 * (t_pos*t_pos + t_neg*t_neg)))
-         |        // (3 * ((n_items*4)*(n_items*4) - t_pos*t_pos - t_neg*t_neg))
-         |    ELSE -((1000000 * (3 * (t_pos*t_pos + t_neg*t_neg)
-         |          - s1 * n_items * 4))
-         |        // (3 * ((n_items*4)*(n_items*4) - t_pos*t_pos - t_neg*t_neg)))
+         |  CAST(CASE WHEN 3 * dend = 0 THEN 0
+         |    WHEN numr >= 0 THEN (1000000 * numr) // (3 * dend)
+         |    ELSE -((1000000 * (-numr)) // (3 * dend))
          |  END AS BIGINT) AS kappa_q
-         |FROM ag""".stripMargin,
+         |FROM h""".stripMargin,
 
     "t_filter_auc" ->
       s"""WITH $qualityScoredCte,

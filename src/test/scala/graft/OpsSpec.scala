@@ -778,4 +778,39 @@ class OpsSpec extends AnyFunSuite {
     // N=4, S1=16, T+=6, T-=6: kappa = 48/144 = 1/3 (truncated micro-units)
     assert(got == ((4L, 16L, 6L, 6L, 333333L)), got.toString)
   }
+
+  test("kappa survives the int64-wrap regime (~3M+ co-voting items)") {
+    // 10^6 * (agree*n - chance) passes Long.Max once n ~ 3e6 with
+    // correlated annotators — the DECIMAL(38,0) widening must keep the
+    // statistic exact where raw BIGINT products wrap silently (non-ANSI
+    // Spark) and the HUGEINT oracle errors
+    import org.apache.spark.sql.functions.{col, when}
+    val n = 4400000L
+    val v1 = when(col("id") % 2 === 0, 1).otherwise(-1)
+    val df = spark.range(n).select(col("id"), v1.as("v1"),
+      when(col("id") % 1000 === 0, -1).otherwise(v1).as("v2"))
+    val got = graft.ops.Agreement.cohenKappaPairs(df, "id", Seq("v1", "v2"))
+      .as[(String, String, Long, Long, Long)].head()
+    // exact expectation via BigInt on the same cleared-denominator law;
+    // flips land on even ids (multiples of 1000), so:
+    val bn = BigInt(n); val d = BigInt(n / 1000)
+    val ap = bn / 2; val am = bn / 2
+    val bp = bn / 2 - d; val bm = bn / 2 + d
+    val agree = bn - d
+    val ch = ap * bp + am * bm
+    assert(BigInt(1000000) * (agree * bn - ch) > BigInt(Long.MaxValue),
+      "fixture too small to exercise the wrap regime")
+    val kq = (BigInt(1000000) * (agree * bn - ch)) / (bn * bn - ch)
+    assert(got == (("v1", "v2", n, (bn - d).toLong, kq.toLong)),
+      got.toString)
+    val fl = graft.ops.Agreement.fleissKappa(df, Seq("v1", "v2"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    // k=2: agreeing items contribute 2 to S1, disagreeing 0
+    val s1 = 2 * (bn - d); val tp = bn - d; val tm = bn + d
+    val dend = (bn * 2) * (bn * 2) - tp * tp - tm * tm
+    val numr = s1 * bn * 2 - (tp * tp + tm * tm)
+    val fq = (BigInt(1000000) * numr) / dend
+    assert(fl == ((n, s1.toLong, tp.toLong, tm.toLong, fq.toLong)),
+      fl.toString)
+  }
 }

@@ -48,6 +48,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("s_topn_lines").contains("TakeOrderedAndProject"))
   }
 
+  test("tokenizer word-count handoff is a bounded top-N, not a full collect") {
+    // the trainers' driver handoff must bound itself INSIDE the plan —
+    // an unbounded distinct-word collect is a driver OOM at corpus scale
+    val docs = Tables.load(spark, dir, "documents")
+    val wcF = graft.ops.Bpe.topWordCountsFrame(docs, "text", maxDictWords = 50)
+    val p = wcF.queryExecution.explainString(FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(wcF.collect().length <= 50)
+    val bgF = graft.ops.CharLm.topBigramCountsFrame(docs, "text", maxPairs = 50)
+    val pb = bgF.queryExecution.explainString(FormattedMode)
+    assert(pb.contains("TakeOrderedAndProject"), pb)
+    assert(bgF.collect().length <= 50)
+  }
+
   test("brute-force cosine top-k broadcasts the query side") {
     assert(plan("v_cosine_topk").contains("BroadcastNestedLoopJoin"))
   }

@@ -974,4 +974,27 @@ class PretrainSpec extends AnyFunSuite {
     val longOnly = UnigramLm.train(Seq(("a" * 17, 5L)), vocabSize = 10)
     assert(longOnly.isEmpty)
   }
+
+  test("bounded top-N word-count handoff == full collect then truncate") {
+    import graft.ops.{Bpe, CharLm}
+    val corpus = Seq((1L, "aa bb aa cc dd aa bb"), (2L, "bb cc ee ff"),
+      (3L, "gg hh ii jj kk"))
+      .toDF("doc_id", "text")
+    // the trainer's own order: count desc, word asc — total (words unique)
+    val full = Bpe.wordCounts(corpus, "text").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy { case (w, c) => (-c, w) }
+    val cap = 4
+    assert(Bpe.topWordCounts(corpus, "text", maxDictWords = cap) ===
+      full.take(cap))
+    // uncapped default returns everything, in trainer order
+    assert(Bpe.topWordCounts(corpus, "text") === full)
+    // CharLm: same law on (count desc, c1 asc, c2 asc)
+    val bgFull = CharLm.bigramCounts(corpus, "text").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }
+    assert(CharLm.topBigramCounts(corpus, "text", maxPairs = 5) ===
+      bgFull.take(5))
+    assert(CharLm.topBigramCounts(corpus, "text") === bgFull)
+  }
 }
