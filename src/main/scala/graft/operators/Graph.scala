@@ -1145,9 +1145,15 @@ object Graph {
     * crossing the cut around its component); (4) contract: the selected
     * pseudo-forest (each component points at its partner) has its unique
     * 2-cycles broken toward the smaller label, then pointer-DOUBLING
-    * (p := p∘p, `maxJumps` times, early exit on fixpoint) collapses every
-    * chain to its root — full Borůvka contraction, so the component count
-    * at least halves per round and `maxRounds` = ⌈log₂ n⌉ suffices.
+    * (p := p∘p) collapses every chain to its root. The doubling count is
+    * the CLOSED-FORM bound ⌈log₂ comps⌉ (≤ 63 — chain depth is bounded by
+    * the live component count), never truncated: an under-doubled round
+    * would leave one merged tree under multiple labels and a later round
+    * could then select a second edge between them, silently emitting a
+    * cycle. Full contraction also means the component count at least
+    * halves per round, so `maxRounds` = ⌈log₂ n⌉ suffices; if the round
+    * budget is exhausted with cross edges remaining the output is still a
+    * forest but may not span — a stderr warning fires.
     *
     * Scale posture: the state is (vertex → component) plus the shrinking
     * (component → parent) table; every step is a narrow equi-join or a
@@ -1158,7 +1164,7 @@ object Graph {
     * Output: (`id_a`, `id_b`, `w_q`) — the forest edges, id_a < id_b.
     */
   def boruvkaMst(edges: DataFrame, src: String, dst: String, weight: String,
-      maxRounds: Int = 16, maxJumps: Int = 16): DataFrame = {
+      maxRounds: Int = 64): DataFrame = {
     val spark = edges.sparkSession
     // canonical undirected edge list; parallel edges keep the minimum weight
     val e0 = edges.select(
@@ -1194,8 +1200,11 @@ object Graph {
         .join(comp.select(col("vtx").as("v"), col("comp").as("cv")), Seq("v"))
         .filter(col("cu") =!= col("cv"))
         .localCheckpoint()
-      if (cross.isEmpty) { done = true }
-      else {
+      if (cross.isEmpty) {
+        done = true
+        org.apache.spark.sql.graftx.CheckpointUtils
+          .unpersistLocalCheckpoint(cross)
+      } else {
         // both orientations so every component scores its incident cut;
         // the partner label rides the struct BEHIND the (w, u, v) total
         // order, so min() is argmin and carries the hook target for free
@@ -1207,6 +1216,9 @@ object Graph {
           .select(col("c"), col("k.w").as("w"), col("k.u").as("u"),
             col("k.v").as("v"), col("k.t").as("t"))
           .localCheckpoint()
+        // sel is checkpointed — nothing downstream depends on cross now
+        org.apache.spark.sql.graftx.CheckpointUtils
+          .unpersistLocalCheckpoint(cross)
         mst = mst.unionByName(
           sel.select(col("u").as("id_a"), col("v").as("id_b"),
             col("w").as("w_q")).distinct())
@@ -1224,10 +1236,12 @@ object Graph {
           .localCheckpoint()
         // chain depth is bounded by the live component count, so
         // ⌈log₂ comps⌉ doublings reach every root — a closed-form bound
-        // beats a stability-check join per jump (the count is free: pmap
-        // is already materialized)
-        val needed = math.min(maxJumps,
-          64 - java.lang.Long.numberOfLeadingZeros(math.max(pmap.count() - 1, 1L)))
+        // (≤ 63, the count is a long) beats a stability-check join per
+        // jump, and it is NEVER truncated: stopping short leaves a merged
+        // tree under multiple labels, which a later round can close into
+        // a cycle
+        val needed =
+          64 - java.lang.Long.numberOfLeadingZeros(math.max(pmap.count() - 1, 1L))
         var jump = 0
         while (jump < needed) {
           val next = pmap.as("x")
@@ -1251,6 +1265,8 @@ object Graph {
           .join(pmap.withColumnRenamed("c", "comp"), Seq("comp"))
           .select(col("vtx"), col("p").as("comp"))
           .localCheckpoint()
+        org.apache.spark.sql.graftx.CheckpointUtils
+          .unpersistLocalCheckpoint(pmap)
         val nextComp = comp.sparkSession
           .createDataFrame(relabeled.rdd, relabeled.schema)
         org.apache.spark.sql.graftx.CheckpointUtils
@@ -1260,6 +1276,16 @@ object Graph {
       }
       round += 1
     }
+    if (!done)
+      System.err.println(s"[graft] boruvkaMst: cross edges may remain " +
+        s"after $maxRounds rounds — output is a forest but may not span; " +
+        s"raise maxRounds")
+    // the returned plan references the per-round sel checkpoints (the
+    // forest edges, geometrically shrinking) but not e0 or the final
+    // component map
+    org.apache.spark.sql.graftx.CheckpointUtils.unpersistLocalCheckpoint(e0)
+    org.apache.spark.sql.graftx.CheckpointUtils
+      .unpersistLocalCheckpoint(compCp)
     mst.distinct()
   }
 
@@ -1311,14 +1337,18 @@ object Graph {
     // active set each round, and verts must survive to the final join
     var active = verts.localCheckpoint()
     var outer = 0
-    while (outer < outerRounds && !active.isEmpty) {
+    var truncated = false
+    while (outer < outerRounds && !truncated && !active.isEmpty) {
       val ea = e0
         .join(active.withColumnRenamed("v", "a"), Seq("a"))
         .join(active.withColumnRenamed("v", "b"), Seq("b"))
         .localCheckpoint()
       // one monotone min-propagation to (early-exit) fixpoint over the
-      // forward (descendant) closure
-      def propagate(): DataFrame = {
+      // forward (descendant) closure; the stable flag travels with the
+      // labels — assigning from a NON-fixpoint table would split a real
+      // SCC across ids (stale-label members miss this round's flood and
+      // get a different id later), so callers must skip on !stable
+      def propagate(): (DataFrame, Boolean) = {
         val (from, to) = ("a", "b")
         var lbl = active.withColumn("l", col("v")).localCheckpoint()
         var j = 0
@@ -1337,12 +1367,22 @@ object Graph {
           lbl = next
           j += 1
         }
-        if (!stable)
-          System.err.println(s"[graft] scc: propagation NOT at fixpoint " +
-            s"after $propRounds rounds — raise propRounds")
-        lbl
+        (lbl, stable)
       }
-      val f = propagate()
+      val (f, fStable) = propagate()
+      if (!fStable) {
+        // deterministic recomputation over the same active set would hit
+        // the identical non-fixpoint — no progress is possible; bail out
+        // and let the still-active vertices surface as scc_id -1
+        System.err.println(s"[graft] scc: propagation NOT at fixpoint " +
+          s"after $propRounds rounds — raise propRounds; " +
+          s"unresolved vertices get scc_id -1")
+        truncated = true
+        org.apache.spark.sql.graftx.CheckpointUtils
+          .unpersistLocalCheckpoint(f)
+        org.apache.spark.sql.graftx.CheckpointUtils
+          .unpersistLocalCheckpoint(ea)
+      } else {
       // color-restricted pivot reach (Orzan coloring): an SCC lies wholly
       // inside one F-color (F is an SCC invariant), every v with F(v) = c
       // reaches c within the color class (any intermediate w on the path
@@ -1373,23 +1413,40 @@ object Graph {
         reach = next
         rj += 1
       }
-      if (!rStable)
+      if (!rStable) {
+        // a partial flood under-covers the pivot SCC — assigning from it
+        // would report one true SCC under several ids; same bail-out as
+        // the propagation budget (deterministic retry cannot progress)
         System.err.println(s"[graft] scc: pivot reach NOT at fixpoint " +
-          s"after $propRounds rounds — raise propRounds")
-      val newly = f.join(reach, Seq("v"))
-        .select(col("v"), col("l").as("scc_id"))
-        .localCheckpoint()
-      assigned = assigned.unionByName(newly)
-      val nextActive = active.join(newly, Seq("v"), "left_anti")
-        .localCheckpoint()
-      org.apache.spark.sql.graftx.CheckpointUtils
-        .unpersistLocalCheckpoint(active)
-      active = nextActive
+          s"after $propRounds rounds — raise propRounds; " +
+          s"unresolved vertices get scc_id -1")
+        truncated = true
+      } else {
+        val newly = f.join(reach, Seq("v"))
+          .select(col("v"), col("l").as("scc_id"))
+          .localCheckpoint()
+        assigned = assigned.unionByName(newly)
+        val nextActive = active.join(newly, Seq("v"), "left_anti")
+          .localCheckpoint()
+        org.apache.spark.sql.graftx.CheckpointUtils
+          .unpersistLocalCheckpoint(active)
+        active = nextActive
+      }
+      // per-round scaffolding — nothing the result references
+      Seq(reach, colorEdges, f, ea).foreach(
+        org.apache.spark.sql.graftx.CheckpointUtils.unpersistLocalCheckpoint)
+      }
       outer += 1
     }
     if (!active.isEmpty)
       System.err.println(s"[graft] scc: ${active.count()} vertices " +
-        s"unresolved after $outerRounds outer rounds — raise outerRounds")
+        s"unresolved after $outer outer rounds — raise " +
+        (if (truncated) "propRounds" else "outerRounds"))
+    org.apache.spark.sql.graftx.CheckpointUtils.unpersistLocalCheckpoint(e0)
+    org.apache.spark.sql.graftx.CheckpointUtils
+      .unpersistLocalCheckpoint(active)
+    // the returned plan references verts + the per-round `newly`
+    // checkpoints behind `assigned` — those must outlive the return
     verts.join(assigned, Seq("v"), "left")
       .select(col("v").as("vertex"),
         coalesce(col("scc_id"), lit(-1L)).as("scc_id"))
@@ -1408,7 +1465,10 @@ object Graph {
     * PageRank shape. `edges` must contain both orientations.
     *
     * Output: (`vertex`, `mis_round`) — every vertex of the graph, with the
-    * 1-based round it entered the MIS, or 0 if it was dominated.
+    * 1-based round it entered the MIS, 0 if it was dominated, or −1 if it
+    * was still undecided when `maxRounds` ran out (a loud stderr warning
+    * fires; −1 vertices may have no MIS neighbor, so maximality is only
+    * guaranteed when none are emitted).
     */
   def lubyMis(edges: DataFrame, src: String, dst: String,
       maxRounds: Int = 24): DataFrame = {
@@ -1454,6 +1514,16 @@ object Graph {
         .unpersistLocalCheckpoint(active)
       active = nextActive
       round += 1
+    }
+    if (!active.isEmpty) {
+      // budget exhausted with undecided vertices: emitting them as 0
+      // ("dominated") would silently break maximality — use a distinct
+      // sentinel and warn (the scc convention)
+      System.err.println(s"[graft] lubyMis: ${active.count()} vertices " +
+        s"still active after $maxRounds rounds — emitted as mis_round -1 " +
+        s"(undecided, NOT dominated); raise maxRounds")
+      result = result.unionByName(
+        active.select(col("vtx").as("vertex"), lit(-1L).as("mis_round")))
     }
     val verts = e.select(col("a").as("vertex")).distinct()
     verts.join(result, Seq("vertex"), "left")

@@ -679,6 +679,47 @@ class GraphSpec extends AnyFunSuite {
     assert(got === got7)
   }
 
+  test("scc: exhausted propagation budget yields -1, never a split SCC") {
+    // a 6-cycle needs ~5 min-propagation rounds; propRounds=2 exhausts
+    // mid-flight — the old behavior assigned ids from the stale label
+    // table, splitting the one true SCC across several ids
+    val cyc = (0L to 5L).map(i => (i, (i + 1) % 6)).toDF("a", "b")
+    val got = Graph.stronglyConnectedComponents(cyc, "a", "b",
+        outerRounds = 4, propRounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet === Set(-1L), got.toString)
+    // ample budget: the same graph is one SCC labeled by its min vertex
+    val full = Graph.stronglyConnectedComponents(cyc, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(full.values.toSet === Set(0L), full.toString)
+  }
+
+  test("lubyMis: exhausted round budget yields -1 (undecided), not 0") {
+    val und = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("a", "b")
+    val got = Graph.lubyMis(und, "a", "b", maxRounds = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet === Set(-1L), got.toString)
+    val full = Graph.lubyMis(und, "a", "b").as[(Long, Long)].collect().toMap
+    // path 1-2-3: priorities decide; whatever wins, 0 means dominated
+    // WITH a MIS neighbor — the maximality law of the main spec
+    assert(!full.values.toSet.contains(-1L))
+  }
+
+  test("boruvkaMst: chain-of-blobs sparse graph equals Kruskal (exercises " +
+    "multi-jump pointer doubling)") {
+    // 40 triangles strung on a path: round 1 contracts each triangle and
+    // hooks neighbors into chains long enough to need several doublings
+    val tri = (0L until 40L).flatMap { i =>
+      val b = i * 3
+      Seq((b, b + 1, 5L + i), (b + 1, b + 2, 6L + i), (b, b + 2, 7L + i))
+    }
+    val path = (0L until 39L).map(i => (i * 3 + 2, (i + 1) * 3, 100L + i))
+    val edges = (tri ++ path).toDF("a", "b", "w")
+    val got = Graph.boruvkaMst(edges, "a", "b", "w")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === kruskal(tri ++ path), got.size.toString)
+  }
+
   test("hitsInt is partitioning-invariant (integer ops only)") {
     def lcg(seed: Long): Iterator[Long] =
       Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
