@@ -646,6 +646,16 @@ object Graph {
     * Forward, per layer: σ(v)[s] = Σ over neighbor parents of σ[s]
     * (exact long sums), masked to first-reach by a packed visited bitmap
     * (⌈|S|/64⌉ words per vertex, maintained by codegen'd `bit_or`).
+    * Measured note (sf0.1, local[32], warm min-of-3): fusing the σ-sum
+    * and the bitmap union into ONE aggregation (carried rows with null
+    * sig through vector_sum_long) ran ~20% SLOWER than this two-step
+    * shape — the fused groupBy drags every carried |visited| row through
+    * the non-codegen ObjectHashAggregate, while here those rows fold in a
+    * whole-stage-codegen bit_or HashAggregate and only the frontier
+    * fan-out pays the object agg; pre-partitioning the edge list doesn't
+    * help either (localCheckpoint drops outputPartitioning, the join
+    * reshuffles regardless). Exchanges are not the bottleneck; per-row
+    * aggregation cost is.
     * Backward, per layer, quantized per CHILD in micro-units: u publishes
     * tq(u)[s] = ⌊(10⁶ + δq(u)[s])·10⁶ / σ(u)[s]⌋, parents sum tq over
     * their out-edges element-wise, and δq(v)[s] = ⌊σ(v)[s]·Σtq / 10⁶⌋.
@@ -759,6 +769,11 @@ object Graph {
       deltas = dd
       acc :+= dd
     }
+    // every dd in acc is eagerly checkpointed — the returned plan
+    // references only those; the edge list, seed/layer frames, and the
+    // final visited bitmap can release their blocks now
+    (Seq(e, visited) ++ layers).foreach(
+      org.apache.spark.sql.graftx.CheckpointUtils.unpersistLocalCheckpoint)
     acc.map(_.select(col("v"),
         expr("CAST(size(filter(sig, x -> x != 0)) AS BIGINT)").as("cnt"),
         expr("aggregate(delta, CAST(0 AS BIGINT), (a, x) -> a + x)")
