@@ -153,4 +153,50 @@ object Opq {
     } finally org.apache.spark.sql.graftx.CheckpointUtils
       .unpersistLocalCheckpoint(base)
   }
+
+  /** OPQ-rotated IVFADC model — the learned isometry in FRONT of the
+    * coarse quantizer, with the coarse centroids and the residual
+    * codebooks both trained in the ROTATED space. This is the standard
+    * production ANN stack (an OPQ pre-transform feeding an IVF+PQ index):
+    * at equal bits (same cell count, same m×k residual books) the
+    * rotation decorrelates the subspaces the residual coder sees, which
+    * buys recall with ZERO search-time cost — rotating a query is a
+    * dim-kernel projection, and the probe plan is bit-for-bit the
+    * [[Pq.ivfAdcTopK]] one (broadcast probe side, cell equi-join, bounded
+    * k-heap).
+    */
+  case class IvfModel(mean: Array[Double], rotation: Array[Array[Double]],
+      coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]])
+
+  /** Train the composed stack: [[fit]] learns (mean, R) on the
+    * whole-space PQ objective (the Ge et al. recipe; its whole-space
+    * books are discarded), then the coarse quantizer and the residual
+    * codebooks train in the rotated space. Deterministic end to end.
+    */
+  def fitIvf(df: DataFrame, id: String, vec: String, cells: Int, m: Int,
+      k: Int, alternations: Int = 2, initIters: Int = 1,
+      coarseIters: Int = 3, codeIters: Int = 3): IvfModel = {
+    val model = fit(df, id, vec, m, k, alternations, initIters)
+    val rotated = rotate(df, vec, model).localCheckpoint()
+    try {
+      val coarse = Clustering.fit(rotated, id, "rvec", cells,
+        maxIter = coarseIters)
+      val books = Pq.trainResidualCodebooks(rotated, id, "rvec", coarse,
+        m, k, maxIter = codeIters)
+      IvfModel(model.mean, model.rotation, coarse, books)
+    } finally org.apache.spark.sql.graftx.CheckpointUtils
+      .unpersistLocalCheckpoint(rotated)
+  }
+
+  /** Search the composed stack: rotate both sides (zero-shuffle
+    * projections), then the plain IVFADC probe — identical plan shape,
+    * so every scale property of [[Pq.ivfAdcTopK]] carries over verbatim.
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, model: IvfModel, k: Int, nProbe: Int,
+      literalMax: Int = Pq.LiteralCellThreshold): DataFrame =
+    Pq.ivfAdcTopK(
+      rotate(corpus, vec, model.mean, model.rotation),
+      rotate(queries, vec, model.mean, model.rotation),
+      id, "rvec", model.coarse, model.codebooks, k, nProbe, literalMax)
 }

@@ -1041,6 +1041,94 @@ object SimilarityQueries extends QueryPack {
         .crossJoin(recallOk) // all 1-row gate frames
     }),
 
+    // OPQ x IVFADC composition gate (the production stack: an OPQ
+    // pre-transform in front of an IVF+PQ index). CONTROLLED equal-bits
+    // comparison: the rotated stack reuses the plain stack's coarse
+    // centroids ROTATED into the transformed space (rotation is an
+    // isometry, so cell assignments are preserved and both stacks prune
+    // identically), leaving the residual coder as the only difference.
+    // The composition law is gated on the corpus-wide decimal-exact
+    // residual quantization distortion - rotated coding must not lose to
+    // axis-aligned coding at equal bits (same cells, same m x k books,
+    // same Lloyd budget). Recall-vs-recall is NOT gated: at the gate's
+    // probe budget (nProbe=2 of 8 cells) a <=21-query sample is dominated
+    // by cell-pruning variance (measured: OPQ recall wins at sf0.01,
+    // loses at sf0.1, while the distortion inequality holds at both) -
+    // the distortion is the statistic the claim actually rests on. The
+    // OPQ search still carries the suite's recall floor and per-query
+    // shape gates.
+    "v_opq_ivf_check" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.l2DistanceSq
+      import graft.operators.{Opq, Pq}
+      val pqM = 8
+      val nProbe = 2
+      val emb = Tables.load(s, dir, "embeddings")
+      val qs = queriesOf(emb).localCheckpoint()
+      val nq = qs.agg(count(lit(1)).as("n_queries"))
+      // plain IVFADC at the reference bit budget
+      val coarse0 = Clustering.fit(emb, "vec_id", "embedding", kmCells,
+        maxIter = 3)
+      val books0 = Pq.trainResidualCodebooks(emb, "vec_id", "embedding",
+        coarse0, pqM, 32, maxIter = 3)
+      val plain = Pq.ivfAdcTopK(emb, qs, "vec_id", "embedding", coarse0,
+        books0, k, nProbe).localCheckpoint()
+      // rotated stack: (mean, R) from full OPQ; coarse centroids shared
+      // by rotating coarse0 (driver-side dim x cells math)
+      val model0 = Opq.fit(emb, "vec_id", "embedding", pqM, 32,
+        alternations = 2, initIters = 1)
+      val coarseR = coarse0.map { c =>
+        model0.rotation.map { r =>
+          r.zip(c.zip(model0.mean).map { case (x, mn) => x - mn })
+            .map { case (a, b) => a * b }.sum
+        }.toSeq
+      }
+      val rotated = Opq.rotate(emb, "embedding", model0).localCheckpoint()
+      val booksR = Pq.trainResidualCodebooks(rotated, "vec_id", "rvec",
+        coarseR, pqM, 32, maxIter = 3)
+      val ivfModel = Opq.IvfModel(model0.mean, model0.rotation, coarseR,
+        booksR)
+      val opq = Opq.ivfAdcTopK(emb, qs, "vec_id", "embedding", ivfModel,
+        k, nProbe).localCheckpoint()
+      // the composition law: residual coding in the rotated space must
+      // not lose to axis-aligned coding at equal bits (decimal-exact,
+      // corpus-wide, partitioning-independent)
+      val d0 = Opq.distortion(
+        Pq.withResidual(emb.withColumn("__vd",
+          col("embedding").cast("array<double>")), "__vd", coarse0),
+        "__res", books0)
+      val dR = Opq.distortion(
+        Pq.withResidual(rotated, "rvec", coarseR), "__res", booksR)
+      org.apache.spark.sql.graftx.CheckpointUtils
+        .unpersistLocalCheckpoint(rotated)
+      val shapeBad = plain.unionByName(opq).groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") =!= 2 * k)
+        .agg(count(lit(1)).as("shape_bad"))
+      val qv = qs.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qv"))
+      val cv = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("__cv"))
+      val wB = Window.partitionBy(col("query_id"))
+        .orderBy(col("__d2"), col("neighbor_id"))
+      val bruteL2 = cv
+        .join(broadcast(qv), col("query_id") =!= col("neighbor_id"))
+        .withColumn("__d2", l2DistanceSq(col("__qv"), col("__cv")))
+        .withColumn("__r", row_number().over(wB))
+        .filter(col("__r") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+      val recallOk = opq.select(col("query_id"), col("neighbor_id"))
+        .join(bruteL2, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("__h"))
+        .crossJoin(broadcast(nq))
+        .select(((col("__h").cast("double") /
+          (col("n_queries") * k).cast("double")) >= 0.10).cast("int")
+          .as("recall_ok"))
+      nq.crossJoin(shapeBad).crossJoin(recallOk)
+        .select(col("n_queries"), col("shape_bad"), col("recall_ok"),
+          lit(if (dR <= d0) 1 else 0).as("resid_improved_ok"))
+    }),
+
     // SemDeDup gate: prune labels are exactly characterized — a row is
     // pruned iff it has a same-cell smaller-id neighbor with cosine ≥ tau.
     // The justification set is recomputed from the raw vectors over the
@@ -1450,6 +1538,13 @@ object SimilarityQueries extends QueryPack {
         |  CAST(0 AS BIGINT) AS dist_mismatch,
         |  CAST(0 AS BIGINT) AS set_diff,
         |  CAST(1 AS INTEGER) AS recall_ok""".stripMargin,
+
+    "v_opq_ivf_check" ->
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 97 = 0) AS n_queries,
+        |  CAST(0 AS BIGINT) AS shape_bad,
+        |  CAST(1 AS INTEGER) AS recall_ok,
+        |  CAST(1 AS INTEGER) AS resid_improved_ok""".stripMargin,
 
     "v_dbscan_check" ->
       """WITH RECURSIVE n AS (SELECT CAST(count(*) AS BIGINT) AS n

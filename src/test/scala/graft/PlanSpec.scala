@@ -142,6 +142,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("opq x ivfadc: the rotation is a zero-shuffle projection — the " +
+      "composed search keeps the exact ivfadc probe plan shape") {
+    import graft.operators.Opq
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, dir, "embeddings")
+    val model = Opq.fitIvf(emb, "vec_id", "embedding", cells = 4, m = 8,
+      k = 4, alternations = 1, initIters = 1, coarseIters = 1,
+      codeIters = 1)
+    val qs = emb.filter(col("vec_id") % 97 === 0)
+    val p = Opq.ivfAdcTopK(emb, qs, "vec_id", "embedding", model,
+        k = 5, nProbe = 2)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("Left keys [1]: [__cell"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_bounded_topk"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("ivfadc large-C: kernel probe keeps the same plan shape — probe side " +
       "is the bounded |Q|·nProbe explode feeding the cell equi-join") {
     import graft.operators.{Clustering, Pq}

