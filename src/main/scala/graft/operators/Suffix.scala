@@ -164,7 +164,8 @@ object Suffix {
     * 1 + 4 sorts where plain doubling needs 10.
     */
   def suffixArray(docs: DataFrame, id: String, text: String,
-      maxDepth: Int = Int.MaxValue): DataFrame = {
+      maxDepth: Int = Int.MaxValue,
+      maxPositions: Long = 4000000000L): DataFrame = {
     val spark = docs.sparkSession
     val src = docs.select(col(id).cast("long").as("doc"),
       col(text).as("__t"))
@@ -174,6 +175,22 @@ object Suffix {
     // the (doc, off) tie-break keeps it deterministic)
     val lenStats = src.agg(coalesce(max(length(col("__t"))), lit(0)),
       coalesce(sum(length(col("__t"))), lit(0L))).head()
+    // REGIME CONTRACT, enforced: prefix doubling carries one (doc, off,
+    // rank) triple per character — ~24 B/char of round state, spillable
+    // but reshuffled every round. Past `maxPositions` characters (default
+    // 4e9 ≈ 100 GB of triples) that state, not the corpus, is the
+    // workload, and the honest answer is chunking the corpus upstream
+    // (shard by document set and accept per-shard adjacency, or use the
+    // fixed-gram t_dup_spans path) — not a silently week-long job. A
+    // corpus-scale EXACT global suffix array is a research problem
+    // (DC3 / external-memory SA); raise `maxPositions` only with the
+    // cluster memory to back it.
+    require(lenStats.getLong(1) <= maxPositions,
+      s"suffixArray: corpus has ${lenStats.getLong(1)} positions, over " +
+        s"the maxPositions=$maxPositions regime guard. Prefix doubling " +
+        s"keeps ~24 B of round state per character; shard the corpus " +
+        s"(per-shard arrays / fixed-gram dup spans) or raise maxPositions " +
+        s"if the cluster can hold it.")
     val maxLen = math.min(maxDepth, lenStats.getInt(0))
     // partitions sized to the POSITION count, not the cluster: these are
     // narrow triples, and at gate scales per-task scheduling latency

@@ -830,6 +830,33 @@ class PretrainSpec extends AnyFunSuite {
     assert(got7 == ref, "suffix order must be partitioning-independent")
   }
 
+  test("suffix array at 10x document length still matches the naive " +
+    "sort; the maxPositions regime guard trips with a clear contract") {
+    import graft.operators.Suffix
+    def lcg(seed: Long): Iterator[Long] = Iterator.iterate(seed)(x =>
+      x * 6364136223846793005L + 1442695040888963407L)
+    // 10x the main spec's lengths (up to ~450 chars, tiny alphabet —
+    // forces the k=4..256 rounds to resolve real ties)
+    val docs = (0 until 20).map { d =>
+      val len = 50 + (d * 71) % 400
+      val s = lcg(d + 3).take(len)
+        .map(x => "abz"(Math.floorMod(x, 3).toInt)).mkString
+      (d.toLong, s)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Suffix.suffixArray(df, "doc_id", "text")
+      .orderBy("rank").select("doc", "off").as[(Long, Int)].collect().toSeq
+    val ref = docs.flatMap { case (d, t) =>
+      (0 until t.length).map(o => (t.substring(o), d, o))
+    }.sorted.map(x => (x._2, x._3))
+    assert(got == ref, "10x-length suffix order must equal the naive sort")
+    // the guard: position count over budget fails fast, naming the knob
+    val e = intercept[IllegalArgumentException] {
+      Suffix.suffixArray(df, "doc_id", "text", maxPositions = 100L)
+    }
+    assert(e.getMessage.contains("maxPositions"), e.getMessage)
+  }
+
   test("longest repeated substring: cross-doc and within-doc repeats, " +
     "cap respected, empty and unique docs score 0") {
     import graft.operators.Suffix
