@@ -201,6 +201,53 @@ object Similarity {
       descending = true)
   }
 
+  /** Classical multi-TABLE LSH top-k (Indyk & Motwani's L-table scheme —
+    * the memory-side baseline [[lshTopK]]'s bit-flip multi-probe exists to
+    * beat, per Lv et al. 2007): `tables` INDEPENDENT hyperplane signatures
+    * (disjoint plane sets via the banding expression; table 0's planes are
+    * exactly [[lshTopK]]'s, so the single-table scheme is literally this
+    * one's first table), the corpus keyed once PER TABLE — `tables`× the
+    * index state, which is the whole point of multi-probe: probing
+    * neighboring buckets of ONE table buys the recall that extra tables
+    * otherwise pay for in memory. A candidate pair can meet in several
+    * tables, so candidates dedup BEFORE scoring; the candidate∪query side
+    * broadcasts and the corpus streams once for the vector fetch.
+    */
+  def lshTopKTables(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, bits: Int = 12, tables: Int = 4,
+      multiProbe: Boolean = false): DataFrame = {
+    val c = corpus
+      .withColumn("__sigs", hyperplaneBandBuckets(col(vec), tables, bits))
+      .select(col(id).as("neighbor_id"),
+        posexplode(col("__sigs")).as(Seq("__t", "__sig")))
+    val qSig = queries
+      .withColumn("__sigs", hyperplaneBandBuckets(col(vec), tables, bits))
+      .select(col(id).as("query_id"),
+        posexplode(col("__sigs")).as(Seq("__t", "__sig0")))
+    def probes(sig0: org.apache.spark.sql.Column) =
+      if (multiProbe)
+        array(sig0 +: (0 until bits).map(b => sig0.bitwiseXOR(lit(1L << b))): _*)
+      else array(sig0)
+    val q = qSig.select(col("query_id"), col("__t"),
+      explode(probes(col("__sig0"))).as("__sig"))
+    // candidates meet per (table, bucket); dedup collapses multi-table hits
+    val cand = c.join(broadcast(q), Seq("__t", "__sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val qv = withNorm(queries, vec).select(col(id).as("query_id"),
+      col(vec).as("__qv"), col("__nrm").as("__qn"))
+    val cv = withNorm(corpus, vec).select(col(id).as("neighbor_id"),
+      col(vec).as("__cv"), col("__nrm").as("__cn"))
+    val scored = cv
+      .join(broadcast(cand.join(qv, Seq("query_id"))), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn"))
+          .as("cosine_sim"))
+    TopK.perKey(scored, "query_id", "cosine_sim", "neighbor_id", k,
+      descending = true)
+  }
+
   /** IVF-style search with the corpus pre-partitioned by a cell column
     * (here the `label` column plays the coarse quantizer's cell id):
     * per-cell centroids are computed with order-insensitive decimal sums,

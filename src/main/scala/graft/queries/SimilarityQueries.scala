@@ -452,6 +452,43 @@ object SimilarityQueries extends QueryPack {
           col("__n") >= col("__nq"), 1).otherwise(0).as("n_rows_ok"))
     }),
 
+    // Multi-probe vs multi-table LSH (Lv et al. 2007's claim, gated):
+    // ONE table probing its 1+bits one-bit-flip buckets must reach the
+    // recall of FOUR independent tables probing exact buckets only -
+    // quarter the index state (the multi-table scheme keys the corpus
+    // once per table) at equal per-table bits. Table 0's planes are
+    // shared by construction, so the single-table scheme is literally
+    // the multi-table one's first table. Both measured against the same
+    // exact brute-force top-k; both row-shapes bounded like v_lsh_check.
+    "v_lsh_multiprobe_check" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qs = queriesOf(emb)
+      val nq = qs.agg(count(lit(1)).as("__nq"))
+      val exact = Similarity
+        .bruteForceTopK(emb, qs, "vec_id", "embedding", k)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint() // shared ground truth, read by both recalls
+      val mp = Similarity.lshTopK(emb, qs, "vec_id", "embedding", k,
+        bits = 6, multiProbe = true).localCheckpoint()
+      val mt = Similarity.lshTopKTables(emb, qs, "vec_id", "embedding", k,
+        bits = 6, tables = 4, multiProbe = false).localCheckpoint()
+      def hits(t: org.apache.spark.sql.DataFrame, name: String) =
+        t.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as(name))
+      val rowsOk = mp.agg(count(lit(1)).as("__nmp"))
+        .crossJoin(mt.agg(count(lit(1)).as("__nmt")))
+        .crossJoin(broadcast(nq))
+        .select((col("__nmp") <= lit(k) * col("__nq") &&
+          col("__nmt") <= lit(k) * col("__nq") &&
+          col("__nmp") >= col("__nq")).cast("int").as("n_rows_ok"))
+      nq.select(col("__nq").as("n_queries"))
+        .crossJoin(rowsOk)
+        .crossJoin(hits(mp, "__hmp").crossJoin(hits(mt, "__hmt"))
+          .select((col("__hmp") >= col("__hmt")).cast("int")
+            .as("fewer_tables_ok"))) // all 1-row gate frames
+    }),
+
     // IVF structural verification, all counts must be zero: (1) every query
     // returns exactly k neighbors, all from ONE cell; (2) every reported
     // cosine matches an independent recomputation from the raw vectors;
@@ -1449,6 +1486,12 @@ object SimilarityQueries extends QueryPack {
     "v_lsh_check" ->
       """SELECT CAST(1 AS INTEGER) AS n_rows_ok,
         |  CAST(1 AS INTEGER) AS recall_ok""".stripMargin,
+
+    "v_lsh_multiprobe_check" ->
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 97 = 0) AS n_queries,
+        |  CAST(1 AS INTEGER) AS n_rows_ok,
+        |  CAST(1 AS INTEGER) AS fewer_tables_ok""".stripMargin,
 
     "v_scale_brute_topk" ->
       s"""SELECT CAST($k * (SELECT count(*) FROM embeddings WHERE vec_id % 97 = 0)

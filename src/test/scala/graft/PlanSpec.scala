@@ -62,6 +62,22 @@ class PlanSpec extends AnyFunSuite {
     assert(bgF.collect().length <= 50)
   }
 
+  test("multi-table LSH: bucket equi-joins with broadcast probe/candidate " +
+      "sides, bounded heap — no BNLJ, no window") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") % 97 === 0)
+    val p = Similarity.lshTopKTables(emb, qs, "vec_id", "embedding", 5,
+        bits = 6, tables = 4)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_bounded_topk"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("brute-force cosine top-k broadcasts the query side") {
     assert(plan("v_cosine_topk").contains("BroadcastNestedLoopJoin"))
   }
