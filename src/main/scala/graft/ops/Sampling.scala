@@ -348,17 +348,39 @@ object Sampling {
         coalesce(col("v_sum"), lit(0.0)).as("v_sum"))
   }
 
+  /** Weighted per-stratum reservoir (Efraimidis & Spirakis 2006, A-ES):
+    * the k rows per stratum with the largest priority u^(1/w), u pseudo-
+    * random but DETERMINISTIC (13 md5 hex chars of the salted id = 52
+    * bits, exact in a double). Realized single-pass: the priority order
+    * is re-expressed as the integer rank kq = (10⁶·⌊−ln(u)·10⁶⌉) div w
+    * ascending (ln is monotone and w > 0, so the orders agree; the
+    * micro-nat quantization is the repo's cross-engine ln convention, and
+    * any truncation ties break by id identically in both engines), and
+    * the k smallest ranks per stratum reduce through the bounded
+    * mergeable k-heap ([[graft.operators.TopK.perKey]]) — map-side
+    * partial reservoirs, an exchange of ≤ partitions·k ids per stratum,
+    * and NO per-stratum window sort: the reservoir-sampling shape at any
+    * stratum size. Weights enter as BIGINT (fractional weights truncate —
+    * scale them up upstream); rows with w ≤ 0 rank last (u^(1/0⁺) → 0),
+    * sampled only when a stratum has fewer than k positive-weight rows.
+    * `idCol` must be unique and long-castable (it seeds u and rides the
+    * heap).
+    */
   def weightedSample(df: DataFrame, idCol: String, strataCol: String,
       weightCol: String, k: Int, salt: String = "wsample"): DataFrame = {
     // u ∈ (0, 1]: 13 hex chars = 52 bits, exactly representable in a double
     val u = (conv(substring(
       md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 13),
       16, 10).cast("double") + 1.0) / math.pow(16.0, 13)
-    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol)).orderBy(key.desc, col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+    val keyed = df.withColumn("__u", u)
+      .withColumn("__kq", expr(
+        s"""CASE WHEN CAST($weightCol AS BIGINT) <= 0
+           |  THEN ${Long.MaxValue}L
+           |  ELSE (CAST(-round(ln(__u) * 1e6) AS BIGINT) * 1000000L)
+           |    div CAST($weightCol AS BIGINT) END""".stripMargin))
+    val picks = graft.operators.TopK
+      .perKey(keyed, strataCol, "__kq", idCol, k, descending = false)
+      .select(col(idCol))
+    df.join(picks, Seq(idCol), "left_semi")
   }
 }

@@ -409,11 +409,11 @@ object SamplingQueries extends QueryPack {
       onlyStrata.crossJoin(bands).crossJoin(subset) // 1-row × 1-row × 1-row
     }),
 
-    // Weighted per-stratum sample (A-RES): membership is pseudo-random by
-    // construction, so the gate states the EXACT properties — per-source
-    // sample sizes (min(k, stratum size)), strict subset, and the weight
-    // bias the scheme exists for (sample mean n_chars above corpus mean) —
-    // all deterministic for the fixed salt and data.
+    // Weighted per-stratum reservoir (A-ES, single-pass bounded-heap):
+    // this gate states the coarse properties — per-source sample sizes
+    // (min(k, stratum size)), strict subset, and the weight bias the
+    // scheme exists for (sample mean n_chars above corpus mean); the
+    // x_weighted_reservoir gate below replays the key law row-exactly.
     "x_weighted_sample" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val samp = Sampling
@@ -433,6 +433,18 @@ object SamplingQueries extends QueryPack {
         .crossJoin(subset).crossJoin(bias) // 1-row gates
         .orderBy(col("source"))
     }),
+
+    // EXACT replay of the A-ES reservoir: the oracle recomputes u from
+    // the same salted-md5 hex window, quantizes ln(u) to integer
+    // micro-nats, ranks (10^6 * -lq) // w ascending with id ties per
+    // stratum, and must reproduce the SAME sampled id set row for row -
+    // proving the single-pass heap reduction implements the key law, not
+    // an approximation of it.
+    "x_weighted_reservoir" -> ((s, dir) =>
+      Sampling.weightedSample(Tables.load(s, dir, "documents"),
+          "doc_id", "source", "n_chars", k = 10)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("doc_id"))),
 
     // Per-domain contribution cap (C4/Gopher "max pages per domain"):
     // at most 12 docs per source, drawn by md5 order. The implementation
@@ -747,6 +759,21 @@ object SamplingQueries extends QueryPack {
         |  CAST(LEAST(10, COUNT(*)) AS BIGINT) AS n_sampled,
         |  CAST(1 AS INTEGER) AS subset_ok, CAST(1 AS INTEGER) AS bias_ok
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "x_weighted_reservoir" ->
+      """WITH kq AS (SELECT doc_id, source, n_chars,
+        |    CAST(-round(ln((CAST(('0x' || substr(md5(
+        |        CAST(doc_id AS VARCHAR) || ':wsample'), 1, 13)) AS BIGINT)
+        |        + 1.0) / power(16.0, 13)) * 1e6) AS BIGINT) AS pk
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      CASE WHEN n_chars <= 0 THEN 9223372036854775807
+        |        ELSE (pk * 1000000) // CAST(n_chars AS BIGINT) END,
+        |      doc_id) AS rn
+        |  FROM kq)
+        |SELECT source, doc_id, CAST(n_chars AS INTEGER) AS n_chars
+        |FROM r WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
 
     "x_split_leakage" ->
       s"""SELECT p.id_a, p.id_b, p.jaccard,

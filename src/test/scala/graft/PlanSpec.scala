@@ -62,6 +62,17 @@ class PlanSpec extends AnyFunSuite {
     assert(bgF.collect().length <= 50)
   }
 
+  test("weighted reservoir: single-pass bounded heap, no per-stratum " +
+      "window sort") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val p = graft.ops.Sampling
+      .weightedSample(docs, "doc_id", "source", "n_chars", k = 5)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("partial_bounded_topk"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("multi-table LSH: bucket equi-joins with broadcast probe/candidate " +
       "sides, bounded heap — no BNLJ, no window") {
     import graft.operators.Similarity
