@@ -3,11 +3,13 @@ package graft.multimodal
 /** Pure-JVM audio/video CONTAINER codec: real WAV (RIFF/WAVE, PCM16) and
   * real AVI (RIFF/'AVI ', uncompressed DIB frames) encoders plus decoders
   * that parse every reported field back out of the container bytes — the
-  * same honesty contract as [[ImageCodec]]. No sample-compression codecs
-  * exist in this sandbox (no MP3/H.264), but RIFF containers with raw PCM
-  * samples and raw DIB frames are complete, standards-conformant files any
-  * player opens — so header decode, sample extraction, and frame sampling
-  * are genuinely end-to-end, not stubs.
+  * same honesty contract as [[ImageCodec]]. No sample-DECODE for
+  * compressed codecs exists in this sandbox (no H.264, no MDCT), but
+  * RIFF containers with raw PCM samples and raw DIB frames are complete,
+  * standards-conformant files any player opens, and the MP3 section below
+  * parses genuine MPEG-1 Layer III frame headers (metadata + CBR duration
+  * — the media-dedup need) — so header decode, sample extraction, and
+  * frame sampling are genuinely end-to-end, not stubs.
   *
   * Both formats share one chunk discipline: a RIFF file is
   * `"RIFF" size form-type (chunk)*` where each chunk is
@@ -484,5 +486,98 @@ object MediaContainers {
       }
     }
     None // ran off the end without a trailer
+  }
+
+  // ---------------------------------------------------------------- MP3 ---
+
+  /** MPEG-1 Layer III frame-header metadata — the one ubiquitous
+    * COMPRESSED audio container a crawl-dedup pipeline meets. Scope is
+    * honest: header parse + CBR frame walk + duration only, no PCM
+    * decode (a Huffman/MDCT decoder is out of sandbox scope); that is
+    * exactly what media dedup/statistics need (format screens, duration
+    * binning, bitrate histograms) before any sample-level work.
+    */
+  final case class Mp3Meta(
+      bitrateKbps: Int,
+      sampleRate: Int,
+      channelMode: Int, // 0 stereo, 1 joint, 2 dual, 3 mono
+      nFrames: Int,
+      frameBytes: Int, // unpadded CBR frame length
+      durationMs: Long,
+      headerOffset: Int)
+
+  /** index 1..14 valid; 0 = free, 15 = bad (MPEG-1 Layer III table) */
+  private val Mp1L3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp1SampleRates = Array(44100, 48000, 32000)
+  private val SamplesPerFrame = 1152 // MPEG-1 Layer III
+
+  /** A genuine CBR MPEG-1 Layer III frame stream: `junkPrefix` 0x00 bytes
+    * (no false sync — proves the scanner), then `nFrames` frames of
+    * header 0xFF 0xFB (MPEG1, Layer III, no CRC) + bitrate/samplerate
+    * nibbles + stereo, payload bytes cycled from `payload` masked to
+    * 7 bits (so no 0xFF can alias a sync inside the walk's view).
+    */
+  def encodeMp3Cbr(bitrateIdx: Int, srIdx: Int, nFrames: Int,
+      junkPrefix: Int, payload: Array[Byte]): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14, s"bad bitrateIdx $bitrateIdx")
+    require(srIdx >= 0 && srIdx <= 2, s"bad srIdx $srIdx")
+    val kbps = Mp1L3Bitrates(bitrateIdx)
+    val sr = Mp1SampleRates(srIdx)
+    val frameLen = 144000 * kbps / sr // floor(144 * bitrate / sampleRate)
+    val os = new java.io.ByteArrayOutputStream()
+    var j = 0
+    while (j < junkPrefix) { os.write(0x00); j += 1 }
+    var f = 0
+    while (f < nFrames) {
+      os.write(0xFF); os.write(0xFB) // sync + MPEG1 + Layer III + no CRC
+      os.write((bitrateIdx << 4) | (srIdx << 2)) // padding 0, private 0
+      os.write(0x00) // stereo, no emphasis
+      var i = 4
+      while (i < frameLen) {
+        os.write(if (payload.isEmpty) 0x11
+          else payload((f + i) % payload.length) & 0x7F)
+        i += 1
+      }
+      f += 1
+    }
+    os.toByteArray
+  }
+
+  /** Scan to the first sync, parse the header bit-fields, then WALK the
+    * CBR frame chain (headers must match except the padding bit — each
+    * frame's own padding extends its length by one, the 44.1 kHz CBR
+    * convention) counting complete frames. Returns None when no valid
+    * MPEG-1 Layer III header exists.
+    */
+  def parseMp3Meta(bytes: Array[Byte]): Option[Mp3Meta] = {
+    var i = 0
+    while (i + 4 <= bytes.length &&
+      !((u8(bytes, i) == 0xFF) && (u8(bytes, i + 1) & 0xE0) == 0xE0)) i += 1
+    if (i + 4 > bytes.length) return None
+    val h1 = u8(bytes, i + 1); val h2 = u8(bytes, i + 2)
+    val h3 = u8(bytes, i + 3)
+    val version = (h1 >> 3) & 0x3
+    val layer = (h1 >> 1) & 0x3
+    if (version != 3 || layer != 1) return None // MPEG-1 Layer III only
+    val brIdx = (h2 >> 4) & 0xF
+    val srIdx = (h2 >> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val kbps = Mp1L3Bitrates(brIdx)
+    val sr = Mp1SampleRates(srIdx)
+    val base = 144000 * kbps / sr
+    var n = 0
+    var pos = i
+    var walking = true
+    while (walking && pos + 4 <= bytes.length &&
+      u8(bytes, pos) == 0xFF && u8(bytes, pos + 1) == h1 &&
+      (u8(bytes, pos + 2) & ~0x02) == (h2 & ~0x02)) {
+      val pad = (u8(bytes, pos + 2) >> 1) & 1
+      val flen = base + pad
+      if (pos + flen > bytes.length) walking = false // truncated tail frame
+      else { n += 1; pos += flen }
+    }
+    Some(Mp3Meta(kbps, sr, (h3 >> 6) & 0x3, n, base,
+      n.toLong * SamplesPerFrame * 1000L / sr, i))
   }
 }

@@ -677,6 +677,60 @@ object Multimodal {
     }
   }
 
+  case class Mp3Info(
+      media_id: Long,
+      bitrate_kbps: Int,
+      sample_rate: Int,
+      channel_mode: Int,
+      n_frames: Int,
+      frame_bytes: Int,
+      duration_ms: Long)
+
+  /** REAL compressed-audio payloads: each document becomes a genuine CBR
+    * MPEG-1 Layer III frame stream — bitrate 128/160/192 kbps by
+    * id mod 3, sample rate 44100/48000 by id mod 2, (id mod 7) + 3
+    * frames, an (id mod 5)-byte junk prefix (proves the sync scan), and
+    * payload bytes cycled from the text. Every field is oracle-
+    * recomputable from doc_id alone.
+    */
+  def mp3Table(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tb = Option(text).getOrElse("").getBytes("UTF-8")
+          val brIdx = 9 + (id % 3).toInt // 128 / 160 / 192 kbps
+          val srIdx = (id % 2).toInt // 44100 / 48000
+          val nFrames = (id % 7).toInt + 3
+          val bytes = MediaContainers.encodeMp3Cbr(brIdx, srIdx, nFrames,
+            (id % 5).toInt, tb)
+          val sr = if (srIdx == 0) 44100 else 48000
+          MediaRecord(id, "audio", bytes, "mp3", 0, 0,
+            nFrames.toLong * 1152L * 1000L / sr)
+        }
+      }
+  }
+
+  /** Frame-header metadata parsed back out of the MP3 bytes by the real
+    * header walk — format screens / duration binning / bitrate histograms,
+    * the statistics media dedup needs from compressed audio. Pure
+    * per-record map: bytes never shuffle.
+    */
+  def mp3MetaTable(media: Dataset[MediaRecord]): Dataset[Mp3Info] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        MediaContainers.parseMp3Meta(r.bytes) match {
+          case Some(m) => Mp3Info(r.media_id, m.bitrateKbps, m.sampleRate,
+            m.channelMode, m.nFrames, m.frameBytes, m.durationMs)
+          case None => Mp3Info(r.media_id, -1, -1, -1, -1, -1, 0L)
+        }
+      }
+    }
+  }
+
   /** Per-frame audio features over the decoded PCM16 stream — the classic
     * speech-pipeline front end (framing + energy + zero-crossing rate + peak),
     * kept in exact integer arithmetic so the gate can recompute every value:

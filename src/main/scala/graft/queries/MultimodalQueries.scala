@@ -175,6 +175,18 @@ object MultimodalQueries extends QueryPack {
         Multimodal.audioTable(Tables.load(s, dir, "documents"))).toDF()
         .orderBy(col("media_id"))),
 
+    // REAL compressed-audio headers: payloads are genuine CBR MPEG-1
+    // Layer III frame streams (junk prefix, then frames whose 4-byte
+    // headers carry the bitrate/samplerate nibbles); every output field
+    // is parsed back out of the header bit-fields and the CBR frame walk
+    // by MediaContainers.parseMp3Meta. The oracle recomputes the whole
+    // row from doc_id via the encode law - a hash match proves the sync
+    // scan, the bit-field parse, and the frame-length arithmetic.
+    "m_mp3_meta" -> ((s, dir) =>
+      Multimodal.mp3MetaTable(
+        Multimodal.mp3Table(Tables.load(s, dir, "documents"))).toDF()
+        .orderBy(col("media_id"))),
+
     // Speech front end over REAL WAVs: 160-sample frames every 80 samples,
     // integer energy / zero-crossing / peak per frame. The oracle re-derives
     // every frame value from (doc_id, text) through the documented sample
@@ -527,6 +539,24 @@ object MultimodalQueries extends QueryPack {
         |    ELSE CAST(list_sum(list_transform(range(0, n),
         |      i -> (ord(substr(text, CAST(i % length(text) AS INTEGER) + 1, 1))
         |            - 96) * 256)) AS BIGINT) END AS sample_sum
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // the mp3 encode law: kbps by id%3 from {128,160,192}, sample rate
+    // by id%2 from {44100,48000}, id%7+3 frames, stereo (mode 0), frame
+    // length floor(144000*kbps/sr), duration floor(n*1152*1000/sr)
+    "m_mp3_meta" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 160
+        |      ELSE 192 END AS kbps,
+        |    CASE doc_id % 2 WHEN 0 THEN 44100 ELSE 48000 END AS sr,
+        |    doc_id % 7 + 3 AS nf
+        |  FROM documents)
+        |SELECT media_id, CAST(kbps AS INTEGER) AS bitrate_kbps,
+        |  CAST(sr AS INTEGER) AS sample_rate,
+        |  CAST(0 AS INTEGER) AS channel_mode,
+        |  CAST(nf AS INTEGER) AS n_frames,
+        |  CAST(144000 * kbps // sr AS INTEGER) AS frame_bytes,
+        |  CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms
         |FROM d ORDER BY media_id""".stripMargin,
 
     // sample i = (ord(text[i mod len]) - 96) * 256, n = doc_id%500+100;

@@ -711,4 +711,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(0L) == 0L, "constant image must hash to 0")
     assert(got === want)
   }
+
+  test("mp3: header bit-fields, junk-prefix sync scan, padding-aware CBR " +
+    "walk, truncated tail frame excluded, non-MPEG1 rejected") {
+    import graft.multimodal.MediaContainers
+    // 2 frames, 128 kbps / 44100, 3 junk bytes
+    val b = MediaContainers.encodeMp3Cbr(9, 0, 2, 3, "abc".getBytes)
+    val m = MediaContainers.parseMp3Meta(b).get
+    assert(m.headerOffset == 3)
+    assert(m.bitrateKbps == 128 && m.sampleRate == 44100)
+    assert(m.channelMode == 0 && m.frameBytes == 144000 * 128 / 44100)
+    assert(m.nFrames == 2)
+    assert(m.durationMs == 2L * 1152 * 1000 / 44100)
+    // truncated tail: drop the last byte — the walk must not count frame 2
+    val trunc = b.dropRight(1)
+    assert(MediaContainers.parseMp3Meta(trunc).get.nFrames == 1)
+    // padding bit extends one frame by one byte; the walk follows it
+    val f1 = 144000 * 128 / 44100
+    val padded = b.clone()
+    padded(3 + 2) = (padded(3 + 2) | 0x02).toByte // set padding on frame 1
+    val grown = padded.take(3 + f1) ++ Array(0x55.toByte) ++ padded.drop(3 + f1)
+    assert(MediaContainers.parseMp3Meta(grown).get.nFrames == 2)
+    // 192 kbps / 48000: exact table + frame-size law
+    val b2 = MediaContainers.encodeMp3Cbr(11, 1, 5, 0, Array.empty[Byte])
+    val m2 = MediaContainers.parseMp3Meta(b2).get
+    assert(m2.bitrateKbps == 192 && m2.sampleRate == 48000 &&
+      m2.nFrames == 5 && m2.frameBytes == 576)
+    // MPEG-2 (version bits 10) rejected; all-junk rejected
+    val v2 = b.clone(); v2(3 + 1) = 0xF3.toByte
+    assert(MediaContainers.parseMp3Meta(v2).isEmpty)
+    assert(MediaContainers.parseMp3Meta(Array.fill(64)(0x00.toByte)).isEmpty)
+  }
 }
