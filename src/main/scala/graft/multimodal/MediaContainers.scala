@@ -580,4 +580,153 @@ object MediaContainers {
     Some(Mp3Meta(kbps, sr, (h3 >> 6) & 0x3, n, base,
       n.toLong * SamplesPerFrame * 1000L / sr, i))
   }
+
+  // ---------------------------------------------------------------- MP4 ---
+
+  /** ISO-BMFF (MP4) movie metadata — the ubiquitous video container.
+    * Same honest scope as [[Mp3Meta]]: the BOX WALK (size/type framing,
+    * 64-bit largesize, nesting, unknown boxes skipped), `mvhd`
+    * timescale/duration, and per-`trak` `tkhd` geometry — no codec
+    * payload decode. That covers the crawl-pipeline need: duration
+    * binning, resolution screens, track counting.
+    */
+  final case class Mp4Meta(
+      timescale: Int,
+      durationUnits: Long,
+      durationMs: Long,
+      nTracks: Int,
+      width: Int, // first video-sized track, from tkhd 16.16 fixed point
+      height: Int)
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+      (u8(b, i + 2) << 8) | u8(b, i + 3)) & 0xFFFFFFFFL
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  private final class BeWriter {
+    private val os = new java.io.ByteArrayOutputStream()
+    def asc(s: String): Unit = os.write(s.getBytes("US-ASCII"))
+    def u32(v: Long): Unit = {
+      os.write(((v >> 24) & 0xFF).toInt); os.write(((v >> 16) & 0xFF).toInt)
+      os.write(((v >> 8) & 0xFF).toInt); os.write((v & 0xFF).toInt)
+    }
+    def u16(v: Int): Unit = { os.write((v >> 8) & 0xFF); os.write(v & 0xFF) }
+    def bytes(b: Array[Byte]): Unit = os.write(b)
+    def zeros(n: Int): Unit = { var i = 0; while (i < n) { os.write(0); i += 1 } }
+    def size: Int = os.size()
+    def toArray: Array[Byte] = os.toByteArray
+  }
+
+  private def box(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+    val w = new BeWriter
+    w.u32(payload.length + 8L); w.asc(fourcc); w.bytes(payload)
+    w.toArray
+  }
+
+  /** A genuine minimal MP4: ftyp, a `free` box (proves the walker skips
+    * unknown boxes), moov { mvhd, `nTracks` × trak { tkhd } }, and an
+    * mdat carrying `payload`. All version-0 full boxes, identity matrix,
+    * 16.16 fixed-point geometry — structurally what every MP4 reader
+    * expects at the metadata level.
+    */
+  def encodeMp4(timescale: Int, durationUnits: Long, nTracks: Int,
+      width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+    val ftyp = {
+      val w = new BeWriter
+      w.asc("isom"); w.u32(0x200L); w.asc("isomiso2")
+      box("ftyp", w.toArray)
+    }
+    val mvhd = {
+      val w = new BeWriter
+      w.u32(0L) // version 0 + flags
+      w.u32(0L); w.u32(0L) // creation, modification
+      w.u32(timescale.toLong); w.u32(durationUnits)
+      w.u32(0x00010000L); w.u16(0x0100); w.u16(0) // rate 1.0, volume, rsvd
+      w.zeros(8)
+      Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+        .foreach(w.u32) // identity matrix
+      w.zeros(24) // pre_defined
+      w.u32(nTracks + 1L) // next_track_ID
+      box("mvhd", w.toArray)
+    }
+    val traks = (1 to nTracks).map { t =>
+      val w = new BeWriter
+      w.u32(7L) // version 0 + flags (enabled | in movie | in preview)
+      w.u32(0L); w.u32(0L) // creation, modification
+      w.u32(t.toLong); w.u32(0L) // track_ID, reserved
+      w.u32(durationUnits)
+      w.zeros(8); w.u16(0); w.u16(0); w.u16(0); w.u16(0) // layer..reserved
+      Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+        .foreach(w.u32)
+      // only track 1 carries video geometry; others are 0×0 (audio-like)
+      w.u32(if (t == 1) width.toLong << 16 else 0L)
+      w.u32(if (t == 1) height.toLong << 16 else 0L)
+      box("trak", box("tkhd", w.toArray))
+    }
+    val moov = box("moov", mvhd ++ traks.flatten)
+    val free = box("free", Array.fill(4)(0x20.toByte))
+    ftyp ++ free ++ moov ++ box("mdat", payload)
+  }
+
+  /** Walk the top-level boxes to moov (skipping unknowns; honoring
+    * size=1 largesize and size=0 to-end), then moov's children: mvhd →
+    * timescale/duration, each trak/tkhd → track count + the first
+    * nonzero 16.16 geometry. Returns None without a well-formed moov.
+    */
+  def parseMp4Meta(bytes: Array[Byte]): Option[Mp4Meta] = {
+    // returns (payloadStart, boxEnd) or None on malformed framing
+    def frame(i: Int): Option[(String, Int, Int)] = {
+      if (i + 8 > bytes.length) return None
+      val size32 = be32(bytes, i)
+      val typ = fourcc(bytes, i + 4)
+      if (size32 == 1) {
+        if (i + 16 > bytes.length) return None
+        val size = be64(bytes, i + 8)
+        if (size < 16 || i + size > bytes.length) None
+        else Some((typ, i + 16, i + size.toInt))
+      } else if (size32 == 0) Some((typ, i + 8, bytes.length))
+      else if (size32 < 8 || i + size32 > bytes.length) None
+      else Some((typ, i + 8, i + size32.toInt))
+    }
+    var i = 0
+    while (i < bytes.length) {
+      frame(i) match {
+        case None => return None
+        case Some(("moov", at, end)) =>
+          var ts = -1; var du = -1L; var n = 0; var wdt = 0; var hgt = 0
+          var j = at
+          while (j < end) {
+            frame(j) match {
+              case None => return None
+              case Some(("mvhd", p, _)) =>
+                if (u8(bytes, p) != 0) return None // version-0 layout only
+                ts = be32(bytes, p + 12).toInt
+                du = be32(bytes, p + 16)
+              case Some(("trak", p, te)) =>
+                n += 1
+                var k = p
+                while (k < te) {
+                  frame(k) match {
+                    case Some(("tkhd", tp, _)) =>
+                      val tw = (be32(bytes, tp + 76) >> 16).toInt
+                      val th = (be32(bytes, tp + 80) >> 16).toInt
+                      if (wdt == 0 && tw > 0) { wdt = tw; hgt = th }
+                      k = te
+                    case Some((_, _, ke)) => k = ke
+                    case None => return None
+                  }
+                }
+              case _ => ()
+            }
+            j = frame(j).get._3
+          }
+          if (ts <= 0 || du < 0) return None
+          return Some(Mp4Meta(ts, du, du * 1000L / ts, n, wdt, hgt))
+        case Some((_, _, end)) => i = end
+      }
+    }
+    None
+  }
 }

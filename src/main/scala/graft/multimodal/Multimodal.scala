@@ -731,6 +731,58 @@ object Multimodal {
     }
   }
 
+  case class Mp4Info(
+      media_id: Long,
+      timescale: Int,
+      duration_units: Long,
+      duration_ms: Long,
+      n_tracks: Int,
+      width: Int,
+      height: Int)
+
+  /** REAL MP4 payloads: each document becomes a genuine minimal ISO-BMFF
+    * file (ftyp + free + moov{mvhd, trak{tkhd}×n} + mdat) with timescale
+    * 600/1000/90000 by id mod 3, (id mod 4000) + 600 duration units,
+    * (id mod 2) + 1 tracks, and ((id mod 5)+1)·160 × ((id mod 4)+1)·120
+    * video geometry on track 1 — every field oracle-recomputable from
+    * doc_id alone.
+    */
+  def mp4Table(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tb = Option(text).getOrElse("").getBytes("UTF-8")
+          val tc = (id % 3) match {
+            case 0 => 600; case 1 => 1000; case _ => 90000
+          }
+          val du = (id % 4000) + 600
+          val bytes = MediaContainers.encodeMp4(tc, du, (id % 2).toInt + 1,
+            ((id % 5).toInt + 1) * 160, ((id % 4).toInt + 1) * 120, tb)
+          MediaRecord(id, "video", bytes, "mp4", 0, 0, du * 1000L / tc)
+        }
+      }
+  }
+
+  /** Movie metadata parsed back out of the MP4 bytes by the real box
+    * walk — duration binning, resolution screens, track counting. Pure
+    * per-record map: bytes never shuffle.
+    */
+  def mp4MetaTable(media: Dataset[MediaRecord]): Dataset[Mp4Info] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        MediaContainers.parseMp4Meta(r.bytes) match {
+          case Some(m) => Mp4Info(r.media_id, m.timescale, m.durationUnits,
+            m.durationMs, m.nTracks, m.width, m.height)
+          case None => Mp4Info(r.media_id, -1, -1L, -1L, -1, -1, -1)
+        }
+      }
+    }
+  }
+
   /** Per-frame audio features over the decoded PCM16 stream — the classic
     * speech-pipeline front end (framing + energy + zero-crossing rate + peak),
     * kept in exact integer arithmetic so the gate can recompute every value:

@@ -187,6 +187,15 @@ object MultimodalQueries extends QueryPack {
         Multimodal.mp3Table(Tables.load(s, dir, "documents"))).toDF()
         .orderBy(col("media_id"))),
 
+    // REAL MP4 metadata: payloads are genuine minimal ISO-BMFF files;
+    // every output field comes from the box walk (size/type framing,
+    // unknown boxes skipped, mvhd + per-trak tkhd). The oracle
+    // recomputes the whole row from doc_id via the encode law.
+    "m_mp4_meta" -> ((s, dir) =>
+      Multimodal.mp4MetaTable(
+        Multimodal.mp4Table(Tables.load(s, dir, "documents"))).toDF()
+        .orderBy(col("media_id"))),
+
     // Speech front end over REAL WAVs: 160-sample frames every 80 samples,
     // integer energy / zero-crossing / peak per frame. The oracle re-derives
     // every frame value from (doc_id, text) through the documented sample
@@ -539,6 +548,23 @@ object MultimodalQueries extends QueryPack {
         |    ELSE CAST(list_sum(list_transform(range(0, n),
         |      i -> (ord(substr(text, CAST(i % length(text) AS INTEGER) + 1, 1))
         |            - 96) * 256)) AS BIGINT) END AS sample_sum
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // the mp4 encode law: timescale by id%3 from {600,1000,90000},
+    // id%4000+600 duration units, id%2+1 tracks, track-1 geometry
+    // (id%5+1)*160 x (id%4+1)*120, duration_ms = units*1000//timescale
+    "m_mp4_meta" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |      ELSE 90000 END AS tc,
+        |    doc_id % 4000 + 600 AS du
+        |  FROM documents)
+        |SELECT media_id, CAST(tc AS INTEGER) AS timescale,
+        |  CAST(du AS BIGINT) AS duration_units,
+        |  CAST(du * 1000 // tc AS BIGINT) AS duration_ms,
+        |  CAST(media_id % 2 + 1 AS INTEGER) AS n_tracks,
+        |  CAST((media_id % 5 + 1) * 160 AS INTEGER) AS width,
+        |  CAST((media_id % 4 + 1) * 120 AS INTEGER) AS height
         |FROM d ORDER BY media_id""".stripMargin,
 
     // the mp3 encode law: kbps by id%3 from {128,160,192}, sample rate

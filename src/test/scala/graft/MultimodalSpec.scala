@@ -742,4 +742,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaContainers.parseMp3Meta(v2).isEmpty)
     assert(MediaContainers.parseMp3Meta(Array.fill(64)(0x00.toByte)).isEmpty)
   }
+
+  test("mp4: box walk parses mvhd/tkhd, skips unknown boxes, honors " +
+    "largesize framing, rejects truncation and non-v0 layouts") {
+    import graft.multimodal.MediaContainers
+    val b = MediaContainers.encodeMp4(1000, 4500L, 2, 640, 480,
+      "payload".getBytes)
+    val m = MediaContainers.parseMp4Meta(b).get
+    assert(m.timescale == 1000 && m.durationUnits == 4500L)
+    assert(m.durationMs == 4500L && m.nTracks == 2)
+    assert(m.width == 640 && m.height == 480)
+    // 90 kHz timescale: ms division law
+    val m2 = MediaContainers.parseMp4Meta(
+      MediaContainers.encodeMp4(90000, 123456L, 1, 160, 120,
+        Array.empty[Byte])).get
+    assert(m2.durationMs == 123456L * 1000 / 90000 && m2.nTracks == 1)
+    // an extra unknown top-level box before moov is walked over
+    val junkBox = {
+      val sz = 12
+      Array[Byte](0, 0, 0, sz.toByte) ++ "wide".getBytes ++
+        Array[Byte](1, 2, 3, 4)
+    }
+    val withJunk = b.take(24) ++ junkBox ++ b.drop(24) // after ftyp
+    assert(MediaContainers.parseMp4Meta(withJunk).get == m)
+    // size=1 largesize framing on the leading ftyp still frames correctly
+    val ftypLen = 24
+    val large = Array[Byte](0, 0, 0, 1) ++ b.slice(4, 8) ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, (ftypLen + 8).toByte) ++
+      b.slice(8, ftypLen) ++ b.drop(ftypLen)
+    assert(MediaContainers.parseMp4Meta(large).get == m)
+    // truncated mid-moov: malformed framing must return None
+    val moovAt = {
+      var i = 0; var at = -1
+      while (at < 0) {
+        val sz = ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+          ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+        if (new String(b, i + 4, 4, "US-ASCII") == "moov") at = i
+        else i += sz
+      }
+      at
+    }
+    assert(MediaContainers.parseMp4Meta(b.take(moovAt + 20)).isEmpty)
+    // mvhd version 1 (64-bit fields) is a different layout: reject, not
+    // misparse
+    val v1 = b.clone(); v1(moovAt + 16) = 1
+    assert(MediaContainers.parseMp4Meta(v1).isEmpty)
+  }
 }
