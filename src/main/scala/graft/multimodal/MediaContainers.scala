@@ -498,13 +498,16 @@ object MediaContainers {
     * binning, bitrate histograms) before any sample-level work.
     */
   final case class Mp3Meta(
-      bitrateKbps: Int,
+      bitrateKbps: Int, // FIRST frame's (the nominal rate for CBR)
       sampleRate: Int,
       channelMode: Int, // 0 stereo, 1 joint, 2 dual, 3 mono
       nFrames: Int,
-      frameBytes: Int, // unpadded CBR frame length
+      frameBytes: Int, // first frame's unpadded length
       durationMs: Long,
-      headerOffset: Int)
+      headerOffset: Int,
+      minKbps: Int, // == maxKbps for CBR
+      maxKbps: Int,
+      vbr: Boolean)
 
   /** index 1..14 valid; 0 = free, 15 = bad (MPEG-1 Layer III table) */
   private val Mp1L3Bitrates =
@@ -544,14 +547,67 @@ object MediaContainers {
     os.toByteArray
   }
 
-  /** Scan to the first sync, parse the header bit-fields, then WALK the
-    * CBR frame chain (headers must match except the padding bit — each
-    * frame's own padding extends its length by one, the 44.1 kHz CBR
-    * convention) counting complete frames. Returns None when no valid
-    * MPEG-1 Layer III header exists.
+  /** An ID3v2 tag prefix whose body is `junk` bytes of 0xFF — the
+    * false-sync trap a real crawl's MP3s carry: a naive sync scan locks
+    * onto tag bytes; a correct parser skips by the tag's declared
+    * syncsafe size.
+    */
+  def id3v2Prefix(junk: Int): Array[Byte] = {
+    val os = new java.io.ByteArrayOutputStream()
+    os.write('I'); os.write('D'); os.write('3')
+    os.write(3); os.write(0) // v2.3.0
+    os.write(0) // flags: no footer
+    // syncsafe 28-bit size, 7 bits per byte
+    os.write((junk >> 21) & 0x7F); os.write((junk >> 14) & 0x7F)
+    os.write((junk >> 7) & 0x7F); os.write(junk & 0x7F)
+    var j = 0
+    while (j < junk) { os.write(0xFF); j += 1 }
+    os.toByteArray
+  }
+
+  /** A genuine VBR MPEG-1 Layer III stream behind an ID3v2 tag: frame f
+    * carries `bitrateIdxs(f)`; everything else as [[encodeMp3Cbr]].
+    */
+  def encodeMp3Vbr(srIdx: Int, bitrateIdxs: Seq[Int], id3Junk: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    require(srIdx >= 0 && srIdx <= 2, s"bad srIdx $srIdx")
+    val sr = Mp1SampleRates(srIdx)
+    val os = new java.io.ByteArrayOutputStream()
+    os.write(id3v2Prefix(id3Junk))
+    bitrateIdxs.zipWithIndex.foreach { case (brIdx, f) =>
+      require(brIdx >= 1 && brIdx <= 14, s"bad bitrateIdx $brIdx")
+      val frameLen = 144000 * Mp1L3Bitrates(brIdx) / sr
+      os.write(0xFF); os.write(0xFB)
+      os.write((brIdx << 4) | (srIdx << 2))
+      os.write(0x00)
+      var i = 4
+      while (i < frameLen) {
+        os.write(if (payload.isEmpty) 0x11
+          else payload((f + i) % payload.length) & 0x7F)
+        i += 1
+      }
+    }
+    os.toByteArray
+  }
+
+  /** Skip any leading ID3v2 tag BY ITS DECLARED SYNCSAFE SIZE (tag bodies
+    * legally contain 0xFF bytes — scanning into one false-syncs), scan to
+    * the first sync, parse the header bit-fields, then WALK the frame
+    * chain: version/layer/samplerate must match the first header, the
+    * bitrate nibble may vary per frame (VBR) with each frame's own
+    * padding bit extending it by one byte. Counts complete frames;
+    * duration is exact either way (samples per frame is constant).
+    * Returns None when no valid MPEG-1 Layer III header exists.
     */
   def parseMp3Meta(bytes: Array[Byte]): Option[Mp3Meta] = {
     var i = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+      bytes(2) == '3') {
+      val flags = u8(bytes, 5)
+      val sz = ((u8(bytes, 6) & 0x7F) << 21) | ((u8(bytes, 7) & 0x7F) << 14) |
+        ((u8(bytes, 8) & 0x7F) << 7) | (u8(bytes, 9) & 0x7F)
+      i = 10 + sz + (if ((flags & 0x10) != 0) 10 else 0)
+    }
     while (i + 4 <= bytes.length &&
       !((u8(bytes, i) == 0xFF) && (u8(bytes, i + 1) & 0xE0) == 0xE0)) i += 1
     if (i + 4 > bytes.length) return None
@@ -560,25 +616,35 @@ object MediaContainers {
     val version = (h1 >> 3) & 0x3
     val layer = (h1 >> 1) & 0x3
     if (version != 3 || layer != 1) return None // MPEG-1 Layer III only
-    val brIdx = (h2 >> 4) & 0xF
+    val brIdx0 = (h2 >> 4) & 0xF
     val srIdx = (h2 >> 2) & 0x3
-    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
-    val kbps = Mp1L3Bitrates(brIdx)
+    if (brIdx0 == 0 || brIdx0 == 15 || srIdx == 3) return None
     val sr = Mp1SampleRates(srIdx)
-    val base = 144000 * kbps / sr
     var n = 0
     var pos = i
     var walking = true
+    var minK = Int.MaxValue
+    var maxK = 0
     while (walking && pos + 4 <= bytes.length &&
       u8(bytes, pos) == 0xFF && u8(bytes, pos + 1) == h1 &&
-      (u8(bytes, pos + 2) & ~0x02) == (h2 & ~0x02)) {
+      (u8(bytes, pos + 2) & 0x0C) == (h2 & 0x0C) &&
+      ((u8(bytes, pos + 2) >> 4) & 0xF) >= 1 &&
+      ((u8(bytes, pos + 2) >> 4) & 0xF) <= 14) {
+      val brIdx = (u8(bytes, pos + 2) >> 4) & 0xF
+      val kbps = Mp1L3Bitrates(brIdx)
       val pad = (u8(bytes, pos + 2) >> 1) & 1
-      val flen = base + pad
+      val flen = 144000 * kbps / sr + pad
       if (pos + flen > bytes.length) walking = false // truncated tail frame
-      else { n += 1; pos += flen }
+      else {
+        n += 1; pos += flen
+        if (kbps < minK) minK = kbps
+        if (kbps > maxK) maxK = kbps
+      }
     }
-    Some(Mp3Meta(kbps, sr, (h3 >> 6) & 0x3, n, base,
-      n.toLong * SamplesPerFrame * 1000L / sr, i))
+    if (n == 0) { minK = Mp1L3Bitrates(brIdx0); maxK = minK }
+    Some(Mp3Meta(Mp1L3Bitrates(brIdx0), sr, (h3 >> 6) & 0x3, n,
+      144000 * Mp1L3Bitrates(brIdx0) / sr,
+      n.toLong * SamplesPerFrame * 1000L / sr, i, minK, maxK, minK != maxK))
   }
 
   // ---------------------------------------------------------------- MP4 ---

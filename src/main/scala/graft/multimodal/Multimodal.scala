@@ -731,6 +731,55 @@ object Multimodal {
     }
   }
 
+  case class Mp3VbrInfo(
+      media_id: Long,
+      n_frames: Int,
+      min_kbps: Int,
+      max_kbps: Int,
+      is_vbr: Int,
+      duration_ms: Long,
+      header_offset: Int)
+
+  /** REAL VBR payloads behind ID3v2 false-sync traps: frame f of
+    * document id carries bitrate index 9 + ((id + f) mod 3)
+    * (128/160/192 kbps cycling), sample rate by id mod 2, (id mod 7)+3
+    * frames, and an ID3v2 tag whose (id mod 100)+10 body bytes are all
+    * 0xFF — a scanner that walks into the tag false-syncs; the parser
+    * must skip by the declared syncsafe size.
+    */
+  def mp3VbrTable(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tb = Option(text).getOrElse("").getBytes("UTF-8")
+          val srIdx = (id % 2).toInt
+          val nFrames = (id % 7).toInt + 3
+          val idxs = (0 until nFrames).map(f => 9 + ((id + f) % 3).toInt)
+          val bytes = MediaContainers.encodeMp3Vbr(srIdx, idxs,
+            (id % 100).toInt + 10, tb)
+          val sr = if (srIdx == 0) 44100 else 48000
+          MediaRecord(id, "audio", bytes, "mp3", 0, 0,
+            nFrames.toLong * 1152L * 1000L / sr)
+        }
+      }
+  }
+
+  def mp3VbrMetaTable(media: Dataset[MediaRecord]): Dataset[Mp3VbrInfo] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        MediaContainers.parseMp3Meta(r.bytes) match {
+          case Some(m) => Mp3VbrInfo(r.media_id, m.nFrames, m.minKbps,
+            m.maxKbps, if (m.vbr) 1 else 0, m.durationMs, m.headerOffset)
+          case None => Mp3VbrInfo(r.media_id, -1, -1, -1, -1, 0L, -1)
+        }
+      }
+    }
+  }
+
   case class Mp4Info(
       media_id: Long,
       timescale: Int,

@@ -187,6 +187,15 @@ object MultimodalQueries extends QueryPack {
         Multimodal.mp3Table(Tables.load(s, dir, "documents"))).toDF()
         .orderBy(col("media_id"))),
 
+    // REAL VBR MP3s behind ID3v2 false-sync traps: the tag body is all
+    // 0xFF bytes, so a hash match proves the parser skips by the
+    // declared syncsafe size (header_offset = 10 + tag size) AND walks
+    // per-frame bitrate changes (min/max kbps over the cycling pattern).
+    "m_mp3_vbr" -> ((s, dir) =>
+      Multimodal.mp3VbrMetaTable(
+        Multimodal.mp3VbrTable(Tables.load(s, dir, "documents"))).toDF()
+        .orderBy(col("media_id"))),
+
     // REAL MP4 metadata: payloads are genuine minimal ISO-BMFF files;
     // every output field comes from the box walk (size/type framing,
     // unknown boxes skipped, mvhd + per-trak tkhd). The oracle
@@ -549,6 +558,22 @@ object MultimodalQueries extends QueryPack {
         |      i -> (ord(substr(text, CAST(i % length(text) AS INTEGER) + 1, 1))
         |            - 96) * 256)) AS BIGINT) END AS sample_sum
         |FROM d ORDER BY media_id""".stripMargin,
+
+    // the vbr encode law: id%7+3 frames cycling bitrate 9+((id+f)%3)
+    // over {128,160,192} - >=3 frames always cover all three, so min 128
+    // / max 192 / vbr 1; header sits past the 10-byte ID3v2 header plus
+    // its id%100+10 body bytes
+    "m_mp3_vbr" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 7 + 3 AS INTEGER) AS n_frames,
+        |  CAST(128 AS INTEGER) AS min_kbps,
+        |  CAST(192 AS INTEGER) AS max_kbps,
+        |  CAST(1 AS INTEGER) AS is_vbr,
+        |  CAST((doc_id % 7 + 3) * 1152 * 1000
+        |    // (CASE doc_id % 2 WHEN 0 THEN 44100 ELSE 48000 END)
+        |    AS BIGINT) AS duration_ms,
+        |  CAST(doc_id % 100 + 20 AS INTEGER) AS header_offset
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // the mp4 encode law: timescale by id%3 from {600,1000,90000},
     // id%4000+600 duration units, id%2+1 tracks, track-1 geometry

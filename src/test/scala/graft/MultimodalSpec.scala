@@ -788,4 +788,27 @@ class MultimodalSpec extends AnyFunSuite {
     val v1 = b.clone(); v1(moovAt + 16) = 1
     assert(MediaContainers.parseMp4Meta(v1).isEmpty)
   }
+
+  test("mp3 vbr + id3v2: tag skipped by syncsafe size despite all-0xFF " +
+    "body, per-frame bitrate walk tracks min/max, cbr keeps vbr=false") {
+    import graft.multimodal.MediaContainers
+    // 4 frames cycling 128/160/192/128 at 48 kHz behind a 33-byte tag of
+    // 0xFF bytes (every tag byte is a false sync candidate)
+    val b = MediaContainers.encodeMp3Vbr(1, Seq(9, 10, 11, 9), 33,
+      "xyz".getBytes)
+    val m = MediaContainers.parseMp3Meta(b).get
+    assert(m.headerOffset == 43, m.toString) // 10-byte header + 33 junk
+    assert(m.nFrames == 4 && m.sampleRate == 48000)
+    assert(m.minKbps == 128 && m.maxKbps == 192 && m.vbr)
+    assert(m.bitrateKbps == 128) // first frame's nominal rate
+    assert(m.durationMs == 4L * 1152 * 1000 / 48000)
+    // the old CBR path keeps vbr=false and min==max
+    val c = MediaContainers.parseMp3Meta(
+      MediaContainers.encodeMp3Cbr(10, 0, 3, 0, Array.empty[Byte])).get
+    assert(!c.vbr && c.minKbps == 160 && c.maxKbps == 160)
+    // syncsafe size uses 7-bit bytes: 200-byte tag encodes as (1, 72)
+    val big = MediaContainers.encodeMp3Vbr(0, Seq(9, 9, 9), 200,
+      Array.empty[Byte])
+    assert(MediaContainers.parseMp3Meta(big).get.headerOffset == 210)
+  }
 }
