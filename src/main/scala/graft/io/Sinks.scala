@@ -65,6 +65,53 @@ object Sinks {
       .option("compression", "snappy")
       .parquet(path)
 
+  /** Silver erasure — overwrite only the (year, month, day) partitions
+    * present in `df` (dynamic partition overwrite at the silver table's
+    * own granularity).
+    */
+  def overwriteSilverPartitions(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("year", "month", "day")
+      .option("compression", "snappy")
+      .parquet(path)
+
+  /** Remove partition directories by relative path ("year=2024/month=2").
+    * Dynamic partition overwrite only replaces partitions PRESENT in the
+    * written frame — a partition left EMPTY by an erasure keeps its old
+    * files unless dropped explicitly. Callers pass the already-collected
+    * touched set, so this walk is bounded.
+    */
+  def deletePartitionDirs(spark: org.apache.spark.sql.SparkSession,
+      root: String, rels: Seq[String]): Unit = {
+    if (rels.isEmpty) return
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rels.foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(rootPath, r)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  /** S7 erasure — DELETE rows for `keyCol` values in `keys` from the
+    * unpartitioned customer table ([[mergeGoldCustomer]]'s missing
+    * direction: a merge can only replace keys that still have rows).
+    * Bounded by the customer dimension, like the merge.
+    */
+  def deleteGoldCustomerKeys(spark: org.apache.spark.sql.SparkSession,
+      keys: DataFrame, keyCol: String, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val staged = spark.read.parquet(path)
+      .join(org.apache.spark.sql.functions.broadcast(
+        keys.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+      .localCheckpoint() // materialized BEFORE replacing what it reads
+    try writeGoldCustomer(staged, path)
+    finally org.apache.spark.sql.graftx.CheckpointUtils
+      .unpersistLocalCheckpoint(staged)
+  }
+
   /** S6 incremental — overwrite only the year partitions present in `df`. */
   def overwriteGoldMonthlyPartitions(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)

@@ -110,4 +110,94 @@ object SilverToGold {
     Sinks.mergeGoldCustomer(spark, insights, "customer_id",
       cfg.goldCustomerPath)
   }
+
+  /** GDPR / right-to-be-forgotten erasure — the deletion path [[run]]'s
+    * full overwrite cannot take at 100 TB: rewrite ONLY the silver
+    * day-partitions that hold the erased customers' rows, re-aggregate
+    * only the gold partitions those rows touched (from the REWRITTEN
+    * silver), and key-delete the customers from the customer table. Cost
+    * scales with the erased customers' time footprint, never the table.
+    *
+    * Dynamic partition overwrite only replaces partitions PRESENT in the
+    * written frame, so partitions left EMPTY by the erasure are dropped
+    * explicitly ([[Sinks.deletePartitionDirs]]) — silver day dirs, gold
+    * month dirs, and gold year dirs alike; without that the old files
+    * (and the data subject's rows) would silently survive.
+    *
+    * `customers`' first column is the erased customer-id set (bounded:
+    * erasure requests are human-scale). Spec-proven: end state ≡ a full
+    * [[run]] over silver-minus-customers, byte-erased on disk.
+    */
+  def runErasure(spark: SparkSession, cfg: PipelineConfig,
+      customers: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val keys = customers
+      .select(col(customers.columns.head).cast("string").as("customer_id"))
+      .distinct().localCheckpoint()
+    try {
+      val silver = Sources.silverParquet(spark, cfg.silverPath)
+      if (silver.isEmpty) return
+      // the erased rows' partition footprint: bounded driver state
+      val triples = silver
+        .join(broadcast(keys), Seq("customer_id"), "left_semi")
+        .select("year", "month", "day").distinct()
+        .filter("year IS NOT NULL AND month IS NOT NULL AND day IS NOT NULL")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+      if (triples.nonEmpty) {
+        val dayPred = triples.map { case (y, m, d) =>
+          col("year") === y && col("month") === m && col("day") === d
+        }.reduce(_ || _)
+        // staged BEFORE the overwrite — it reads the path it replaces
+        val retained = silver.filter(dayPred)
+          .join(broadcast(keys), Seq("customer_id"), "left_anti")
+          .localCheckpoint()
+        try {
+          Sinks.overwriteSilverPartitions(retained, cfg.silverPath)
+          val still = retained.select("year", "month", "day").distinct()
+            .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+          Sinks.deletePartitionDirs(spark, cfg.silverPath,
+            triples.filterNot(still).map { case (y, m, d) =>
+              s"year=$y/month=$m/day=$d" })
+        } finally org.apache.spark.sql.graftx.CheckpointUtils
+          .unpersistLocalCheckpoint(retained)
+        // touched gold partitions re-aggregate from the rewritten silver
+        val pairs = triples.map(t => (t._1, t._2)).distinct
+        val years = pairs.map(_._1).distinct
+        val ymPred = pairs.map { case (y, m) =>
+          col("year") === y && col("month") === m }.reduce(_ || _)
+        val silver2 = Sources.silverParquet(spark, cfg.silverPath)
+        val projected = silver2.filter(col("year").isin(years: _*))
+          .select("transaction_id", "customer_id", "amount",
+            "transaction_date", "year", "month", "day")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val createdAt = cfg.clock.map(t => lit(t))
+            .getOrElse(current_timestamp())
+          val daily = Aggregations.daily(projected.filter(ymPred),
+              cfg.approxDistinct)
+            .withColumn("created_at", createdAt)
+          val monthly = Aggregations.monthly(projected, cfg.approxDistinct)
+            .withColumn("created_at", createdAt)
+          Sinks.overwriteGoldDailyPartitions(daily, cfg.goldDailyPath)
+          Sinks.overwriteGoldMonthlyPartitions(monthly, cfg.goldMonthlyPath)
+          // gold partitions the erasure emptied entirely
+          val dailyStill = projected.filter(ymPred)
+            .select("year", "month").distinct()
+            .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+          Sinks.deletePartitionDirs(spark, cfg.goldDailyPath,
+            pairs.filterNot(dailyStill).map { case (y, m) =>
+              s"year=$y/month=$m" })
+          val monthlyStill = projected.select("year").distinct()
+            .collect().map(_.getInt(0)).toSet
+          Sinks.deletePartitionDirs(spark, cfg.goldMonthlyPath,
+            years.filterNot(monthlyStill).map(y => s"year=$y"))
+        } finally projected.unpersist()
+      }
+      // the customer table row is a pure key delete (a merge cannot
+      // remove keys that no longer have any rows)
+      Sinks.deleteGoldCustomerKeys(spark, keys, "customer_id",
+        cfg.goldCustomerPath)
+    } finally org.apache.spark.sql.graftx.CheckpointUtils
+      .unpersistLocalCheckpoint(keys)
+  }
 }

@@ -174,6 +174,39 @@ object PipelineQueries extends QueryPack {
           col("min_amount"), col("max_amount"), col("unique_transactions"),
           col("aggregation_level"))
         .orderBy(col("year"), col("month"), col("day"), col("customer_id"))
+    }),
+
+    // GDPR erasure gate: full silver + gold, then forget every customer
+    // whose md5 starts with '0' (~1/16 of them, both engines derive the
+    // same set) through the partition-restricted erasure job. The final
+    // ON-DISK gold daily table must equal a from-scratch recompute over
+    // cleaned-minus-erased — proving the day-partition rewrite, the
+    // touched-gold re-aggregation, and the emptied-partition drops
+    // compose to exactly "as if they never existed".
+    "p_gdpr_erasure" -> ((s, dir) => {
+      import graft.jobs.SilverToGold
+      val base = cleaned(s, dir).localCheckpoint()
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gdpr_${s.sparkContext.applicationId}").toString
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // clean re-runs
+      val cfg = graft.config.PipelineConfig(
+        rawPath = tmp, silverPath = s"$tmp/silver", goldPath = s"$tmp/gold",
+        clock = Some(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+      base.write.partitionBy("year", "month", "day")
+        .option("compression", "snappy").parquet(cfg.silverPath)
+      SilverToGold.run(s, cfg)
+      val erased = base
+        .filter(substring(md5(col("customer_id")), 1, 1) === "0")
+        .select(col("customer_id")).distinct()
+      SilverToGold.runErasure(s, cfg, erased)
+      s.read.parquet(cfg.goldDailyPath)
+        .select(col("year"), col("month"), col("day"), col("customer_id"),
+          col("transaction_count"), col("total_amount"), col("avg_amount"),
+          col("min_amount"), col("max_amount"), col("unique_transactions"),
+          col("aggregation_level"))
+        .orderBy(col("year"), col("month"), col("day"), col("customer_id"))
     }))
 
   override def oracleSql: Map[String, String] = Map(
@@ -251,5 +284,15 @@ object PipelineQueries extends QueryPack {
          |  $aggMeasuresSql,
          |  'daily' AS aggregation_level
          |FROM cleaned GROUP BY year, month, day, customer_id
+         |ORDER BY year, month, day, customer_id""".stripMargin,
+
+    "p_gdpr_erasure" ->
+      s"""$cleanedSql
+         |SELECT year, month, day, customer_id,
+         |  $aggMeasuresSql,
+         |  'daily' AS aggregation_level
+         |FROM cleaned
+         |WHERE substr(md5(customer_id), 1, 1) <> '0'
+         |GROUP BY year, month, day, customer_id
          |ORDER BY year, month, day, customer_id""".stripMargin)
 }

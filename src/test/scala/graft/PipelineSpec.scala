@@ -97,6 +97,58 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("gdpr erasure: partition-restricted rewrite, emptied dirs dropped " +
+    "on every tier, customer keys deleted, end state == full recompute") {
+    val root = tmp()
+    val cfg = PipelineConfig(s"$root/raw", s"$root/silver", s"$root/gold",
+      clock = clock)
+    // A solely owns day (1,1); C solely owns month 2; B survives
+    val silver = Seq(
+      ("t1", "A", 10.0, "2024-01-01 10:00:00", 2024, 1, 1),
+      ("t2", "B", 20.0, "2024-01-02 10:00:00", 2024, 1, 2),
+      ("t3", "C", 30.0, "2024-01-02 11:00:00", 2024, 1, 2),
+      ("t4", "C", 40.0, "2024-02-03 12:00:00", 2024, 2, 3))
+      .toDF("transaction_id", "customer_id", "amount", "transaction_date",
+        "year", "month", "day")
+      .withColumn("transaction_date", to_timestamp($"transaction_date"))
+    graft.io.Sinks.writeSilver(silver, cfg.silverPath)
+    SilverToGold.run(spark, cfg)
+    SilverToGold.runErasure(spark, cfg, Seq("A", "C").toDF("customer_id"))
+    // silver: emptied day dirs are byte-gone; the shared day keeps only B
+    assert(!new java.io.File(
+      s"${cfg.silverPath}/year=2024/month=1/day=1").exists())
+    assert(!new java.io.File(
+      s"${cfg.silverPath}/year=2024/month=2/day=3").exists())
+    val silverAfter = spark.read.parquet(cfg.silverPath)
+    assert(silverAfter.select("customer_id").distinct()
+      .as[String].collect().toSeq == Seq("B"))
+    // gold: month 2 emptied entirely -> its daily partition dir is gone;
+    // year 2024 still has B, so the monthly partition survives
+    assert(!new java.io.File(
+      s"${cfg.goldDailyPath}/year=2024/month=2").exists())
+    assert(new java.io.File(s"${cfg.goldMonthlyPath}/year=2024").exists())
+    val cust = spark.read.parquet(cfg.goldCustomerPath)
+    assert(cust.select("customer_id").as[String].collect().toSeq == Seq("B"))
+    // end state == a from-scratch pipeline over silver-minus-erased
+    val cfg2 = cfg.copy(silverPath = s"$root/silver2",
+      goldPath = s"$root/gold_full")
+    graft.io.Sinks.writeSilver(silver.filter($"customer_id" === "B"),
+      cfg2.silverPath)
+    SilverToGold.run(spark, cfg2)
+    for (sub <- Seq("daily_aggregations", "monthly_aggregations",
+        "customer_insights")) {
+      val a = spark.read.parquet(s"$root/gold/$sub")
+      val b = spark.read.parquet(s"$root/gold_full/$sub")
+        .select(a.columns.map(col): _*)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$sub: erased gold != full recompute")
+    }
+    // erasing a customer with no silver rows is a no-op beyond the
+    // customer table (and never throws)
+    SilverToGold.runErasure(spark, cfg, Seq("GHOST").toDF("customer_id"))
+    assert(spark.read.parquet(cfg.goldCustomerPath).count() == 1)
+  }
+
   test("gold overwrite is idempotent: re-run produces identical tables") {
     val root = tmp()
     TransactionGen.writeJsonl(TransactionGen.generate(spark, 400), s"$root/raw")
