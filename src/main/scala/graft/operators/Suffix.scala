@@ -165,7 +165,31 @@ object Suffix {
     */
   def suffixArray(docs: DataFrame, id: String, text: String,
       maxDepth: Int = Int.MaxValue,
+      maxPositions: Long = 4000000000L): DataFrame =
+    suffixArrayCore(docs, id, text, maxDepth, maxPositions, shards = 1)
+
+  /** Document-SHARDED suffix order — the beyond-memory regime path the
+    * [[suffixArray]] guard points at: shard = doc mod `shards`, and the
+    * output rank orders by (shard, suffix lexicographic), i.e. EXACTLY
+    * the concatenation of independent per-shard suffix arrays
+    * (spec-proven). Realized as ONE prefix-doubling run whose round-0
+    * rank key is prefixed by the shard id: refinement only ever splits
+    * groups, so suffixes of different shards never interact after round
+    * 0 and every per-round primitive is unchanged. At corpus scale the
+    * same semantics let shards run as SEPARATE jobs (filter the docs,
+    * build, offset by cumulative shard sizes) — per-job state drops to
+    * 1/shards of the corpus, the honest trade being that adjacency (and
+    * any LCP statistic on it) becomes shard-local.
+    */
+  def suffixArraySharded(docs: DataFrame, id: String, text: String,
+      shards: Int, maxDepth: Int = Int.MaxValue,
       maxPositions: Long = 4000000000L): DataFrame = {
+    require(shards >= 1, s"bad shards: $shards")
+    suffixArrayCore(docs, id, text, maxDepth, maxPositions, shards)
+  }
+
+  private def suffixArrayCore(docs: DataFrame, id: String, text: String,
+      maxDepth: Int, maxPositions: Long, shards: Int): DataFrame = {
     val spark = docs.sparkSession
     val src = docs.select(col(id).cast("long").as("doc"),
       col(text).as("__t"))
@@ -215,8 +239,11 @@ object Suffix {
         col("__t"))
       .withColumn("__k", pack4)
       .select(col("doc"), col("off"), col("__k"))
-    var (cur, n0, g0) = groupRank(init.withColumn("__z", lit(0L)), "__k",
-      "__z", parts)
+    // round 0: rank by (shard, 4-char key) — for shards = 1 the grouping
+    // (and therefore every dense rank) is identical to the unsharded key
+    var (cur, n0, g0) = groupRank(
+      init.withColumn("__s", pmod(col("doc"), lit(shards.toLong))),
+      "__s", "__k", parts)
     var k = 4L
     // convergence rides groupRank's own driver summary: all ranks unique
     // ⇔ as many groups as rows — no separate per-round job
