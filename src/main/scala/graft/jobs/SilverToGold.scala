@@ -118,33 +118,76 @@ object SilverToGold {
     * silver), and key-delete the customers from the customer table. Cost
     * scales with the erased customers' time footprint, never the table.
     *
+    * CRASH-SAFE / IDEMPOTENT: the touched-gold footprint is the UNION of
+    * the subject's silver footprint and their GOLD footprint (the daily
+    * and monthly tables carry customer_id), so a retry after a failure
+    * between the silver rewrite and the gold re-aggregation still finds
+    * the stale gold partitions and completes the erasure — deriving the
+    * footprint from silver alone would see an already-clean silver and
+    * silently leave the subject's rows in gold. The customer-table key
+    * delete runs UNCONDITIONALLY (even when silver is empty or already
+    * clean), and a second invocation after success is a no-op.
+    *
     * Dynamic partition overwrite only replaces partitions PRESENT in the
     * written frame, so partitions left EMPTY by the erasure are dropped
     * explicitly ([[Sinks.deletePartitionDirs]]) — silver day dirs, gold
     * month dirs, and gold year dirs alike; without that the old files
     * (and the data subject's rows) would silently survive.
     *
+    * Erased-customer rows in NULL year/month/day partitions (hive default
+    * partition) fail LOUDLY: partition predicates cannot address them, so
+    * completing "successfully" while they survive would be a silent
+    * compliance violation. The silver writers guard partition keys (P5),
+    * so this only fires on tables written outside this library.
+    *
     * `customers`' first column is the erased customer-id set (bounded:
     * erasure requests are human-scale). Spec-proven: end state ≡ a full
-    * [[run]] over silver-minus-customers, byte-erased on disk.
+    * [[run]] over silver-minus-customers, byte-erased on disk, including
+    * after a simulated mid-erasure crash.
     */
   def runErasure(spark: SparkSession, cfg: PipelineConfig,
       customers: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    def exists(path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
     val keys = customers
       .select(col(customers.columns.head).cast("string").as("customer_id"))
       .distinct().localCheckpoint()
     try {
-      val silver = Sources.silverParquet(spark, cfg.silverPath)
-      if (silver.isEmpty) return
-      // the erased rows' partition footprint: bounded driver state
-      val triples = silver
-        .join(broadcast(keys), Seq("customer_id"), "left_semi")
-        .select("year", "month", "day").distinct()
-        .filter("year IS NOT NULL AND month IS NOT NULL AND day IS NOT NULL")
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
-      if (triples.nonEmpty) {
-        val dayPred = triples.map { case (y, m, d) =>
+      val haveSilver = exists(cfg.silverPath)
+      // the erased rows' SILVER partition footprint: bounded driver state.
+      // Nulls collected, not filtered — they must fail, not survive.
+      val silverTriples: Seq[(Int, Int, Int)] = if (!haveSilver) Nil else {
+        val rows = Sources.silverParquet(spark, cfg.silverPath)
+          .join(broadcast(keys), Seq("customer_id"), "left_semi")
+          .select("year", "month", "day").distinct().collect()
+        val (nulls, complete) = rows.partition(r =>
+          r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))
+        if (nulls.nonEmpty) throw new IllegalStateException(
+          "runErasure: erased customers have silver rows in NULL " +
+            "year/month/day partitions (hive default partition) — " +
+            "partition-restricted rewrite cannot address them; repair the " +
+            "partition keys (P5 guard) before erasing")
+        complete.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+      }
+      // the subject's GOLD footprint — the retry path's source of truth
+      // after a crash that already rewrote silver
+      val goldPairs: Seq[(Int, Int)] =
+        if (!exists(cfg.goldDailyPath)) Nil
+        else spark.read.parquet(cfg.goldDailyPath)
+          .join(broadcast(keys), Seq("customer_id"), "left_semi")
+          .select("year", "month").distinct()
+          .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      val goldYears: Seq[Int] =
+        if (!exists(cfg.goldMonthlyPath)) Nil
+        else spark.read.parquet(cfg.goldMonthlyPath)
+          .join(broadcast(keys), Seq("customer_id"), "left_semi")
+          .select("year").distinct().collect().map(_.getInt(0)).toSeq
+      if (silverTriples.nonEmpty) {
+        val silver = Sources.silverParquet(spark, cfg.silverPath)
+        val dayPred = silverTriples.map { case (y, m, d) =>
           col("year") === y && col("month") === m && col("day") === d
         }.reduce(_ || _)
         // staged BEFORE the overwrite — it reads the path it replaces
@@ -156,13 +199,52 @@ object SilverToGold {
           val still = retained.select("year", "month", "day").distinct()
             .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
           Sinks.deletePartitionDirs(spark, cfg.silverPath,
-            triples.filterNot(still).map { case (y, m, d) =>
+            silverTriples.filterNot(still).map { case (y, m, d) =>
               s"year=$y/month=$m/day=$d" })
         } finally org.apache.spark.sql.graftx.CheckpointUtils
           .unpersistLocalCheckpoint(retained)
-        // touched gold partitions re-aggregate from the rewritten silver
-        val pairs = triples.map(t => (t._1, t._2)).distinct
-        val years = pairs.map(_._1).distinct
+      }
+      // touched gold partitions (silver ∪ gold footprint) re-aggregate
+      // from the REWRITTEN silver
+      val pairs = (silverTriples.map(t => (t._1, t._2)) ++ goldPairs).distinct
+      val years = (pairs.map(_._1) ++ goldYears).distinct
+      if (!haveSilver) {
+        // no silver to recompute from: other customers' aggregates in the
+        // touched partitions must survive, so drop ONLY the subject's gold
+        // rows by anti-join (partition-pruned rewrite, same staging rule)
+        def antiRewrite(path: String, pred: org.apache.spark.sql.Column,
+            write: (org.apache.spark.sql.DataFrame, String) => Unit,
+            partCols: Seq[String], touched: Set[Seq[Int]]): Unit = {
+          val retained = spark.read.parquet(path).filter(pred)
+            .join(broadcast(keys), Seq("customer_id"), "left_anti")
+            .localCheckpoint()
+          try {
+            write(retained, path)
+            // partitions holding ONLY the subject: dynamic overwrite wrote
+            // nothing there, so the old files must be dropped explicitly
+            val still: Set[Seq[Int]] =
+              retained.select(partCols.map(col): _*).distinct()
+                .collect()
+                .map(r => partCols.indices.map(r.getInt): Seq[Int]).toSet
+            Sinks.deletePartitionDirs(spark, path,
+              touched.filterNot(still).toSeq.map(vs =>
+                partCols.zip(vs).map { case (c, v) => s"$c=$v" }
+                  .mkString("/")))
+          } finally org.apache.spark.sql.graftx.CheckpointUtils
+            .unpersistLocalCheckpoint(retained)
+        }
+        if (goldPairs.nonEmpty)
+          antiRewrite(cfg.goldDailyPath,
+            goldPairs.map { case (y, m) =>
+              col("year") === y && col("month") === m }.reduce(_ || _),
+            Sinks.overwriteGoldDailyPartitions,
+            Seq("year", "month"), goldPairs.map(p => Seq(p._1, p._2)).toSet)
+        if (goldYears.nonEmpty)
+          antiRewrite(cfg.goldMonthlyPath,
+            col("year").isin(goldYears: _*),
+            Sinks.overwriteGoldMonthlyPartitions,
+            Seq("year"), goldYears.map(Seq(_)).toSet)
+      } else if (pairs.nonEmpty) {
         val ymPred = pairs.map { case (y, m) =>
           col("year") === y && col("month") === m }.reduce(_ || _)
         val silver2 = Sources.silverParquet(spark, cfg.silverPath)
@@ -194,7 +276,8 @@ object SilverToGold {
         } finally projected.unpersist()
       }
       // the customer table row is a pure key delete (a merge cannot
-      // remove keys that no longer have any rows)
+      // remove keys that no longer have any rows) — UNCONDITIONAL, so an
+      // empty or already-clean silver still erases the aggregate row
       Sinks.deleteGoldCustomerKeys(spark, keys, "customer_id",
         cfg.goldCustomerPath)
     } finally org.apache.spark.sql.graftx.CheckpointUtils

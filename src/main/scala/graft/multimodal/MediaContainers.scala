@@ -592,12 +592,17 @@ object MediaContainers {
 
   /** Skip any leading ID3v2 tag BY ITS DECLARED SYNCSAFE SIZE (tag bodies
     * legally contain 0xFF bytes — scanning into one false-syncs), scan to
-    * the first sync, parse the header bit-fields, then WALK the frame
-    * chain: version/layer/samplerate must match the first header, the
-    * bitrate nibble may vary per frame (VBR) with each frame's own
-    * padding bit extending it by one byte. Counts complete frames;
-    * duration is exact either way (samples per frame is constant).
-    * Returns None when no valid MPEG-1 Layer III header exists.
+    * the first sync candidate whose header VALIDATES (MPEG-1 Layer III
+    * with legal bitrate/samplerate nibbles — a failed candidate is a
+    * FALSE sync and the scan resumes one byte past it: real crawls carry
+    * 0xFF Ex junk after APE tags or corrupted leaders, and giving up on
+    * the first one would reject files whose valid frame stream follows),
+    * then WALK the frame chain: version/layer/samplerate must match the
+    * first header, the bitrate nibble may vary per frame (VBR) with each
+    * frame's own padding bit extending it by one byte. Counts complete
+    * frames; duration is exact either way (samples per frame is
+    * constant). Returns None when no valid MPEG-1 Layer III header
+    * exists anywhere in the buffer.
     */
   def parseMp3Meta(bytes: Array[Byte]): Option[Mp3Meta] = {
     var i = 0
@@ -608,43 +613,50 @@ object MediaContainers {
         ((u8(bytes, 8) & 0x7F) << 7) | (u8(bytes, 9) & 0x7F)
       i = 10 + sz + (if ((flags & 0x10) != 0) 10 else 0)
     }
-    while (i + 4 <= bytes.length &&
-      !((u8(bytes, i) == 0xFF) && (u8(bytes, i + 1) & 0xE0) == 0xE0)) i += 1
-    if (i + 4 > bytes.length) return None
-    val h1 = u8(bytes, i + 1); val h2 = u8(bytes, i + 2)
-    val h3 = u8(bytes, i + 3)
-    val version = (h1 >> 3) & 0x3
-    val layer = (h1 >> 1) & 0x3
-    if (version != 3 || layer != 1) return None // MPEG-1 Layer III only
-    val brIdx0 = (h2 >> 4) & 0xF
-    val srIdx = (h2 >> 2) & 0x3
-    if (brIdx0 == 0 || brIdx0 == 15 || srIdx == 3) return None
-    val sr = Mp1SampleRates(srIdx)
-    var n = 0
-    var pos = i
-    var walking = true
-    var minK = Int.MaxValue
-    var maxK = 0
-    while (walking && pos + 4 <= bytes.length &&
-      u8(bytes, pos) == 0xFF && u8(bytes, pos + 1) == h1 &&
-      (u8(bytes, pos + 2) & 0x0C) == (h2 & 0x0C) &&
-      ((u8(bytes, pos + 2) >> 4) & 0xF) >= 1 &&
-      ((u8(bytes, pos + 2) >> 4) & 0xF) <= 14) {
-      val brIdx = (u8(bytes, pos + 2) >> 4) & 0xF
-      val kbps = Mp1L3Bitrates(brIdx)
-      val pad = (u8(bytes, pos + 2) >> 1) & 1
-      val flen = 144000 * kbps / sr + pad
-      if (pos + flen > bytes.length) walking = false // truncated tail frame
-      else {
-        n += 1; pos += flen
-        if (kbps < minK) minK = kbps
-        if (kbps > maxK) maxK = kbps
+    while (i + 4 <= bytes.length) {
+      if (u8(bytes, i) == 0xFF && (u8(bytes, i + 1) & 0xE0) == 0xE0) {
+        val h1 = u8(bytes, i + 1); val h2 = u8(bytes, i + 2)
+        val h3 = u8(bytes, i + 3)
+        val version = (h1 >> 3) & 0x3
+        val layer = (h1 >> 1) & 0x3
+        val brIdx0 = (h2 >> 4) & 0xF
+        val srIdx = (h2 >> 2) & 0x3
+        if (version == 3 && layer == 1 && // MPEG-1 Layer III only
+          brIdx0 >= 1 && brIdx0 <= 14 && srIdx != 3) {
+          val sr = Mp1SampleRates(srIdx)
+          var n = 0
+          var pos = i
+          var walking = true
+          var minK = Int.MaxValue
+          var maxK = 0
+          while (walking && pos + 4 <= bytes.length &&
+            u8(bytes, pos) == 0xFF && u8(bytes, pos + 1) == h1 &&
+            (u8(bytes, pos + 2) & 0x0C) == (h2 & 0x0C) &&
+            ((u8(bytes, pos + 2) >> 4) & 0xF) >= 1 &&
+            ((u8(bytes, pos + 2) >> 4) & 0xF) <= 14) {
+            val brIdx = (u8(bytes, pos + 2) >> 4) & 0xF
+            val kbps = Mp1L3Bitrates(brIdx)
+            val pad = (u8(bytes, pos + 2) >> 1) & 1
+            val flen = 144000 * kbps / sr + pad
+            if (pos + flen > bytes.length) walking = false // truncated tail
+            else {
+              n += 1; pos += flen
+              if (kbps < minK) minK = kbps
+              if (kbps > maxK) maxK = kbps
+            }
+          }
+          if (n == 0) { minK = Mp1L3Bitrates(brIdx0); maxK = minK }
+          return Some(Mp3Meta(Mp1L3Bitrates(brIdx0), sr, (h3 >> 6) & 0x3, n,
+            144000 * Mp1L3Bitrates(brIdx0) / sr,
+            n.toLong * SamplesPerFrame * 1000L / sr, i, minK, maxK,
+            minK != maxK))
+        }
+        // false sync (invalid version/layer/bitrate/samplerate): fall
+        // through and keep scanning past the candidate
       }
+      i += 1
     }
-    if (n == 0) { minK = Mp1L3Bitrates(brIdx0); maxK = minK }
-    Some(Mp3Meta(Mp1L3Bitrates(brIdx0), sr, (h3 >> 6) & 0x3, n,
-      144000 * Mp1L3Bitrates(brIdx0) / sr,
-      n.toLong * SamplesPerFrame * 1000L / sr, i, minK, maxK, minK != maxK))
+    None
   }
 
   // ---------------------------------------------------------------- MP4 ---
@@ -739,7 +751,13 @@ object MediaContainers {
   /** Walk the top-level boxes to moov (skipping unknowns; honoring
     * size=1 largesize and size=0 to-end), then moov's children: mvhd →
     * timescale/duration, each trak/tkhd → track count + the first
-    * nonzero 16.16 geometry. Returns None without a well-formed moov.
+    * nonzero 16.16 geometry. Returns None without a well-formed moov —
+    * including when a box is well-FRAMED but its payload is too short
+    * for the fields its version declares (a malformed crawl file must
+    * yield None, never an out-of-bounds read that kills the whole
+    * mapPartitions task). tkhd version 1 (64-bit times) is parsed at
+    * its own offsets; versions ≥ 2 don't exist in ISO 14496-12 and
+    * reject like mvhd's version gate.
     */
   def parseMp4Meta(bytes: Array[Byte]): Option[Mp4Meta] = {
     // returns (payloadStart, boxEnd) or None on malformed framing
@@ -766,8 +784,9 @@ object MediaContainers {
           while (j < end) {
             frame(j) match {
               case None => return None
-              case Some(("mvhd", p, _)) =>
+              case Some(("mvhd", p, pe)) =>
                 if (u8(bytes, p) != 0) return None // version-0 layout only
+                if (pe - p < 20) return None // v0 reads payload [12, 20)
                 ts = be32(bytes, p + 12).toInt
                 du = be32(bytes, p + 16)
               case Some(("trak", p, te)) =>
@@ -775,9 +794,18 @@ object MediaContainers {
                 var k = p
                 while (k < te) {
                   frame(k) match {
-                    case Some(("tkhd", tp, _)) =>
-                      val tw = (be32(bytes, tp + 76) >> 16).toInt
-                      val th = (be32(bytes, tp + 80) >> 16).toInt
+                    case Some(("tkhd", tp, tpe)) =>
+                      // v0: width/height at payload [76, 84);
+                      // v1 (64-bit creation/modification/duration):
+                      // shifted +12 to [88, 96)
+                      val geomAt = u8(bytes, tp) match {
+                        case 0 => 76
+                        case 1 => 88
+                        case _ => return None // no such tkhd version
+                      }
+                      if (tpe - tp < geomAt + 8) return None // short box
+                      val tw = (be32(bytes, tp + geomAt) >> 16).toInt
+                      val th = (be32(bytes, tp + geomAt + 4) >> 16).toInt
                       if (wdt == 0 && tw > 0) { wdt = tw; hgt = th }
                       k = te
                     case Some((_, _, ke)) => k = ke

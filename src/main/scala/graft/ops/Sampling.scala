@@ -360,24 +360,38 @@ object Sampling {
     * mergeable k-heap ([[graft.operators.TopK.perKey]]) — map-side
     * partial reservoirs, an exchange of ≤ partitions·k ids per stratum,
     * and NO per-stratum window sort: the reservoir-sampling shape at any
-    * stratum size. Weights enter as BIGINT (fractional weights truncate —
-    * scale them up upstream); rows with w ≤ 0 rank last (u^(1/0⁺) → 0),
+    * stratum size. Integral weight columns enter as BIGINT unchanged; a
+    * FRACTIONAL weight column (double/float/scaled decimal) is scaled to
+    * micro-units (round(w·10⁶)) first — a raw BIGINT cast would truncate
+    * every weight in (0, 1) to the w ≤ 0 sentinel and near-exclude those
+    * rows instead of sampling them proportionally (priority order is
+    * invariant to the uniform 10⁶ scale; only the sub-micro quantization
+    * granularity changes). Rows with w ≤ 0 rank last (u^(1/0⁺) → 0),
     * sampled only when a stratum has fewer than k positive-weight rows.
     * `idCol` must be unique and long-castable (it seeds u and rides the
     * heap).
     */
   def weightedSample(df: DataFrame, idCol: String, strataCol: String,
       weightCol: String, k: Int, salt: String = "wsample"): DataFrame = {
+    val fractional = df.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+        org.apache.spark.sql.types.FloatType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale > 0
+      case _ => false
+    }
+    val wInt =
+      if (fractional) s"CAST(round(CAST($weightCol AS DOUBLE) * 1e6) AS BIGINT)"
+      else s"CAST($weightCol AS BIGINT)"
     // u ∈ (0, 1]: 13 hex chars = 52 bits, exactly representable in a double
     val u = (conv(substring(
       md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 13),
       16, 10).cast("double") + 1.0) / math.pow(16.0, 13)
     val keyed = df.withColumn("__u", u)
       .withColumn("__kq", expr(
-        s"""CASE WHEN CAST($weightCol AS BIGINT) <= 0
+        s"""CASE WHEN $wInt <= 0
            |  THEN ${Long.MaxValue}L
            |  ELSE (CAST(-round(ln(__u) * 1e6) AS BIGINT) * 1000000L)
-           |    div CAST($weightCol AS BIGINT) END""".stripMargin))
+           |    div $wInt END""".stripMargin))
     val picks = graft.operators.TopK
       .perKey(keyed, strataCol, "__kq", idCol, k, descending = false)
       .select(col(idCol))

@@ -737,9 +737,21 @@ class MultimodalSpec extends AnyFunSuite {
     val m2 = MediaContainers.parseMp3Meta(b2).get
     assert(m2.bitrateKbps == 192 && m2.sampleRate == 48000 &&
       m2.nFrames == 5 && m2.frameBytes == 576)
-    // MPEG-2 (version bits 10) rejected; all-junk rejected
+    // MPEG-2 (version bits 10) first header is a FALSE sync: the scan
+    // resumes past it and locks onto the valid MPEG-1 frame that follows
+    // (the APE-tag/corrupted-leader shape real crawls carry)
     val v2 = b.clone(); v2(3 + 1) = 0xF3.toByte
-    assert(MediaContainers.parseMp3Meta(v2).isEmpty)
+    val r = MediaContainers.parseMp3Meta(v2).get
+    assert(r.headerOffset == 3 + f1 && r.nFrames == 1)
+    // junk bytes containing raw 0xFF Ex candidates before the stream are
+    // scanned past too
+    val junked = Array(0x00.toByte, 0xFF.toByte, 0xE8.toByte) ++
+      MediaContainers.encodeMp3Cbr(9, 0, 2, 0, "abc".getBytes)
+    assert(MediaContainers.parseMp3Meta(junked).get.headerOffset == 3)
+    // no valid MPEG-1 Layer III header anywhere: None
+    val v2all = b.clone(); v2all(3 + 1) = 0xF3.toByte
+    v2all(3 + f1 + 1) = 0xF3.toByte
+    assert(MediaContainers.parseMp3Meta(v2all).isEmpty)
     assert(MediaContainers.parseMp3Meta(Array.fill(64)(0x00.toByte)).isEmpty)
   }
 
@@ -787,6 +799,60 @@ class MultimodalSpec extends AnyFunSuite {
     // misparse
     val v1 = b.clone(); v1(moovAt + 16) = 1
     assert(MediaContainers.parseMp4Meta(v1).isEmpty)
+  }
+
+  test("mp4: short-but-well-framed boxes return None (no out-of-bounds " +
+    "read); tkhd v1 geometry parses at its shifted offsets") {
+    import graft.multimodal.MediaContainers
+    def box(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+      val sz = payload.length + 8
+      Array[Byte](((sz >> 24) & 0xFF).toByte, ((sz >> 16) & 0xFF).toByte,
+        ((sz >> 8) & 0xFF).toByte, (sz & 0xFF).toByte) ++
+        fourcc.getBytes("US-ASCII") ++ payload
+    }
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    // a full well-formed file to splice malformed boxes into
+    val good = MediaContainers.encodeMp4(1000, 4500L, 1, 640, 480,
+      Array.empty[Byte])
+    assert(MediaContainers.parseMp4Meta(good).get.width == 640)
+    // mvhd framed with only 8 payload bytes: v0 needs ≥ 20 → None, not AIOOBE
+    val shortMvhd = box("moov", box("mvhd", new Array[Byte](8)))
+    assert(MediaContainers.parseMp4Meta(shortMvhd).isEmpty)
+    // tkhd framed with size 16 (8 payload bytes): geometry read would run
+    // past the box → None, not a wrong read
+    val shortTkhd = {
+      val mvhd = box("mvhd",
+        be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(4500))
+      box("moov", mvhd ++ box("trak", box("tkhd", new Array[Byte](8))))
+    }
+    assert(MediaContainers.parseMp4Meta(shortTkhd).isEmpty)
+    // tkhd version 1: creation/modification/duration are 64-bit, so the
+    // 16.16 geometry sits 12 bytes later — parsed, not misread
+    val v1Tkhd = {
+      val mvhd = box("mvhd",
+        be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(4500))
+      val p = new java.io.ByteArrayOutputStream()
+      p.write(Array[Byte](1, 0, 0, 7)) // version 1 + flags
+      p.write(new Array[Byte](16)) // creation, modification (64-bit each)
+      p.write(be32(1)); p.write(be32(0)) // track_ID, reserved
+      p.write(new Array[Byte](8)) // duration (64-bit)
+      p.write(new Array[Byte](16)) // reserved, layer..volume+reserved
+      Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+        .foreach(v => p.write(be32(v)))
+      p.write(be32(320L << 16)); p.write(be32(240L << 16))
+      box("moov", mvhd ++ box("trak", box("tkhd", p.toByteArray)))
+    }
+    val m1 = MediaContainers.parseMp4Meta(v1Tkhd).get
+    assert(m1.width == 320 && m1.height == 240 && m1.nTracks == 1)
+    // tkhd version ≥ 2 doesn't exist in ISO 14496-12: reject
+    val v2Tkhd = {
+      val mvhd = box("mvhd",
+        be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(4500))
+      val payload = new Array[Byte](96); payload(0) = 2
+      box("moov", mvhd ++ box("trak", box("tkhd", payload)))
+    }
+    assert(MediaContainers.parseMp4Meta(v2Tkhd).isEmpty)
   }
 
   test("mp3 vbr + id3v2: tag skipped by syncsafe size despite all-0xFF " +

@@ -258,6 +258,32 @@ class OpsSpec extends AnyFunSuite {
     assert(s3.count(_ != 200L) == 3 && s3.contains(100L))
   }
 
+  test("weighted sample: fractional weights in (0,1) sample proportionally " +
+    "(micro-unit scaling), equal to the micro-scaled integral run") {
+    import graft.ops.Sampling
+    // all weights < 1: a raw BIGINT cast would truncate every one to the
+    // w <= 0 sentinel; micro-scaling must keep the heavy row dominant
+    val frac = ((1L to 9L).map(i => (i, "g", 0.001)) :+ ((100L, "g", 900.5)))
+      .toDF("id", "grp", "w")
+    val sf = Sampling.weightedSample(frac, "id", "grp", "w", k = 3)
+      .select($"id").as[Long].collect().toSet
+    assert(sf.size == 3 && sf.contains(100L),
+      s"heavy row must dominate fractional unit weights: $sf")
+    // law: a fractional column samples exactly like its micro-scaled
+    // integral image (the documented scaling, applied by hand)
+    val intImg = frac.select($"id", $"grp",
+      round($"w" * 1e6).cast("long").as("w"))
+    val si = Sampling.weightedSample(intImg, "id", "grp", "w", k = 3)
+      .select($"id").as[Long].collect().toSet
+    assert(sf == si)
+    // fractional zero/negative weights still hit the sentinel (rank last)
+    val zeros = Seq((1L, "g", 0.0), (2L, "g", -0.5), (3L, "g", 0.4))
+      .toDF("id", "grp", "w")
+    val sz = Sampling.weightedSample(zeros, "id", "grp", "w", k = 1)
+      .select($"id").as[Long].collect().toSet
+    assert(sz == Set(3L), s"positive fractional weight must win: $sz")
+  }
+
   test("Neyman allocation: budget follows N·S, selection matches the window formulation") {
     import graft.ops.Sampling
     import org.apache.spark.sql.expressions.Window

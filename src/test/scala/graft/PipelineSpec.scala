@@ -149,6 +149,79 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(cfg.goldCustomerPath).count() == 1)
   }
 
+  test("gdpr erasure is crash-safe: a retry after silver was rewritten but " +
+    "gold was not still scrubs gold; re-running after success is a no-op; " +
+    "empty silver still deletes the customer row; NULL partitions fail " +
+    "loudly") {
+    val root = tmp()
+    val cfg = PipelineConfig(s"$root/raw", s"$root/silver", s"$root/gold",
+      clock = clock)
+    val silver = Seq(
+      ("t1", "A", 10.0, "2024-01-01 10:00:00", 2024, 1, 1),
+      ("t2", "B", 20.0, "2024-01-02 10:00:00", 2024, 1, 2),
+      ("t3", "A", 30.0, "2024-02-03 11:00:00", 2024, 2, 3))
+      .toDF("transaction_id", "customer_id", "amount", "transaction_date",
+        "year", "month", "day")
+      .withColumn("transaction_date", to_timestamp($"transaction_date"))
+    graft.io.Sinks.writeSilver(silver, cfg.silverPath)
+    SilverToGold.run(spark, cfg)
+    // simulate a crash AFTER the silver rewrite, BEFORE the gold re-agg:
+    // silver is already clean of A, gold still carries A everywhere
+    val fs = new org.apache.hadoop.fs.Path(cfg.silverPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cfg.silverPath), true)
+    graft.io.Sinks.writeSilver(silver.filter($"customer_id" === "B"),
+      cfg.silverPath)
+    assert(spark.read.parquet(cfg.goldDailyPath)
+      .filter($"customer_id" === "A").count() > 0, "precondition: gold stale")
+    // the retry must finish the job from the GOLD footprint alone
+    SilverToGold.runErasure(spark, cfg, Seq("A").toDF("customer_id"))
+    assert(spark.read.parquet(cfg.goldDailyPath)
+      .filter($"customer_id" === "A").count() == 0)
+    assert(spark.read.parquet(cfg.goldMonthlyPath)
+      .filter($"customer_id" === "A").count() == 0)
+    // A solely owned month 2: its gold partitions must be byte-gone
+    assert(!new java.io.File(
+      s"${cfg.goldDailyPath}/year=2024/month=2").exists())
+    assert(spark.read.parquet(cfg.goldCustomerPath)
+      .select("customer_id").as[String].collect().toSeq == Seq("B"))
+    // re-running a completed erasure changes nothing and never throws
+    val dailyBefore = spark.read.parquet(cfg.goldDailyPath).collect().toSet
+    SilverToGold.runErasure(spark, cfg, Seq("A").toDF("customer_id"))
+    assert(spark.read.parquet(cfg.goldDailyPath).collect().toSet
+      == dailyBefore)
+    // a MISSING silver tree still scrubs gold (anti-join rewrite) and the
+    // customer table — the deepest crash-recovery state
+    val cfg2 = cfg.copy(silverPath = s"$root/silver_gone",
+      goldPath = s"$root/gold2")
+    graft.io.Sinks.writeSilver(silver, s"$root/silver_b")
+    SilverToGold.run(spark, cfg2.copy(silverPath = s"$root/silver_b"))
+    SilverToGold.runErasure(spark, cfg2, Seq("A").toDF("customer_id"))
+    assert(spark.read.parquet(cfg2.goldDailyPath)
+      .filter($"customer_id" === "A").count() == 0)
+    assert(!new java.io.File(
+      s"${cfg2.goldDailyPath}/year=2024/month=2").exists(),
+      "subject-only gold partition must be dropped even without silver")
+    assert(spark.read.parquet(cfg2.goldDailyPath)
+      .filter($"customer_id" === "B").count() > 0,
+      "other customers' gold must survive the silverless scrub")
+    assert(spark.read.parquet(cfg2.goldCustomerPath)
+      .select("customer_id").as[String].collect().toSeq == Seq("B"))
+    // NULL partition keys cannot be addressed by the rewrite: fail loudly
+    val cfg3 = cfg.copy(silverPath = s"$root/silver3",
+      goldPath = s"$root/gold3")
+    graft.io.Sinks.writeSilver(
+      silver.withColumn("year",
+        when($"customer_id" === "A", lit(null)).otherwise($"year")
+          .cast("int")),
+      cfg3.silverPath)
+    val e = intercept[IllegalStateException] {
+      SilverToGold.runErasure(spark, cfg3, Seq("A").toDF("customer_id"))
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
+
   test("gold overwrite is idempotent: re-run produces identical tables") {
     val root = tmp()
     TransactionGen.writeJsonl(TransactionGen.generate(spark, 400), s"$root/raw")
