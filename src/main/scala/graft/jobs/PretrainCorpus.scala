@@ -1,0 +1,205 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Decontaminate, Dedup}
+import graft.ops.{Gopher, Packing, Sampling}
+import graft.orchestration.Pipeline
+
+/** The COMPOSED pretrain-corpus pipeline: every stage the engine ships
+  * individually (clean → Gopher quality → language ID → exact dedup →
+  * MinHash-LSH near dedup → benchmark decontamination → mixture sampling →
+  * sequence packing + shard manifest), chained into one job with one
+  * end-to-end law. Each stage is oracle-green on its own (`t_gopher_filters`,
+  * `t_langid`, `d_exact_groups`, `d_minhash_pairs`, `t_decontaminate`,
+  * `x_mixture_sample`, `x_seq_packing`, `x_shard_manifest`); this job is
+  * where interface mismatches and double-counting would live — exactly where
+  * the reference puts its only structure (two Glue jobs chained by Step
+  * Functions, `pipeline_definition.json:3-84`) — so the `p_pretrain_e2e`
+  * gate replays the ENTIRE chain in DuckDB and hash-compares the final
+  * manifest.
+  *
+  * Stage order is the 100 TB cost argument: the per-document, shuffle-free
+  * screens (blank, quality, language) run first and shrink the corpus
+  * before anything shuffles; exact dedup (one hash groupBy) runs before the
+  * LSH near-dedup so the banded index is built over fewer documents;
+  * decontamination broadcasts only the benchmark's hashed grams; mixing is
+  * a pure projection; and packing — the one per-source window — runs last,
+  * over the smallest surviving set. Stage survivors are localCheckpoint-
+  * staged where a stage's output feeds two consumers (the near-dedup
+  * anti-join reads its input twice), so no filter chain is recomputed.
+  *
+  * Packing note: `Packing.packSequential` windows by source — one task per
+  * source at the window. At 100 TB with few giant sources that window is
+  * the skew point; the packing LAW is per-source sequential by doc_id, so
+  * the production layout shards each source by doc_id range first and
+  * offsets bin ids by per-shard token prefix sums (same answer, bounded
+  * tasks). The gate keeps the window form — it IS the law being proven.
+  */
+object PretrainCorpus {
+
+  /** Stage parameters — defaults match the individual gates' constants. */
+  case class Config(
+      lang: String = "en",
+      minJaccard: Double = 0.5,
+      evalMod: Int = 17,
+      packBudget: Int = 512,
+      mixRates: Map[String, Double] =
+        (0 until 20).map(i => s"src$i" -> ((i % 4) + 1) / 4.0).toMap,
+      mixSalt: String = "mix")
+
+  /** Stage 1 — drop blank documents (they tokenize to nothing and would
+    * only ride the shuffles).
+    */
+  def clean(docs: DataFrame): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
+
+  /** Stage 2 — Gopher quality screen ([[Gopher.report]]'s exact law). */
+  def qualityFilter(docs: DataFrame): DataFrame =
+    docs.join(
+      Gopher.report(docs).filter(col("quality_pass") === 1).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+  /** Stage 3 — language screen: keep documents the n-gram profile scorer
+    * ([[TextFunctions.langGuess]]) assigns to `lang`. Pure projection +
+    * filter — no shuffle.
+    */
+  def langFilter(docs: DataFrame, lang: String): DataFrame =
+    docs.filter(TextFunctions.langGuess(col("text")) === lang)
+
+  /** Stage 4 — exact dedup: keep the min-id document of every identical
+    * text (raw md5, [[Dedup.exactGroups]]'s law).
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.join(
+      Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+  /** Stage 5 — near dedup: MinHash-LSH candidate pairs verified at exact
+    * shingle Jaccard ≥ `minJaccard` ([[Dedup.minhashLshPairs]]); the LATER
+    * member of every pair is dropped (id_a < id_b by construction), so the
+    * oldest copy of each near-dup cluster survives — the same min-id-wins
+    * convention as exact dedup, in the form a one-pass SQL replay can state
+    * (`NOT IN (SELECT id_b FROM pairs)`).
+    */
+  def nearDedup(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val stable = docs.localCheckpoint() // feeds the index AND the anti-join
+    val laters = Dedup
+      .minhashLshPairs(stable, "doc_id", "text", minJaccard)
+      .select(col("id_b").as("doc_id")).distinct()
+    stable.join(laters, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 6 — benchmark decontamination: the eval slice is the mod-`evalMod`
+    * documents of the RAW corpus (held out regardless of what the filters
+    * did to them); surviving corpus documents sharing any 13-gram with the
+    * benchmark are dropped, and the benchmark slice itself never enters the
+    * training corpus. Benchmark grams broadcast hashed
+    * ([[Decontaminate.contaminationReport]]).
+    */
+  def decontaminate(docs: DataFrame, raw: DataFrame, evalMod: Int): DataFrame = {
+    val bench = raw.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+    corpus.join(
+      Decontaminate.contaminationReport(corpus, "doc_id", "text", bench, "text")
+        .filter(col("contaminated") === 1).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 7 — domain-mixture sampling: per-source deterministic md5-bucket
+    * keep rates ([[Sampling.mixtureKeep]]). Pure projection — no shuffle,
+    * re-run-stable.
+    */
+  def mix(docs: DataFrame, rates: Map[String, Double],
+      salt: String): DataFrame =
+    docs.filter(Sampling.mixtureKeep(col("doc_id"), col("source"), rates,
+      salt))
+
+  /** Stages 1-7 composed: the surviving training corpus. */
+  def corpus(raw: DataFrame, cfg: Config = Config()): DataFrame = {
+    val s3 = langFilter(qualityFilter(clean(raw)), cfg.lang)
+    val s5 = nearDedup(exactDedup(s3), cfg.minJaccard)
+    mix(decontaminate(s5, raw, cfg.evalMod), cfg.mixRates, cfg.mixSalt)
+  }
+
+  /** Stage 8 — sequence packing + per-source shard manifest over the final
+    * corpus: documents pack greedily into `packBudget`-token bins per
+    * source in doc_id order ([[Packing.packSequential]]); the manifest
+    * reports per source the doc/token totals, the bin count, how many
+    * documents span a bin boundary, and the order-independent content
+    * checksum (sum of a 32-bit md5 slice of "id:text" — the writer-side
+    * integrity fingerprint). Every value depends on every upstream stage,
+    * so a hash match on this frame proves the whole composition.
+    */
+  def manifest(raw: DataFrame, cfg: Config = Config()): DataFrame = {
+    val fin = corpus(raw, cfg)
+    val toks = when(length(trim(col("text"))) === 0, lit(0))
+      .otherwise(size(split(trim(col("text")), "\\s+"))).cast("int")
+    val base = fin.select(col("doc_id"), col("source"), toks.as("n_tok"),
+      conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))),
+        1, 8), 16, 10).cast("long").as("__h"))
+    Packing.packSequential(base, "source", "doc_id", "n_tok", cfg.packBudget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        (max(col("bin_last")) + 1).cast("long").as("n_bins"),
+        sum((col("bin_last") > col("bin_first")).cast("long"))
+          .as("n_spanning"),
+        sum(col("__h")).as("checksum"))
+  }
+
+  /** The pipeline as ORCHESTRATED stages: each stage reads its
+    * predecessor's parquet from `workDir`, transforms, writes its own —
+    * the shape a scheduler actually runs (retry/backoff per stage,
+    * restart-from-last-green), wired through
+    * [[graft.orchestration.Pipeline.run]]. Spec-proven equal to the pure
+    * [[manifest]] composition.
+    */
+  def stages(spark: SparkSession, raw: DataFrame, workDir: String,
+      cfg: Config = Config()): Seq[Pipeline.Stage] = {
+    def path(name: String) = s"$workDir/$name"
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").option("compression", "snappy")
+        .parquet(path(name))
+    def read(name: String): DataFrame = spark.read.parquet(path(name))
+    Seq(
+      Pipeline.Stage("clean", () => write(clean(raw), "s1_clean")),
+      Pipeline.Stage("quality", () =>
+        write(qualityFilter(read("s1_clean")), "s2_quality")),
+      Pipeline.Stage("langid", () =>
+        write(langFilter(read("s2_quality"), cfg.lang), "s3_lang")),
+      Pipeline.Stage("exact_dedup", () =>
+        write(exactDedup(read("s3_lang")), "s4_exact")),
+      Pipeline.Stage("near_dedup", () =>
+        write(nearDedup(read("s4_exact"), cfg.minJaccard), "s5_near")),
+      Pipeline.Stage("decontaminate", () =>
+        write(decontaminate(read("s5_near"), raw, cfg.evalMod), "s6_decon")),
+      Pipeline.Stage("mix", () =>
+        write(mix(read("s6_decon"), cfg.mixRates, cfg.mixSalt), "s7_mix")),
+      Pipeline.Stage("manifest", () => {
+        // packing + manifest over the staged final corpus: same law as
+        // [[manifest]], minus the recompute of stages 1-7
+        val fin = read("s7_mix")
+        val toks = when(length(trim(col("text"))) === 0, lit(0))
+          .otherwise(size(split(trim(col("text")), "\\s+"))).cast("int")
+        val base = fin.select(col("doc_id"), col("source"),
+          toks.as("n_tok"),
+          conv(substring(
+            md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))),
+            1, 8), 16, 10).cast("long").as("__h"))
+        write(Packing
+          .packSequential(base, "source", "doc_id", "n_tok", cfg.packBudget)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("n_tokens"),
+            (max(col("bin_last")) + 1).cast("long").as("n_bins"),
+            sum((col("bin_last") > col("bin_first")).cast("long"))
+              .as("n_spanning"),
+            sum(col("__h")).as("checksum")), "s8_manifest")
+      }))
+  }
+}

@@ -213,6 +213,18 @@ object PretrainQueries extends QueryPack {
   }
 
   override def queries: Map[String, Query] = Map(
+    // THE COMPOSED PRETRAIN PIPELINE (jobs/PretrainCorpus): clean → Gopher
+    // quality → language ID → exact dedup → MinHash-LSH near dedup →
+    // benchmark decontamination → mixture sampling → sequence packing +
+    // manifest, end to end. Every stage is oracle-green individually; this
+    // gate is where interface mismatches and double-counting between
+    // stages would surface — the oracle replays the ENTIRE eight-stage law
+    // in one CTE chain and the final per-source manifest (doc/token/bin
+    // counts, boundary-spanning docs, content checksum) must hash-match.
+    "p_pretrain_e2e" -> ((s, dir) =>
+      graft.jobs.PretrainCorpus.manifest(Tables.load(s, dir, "documents"))
+        .orderBy(col("source"))),
+
     // fastText/CCNet-shape reference classifier: train multinomial Naive
     // Bayes to separate a curated "reference" slice (sources src0-3, the
     // stand-in for Wikipedia in the published pipelines) from the general
@@ -960,7 +972,125 @@ object PretrainQueries extends QueryPack {
        |FROM p$R ORDER BY n DESC, piece LIMIT 20""".stripMargin
   }
 
+  /** DuckDB list literal. */
+  private def e2eList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** The full eight-stage pretrain-pipeline law as one CTE chain — each
+    * block is the (already individually-proven) per-stage oracle law,
+    * re-rooted on the previous stage's survivors.
+    */
+  private def pretrainE2eSql: String = {
+    import graft.functions.TextFunctions.{defaultStopwords, langProfiles}
+    val norm = (c: String) =>
+      s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    val scoreCols = langProfiles.map { case (l, ws) =>
+      s"len(list_filter(toks, t -> list_contains(${e2eList(ws)}, t))) AS s_$l"
+    }.mkString(",\n      ")
+    val others = langProfiles.map(_._1).filterNot(_ == "en")
+      .map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    s"""WITH base AS (
+       |  SELECT doc_id, source, text FROM documents WHERE trim(text) <> ''),
+       |g_t AS (SELECT doc_id,
+       |    CASE WHEN trim(text) = '' THEN []
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM base),
+       |g_base AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+       |      AS BIGINT) AS word_chars,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+       |      AS BIGINT) AS n_alpha_words,
+       |    CAST(len(list_filter(toks, x ->
+       |      list_contains(${e2eList(defaultStopwords)}, x))) AS BIGINT)
+       |      AS n_stop_words
+       |  FROM g_t),
+       |g_tb AS (SELECT doc_id, max(c) AS top_bigram_count FROM (
+       |    SELECT doc_id, b, count(*) AS c FROM (
+       |      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i + 1])) AS b FROM g_t)
+       |    GROUP BY 1, 2) GROUP BY 1),
+       |s2 AS (SELECT base.* FROM base
+       |  JOIN g_base USING (doc_id) LEFT JOIN g_tb USING (doc_id)
+       |  WHERE n_words >= 20 AND n_words <= 100000
+       |    AND word_chars >= n_words * 2 AND word_chars <= n_words * 12
+       |    AND n_alpha_words * 10 >= n_words * 8
+       |    AND n_stop_words >= 1
+       |    AND coalesce(top_bigram_count, 0) * 10 <= n_words),
+       |l_t AS (SELECT doc_id,
+       |    CASE WHEN length(${norm("text")}) = 0 THEN []
+       |         ELSE string_split(${norm("text")}, ' ') END AS toks
+       |  FROM s2),
+       |l_keep AS (SELECT doc_id FROM (SELECT doc_id,
+       |      $scoreCols
+       |    FROM l_t)
+       |  WHERE s_en > 0 AND s_en >= $others),
+       |s3 AS (SELECT s2.* FROM s2 JOIN l_keep USING (doc_id)),
+       |s4 AS (SELECT * FROM s3 WHERE doc_id IN (
+       |    SELECT min(doc_id) FROM s3 GROUP BY md5(text))),
+       |n_toks AS (SELECT doc_id,
+       |    CASE WHEN length(${norm("text")}) = 0 THEN []
+       |         ELSE string_split(${norm("text")}, ' ') END AS w
+       |  FROM s4),
+       |n_sh AS (SELECT DISTINCT doc_id,
+       |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |  FROM n_toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+       |  WHERE len(w) >= 3 AND i + 2 <= len(w)),
+       |n_sz AS (SELECT doc_id, count(*) AS n FROM n_sh GROUP BY doc_id),
+       |n_drop AS (SELECT DISTINCT id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+       |    FROM n_sh a JOIN n_sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) p
+       |  JOIN n_sz sa ON p.id_a = sa.doc_id
+       |  JOIN n_sz sb ON p.id_b = sb.doc_id
+       |  WHERE CAST(nc AS DOUBLE) / CAST(sa.n + sb.n - nc AS DOUBLE) >= 0.5),
+       |s5 AS (SELECT * FROM s4
+       |  WHERE doc_id NOT IN (SELECT id_b FROM n_drop)),
+       |d_bsh AS (SELECT DISTINCT list_aggregate(w[i:i+12], 'string_agg', ' ')
+       |    AS s
+       |  FROM (SELECT CASE WHEN length(${norm("text")}) = 0 THEN []
+       |          ELSE string_split(${norm("text")}, ' ') END AS w
+       |        FROM documents WHERE doc_id % 17 = 0),
+       |    LATERAL (SELECT unnest(range(1, len(w) - 11)) AS i)
+       |  WHERE len(w) >= 13),
+       |d_hit AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, list_aggregate(w[i:i+12], 'string_agg', ' ') AS s
+       |    FROM (SELECT doc_id,
+       |            CASE WHEN length(${norm("text")}) = 0 THEN []
+       |            ELSE string_split(${norm("text")}, ' ') END AS w
+       |          FROM s5 WHERE doc_id % 17 <> 0),
+       |      LATERAL (SELECT unnest(range(1, len(w) - 11)) AS i)
+       |    WHERE len(w) >= 13)
+       |  WHERE s IN (SELECT s FROM d_bsh)),
+       |s6 AS (SELECT * FROM s5 WHERE doc_id % 17 <> 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM d_hit)),
+       |s7 AS (SELECT * FROM s6
+       |  WHERE ${Sampling.mixtureKeepSql("doc_id", "source", mixRates)}),
+       |p_t AS (SELECT doc_id, source,
+       |    CAST($rawTokCountSql AS BIGINT) AS n_tok,
+       |    CAST(('0x' || substr(
+       |      md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8)) AS BIGINT)
+       |      AS h
+       |  FROM s7),
+       |p_w AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM p_t),
+       |p_b AS (SELECT source, n_tok, h,
+       |    CAST((cum - n_tok) // $packBudget AS BIGINT) AS bin_first,
+       |    CAST(greatest((cum - 1) // $packBudget,
+       |      (cum - n_tok) // $packBudget) AS BIGINT) AS bin_last
+       |  FROM p_w)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(MAX(bin_last) + 1 AS BIGINT) AS n_bins,
+       |  CAST(SUM(CASE WHEN bin_last > bin_first THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_spanning,
+       |  CAST(SUM(h) AS BIGINT) AS checksum
+       |FROM p_b GROUP BY source ORDER BY source""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "p_pretrain_e2e" -> pretrainE2eSql,
     "t_unigram_vocab" -> unigramOracle,
     "x_dataset_card" ->
       s"""WITH d AS (SELECT doc_id, source, lang, n_chars,

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.config.PipelineConfig
 import graft.datagen.TransactionGen
-import graft.jobs.{BronzeToSilver, SilverToGold}
+import graft.jobs.{BronzeToSilver, PretrainCorpus, SilverToGold}
 import graft.orchestration.Pipeline
 import graft.quality.QualityChecks
 import graft.streaming.IncrementalIngest
@@ -377,4 +377,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.select(min(to_timestamp($"transaction_date"))).as[Timestamp]
       .head().toString.startsWith("2024-01"))
   }
+
+  test("composed pretrain pipeline: the eight orchestrated stages through " +
+    "Pipeline.run land on the pure composition's manifest, every stage " +
+    "writes, and each stage strictly filters its input") {
+    val root = tmp()
+    val raw = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .localCheckpoint()
+    val result = Pipeline.run(PretrainCorpus.stages(spark, raw, root),
+      sleep = _ => ())
+    assert(result.isInstanceOf[Pipeline.Succeeded])
+    assert(result.stageResults.map(_._1) == Seq("clean", "quality", "langid",
+      "exact_dedup", "near_dedup", "decontaminate", "mix", "manifest"))
+    // the staged (disk-chained) run equals the pure in-memory composition
+    val staged = spark.read.parquet(s"$root/s8_manifest")
+    val pure = PretrainCorpus.manifest(raw).select(staged.columns.map(col): _*)
+    assert(staged.exceptAll(pure).isEmpty && pure.exceptAll(staged).isEmpty,
+      "orchestrated manifest != pure composition")
+    // monotone survivorship: each filter stage emits a (non-strict) subset
+    val counts = Seq("s1_clean", "s2_quality", "s3_lang", "s4_exact",
+      "s5_near", "s6_decon", "s7_mix")
+      .map(n => spark.read.parquet(s"$root/$n").count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"stage counts must be non-increasing: $counts")
+    assert(counts.last > 0, "the composed pipeline must keep some documents")
+    // survivors are a subset of the raw ids (no stage invents rows)
+    val fin = spark.read.parquet(s"$root/s7_mix").select("doc_id")
+    assert(fin.join(raw.select("doc_id"), Seq("doc_id"), "left_anti")
+      .isEmpty)
+  }
+
 }
