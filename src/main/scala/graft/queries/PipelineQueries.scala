@@ -176,6 +176,37 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("year"), col("month"), col("day"), col("customer_id"))
     }),
 
+    // WARC/WET crawl ingestion: every document is framed as a real
+    // WARC/1.0 record, records pack 8-per-archive with EACH record its own
+    // gzip member (the WET random-access convention), and the parser walks
+    // the inflated stream back to rows by the spec's framing (version
+    // line, headers, Content-Length-bounded body). The oracle recomputes
+    // every field from the encode law — a hash match proves the
+    // multi-member gzip round trip, the header parse, and the octet-exact
+    // body framing (content_length is UTF-8 bytes, not chars).
+    "s_warc_ingest" -> ((s, dir) => {
+      import s.implicits._
+      import graft.io.Warc
+      val archives = Tables.load(s, dir, "documents")
+        .select(expr("doc_id div 8").as("aid"),
+          struct(col("doc_id"), col("source"), col("text")).as("r"))
+        .groupBy(col("aid"))
+        .agg(sort_array(collect_list(col("r"))).as("rs"))
+        .as[(Long, Seq[(Long, String, String)])]
+        .map { case (aid, rs) =>
+          (s"arc$aid", Warc.encodeArchive(rs.map { case (id, src, text) =>
+            Warc.WarcRecord("conversion", s"urn:graft:$id",
+              s"http://$src.example/$id",
+              Option(text).getOrElse("").getBytes("UTF-8"))
+          }))
+        }
+      Warc.docsFromArchives(archives).toDF()
+        .select(substring(col("record_id"), 11, 20).cast("long").as("doc_id"),
+          col("record_type"), col("target_uri"), col("content_length"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // GDPR erasure gate: full silver + gold, then forget every customer
     // whose md5 starts with '0' (~1/16 of them, both engines derive the
     // same set) through the partition-restricted erasure job. The final
@@ -210,6 +241,17 @@ object PipelineQueries extends QueryPack {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    // the WARC encode law replayed directly: identity fields from the
+    // document row, content_length = UTF-8 octet length of the body
+    "s_warc_ingest" ->
+      """SELECT doc_id, 'conversion' AS record_type,
+        |  'http://' || source || '.example/' || CAST(doc_id AS VARCHAR)
+        |    AS target_uri,
+        |  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+        |    AS content_length,
+        |  md5(coalesce(text, '')) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "p_profile_columns" ->
       """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(CASE WHEN doc_id IS NULL THEN 1 END) AS BIGINT) AS d_nulls,

@@ -332,4 +332,94 @@ class IoSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  // ---- WARC/WET crawl-archive ingestion -------------------------------
+
+  test("warc: encode/parse round trip across multi-member gzip, header " +
+    "fields, octet-exact bodies, unicode and empty records") {
+    import graft.io.Warc
+    val recs = Seq(
+      Warc.WarcRecord("conversion", "urn:graft:1", "http://a.example/1",
+        "hello warc world".getBytes("UTF-8")),
+      Warc.WarcRecord("conversion", "urn:graft:2", "http://b.example/2",
+        Array.empty[Byte]), // zero-length body is legal
+      Warc.WarcRecord("response", "urn:graft:3", "http://c.example/3",
+        "snowman \u2603 and émoji".getBytes("UTF-8")))
+    val bytes = Warc.encodeArchive(recs)
+    // three independent gzip members: three magic headers in the stream
+    val magics = bytes.sliding(2).count(p =>
+      (p(0) & 0xFF) == 0x1F && (p(1) & 0xFF) == 0x8B)
+    assert(magics >= 3)
+    val parsed = Warc.parseArchive(bytes)
+    assert(parsed.size == 3)
+    parsed.zip(recs).foreach { case (p, r) =>
+      assert(p.version == "WARC/1.0")
+      assert(p.headers("warc-type") == r.recordType)
+      assert(p.headers("warc-record-id") == r.recordId)
+      assert(p.headers("warc-target-uri") == r.targetUri)
+      assert(p.headers("content-length").toInt == r.body.length)
+      assert(java.util.Arrays.equals(p.body, r.body))
+    }
+    // uncompressed WARC (no gzip) parses identically
+    val plain = recs.flatMap(Warc.encodeRecord).toArray
+    assert(Warc.parseArchive(plain).size == 3)
+  }
+
+  test("warc: truncation and corruption keep completed records and never " +
+    "throw; junk between records is scanned past") {
+    import graft.io.Warc
+    val recs = (1 to 4).map(i => Warc.WarcRecord("conversion",
+      s"urn:graft:$i", s"http://x.example/$i",
+      (s"body number $i, " * 10).getBytes("UTF-8")))
+    val bytes = Warc.encodeArchive(recs)
+    // truncate inside the LAST member: first records survive
+    val cut = Warc.parseArchive(bytes.dropRight(25))
+    assert(cut.size >= 2 && cut.size < 4)
+    assert(cut.head.headers("warc-record-id") == "urn:graft:1")
+    // corrupt the SECOND member's gzip magic: member 1 survives, the
+    // inflater stops at the damage, no exception escapes
+    val starts = (0 until bytes.length - 1).filter(i =>
+      (bytes(i) & 0xFF) == 0x1F && (bytes(i + 1) & 0xFF) == 0x8B)
+    val corrupt = bytes.clone(); corrupt(starts(1)) = 0x00.toByte
+    val c = Warc.parseArchive(corrupt)
+    assert(c.size == 1 && c.head.headers("warc-record-id") == "urn:graft:1")
+    // junk bytes between plain records: the scan resumes at the next
+    // version line
+    val junky = Warc.encodeRecord(recs(0)) ++
+      "NOISE NOISE".getBytes("UTF-8") ++ Warc.encodeRecord(recs(1))
+    assert(Warc.parseArchive(junky).size == 2)
+    // a record with a declared length past the buffer is dropped
+    val r = Warc.encodeRecord(recs(0))
+    assert(Warc.parseArchive(r.dropRight(10)).isEmpty)
+    assert(Warc.parseArchive(Array.fill(64)(0x41.toByte)).isEmpty)
+  }
+
+  test("warc: warcScan reads archive files from disk into document rows") {
+    import graft.io.Warc
+    val dir = Files.createTempDirectory("graft-warc").toString
+    def write(name: String, recs: Seq[Warc.WarcRecord]): Unit = {
+      val f = new java.io.FileOutputStream(s"$dir/$name")
+      f.write(Warc.encodeArchive(recs)); f.close()
+    }
+    write("a.warc.gz", Seq(
+      Warc.WarcRecord("conversion", "urn:graft:10", "http://a.example/10",
+        "alpha body".getBytes("UTF-8"))))
+    write("b.warc.wet.gz", Seq(
+      Warc.WarcRecord("conversion", "urn:graft:20", "http://b.example/20",
+        "beta body".getBytes("UTF-8")),
+      Warc.WarcRecord("conversion", "urn:graft:21", "http://b.example/21",
+        "gamma body".getBytes("UTF-8"))))
+    val rows = Warc.warcScan(spark, dir)
+      .orderBy($"record_id")
+      .collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.record_id).toSeq ==
+      Seq("urn:graft:10", "urn:graft:20", "urn:graft:21"))
+    assert(rows.forall(_.record_type == "conversion"))
+    assert(rows.map(_.text).toSeq ==
+      Seq("alpha body", "beta body", "gamma body"))
+    assert(rows.forall(r => r.archive.contains(".warc")))
+    assert(rows.map(_.content_length).toSeq == Seq(10L, 9L, 10L))
+  }
+
 }
