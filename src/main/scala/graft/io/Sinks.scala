@@ -93,41 +93,45 @@ object Sinks {
     }
   }
 
-  /** Read-modify-overwrite of the customer table, staged ON DISK: the new
-    * table is written COMPLETELY to a sibling `__staging` directory, then
-    * swapped into place (delete old, rename staging). The earlier
-    * localCheckpoint staging kept the rows only in executor storage — an
-    * executor lost between the old files' deletion and the rewrite could
-    * not recompute its blocks (their source was already gone), risking
-    * the whole table; here every byte is durable before the old path is
-    * touched, the swap window is metadata-only, and a crash inside it
-    * leaves the complete staged table recoverable at `__staging`.
+  /** Read-modify-overwrite of an unpartitioned table, staged ON DISK: the
+    * new table is written COMPLETELY to a sibling `__staging` directory,
+    * then swapped into place (delete old, rename staging). A
+    * localCheckpoint staging would keep the rows only in executor storage
+    * — an executor lost between the old files' deletion and the rewrite
+    * could not recompute its blocks (their source was already gone),
+    * risking the whole table; here every byte is durable before the old
+    * path is touched, the swap window is metadata-only, and a crash
+    * inside it leaves the complete staged table recoverable at
+    * `__staging`. Used by the customer-table merge/delete and the
+    * derived-store erasure paths.
     */
-  private def swapGoldCustomer(spark: org.apache.spark.sql.SparkSession,
+  def stagedSwapParquet(spark: org.apache.spark.sql.SparkSession,
       df: DataFrame, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
     if (fs.exists(tmp)) fs.delete(tmp, true) // debris from a prior crash
-    writeGoldCustomer(df, tmp.toString)
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .parquet(tmp.toString)
     if (fs.exists(p)) fs.delete(p, true)
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(
-        s"customer-table swap failed: rename $tmp -> $p")
+        s"staged swap failed: rename $tmp -> $p")
   }
 
   /** S7 erasure — DELETE rows for `keyCol` values in `keys` from the
     * unpartitioned customer table ([[mergeGoldCustomer]]'s missing
     * direction: a merge can only replace keys that still have rows).
     * Bounded by the customer dimension, like the merge; staged on disk
-    * and atomically swapped ([[swapGoldCustomer]]).
+    * and atomically swapped ([[stagedSwapParquet]]).
     */
   def deleteGoldCustomerKeys(spark: org.apache.spark.sql.SparkSession,
       keys: DataFrame, keyCol: String, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
-    swapGoldCustomer(spark,
+    stagedSwapParquet(spark,
       spark.read.parquet(path)
         .join(org.apache.spark.sql.functions.broadcast(
           keys.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti"),
@@ -147,7 +151,7 @@ object Sinks {
     * everything else is carried over. The rewrite is bounded by the
     * CUSTOMER dimension (one row per customer), never by fact history —
     * the table this merges is already the small aggregate. The merged
-    * frame is staged on disk and atomically swapped ([[swapGoldCustomer]])
+    * frame is staged on disk and atomically swapped ([[stagedSwapParquet]])
     * because it reads the path it is about to replace.
     */
   def mergeGoldCustomer(spark: org.apache.spark.sql.SparkSession,
@@ -161,7 +165,7 @@ object Sinks {
             "left_anti")
           .unionByName(updates)
       else updates
-    swapGoldCustomer(spark, merged, path)
+    stagedSwapParquet(spark, merged, path)
   }
 
   /** Bucketed fact-table layout: `bucketBy` + `sortBy` on the join key,

@@ -49,6 +49,34 @@ object DedupQueries extends QueryPack {
 
   override def queries: Map[String, Query] = Map(
 
+    // Right-to-be-forgotten erasure of the incremental dedup STORE: the
+    // corpus ingests in three batches through the continuously-deduped
+    // store (corpus/index/pairs, id-hash-bucketed layout), then every doc
+    // whose md5(doc_id) starts with '0' is erased
+    // (IncrementalDedupStream.erase — bucket-pruned corpus/index rewrite,
+    // staged-swap pairs rewrite). The surviving pairs store must equal the
+    // all-pairs exact-Jaccard law over the RETAINED corpus — proving batch
+    // ingest composition AND that the subject's pairs (either side) died.
+    "p_erasure_dedup_store" -> ((s, dir) => {
+      import graft.streaming.IncrementalDedupStream
+      val docs = Tables.load(s, dir, "documents")
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_dedup_store_${s.sparkContext.applicationId}").toString
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // clean re-runs
+      for (i <- 0 until 3)
+        IncrementalDedupStream.ingestBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === i),
+          "doc_id", "text", tmp, minJaccard = tau)
+      val erased = docs
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+        .select(col("doc_id"))
+      IncrementalDedupStream.erase(s, tmp, erased, "doc_id")
+      IncrementalDedupStream.pairs(s, tmp)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Fellegi-Sunter probabilistic record linkage on customers: block on
     // nation, compare (segment, balance band, name-tail quasi-identifier),
     // u-probabilities estimated exactly from value frequencies, score =
@@ -470,6 +498,12 @@ object DedupQueries extends QueryPack {
 
     "d_jaccard_pairs" -> jaccardPairsSql,
     "d_jaccard_pairs_fast" -> jaccardPairsSql,
+
+    // the same all-pairs law, rooted on the corpus MINUS the erased ids —
+    // what the store must hold after ingest-then-erase
+    "p_erasure_dedup_store" -> jaccardPairsSql.replace(
+      "FROM documents)",
+      "FROM documents\n  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0')"),
 
     "d_containment_pairs" ->
       s"""WITH $shinglesSql,

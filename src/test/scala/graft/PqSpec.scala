@@ -315,4 +315,52 @@ class PqSpec extends AnyFunSuite {
       m1, k = 3, nProbe = 2)
     assert(topk.exceptAll(topk7).isEmpty && topk7.exceptAll(topk).isEmpty)
   }
+
+  test("index erasure: cell-pruned rewrite matches a from-scratch re-encode " +
+    "of the retained corpus; searches agree and never return erased ids") {
+    val coarse = Seq(Seq(1.0, 1.0, 5.0, 5.0), Seq(-1.0, -1.0, -5.0, -5.0))
+    val tmp = java.nio.file.Files.createTempDirectory("pq_erase").toString
+    Pq.writeIndex(Pq.encodeIndex(df, "vec_id", "embedding", coarse, books),
+      tmp)
+    // erase ids 2 and 3 (cluster 1) — their cell footprint is cell 0 only,
+    // so cell 1's directory must stay byte-untouched
+    val cell1Mtime = {
+      val d = new java.io.File(s"$tmp/cell=1")
+      d.listFiles().map(_.lastModified()).max
+    }
+    val erased = df.filter($"vec_id".isin(2L, 3L))
+    Pq.eraseFromIndex(spark, tmp, erased, "vec_id", "embedding", coarse)
+    val after = spark.read.parquet(tmp)
+      .select($"neighbor_id", $"cell".cast("int").as("cell"), $"code")
+    val rebuilt = Pq.encodeIndex(df.filter(!$"vec_id".isin(2L, 3L)),
+      "vec_id", "embedding", coarse, books)
+      .select($"neighbor_id", $"cell".cast("int").as("cell"), $"code")
+    assert(after.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(after).isEmpty,
+      "erased index != from-scratch re-encode of the retained corpus")
+    assert(new java.io.File(s"$tmp/cell=1").listFiles()
+      .map(_.lastModified()).max == cell1Mtime,
+      "untouched cells must not be rewritten")
+    // searches over the erased index equal searches over the rebuild and
+    // never surface the data subject
+    val qs = df.filter($"vec_id" === 1L)
+    val viaErased = Pq.ivfAdcTopKIndexed(spark.read.parquet(tmp), qs,
+      "vec_id", "embedding", coarse, books, k = 2, nProbe = 2)
+    val viaRebuilt = Pq.ivfAdcTopKIndexed(rebuilt, qs,
+      "vec_id", "embedding", coarse, books, k = 2, nProbe = 2)
+    assert(viaErased.exceptAll(viaRebuilt).isEmpty &&
+      viaRebuilt.exceptAll(viaErased).isEmpty)
+    assert(viaErased.filter($"neighbor_id".isin(2L, 3L)).isEmpty)
+    // erasing a cluster's whole membership drops its cell directory
+    Pq.eraseFromIndex(spark, tmp,
+      df.filter($"vec_id" === 1L), "vec_id", "embedding", coarse)
+    assert(!new java.io.File(s"$tmp/cell=0").exists(),
+      "a cell emptied by erasure must be byte-gone")
+    // ghost erasure (id not in the index) is a no-op and never throws
+    Pq.eraseFromIndex(spark, tmp,
+      Seq((99L, Seq(-1.0f, -1.0f, -5.0f, -5.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", coarse)
+    assert(spark.read.parquet(tmp).count() == 3)
+  }
+
 }

@@ -442,4 +442,59 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty && streamed == batch)
     } finally q.stop()
   }
+
+  test("dedup store erasure: bucket-pruned corpus/index rewrite matches a " +
+    "from-scratch rebuild on the retained docs, pairs lose both sides, " +
+    "and ingest continues correctly afterwards") {
+    import graft.operators.{Dedup, IncrementalDedup}
+    val base = Files.createTempDirectory("graft-dedup-erase").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint()
+    val w0 = docs.filter($"doc_id" % 3 === 0)
+    val w1 = docs.filter($"doc_id" % 3 === 1)
+    val w2 = docs.filter($"doc_id" % 3 === 2)
+    IncrementalDedupStream.ingestBatch(w0, "doc_id", "text", s"$base/store",
+      minJaccard = 0.5)
+    IncrementalDedupStream.ingestBatch(w1, "doc_id", "text", s"$base/store",
+      minJaccard = 0.5)
+    // erase every ingested doc whose md5(doc_id) starts with '0'
+    val ingested = w0.unionByName(w1)
+    val erased = ingested
+      .filter(substring(md5($"doc_id".cast("string")), 1, 1) === "0")
+      .select($"doc_id").localCheckpoint()
+    val erasedIds = erased.as[Long].collect().toSet
+    assert(erasedIds.nonEmpty, "fixture must select some docs to erase")
+    IncrementalDedupStream.erase(spark, s"$base/store", erased, "doc_id")
+    val retained = ingested.filter(!$"doc_id".isin(erasedIds.toSeq: _*))
+      .localCheckpoint()
+    // corpus store == retained rows (id set equality)
+    val corpusIds = spark.read.parquet(s"$base/store/corpus")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(corpusIds == retained.select($"doc_id").as[Long].collect().toSet)
+    // index store == bandIndex rebuilt from scratch on the retained docs
+    val idxAfter = spark.read.parquet(s"$base/store/index")
+      .select($"doc_id", $"band", $"bucket")
+    val idxRebuilt = IncrementalDedup.bandIndex(retained, "doc_id", "text")
+    assert(idxAfter.exceptAll(idxRebuilt).isEmpty &&
+      idxRebuilt.exceptAll(idxAfter).isEmpty,
+      "erased index != from-scratch rebuild")
+    // pairs == all-pairs law over the retained corpus (both sides retained)
+    val pairsAfter = IncrementalDedupStream.pairs(spark, s"$base/store")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val pairsWant = Dedup.minhashLshPairs(retained, "doc_id", "text", 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairsAfter == pairsWant)
+    // the store stays a valid ingest target: a post-erasure wave dedups
+    // against the retained corpus exactly as a full recompute would
+    IncrementalDedupStream.ingestBatch(w2, "doc_id", "text", s"$base/store",
+      minJaccard = 0.5)
+    val finalPairs = IncrementalDedupStream.pairs(spark, s"$base/store")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val finalWant = Dedup
+      .minhashLshPairs(retained.unionByName(w2), "doc_id", "text", 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(finalPairs == finalWant,
+      "post-erasure ingest diverged from the full recompute law")
+  }
+
 }
