@@ -212,9 +212,12 @@ object Suffix {
     require(lenStats.getLong(1) <= maxPositions,
       s"suffixArray: corpus has ${lenStats.getLong(1)} positions, over " +
         s"the maxPositions=$maxPositions regime guard. Prefix doubling " +
-        s"keeps ~24 B of round state per character; shard the corpus " +
-        s"(per-shard arrays / fixed-gram dup spans) or raise maxPositions " +
-        s"if the cluster can hold it.")
+        s"keeps ~24 B of round state per character; past the guard use " +
+        s"longestRepeatSharded (first-char buckets — exact global dup " +
+        s"spans at 1/buckets round state), suffixArraySharded (per-" +
+        s"doc-set arrays, shard-local adjacency), the fixed-gram " +
+        s"t_dup_spans path, or raise maxPositions if the cluster can " +
+        s"hold it.")
     val maxLen = math.min(maxDepth, lenStats.getInt(0))
     // partitions sized to the POSITION count, not the cluster: these are
     // narrow triples, and at gate scales per-task scheduling latency
@@ -297,7 +300,6 @@ object Suffix {
   def longestRepeat(docs: DataFrame, id: String, text: String,
       cap: Int = 64): DataFrame = {
     require(cap >= 1, s"bad cap: $cap")
-    val spark = docs.sparkSession
     val src = docs.select(col(id).cast("long").as("doc"), col(text).as("__t"))
       .localCheckpoint() // read by the suffix build and the window fetch
     // order resolved only to `cap` chars — all the adjacency structure a
@@ -311,6 +313,80 @@ object Suffix {
       .select(col("doc"), col("rank"),
         expr(s"substring(__t, off + 1, $cap)").as("__w"))
       .localCheckpoint()
+    finishRepeat(src, creditsFromWindows(win, cap))
+  }
+
+  /** [[longestRepeat]] with the suffix order built per FIRST-CHARACTER
+    * bucket (bucket = ascii(first char) mod `buckets`) — the beyond-
+    * [[suffixArray]]-guard regime path whose merged answer is EXACTLY the
+    * global one (oracle-gated as `t_repeat_sharded`):
+    *
+    *  - any repeated substring's occurrences all start with the same
+    *    character, so both suffixes of every LCP ≥ 1 pair land in the SAME
+    *    bucket — repeats never cross buckets;
+    *  - within a bucket, all suffixes sharing a first character form a
+    *    contiguous run of the global order (other characters in the bucket
+    *    sort wholly before or after them), so their adjacency — the only
+    *    adjacency with nonzero LCP — is preserved exactly;
+    *  - cross-bucket adjacencies have LCP 0 and contribute nothing to any
+    *    per-doc max (absent docs coalesce to 0 regardless).
+    *
+    * Each bucket sorts its positions DIRECTLY by the cap-char window (one
+    * range-sort — prefix doubling cannot run on a filtered position set,
+    * because the +k rank fetches land on positions outside the bucket; the
+    * cap-window sort needs no other position's state, which is what makes
+    * the decomposition legal). Per-bucket state is ~(cap+24) B × 1/buckets
+    * of the corpus positions — the budget that trips the [[suffixArray]]
+    * `maxPositions` guard shrinks by the bucket count (for skewed
+    * alphabets, bucket by the first k characters instead — same argument).
+    * Buckets run sequentially here; at corpus scale they are separate
+    * jobs.
+    */
+  def longestRepeatSharded(docs: DataFrame, id: String, text: String,
+      buckets: Int, cap: Int = 64,
+      maxPositions: Long = 4000000000L): DataFrame = {
+    require(cap >= 1, s"bad cap: $cap")
+    require(buckets >= 1, s"bad buckets: $buckets")
+    val spark = docs.sparkSession
+    val src = docs.select(col(id).cast("long").as("doc"), col(text).as("__t"))
+      .localCheckpoint()
+    val totalPositions = src
+      .agg(coalesce(sum(length(col("__t"))), lit(0L))).head().getLong(0)
+    // per-bucket state ≈ total/buckets (uniform-alphabet approximation):
+    // the budget scales with the bucket count — the sharded path's point
+    require(totalPositions <= maxPositions * buckets,
+      s"longestRepeatSharded: ~${totalPositions / math.max(buckets, 1)} " +
+        s"positions per bucket exceeds maxPositions=$maxPositions; " +
+        s"raise `buckets` (state shrinks linearly) or the budget.")
+    val parts = math.max(8, math.min(
+      math.max(1, spark.sparkContext.defaultParallelism),
+      (totalPositions / math.max(buckets, 1) / 32768L).toInt))
+    val positions = src
+      .filter(length(col("__t")) > 0)
+      .select(col("doc"),
+        explode(sequence(lit(0), length(col("__t")) - 1)).as("off"),
+        col("__t"))
+    val credits = (0 until buckets).map { b =>
+      val win = globalRowNumber(
+        positions
+          .filter(pmod(expr("ascii(substring(__t, off + 1, 1))"),
+            lit(buckets)) === b)
+          .select(col("doc"), col("off"),
+            expr(s"substring(__t, off + 1, $cap)").as("__w")),
+        Seq("__w", "doc", "off"), "rank", parts)
+        .select(col("doc"), col("rank"), col("__w"))
+        .localCheckpoint()
+      creditsFromWindows(win, cap)
+    }.reduce(_ unionByName _)
+    finishRepeat(src, credits)
+  }
+
+  /** Per-doc LCP credits from suffix-order adjacency: each doc is credited
+    * the longest common prefix it shares with its lexicographic neighbors
+    * (both sides — a doc may only ever be the successor). `win` carries
+    * (doc, rank, __w): dense-ranked cap-char suffix windows.
+    */
+  private def creditsFromWindows(win: DataFrame, cap: Int): DataFrame = {
     // adjacent pairs in suffix order: one narrow equi-join on the rank.
     // Each prefix-equality flag is ALSO gated on the window still having
     // an i-th char — substring truncates past the end, so two EQUAL short
@@ -324,12 +400,14 @@ object Suffix {
       .join(win.select(col("doc").as("__db"), (col("rank") - 1).as("rank"),
         col("__w").as("__wb")), Seq("rank"))
       .select(col("__da"), col("__db"), lcp.as("__l"))
-    // credit BOTH sides of each pair (a doc may only ever be the successor)
-    val credits = pairs.select(col("__da").as("doc"), col("__l"))
+    pairs.select(col("__da").as("doc"), col("__l"))
       .unionByName(pairs.select(col("__db").as("doc"), col("__l")))
+  }
+
+  /** (doc, max_repeat) over every input doc: max credit, absent → 0. */
+  private def finishRepeat(src: DataFrame, credits: DataFrame): DataFrame =
     src.select(col("doc"))
       .join(credits.groupBy(col("doc")).agg(max(col("__l")).as("__m")),
         Seq("doc"), "left")
       .select(col("doc"), coalesce(col("__m"), lit(0)).as("max_repeat"))
-  }
 }

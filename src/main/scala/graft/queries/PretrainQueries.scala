@@ -529,6 +529,37 @@ object PretrainQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Document-SHARDED suffix order (the beyond-maxPositions regime path):
+    // rank = position in the CONCATENATION of per-shard (doc mod 3)
+    // suffix arrays. The oracle demands the full permutation bit-for-bit
+    // against its own direct (shard, suffix, doc, off) sort — proving the
+    // shard-prefixed round-0 ranking keeps every per-shard order exactly.
+    "t_suffix_sharded" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+      graft.operators.Suffix.suffixArraySharded(docs, "doc_id", "text",
+          shards = 3)
+        .select(col("rank"), col("doc").as("doc_id"), col("off"))
+        .orderBy(col("rank"))
+    }),
+
+    // FIRST-CHAR-BUCKETED longest repeat: three independent suffix builds
+    // (bucket = ascii(first char) mod 3), per-bucket adjacency LCPs, merged
+    // per-doc max. The oracle is the UNSHARDED global law (same SQL as
+    // t_longest_repeat) — a hash match proves the bucket decomposition is
+    // exact: repeats never cross buckets, and same-first-char adjacency
+    // survives bucketing. This is the answer past the suffixArray
+    // maxPositions guard: per-bucket round state is ~1/buckets of the
+    // corpus and buckets can run as separate jobs.
+    "t_repeat_sharded" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+      graft.operators.Suffix.longestRepeatSharded(docs, "doc_id", "text",
+          buckets = 3)
+        .select(col("doc").as("doc_id"), col("max_repeat"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LEARNED BPE tokenizer gate: the distributed word-count pass feeds a
     // deterministic driver-side merge trainer (count desc, pair asc ties —
     // mirrored exactly by the oracle's argmax), and the learned merges bake
@@ -1089,6 +1120,35 @@ object PretrainQueries extends QueryPack {
        |FROM p_b GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** The global longest-repeat law (direct sort + window LCPs) — shared by
+    * t_longest_repeat and the bucket-sharded t_repeat_sharded (whose merge
+    * must reproduce it exactly).
+    */
+  private val longestRepeatOracleSql: String = {
+      def lcp(nbr: String) =
+        s"""CAST(list_sum(list_transform(range(1, 65), k ->
+           |  CASE WHEN length(win) >= k
+           |    AND substr(win, 1, CAST(k AS INTEGER))
+           |      = substr($nbr, 1, CAST(k AS INTEGER))
+           |  THEN 1 ELSE 0 END)) AS INTEGER)""".stripMargin
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |pos AS (SELECT doc_id, CAST(u.i AS INTEGER) AS off,
+         |    substr(text, CAST(u.i AS INTEGER) + 1) AS sfx,
+         |    substr(text, CAST(u.i AS INTEGER) + 1, 64) AS win
+         |  FROM d, UNNEST(range(0, length(text))) AS u(i)
+         |  WHERE length(text) > 0),
+         |ord AS (SELECT doc_id, win,
+         |    lead(win) OVER (ORDER BY sfx, doc_id, off) AS nw,
+         |    lag(win)  OVER (ORDER BY sfx, doc_id, off) AS pw
+         |  FROM pos),
+         |sc AS (SELECT doc_id,
+         |    GREATEST(${lcp("nw")}, ${lcp("pw")}) AS l FROM ord)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(MAX(sc.l), 0) AS INTEGER) AS max_repeat
+         |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
     "p_pretrain_e2e" -> pretrainE2eSql,
     "t_unigram_vocab" -> unigramOracle,
@@ -1402,30 +1462,23 @@ object PretrainQueries extends QueryPack {
         |  doc_id, off
         |FROM pos ORDER BY rank""".stripMargin,
 
-    "t_longest_repeat" -> {
-      def lcp(nbr: String) =
-        s"""CAST(list_sum(list_transform(range(1, 65), k ->
-           |  CASE WHEN length(win) >= k
-           |    AND substr(win, 1, CAST(k AS INTEGER))
-           |      = substr($nbr, 1, CAST(k AS INTEGER))
-           |  THEN 1 ELSE 0 END)) AS INTEGER)""".stripMargin
-      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-         |pos AS (SELECT doc_id, CAST(u.i AS INTEGER) AS off,
-         |    substr(text, CAST(u.i AS INTEGER) + 1) AS sfx,
-         |    substr(text, CAST(u.i AS INTEGER) + 1, 64) AS win
-         |  FROM d, UNNEST(range(0, length(text))) AS u(i)
-         |  WHERE length(text) > 0),
-         |ord AS (SELECT doc_id, win,
-         |    lead(win) OVER (ORDER BY sfx, doc_id, off) AS nw,
-         |    lag(win)  OVER (ORDER BY sfx, doc_id, off) AS pw
-         |  FROM pos),
-         |sc AS (SELECT doc_id,
-         |    GREATEST(${lcp("nw")}, ${lcp("pw")}) AS l FROM ord)
-         |SELECT d.doc_id,
-         |  CAST(COALESCE(MAX(sc.l), 0) AS INTEGER) AS max_repeat
-         |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
-         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
-    },
+    "t_longest_repeat" -> longestRepeatOracleSql,
+
+    // the bucket-merged mechanism must land on the IDENTICAL global law
+    "t_repeat_sharded" -> longestRepeatOracleSql,
+
+    // direct sort by (shard, suffix, doc, off) — the concatenation of
+    // per-shard suffix arrays, independently of prefix doubling
+    "t_suffix_sharded" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |    WHERE doc_id % 10 = 0 AND length(text) > 0),
+        |pos AS (SELECT doc_id, CAST(u.i AS INTEGER) AS off,
+        |    substr(text, CAST(u.i AS INTEGER) + 1) AS sfx
+        |  FROM d, UNNEST(range(0, length(text))) AS u(i))
+        |SELECT CAST(row_number() OVER (
+        |    ORDER BY doc_id % 3, sfx, doc_id, off) - 1 AS BIGINT) AS rank,
+        |  doc_id, off
+        |FROM pos ORDER BY rank""".stripMargin,
 
     // same gram construction as t_decontaminate but WITHOUT the DISTINCT:
     // dup-span counting is positional, so multiplicity must survive

@@ -879,6 +879,38 @@ class PretrainSpec extends AnyFunSuite {
     assert(capped(2L) == 8 && capped(1L) == 3)
   }
 
+  test("bucket-sharded longest repeat equals the global answer at any " +
+    "bucket count; per-bucket jobs respect the scaled position budget") {
+    import graft.operators.Suffix
+    def lcg(seed: Long): Iterator[Long] = Iterator.iterate(seed)(x =>
+      x * 6364136223846793005L + 1442695040888963407L)
+    // small alphabet + planted repeats across docs; some docs share
+    // prefixes, some are unique, one empty
+    val docs = ((0 until 24).map { d =>
+      val len = 20 + (d * 37) % 150
+      val s = lcg(d + 11).take(len)
+        .map(x => "abcxyz"(Math.floorMod(x, 6).toInt)).mkString
+      (d.toLong, if (d % 7 == 3) s + "sharedrepeatblock" else s)
+    } :+ ((99L, ""))).toDF("doc_id", "text")
+    val global = Suffix.longestRepeat(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (b <- Seq(1, 2, 5)) {
+      val sharded = Suffix
+        .longestRepeatSharded(docs, "doc_id", "text", buckets = b)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(sharded == global, s"buckets=$b diverged from the global law")
+    }
+    // the guard scales with the bucket count: a budget too small for the
+    // whole corpus admits the same corpus split across enough buckets
+    val total = docs.agg(sum(length($"text"))).head().getLong(0)
+    intercept[IllegalArgumentException] {
+      Suffix.suffixArray(docs, "doc_id", "text", maxPositions = total / 2)
+    }
+    // per-bucket budget total/2 × 3 buckets ≥ total: accepted
+    Suffix.longestRepeatSharded(docs, "doc_id", "text", buckets = 3,
+      maxPositions = total / 2).count()
+  }
+
   test("span corruption replays the deterministic mask; sentinels number " +
     "runs; input+target reassemble the document") {
     import graft.ops.SpanCorrupt
