@@ -664,9 +664,12 @@ object MediaContainers {
   /** ISO-BMFF (MP4) movie metadata — the ubiquitous video container.
     * Same honest scope as [[Mp3Meta]]: the BOX WALK (size/type framing,
     * 64-bit largesize, nesting, unknown boxes skipped), `mvhd`
-    * timescale/duration, and per-`trak` `tkhd` geometry — no codec
-    * payload decode. That covers the crawl-pipeline need: duration
-    * binning, resolution screens, track counting.
+    * timescale/duration, per-`trak` `tkhd` geometry, and per-track
+    * `mdia { hdlr, mdhd }` — handler classification (video/audio track
+    * counts) and the audio track's media timescale, which for audio IS
+    * the sample rate (ISO 14496-12 §8.4.2 convention). No codec payload
+    * decode. That covers the crawl-pipeline need: duration binning,
+    * resolution screens, track counting, audio-rate screens on AV files.
     */
   final case class Mp4Meta(
       timescale: Int,
@@ -674,7 +677,10 @@ object MediaContainers {
       durationMs: Long,
       nTracks: Int,
       width: Int, // first video-sized track, from tkhd 16.16 fixed point
-      height: Int)
+      height: Int,
+      nVideoTracks: Int, // hdlr 'vide' tracks
+      nAudioTracks: Int, // hdlr 'soun' tracks
+      audioSampleRate: Int) // first audio track's mdhd timescale; 0 if none
 
   private def be32(b: Array[Byte], i: Int): Long =
     ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
@@ -704,13 +710,17 @@ object MediaContainers {
   }
 
   /** A genuine minimal MP4: ftyp, a `free` box (proves the walker skips
-    * unknown boxes), moov { mvhd, `nTracks` × trak { tkhd } }, and an
-    * mdat carrying `payload`. All version-0 full boxes, identity matrix,
-    * 16.16 fixed-point geometry — structurally what every MP4 reader
-    * expects at the metadata level.
+    * unknown boxes), moov { mvhd, `nTracks` × trak { tkhd, mdia { hdlr,
+    * mdhd } } }, and an mdat carrying `payload`. Track 1 is the video
+    * track (hdlr 'vide', 16.16 geometry, media timescale = movie
+    * timescale); tracks 2+ are audio (hdlr 'soun', 0×0 geometry, media
+    * timescale = `audioRate` — the ISO convention for audio sample
+    * rate). All version-0 full boxes, identity matrix — structurally
+    * what every MP4 reader expects at the metadata level.
     */
   def encodeMp4(timescale: Int, durationUnits: Long, nTracks: Int,
-      width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+      width: Int, height: Int, payload: Array[Byte],
+      audioRate: Int = 48000): Array[Byte] = {
     val ftyp = {
       val w = new BeWriter
       w.asc("isom"); w.u32(0x200L); w.asc("isomiso2")
@@ -738,10 +748,29 @@ object MediaContainers {
       w.zeros(8); w.u16(0); w.u16(0); w.u16(0); w.u16(0) // layer..reserved
       Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
         .foreach(w.u32)
-      // only track 1 carries video geometry; others are 0×0 (audio-like)
+      // only track 1 carries video geometry; others are 0×0 (audio)
       w.u32(if (t == 1) width.toLong << 16 else 0L)
       w.u32(if (t == 1) height.toLong << 16 else 0L)
-      box("trak", box("tkhd", w.toArray))
+      val hdlr = {
+        val h = new BeWriter
+        h.u32(0L) // version 0 + flags
+        h.u32(0L) // pre_defined
+        h.asc(if (t == 1) "vide" else "soun") // handler_type
+        h.zeros(12) // reserved
+        h.asc("g"); h.zeros(1) // name, NUL-terminated
+        box("hdlr", h.toArray)
+      }
+      val mdhd = {
+        val m = new BeWriter
+        m.u32(0L) // version 0 + flags
+        m.u32(0L); m.u32(0L) // creation, modification
+        // media timescale: the movie's for video, the sample rate for audio
+        m.u32(if (t == 1) timescale.toLong else audioRate.toLong)
+        m.u32(durationUnits)
+        m.u16(0x55C4); m.u16(0) // language 'und', pre_defined
+        box("mdhd", m.toArray)
+      }
+      box("trak", box("tkhd", w.toArray) ++ box("mdia", hdlr ++ mdhd))
     }
     val moov = box("moov", mvhd ++ traks.flatten)
     val free = box("free", Array.fill(4)(0x20.toByte))
@@ -780,6 +809,7 @@ object MediaContainers {
         case None => return None
         case Some(("moov", at, end)) =>
           var ts = -1; var du = -1L; var n = 0; var wdt = 0; var hgt = 0
+          var nVid = 0; var nAud = 0; var audioRate = 0
           var j = at
           while (j < end) {
             frame(j) match {
@@ -791,6 +821,8 @@ object MediaContainers {
                 du = be32(bytes, p + 16)
               case Some(("trak", p, te)) =>
                 n += 1
+                var handler = ""
+                var mediaTs = 0
                 var k = p
                 while (k < te) {
                   frame(k) match {
@@ -807,17 +839,48 @@ object MediaContainers {
                       val tw = (be32(bytes, tp + geomAt) >> 16).toInt
                       val th = (be32(bytes, tp + geomAt + 4) >> 16).toInt
                       if (wdt == 0 && tw > 0) { wdt = tw; hgt = th }
-                      k = te
+                      k = tpe
+                    case Some(("mdia", mp, me)) =>
+                      var m = mp
+                      while (m < me) {
+                        frame(m) match {
+                          case Some(("hdlr", hp, hpe)) =>
+                            // handler_type at payload [8, 12)
+                            if (hpe - hp < 12) return None // short box
+                            handler = fourcc(bytes, hp + 8)
+                            m = hpe
+                          case Some(("mdhd", dp, dpe)) =>
+                            // media timescale: v0 at [12, 16), v1 (64-bit
+                            // times) at [20, 24)
+                            val tsAt = u8(bytes, dp) match {
+                              case 0 => 12
+                              case 1 => 20
+                              case _ => return None // no such mdhd version
+                            }
+                            if (dpe - dp < tsAt + 4) return None // short box
+                            mediaTs = be32(bytes, dp + tsAt).toInt
+                            m = dpe
+                          case Some((_, _, ke)) => m = ke
+                          case None => return None
+                        }
+                      }
+                      k = me
                     case Some((_, _, ke)) => k = ke
                     case None => return None
                   }
+                }
+                if (handler == "vide") nVid += 1
+                else if (handler == "soun") {
+                  nAud += 1
+                  if (audioRate == 0 && mediaTs > 0) audioRate = mediaTs
                 }
               case _ => ()
             }
             j = frame(j).get._3
           }
           if (ts <= 0 || du < 0) return None
-          return Some(Mp4Meta(ts, du, du * 1000L / ts, n, wdt, hgt))
+          return Some(Mp4Meta(ts, du, du * 1000L / ts, n, wdt, hgt,
+            nVid, nAud, audioRate))
         case Some((_, _, end)) => i = end
       }
     }

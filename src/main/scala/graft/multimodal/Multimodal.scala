@@ -787,7 +787,10 @@ object Multimodal {
       duration_ms: Long,
       n_tracks: Int,
       width: Int,
-      height: Int)
+      height: Int,
+      n_video_tracks: Int,
+      n_audio_tracks: Int,
+      audio_sample_rate: Int)
 
   /** REAL MP4 payloads: each document becomes a genuine minimal ISO-BMFF
     * file (ftyp + free + moov{mvhd, trak{tkhd}×n} + mdat) with timescale
@@ -808,7 +811,8 @@ object Multimodal {
           }
           val du = (id % 4000) + 600
           val bytes = MediaContainers.encodeMp4(tc, du, (id % 2).toInt + 1,
-            ((id % 5).toInt + 1) * 160, ((id % 4).toInt + 1) * 120, tb)
+            ((id % 5).toInt + 1) * 160, ((id % 4).toInt + 1) * 120, tb,
+            audioRate = 8000 * ((id % 6).toInt + 1))
           MediaRecord(id, "video", bytes, "mp4", 0, 0, du * 1000L / tc)
         }
       }
@@ -825,8 +829,9 @@ object Multimodal {
       records.map { r =>
         MediaContainers.parseMp4Meta(r.bytes) match {
           case Some(m) => Mp4Info(r.media_id, m.timescale, m.durationUnits,
-            m.durationMs, m.nTracks, m.width, m.height)
-          case None => Mp4Info(r.media_id, -1, -1L, -1L, -1, -1, -1)
+            m.durationMs, m.nTracks, m.width, m.height,
+            m.nVideoTracks, m.nAudioTracks, m.audioSampleRate)
+          case None => Mp4Info(r.media_id, -1, -1L, -1L, -1, -1, -1, -1, -1, -1)
         }
       }
     }

@@ -577,7 +577,9 @@ object MultimodalQueries extends QueryPack {
 
     // the mp4 encode law: timescale by id%3 from {600,1000,90000},
     // id%4000+600 duration units, id%2+1 tracks, track-1 geometry
-    // (id%5+1)*160 x (id%4+1)*120, duration_ms = units*1000//timescale
+    // (id%5+1)*160 x (id%4+1)*120, duration_ms = units*1000//timescale;
+    // track 1 is hdlr 'vide', track 2 (present when id%2=1) is 'soun'
+    // with mdhd timescale (= audio sample rate) 8000*(id%6+1)
     "m_mp4_meta" ->
       """WITH d AS (SELECT doc_id AS media_id,
         |    CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
@@ -589,7 +591,11 @@ object MultimodalQueries extends QueryPack {
         |  CAST(du * 1000 // tc AS BIGINT) AS duration_ms,
         |  CAST(media_id % 2 + 1 AS INTEGER) AS n_tracks,
         |  CAST((media_id % 5 + 1) * 160 AS INTEGER) AS width,
-        |  CAST((media_id % 4 + 1) * 120 AS INTEGER) AS height
+        |  CAST((media_id % 4 + 1) * 120 AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS n_video_tracks,
+        |  CAST(media_id % 2 AS INTEGER) AS n_audio_tracks,
+        |  CAST(CASE WHEN media_id % 2 = 1 THEN 8000 * (media_id % 6 + 1)
+        |    ELSE 0 END AS INTEGER) AS audio_sample_rate
         |FROM d ORDER BY media_id""".stripMargin,
 
     // the mp3 encode law: kbps by id%3 from {128,160,192}, sample rate

@@ -759,16 +759,21 @@ class MultimodalSpec extends AnyFunSuite {
     "largesize framing, rejects truncation and non-v0 layouts") {
     import graft.multimodal.MediaContainers
     val b = MediaContainers.encodeMp4(1000, 4500L, 2, 640, 480,
-      "payload".getBytes)
+      "payload".getBytes, audioRate = 44100)
     val m = MediaContainers.parseMp4Meta(b).get
     assert(m.timescale == 1000 && m.durationUnits == 4500L)
     assert(m.durationMs == 4500L && m.nTracks == 2)
     assert(m.width == 640 && m.height == 480)
-    // 90 kHz timescale: ms division law
+    // track classification via mdia/hdlr, audio rate via mdia/mdhd
+    assert(m.nVideoTracks == 1 && m.nAudioTracks == 1)
+    assert(m.audioSampleRate == 44100)
+    // 90 kHz timescale: ms division law; video-only file has no audio
     val m2 = MediaContainers.parseMp4Meta(
       MediaContainers.encodeMp4(90000, 123456L, 1, 160, 120,
         Array.empty[Byte])).get
     assert(m2.durationMs == 123456L * 1000 / 90000 && m2.nTracks == 1)
+    assert(m2.nVideoTracks == 1 && m2.nAudioTracks == 0 &&
+      m2.audioSampleRate == 0)
     // an extra unknown top-level box before moov is walked over
     val junkBox = {
       val sz = 12

@@ -149,6 +149,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(cfg.goldCustomerPath).count() == 1)
   }
 
+  test("erasure between streaming micro-batches: batches → erase → more " +
+    "batches lands on the one-shot recompute over the retained union — " +
+    "the interleaving a production deployment actually sees") {
+    val root = tmp()
+    val cfg = PipelineConfig(s"$root/raw", s"$root/silver", s"$root/gold",
+      checkpointPath = s"$root/ckpt", clock = clock, incremental = true)
+    // wave 1 lands through the bookmark stream with gold maintenance
+    TransactionGen.writeJsonl(TransactionGen.generate(spark, 300),
+      s"$root/raw")
+    IncrementalIngest.run(spark, cfg, maintainGold = true)
+    // forget every customer whose md5 starts with '0' — mid-stream
+    val erased = spark.read.parquet(cfg.silverPath)
+      .filter(substring(md5($"customer_id"), 1, 1) === "0")
+      .select($"customer_id").distinct().localCheckpoint()
+    assert(erased.count() > 0, "fixture must erase someone")
+    SilverToGold.runErasure(spark, cfg, erased)
+    // wave 2: new files (including NEW activity for some erased customers
+    // — re-consent is legal; only their pre-erasure rows must stay gone)
+    TransactionGen.generate(spark, 600)
+      .filter($"transaction_id" > "txn_00000299")
+      .coalesce(1).write.mode("append").json(s"$root/raw")
+    IncrementalIngest.run(spark, cfg, maintainGold = true)
+    // invariant: on-disk gold == a one-shot recompute over the silver that
+    // actually exists now (wave-1-minus-erased ∪ wave 2)
+    val fullCfg = cfg.copy(goldPath = s"$root/gold_full")
+    SilverToGold.run(spark, fullCfg)
+    for (sub <- Seq("daily_aggregations", "monthly_aggregations",
+        "customer_insights")) {
+      val inc = spark.read.parquet(s"$root/gold/$sub")
+      val full = spark.read.parquet(s"$root/gold_full/$sub")
+        .select(inc.columns.map(col): _*)
+      assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+        s"$sub: stream+erase+stream gold != one-shot recompute")
+    }
+    // the erased customers' wave-1 rows are byte-gone from silver
+    val wave1Erased = spark.read.parquet(cfg.silverPath)
+      .join(erased, Seq("customer_id"), "left_semi")
+      .filter($"transaction_id" <= "txn_00000299")
+    assert(wave1Erased.isEmpty,
+      "pre-erasure rows of erased customers survived in silver")
+  }
+
   test("gdpr erasure is crash-safe: a retry after silver was rewritten but " +
     "gold was not still scrubs gold; re-running after success is a no-op; " +
     "empty silver still deletes the customer row; NULL partitions fail " +
