@@ -144,9 +144,19 @@ object SilverToGold {
     * erasure requests are human-scale). Spec-proven: end state ≡ a full
     * [[run]] over silver-minus-customers, byte-erased on disk, including
     * after a simulated mid-erasure crash.
+    *
+    * `provenance = Some((path, epoch))` additionally APPENDS an erasure
+    * provenance card before any mutation — one row per touched partition
+    * per tier: (tombstone_epoch, tier, partition, rows_erased), plus the
+    * customer-table row count — so derived-corpus consumers can prove
+    * freshness against a tombstone epoch instead of re-scanning for the
+    * subject (oracle-gated: every count is recomputable from the cleaned
+    * law). The card records what THIS invocation found: a crash-retry
+    * appends a new epoch whose counts cover only what remained.
     */
   def runErasure(spark: SparkSession, cfg: PipelineConfig,
-      customers: org.apache.spark.sql.DataFrame): Unit = {
+      customers: org.apache.spark.sql.DataFrame,
+      provenance: Option[(String, Long)] = None): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
     def exists(path: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(path)
@@ -157,34 +167,70 @@ object SilverToGold {
       .distinct().localCheckpoint()
     try {
       val haveSilver = exists(cfg.silverPath)
-      // the erased rows' SILVER partition footprint: bounded driver state.
+      // the erased rows' SILVER partition footprint WITH row counts (the
+      // provenance card rides the same scan): bounded driver state.
       // Nulls collected, not filtered — they must fail, not survive.
-      val silverTriples: Seq[(Int, Int, Int)] = if (!haveSilver) Nil else {
-        val rows = Sources.silverParquet(spark, cfg.silverPath)
-          .join(broadcast(keys), Seq("customer_id"), "left_semi")
-          .select("year", "month", "day").distinct().collect()
-        val (nulls, complete) = rows.partition(r =>
-          r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))
-        if (nulls.nonEmpty) throw new IllegalStateException(
-          "runErasure: erased customers have silver rows in NULL " +
-            "year/month/day partitions (hive default partition) — " +
-            "partition-restricted rewrite cannot address them; repair the " +
-            "partition keys (P5 guard) before erasing")
-        complete.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
-      }
+      val silverCounts: Seq[((Int, Int, Int), Long)] =
+        if (!haveSilver) Nil else {
+          val rows = Sources.silverParquet(spark, cfg.silverPath)
+            .join(broadcast(keys), Seq("customer_id"), "left_semi")
+            .groupBy(col("year"), col("month"), col("day"))
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("__n"))
+            .collect()
+          val (nulls, complete) = rows.partition(r =>
+            r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))
+          if (nulls.nonEmpty) throw new IllegalStateException(
+            "runErasure: erased customers have silver rows in NULL " +
+              "year/month/day partitions (hive default partition) — " +
+              "partition-restricted rewrite cannot address them; repair the " +
+              "partition keys (P5 guard) before erasing")
+          complete.map(r =>
+            ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toSeq
+        }
+      val silverTriples: Seq[(Int, Int, Int)] = silverCounts.map(_._1)
       // the subject's GOLD footprint — the retry path's source of truth
       // after a crash that already rewrote silver
-      val goldPairs: Seq[(Int, Int)] =
+      val goldPairCounts: Seq[((Int, Int), Long)] =
         if (!exists(cfg.goldDailyPath)) Nil
         else spark.read.parquet(cfg.goldDailyPath)
           .join(broadcast(keys), Seq("customer_id"), "left_semi")
-          .select("year", "month").distinct()
-          .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
-      val goldYears: Seq[Int] =
+          .groupBy(col("year"), col("month"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("__n"))
+          .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+          .toSeq
+      val goldPairs: Seq[(Int, Int)] = goldPairCounts.map(_._1)
+      val goldYearCounts: Seq[(Int, Long)] =
         if (!exists(cfg.goldMonthlyPath)) Nil
         else spark.read.parquet(cfg.goldMonthlyPath)
           .join(broadcast(keys), Seq("customer_id"), "left_semi")
-          .select("year").distinct().collect().map(_.getInt(0)).toSeq
+          .groupBy(col("year"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("__n"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val goldYears: Seq[Int] = goldYearCounts.map(_._1)
+      // erasure provenance card: appended BEFORE any mutation, one epoch
+      // per invocation — the tombstone a derived-corpus consumer checks
+      provenance.foreach { case (path, epoch) =>
+        val custRows: Seq[(Long, String, String, Long)] =
+          if (!exists(cfg.goldCustomerPath)) Nil
+          else Seq((epoch, "gold_customer", "",
+            spark.read.parquet(cfg.goldCustomerPath)
+              .join(broadcast(keys), Seq("customer_id"), "left_semi")
+              .count()))
+        val rows = silverCounts.map { case ((y, m, d), n) =>
+          (epoch, "silver", s"year=$y/month=$m/day=$d", n) } ++
+          goldPairCounts.map { case ((y, m), n) =>
+            (epoch, "gold_daily", s"year=$y/month=$m", n) } ++
+          goldYearCounts.map { case (y, n) =>
+            (epoch, "gold_monthly", s"year=$y", n) } ++
+          custRows
+        import spark.implicits._
+        rows.toDF("tombstone_epoch", "tier", "partition", "rows_erased")
+          .coalesce(1).write.mode("append")
+          .option("compression", "snappy").parquet(path)
+      }
       if (silverTriples.nonEmpty) {
         val silver = Sources.silverParquet(spark, cfg.silverPath)
         val dayPred = silverTriples.map { case (y, m, d) =>

@@ -207,6 +207,39 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Erasure PROVENANCE card gate: same pipeline as p_gdpr_erasure, but
+    // the checked output is the tombstone card runErasure appends before
+    // mutating — per touched partition per tier, how many of the subject's
+    // rows existed. The oracle recomputes every count from the cleaned
+    // law: silver rows per day partition, gold daily/monthly aggregate
+    // rows per their partitions (distinct group keys containing an erased
+    // customer), and the customer-table row count. Consumers prove
+    // freshness against the epoch instead of re-scanning for the subject.
+    "p_erasure_card" -> ((s, dir) => {
+      import graft.jobs.SilverToGold
+      val base = cleaned(s, dir).localCheckpoint()
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_gdpr_card_${s.sparkContext.applicationId}").toString
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // clean re-runs
+      val cfg = graft.config.PipelineConfig(
+        rawPath = tmp, silverPath = s"$tmp/silver", goldPath = s"$tmp/gold",
+        clock = Some(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+      base.write.partitionBy("year", "month", "day")
+        .option("compression", "snappy").parquet(cfg.silverPath)
+      SilverToGold.run(s, cfg)
+      val erased = base
+        .filter(substring(md5(col("customer_id")), 1, 1) === "0")
+        .select(col("customer_id")).distinct()
+      SilverToGold.runErasure(s, cfg, erased,
+        provenance = Some((s"$tmp/provenance", 42L)))
+      s.read.parquet(s"$tmp/provenance")
+        .select(col("tombstone_epoch"), col("tier"), col("partition"),
+          col("rows_erased"))
+        .orderBy(col("tier"), col("partition"))
+    }),
+
     // GDPR erasure gate: full silver + gold, then forget every customer
     // whose md5 starts with '0' (~1/16 of them, both engines derive the
     // same set) through the partition-restricted erasure job. The final
@@ -327,6 +360,37 @@ object PipelineQueries extends QueryPack {
          |  'daily' AS aggregation_level
          |FROM cleaned GROUP BY year, month, day, customer_id
          |ORDER BY year, month, day, customer_id""".stripMargin,
+
+    // every provenance count recomputed from the cleaned law; the card's
+    // gold rows are the aggregate GROUPS the subject appears in
+    "p_erasure_card" ->
+      s"""$cleanedSql, erased AS (
+         |  SELECT * FROM cleaned WHERE substr(md5(customer_id), 1, 1) = '0'
+         |), card AS (
+         |  SELECT 'silver' AS tier,
+         |    'year=' || CAST(year AS VARCHAR) || '/month='
+         |      || CAST(month AS VARCHAR) || '/day=' || CAST(day AS VARCHAR)
+         |      AS "partition",
+         |    count(*) AS n
+         |  FROM erased GROUP BY year, month, day
+         |  UNION ALL
+         |  SELECT 'gold_daily',
+         |    'year=' || CAST(year AS VARCHAR) || '/month='
+         |      || CAST(month AS VARCHAR),
+         |    count(*)
+         |  FROM (SELECT DISTINCT year, month, day, customer_id FROM erased)
+         |  GROUP BY year, month
+         |  UNION ALL
+         |  SELECT 'gold_monthly', 'year=' || CAST(year AS VARCHAR), count(*)
+         |  FROM (SELECT DISTINCT year, month, customer_id FROM erased)
+         |  GROUP BY year
+         |  UNION ALL
+         |  SELECT 'gold_customer', '', count(DISTINCT customer_id)
+         |  FROM erased
+         |)
+         |SELECT CAST(42 AS BIGINT) AS tombstone_epoch, tier, "partition",
+         |  CAST(n AS BIGINT) AS rows_erased
+         |FROM card ORDER BY tier, "partition"""".stripMargin,
 
     "p_gdpr_erasure" ->
       s"""$cleanedSql
