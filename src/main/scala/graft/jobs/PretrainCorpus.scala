@@ -134,8 +134,14 @@ object PretrainCorpus {
     * integrity fingerprint). Every value depends on every upstream stage,
     * so a hash match on this frame proves the whole composition.
     */
-  def manifest(raw: DataFrame, cfg: Config = Config()): DataFrame = {
-    val fin = corpus(raw, cfg)
+  def manifest(raw: DataFrame, cfg: Config = Config()): DataFrame =
+    manifestOf(corpus(raw, cfg), cfg)
+
+  /** The packing + per-source manifest over an ALREADY-final corpus
+    * (shared by the fused composition, the disk-chained stage, and the
+    * incremental ingest's gate).
+    */
+  def manifestOf(fin: DataFrame, cfg: Config = Config()): DataFrame = {
     val toks = when(length(trim(col("text"))) === 0, lit(0))
       .otherwise(size(split(trim(col("text")), "\\s+"))).cast("int")
     val base = fin.select(col("doc_id"), col("source"), toks.as("n_tok"),
@@ -180,26 +186,79 @@ object PretrainCorpus {
         write(decontaminate(read("s5_near"), raw, cfg.evalMod), "s6_decon")),
       Pipeline.Stage("mix", () =>
         write(mix(read("s6_decon"), cfg.mixRates, cfg.mixSalt), "s7_mix")),
-      Pipeline.Stage("manifest", () => {
-        // packing + manifest over the staged final corpus: same law as
-        // [[manifest]], minus the recompute of stages 1-7
-        val fin = read("s7_mix")
-        val toks = when(length(trim(col("text"))) === 0, lit(0))
-          .otherwise(size(split(trim(col("text")), "\\s+"))).cast("int")
-        val base = fin.select(col("doc_id"), col("source"),
-          toks.as("n_tok"),
-          conv(substring(
-            md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))),
-            1, 8), 16, 10).cast("long").as("__h"))
-        write(Packing
-          .packSequential(base, "source", "doc_id", "n_tok", cfg.packBudget)
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_tok")).cast("long").as("n_tokens"),
-            (max(col("bin_last")) + 1).cast("long").as("n_bins"),
-            sum((col("bin_last") > col("bin_first")).cast("long"))
-              .as("n_spanning"),
-            sum(col("__h")).as("checksum")), "s8_manifest")
-      }))
+      Pipeline.Stage("manifest", () =>
+        write(manifestOf(read("s7_mix"), cfg), "s8_manifest")))
+  }
+
+  /** INCREMENTAL corpus maintenance — one ingest `wave` flows through the
+    * same eight-stage law against ACCUMULATED state, so a continuously-fed
+    * corpus never recomputes over its history:
+    *
+    *  - the per-document screens (blank, quality, language) are stateless;
+    *  - exact dedup consults an accumulated fingerprint store (md5 of the
+    *    first-seen copy — appended per wave, O(wave) rows);
+    *  - near dedup runs the wave through the incremental LSH store
+    *    ([[graft.streaming.IncrementalDedupStream.ingestBatch]]): pairs
+    *    are found against the store's band index in O(wave + collisions),
+    *    and the wave's LATER members of new pairs are dropped;
+    *  - decontamination and mixing are stateless per-document screens;
+    *  - survivors append to `workDir/corpus`.
+    *
+    * EQUAL TO THE BATCH LAW by construction — `p_pretrain_incremental`
+    * reuses `p_pretrain_e2e`'s oracle verbatim — PROVIDED waves arrive in
+    * doc_id-range order (wave N's ids all above wave N-1's): the batch
+    * near-dedup rule drops a doc iff some SMALLER-id qualifying partner
+    * exists, and with id-ordered waves every smaller-id partner is
+    * already in the store (the store ingests the wave's full post-screen,
+    * post-exact-dedup set — including docs near-dedup then drops from the
+    * corpus — exactly the population batch pairs are computed over).
+    * Append-only ingest with monotone id ranges is the normal crawl-dump
+    * shape; for out-of-order ids the batch law itself is order-dependent
+    * and a re-run of the fused [[corpus]] is the arbiter.
+    *
+    * `raw` is the full reference corpus the eval slice is drawn from
+    * (fixed upfront, the realistic decontamination setup).
+    */
+  def ingestWave(spark: SparkSession, wave: DataFrame, raw: DataFrame,
+      workDir: String, cfg: Config = Config()): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    val fpPath = s"$workDir/fingerprints"
+    val screened = langFilter(qualityFilter(clean(wave)), cfg.lang)
+      .localCheckpoint() // feeds fp compute, store ingest, and the output
+    // exact dedup: first copy in the WAVE wins (min id per fp), and any
+    // fp already in the store blocks the whole wave group
+    val waveFp = screened
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val firstInWave = waveFp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val newFp =
+      if (!exists(fpPath)) firstInWave
+      else firstInWave.join(spark.read.parquet(fpPath).select(col("fp")),
+        Seq("fp"), "left_anti")
+    val s4wave = screened.join(newFp.select(col("doc_id")),
+      Seq("doc_id"), "left_semi").localCheckpoint()
+    // near dedup against the accumulated store: ingest the wave's s4 set
+    // (the population batch pairs are computed over), then drop the
+    // wave docs that arrived as the LATER member of a new pair
+    val storeDir = s"$workDir/dedup_store"
+    graft.streaming.IncrementalDedupStream.ingestBatch(s4wave, "doc_id",
+      "text", storeDir, cfg.minJaccard)
+    val laters = graft.streaming.IncrementalDedupStream
+      .pairs(spark, storeDir)
+      .select(col("id_b").as("doc_id")).distinct()
+    val s5wave = s4wave.join(laters, Seq("doc_id"), "left_anti")
+    val s7wave = mix(decontaminate(s5wave, raw, cfg.evalMod),
+      cfg.mixRates, cfg.mixSalt)
+    // appends last: a crash before these re-runs the wave idempotently
+    // only if the caller replays it against a restored store — the
+    // at-least-once note on IncrementalDedupStream applies here too
+    newFp.write.mode("append").option("compression", "snappy")
+      .parquet(fpPath)
+    s7wave.write.mode("append").option("compression", "snappy")
+      .parquet(s"$workDir/corpus")
   }
 }

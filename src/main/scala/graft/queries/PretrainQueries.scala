@@ -225,6 +225,29 @@ object PretrainQueries extends QueryPack {
       graft.jobs.PretrainCorpus.manifest(Tables.load(s, dir, "documents"))
         .orderBy(col("source"))),
 
+    // INCREMENTAL pretrain-corpus maintenance: the corpus arrives as
+    // three doc_id-range waves, each flowing through the same eight-stage
+    // law against ACCUMULATED state (fingerprint store for exact dedup,
+    // the incremental LSH store for near dedup) — O(wave + collisions)
+    // per wave, never O(corpus). The oracle is p_pretrain_e2e's law
+    // VERBATIM: the incremental mechanism must land on the batch answer
+    // exactly (id-ordered waves make the later-member drop rule agree).
+    "p_pretrain_incremental" -> ((s, dir) => {
+      import graft.jobs.PretrainCorpus
+      val docs = Tables.load(s, dir, "documents").localCheckpoint()
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_pretrain_inc_${s.sparkContext.applicationId}").toString
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // clean re-runs
+      val w = docs.agg(max(col("doc_id"))).head().getLong(0) / 3 + 1
+      for (i <- 0L until 3L)
+        PretrainCorpus.ingestWave(s,
+          docs.filter(expr(s"doc_id div $w") === i), docs, tmp)
+      PretrainCorpus.manifestOf(s.read.parquet(s"$tmp/corpus"))
+        .orderBy(col("source"))
+    }),
+
     // fastText/CCNet-shape reference classifier: train multinomial Naive
     // Bayes to separate a curated "reference" slice (sources src0-3, the
     // stand-in for Wikipedia in the published pipelines) from the general
@@ -1151,6 +1174,8 @@ object PretrainQueries extends QueryPack {
 
   override def oracleSql: Map[String, String] = Map(
     "p_pretrain_e2e" -> pretrainE2eSql,
+    // the incremental mechanism must land on the batch law exactly
+    "p_pretrain_incremental" -> pretrainE2eSql,
     "t_unigram_vocab" -> unigramOracle,
     "x_dataset_card" ->
       s"""WITH d AS (SELECT doc_id, source, lang, n_chars,

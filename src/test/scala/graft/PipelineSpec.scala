@@ -449,4 +449,25 @@ class PipelineSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("incremental pretrain ingest: 2-wave and 5-wave id-range splits " +
+    "both land on the batch composition's corpus exactly") {
+    val raw = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .localCheckpoint()
+    val batch = PretrainCorpus.corpus(raw)
+      .select($"doc_id").as[Long].collect().toSet
+    val w = raw.agg(max($"doc_id")).head().getLong(0)
+    for (waves <- Seq(2L, 5L)) {
+      val root = tmp()
+      val span = w / waves + 1
+      for (i <- 0L until waves)
+        PretrainCorpus.ingestWave(spark,
+          raw.filter(expr(s"doc_id div $span") === i), raw, root)
+      val inc = spark.read.parquet(s"$root/corpus")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(inc == batch,
+        s"$waves-wave incremental corpus != batch: " +
+          s"extra=${(inc -- batch).take(5)} missing=${(batch -- inc).take(5)}")
+    }
+  }
+
 }
