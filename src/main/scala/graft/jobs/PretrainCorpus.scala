@@ -250,15 +250,92 @@ object PretrainCorpus {
     val laters = graft.streaming.IncrementalDedupStream
       .pairs(spark, storeDir)
       .select(col("id_b").as("doc_id")).distinct()
-    val s5wave = s4wave.join(laters, Seq("doc_id"), "left_anti")
-    val s7wave = mix(decontaminate(s5wave, raw, cfg.evalMod),
-      cfg.mixRates, cfg.mixSalt)
+    // per-doc ADMISSION FLAGS for the wave's whole s4 set (not just the
+    // near-dedup survivors): eval-slice membership, benchmark
+    // contamination, and the mixture draw are all deterministic
+    // per-document decisions, persisted so an erasure can replay
+    // admissions from stored state without re-shingling the corpus
+    val bench = raw.filter(pmod(col("doc_id"), lit(cfg.evalMod)) === 0)
+    val contaminated = Decontaminate
+      .contaminationReport(
+        s4wave.filter(pmod(col("doc_id"), lit(cfg.evalMod)) =!= 0),
+        "doc_id", "text", bench, "text")
+      .filter(col("contaminated") === 1).select(col("doc_id"))
+    val admissions = s4wave.select(col("doc_id"),
+        (pmod(col("doc_id"), lit(cfg.evalMod)) === 0).as("in_eval"),
+        Sampling.mixtureKeep(col("doc_id"), col("source"), cfg.mixRates,
+          cfg.mixSalt).as("mix_keep"))
+      .join(contaminated.withColumn("__c", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("in_eval"),
+        coalesce(col("__c"), lit(false)).as("contaminated"), col("mix_keep"))
+    val s7wave = s4wave.join(laters, Seq("doc_id"), "left_anti")
+      .join(admissions.filter(!col("in_eval") && !col("contaminated") &&
+        col("mix_keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
     // appends last: a crash before these re-runs the wave idempotently
     // only if the caller replays it against a restored store — the
     // at-least-once note on IncrementalDedupStream applies here too
     newFp.write.mode("append").option("compression", "snappy")
       .parquet(fpPath)
+    admissions.write.mode("append").option("compression", "snappy")
+      .parquet(s"$workDir/admissions")
     s7wave.write.mode("append").option("compression", "snappy")
       .parquet(s"$workDir/corpus")
+  }
+
+  /** Right-to-be-forgotten erasure of the incremental corpus state — and
+    * the REPLAY of every admission decision the subject influenced: a doc
+    * previously suppressed as the later member of a near-dup pair with an
+    * erased doc becomes admissible again, exactly as if the subject had
+    * never been ingested. No re-shingling, no re-screening: the dedup
+    * store already holds the retained s4 population and its pairs
+    * ([[graft.streaming.IncrementalDedupStream.erase]] scrubs both), the
+    * fingerprint store drops the subject's entries, and the persisted
+    * admission flags replay decontamination/mixing per doc — the corpus
+    * rebuild is ONE narrow pass over stored state.
+    *
+    * Two deliberate semantic boundaries, stated rather than hidden:
+    * exact-duplicate COPIES of an erased doc stay out (their text — the
+    * subject's content — was never stored, and readmitting it would
+    * defeat the erasure); and historical decontamination flags stand
+    * (the eval set is a fixed publication — erasing a corpus doc does
+    * not reopen other docs' contamination verdicts). The
+    * `p_pretrain_erasure` gate states the full law in SQL, these
+    * boundaries included.
+    */
+  def eraseDocs(spark: SparkSession, workDir: String,
+      ids: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    val keys = ids.select(col(ids.columns.head).as("doc_id")).distinct()
+      .localCheckpoint()
+    try {
+      // the subject's fingerprints, vectors, and pairs die first
+      graft.streaming.IncrementalDedupStream.erase(spark,
+        s"$workDir/dedup_store", keys, "doc_id")
+      for (sub <- Seq("fingerprints", "admissions")) {
+        val p = s"$workDir/$sub"
+        if (exists(p)) graft.io.Sinks.stagedSwapParquet(spark,
+          spark.read.parquet(p)
+            .join(broadcast(keys), Seq("doc_id"), "left_anti"), p)
+      }
+      // corpus rebuild from retained stored state: s4 population minus
+      // later-members of RETAINED pairs, gated by the replayed flags
+      val s4 = spark.read.parquet(s"$workDir/dedup_store/corpus")
+        .drop("__bk")
+      val laters = graft.streaming.IncrementalDedupStream
+        .pairs(spark, s"$workDir/dedup_store")
+        .select(col("id_b").as("doc_id")).distinct()
+      val admitted = spark.read.parquet(s"$workDir/admissions")
+        .filter(!col("in_eval") && !col("contaminated") && col("mix_keep"))
+        .select(col("doc_id"))
+      graft.io.Sinks.stagedSwapParquet(spark,
+        s4.join(laters, Seq("doc_id"), "left_anti")
+          .join(admitted, Seq("doc_id"), "left_semi"),
+        s"$workDir/corpus")
+    } finally org.apache.spark.sql.graftx.CheckpointUtils
+      .unpersistLocalCheckpoint(keys)
   }
 }

@@ -248,6 +248,35 @@ object PretrainQueries extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // Erasure of the INCREMENTAL corpus state with admission REPLAY: after
+    // three-wave ingest, every doc whose md5(doc_id) starts with '0' is
+    // forgotten — fingerprints, LSH rows, pairs, admission flags, corpus
+    // rows — and docs previously suppressed as near-dup later-members of
+    // an erased doc become admissible again, all from stored state (no
+    // re-shingling). The oracle states the full law: the subject removed
+    // from the s4 population, pairs recomputed among the retained docs,
+    // exact-dup copies of erased content staying out, decontamination
+    // verdicts standing.
+    "p_pretrain_erasure" -> ((s, dir) => {
+      import graft.jobs.PretrainCorpus
+      val docs = Tables.load(s, dir, "documents").localCheckpoint()
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_pretrain_erase_${s.sparkContext.applicationId}").toString
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // clean re-runs
+      val w = docs.agg(max(col("doc_id"))).head().getLong(0) / 3 + 1
+      for (i <- 0L until 3L)
+        PretrainCorpus.ingestWave(s,
+          docs.filter(expr(s"doc_id div $w") === i), docs, tmp)
+      val erased = docs
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+        .select(col("doc_id"))
+      PretrainCorpus.eraseDocs(s, tmp, erased)
+      PretrainCorpus.manifestOf(s.read.parquet(s"$tmp/corpus"))
+        .orderBy(col("source"))
+    }),
+
     // fastText/CCNet-shape reference classifier: train multinomial Naive
     // Bayes to separate a curated "reference" slice (sources src0-3, the
     // stand-in for Wikipedia in the published pipelines) from the general
@@ -1034,7 +1063,19 @@ object PretrainQueries extends QueryPack {
     * block is the (already individually-proven) per-stage oracle law,
     * re-rooted on the previous stage's survivors.
     */
-  private def pretrainE2eSql: String = {
+  private def pretrainE2eSql: String = pretrainSql(erased = false)
+
+  /** The eight-stage law, optionally with the ERASURE law spliced in
+    * after exact dedup: the md5-selected subject set is removed from the
+    * s4 population, so near-dedup pairs are computed among the retained
+    * docs only (previously-suppressed later members of pairs with an
+    * erased doc become admissible again), while exact-duplicate copies of
+    * an erased doc stay out (their suppression predates the erasure and
+    * their text IS the subject's content) and decontamination verdicts
+    * stand (the eval set is a fixed publication). Exactly the semantics
+    * [[graft.jobs.PretrainCorpus.eraseDocs]] implements from stored state.
+    */
+  private def pretrainSql(erased: Boolean): String = {
     import graft.functions.TextFunctions.{defaultStopwords, langProfiles}
     val norm = (c: String) =>
       s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
@@ -1043,6 +1084,9 @@ object PretrainQueries extends QueryPack {
     }.mkString(",\n      ")
     val others = langProfiles.map(_._1).filterNot(_ == "en")
       .map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val s4Ref = if (erased) "s4r" else "s4k"
+    val erasePred = if (erased)
+      " WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'" else ""
     s"""WITH base AS (
        |  SELECT doc_id, source, text FROM documents WHERE trim(text) <> ''),
        |g_t AS (SELECT doc_id,
@@ -1082,10 +1126,11 @@ object PretrainQueries extends QueryPack {
        |s3 AS (SELECT s2.* FROM s2 JOIN l_keep USING (doc_id)),
        |s4 AS (SELECT * FROM s3 WHERE doc_id IN (
        |    SELECT min(doc_id) FROM s3 GROUP BY md5(text))),
+       |$s4Ref AS (SELECT * FROM s4$erasePred),
        |n_toks AS (SELECT doc_id,
        |    CASE WHEN length(${norm("text")}) = 0 THEN []
        |         ELSE string_split(${norm("text")}, ' ') END AS w
-       |  FROM s4),
+       |  FROM $s4Ref),
        |n_sh AS (SELECT DISTINCT doc_id,
        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
        |  FROM n_toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
@@ -1098,7 +1143,7 @@ object PretrainQueries extends QueryPack {
        |  JOIN n_sz sa ON p.id_a = sa.doc_id
        |  JOIN n_sz sb ON p.id_b = sb.doc_id
        |  WHERE CAST(nc AS DOUBLE) / CAST(sa.n + sb.n - nc AS DOUBLE) >= 0.5),
-       |s5 AS (SELECT * FROM s4
+       |s5 AS (SELECT * FROM $s4Ref
        |  WHERE doc_id NOT IN (SELECT id_b FROM n_drop)),
        |d_bsh AS (SELECT DISTINCT list_aggregate(w[i:i+12], 'string_agg', ' ')
        |    AS s
@@ -1176,6 +1221,8 @@ object PretrainQueries extends QueryPack {
     "p_pretrain_e2e" -> pretrainE2eSql,
     // the incremental mechanism must land on the batch law exactly
     "p_pretrain_incremental" -> pretrainE2eSql,
+    // the full erasure-with-replay law (see pretrainSql's scaladoc)
+    "p_pretrain_erasure" -> pretrainSql(erased = true),
     "t_unigram_vocab" -> unigramOracle,
     "x_dataset_card" ->
       s"""WITH d AS (SELECT doc_id, source, lang, n_chars,

@@ -449,6 +449,45 @@ class PipelineSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("pretrain erasure replays admissions: a doc suppressed as the " +
+    "erased subject's near-dup is readmitted, and no store keeps a trace") {
+    val root = tmp()
+    val tA = "the quick brown fox jumps over a lazy dog while the rain " +
+      "in spain falls mainly on the plain and the cat sat on the mat"
+    val tB = tA.replace("cat", "bat") // near-dup of tA (1 word of ~25)
+    val tC = "every good boy does fine and the sun will rise again to " +
+      "warm a quiet field of green grass near the old mill today"
+    val docs = Seq((1L, tA), (2L, tB), (3L, tC))
+      .map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cfg = PretrainCorpus.Config(mixRates = Map("srcA" -> 1.0))
+    PretrainCorpus.ingestWave(spark, docs, docs, root, cfg)
+    def corpusIds = spark.read.parquet(s"$root/corpus")
+      .select($"doc_id").as[Long].collect().toSet
+    // doc 2 suppressed as doc 1's near-dup later member
+    assert(corpusIds == Set(1L, 3L), s"precondition: $corpusIds")
+    PretrainCorpus.eraseDocs(spark, root, Seq(1L).toDF("doc_id"))
+    // the subject is gone AND its suppression of doc 2 is replayed away
+    assert(corpusIds == Set(2L, 3L), s"after erasure: $corpusIds")
+    // no store keeps a trace of doc 1
+    for (sub <- Seq("corpus", "fingerprints", "admissions",
+        "dedup_store/corpus", "dedup_store/index")) {
+      assert(spark.read.parquet(s"$root/$sub")
+        .filter($"doc_id" === 1L).isEmpty, s"doc 1 survives in $sub")
+    }
+    assert(spark.read.parquet(s"$root/dedup_store/pairs")
+      .filter($"id_a" === 1L || $"id_b" === 1L).isEmpty)
+    // and a fresh identical copy from a NEW owner is admissible again
+    // (the fingerprint block died with the subject)
+    PretrainCorpus.ingestWave(spark,
+      Seq((50L, tA, "en", "srcA", tA.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"), docs, root,
+      cfg)
+    assert(corpusIds.contains(50L) || // kept unless near-dup-suppressed
+      spark.read.parquet(s"$root/dedup_store/pairs")
+        .filter($"id_b" === 50L).count() > 0)
+  }
+
   test("incremental pretrain ingest: 2-wave and 5-wave id-range splits " +
     "both land on the batch composition's corpus exactly") {
     val raw = Tables.load(spark, "/root/testdata/sf0.001", "documents")
