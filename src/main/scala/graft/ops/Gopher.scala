@@ -66,4 +66,108 @@ object Gopher {
           col("n_stop_words") >= 1 &&
           col("top_bigram_count") * 10 <= col("n_words")).cast("int"))
   }
+
+  /** The FULL Gopher repetition battery (Rae et al. 2021 §A1.1 — the
+    * filters [[report]]'s top-word/bigram counts abbreviate), every value
+    * an exact integer micro-fraction (q = ⌊10⁶·part/whole⌋ — no IEEE
+    * division anywhere, so both engines agree bit-for-bit):
+    *
+    *  - `dup_line_q`: chars in pseudo-lines (fixed `lineTokens`-token
+    *    chunks, the corpus fixture's line convention) whose VALUE occurs
+    *    more than once in the doc, over total line chars;
+    *  - `top{2,3,4}_q`: count(most frequent n-gram) × charlen(gram) over
+    *    the doc's space-joined char total (ties: lexicographically
+    *    smallest gram — the published screens threshold these, so the
+    *    occurrence-count × length proxy is the stated law);
+    *  - `dup{5..10}_q`: chars of TOKENS covered by at least one
+    *    occurrence of a duplicated n-gram, over total token chars —
+    *    position-union coverage, so overlapping occurrences never
+    *    double-count (the paper's "taking care not to count characters
+    *    in overlapping n-grams more than once").
+    *
+    * Scale shape: one tokenize pass staged, then per statistic one narrow
+    * (doc, value) count — explodes carry ≤ n_tok rows per n, coverage
+    * carries ≤ n·dup-occurrences positions; everything is map-side
+    * combinable groupBys, nothing quadratic. At 100 TB these are the
+    * same per-doc screens as [[report]], run once at ingest.
+    */
+  def repetitionReport(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", lineTokens: Int = 7): DataFrame = {
+    require(lineTokens > 0)
+    val rawToks = when(length(trim(col(text))) === 0,
+      array().cast("array<string>"))
+      .otherwise(split(trim(col(text)), "\\s+"))
+    val base = docs.select(col(id), rawToks.as("toks"))
+      .localCheckpoint() // one tokenize pass feeds all ten statistics
+    val totals = base.select(col(id),
+      aggregate(transform(col("toks"), t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x).as("tok_chars"),
+      length(concat_ws(" ", col("toks"))).cast("long").as("joined_chars"))
+    // pseudo-lines: value-duplicate chars over total line chars
+    val nLines = ((size(col("toks")) + (lineTokens - 1)) / lineTokens)
+      .cast("int")
+    val lineArr = when(nLines === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nLines - 1),
+        i => concat_ws(" ", slice(col("toks"), i * lineTokens + 1,
+          lit(lineTokens)))))
+    val dupLine = base.select(col(id), explode(lineArr).as("__line"))
+      .groupBy(col(id), col("__line")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(id)).agg(
+        sum(when(col("__c") > 1, col("__c") * length(col("__line")))
+          .otherwise(0L)).as("__dup"),
+        sum(col("__c") * length(col("__line"))).as("__tot"))
+      .select(col(id), expr(
+        "CAST(CASE WHEN __tot > 0 THEN (1000000 * __dup) div __tot " +
+          "ELSE 0 END AS BIGINT)").as("dup_line_q"))
+    def gramArr(n: Int) = when(size(col("toks")) < n,
+      array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+    // most-frequent n-gram: count desc, gram asc ties via min(struct)
+    def topN(n: Int) = base
+      .select(col(id), explode(gramArr(n)).as("__g"))
+      .groupBy(col(id), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(id)).agg(min(struct((-col("__c")).as("nc"),
+        col("__g").as("g"))).as("__top"))
+      .select(col(id),
+        (-col("__top.nc") * length(col("__top.g"))).cast("long")
+          .as(s"__topchars$n"))
+    // duplicated-n-gram TOKEN coverage (position union)
+    def dupCover(n: Int) = {
+      val pos = base.select(col(id),
+        posexplode(gramArr(n)).as(Seq("__i", "__g")))
+      val counted = pos.join(
+        pos.groupBy(col(id), col("__g")).agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > 1).select(col(id), col("__g")),
+        Seq(id, "__g"), "left_semi")
+      val covered = counted
+        .select(col(id),
+          explode(sequence(col("__i"), col("__i") + (n - 1))).as("__t"))
+        .distinct()
+      val tokLens = base.select(col(id),
+        posexplode(col("toks")).as(Seq("__t", "__tok")))
+        .select(col(id), col("__t"), length(col("__tok")).cast("long")
+          .as("__len"))
+      covered.join(tokLens, Seq(id, "__t"))
+        .groupBy(col(id)).agg(sum(col("__len")).as(s"__cov$n"))
+    }
+    val withTops = (2 to 4).foldLeft(
+      totals.join(dupLine, Seq(id), "left")) { (acc, n) =>
+      acc.join(topN(n), Seq(id), "left")
+    }
+    val withCovers = (5 to 10).foldLeft(withTops) { (acc, n) =>
+      acc.join(dupCover(n), Seq(id), "left")
+    }
+    val topCols = (2 to 4).map(n => expr(
+      s"CAST(CASE WHEN joined_chars > 0 THEN " +
+        s"(1000000 * coalesce(__topchars$n, 0)) div joined_chars " +
+        s"ELSE 0 END AS BIGINT)").as(s"top${n}_q"))
+    val covCols = (5 to 10).map(n => expr(
+      s"CAST(CASE WHEN tok_chars > 0 THEN " +
+        s"(1000000 * coalesce(__cov$n, 0)) div tok_chars " +
+        s"ELSE 0 END AS BIGINT)").as(s"dup${n}_q"))
+    withCovers.select(col(id) +:
+      coalesce(col("dup_line_q"), lit(0L)).as("dup_line_q") +:
+      (topCols ++ covCols): _*)
+  }
 }

@@ -685,7 +685,89 @@ object TextQueries extends QueryPack {
     // tokenization staged once, two narrow explode→count→max aggregations.
     "t_gopher_filters" -> ((s, dir) =>
       graft.ops.Gopher.report(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // The FULL Gopher repetition battery (Rae et al. 2021 §A1.1): dup
+    // pseudo-line char fraction, most-frequent-{2,3,4}-gram char
+    // fractions, and duplicated-{5..10}-gram TOKEN-coverage fractions
+    // (position union — overlaps never double-count). Every value is an
+    // integer micro-fraction via floor division, so the oracle replays
+    // all ten columns bit-exactly.
+    "t_gopher_repetition" -> ((s, dir) =>
+      graft.ops.Gopher.repetitionReport(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))))
+
+
+  /** DuckDB replay of [[graft.ops.Gopher.repetitionReport]] — the same
+    * integer micro-fraction laws over the same raw-token stream.
+    */
+  private def gopherRepetitionSql: String = {
+    val tops = (2 to 4).map { n =>
+      s"""g$n AS (SELECT doc_id, array_to_string(toks[k:k+${n - 1}], ' ') AS g
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${n - 2})) AS k)
+         |  WHERE len(toks) >= $n),
+         |tp$n AS (SELECT doc_id, CAST(c * length(g) AS BIGINT) AS topchars
+         |  FROM (SELECT doc_id, g, count(*) AS c, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rn
+         |    FROM g$n GROUP BY doc_id, g) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val covers = (5 to 10).map { n =>
+      s"""o$n AS (SELECT doc_id, CAST(k - 1 AS BIGINT) AS i,
+         |    array_to_string(toks[k:k+${n - 1}], ' ') AS g
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${n - 2})) AS k)
+         |  WHERE len(toks) >= $n),
+         |d$n AS (SELECT doc_id, g FROM o$n GROUP BY doc_id, g
+         |  HAVING count(*) > 1),
+         |c$n AS (SELECT doc_id, CAST(sum(ln) AS BIGINT) AS cov FROM (
+         |    SELECT DISTINCT oo.doc_id, tl.tid, tl.ln
+         |    FROM (SELECT o.doc_id, o.i FROM o$n o
+         |          JOIN d$n d ON o.doc_id = d.doc_id AND o.g = d.g) oo,
+         |      LATERAL (SELECT unnest(range(oo.i, oo.i + $n)) AS tid) u
+         |    JOIN tl ON tl.doc_id = oo.doc_id AND tl.tid = u.tid)
+         |  GROUP BY doc_id)""".stripMargin
+    }.mkString(",\n")
+    val topSel = (2 to 4).map(n =>
+      s"""  CAST(CASE WHEN joined_chars > 0
+         |    THEN (1000000 * coalesce(tp$n.topchars, 0)) // joined_chars
+         |    ELSE 0 END AS BIGINT) AS top${n}_q""".stripMargin)
+    val covSel = (5 to 10).map(n =>
+      s"""  CAST(CASE WHEN tok_chars > 0
+         |    THEN (1000000 * coalesce(c$n.cov, 0)) // tok_chars
+         |    ELSE 0 END AS BIGINT) AS dup${n}_q""".stripMargin)
+    val joins = (2 to 4).map(n => s"LEFT JOIN tp$n USING (doc_id)") ++
+      (5 to 10).map(n => s"LEFT JOIN c$n USING (doc_id)")
+    s"""WITH t AS (SELECT doc_id,
+       |    CASE WHEN trim(text) = '' THEN []
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents),
+       |tot AS (SELECT doc_id,
+       |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+       |      AS BIGINT) AS tok_chars,
+       |    CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS joined_chars
+       |  FROM t),
+       |tl AS (SELECT doc_id, CAST(j AS BIGINT) AS tid,
+       |    CAST(length(toks[CAST(j AS INTEGER) + 1]) AS BIGINT) AS ln
+       |  FROM t, LATERAL (SELECT unnest(range(0, len(toks))) AS j)),
+       |ln0 AS (SELECT doc_id,
+       |    array_to_string(toks[(j*7+1):(j*7+7)], ' ') AS line
+       |  FROM t, LATERAL (SELECT unnest(range(0, (len(toks)+6)//7)) AS j)),
+       |dl AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN c > 1 THEN c*length(line) ELSE 0 END)
+       |      AS BIGINT) AS dup,
+       |    CAST(sum(c*length(line)) AS BIGINT) AS tot
+       |  FROM (SELECT doc_id, line, count(*) AS c FROM ln0 GROUP BY 1, 2)
+       |  GROUP BY doc_id),
+       |$tops,
+       |$covers
+       |SELECT tot.doc_id,
+       |  CAST(CASE WHEN coalesce(dl.tot, 0) > 0
+       |    THEN (1000000 * dl.dup) // dl.tot ELSE 0 END AS BIGINT)
+       |    AS dup_line_q,
+       |${(topSel ++ covSel).mkString(",\n")}
+       |FROM tot LEFT JOIN dl USING (doc_id)
+       |${joins.mkString("\n")}
+       |ORDER BY doc_id""".stripMargin
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "t_blocklist_hits" -> {
@@ -1164,6 +1246,8 @@ object TextQueries extends QueryPack {
          |  CAST(${grams("wd")} = ${grams("wu")} AS INTEGER) AS shingle_match
          |FROM tk ORDER BY doc_id""".stripMargin
     },
+
+    "t_gopher_repetition" -> gopherRepetitionSql,
 
     "t_gopher_filters" ->
       s"""WITH t AS (SELECT doc_id,

@@ -234,6 +234,39 @@ class OpsSpec extends AnyFunSuite {
     assert(viaApi == viaSql)
   }
 
+  test("gopher repetition battery: hand-computed dup lines, top n-grams " +
+    "with lexicographic ties, and position-union dup-gram coverage") {
+    import graft.ops.Gopher
+    // d1: the 5-gram "x y z w v" repeats at offsets 0 and 10 — 10 of 15
+    // tokens covered; no 6+-gram or pseudo-line repeats
+    val d1 = "x y z w v a b c d e x y z w v"
+    // d2: period-7 token stream of 14 tokens — both 7-token pseudo-lines
+    // equal, and 5/6/7-gram coverage is total; 8+-grams cannot repeat
+    val d2 = "p q r s t u w p q r s t u w"
+    val docs = Seq((1L, d1), (2L, d2), (3L, "")).toDF("doc_id", "text")
+    val got = Gopher.repetitionReport(docs)
+      .collect().map(r => r.getLong(0) ->
+        r.getValuesMap[Long](Seq("dup_line_q", "top2_q", "top3_q", "top4_q",
+          "dup5_q", "dup6_q", "dup7_q", "dup8_q", "dup10_q"))).toMap
+    val r1 = got(1L)
+    assert(r1("dup_line_q") == 0L)
+    // joined = 29 chars; top 2-gram ties at count 2 -> lexicographically
+    // smallest "w v" (3 chars): 2*3*1e6 // 29
+    assert(r1("top2_q") == 206896L, r1.toString)
+    assert(r1("top3_q") == 2L * 5 * 1000000 / 29) // "x y z"
+    assert(r1("top4_q") == 2L * 7 * 1000000 / 29) // "x y z w"
+    assert(r1("dup5_q") == 10L * 1000000 / 15) // 10 of 15 tokens covered
+    assert(r1("dup6_q") == 0L && r1("dup10_q") == 0L)
+    val r2 = got(2L)
+    assert(r2("dup_line_q") == 1000000L, r2.toString)
+    assert(r2("top2_q") == 2L * 3 * 1000000 / 27) // "p q" of joined 27
+    assert(r2("dup5_q") == 1000000L && r2("dup6_q") == 1000000L &&
+      r2("dup7_q") == 1000000L)
+    assert(r2("dup8_q") == 0L, "period-7 stream cannot repeat an 8-gram")
+    val r3 = got(3L)
+    assert(r3.values.forall(_ == 0L), s"empty doc must be all zeros: $r3")
+  }
+
   // ---- weighted sampling ---------------------------------------------
 
   test("weighted sample: per-group cap, subset, deterministic, heavy row wins") {
