@@ -87,6 +87,21 @@ object SamplingQueries extends QueryPack {
           min(col("ld")).as("l_diversity_min"))
     }),
 
+    // t-CLOSENESS (Li et al. 2007) over the (nation, segment) quasi-
+    // identifier with the ORDERED balance band as the sensitive attribute
+    // — the attribute-disclosure screen l-diversity leaves open. Ordered
+    // EMD per group computed exactly in integers (cumulative-count cross
+    // products, one floor division) — the oracle replays every group's
+    // t_q bit-for-bit through its own window formulation.
+    "x_t_closeness" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("long").as("band"))
+      graft.ops.Privacy.tCloseness(c,
+          Seq("c_nationkey", "c_mktsegment"), "band")
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
     // Feature hashing (Weinberger et al. 2009, the "hashing trick"):
     // tokens land in 64 buckets by a 32-bit md5 slice, with a ±1 sign
     // from the next hash bit — collisions cancel in expectation, the
@@ -565,6 +580,46 @@ object SamplingQueries extends QueryPack {
         |    AS groups_lt5,
         |  min(ld) AS l_diversity_min
         |FROM g""".stripMargin,
+
+    // ordered EMD, all integer: t_num = Σ_i |A_i·N − B_i·n_g| over the
+    // globally-ordered sensitive values; t_q = (1e6·t_num) // (n_g·N·(m−1))
+    "x_t_closeness" ->
+      """WITH q AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / CAST(1000.0 AS DOUBLE)) AS BIGINT)
+        |      AS band
+        |  FROM customer),
+        |cnt AS (SELECT c_nationkey, c_mktsegment, band,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM q GROUP BY 1, 2, 3),
+        |gv AS (SELECT band, CAST(sum(c) AS BIGINT) AS gc,
+        |    CAST(sum(sum(c)) OVER (ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS gcum
+        |  FROM cnt GROUP BY band),
+        |tot AS (SELECT CAST(sum(gc) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS m FROM gv),
+        |grp AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(sum(c) AS BIGINT) AS ng
+        |  FROM cnt GROUP BY 1, 2),
+        |mat AS (SELECT grp.c_nationkey, grp.c_mktsegment, grp.ng,
+        |    gv.band, gv.gcum, coalesce(cnt.c, 0) AS c
+        |  FROM grp CROSS JOIN gv
+        |  LEFT JOIN cnt ON cnt.c_nationkey = grp.c_nationkey
+        |    AND cnt.c_mktsegment = grp.c_mktsegment
+        |    AND cnt.band = gv.band),
+        |cum AS (SELECT c_nationkey, c_mktsegment, ng, gcum,
+        |    SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acum
+        |  FROM mat)
+        |SELECT c_nationkey, c_mktsegment, ng AS n,
+        |  CAST(CASE WHEN m > 1
+        |    THEN (1000000 * sum(abs(acum * n2.n - gcum * ng)))
+        |      // (ng * n2.n * (m - 1))
+        |    ELSE 0 END AS BIGINT) AS t_q
+        |FROM cum CROSS JOIN tot n2
+        |GROUP BY c_nationkey, c_mktsegment, ng, n2.n, n2.m
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     "x_feature_hash" ->
       """WITH norm AS (SELECT doc_id,

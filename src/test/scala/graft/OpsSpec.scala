@@ -267,6 +267,28 @@ class OpsSpec extends AnyFunSuite {
     assert(r3.values.forall(_ == 0L), s"empty doc must be all zeros: $r3")
   }
 
+  test("t-closeness: ordered EMD by hand — extreme groups are farther " +
+    "than middle-valued ones, global-shaped groups are 0-close") {
+    import graft.ops.Privacy
+    // global sensitive counts (3,3,3) over values 1<2<3; groups:
+    // A={1,1} and C={3,3} sit at the ends (t=1/2), B={2,2} in the middle
+    // (t=1/3 — the ordered distance l-diversity can't see), D={1,2,3}
+    // mirrors the global shape (t=0)
+    val rows = Seq(("A", 1), ("A", 1), ("B", 2), ("B", 2), ("C", 3),
+      ("C", 3), ("D", 1), ("D", 2), ("D", 3)).toDF("g", "v")
+    val got = Privacy.tCloseness(rows, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got("A") == (2L, 500000L), got.toString)
+    assert(got("C") == (2L, 500000L))
+    assert(got("B") == (2L, 333333L), "middle value must be closer")
+    assert(got("D") == (3L, 0L), "global-shaped group must be 0-close")
+    // single-valued sensitive domain: trivially 0-close
+    val mono = Seq(("A", 7), ("B", 7)).toDF("g", "v")
+    assert(Privacy.tCloseness(mono, Seq("g"), "v")
+      .collect().forall(_.getLong(2) == 0L))
+  }
+
   // ---- weighted sampling ---------------------------------------------
 
   test("weighted sample: per-group cap, subset, deterministic, heavy row wins") {
