@@ -199,4 +199,38 @@ object Warc {
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])])
   }
+
+  /** binaryFile's fixed schema — file-source STREAMS require it spelled
+    * out (no inference pass on an unbounded source).
+    */
+  private val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
+  /** STREAMING WET ingestion: a binaryFile file-source stream of crawl
+    * archives — each newly-landed archive flows through exactly
+    * [[docsFromArchives]]'s per-record law in its micro-batch (stateless
+    * flatMap, bookmark semantics from the file source's checkpoint). This
+    * is the first mile of the continuously-fed corpus: compose with
+    * [[graft.jobs.PretrainCorpus.ingestWave]] /
+    * [[graft.streaming.IncrementalDedupStream]] in a foreachBatch sink.
+    * Spec-proven: the streamed rows equal [[warcScan]] over the same
+    * directory, with each file ingested exactly once across triggers.
+    */
+  def warcStream(spark: SparkSession, path: String): Dataset[WarcDoc] = {
+    import spark.implicits._
+    docsFromArchives(
+      spark.readStream.format("binaryFile")
+        .schema(binaryFileSchema)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])])
+  }
 }

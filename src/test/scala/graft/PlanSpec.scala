@@ -494,4 +494,31 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("Join"), p)
     assert(p.contains("codegen id"), p)
   }
+
+  test("t-closeness: global value table and totals broadcast; no " +
+    "cartesian product (the group x value matrix rides a broadcast " +
+    "nested loop over the tiny value table only)") {
+    val p = plan("x_t_closeness")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("gopher repetition: per-statistic counts are hash aggregates over " +
+    "narrow keys; coverage joins are equi/semi joins, never BNLJ") {
+    val p = plan("t_gopher_repetition")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pretrain e2e: the decontamination gram table broadcasts and the " +
+    "dedup drops are anti equi-joins (the plan from the near-dedup " +
+    "checkpoint onward — upstream screens are behind it)") {
+    val p = plan("p_pretrain_e2e")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
 }
