@@ -86,6 +86,49 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
 
+  /** HARD-NEGATIVE mining for contrastive-embedding training data: for
+    * every anchor that has a known positive (e.g. a text near-dup pair —
+    * the standard weak-supervision source), the k corpus vectors CLOSEST
+    * in embedding space that are NOT among its positives — the
+    * semantically-near-but-not-duplicate examples a contrastive loss
+    * learns the most from. Positives and self are excluded by anti-join
+    * BEFORE the bounded k-heap, so the top-k never under-fills however
+    * many positives rank at the top (a fixed shortlist filtered
+    * afterwards would).
+    *
+    * `positives` carries (id_a, id_b) pairs; they are symmetrized here.
+    * Scale shape: the anchor side (bounded by the positive-pair count)
+    * broadcasts like [[bruteForceTopK]]'s query side; the corpus streams
+    * once; the exchange is ≤ partitions·k rows per anchor. For corpora
+    * where even the anchor side is huge, shortlist through
+    * [[graft.operators.Pq.ivfAdcTopK]] with k + max-positives and rerank
+    * — the exclusion stays an anti-join either way.
+    */
+  def hardNegatives(corpus: DataFrame, positives: DataFrame, id: String,
+      vec: String, k: Int): DataFrame = {
+    val pos = positives
+      .select(col(positives.columns(0)).as("query_id"),
+        col(positives.columns(1)).as("neighbor_id"))
+      .unionByName(positives
+        .select(col(positives.columns(1)).as("query_id"),
+          col(positives.columns(0)).as("neighbor_id")))
+      .distinct().localCheckpoint() // feeds the anchor set AND the anti-join
+    val anchors = pos.select(col("query_id")).distinct()
+    val base = withNorm(corpus, vec)
+    val q = base
+      .select(col(id).as("query_id"), col(vec).as("__qv"),
+        col("__nrm").as("__qn"))
+      .join(anchors, Seq("query_id"), "left_semi")
+    val c = base.select(col(id).as("neighbor_id"), col(vec).as("__cv"),
+      col("__nrm").as("__cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(pos), Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("cosine_sim",
+        cosineWithNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+    TopK.perKey(scored, "query_id", "cosine_sim", "neighbor_id", k,
+      descending = true)
+  }
+
   /** Exact all-pairs cosine ≥ threshold, block-partitioned: vector u in block
     * g(u) = hash(id) mod G meets vector v exactly once, in block-pair key
     * (min(g(u),g(v)), max(g(u),g(v))). Each side explodes its row to its

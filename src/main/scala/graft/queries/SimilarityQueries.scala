@@ -42,6 +42,24 @@ object SimilarityQueries extends QueryPack {
     s"list_sum(list_transform(range(1, len($a.embedding) + 1), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
 
   override def queries: Map[String, Query] = Map(
+    // HARD-NEGATIVE mining for contrastive training: positives are the
+    // TEXT near-dup pairs (MinHash-LSH verified at exact Jaccard — the
+    // weak-supervision source real embedding pipelines use), anchors are
+    // the docs appearing in a pair, and each anchor's k hard negatives
+    // are its exact-cosine nearest EMBEDDING neighbors excluding self and
+    // positives (anti-joined before the bounded heap, so the top-k never
+    // under-fills). Cross-table composition: the dedup law decides WHO is
+    // an anchor, the vector law decides WHAT is near.
+    "v_hard_negatives" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val pairs = Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", minJaccard = DedupQueries.tau)
+        .select(col("id_a"), col("id_b"))
+      Similarity.hardNegatives(Tables.load(s, dir, "embeddings"), pairs,
+          "vec_id", "embedding", k)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "v_cosine_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, queriesOf(emb), "vec_id", "embedding", k)
@@ -1343,6 +1361,39 @@ object SimilarityQueries extends QueryPack {
          |  nid AS neighbor_id, sc AS score
          |FROM sel5 ORDER BY query_id, pick_rank""".stripMargin
     },
+
+    // the text-pair law (DedupQueries' shingle CTEs, shared verbatim)
+    // composed with the cosine ranking law; positives/self excluded by
+    // NOT EXISTS before ranking
+    "v_hard_negatives" ->
+      s"""WITH ${DedupQueries.shinglesSql},
+         |jp AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jpairs AS (SELECT id_a, id_b FROM jp
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(nc AS DOUBLE) / CAST(sa.n + sb.n - nc AS DOUBLE)
+         |    >= ${DedupQueries.tau}),
+         |pp AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM jpairs
+         |  UNION SELECT id_b, id_a FROM jpairs),
+         |e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+         |anchors AS (SELECT DISTINCT query_id FROM pp),
+         |sims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q", "c")} / (q.nrm * c.nrm) AS cosine_sim
+         |  FROM anchors a
+         |  JOIN e q ON q.vec_id = a.query_id
+         |  JOIN e c ON c.vec_id <> a.query_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM pp
+         |    WHERE pp.query_id = a.query_id AND pp.neighbor_id = c.vec_id)),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM sims)
+         |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin,
 
     "v_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),

@@ -382,4 +382,29 @@ class ClusteringSpec extends AnyFunSuite {
       .orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("hard negatives: positives excluded before the heap (an identical " +
+    "positive never fills a slot), k fills from the rest, symmetric pairs") {
+    import graft.operators.Similarity
+    // anchor 1 has positive 2 with IDENTICAL vector (cosine 1.0 — would be
+    // rank 1 if the exclusion ran after a fixed shortlist)
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(0.5f, 0.5f)),
+      (5L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pos = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = Similarity.hardNegatives(vecs, pos, "vec_id", "embedding", 2)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().sorted
+    // anchors: both pair members (symmetrized); 2 negatives each, never
+    // each other
+    assert(got.map(_._1).distinct.toSeq == Seq(1L, 2L))
+    assert(!got.contains((1L, 2L, 1)) && !got.exists(r =>
+      (r._1 == 1L && r._2 == 2L) || (r._1 == 2L && r._2 == 1L)),
+      s"positive returned as negative: ${got.toSeq}")
+    // nearest true negative for both anchors is 3, then 4
+    assert(got.filter(_._1 == 1L).map(_._2).toSeq == Seq(3L, 4L))
+    assert(got.filter(_._1 == 2L).map(_._2).toSeq == Seq(3L, 4L))
+  }
+
 }
