@@ -50,7 +50,7 @@ object SimilarityQueries extends QueryPack {
     // positives (anti-joined before the bounded heap, so the top-k never
     // under-fills). Cross-table composition: the dedup law decides WHO is
     // an anchor, the vector law decides WHAT is near.
-    "v_hard_negatives" -> ((s, dir) => {
+    "v_hard_negatives_pairs" -> ((s, dir) => {
       import graft.operators.Dedup
       val pairs = Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
           "doc_id", "text", minJaccard = DedupQueries.tau)
@@ -1365,7 +1365,7 @@ object SimilarityQueries extends QueryPack {
     // the text-pair law (DedupQueries' shingle CTEs, shared verbatim)
     // composed with the cosine ranking law; positives/self excluded by
     // NOT EXISTS before ranking
-    "v_hard_negatives" ->
+    "v_hard_negatives_pairs" ->
       s"""WITH ${DedupQueries.shinglesSql},
          |jp AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc

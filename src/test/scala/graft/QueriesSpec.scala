@@ -209,4 +209,15 @@ class QueriesSpec extends AnyFunSuite {
       assert(math.abs(m(k)._2 - v) / v < 1e-9, s"variance $k")
     }
   }
+
+  test("no query or oracle name is declared twice across packs (a " +
+    "duplicate silently shadows the earlier gate in the flatMap.toMap)") {
+    val qNames = SparkEntry.packs.flatMap(_.queries.keys)
+    val dupQ = qNames.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupQ.isEmpty, s"duplicate query names across packs: $dupQ")
+    val oNames = SparkEntry.packs.flatMap(_.oracleSql.keys)
+    val dupO = oNames.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupO.isEmpty, s"duplicate oracle names across packs: $dupO")
+  }
+
 }
