@@ -240,6 +240,45 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("tier"), col("partition"))
     }),
 
+    // Snapshot-versioned table with erasure-aware redaction: two appends
+    // commit two time-travelable versions; an erasure rewrites only the
+    // touched segments, purges the replaced bytes, and floors time travel
+    // at the new version (reads below the floor throw — resurrecting an
+    // erased subject via an old manifest is the failure mode table
+    // formats hide). The oracle recomputes each version's row count and
+    // content checksum plus the post-erasure readability flags.
+    "s_versioned_read" -> ((s, dir) => {
+      import graft.io.Versioned
+      val docs = Tables.load(s, dir, "documents").localCheckpoint()
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_versioned_${s.sparkContext.applicationId}").toString
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // clean re-runs
+      Versioned.append(s, tmp, docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      Versioned.append(s, tmp, docs.filter(pmod(col("doc_id"), lit(2)) =!= 0))
+      def stats(v: Int) = Versioned.read(s, tmp, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":"), col("text"))), 1, 8), 16, 10).cast("long"))
+            .as("checksum"))
+        .select(lit(v).as("version"), col("n_rows"), col("checksum"))
+      // pre-erasure snapshots must evaluate BEFORE the erase (laziness)
+      val before = stats(0).unionByName(stats(1)).localCheckpoint()
+      Versioned.erase(s, tmp,
+        docs.filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+          === "0").select(col("doc_id")),
+        "doc_id", tombstoneEpoch = 7L)
+      def readable(v: Int): Int =
+        try { Versioned.read(s, tmp, v).limit(1).count(); 1 }
+        catch { case _: IllegalStateException => 0 }
+      import s.implicits._
+      val flags = Seq(0, 1, 2).map(v => (v, readable(v)))
+        .toDF("version", "readable")
+      before.unionByName(stats(2)).join(flags, Seq("version"))
+        .orderBy(col("version"))
+    }),
+
     // GDPR erasure gate: full silver + gold, then forget every customer
     // whose md5 starts with '0' (~1/16 of them, both engines derive the
     // same set) through the partition-restricted erasure job. The final
@@ -284,6 +323,26 @@ object PipelineQueries extends QueryPack {
         |    AS content_length,
         |  md5(coalesce(text, '')) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-version row counts + 32-bit-md5-slice checksums; v0/v1 are
+    // unreadable after the erasure (redaction floor), v2 is the retained
+    // corpus
+    "s_versioned_read" ->
+      """WITH cs AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+        |      1, 8)) AS BIGINT) AS h,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS erased
+        |  FROM documents)
+        |SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(h) AS BIGINT) AS checksum, 0 AS readable
+        |FROM cs WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 1, CAST(count(*) AS BIGINT), CAST(sum(h) AS BIGINT), 0
+        |FROM cs
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(h) AS BIGINT), 1
+        |FROM cs WHERE NOT erased
+        |ORDER BY version""".stripMargin,
 
     "p_profile_columns" ->
       """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -422,4 +422,53 @@ class IoSpec extends AnyFunSuite {
     assert(rows.map(_.content_length).toSeq == Seq(10L, 9L, 10L))
   }
 
+
+  // ---- snapshot-versioned table + erasure redaction --------------------
+
+  test("versioned table: appends commit isolated time-travel versions; " +
+    "erase rewrites only touched segments, purges replaced bytes, and " +
+    "floors time travel with the tombstone epoch") {
+    import graft.io.Versioned
+    val root = Files.createTempDirectory("graft-versioned").toString + "/t"
+    val a = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "v")
+    val b = Seq((3L, "gamma"), (4L, "delta")).toDF("id", "v")
+    assert(Versioned.append(spark, root, a) == 0)
+    assert(Versioned.append(spark, root, b) == 1)
+    assert(Versioned.read(spark, root, 0).select($"id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    assert(Versioned.read(spark, root).select($"id").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException] { Versioned.read(spark, root, 9) }
+    // segment 1 (ids 3,4) holds no subject: its bytes must not move
+    val seg1 = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("seg-1-")).head
+    val mtime = seg1.listFiles().map(_.lastModified()).max
+    val v2 = Versioned.erase(spark, root, Seq(1L).toDF("id"), "id",
+      tombstoneEpoch = 42L)
+    assert(v2 == 2)
+    assert(Versioned.read(spark, root).select($"id").as[Long]
+      .collect().toSet == Set(2L, 3L, 4L))
+    assert(seg1.listFiles().map(_.lastModified()).max == mtime,
+      "untouched segment was rewritten")
+    // the replaced segment's bytes are gone from disk entirely
+    assert(!new java.io.File(root).listFiles()
+      .exists(_.getName.startsWith("seg-0-")),
+      "the subject's original segment bytes survived the purge")
+    // time travel below the redaction floor fails loudly, naming the epoch
+    val e = intercept[IllegalStateException] {
+      Versioned.read(spark, root, 0)
+    }
+    assert(e.getMessage.contains("42") && e.getMessage.contains("redact"),
+      e.getMessage)
+    intercept[IllegalStateException] { Versioned.read(spark, root, 1) }
+    // appends after an erasure time-travel normally above the floor
+    val v3 = Versioned.append(spark, root, Seq((5L, "eps")).toDF("id", "v"))
+    assert(Versioned.read(spark, root, v2).select($"id").as[Long]
+      .collect().toSet == Set(2L, 3L, 4L))
+    assert(Versioned.read(spark, root, v3).count() == 4)
+    // ghost erasure: commits a version, purges nothing, stays readable
+    val v4 = Versioned.erase(spark, root, Seq(99L).toDF("id"), "id", 43L)
+    assert(Versioned.read(spark, root, v4).count() == 4)
+  }
+
 }
