@@ -48,7 +48,7 @@ object Versioned {
       .sorted.toSeq
   }
 
-  private case class Manifest(version: Int, files: Seq[String],
+  private[graft] case class Manifest(version: Int, files: Seq[String],
       redactedBelow: Int, tombstoneEpoch: Long)
 
   private def readManifest(spark: SparkSession, root: String,
@@ -61,11 +61,24 @@ object Versioned {
       row.getAs[Long]("tombstone_epoch"))
   }
 
-  /** Atomic manifest publish: temp write + rename. */
-  private def writeManifest(spark: SparkSession, root: String,
+  /** Atomic manifest publish: temp write + rename. Single-writer per
+    * version is ENFORCED, not assumed: two appenders that both read the
+    * same latest version race to publish the same `v`, and on POSIX
+    * filesystems the second rename silently replaces the first — so a
+    * pre-existing commit file for `v` fails loudly here (the losing
+    * writer retries against the new latest). The residual window between
+    * the exists-check and the rename is the filesystem's rename
+    * atomicity, the same guarantee every manifest-based table format
+    * leans on.
+    */
+  private[graft] def writeManifest(spark: SparkSession, root: String,
       m: Manifest): Unit = {
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/_commits"))
+    if (f.exists(new Path(commitPath(root, m.version))))
+      throw new java.io.IOException(
+        s"concurrent writer detected: v${m.version} is already committed " +
+          s"at $root — re-read the latest version and retry")
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") +
       "\""
     val json = s"""{"version":${m.version},"files":[${
@@ -113,7 +126,7 @@ object Versioned {
           s"${latest.redactedBelow}): its segments were purged and time " +
           s"travel below the floor would resurrect an erased subject")
     val m = readManifest(spark, root, v)
-    m.files.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    spark.read.parquet(m.files: _*)
   }
 
   /** Right-to-be-forgotten erasure: rewrite only the segments holding the
@@ -121,6 +134,19 @@ object Versioned {
     * purge the replaced segments' bytes, and publish a new version whose
     * redaction floor makes every OLDER version unreadable — stated, not
     * silent. Returns the new version.
+    *
+    * The hit-segment set is found in ONE job: the latest version is read
+    * as a single union, semi-joined to the keys, and the distinct
+    * `input_file_name()` parent directories (≤ one per segment — segments
+    * are unpartitioned, so part files sit directly under the segment dir)
+    * are collected. At thousands of commits that is one scan instead of
+    * thousands of driver-sequenced per-segment probe jobs; driver state
+    * is bounded by the segment count.
+    *
+    * A GHOST erasure — no segment held the subject — publishes a version
+    * with the SAME files and leaves the previous redaction floor in
+    * place: nothing was purged, so time travel to the fully-intact older
+    * versions stays legal.
     */
   def erase(spark: SparkSession, root: String, keys: DataFrame,
       keyCol: String, tombstoneEpoch: Long): Int = {
@@ -132,12 +158,17 @@ object Versioned {
       .localCheckpoint()
     try {
       val f = fs(spark, root)
+      // one probe pass over the latest version: which segment dirs hold
+      // the subject? (dirname of every matched file, distinct)
+      import org.apache.spark.sql.functions.{input_file_name, regexp_replace}
+      val hitDirs = spark.read.parquet(latest.files: _*)
+        .join(broadcast(k), Seq(keyCol), "left_semi")
+        .select(regexp_replace(input_file_name(), "/[^/]*$", "").as("d"))
+        .distinct().collect()
+        .map(r => new Path(r.getString(0)).toUri.getPath).toSet
       var replaced = List.empty[String]
       val newFiles = latest.files.zipWithIndex.map { case (seg, i) =>
-        val hit = spark.read.parquet(seg)
-          .join(broadcast(k), Seq(keyCol), "left_semi")
-          .limit(1).count() > 0
-        if (!hit) seg
+        if (!hitDirs.contains(new Path(seg).toUri.getPath)) seg
         else {
           val out = s"$root/seg-$v-$i-${spark.sparkContext.applicationId}"
           spark.read.parquet(seg)
@@ -148,11 +179,16 @@ object Versioned {
           out
         }
       }
-      writeManifest(spark, root,
-        Manifest(v, newFiles, redactedBelow = v, tombstoneEpoch))
-      // the subject's bytes die AFTER the new manifest is durable: a
-      // crash in between leaves a readable latest either way
-      replaced.foreach(seg => f.delete(new Path(seg), true))
+      if (replaced.isEmpty)
+        writeManifest(spark, root, Manifest(v, newFiles,
+          latest.redactedBelow, latest.tombstoneEpoch))
+      else {
+        writeManifest(spark, root,
+          Manifest(v, newFiles, redactedBelow = v, tombstoneEpoch))
+        // the subject's bytes die AFTER the new manifest is durable: a
+        // crash in between leaves a readable latest either way
+        replaced.foreach(seg => f.delete(new Path(seg), true))
+      }
       v
     } finally org.apache.spark.sql.graftx.CheckpointUtils
       .unpersistLocalCheckpoint(k)

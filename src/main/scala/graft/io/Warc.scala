@@ -67,7 +67,10 @@ object Warc {
     records.foreach { r =>
       val gz = new GZIPOutputStream(os)
       gz.write(encodeRecord(r))
-      gz.finish()
+      // close(), not just finish(): each member otherwise leaks a native
+      // Deflater until GC finalization — this runs per-row on executors.
+      // Closing the wrapper is safe: the underlying stream is ours.
+      gz.close()
     }
     os.toByteArray
   }

@@ -466,9 +466,66 @@ class IoSpec extends AnyFunSuite {
     assert(Versioned.read(spark, root, v2).select($"id").as[Long]
       .collect().toSet == Set(2L, 3L, 4L))
     assert(Versioned.read(spark, root, v3).count() == 4)
-    // ghost erasure: commits a version, purges nothing, stays readable
+    // ghost erasure: commits a version, purges nothing — and the
+    // redaction floor must NOT move (nothing new was purged, so time
+    // travel to the intact post-v2 versions stays legal; the pre-v2
+    // floor from the real erasure still stands)
     val v4 = Versioned.erase(spark, root, Seq(99L).toDF("id"), "id", 43L)
     assert(Versioned.read(spark, root, v4).count() == 4)
+    assert(Versioned.read(spark, root, v3).count() == 4,
+      "ghost erasure blocked time travel to an intact older version")
+    assert(Versioned.read(spark, root, v2).count() == 3)
+    val e2 = intercept[IllegalStateException] {
+      Versioned.read(spark, root, 1) // the REAL erasure's floor stands
+    }
+    assert(e2.getMessage.contains("42"), e2.getMessage)
+  }
+
+  test("versioned table: erase probes the hit-segment set in one pass — " +
+    "job count does not grow with the segment count") {
+    import graft.io.Versioned
+    def eraseJobs(nSegs: Int): Int = {
+      val root =
+        Files.createTempDirectory(s"graft-versioned-1p$nSegs").toString + "/t"
+      for (i <- 0 until nSegs)
+        Versioned.append(spark, root,
+          Seq((i.toLong * 10, s"row$i")).toDF("id", "v").coalesce(1))
+      // the subject lives in exactly one segment either way
+      val group = s"versioned-erase-probe-$nSegs"
+      spark.sparkContext.setJobGroup(group, "erase")
+      try Versioned.erase(spark, root, Seq(30L).toDF("id"), "id", 7L)
+      finally spark.sparkContext.clearJobGroup()
+      assert(Versioned.read(spark, root).filter($"id" === 30L).count() == 0)
+      assert(Versioned.read(spark, root).count() == nSegs - 1)
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val small = eraseJobs(6)
+    val large = eraseJobs(18)
+    // the old shape ran a limit(1).count() probe job PER SEGMENT, so
+    // tripling the commits added ~12 jobs; the one-pass probe's job
+    // count is flat in the segment count (slack for AQE bookkeeping)
+    assert(large <= small + 2,
+      s"erase jobs grew with segments: $small @6 segs vs $large @18 segs")
+  }
+
+  test("versioned table: a second writer racing the same version fails " +
+    "loudly instead of silently replacing the first commit") {
+    import graft.io.Versioned
+    val root = Files.createTempDirectory("graft-versioned-cc").toString + "/t"
+    Versioned.append(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    val v1 = Versioned.append(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    assert(v1 == 1)
+    // the loser of the race: it read latest=v0 before the winner
+    // published v1, so it tries to publish v1 itself — the publish must
+    // throw instead of rename-replacing the winner's manifest
+    val e = intercept[java.io.IOException] {
+      Versioned.writeManifest(spark, root,
+        Versioned.Manifest(1, Seq("seg-bogus"), 0, 0L))
+    }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    // the winner's commit is intact: v1 still reads its real segment
+    assert(Versioned.read(spark, root, 1).select($"id").as[Long]
+      .collect().toSet == Set(1L, 2L))
   }
 
 }
