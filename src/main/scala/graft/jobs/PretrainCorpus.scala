@@ -31,12 +31,15 @@ import graft.orchestration.Pipeline
   * staged where a stage's output feeds two consumers (the near-dedup
   * anti-join reads its input twice), so no filter chain is recomputed.
   *
-  * Packing note: `Packing.packSequential` windows by source — one task per
-  * source at the window. At 100 TB with few giant sources that window is
-  * the skew point; the packing LAW is per-source sequential by doc_id, so
-  * the production layout shards each source by doc_id range first and
-  * offsets bin ids by per-shard token prefix sums (same answer, bounded
-  * tasks). The gate keeps the window form — it IS the law being proven.
+  * Packing note: the packing LAW is per-source sequential by doc_id — as
+  * a `partitionBy(source)` window that is one task per source, a skew
+  * point at 100 TB with few giant sources. The job therefore packs with
+  * [[Packing.packSharded]]: each source range-shards by doc_id, tokens
+  * cumulate per shard in parallel, and per-shard prefix-sum offsets
+  * restore the global bin ids — row-for-row equal to the window form
+  * (spec-proven, and `x_seq_packing_sharded` proves it against the
+  * window law's oracle). The `p_pretrain_e2e` oracle states the law in
+  * its window form; this job runs the sharded mechanism against it.
   */
 object PretrainCorpus {
 
@@ -127,7 +130,8 @@ object PretrainCorpus {
 
   /** Stage 8 — sequence packing + per-source shard manifest over the final
     * corpus: documents pack greedily into `packBudget`-token bins per
-    * source in doc_id order ([[Packing.packSequential]]); the manifest
+    * source in doc_id order ([[Packing.packSharded]] — the window law
+    * without its per-source single-task window); the manifest
     * reports per source the doc/token totals, the bin count, how many
     * documents span a bin boundary, and the order-independent content
     * checksum (sum of a 32-bit md5 slice of "id:text" — the writer-side
@@ -148,7 +152,7 @@ object PretrainCorpus {
       conv(substring(
         md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))),
         1, 8), 16, 10).cast("long").as("__h"))
-    Packing.packSequential(base, "source", "doc_id", "n_tok", cfg.packBudget)
+    Packing.packSharded(base, "source", "doc_id", "n_tok", cfg.packBudget)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast("long").as("n_tokens"),

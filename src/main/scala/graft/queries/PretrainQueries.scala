@@ -167,6 +167,27 @@ object PretrainQueries extends QueryPack {
   private val rawTokCountSql =
     "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
 
+  /** The concat-and-chunk packing law (per-source window form) — shared by
+    * the window and sharded gates: both mechanisms must land here.
+    */
+  private lazy val seqPackingSql =
+    s"""WITH t AS (SELECT doc_id, source, $rawTokCountSql AS n_tok
+       |  FROM documents),
+       |w AS (SELECT doc_id, source, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t),
+       |b AS (SELECT source, n_tok,
+       |    CAST((cum - n_tok) // $packBudget AS BIGINT) AS bin_first,
+       |    CAST(greatest((cum - 1) // $packBudget,
+       |      (cum - n_tok) // $packBudget) AS BIGINT) AS bin_last
+       |  FROM w)
+       |SELECT source, bin_first AS bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       |  CAST(SUM(CASE WHEN bin_last > bin_first THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_spanning
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** DuckDB mirror of the trained-and-scored NB frame — CTE chain ending
     * in `scored(doc_id, pos, n_toks, sum_ref_q, sum_other_q, margin_q)`;
     * shared by t_nb_classifier and the calibration oracles.
@@ -504,6 +525,24 @@ object PretrainQueries extends QueryPack {
       val base = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), rawTokCount.as("n_tok"))
       Packing.packSequential(base, "source", "doc_id", "n_tok", packBudget)
+        .groupBy(col("source"), col("bin_first").as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("bin_tokens"),
+          sum((col("bin_last") > col("bin_first")).cast("long")).as("n_spanning"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    // The SHARDED packing layout — packSequential without the per-source
+    // single-task window: each source range-splits on doc_id into 8
+    // contiguous sub-shards, tokens cumulate per sub-shard in parallel,
+    // and per-sub-shard prefix-sum offsets restore the global bin ids.
+    // The oracle is x_seq_packing's law VERBATIM: the sharded mechanism
+    // must land on the window form's answer bin-for-bin.
+    "x_seq_packing_sharded" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), rawTokCount.as("n_tok"))
+      Packing.packSharded(base, "source", "doc_id", "n_tok", packBudget,
+          numShards = 8)
         .groupBy(col("source"), col("bin_first").as("bin"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("bin_tokens"),
@@ -1476,23 +1515,10 @@ object PretrainQueries extends QueryPack {
          |  coalesce(kept_fp, md5('')) AS kept_fp
          |FROM l LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
 
-    "x_seq_packing" ->
-      s"""WITH t AS (SELECT doc_id, source, $rawTokCountSql AS n_tok
-         |  FROM documents),
-         |w AS (SELECT doc_id, source, n_tok,
-         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM t),
-         |b AS (SELECT source, n_tok,
-         |    CAST((cum - n_tok) // $packBudget AS BIGINT) AS bin_first,
-         |    CAST(greatest((cum - 1) // $packBudget,
-         |      (cum - n_tok) // $packBudget) AS BIGINT) AS bin_last
-         |  FROM w)
-         |SELECT source, bin_first AS bin, COUNT(*) AS n_docs,
-         |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
-         |  CAST(SUM(CASE WHEN bin_last > bin_first THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_spanning
-         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x_seq_packing" -> seqPackingSql,
+
+    // the sharded mechanism must reproduce the window form's law verbatim
+    "x_seq_packing_sharded" -> seqPackingSql,
 
     "x_mixture_sample" ->
       s"""SELECT source, COUNT(*) AS n_docs,

@@ -511,6 +511,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("sharded packing: the corpus-sized window partitions by (source, " +
+    "shard); the only per-source window runs over the sub-shard AGGREGATE") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val q = SparkEntry.queries("x_seq_packing_sharded")(spark, dir)
+    val windows = q.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(windows.nonEmpty)
+    // the document-stream window must be sharded (2 partition keys)…
+    assert(windows.exists(_.partitionSpec.length == 2),
+      q.queryExecution.optimizedPlan.toString)
+    // …and any single-key (per-source) window must sit on top of an
+    // aggregate (≤ numShards rows per source), never on the corpus
+    windows.filter(_.partitionSpec.length < 2).foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"per-source window runs over non-aggregated input:\n$w")
+    }
+    // both offset joins broadcast; no shuffle join of the corpus
+    val p = plan("x_seq_packing_sharded")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("pretrain e2e: the decontamination gram table broadcasts and the " +
     "dedup drops are anti equi-joins (the plan from the near-dedup " +
     "checkpoint onward — upstream screens are behind it)") {

@@ -114,6 +114,30 @@ class PretrainSpec extends AnyFunSuite {
     assert(packed(5) == (("s2", 6L, 1024L, 2L, 2L)))
   }
 
+  test("packing: sharded form ≡ window form row-for-row, at every shard " +
+    "count, skewed sources and sparse ids included") {
+    // one giant source + two small ones (the real crawl shape), sparse and
+    // non-zero-based ids, zero-token docs, a single-doc source
+    val rng = new scala.util.Random(7)
+    val rows =
+      (1 to 500).map(i => ("cc", 1000L + i * 7L, rng.nextInt(900))) ++
+      (1 to 20).map(i => ("wiki", 50L + i * 3L, rng.nextInt(900))) ++
+      Seq(("one", 42L, 5)) ++
+      Seq(("cc", 100L, 0), ("wiki", 51L, 0)) // zero-token docs
+    val docs = rows.toDF("source", "doc_id", "n_tok").repartition(7)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("source", "doc_id", "n_tok", "pack_start", "bin_first",
+        "bin_last")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val want = canon(
+      Packing.packSequential(docs, "source", "doc_id", "n_tok", 512))
+    for (ns <- Seq(1, 3, 8, 64)) {
+      val got = canon(
+        Packing.packSharded(docs, "source", "doc_id", "n_tok", 512, ns))
+      assert(got.toSeq == want.toSeq, s"numShards=$ns diverged")
+    }
+  }
+
   test("packing: a zero-token doc occupies no bin (bin_last clamped)") {
     val docs = Seq(("s", 1L, 512), ("s", 2L, 0), ("s", 3L, 1))
       .toDF("source", "doc_id", "n_tok")
