@@ -106,14 +106,23 @@ object Sinks {
     * derived-store erasure paths.
     */
   def stagedSwapParquet(spark: org.apache.spark.sql.SparkSession,
-      df: DataFrame, path: String): Unit = {
+      df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
     if (fs.exists(tmp)) fs.delete(tmp, true) // debris from a prior crash
-    df.write.mode(SaveMode.Overwrite)
+    val w = df.write.mode(SaveMode.Overwrite)
       .option("compression", "snappy")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
+    if (partitionCols.nonEmpty)
+      // flat zero-row SCHEMA ANCHOR at the staging root: a partitioned
+      // write of an empty frame produces no files at all, which would
+      // swap in an unreadable (schema-less) store — the anchor keeps the
+      // store readable and coexists with the partition dirs
+      df.drop(partitionCols: _*).limit(0).write.mode(SaveMode.Append)
+        .option("compression", "snappy").parquet(tmp.toString)
     if (fs.exists(p)) fs.delete(p, true)
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(

@@ -217,15 +217,32 @@ object PretrainCorpus {
     * post-exact-dedup set — including docs near-dedup then drops from the
     * corpus — exactly the population batch pairs are computed over).
     * Append-only ingest with monotone id ranges is the normal crawl-dump
-    * shape; for out-of-order ids the batch law itself is order-dependent
-    * and a re-run of the fused [[corpus]] is the arbiter.
+    * shape — and the precondition is ENFORCED, not assumed: a wave whose
+    * min screened id is not above every already-ingested id fails loudly
+    * (one max aggregate over the narrow fingerprint store — the store
+    * holds exactly the accumulated s4 population the near-dedup law
+    * quantifies over, and the exact-dedup canonical of any group is
+    * always stored, so the stored max bounds every id the law can
+    * consult). For out-of-order ids the batch law itself is
+    * order-dependent and a re-run of the fused [[corpus]] is the
+    * arbiter, as the error says.
+    *
+    * CRASH-REPLAY SAFE: every store write of a wave — fingerprints,
+    * admissions, corpus rows, and the dedup store via its `epoch` mode —
+    * lands under a `__wv=<waveId>` partition by dynamic overwrite, and
+    * every read of prior state excludes the wave's own partition. A
+    * replayed wave therefore recomputes against exactly the state its
+    * first attempt saw and overwrites any partial output: at-least-once
+    * redelivery, exactly-once effect (spec-proven). `waveId` defaults to
+    * the wave's min screened doc_id — deterministic across replays, and
+    * unique across waves by the ordering guard.
     *
     * `raw` is the full reference corpus the eval slice is drawn from
     * (fixed upfront, the realistic decontamination setup).
     */
   def ingestWave(spark: SparkSession, wave: DataFrame, raw: DataFrame,
-      workDir: String, cfg: Config = Config()): Unit = {
-    import org.apache.spark.sql.functions.broadcast
+      workDir: String, cfg: Config = Config(),
+      waveId: Option[Long] = None): Unit = {
     def exists(p: String): Boolean = {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
@@ -233,24 +250,49 @@ object PretrainCorpus {
     val fpPath = s"$workDir/fingerprints"
     val screened = langFilter(qualityFilter(clean(wave)), cfg.lang)
       .localCheckpoint() // feeds fp compute, store ingest, and the output
+    val minScreened = Option(
+      screened.agg(min(col("doc_id"))).head().get(0))
+      .map(_.asInstanceOf[Number].longValue())
+    if (minScreened.isEmpty) return // nothing survived the screens: no-op
+    val wid = waveId.getOrElse(minScreened.get)
+    // prior fingerprint state: the store minus this wave's own partition
+    // (so a crash replay sees what the first attempt saw)
+    val fpPrior =
+      if (!exists(fpPath)) None
+      else Some(spark.read.parquet(fpPath).filter(col("__wv") =!= wid))
+    // ORDERING GUARD — the batch-law equivalence precondition, enforced
+    fpPrior.foreach { prev =>
+      Option(prev.agg(max(col("doc_id"))).head().get(0)).foreach { m =>
+        val prevMax = m.asInstanceOf[Number].longValue()
+        if (minScreened.get <= prevMax) throw new IllegalStateException(
+          s"out-of-order wave: min screened doc_id ${minScreened.get} is " +
+            s"not above the max already-ingested doc_id $prevMax — " +
+            "incremental ingest equals the batch law only for " +
+            "id-ordered waves; re-run the fused batch composition " +
+            "(PretrainCorpus.corpus / manifest) as the arbiter for " +
+            "this corpus instead")
+      }
+    }
     // exact dedup: first copy in the WAVE wins (min id per fp), and any
     // fp already in the store blocks the whole wave group
     val waveFp = screened
       .select(col("doc_id"), md5(col("text")).as("fp"))
     val firstInWave = waveFp.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
-    val newFp =
-      if (!exists(fpPath)) firstInWave
-      else firstInWave.join(spark.read.parquet(fpPath).select(col("fp")),
-        Seq("fp"), "left_anti")
+    val newFp = fpPrior match {
+      case None => firstInWave
+      case Some(prev) =>
+        firstInWave.join(prev.select(col("fp")), Seq("fp"), "left_anti")
+    }
     val s4wave = screened.join(newFp.select(col("doc_id")),
       Seq("doc_id"), "left_semi").localCheckpoint()
     // near dedup against the accumulated store: ingest the wave's s4 set
     // (the population batch pairs are computed over), then drop the
-    // wave docs that arrived as the LATER member of a new pair
+    // wave docs that arrived as the LATER member of a new pair; the
+    // store shares the wave's epoch, so its appends replay-overwrite too
     val storeDir = s"$workDir/dedup_store"
     graft.streaming.IncrementalDedupStream.ingestBatch(s4wave, "doc_id",
-      "text", storeDir, cfg.minJaccard)
+      "text", storeDir, cfg.minJaccard, epoch = Some(wid))
     val laters = graft.streaming.IncrementalDedupStream
       .pairs(spark, storeDir)
       .select(col("id_b").as("doc_id")).distinct()
@@ -275,15 +317,17 @@ object PretrainCorpus {
     val s7wave = s4wave.join(laters, Seq("doc_id"), "left_anti")
       .join(admissions.filter(!col("in_eval") && !col("contaminated") &&
         col("mix_keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
-    // appends last: a crash before these re-runs the wave idempotently
-    // only if the caller replays it against a restored store — the
-    // at-least-once note on IncrementalDedupStream applies here too
-    newFp.write.mode("append").option("compression", "snappy")
-      .parquet(fpPath)
-    admissions.write.mode("append").option("compression", "snappy")
-      .parquet(s"$workDir/admissions")
-    s7wave.write.mode("append").option("compression", "snappy")
-      .parquet(s"$workDir/corpus")
+    // epoch-tagged commits into explicit `__wv=<waveId>` subdirectories:
+    // order no longer matters for crash safety — a replay overwrites
+    // whichever subset the crashed attempt left — and an EMPTY commit
+    // still writes a schema-bearing flat part file, so the store stays
+    // readable whatever a wave contributes
+    def commit(df: DataFrame, path: String): Unit =
+      df.write.mode("overwrite").option("compression", "snappy")
+        .parquet(s"$path/__wv=$wid")
+    commit(newFp, fpPath)
+    commit(admissions, s"$workDir/admissions")
+    commit(s7wave, s"$workDir/corpus")
   }
 
   /** Right-to-be-forgotten erasure of the incremental corpus state — and
@@ -319,26 +363,45 @@ object PretrainCorpus {
       // the subject's fingerprints, vectors, and pairs die first
       graft.streaming.IncrementalDedupStream.erase(spark,
         s"$workDir/dedup_store", keys, "doc_id")
+      // wave-partitioned stores keep their __wv layout through the
+      // rewrite, so post-erasure waves replay-overwrite correctly
       for (sub <- Seq("fingerprints", "admissions")) {
         val p = s"$workDir/$sub"
-        if (exists(p)) graft.io.Sinks.stagedSwapParquet(spark,
-          spark.read.parquet(p)
-            .join(broadcast(keys), Seq("doc_id"), "left_anti"), p)
+        if (exists(p)) {
+          val full = spark.read.parquet(p)
+          graft.io.Sinks.stagedSwapParquet(spark,
+            full.join(broadcast(keys), Seq("doc_id"), "left_anti"), p,
+            partitionCols =
+              if (full.columns.contains("__wv")) Seq("__wv") else Nil)
+        }
       }
       // corpus rebuild from retained stored state: s4 population minus
-      // later-members of RETAINED pairs, gated by the replayed flags
-      val s4 = spark.read.parquet(s"$workDir/dedup_store/corpus")
-        .drop("__bk")
+      // later-members of RETAINED pairs, gated by the replayed flags;
+      // each doc keeps the dedup store's wave tag (the wave it arrived
+      // in). An erasure that swallowed the ENTIRE corpus leaves the
+      // dedup store file-less (schema-less on read): the corpus is then
+      // empty by definition — drop it and stop
+      val dedupCorpus =
+        try spark.read.parquet(s"$workDir/dedup_store/corpus")
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            val c = new org.apache.hadoop.fs.Path(s"$workDir/corpus")
+            c.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(c, true)
+            return
+        }
+      val s4 = dedupCorpus.drop("__bk")
       val laters = graft.streaming.IncrementalDedupStream
         .pairs(spark, s"$workDir/dedup_store")
         .select(col("id_b").as("doc_id")).distinct()
       val admitted = spark.read.parquet(s"$workDir/admissions")
         .filter(!col("in_eval") && !col("contaminated") && col("mix_keep"))
         .select(col("doc_id"))
-      graft.io.Sinks.stagedSwapParquet(spark,
-        s4.join(laters, Seq("doc_id"), "left_anti")
-          .join(admitted, Seq("doc_id"), "left_semi"),
-        s"$workDir/corpus")
+      val rebuilt = s4.join(laters, Seq("doc_id"), "left_anti")
+        .join(admitted, Seq("doc_id"), "left_semi")
+      graft.io.Sinks.stagedSwapParquet(spark, rebuilt, s"$workDir/corpus",
+        partitionCols =
+          if (rebuilt.columns.contains("__wv")) Seq("__wv") else Nil)
     } finally org.apache.spark.sql.graftx.CheckpointUtils
       .unpersistLocalCheckpoint(keys)
   }

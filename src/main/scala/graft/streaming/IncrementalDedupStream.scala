@@ -11,8 +11,8 @@ import graft.operators.IncrementalDedup
   * `foreachBatch` sink that maintains the three stores of a continuously
   * deduped corpus —
   *
-  *   - `<storeDir>/corpus`: every ingested document (append),
-  *   - `<storeDir>/index`:  the (id, band, bucket) LSH rows (append),
+  *   - `<storeDir>/corpus`: every ingested document,
+  *   - `<storeDir>/index`:  the (id, band, bucket) LSH rows,
   *   - `<storeDir>/pairs`:  near-dup pairs, each emitted EXACTLY ONCE, in
   *     the micro-batch where the pair's later member arrived.
   *
@@ -28,10 +28,17 @@ import graft.operators.IncrementalDedup
   * `nBuckets` so one bucket is a tractable rewrite (at 100 TB and 1024
   * buckets, ~100 GB per bucket).
   *
-  * Delivery note: `foreachBatch` is at-least-once across crash recovery —
-  * a production deployment writes each store under an epoch-tagged path (or
-  * a transactional table format) so replayed batches overwrite instead of
-  * double-append. The semantics of the dedup math are unaffected either way.
+  * Delivery: with an `epoch` (the streaming path always passes the
+  * foreachBatch batch id), every store write lands under a `__wv=<epoch>`
+  * partition via DYNAMIC OVERWRITE, and every read of prior state
+  * excludes the current epoch's own rows — so a crash-replayed batch
+  * overwrites its own partial output and recomputes against exactly the
+  * state the first attempt saw. foreachBatch's at-least-once redelivery
+  * becomes exactly-once EFFECT on the stores (spec-proven). Epochs must
+  * be unique per batch (batch ids are); a store is epoch-managed from
+  * birth — don't mix with `epoch = None` appends, whose layout has no
+  * `__wv` directories (that legacy mode remains for one-shot backfills
+  * that manage their own replay).
   */
 object IncrementalDedupStream {
 
@@ -44,9 +51,9 @@ object IncrementalDedupStream {
       maxBucketSize: Int = 10000, nBuckets: Int = 16): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, id, text, storeDir, minJaccard, n, numHashes,
-          bands, maxBucketSize, nBuckets)
+          bands, maxBucketSize, nBuckets, epoch = Some(batchId))
       }
       .start()
 
@@ -58,12 +65,14 @@ object IncrementalDedupStream {
 
   /** One ingest step: dedup `batch` against the store, then fold the batch
     * into it. Also usable directly for a batch (backfill) ingest loop —
-    * stream and backfill share this exact code path.
+    * stream and backfill share this exact code path. Pass a unique
+    * `epoch` per batch to make a crash-replayed batch overwrite its own
+    * output instead of double-appending (see the delivery note above).
     */
   def ingestBatch(batch: DataFrame, id: String, text: String,
       storeDir: String, minJaccard: Double, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16, maxBucketSize: Int = 10000,
-      nBuckets: Int = 16): Unit = {
+      nBuckets: Int = 16, epoch: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val corpusPath = s"$storeDir/corpus"
     val indexPath = s"$storeDir/index"
@@ -71,24 +80,49 @@ object IncrementalDedupStream {
     // the batch feeds three consumers (pairs, index rows, corpus append) —
     // pin it so the source isn't re-read per consumer
     val stable = batch.localCheckpoint()
+    // prior state = the store MINUS this epoch's own rows, so a replayed
+    // batch sees exactly what its first attempt saw; a store whose every
+    // commit so far was EMPTY has partition dirs but no data files and
+    // reads as schema-less — that is bootstrap state, not an error
+    def prior(p: String): Option[DataFrame] =
+      if (!exists(batch, p)) None
+      else try {
+        val df = spark.read.parquet(p)
+        Some(epoch.fold(df)(e => df.filter(col("__wv") =!= e)))
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
     // bootstrap: an absent store behaves as an empty corpus with an empty
     // index of the matching schema (limit(0) keeps column names/types)
-    val oldDocs =
-      if (exists(batch, corpusPath)) spark.read.parquet(corpusPath)
-      else stable.limit(0)
-    val oldIndex =
-      if (exists(batch, indexPath)) spark.read.parquet(indexPath)
-      else IncrementalDedup.bandIndex(stable.limit(0), id, text, n, numHashes, bands)
-    IncrementalDedup
+    val oldDocs = prior(corpusPath).getOrElse(stable.limit(0))
+    val oldIndex = prior(indexPath).getOrElse(
+      IncrementalDedup.bandIndex(stable.limit(0), id, text, n, numHashes,
+        bands))
+    val newPairs = IncrementalDedup
       .incrementalPairs(stable, id, text, oldIndex, oldDocs, minJaccard,
         n, numHashes, bands, maxBucketSize)
-      .write.mode("append").parquet(pairsPath)
+    def write(df: DataFrame, path: String, parts: Seq[String]): Unit =
+      epoch match {
+        case None =>
+          val w = df.write.mode("append")
+          (if (parts.isEmpty) w else w.partitionBy(parts: _*)).parquet(path)
+        case Some(e) if parts.isEmpty =>
+          // explicit epoch subdir: a replay overwrites it wholesale, and
+          // an EMPTY commit still writes a schema-bearing flat part file,
+          // so the store stays readable from the first batch on
+          df.write.mode("overwrite").parquet(s"$path/__wv=$e")
+        case Some(e) =>
+          val w = df.withColumn("__wv", lit(e)).write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+          w.partitionBy(parts :+ "__wv": _*).parquet(path)
+      }
+    write(newPairs, pairsPath, Nil)
     def bucketed(df: DataFrame) =
       df.withColumn("__bk", pmod(xxhash64(col(id)), lit(nBuckets.toLong)))
-    bucketed(IncrementalDedup.bandIndex(stable, id, text, n, numHashes, bands))
-      .write.mode("append").partitionBy("__bk").parquet(indexPath)
-    bucketed(stable).write.mode("append").partitionBy("__bk")
-      .parquet(corpusPath)
+    write(bucketed(
+        IncrementalDedup.bandIndex(stable, id, text, n, numHashes, bands)),
+      indexPath, Seq("__bk"))
+    write(bucketed(stable), corpusPath, Seq("__bk"))
   }
 
   /** Right-to-be-forgotten erasure of the dedup stores: remove the `ids`
@@ -99,6 +133,9 @@ object IncrementalDedupStream {
     * is collisions-only, orders of magnitude smaller than the corpus).
     * End state is spec-proven to hash-match stores rebuilt from scratch on
     * the retained corpus, and the store stays ingestable afterwards.
+    * Epoch-managed stores keep their `__wv` layout (rewrites happen at
+    * (bucket, epoch) granularity), so replay exclusion and future
+    * epoch-tagged ingest keep working after an erasure.
     *
     * `ids`' first column must have the same type the store was ingested
     * with (the bucket hash is type-sensitive).
@@ -115,21 +152,32 @@ object IncrementalDedupStream {
       for (store <- Seq("corpus", "index")) {
         val path = s"$storeDir/$store"
         if (buckets.nonEmpty && exists(keys, path)) {
+          val full = spark.read.parquet(path)
+          // dir nesting order is __bk outer, __wv inner (ingest's
+          // partitionBy order) — parts must match for the rewrite
+          val parts =
+            if (full.columns.contains("__wv")) Seq("__bk", "__wv")
+            else Seq("__bk")
+          def dirs(df: DataFrame): Set[String] = df
+            .select(parts.map(col): _*).distinct().collect()
+            .map(r => parts.indices.map(i => s"${parts(i)}=${r.get(i)}")
+              .mkString("/")).toSet
+          val inBuckets = full.filter(col("__bk").isin(buckets: _*))
           // statically pruned to the subject's buckets; staged before the
           // dynamic partition overwrite (it reads the path it replaces)
-          val retained = spark.read.parquet(path)
-            .filter(col("__bk").isin(buckets: _*))
+          val touched = dirs(inBuckets)
+          val retained = inBuckets
             .join(broadcast(keys), Seq(id), "left_anti")
             .localCheckpoint()
           try {
             retained.write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("__bk").parquet(path)
-            // partition columns read back type-inferred (int): cast
-            val still = retained.select(col("__bk").cast("long")).distinct()
-              .collect().map(_.getLong(0)).toSet
+              .partitionBy(parts: _*).parquet(path)
+            // partitions holding ONLY the subject: dynamic overwrite wrote
+            // nothing there, so the old files must be dropped explicitly
+            val still = dirs(retained)
             graft.io.Sinks.deletePartitionDirs(spark, path,
-              buckets.filterNot(still).map(b => s"__bk=$b"))
+              (touched -- still).toSeq)
           } finally org.apache.spark.sql.graftx.CheckpointUtils
             .unpersistLocalCheckpoint(retained)
         }
@@ -138,11 +186,13 @@ object IncrementalDedupStream {
       if (exists(keys, pairsPath)) {
         val ka = keys.select(col(id).as("id_a"))
         val kb = keys.select(col(id).as("id_b"))
+        val full = spark.read.parquet(pairsPath)
         graft.io.Sinks.stagedSwapParquet(spark,
-          spark.read.parquet(pairsPath)
-            .join(broadcast(ka), Seq("id_a"), "left_anti")
+          full.join(broadcast(ka), Seq("id_a"), "left_anti")
             .join(broadcast(kb), Seq("id_b"), "left_anti"),
-          pairsPath)
+          pairsPath,
+          partitionCols =
+            if (full.columns.contains("__wv")) Seq("__wv") else Nil)
       }
     } finally org.apache.spark.sql.graftx.CheckpointUtils
       .unpersistLocalCheckpoint(keys)

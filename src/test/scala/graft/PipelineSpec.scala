@@ -488,6 +488,78 @@ class PipelineSpec extends AnyFunSuite {
         .filter($"id_b" === 50L).count() > 0)
   }
 
+  test("incremental ingest enforces the id-ordering precondition: an " +
+    "out-of-order wave fails loudly and names the batch arbiter") {
+    val raw = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .localCheckpoint()
+    val mid = raw.agg(max($"doc_id")).head().getLong(0) / 2
+    val root = tmp()
+    // the UPPER id range lands first…
+    PretrainCorpus.ingestWave(spark, raw.filter($"doc_id" > mid), raw, root)
+    // …so the lower range violates the precondition the batch-equivalence
+    // proof depends on, and must not silently produce a diverging corpus
+    val e = intercept[IllegalStateException] {
+      PretrainCorpus.ingestWave(spark, raw.filter($"doc_id" <= mid), raw,
+        root)
+    }
+    assert(e.getMessage.contains("out-of-order") &&
+      e.getMessage.contains("batch"), e.getMessage)
+    // the guard fired before any store mutation: the store still holds
+    // exactly the first wave and stays ingestable for an in-order wave
+    val n = spark.read.parquet(s"$root/fingerprints").count()
+    assert(n == spark.read.parquet(s"$root/dedup_store/corpus").count())
+    PretrainCorpus.ingestWave(spark,
+      raw.withColumn("doc_id", $"doc_id" + 1000000L), raw, root)
+    assert(spark.read.parquet(s"$root/fingerprints").count() > n)
+  }
+
+  test("wave commit is idempotent: a crash-replayed wave — partial or " +
+    "complete — overwrites its own output instead of double-appending") {
+    val raw = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .localCheckpoint()
+    val mid = raw.agg(max($"doc_id")).head().getLong(0) / 2
+    val w0 = raw.filter($"doc_id" <= mid)
+    val w1 = raw.filter($"doc_id" > mid)
+    def snapshot(root: String): Seq[(String, Set[Long], Long)] =
+      Seq("corpus", "fingerprints", "admissions", "dedup_store/corpus",
+        "dedup_store/index").map { sub =>
+        val df = spark.read.parquet(s"$root/$sub")
+        (sub, df.select($"doc_id").distinct().as[Long].collect().toSet,
+          df.count())
+      } :+ {
+        val p = spark.read.parquet(s"$root/dedup_store/pairs")
+        ("pairs", p.select($"id_a").as[Long].collect().toSet ++
+          p.select($"id_b").as[Long].collect().toSet, p.count())
+      }
+    // reference: each wave ingested exactly once
+    val ref = tmp()
+    PretrainCorpus.ingestWave(spark, w0, raw, ref)
+    PretrainCorpus.ingestWave(spark, w1, raw, ref)
+    val want = snapshot(ref)
+    // replayed: wave 1 crashes twice — once right after the dedup-store
+    // ingest but before any corpus/fp/admission commit landed (simulated
+    // by deleting those wave partitions), once after a COMPLETE commit
+    // (full redelivery) — then runs once more to completion
+    val rep = tmp()
+    PretrainCorpus.ingestWave(spark, w0, raw, rep)
+    PretrainCorpus.ingestWave(spark, w1, raw, rep)
+    val wid1 = new java.io.File(s"$rep/corpus").listFiles()
+      .map(_.getName).filter(_.startsWith("__wv="))
+      .map(_.stripPrefix("__wv=").toLong).max
+    // partial-crash simulation: the fp store kept the wave but the corpus
+    // and admissions never landed (the exact ordering hazard ADVICE named)
+    for (sub <- Seq("corpus", "admissions"))
+      assert(new java.io.File(s"$rep/$sub/__wv=$wid1").exists())
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$rep/corpus/__wv=$wid1"))
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$rep/admissions/__wv=$wid1"))
+    PretrainCorpus.ingestWave(spark, w1, raw, rep) // replay after partial
+    PretrainCorpus.ingestWave(spark, w1, raw, rep) // full redelivery
+    assert(snapshot(rep) == want,
+      s"replayed stores diverged:\n got=${snapshot(rep)}\nwant=$want")
+  }
+
   test("incremental pretrain ingest: 2-wave and 5-wave id-range splits " +
     "both land on the batch composition's corpus exactly") {
     val raw = Tables.load(spark, "/root/testdata/sf0.001", "documents")
