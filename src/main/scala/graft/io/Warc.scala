@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions.col
   * returning the records parsed so far, never an exception out of a task.
   *
   * Scale shape: archives are opaque byte blobs until the per-record
-  * flatMap in [[warcDocs]]; record bytes never shuffle — only the parsed
-  * (id, uri, length, text) rows do. A 100 TB crawl ingests as one
+  * flatMap in [[docsFromArchives]]; record bytes never shuffle — only the
+  * parsed (id, uri, length, text) rows do. A 100 TB crawl ingests as one
   * binaryFile scan + one narrow projection. (Per-FILE parallelism is the
   * WET granularity — crawls ship ~1 GB archives by convention, and the
-  * gzip stream is inherently sequential within one file.)
+  * gzip stream is inherently sequential within one file.) Parsing
+  * STREAMS the inflation ([[RecordIterator]]): the per-task working set
+  * is the compressed blob plus ONE record — never the whole inflated
+  * archive, so a fat or adversarial (gzip-bomb) member costs one record
+  * of memory, not multi-GB.
   */
 object Warc {
 
@@ -75,91 +79,175 @@ object Warc {
     os.toByteArray
   }
 
-  /** Inflate a (possibly multi-member) gzip stream; a truncated or corrupt
-    * member yields the bytes inflated so far. Non-gzip input (no 1F 8B
-    * magic) passes through unchanged — uncompressed WARC is legal.
+  /** Incremental WARC parser over an inflating stream with a ROLLING
+    * buffer: the buffer is compacted at every record boundary (and while
+    * scanning junk), so the working set is one record plus refill slack —
+    * never the inflated archive. A whole-archive inflate costs multi-GB
+    * per task on a fat (or gzip-bomb) archive; this caps task memory at
+    * max-record-size regardless of archive size (`highWater` records the
+    * bound, spec-asserted).
+    *
+    * Framing is the spec's: a `WARC/x.y` version line, `Name: value`
+    * headers to a blank line, exactly `Content-Length` body octets, then
+    * the two-CRLF record separator. Junk between records is scanned past
+    * (to the next `WARC/` magic); a record whose declared body runs past
+    * the data (truncation — including truncation at a gzip member
+    * boundary) is dropped and parsing stops; records parsed before the
+    * damage always survive. A corrupt or truncated gzip member ends the
+    * stream at the bytes inflated so far, same rules.
     */
-  private[io] def inflate(bytes: Array[Byte]): Array[Byte] = {
-    if (bytes.length < 2 || (bytes(0) & 0xFF) != 0x1F ||
-      (bytes(1) & 0xFF) != 0x8B) return bytes
-    val out = new ByteArrayOutputStream()
-    try {
-      val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n >= 0) {
-        if (n > 0) out.write(buf, 0, n)
-        n = in.read(buf)
+  private[graft] final class RecordIterator(in: java.io.InputStream)
+      extends Iterator[WarcParsed] {
+    private var buf = new Array[Byte](64 * 1024)
+    private var start = 0 // consumed prefix (compactable)
+    private var end = 0 // valid bytes
+    private var eof = false
+    private var stopped = false // truncated body: no further scanning
+    private[graft] var highWater = 0L // max unconsumed bytes ever buffered
+    private var nextRec: WarcParsed = _
+
+    /** Pull more inflated bytes; compacts the consumed prefix first and
+      * grows the buffer only when a single in-flight record outsizes it.
+      * Inflation errors (truncated/corrupt member) read as end-of-data.
+      */
+    private def refill(): Boolean = {
+      if (eof) return false
+      if (start > 0) {
+        System.arraycopy(buf, start, buf, 0, end - start)
+        end -= start
+        start = 0
       }
-    } catch {
-      case _: EOFException => () // truncated member: keep what inflated
-      case _: java.util.zip.ZipException => () // corrupt member: same
-      case _: java.io.IOException => ()
+      if (end == buf.length)
+        buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      val n =
+        try in.read(buf, end, buf.length - end)
+        catch {
+          case _: EOFException => -1 // truncated member: keep what inflated
+          case _: java.util.zip.ZipException => -1 // corrupt member: same
+          case _: java.io.IOException => -1
+        }
+      if (n <= 0) { eof = true; false }
+      else {
+        end += n
+        highWater = math.max(highWater, (end - start).toLong)
+        true
+      }
     }
-    out.toByteArray
+
+    // ALL parse positions are offsets RELATIVE TO `start`: refill()'s
+    // compaction moves the unconsumed window to offset 0 and resets
+    // `start`, so relative offsets stay valid across refills while the
+    // in-flight record's first byte stays pinned (the buffer grows only
+    // when one record outsizes it — the documented working-set bound)
+
+    /** Relative offset just past the next \n at or after `from`,
+      * refilling as needed; -1 when the data ends first.
+      */
+    private def lineEndRel(from: Int): Int = {
+      var j = from
+      while (true) {
+        while (start + j < end && buf(start + j) != '\n') j += 1
+        if (start + j < end) return j + 1
+        if (!refill()) return -1
+      }
+      -1 // unreachable
+    }
+
+    private def lineAtRel(from: Int, to: Int): String =
+      new String(buf, start + from, to - from, "UTF-8").stripSuffix("\n")
+        .stripSuffix("\r")
+
+    /** Parse the next complete record, or null when the data ends. */
+    private def fetch(): WarcParsed = {
+      if (stopped) return null
+      while (true) {
+        // scan to the next "WARC/" magic, consuming junk byte by byte so
+        // the buffer never accumulates it
+        while (end - start < 5 && refill()) {}
+        if (end - start < 5) return null
+        if (!(buf(start) == 'W' && buf(start + 1) == 'A' &&
+            buf(start + 2) == 'R' && buf(start + 3) == 'C' &&
+            buf(start + 4) == '/')) {
+          start += 1
+        } else {
+          val ve = lineEndRel(0)
+          if (ve < 0) return null
+          val version = lineAtRel(0, ve)
+          // headers to the blank line
+          var j = ve
+          var headers = Map.empty[String, String]
+          var malformed = false
+          var blank = false
+          while (!blank && !malformed) {
+            val he = lineEndRel(j)
+            if (he < 0) malformed = true
+            else {
+              val line = lineAtRel(j, he)
+              j = he
+              if (line.isEmpty) blank = true
+              else line.indexOf(':') match {
+                case -1 => malformed = true
+                case c => headers += (line.take(c).trim.toLowerCase ->
+                  line.drop(c + 1).trim)
+              }
+            }
+          }
+          val len = headers.get("content-length")
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+          if (malformed || len.isEmpty || len.get < 0) {
+            start += 5 // not a well-formed record: resume past "WARC/"
+          } else {
+            while (end - start - j < len.get && refill()) {}
+            if (end - start - j < len.get) {
+              stopped = true // truncated body: keep completed records
+              return null
+            }
+            val body = java.util.Arrays
+              .copyOfRange(buf, start + j, start + j + len.get.toInt)
+            start += j + len.get.toInt // record consumed: compactable
+            return WarcParsed(version, headers, body)
+          }
+        }
+      }
+      null // unreachable
+    }
+
+    override def hasNext: Boolean = {
+      if (nextRec == null) nextRec = fetch()
+      nextRec != null
+    }
+
+    override def next(): WarcParsed = {
+      if (!hasNext) throw new NoSuchElementException("end of archive")
+      val r = nextRec
+      nextRec = null
+      r
+    }
+  }
+
+  /** The archive's record iterator: lazy, one-record working set. Non-gzip
+    * input (no 1F 8B magic) parses as-is — uncompressed WARC is legal.
+    */
+  private[graft] def parseArchiveIterator(bytes: Array[Byte]): RecordIterator = {
+    val raw = new ByteArrayInputStream(bytes)
+    val in =
+      if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F &&
+        (bytes(1) & 0xFF) == 0x8B)
+        try new GZIPInputStream(raw)
+        catch { // header truncated mid-member-0: nothing inflatable
+          case _: java.io.IOException =>
+            new ByteArrayInputStream(Array.empty[Byte])
+        }
+      else raw
+    new RecordIterator(in)
   }
 
   /** Parse every complete WARC record out of (possibly gzipped) archive
-    * bytes. Framing is the spec's: a `WARC/x.y` version line, `Name: value`
-    * headers to a blank line, exactly `Content-Length` body octets, then
-    * the two-CRLF record separator. Junk between records is scanned past
-    * (to the next `WARC/` line); a record whose declared body runs past
-    * the buffer (truncation) is dropped and parsing stops — records parsed
-    * before the damage always survive.
+    * bytes — [[parseArchiveIterator]] materialized (tests and small
+    * archives; the Spark path stays lazy).
     */
-  def parseArchive(bytes: Array[Byte]): Seq[WarcParsed] = {
-    val b = inflate(bytes)
-    val out = scala.collection.mutable.ArrayBuffer[WarcParsed]()
-    var i = 0
-    def lineEnd(from: Int): Int = { // index just past the next \n
-      var j = from
-      while (j < b.length && b(j) != '\n') j += 1
-      if (j < b.length) j + 1 else -1
-    }
-    def lineAt(from: Int, to: Int): String =
-      new String(b, from, to - from, "UTF-8").stripSuffix("\n")
-        .stripSuffix("\r")
-    while (i < b.length) {
-      // scan to the next version line
-      if (i + 5 <= b.length && b(i) == 'W' && b(i + 1) == 'A' &&
-        b(i + 2) == 'R' && b(i + 3) == 'C' && b(i + 4) == '/') {
-        val ve = lineEnd(i)
-        if (ve < 0) return out.toSeq
-        val version = lineAt(i, ve)
-        // headers to the blank line
-        var j = ve
-        var headers = Map.empty[String, String]
-        var malformed = false
-        var blank = false
-        while (!blank && !malformed) {
-          val he = lineEnd(j)
-          if (he < 0) malformed = true
-          else {
-            val line = lineAt(j, he)
-            j = he
-            if (line.isEmpty) blank = true
-            else line.indexOf(':') match {
-              case -1 => malformed = true
-              case c => headers += (line.take(c).trim.toLowerCase ->
-                line.drop(c + 1).trim)
-            }
-          }
-        }
-        val len = headers.get("content-length")
-          .flatMap(s => scala.util.Try(s.toLong).toOption)
-        if (malformed || len.isEmpty || len.get < 0) {
-          i += 5 // not a well-formed record: resume scanning past "WARC/"
-        } else if (j + len.get > b.length) {
-          return out.toSeq // truncated body: stop, keep completed records
-        } else {
-          val body = java.util.Arrays.copyOfRange(b, j, j + len.get.toInt)
-          out += WarcParsed(version, headers, body)
-          i = j + len.get.toInt // the inter-record CRLFs scan past naturally
-        }
-      } else i += 1
-    }
-    out.toSeq
-  }
+  def parseArchive(bytes: Array[Byte]): Seq[WarcParsed] =
+    parseArchiveIterator(bytes).toSeq
 
   /** Parsed-document row: the pipeline-facing projection of one record. */
   final case class WarcDoc(
@@ -178,7 +266,7 @@ object Warc {
     val spark = archives.sparkSession
     import spark.implicits._
     archives.flatMap { case (name, bytes) =>
-      parseArchive(bytes).map { p =>
+      parseArchiveIterator(bytes).map { p =>
         WarcDoc(name,
           p.headers.getOrElse("warc-type", ""),
           p.headers.getOrElse("warc-record-id", ""),

@@ -394,6 +394,45 @@ class IoSpec extends AnyFunSuite {
     assert(Warc.parseArchive(Array.fill(64)(0x41.toByte)).isEmpty)
   }
 
+  test("warc: parsing streams the inflation — the working set is one " +
+    "record plus slack, never the inflated archive") {
+    import graft.io.Warc
+    // 400 × ~20 KB records ≈ 8 MB inflated; highly compressible bodies so
+    // compressed size stays small while the inflated size is large
+    val body = ("lorem ipsum " * 1700).getBytes("UTF-8")
+    val recs = (1 to 400).map(i =>
+      Warc.WarcRecord("conversion", s"urn:graft:$i", s"http://x.example/$i",
+        body))
+    val bytes = Warc.encodeArchive(recs)
+    val it = Warc.parseArchiveIterator(bytes)
+    val n = it.size // consume fully
+    assert(n == 400)
+    val inflated = 400L * (body.length + 150)
+    // the rolling buffer must hold ~one record, not the ~8 MB archive
+    assert(it.highWater < body.length + 256 * 1024,
+      s"working set ${it.highWater} bytes ≈ whole archive ($inflated)?")
+    assert(it.highWater >= body.length, "bound sanity: one record fits")
+  }
+
+  test("warc: truncation exactly at a gzip member boundary keeps every " +
+    "record of the preceding members") {
+    import graft.io.Warc
+    val recs = (1 to 3).map(i => Warc.WarcRecord("conversion",
+      s"urn:graft:$i", s"http://x.example/$i",
+      (s"member body $i " * 8).getBytes("UTF-8")))
+    val bytes = Warc.encodeArchive(recs)
+    val starts = (0 until bytes.length - 1).filter(i =>
+      (bytes(i) & 0xFF) == 0x1F && (bytes(i + 1) & 0xFF) == 0x8B)
+    assert(starts.size >= 3)
+    // cut at the third member's first byte: members 1-2 are complete
+    val atBoundary = Warc.parseArchive(bytes.take(starts(2)))
+    assert(atBoundary.map(_.headers("warc-record-id")) ==
+      Seq("urn:graft:1", "urn:graft:2"))
+    // cut mid-member-2: member 1 survives
+    val midMember = Warc.parseArchive(bytes.take(starts(1) + 7))
+    assert(midMember.map(_.headers("warc-record-id")) == Seq("urn:graft:1"))
+  }
+
   test("warc: warcScan reads archive files from disk into document rows") {
     import graft.io.Warc
     val dir = Files.createTempDirectory("graft-warc").toString
