@@ -330,6 +330,47 @@ object PretrainCorpus {
     commit(s7wave, s"$workDir/corpus")
   }
 
+  /** Compact the wave-partitioned fingerprint/admission stores. Each
+    * [[ingestWave]] commits one file set per `__wv` partition, so after
+    * thousands of waves every ordering-guard aggregate and every erasure
+    * replay lists and opens thousands of small files. Compaction folds
+    * all committed waves into the RESERVED `__wv=-1` partition (a real
+    * wave id is a min doc_id — never negative) as `nBuckets`
+    * doc_id-partitioned files: same rows, flat file count, via the
+    * disk-staged atomic swap. The `__wv` column and layout survive, so
+    * post-compaction waves keep their replay-overwrite semantics
+    * unchanged, and the no-op threshold (`minFiles`) keeps the rewrite
+    * from running when the store is already compact.
+    *
+    * CONTRACT (the rule every log-structured store applies — compact
+    * behind the commit frontier): run at a wave BOUNDARY, with no
+    * crashed wave awaiting replay. A replayed wave excludes only its own
+    * `__wv` partition from prior state; if compaction folded that
+    * partition into `__wv=-1`, the replay would see its own first
+    * attempt as already-ingested state and drop the wave's documents as
+    * exact dups.
+    */
+  def compactStores(spark: SparkSession, workDir: String,
+      nBuckets: Int = 16, minFiles: Int = 64): Unit = {
+    require(nBuckets > 0, "compactStores: nBuckets must be positive")
+    for (sub <- Seq("fingerprints", "admissions")) {
+      val p = s"$workDir/$sub"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) {
+        val it = fs.listFiles(hp, true)
+        var files = 0
+        while (it.hasNext)
+          if (it.next().getPath.getName.endsWith(".parquet")) files += 1
+        if (files > minFiles)
+          graft.io.Sinks.stagedSwapParquet(spark,
+            spark.read.parquet(p).withColumn("__wv", lit(-1L))
+              .repartition(nBuckets, col("doc_id")),
+            p, partitionCols = Seq("__wv"))
+      }
+    }
+  }
+
   /** Right-to-be-forgotten erasure of the incremental corpus state — and
     * the REPLAY of every admission decision the subject influenced: a doc
     * previously suppressed as the later member of a near-dup pair with an

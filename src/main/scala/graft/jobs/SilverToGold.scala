@@ -146,13 +146,18 @@ object SilverToGold {
     * after a simulated mid-erasure crash.
     *
     * `provenance = Some((path, epoch))` additionally APPENDS an erasure
-    * provenance card before any mutation — one row per touched partition
-    * per tier: (tombstone_epoch, tier, partition, rows_erased), plus the
+    * provenance card — one row per touched partition per tier:
+    * (tombstone_epoch, tier, partition, rows_erased), plus the
     * customer-table row count — so derived-corpus consumers can prove
     * freshness against a tombstone epoch instead of re-scanning for the
     * subject (oracle-gated: every count is recomputable from the cleaned
-    * law). The card records what THIS invocation found: a crash-retry
-    * appends a new epoch whose counts cover only what remained.
+    * law). The counts are MEASURED before any mutation (the rewrite
+    * destroys the evidence) but the card is WRITTEN only after every
+    * tier's mutation succeeds: a card row existing for an epoch means
+    * that erasure completed, so a crash mid-erasure never leaves a
+    * tombstone consumers would wrongly trust. The card records what THIS
+    * invocation found: a crash-retry appends a new epoch whose counts
+    * cover only what remained.
     */
   def runErasure(spark: SparkSession, cfg: PipelineConfig,
       customers: org.apache.spark.sql.DataFrame,
@@ -210,27 +215,29 @@ object SilverToGold {
             org.apache.spark.sql.functions.lit(1)).as("__n"))
           .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
       val goldYears: Seq[Int] = goldYearCounts.map(_._1)
-      // erasure provenance card: appended BEFORE any mutation, one epoch
-      // per invocation — the tombstone a derived-corpus consumer checks
-      provenance.foreach { case (path, epoch) =>
-        val custRows: Seq[(Long, String, String, Long)] =
-          if (!exists(cfg.goldCustomerPath)) Nil
-          else Seq((epoch, "gold_customer", "",
-            spark.read.parquet(cfg.goldCustomerPath)
-              .join(broadcast(keys), Seq("customer_id"), "left_semi")
-              .count()))
-        val rows = silverCounts.map { case ((y, m, d), n) =>
-          (epoch, "silver", s"year=$y/month=$m/day=$d", n) } ++
-          goldPairCounts.map { case ((y, m), n) =>
-            (epoch, "gold_daily", s"year=$y/month=$m", n) } ++
-          goldYearCounts.map { case (y, n) =>
-            (epoch, "gold_monthly", s"year=$y", n) } ++
-          custRows
-        import spark.implicits._
-        rows.toDF("tombstone_epoch", "tier", "partition", "rows_erased")
-          .coalesce(1).write.mode("append")
-          .option("compression", "snappy").parquet(path)
-      }
+      // erasure provenance card: counts MEASURED here, before any
+      // mutation destroys the evidence — but written only after every
+      // tier's rewrite succeeds (a card row for an epoch means that
+      // erasure COMPLETED; a crash mid-erasure must not leave a
+      // tombstone consumers would wrongly trust)
+      val cardRows: Seq[(Long, String, String, Long)] =
+        provenance match {
+          case None => Nil
+          case Some((_, epoch)) =>
+            val custRows: Seq[(Long, String, String, Long)] =
+              if (!exists(cfg.goldCustomerPath)) Nil
+              else Seq((epoch, "gold_customer", "",
+                spark.read.parquet(cfg.goldCustomerPath)
+                  .join(broadcast(keys), Seq("customer_id"), "left_semi")
+                  .count()))
+            silverCounts.map { case ((y, m, d), n) =>
+              (epoch, "silver", s"year=$y/month=$m/day=$d", n) } ++
+              goldPairCounts.map { case ((y, m), n) =>
+                (epoch, "gold_daily", s"year=$y/month=$m", n) } ++
+              goldYearCounts.map { case (y, n) =>
+                (epoch, "gold_monthly", s"year=$y", n) } ++
+              custRows
+        }
       if (silverTriples.nonEmpty) {
         val silver = Sources.silverParquet(spark, cfg.silverPath)
         val dayPred = silverTriples.map { case (y, m, d) =>
@@ -326,6 +333,13 @@ object SilverToGold {
       // empty or already-clean silver still erases the aggregate row
       Sinks.deleteGoldCustomerKeys(spark, keys, "customer_id",
         cfg.goldCustomerPath)
+      // every tier's mutation succeeded: publish the card
+      provenance.foreach { case (path, _) =>
+        import spark.implicits._
+        cardRows.toDF("tombstone_epoch", "tier", "partition", "rows_erased")
+          .coalesce(1).write.mode("append")
+          .option("compression", "snappy").parquet(path)
+      }
     } finally org.apache.spark.sql.graftx.CheckpointUtils
       .unpersistLocalCheckpoint(keys)
   }

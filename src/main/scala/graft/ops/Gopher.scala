@@ -85,8 +85,12 @@ object Gopher {
     *    double-count (the paper's "taking care not to count characters
     *    in overlapping n-grams more than once").
     *
-    * Scale shape: one tokenize pass staged, then per statistic one narrow
-    * (doc, value) count — explodes carry ≤ n_tok rows per n, coverage
+    * Scale shape: one tokenize pass staged, then the n-gram statistics
+    * run STACKED — a single generator emits (n, gram) for every n at
+    * once (n=2..4 for the top-gram counts, n=5..10 for the coverages),
+    * so the dup filter, the position-union distinct, and the
+    * token-length join each shuffle ONE frame instead of one per n.
+    * Explodes carry ≤ Σn_tok rows across the stacked n values, coverage
     * carries ≤ n·dup-occurrences positions; everything is map-side
     * combinable groupBys, nothing quadratic. At 100 TB these are the
     * same per-doc screens as [[report]], run once at ingest.
@@ -119,45 +123,61 @@ object Gopher {
       .select(col(id), expr(
         "CAST(CASE WHEN __tot > 0 THEN (1000000 * __dup) div __tot " +
           "ELSE 0 END AS BIGINT)").as("dup_line_q"))
-    def gramArr(n: Int) = when(size(col("toks")) < n,
-      array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
-        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
-    // most-frequent n-gram: count desc, gram asc ties via min(struct)
-    def topN(n: Int) = base
-      .select(col(id), explode(gramArr(n)).as("__g"))
-      .groupBy(col(id), col("__g")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(id)).agg(min(struct((-col("__c")).as("nc"),
-        col("__g").as("g"))).as("__top"))
-      .select(col(id),
-        (-col("__top.nc") * length(col("__top.g"))).cast("long")
-          .as(s"__topchars$n"))
-    // duplicated-n-gram TOKEN coverage (position union)
-    def dupCover(n: Int) = {
-      val pos = base.select(col(id),
-        posexplode(gramArr(n)).as(Seq("__i", "__g")))
-      val counted = pos.join(
-        pos.groupBy(col(id), col("__g")).agg(count(lit(1)).as("__c"))
-          .filter(col("__c") > 1).select(col(id), col("__g")),
-        Seq(id, "__g"), "left_semi")
-      val covered = counted
-        .select(col(id),
-          explode(sequence(col("__i"), col("__i") + (n - 1))).as("__t"))
-        .distinct()
-      val tokLens = base.select(col(id),
-        posexplode(col("toks")).as(Seq("__t", "__tok")))
-        .select(col(id), col("__t"), length(col("__tok")).cast("long")
-          .as("__len"))
-      covered.join(tokLens, Seq(id, "__t"))
-        .groupBy(col(id)).agg(sum(col("__len")).as(s"__cov$n"))
-    }
-    val withTops = (2 to 4).foldLeft(
-      totals.join(dupLine, Seq(id), "left")) { (acc, n) =>
-      acc.join(topN(n), Seq(id), "left")
-    }
-    val withCovers = (5 to 10).foldLeft(withTops) { (acc, n) =>
-      acc.join(dupCover(n), Seq(id), "left")
-    }
+    // the n-gram array for a COLUMN n (sequence(0, negative) would count
+    // DOWN, so short docs must short-circuit to the empty array)
+    def gramArrN(n: org.apache.spark.sql.Column) =
+      when(size(col("toks")) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, n))))
+    // most-frequent n-gram for ALL n in [2,4], ONE stacked pass: explode
+    // the n values, emit (n, gram) from a single generator, count once,
+    // take the per-(doc, n) argmin of (-count, gram) — count desc, gram
+    // asc tie-break, the same law the per-n passes stated — then fold the
+    // three rows per doc into columns with conditional aggregates
+    val topGrams = base
+      .select(col(id), col("toks"),
+        explode(array((2 to 4).map(lit(_)): _*)).as("__n"))
+      .select(col(id), col("__n"), explode(gramArrN(col("__n"))).as("__g"))
+      .groupBy(col(id), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(id), col("__n"))
+      .agg(min(struct((-col("__c")).as("nc"), col("__g").as("g")))
+        .as("__top"))
+    val topCharAggs = (2 to 4).map(n => max(when(col("__n") === n,
+      (-col("__top.nc") * length(col("__top.g"))).cast("long")))
+      .as(s"__topchars$n"))
+    val tops = topGrams.groupBy(col(id))
+      .agg(topCharAggs.head, topCharAggs.tail: _*)
+    // duplicated-n-gram TOKEN coverage (position union) for ALL n in
+    // [5,10], ONE stacked pass: a single posexplode emits (n, pos, gram);
+    // the dup filter, the position-union distinct, and the token-length
+    // join each run ONCE over the stacked frame instead of six times —
+    // one shuffle set for the six coverages, the per-n law unchanged
+    val pos = base
+      .select(col(id), col("toks"),
+        explode(array((5 to 10).map(lit(_)): _*)).as("__n"))
+      .select(col(id), col("__n"),
+        posexplode(gramArrN(col("__n"))).as(Seq("__i", "__g")))
+    val dupGrams = pos.groupBy(col(id), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .select(col(id), col("__n"), col("__g"))
+    val covered = pos.join(dupGrams, Seq(id, "__n", "__g"), "left_semi")
+      .select(col(id), col("__n"),
+        explode(sequence(col("__i"), col("__i") + col("__n") - 1))
+          .as("__t"))
+      .distinct()
+    val tokLens = base.select(col(id),
+      posexplode(col("toks")).as(Seq("__t", "__tok")))
+      .select(col(id), col("__t"), length(col("__tok")).cast("long")
+        .as("__len"))
+    val coverAggs = (5 to 10).map(n =>
+      sum(when(col("__n") === n, col("__len")).otherwise(0L))
+        .as(s"__cov$n"))
+    val covers = covered.join(tokLens, Seq(id, "__t"))
+      .groupBy(col(id)).agg(coverAggs.head, coverAggs.tail: _*)
+    val withTops = totals.join(dupLine, Seq(id), "left")
+      .join(tops, Seq(id), "left")
+    val withCovers = withTops.join(covers, Seq(id), "left")
     val topCols = (2 to 4).map(n => expr(
       s"CAST(CASE WHEN joined_chars > 0 THEN " +
         s"(1000000 * coalesce(__topchars$n, 0)) div joined_chars " +

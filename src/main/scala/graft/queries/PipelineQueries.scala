@@ -208,8 +208,9 @@ object PipelineQueries extends QueryPack {
     }),
 
     // Erasure PROVENANCE card gate: same pipeline as p_gdpr_erasure, but
-    // the checked output is the tombstone card runErasure appends before
-    // mutating — per touched partition per tier, how many of the subject's
+    // the checked output is the tombstone card runErasure publishes once
+    // every tier's mutation has succeeded (counts measured pre-mutation)
+    // — per touched partition per tier, how many of the subject's
     // rows existed. The oracle recomputes every count from the cleaned
     // law: silver rows per day partition, gold daily/monthly aggregate
     // rows per their partitions (distinct group keys containing an erased

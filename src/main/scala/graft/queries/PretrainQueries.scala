@@ -269,6 +269,69 @@ object PretrainQueries extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // THE FIRST MILE COMPOSED WITH THE INCREMENTAL LAW: the corpus lands
+    // as WET crawl archives (one per doc_id-range wave), a checkpointed
+    // binaryFile file-source STREAM parses each newly-landed archive to
+    // document rows (Warc.warcStream — bytes never shuffle, one-record
+    // working set), and a foreachBatch sink feeds every micro-batch
+    // through PretrainCorpus.ingestWave against the accumulated stores —
+    // the continuously-fed corpus exactly as production would run it.
+    // The oracle is p_pretrain_e2e's batch law VERBATIM: WARC encode →
+    // stream parse → incremental eight-stage ingest must land on the
+    // fused batch answer over the same documents (the manifest checksum
+    // hashes doc_id:text, so the WET round trip must be octet-exact too).
+    "p_pretrain_warc_stream" -> ((s, dir) => {
+      import s.implicits._
+      import graft.io.Warc
+      import graft.jobs.PretrainCorpus
+      val docs = Tables.load(s, dir, "documents").localCheckpoint()
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_pretrain_warc_${s.sparkContext.applicationId}").toString
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // clean re-runs
+      val landing = s"$tmp/landing"
+      new java.io.File(landing).mkdirs()
+      val w = docs.agg(max(col("doc_id"))).head().getLong(0) / 3 + 1
+      // each wave lands as ONE WET archive, then one AvailableNow run on
+      // a SHARED checkpoint ingests exactly the newly-landed file — so
+      // every micro-batch is one id-ordered wave (fixture-sized driver
+      // encode; production archives land from the crawler already framed)
+      for (i <- 0L until 3L) {
+        val recs = docs.filter(expr(s"doc_id div $w") === i)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+          .collect().sortBy(_._1).toSeq
+          .map { case (id, src, text) =>
+            Warc.WarcRecord("conversion", s"urn:graft:$id",
+              s"http://$src.example/$id",
+              Option(text).getOrElse("").getBytes("UTF-8"))
+          }
+        val f = new java.io.FileOutputStream(s"$landing/wave$i.warc.wet.gz")
+        try f.write(Warc.encodeArchive(recs)) finally f.close()
+        val q = Warc.warcStream(s, landing).toDF()
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val wave = batch
+              .filter(col("record_type") === "conversion")
+              .select(
+                substring(col("record_id"), 11, 20).cast("long")
+                  .as("doc_id"),
+                regexp_extract(col("target_uri"),
+                  "^http://(.+)\\.example/", 1).as("source"),
+                col("text"))
+            PretrainCorpus.ingestWave(s, wave, docs, tmp)
+            ()
+          }
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      PretrainCorpus.manifestOf(s.read.parquet(s"$tmp/corpus"))
+        .orderBy(col("source"))
+    }),
+
     // Erasure of the INCREMENTAL corpus state with admission REPLAY: after
     // three-wave ingest, every doc whose md5(doc_id) starts with '0' is
     // forgotten — fingerprints, LSH rows, pairs, admission flags, corpus
@@ -1260,6 +1323,8 @@ object PretrainQueries extends QueryPack {
     "p_pretrain_e2e" -> pretrainE2eSql,
     // the incremental mechanism must land on the batch law exactly
     "p_pretrain_incremental" -> pretrainE2eSql,
+    // WARC encode → stream parse → incremental ingest ≡ the batch law
+    "p_pretrain_warc_stream" -> pretrainE2eSql,
     // the full erasure-with-replay law (see pretrainSql's scaladoc)
     "p_pretrain_erasure" -> pretrainSql(erased = true),
     "t_unigram_vocab" -> unigramOracle,

@@ -191,6 +191,37 @@ class PipelineSpec extends AnyFunSuite {
       "pre-erasure rows of erased customers survived in silver")
   }
 
+  test("the erasure provenance card is published only AFTER every tier's " +
+    "mutation succeeds: a failing card write finds the data already " +
+    "scrubbed, and no premature tombstone exists") {
+    val root = tmp()
+    val cfg = PipelineConfig(s"$root/raw", s"$root/silver", s"$root/gold",
+      clock = clock)
+    val silver = Seq(
+      ("t1", "A", 10.0, "2024-01-01 10:00:00", 2024, 1, 1),
+      ("t2", "B", 20.0, "2024-01-02 10:00:00", 2024, 1, 2))
+      .toDF("transaction_id", "customer_id", "amount", "transaction_date",
+        "year", "month", "day")
+      .withColumn("transaction_date", to_timestamp($"transaction_date"))
+    graft.io.Sinks.writeSilver(silver, cfg.silverPath)
+    SilverToGold.run(spark, cfg)
+    // card path parented by a regular FILE: the append itself must fail.
+    // Because the card is the LAST act, the mutations have already run
+    // when it does — the old (card-first) ordering would leave gold dirty
+    new java.io.FileOutputStream(s"$root/blocker").close()
+    intercept[Exception] {
+      SilverToGold.runErasure(spark, cfg, Seq("A").toDF("customer_id"),
+        provenance = Some((s"$root/blocker/card", 7L)))
+    }
+    assert(spark.read.parquet(cfg.goldDailyPath)
+      .filter($"customer_id" === "A").count() == 0,
+      "tier mutations must complete before the card write is attempted")
+    assert(spark.read.parquet(cfg.silverPath)
+      .filter($"customer_id" === "A").count() == 0)
+    assert(!new java.io.File(s"$root/blocker/card").exists(),
+      "no tombstone may exist for the failed card write")
+  }
+
   test("gdpr erasure is crash-safe: a retry after silver was rewritten but " +
     "gold was not still scrubs gold; re-running after success is a no-op; " +
     "empty silver still deletes the customer row; NULL partitions fail " +
@@ -558,6 +589,64 @@ class PipelineSpec extends AnyFunSuite {
     PretrainCorpus.ingestWave(spark, w1, raw, rep) // full redelivery
     assert(snapshot(rep) == want,
       s"replayed stores diverged:\n got=${snapshot(rep)}\nwant=$want")
+  }
+
+  test("store compaction folds wave partitions flat without changing any " +
+    "law: post-compaction ingest, replay, and erasure land on the " +
+    "uncompacted stores' answers exactly") {
+    val raw = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .localCheckpoint()
+    val w = raw.agg(max($"doc_id")).head().getLong(0) / 3 + 1
+    def wave(i: Long) = raw.filter(expr(s"doc_id div $w") === i)
+    def fileCount(root: String, sub: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$root/$sub"))
+    }
+    val plain = tmp()
+    for (i <- 0L until 3L) PretrainCorpus.ingestWave(spark, wave(i), raw,
+      plain)
+    val comp = tmp()
+    PretrainCorpus.ingestWave(spark, wave(0), raw, comp)
+    PretrainCorpus.ingestWave(spark, wave(1), raw, comp)
+    // a threshold ABOVE the store's file count is a no-op
+    val untouched = fileCount(comp, "fingerprints")
+    PretrainCorpus.compactStores(spark, comp, nBuckets = 2,
+      minFiles = 1000000)
+    assert(fileCount(comp, "fingerprints") == untouched,
+      "compaction must no-op below the file-count threshold")
+    // forced compaction: flat bucket files (+ the schema anchor), fewer
+    val beforeCounts = Seq("fingerprints", "admissions")
+      .map(sub => sub -> fileCount(comp, sub)).toMap
+    PretrainCorpus.compactStores(spark, comp, nBuckets = 2, minFiles = 0)
+    for (sub <- Seq("fingerprints", "admissions")) {
+      assert(fileCount(comp, sub) < beforeCounts(sub) ||
+        beforeCounts(sub) <= 3,
+        s"$sub: compaction must shrink the file count")
+      assert(fileCount(comp, sub) <= 3, s"$sub: 2 buckets + anchor")
+      assert(new java.io.File(s"$comp/$sub/__wv=-1").exists(),
+        s"$sub: compacted rows live in the reserved partition")
+    }
+    // the next wave ingests — and crash-replays — exactly as before
+    PretrainCorpus.ingestWave(spark, wave(2), raw, comp)
+    PretrainCorpus.ingestWave(spark, wave(2), raw, comp) // full redelivery
+    def state(root: String): Seq[(String, Set[Long], Long)] =
+      Seq("corpus", "fingerprints", "admissions").map { sub =>
+        val df = spark.read.parquet(s"$root/$sub")
+        (sub, df.select($"doc_id").distinct().as[Long].collect().toSet,
+          df.count())
+      }
+    assert(state(comp) == state(plain),
+      "compacted stores diverged from the uncompacted run")
+    // erasure over the compacted stores lands on the same corpus
+    val erased = raw
+      .filter(substring(md5($"doc_id".cast("string")), 1, 1) === "0")
+      .select($"doc_id")
+    PretrainCorpus.eraseDocs(spark, plain, erased)
+    PretrainCorpus.eraseDocs(spark, comp, erased)
+    assert(state(comp) == state(plain),
+      "post-compaction erasure diverged from the uncompacted run")
   }
 
   test("incremental pretrain ingest: 2-wave and 5-wave id-range splits " +

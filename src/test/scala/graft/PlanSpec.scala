@@ -504,11 +504,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("gopher repetition: per-statistic counts are hash aggregates over " +
-    "narrow keys; coverage joins are equi/semi joins, never BNLJ") {
+    "narrow keys; coverage joins are equi/semi joins, never BNLJ; the " +
+    "n-gram statistics run STACKED (one shuffle set, not one per n)") {
     val p = plan("t_gopher_repetition")
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the fused form: a single (n, gram) generator feeds the dup filter,
+    // position-union distinct, and token-length join ONCE for n=5..10
+    // (and once for the n=2..4 top-gram stats) — the whole plan measures
+    // 10 shuffle Exchanges; the unfused per-n chains carried ~24 for the
+    // six coverages alone
+    assert(shuffleCount(p) <= 12, s"shuffles=${shuffleCount(p)}\n$p")
   }
 
   test("sharded packing: the corpus-sized window partitions by (source, " +

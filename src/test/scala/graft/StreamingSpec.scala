@@ -498,6 +498,23 @@ class StreamingSpec extends AnyFunSuite {
   }
 
 
+  test("WET archives landing across triggers flow through ingestWave to " +
+    "exactly the batch composition's manifest (first mile ∘ incremental " +
+    "law, one path)") {
+    val dir = "/root/testdata/sf0.001"
+    // the gate: per-wave WET encode → checkpointed warcStream →
+    // foreachBatch ingestWave → manifest over the accumulated corpus
+    val got = SparkEntry.queries("p_pretrain_warc_stream")(spark, dir)
+      .collect().toSeq
+    // the arbiter: the fused batch composition over the same documents
+    val want = graft.jobs.PretrainCorpus
+      .manifest(Tables.load(spark, dir, "documents"))
+      .orderBy($"source").collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"streamed WARC ingest diverged from the batch law:\n" +
+        s" got=$got\nwant=$want")
+  }
+
   test("streaming WARC ingestion: archives landing across triggers parse " +
     "to exactly the batch scan's rows, each file once") {
     import graft.io.Warc
