@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions.{broadcast, col}
   * Scale shape: appends never rewrite history; erasure cost is one scan
   * of the latest version (segment membership decides rewrite-vs-share,
   * so untouched segments stay byte-identical and shared across
-  * manifests); manifests are O(segments) JSON lines.
+  * manifests); manifests are O(segments) JSON lines. Appends can record
+  * per-segment min/max column stats ([[append]]'s `statsCols`), and
+  * [[readWhere]] then prunes disjoint segments before any row is read —
+  * manifest-level data skipping, maintained through erasure rewrites.
   */
 object Versioned {
 
@@ -48,17 +51,30 @@ object Versioned {
       .sorted.toSeq
   }
 
+  /** Per-segment column statistics: file → (column, min, max) entries —
+    * the Iceberg/Delta data-skipping idea at the manifest level. Only
+    * integral columns are tracked (exact long comparisons both engines
+    * agree on; no float/collation edge cases smuggled into pruning).
+    */
   private[graft] case class Manifest(version: Int, files: Seq[String],
-      redactedBelow: Int, tombstoneEpoch: Long)
+      redactedBelow: Int, tombstoneEpoch: Long,
+      stats: Map[String, Seq[(String, Long, Long)]] = Map.empty)
 
   private def readManifest(spark: SparkSession, root: String,
       v: Int): Manifest = {
     val row = spark.read.json(commitPath(root, v)).head()
+    val stats: Map[String, Seq[(String, Long, Long)]] =
+      if (!row.schema.fieldNames.contains("stats")) Map.empty
+      else row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("stats"))
+        .map(r => (r.getAs[String]("file"), (r.getAs[String]("column"),
+          r.getAs[Long]("min"), r.getAs[Long]("max"))))
+        .groupBy(_._1).map { case (f, es) => f -> es.map(_._2).toSeq }
     Manifest(
       row.getAs[Long]("version").toInt,
       row.getSeq[String](row.fieldIndex("files")).toSeq,
       row.getAs[Long]("redacted_below").toInt,
-      row.getAs[Long]("tombstone_epoch"))
+      row.getAs[Long]("tombstone_epoch"),
+      stats)
   }
 
   /** Atomic manifest publish: temp write + rename. Single-writer per
@@ -81,9 +97,14 @@ object Versioned {
           s"at $root — re-read the latest version and retry")
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") +
       "\""
+    val statsJson = m.stats.toSeq.sortBy(_._1).flatMap { case (f, es) =>
+      es.sortBy(_._1).map { case (c, mn, mx) =>
+        s"""{"file":${q(f)},"column":${q(c)},"min":$mn,"max":$mx}""" }
+    }.mkString(",")
     val json = s"""{"version":${m.version},"files":[${
       m.files.map(q).mkString(",")}],"redacted_below":${m.redactedBelow},""" +
-      s""""tombstone_epoch":${m.tombstoneEpoch}}"""
+      s""""tombstone_epoch":${m.tombstoneEpoch}""" +
+      (if (m.stats.isEmpty) "}" else s""","stats":[$statsJson]}""")
     val tmp = new Path(s"$root/_commits/.tmp_v${m.version}.json")
     val out = f.create(tmp, true)
     out.write((json + "\n").getBytes("UTF-8"))
@@ -92,18 +113,56 @@ object Versioned {
       throw new java.io.IOException(s"manifest publish failed: v${m.version}")
   }
 
-  /** Append `df` as a new version; returns the committed version number. */
-  def append(spark: SparkSession, root: String, df: DataFrame): Int = {
+  /** One aggregate over a just-written segment: (column, min, max) for
+    * the integral `statsCols`, nulls ignored; a column that is all-null
+    * (or an empty segment) contributes no entry, so readers fall back to
+    * conservatively scanning that segment. O(segment), one pass.
+    */
+  private def segmentStats(df: DataFrame,
+      statsCols: Seq[String]): Seq[(String, Long, Long)] = {
+    if (statsCols.isEmpty) return Nil
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    statsCols.foreach { c =>
+      require(types.get(c).exists(t => t == LongType || t == IntegerType ||
+        t == ShortType || t == ByteType),
+        s"segment stats require an integral column; '$c' is " +
+          s"${types.get(c).fold("absent")(_.simpleString)}")
+    }
+    val aggs = statsCols.flatMap(c => Seq(
+      fmin(col(c).cast("long")).as(s"__mn_$c"),
+      fmax(col(c).cast("long")).as(s"__mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    statsCols.flatMap { c =>
+      val mn = row.getAs[Any](s"__mn_$c")
+      val mx = row.getAs[Any](s"__mx_$c")
+      if (mn == null || mx == null) Nil
+      else Seq((c, mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
+    }
+  }
+
+  /** Append `df` as a new version; returns the committed version number.
+    * `statsCols` (integral columns) additionally records the new
+    * segment's per-column min/max in the manifest, enabling
+    * [[readWhere]]'s segment skipping; segments carried over from prior
+    * versions keep their recorded stats.
+    */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String] = Nil): Int = {
     val vs = versions(spark, root)
     val prev = vs.lastOption.map(readManifest(spark, root, _))
     val v = vs.lastOption.map(_ + 1).getOrElse(0)
     val seg = s"$root/seg-$v-${spark.sparkContext.applicationId}"
     df.write.mode(SaveMode.Overwrite).option("compression", "snappy")
       .parquet(seg)
+    val segSt = segmentStats(spark.read.parquet(seg), statsCols)
     writeManifest(spark, root, Manifest(v,
       prev.map(_.files).getOrElse(Nil) :+ seg,
       prev.map(_.redactedBelow).getOrElse(0),
-      prev.map(_.tombstoneEpoch).getOrElse(0L)))
+      prev.map(_.tombstoneEpoch).getOrElse(0L),
+      prev.map(_.stats).getOrElse(Map.empty) ++
+        (if (segSt.isEmpty) Map.empty else Map(seg -> segSt))))
     v
   }
 
@@ -114,6 +173,15 @@ object Versioned {
     */
   def read(spark: SparkSession, root: String,
       version: Int = Int.MaxValue): DataFrame = {
+    val m = resolve(spark, root, version)
+    spark.read.parquet(m.files: _*)
+  }
+
+  /** Version resolution + the redaction-floor check, shared by [[read]]
+    * and [[readWhere]].
+    */
+  private def resolve(spark: SparkSession, root: String,
+      version: Int): Manifest = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no commits at $root")
     val v = if (version == Int.MaxValue) vs.last else version
@@ -125,8 +193,38 @@ object Versioned {
           s"${latest.tombstoneEpoch} (redaction floor " +
           s"${latest.redactedBelow}): its segments were purged and time " +
           s"travel below the floor would resurrect an erased subject")
-    val m = readManifest(spark, root, v)
-    spark.read.parquet(m.files: _*)
+    readManifest(spark, root, v)
+  }
+
+  /** Range read with SEGMENT SKIPPING: `keyCol BETWEEN lo AND hi` over
+    * `version`, opening only the segments whose recorded [min, max] for
+    * `keyCol` intersects the range — the manifest-level data-skipping
+    * every lakehouse format leans on, so a selective read of a
+    * 10,000-segment table touches the handful of segments that can hold
+    * the answer. Segments without recorded stats for `keyCol` (appended
+    * without `statsCols`, or all-null in the column) are conservatively
+    * read. The residual filter still applies, so the result ALWAYS
+    * equals `read(...).filter(keyCol between lo and hi)` — skipping is
+    * an I/O decision, never a semantic one (NULL keys fail BETWEEN in
+    * both paths, so null-blind min/max pruning is exact).
+    */
+  def readWhere(spark: SparkSession, root: String, keyCol: String,
+      lo: Long, hi: Long, version: Int = Int.MaxValue): DataFrame = {
+    val m = resolve(spark, root, version)
+    val kept = m.files.filter { f =>
+      m.stats.get(f).flatMap(_.collectFirst {
+        case (c, mn, mx) if c == keyCol => (mn, mx)
+      }) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no stats: cannot prune
+      }
+    }
+    // all pruned: an empty frame with the table's schema (from the full
+    // file list — metadata-only, no row reads)
+    val base =
+      if (kept.nonEmpty) spark.read.parquet(kept: _*)
+      else spark.read.parquet(m.files: _*).limit(0)
+    base.where(col(keyCol).between(lo, hi))
   }
 
   /** Right-to-be-forgotten erasure: rewrite only the segments holding the
@@ -167,6 +265,7 @@ object Versioned {
         .distinct().collect()
         .map(r => new Path(r.getString(0)).toUri.getPath).toSet
       var replaced = List.empty[String]
+      var newStats = latest.stats
       val newFiles = latest.files.zipWithIndex.map { case (seg, i) =>
         if (!hitDirs.contains(new Path(seg).toUri.getPath)) seg
         else {
@@ -175,16 +274,22 @@ object Versioned {
             .join(broadcast(k), Seq(keyCol), "left_anti")
             .write.mode(SaveMode.Overwrite).option("compression", "snappy")
             .parquet(out)
+          // the rewritten segment re-records whatever columns the
+          // replaced one tracked (min/max may tighten; must not go stale)
+          newStats -= seg
+          val cols = latest.stats.get(seg).fold(Seq.empty[String])(_.map(_._1))
+          val st = segmentStats(spark.read.parquet(out), cols)
+          if (st.nonEmpty) newStats += (out -> st)
           replaced ::= seg
           out
         }
       }
       if (replaced.isEmpty)
         writeManifest(spark, root, Manifest(v, newFiles,
-          latest.redactedBelow, latest.tombstoneEpoch))
+          latest.redactedBelow, latest.tombstoneEpoch, newStats))
       else {
         writeManifest(spark, root,
-          Manifest(v, newFiles, redactedBelow = v, tombstoneEpoch))
+          Manifest(v, newFiles, redactedBelow = v, tombstoneEpoch, newStats))
         // the subject's bytes die AFTER the new manifest is durable: a
         // crash in between leaves a readable latest either way
         replaced.foreach(seg => f.delete(new Path(seg), true))

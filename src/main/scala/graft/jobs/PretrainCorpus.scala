@@ -330,6 +330,36 @@ object PretrainCorpus {
     commit(s7wave, s"$workDir/corpus")
   }
 
+  /** The FIRST MILE composed with the incremental law as ONE operator: a
+    * checkpointed [[graft.io.Warc.warcStream]] over `landingDir`, each
+    * micro-batch of parsed WARC records mapped to document rows by
+    * `toDocs` (producing at least doc_id LONG, source STRING, text
+    * STRING — how record headers map to ids and sources is
+    * deployment-specific) and driven through [[ingestWave]] against the
+    * accumulated stores. Empty micro-batches no-op; a crash-replayed
+    * batch overwrites its own output (ingestWave's `__wv` commits);
+    * waves must honor the id-ordering contract, which the guard enforces
+    * loudly. Trigger and lifecycle belong to the caller via the returned
+    * handle (the `p_pretrain_warc_stream` gate drives one AvailableNow
+    * run per landed archive and is oracle-gated against the fused batch
+    * law verbatim).
+    */
+  def ingestWarcStream(spark: SparkSession, landingDir: String,
+      checkpointDir: String, raw: DataFrame, workDir: String,
+      toDocs: DataFrame => DataFrame, cfg: Config = Config(),
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.io.Warc.warcStream(spark, landingDir).toDF()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestWave(spark, toDocs(batch), raw, workDir, cfg)
+        ()
+      }
+      .start()
+
   /** Compact the wave-partitioned fingerprint/admission stores. Each
     * [[ingestWave]] commits one file set per `__wv` partition, so after
     * thousands of waves every ordering-guard aggregate and every erasure

@@ -280,6 +280,38 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("version"))
     }),
 
+    // Manifest-level DATA SKIPPING on the versioned table: three id-range
+    // appends record per-segment doc_id min/max stats; a range read
+    // covering exactly the middle segment must (a) return precisely the
+    // range law's rows — the residual filter keeps skipping an I/O
+    // decision, never a semantic one — and (b) OPEN exactly one segment
+    // (segs_read is derived from the files the returned plan actually
+    // scans, so a pruning regression flips it to 3 and the hash check
+    // fails). The oracle recomputes rows + checksum from the same
+    // id-range arithmetic and states the expected segment counts.
+    "s_versioned_skip" -> ((s, dir) => {
+      import graft.io.Versioned
+      val docs = Tables.load(s, dir, "documents").localCheckpoint()
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_vskip_${s.sparkContext.applicationId}").toString
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // clean re-runs
+      val w = docs.agg(max(col("doc_id"))).head().getLong(0) / 3 + 1
+      for (i <- 0L until 3L)
+        Versioned.append(s, tmp, docs.filter(expr(s"doc_id div $w") === i),
+          statsCols = Seq("doc_id"))
+      val pruned = Versioned.readWhere(s, tmp, "doc_id", w, 2 * w - 1)
+      val segsRead = pruned.inputFiles
+        .map(f => new java.io.File(f).getParent).distinct.length
+      pruned.agg(count(lit(1)).as("n_rows"),
+          sum(conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":"), col("text"))), 1, 8), 16, 10).cast("long"))
+            .as("checksum"))
+        .select(col("n_rows"), col("checksum"),
+          lit(3).as("segs_total"), lit(segsRead).as("segs_read"))
+    }),
+
     // GDPR erasure gate: full silver + gold, then forget every customer
     // whose md5 starts with '0' (~1/16 of them, both engines derive the
     // same set) through the partition-restricted erasure job. The final
@@ -344,6 +376,18 @@ object PipelineQueries extends QueryPack {
         |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(h) AS BIGINT), 1
         |FROM cs WHERE NOT erased
         |ORDER BY version""".stripMargin,
+
+    // the middle id-range segment's rows + checksum; exactly one of the
+    // three segments can hold the range, so segs_read is 1 by the law
+    "s_versioned_skip" ->
+      """WITH b AS (SELECT max(doc_id) // 3 + 1 AS w FROM documents),
+        |x AS (SELECT d.doc_id, d.text FROM documents d, b
+        |      WHERE d.doc_id >= b.w AND d.doc_id <= 2 * b.w - 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |    || ':' || text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum,
+        |  3 AS segs_total, 1 AS segs_read
+        |FROM x""".stripMargin,
 
     "p_profile_columns" ->
       """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -309,23 +309,15 @@ object PretrainQueries extends QueryPack {
           }
         val f = new java.io.FileOutputStream(s"$landing/wave$i.warc.wet.gz")
         try f.write(Warc.encodeArchive(recs)) finally f.close()
-        val q = Warc.warcStream(s, landing).toDF()
-          .writeStream
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            val wave = batch
-              .filter(col("record_type") === "conversion")
-              .select(
-                substring(col("record_id"), 11, 20).cast("long")
-                  .as("doc_id"),
-                regexp_extract(col("target_uri"),
-                  "^http://(.+)\\.example/", 1).as("source"),
-                col("text"))
-            PretrainCorpus.ingestWave(s, wave, docs, tmp)
-            ()
-          }
-          .start()
+        val q = PretrainCorpus.ingestWarcStream(s, landing, s"$tmp/ckpt",
+          docs, tmp,
+          toDocs = batch => batch
+            .filter(col("record_type") === "conversion")
+            .select(
+              substring(col("record_id"), 11, 20).cast("long").as("doc_id"),
+              regexp_extract(col("target_uri"),
+                "^http://(.+)\\.example/", 1).as("source"),
+              col("text")))
         try q.awaitTermination() finally q.stop()
       }
       PretrainCorpus.manifestOf(s.read.parquet(s"$tmp/corpus"))

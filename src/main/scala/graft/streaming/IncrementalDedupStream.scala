@@ -125,6 +125,60 @@ object IncrementalDedupStream {
     write(bucketed(stable), corpusPath, Seq("__bk"))
   }
 
+  /** Compact an epoch-managed dedup store: every micro-batch commits one
+    * file set per `__wv` epoch into each `__bk` bucket (corpus/index) and
+    * one `__wv` subdir into pairs, so after thousands of epochs every
+    * collision point-fetch and erasure rewrite lists and opens thousands
+    * of small files per bucket. Compaction folds all committed epochs
+    * into the RESERVED `__wv=-1` partition (real epochs — batch ids or
+    * wave min-ids — are never negative), keeping the `__bk` layout (the
+    * erasure's bucket pruning must survive) and landing ONE file per
+    * bucket (`repartition(__bk)`), via the disk-staged atomic swap.
+    * Post-compaction ingest, collision detection, and erasure are
+    * unchanged (spec-proven against an uncompacted twin).
+    *
+    * CONTRACT (compact behind the commit frontier, same as
+    * [[graft.jobs.PretrainCorpus.compactStores]]): run at a batch
+    * boundary with no crashed batch awaiting replay — a replayed batch
+    * excludes only its own `__wv` partition from prior state, and
+    * compaction would fold that partition into `__wv=-1` where the
+    * replay reads it as someone else's history.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      minFiles: Int = 64): Unit = {
+    def fileCount(p: String): Int = {
+      val hp = new Path(p)
+      val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(hp)) return 0
+      val it = f.listFiles(hp, true)
+      var n = 0
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    for (store <- Seq("corpus", "index", "pairs")) {
+      val p = s"$storeDir/$store"
+      if (fileCount(p) > minFiles) {
+        val full = spark.read.parquet(p)
+        require(full.columns.contains("__wv"),
+          s"compact: $p is not epoch-managed (no __wv layout) — legacy " +
+            "append-mode stores manage their own file hygiene")
+        val parts =
+          if (full.columns.contains("__bk")) Seq("__bk", "__wv")
+          else Seq("__wv")
+        val flat = full.withColumn("__wv", lit(-1L))
+        // corpus/index: one file per bucket (nBuckets is already the
+        // erasure-cost knob that sizes a bucket tractably); pairs (no
+        // bucket layout, collisions-only but unbounded): a fixed fan-out
+        // keyed on id_a so no single task absorbs the whole store
+        graft.io.Sinks.stagedSwapParquet(spark,
+          if (parts.contains("__bk")) flat.repartition(col("__bk"))
+          else flat.repartition(16, xxhash64(col("id_a"))),
+          p, partitionCols = parts)
+      }
+    }
+  }
+
   /** Right-to-be-forgotten erasure of the dedup stores: remove the `ids`
     * documents from corpus and index by rewriting ONLY their id-hash
     * bucket directories (the bucket set is computed from the ids alone —

@@ -567,4 +567,53 @@ class IoSpec extends AnyFunSuite {
       .collect().toSet == Set(1L, 2L))
   }
 
+  test("versioned table data skipping: readWhere opens only intersecting " +
+    "segments, always equals read+filter, survives erasure rewrites, and " +
+    "conservatively reads stat-less segments") {
+    import graft.io.Versioned
+    val root = Files.createTempDirectory("graft-versioned-skip").toString +
+      "/t"
+    // three disjoint id-range segments with doc-id stats
+    for (i <- 0 to 2)
+      Versioned.append(spark, root,
+        (i * 10 until i * 10 + 10).map(j => (j.toLong, s"row$j"))
+          .toDF("id", "v"),
+        statsCols = Seq("id"))
+    def segsOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.map(f => new java.io.File(f).getParent).distinct.length
+    val mid = Versioned.readWhere(spark, root, "id", 12L, 17L)
+    assert(segsOf(mid) == 1, "only the middle segment intersects [12,17]")
+    assert(mid.select($"id").as[Long].collect().toSet ==
+      Versioned.read(spark, root).where($"id".between(12L, 17L))
+        .select($"id").as[Long].collect().toSet)
+    // boundary inclusivity: [9,10] straddles two segments
+    assert(segsOf(Versioned.readWhere(spark, root, "id", 9L, 10L)) == 2)
+    // fully pruned: empty result, correct schema, no row reads
+    val none = Versioned.readWhere(spark, root, "id", 100L, 200L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+    // a segment appended WITHOUT stats is conservatively read
+    Versioned.append(spark, root, Seq((99L, "nostats")).toDF("id", "v"))
+    assert(segsOf(Versioned.readWhere(spark, root, "id", 12L, 17L)) == 2,
+      "stat-less segments cannot be pruned")
+    assert(Versioned.readWhere(spark, root, "id", 12L, 17L)
+      .select($"id").as[Long].collect().toSet == (12L to 17L).toSet,
+      "the residual filter keeps the stat-less segment's rows out")
+    // erasure rewrites re-record stats: the rewritten middle segment
+    // still prunes for a disjoint range, and the range law still holds
+    Versioned.erase(spark, root, Seq(15L).toDF("id"), "id", 7L)
+    val after = Versioned.readWhere(spark, root, "id", 12L, 17L)
+    assert(after.select($"id").as[Long].collect().toSet ==
+      Set(12L, 13L, 14L, 16L, 17L))
+    // [0,5] opens seg0 plus the always-read stat-less segment — but NOT
+    // the erasure-rewritten middle segment: its stats were re-recorded,
+    // not dropped (3 here would mean the rewrite went stat-less)
+    assert(segsOf(Versioned.readWhere(spark, root, "id", 0L, 5L)) == 2,
+      "post-erasure stats must keep pruning (stale stats would read all)")
+    // stats are integral-only, enforced loudly
+    intercept[IllegalArgumentException] {
+      Versioned.append(spark, root, Seq((1L, "x")).toDF("id", "v"),
+        statsCols = Seq("v"))
+    }
+  }
+
 }

@@ -498,6 +498,55 @@ class StreamingSpec extends AnyFunSuite {
   }
 
 
+  test("dedup-store compaction folds epochs into __wv=-1 keeping the " +
+    "bucket layout: post-compaction ingest, pairs, and erasure equal an " +
+    "uncompacted twin, and the file count drops to ~one per bucket") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint()
+    val waves = (0 to 2).map(i => docs.filter($"doc_id" % 3 === i))
+    def fileCount(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(p))
+    }
+    val plain = Files.createTempDirectory("graft-compact-a").toString
+    val comp = Files.createTempDirectory("graft-compact-b").toString
+    for (root <- Seq(plain, comp); i <- 0 to 1)
+      IncrementalDedupStream.ingestBatch(waves(i), "doc_id", "text",
+        s"$root/store", minJaccard = 0.5, epoch = Some(i.toLong))
+    val before = fileCount(s"$comp/store/corpus")
+    IncrementalDedupStream.compact(spark, s"$comp/store", minFiles = 0)
+    assert(fileCount(s"$comp/store/corpus") < before,
+      s"corpus file count must drop (was $before)")
+    // one file per bucket (16 default buckets) + the flat schema anchor
+    assert(fileCount(s"$comp/store/corpus") <= 17)
+    assert(new java.io.File(s"$comp/store/corpus").listFiles()
+      .exists(f => f.getName.startsWith("__bk=") &&
+        new java.io.File(f, "__wv=-1").exists()),
+      "bucket layout must survive with the reserved epoch inside")
+    // the next epoch ingests identically; erasure lands identically
+    for (root <- Seq(plain, comp))
+      IncrementalDedupStream.ingestBatch(waves(2), "doc_id", "text",
+        s"$root/store", minJaccard = 0.5, epoch = Some(2L))
+    val erased = docs
+      .filter(substring(md5($"doc_id".cast("string")), 1, 1) === "0")
+      .select($"doc_id").localCheckpoint()
+    for (root <- Seq(plain, comp))
+      IncrementalDedupStream.erase(spark, root + "/store", erased, "doc_id")
+    def state(root: String) = (
+      spark.read.parquet(s"$root/store/corpus")
+        .select($"doc_id").as[Long].collect().toSet,
+      spark.read.parquet(s"$root/store/index")
+        .select($"doc_id", $"band", $"bucket").as[(Long, Int, Long)]
+        .collect().toSet,
+      IncrementalDedupStream.pairs(spark, s"$root/store")
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet)
+    assert(state(comp) == state(plain),
+      "compacted store diverged from the uncompacted twin")
+  }
+
   test("WET archives landing across triggers flow through ingestWave to " +
     "exactly the batch composition's manifest (first mile ∘ incremental " +
     "law, one path)") {
