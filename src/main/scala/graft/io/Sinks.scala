@@ -129,6 +129,37 @@ object Sinks {
         s"staged swap failed: rename $tmp -> $p")
   }
 
+  /** Recursive count of `.parquet` data files under `path` (0 when the
+    * path does not exist) — the file-hygiene signal the compaction
+    * thresholds key on.
+    */
+  def parquetFileCount(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) return 0
+    val it = fs.listFiles(hp, true)
+    var n = 0
+    while (it.hasNext)
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
+  }
+
+  /** Shared body of the epoch-store compactions
+    * ([[graft.jobs.PretrainCorpus.compactStores]],
+    * [[graft.streaming.IncrementalDedupStream.compact]]): when `path`
+    * holds more than `minFiles` parquet files, read it, let `plan` shape
+    * the folded frame and its partition columns, and publish via the
+    * disk-staged atomic swap. A missing or already-compact store no-ops.
+    */
+  def compactEpochStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, minFiles: Int)
+      (plan: DataFrame => (DataFrame, Seq[String])): Unit =
+    if (parquetFileCount(spark, path) > minFiles) {
+      val (df, parts) = plan(spark.read.parquet(path))
+      stagedSwapParquet(spark, df, path, partitionCols = parts)
+    }
+
   /** S7 erasure — DELETE rows for `keyCol` values in `keys` from the
     * unpartitioned customer table ([[mergeGoldCustomer]]'s missing
     * direction: a merge can only replace keys that still have rows).

@@ -174,7 +174,11 @@ object Versioned {
   def read(spark: SparkSession, root: String,
       version: Int = Int.MaxValue): DataFrame = {
     val m = resolve(spark, root, version)
-    spark.read.parquet(m.files: _*)
+    // mergeSchema: segments appended across schema evolutions union with
+    // null backfill (the lakehouse convention; a single-footer schema
+    // would silently DROP columns absent from whichever file the reader
+    // samples)
+    spark.read.option("mergeSchema", "true").parquet(m.files: _*)
   }
 
   /** Version resolution + the redaction-floor check, shared by [[read]]
@@ -222,9 +226,55 @@ object Versioned {
     // all pruned: an empty frame with the table's schema (from the full
     // file list — metadata-only, no row reads)
     val base =
-      if (kept.nonEmpty) spark.read.parquet(kept: _*)
-      else spark.read.parquet(m.files: _*).limit(0)
+      if (kept.nonEmpty) spark.read.option("mergeSchema", "true")
+        .parquet(kept: _*)
+      else spark.read.option("mergeSchema", "true").parquet(m.files: _*)
+        .limit(0)
     base.where(col(keyCol).between(lo, hi))
+  }
+
+  /** OPTIMIZE-style segment compaction: rewrite the latest version's
+    * file list into at most `targetSegments` segments (each a union of
+    * CONSECUTIVE manifest entries — append order, so range-ordered
+    * appends keep their range locality and [[readWhere]]'s skipping
+    * stays selective after compaction) and publish a new version.
+    * History is untouched: older manifests keep referencing the original
+    * segment bytes — only [[erase]] purges — so time travel below the
+    * compaction is unaffected; readers of the new version list
+    * `targetSegments` segments instead of thousands. Stats are
+    * RE-RECORDED over each consolidated segment for every column any of
+    * its inputs tracked (exact by construction — recomputed from the
+    * written bytes, not merged estimates). A table already at or below
+    * the target no-ops. Crash contract = [[append]]'s: segments land
+    * before the manifest rename, so a crash leaves orphan bytes and a
+    * readable old latest, never a torn table.
+    */
+  def compact(spark: SparkSession, root: String,
+      targetSegments: Int = 16): Int = {
+    require(targetSegments > 0, "compact: targetSegments must be positive")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no commits at $root")
+    val latest = readManifest(spark, root, vs.last)
+    if (latest.files.length <= targetSegments) return latest.version
+    val v = vs.last + 1
+    val groupSize =
+      (latest.files.length + targetSegments - 1) / targetSegments
+    var newStats = Map.empty[String, Seq[(String, Long, Long)]]
+    val newFiles = latest.files.grouped(groupSize).zipWithIndex.map {
+      case (group, i) =>
+        val out = s"$root/seg-$v-c$i-${spark.sparkContext.applicationId}"
+        spark.read.option("mergeSchema", "true").parquet(group: _*)
+          .write.mode(SaveMode.Overwrite).option("compression", "snappy")
+          .parquet(out)
+        val cols = group.flatMap(f =>
+          latest.stats.get(f).fold(Seq.empty[String])(_.map(_._1))).distinct
+        val st = segmentStats(spark.read.parquet(out), cols)
+        if (st.nonEmpty) newStats += (out -> st)
+        out
+    }.toSeq
+    writeManifest(spark, root, Manifest(v, newFiles,
+      latest.redactedBelow, latest.tombstoneEpoch, newStats))
+    v
   }
 
   /** Right-to-be-forgotten erasure: rewrite only the segments holding the
@@ -257,17 +307,24 @@ object Versioned {
     try {
       val f = fs(spark, root)
       // one probe pass over the latest version: which segment dirs hold
-      // the subject? (dirname of every matched file, distinct)
-      import org.apache.spark.sql.functions.{input_file_name, regexp_replace}
-      val hitDirs = spark.read.parquet(latest.files: _*)
+      // the subject? Matched by segment-dir NAME, not full path:
+      // input_file_name() returns a URI-ENCODED string, so a root
+      // containing a space/%/non-ASCII char would never string-match the
+      // manifest's raw path and the erase would silently ghost. Segment
+      // names are generated here (seg-<v>[-<i>|-c<i>]-<appId>, URL-safe
+      // ASCII) and unique within a manifest (the version is baked in),
+      // so the name IS the identity.
+      import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
+      val hitDirs = spark.read.option("mergeSchema", "true")
+        .parquet(latest.files: _*)
         .join(broadcast(k), Seq(keyCol), "left_semi")
-        .select(regexp_replace(input_file_name(), "/[^/]*$", "").as("d"))
-        .distinct().collect()
-        .map(r => new Path(r.getString(0)).toUri.getPath).toSet
+        .select(regexp_extract(input_file_name(), "/([^/]+)/[^/]*$", 1)
+          .as("d"))
+        .distinct().collect().map(_.getString(0)).toSet
       var replaced = List.empty[String]
       var newStats = latest.stats
       val newFiles = latest.files.zipWithIndex.map { case (seg, i) =>
-        if (!hitDirs.contains(new Path(seg).toUri.getPath)) seg
+        if (!hitDirs.contains(new Path(seg).getName)) seg
         else {
           val out = s"$root/seg-$v-$i-${spark.sparkContext.applicationId}"
           spark.read.parquet(seg)

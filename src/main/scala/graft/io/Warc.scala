@@ -96,9 +96,10 @@ object Warc {
     * damage always survive. A corrupt or truncated gzip member ends the
     * stream at the bytes inflated so far, same rules.
     */
-  private[graft] final class RecordIterator(in: java.io.InputStream)
+  private[graft] final class RecordIterator(in: java.io.InputStream,
+      maxBuffer: Int = RecordIterator.DefaultMaxBuffer)
       extends Iterator[WarcParsed] {
-    private var buf = new Array[Byte](64 * 1024)
+    private var buf = new Array[Byte](math.min(64 * 1024, maxBuffer))
     private var start = 0 // consumed prefix (compactable)
     private var end = 0 // valid bytes
     private var eof = false
@@ -117,8 +118,17 @@ object Warc {
         end -= start
         start = 0
       }
-      if (end == buf.length)
-        buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      if (end == buf.length) {
+        // HARD CAP on the working set: a record (or endless header line)
+        // larger than `maxBuffer` reads as end-of-data — the truncation
+        // rules then keep every record parsed before it. Unbounded
+        // doubling would both defeat the one-record memory bound this
+        // class exists for AND overflow Int at 1 GiB
+        // (copyOf(_, 2^30 * 2) < 0), throwing out of a task.
+        if (buf.length >= maxBuffer) { eof = true; return false }
+        buf = java.util.Arrays.copyOf(buf,
+          math.min(buf.length * 2, maxBuffer))
+      }
       val n =
         try in.read(buf, end, buf.length - end)
         catch {
@@ -223,6 +233,15 @@ object Warc {
       nextRec = null
       r
     }
+  }
+
+  private[graft] object RecordIterator {
+    /** Working-set ceiling per task: far above any conformant WET record
+      * (crawls cap page payloads around 1 MiB) yet small enough that an
+      * adversarial Content-Length can neither balloon executor memory
+      * nor overflow the Int buffer arithmetic.
+      */
+    val DefaultMaxBuffer: Int = 256 * 1024 * 1024
   }
 
   /** The archive's record iterator: lazy, one-record working set. Non-gzip

@@ -255,11 +255,23 @@ object PretrainCorpus {
       .map(_.asInstanceOf[Number].longValue())
     if (minScreened.isEmpty) return // nothing survived the screens: no-op
     val wid = waveId.getOrElse(minScreened.get)
+    // `__wv=-1` is RESERVED for compacted history (compactStores): a
+    // negative wave id would wholesale-overwrite it and break replay
+    // exclusion — enforce the documented contract, don't assume it
+    require(wid >= 0, s"ingestWave: wave id $wid is negative — __wv=-1 " +
+      "is reserved for compacted history; pass an explicit non-negative " +
+      "waveId (default is the wave's min screened doc_id)")
     // prior fingerprint state: the store minus this wave's own partition
-    // (so a crash replay sees what the first attempt saw)
+    // (so a crash replay sees what the first attempt saw). A store whose
+    // every row was erased is an ANCHOR-ONLY read (stagedSwapParquet's
+    // flat schema anchor carries no __wv column): zero rows, prior = none
     val fpPrior =
       if (!exists(fpPath)) None
-      else Some(spark.read.parquet(fpPath).filter(col("__wv") =!= wid))
+      else {
+        val df = spark.read.parquet(fpPath)
+        if (!df.columns.contains("__wv")) None // fully-erased store
+        else Some(df.filter(col("__wv") =!= wid))
+      }
     // ORDERING GUARD — the batch-law equivalence precondition, enforced
     fpPrior.foreach { prev =>
       Option(prev.agg(max(col("doc_id"))).head().get(0)).foreach { m =>
@@ -383,22 +395,11 @@ object PretrainCorpus {
   def compactStores(spark: SparkSession, workDir: String,
       nBuckets: Int = 16, minFiles: Int = 64): Unit = {
     require(nBuckets > 0, "compactStores: nBuckets must be positive")
-    for (sub <- Seq("fingerprints", "admissions")) {
-      val p = s"$workDir/$sub"
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(hp)) {
-        val it = fs.listFiles(hp, true)
-        var files = 0
-        while (it.hasNext)
-          if (it.next().getPath.getName.endsWith(".parquet")) files += 1
-        if (files > minFiles)
-          graft.io.Sinks.stagedSwapParquet(spark,
-            spark.read.parquet(p).withColumn("__wv", lit(-1L))
-              .repartition(nBuckets, col("doc_id")),
-            p, partitionCols = Seq("__wv"))
+    for (sub <- Seq("fingerprints", "admissions"))
+      graft.io.Sinks.compactEpochStore(spark, s"$workDir/$sub", minFiles) {
+        full => (full.withColumn("__wv", lit(-1L))
+          .repartition(nBuckets, col("doc_id")), Seq("__wv"))
       }
-    }
   }
 
   /** Right-to-be-forgotten erasure of the incremental corpus state — and

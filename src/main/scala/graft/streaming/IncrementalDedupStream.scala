@@ -74,6 +74,8 @@ object IncrementalDedupStream {
       bands: Int = 16, maxBucketSize: Int = 10000,
       nBuckets: Int = 16, epoch: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
+    epoch.foreach(e => require(e >= 0, s"ingestBatch: epoch $e is " +
+      "negative — __wv=-1 is reserved for compacted history"))
     val corpusPath = s"$storeDir/corpus"
     val indexPath = s"$storeDir/index"
     val pairsPath = s"$storeDir/pairs"
@@ -83,12 +85,29 @@ object IncrementalDedupStream {
     // prior state = the store MINUS this epoch's own rows, so a replayed
     // batch sees exactly what its first attempt saw; a store whose every
     // commit so far was EMPTY has partition dirs but no data files and
-    // reads as schema-less — that is bootstrap state, not an error
+    // reads as schema-less — that is bootstrap state, not an error.
+    // A readable store WITHOUT the __wv layout under an epoch-tagged
+    // ingest is either (a) fully erased down to the flat schema anchor —
+    // zero rows, bootstrap — or (b) a NON-EMPTY legacy append-mode store,
+    // where silently treating it as bootstrap would dedup the batch
+    // against nothing AND let the first __wv dir hide the flat legacy
+    // files from every later partition-discovery read: fail loudly.
     def prior(p: String): Option[DataFrame] =
       if (!exists(batch, p)) None
       else try {
         val df = spark.read.parquet(p)
-        Some(epoch.fold(df)(e => df.filter(col("__wv") =!= e)))
+        epoch match {
+          case None => Some(df)
+          case Some(e) if df.columns.contains("__wv") =>
+            Some(df.filter(col("__wv") =!= e))
+          case Some(_) if df.isEmpty => None // erased-to-anchor store
+          case Some(_) => throw new IllegalStateException(
+            s"epoch-tagged ingest over a non-empty legacy (no __wv) " +
+              s"store at $p — its accumulated state would be silently " +
+              "ignored and then hidden by partition discovery; migrate " +
+              "the store (rewrite under a __wv partition) or keep " +
+              "ingesting with epoch = None")
+        }
       } catch {
         case _: org.apache.spark.sql.AnalysisException => None
       }
@@ -145,24 +164,14 @@ object IncrementalDedupStream {
     * replay reads it as someone else's history.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, storeDir: String,
-      minFiles: Int = 64): Unit = {
-    def fileCount(p: String): Int = {
-      val hp = new Path(p)
-      val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!f.exists(hp)) return 0
-      val it = f.listFiles(hp, true)
-      var n = 0
-      while (it.hasNext)
-        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      n
-    }
-    for (store <- Seq("corpus", "index", "pairs")) {
-      val p = s"$storeDir/$store"
-      if (fileCount(p) > minFiles) {
-        val full = spark.read.parquet(p)
+      minFiles: Int = 64): Unit =
+    for (store <- Seq("corpus", "index", "pairs"))
+      graft.io.Sinks.compactEpochStore(spark, s"$storeDir/$store",
+        minFiles) { full =>
         require(full.columns.contains("__wv"),
-          s"compact: $p is not epoch-managed (no __wv layout) — legacy " +
-            "append-mode stores manage their own file hygiene")
+          s"compact: $storeDir/$store is not epoch-managed (no __wv " +
+            "layout) — legacy append-mode stores manage their own file " +
+            "hygiene")
         val parts =
           if (full.columns.contains("__bk")) Seq("__bk", "__wv")
           else Seq("__wv")
@@ -171,13 +180,9 @@ object IncrementalDedupStream {
         // erasure-cost knob that sizes a bucket tractably); pairs (no
         // bucket layout, collisions-only but unbounded): a fixed fan-out
         // keyed on id_a so no single task absorbs the whole store
-        graft.io.Sinks.stagedSwapParquet(spark,
-          if (parts.contains("__bk")) flat.repartition(col("__bk"))
-          else flat.repartition(16, xxhash64(col("id_a"))),
-          p, partitionCols = parts)
+        (if (parts.contains("__bk")) flat.repartition(col("__bk"))
+         else flat.repartition(16, xxhash64(col("id_a"))), parts)
       }
-    }
-  }
 
   /** Right-to-be-forgotten erasure of the dedup stores: remove the `ids`
     * documents from corpus and index by rewriting ONLY their id-hash

@@ -414,6 +414,29 @@ class IoSpec extends AnyFunSuite {
     assert(it.highWater >= body.length, "bound sanity: one record fits")
   }
 
+  test("warc: a record larger than the buffer cap ends parsing as " +
+    "truncation — records before it survive, nothing throws, memory " +
+    "stays capped (the gzip-bomb / adversarial Content-Length guard)") {
+    import graft.io.Warc
+    val small = Warc.WarcRecord("conversion", "urn:graft:1",
+      "http://x.example/1", "tiny body one".getBytes("UTF-8"))
+    val huge = Warc.WarcRecord("conversion", "urn:graft:2",
+      "http://x.example/2", ("A" * 200000).getBytes("UTF-8"))
+    val after = Warc.WarcRecord("conversion", "urn:graft:3",
+      "http://x.example/3", "tiny body three".getBytes("UTF-8"))
+    val bytes = Warc.encodeArchive(Seq(small, huge, after))
+    // cap below the huge record: parsing must end gracefully at the cap
+    val it = new Warc.RecordIterator(
+      new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes)), maxBuffer = 64 * 1024)
+    val got = it.toSeq
+    assert(got.map(_.headers("warc-record-id")) == Seq("urn:graft:1"),
+      s"got ${got.size} records; the capped record must read as damage")
+    assert(it.highWater <= 64 * 1024, "the cap bounds the working set")
+    // an uncapped parse of the same bytes yields all three (sanity)
+    assert(Warc.parseArchive(bytes).size == 3)
+  }
+
   test("warc: truncation exactly at a gzip member boundary keeps every " +
     "record of the preceding members") {
     import graft.io.Warc
@@ -613,6 +636,88 @@ class IoSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Versioned.append(spark, root, Seq((1L, "x")).toDF("id", "v"),
         statsCols = Seq("v"))
+    }
+  }
+
+  test("versioned table: erase works under a root containing " +
+    "URI-encodable characters (input_file_name returns ENCODED paths — " +
+    "a raw string compare would silently ghost the erasure)") {
+    import graft.io.Versioned
+    val root = Files.createTempDirectory("graft versioned enc").toString +
+      "/t 100%"
+    Versioned.append(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Versioned.append(spark, root, Seq((3L, "c")).toDF("id", "v"))
+    val v = Versioned.erase(spark, root, Seq(2L).toDF("id"), "id", 11L)
+    // NOT a ghost: the subject is gone, the floor was raised
+    assert(Versioned.read(spark, root).select($"id").as[Long]
+      .collect().toSet == Set(1L, 3L))
+    intercept[IllegalStateException] { Versioned.read(spark, root, 0) }
+    assert(v == 2)
+  }
+
+  test("versioned table: segments appended across a schema evolution " +
+    "union with null backfill on every read path (a single-footer schema " +
+    "would silently drop the new column)") {
+    import graft.io.Versioned
+    val root = Files.createTempDirectory("graft-versioned-evo").toString +
+      "/t"
+    Versioned.append(spark, root, Seq((1L, "a")).toDF("id", "v"),
+      statsCols = Seq("id"))
+    Versioned.append(spark, root,
+      Seq((2L, "b", 9L)).toDF("id", "v", "extra"), statsCols = Seq("id"))
+    val full = Versioned.read(spark, root)
+    assert(full.columns.toSet == Set("id", "v", "extra"))
+    assert(full.filter($"id" === 1L).select($"extra").head().isNullAt(0))
+    assert(full.filter($"id" === 2L).select($"extra").as[Long].head() == 9L)
+    // readWhere keeps the union schema and the range law
+    val rw = Versioned.readWhere(spark, root, "id", 2L, 2L)
+    assert(rw.columns.toSet == Set("id", "v", "extra") && rw.count() == 1)
+    // the erase probe sees the key everywhere and purges across schemas
+    Versioned.erase(spark, root, Seq(1L).toDF("id"), "id", 12L)
+    assert(Versioned.read(spark, root).select($"id").as[Long]
+      .collect().toSet == Set(2L))
+    // compaction folds evolved segments into one union-schema segment
+    Versioned.append(spark, root, Seq((4L, "d")).toDF("id", "v"),
+      statsCols = Seq("id"))
+    Versioned.compact(spark, root, targetSegments = 1)
+    val compacted = Versioned.read(spark, root)
+    assert(compacted.columns.toSet == Set("id", "v", "extra"))
+    assert(compacted.select($"id").as[Long].collect().toSet == Set(2L, 4L))
+  }
+
+  test("versioned table compaction: consecutive segments fold to the " +
+    "target count, history stays time-travelable, skipping stays " +
+    "selective over the folded ranges, and erasure still purges") {
+    import graft.io.Versioned
+    val root = Files.createTempDirectory("graft-versioned-opt").toString +
+      "/t"
+    for (i <- 0 until 12)
+      Versioned.append(spark, root,
+        Seq((i.toLong, s"row$i")).toDF("id", "v"), statsCols = Seq("id"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"id").as[Long].collect().toSet
+    def segsOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.map(f => new java.io.File(f).getParent).distinct.length
+    val before = ids(Versioned.read(spark, root))
+    val cv = Versioned.compact(spark, root, targetSegments = 3)
+    assert(cv == 12, "compaction publishes a new version")
+    assert(Versioned.compact(spark, root, 3) == cv,
+      "a table at the target no-ops")
+    val latest = Versioned.read(spark, root)
+    assert(ids(latest) == before && segsOf(latest) == 3,
+      "latest = same rows, 3 consolidated segments")
+    // history untouched: pre-compaction versions still time-travel
+    assert(Versioned.read(spark, root, 5).count() == 6)
+    // consecutive grouping keeps ranges tight: ids {0-3},{4-7},{8-11},
+    // so [4,7] opens exactly one consolidated segment with fresh stats
+    val mid = Versioned.readWhere(spark, root, "id", 4L, 7L)
+    assert(segsOf(mid) == 1 && ids(mid) == (4L to 7L).toSet)
+    // erasure after compaction: purges, floors, and keeps the rest
+    Versioned.erase(spark, root, Seq(5L).toDF("id"), "id", 9L)
+    assert(ids(Versioned.read(spark, root)) == before - 5L)
+    intercept[IllegalStateException] {
+      Versioned.read(spark, root, 5)
     }
   }
 

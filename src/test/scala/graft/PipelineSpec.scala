@@ -519,6 +519,37 @@ class PipelineSpec extends AnyFunSuite {
         .filter($"id_b" === 50L).count() > 0)
   }
 
+  test("a corpus erased down to nothing stays ingestable: the next wave " +
+    "bootstraps from the anchor-only stores instead of tripping on the " +
+    "missing __wv layout") {
+    val root = tmp()
+    val t1 = "the quick brown fox jumps over a lazy dog while the rain " +
+      "in spain falls mainly on the plain and the cat sat on the mat"
+    val t2 = "every good boy does fine and the sun will rise again to " +
+      "warm a quiet field of green grass near the old mill today"
+    def wave(id: Long, t: String) =
+      Seq((id, t, "en", "srcA", t.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val raw = wave(1L, t1).unionByName(wave(50L, t2)).localCheckpoint()
+    val cfg = PretrainCorpus.Config(mixRates = Map("srcA" -> 1.0))
+    PretrainCorpus.ingestWave(spark, wave(1L, t1), raw, root, cfg)
+    // forget EVERYTHING: stores swap down to their flat schema anchors
+    PretrainCorpus.eraseDocs(spark, root, Seq(1L).toDF("doc_id"))
+    // the next (id-ordered) wave must ingest cleanly from anchor state
+    PretrainCorpus.ingestWave(spark, wave(50L, t2), raw, root, cfg)
+    assert(spark.read.parquet(s"$root/corpus")
+      .select($"doc_id").as[Long].collect().toSet == Set(50L))
+    // and the ordering guard still has no prior ids to trip on
+    assert(spark.read.parquet(s"$root/fingerprints")
+      .select($"doc_id").as[Long].collect().toSet == Set(50L))
+    // negative wave ids are rejected (the reserved compaction partition)
+    val e = intercept[IllegalArgumentException] {
+      PretrainCorpus.ingestWave(spark, wave(60L, t1), raw, root, cfg,
+        waveId = Some(-1L))
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
   test("incremental ingest enforces the id-ordering precondition: an " +
     "out-of-order wave fails loudly and names the batch arbiter") {
     val raw = Tables.load(spark, "/root/testdata/sf0.001", "documents")

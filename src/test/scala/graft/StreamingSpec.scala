@@ -498,6 +498,27 @@ class StreamingSpec extends AnyFunSuite {
   }
 
 
+  test("epoch-tagged ingest over a NON-empty legacy (no __wv) dedup " +
+    "store fails loudly instead of silently deduping against nothing; " +
+    "negative epochs are rejected") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).localCheckpoint()
+    val base = Files.createTempDirectory("graft-legacy-store").toString
+    // a legacy store: flat append-mode layout, real accumulated state
+    IncrementalDedupStream.ingestBatch(docs, "doc_id", "text",
+      s"$base/store", minJaccard = 0.5)
+    val e = intercept[IllegalStateException] {
+      IncrementalDedupStream.ingestBatch(docs, "doc_id", "text",
+        s"$base/store", minJaccard = 0.5, epoch = Some(1L))
+    }
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+    val neg = intercept[IllegalArgumentException] {
+      IncrementalDedupStream.ingestBatch(docs, "doc_id", "text",
+        s"$base/store2", minJaccard = 0.5, epoch = Some(-2L))
+    }
+    assert(neg.getMessage.contains("reserved"), neg.getMessage)
+  }
+
   test("dedup-store compaction folds epochs into __wv=-1 keeping the " +
     "bucket layout: post-compaction ingest, pairs, and erasure equal an " +
     "uncompacted twin, and the file count drops to ~one per bucket") {
