@@ -223,13 +223,22 @@ object Versioned {
         case None => true // no stats: cannot prune
       }
     }
-    // all pruned: an empty frame with the table's schema (from the full
-    // file list — metadata-only, no row reads)
+    // the result schema comes from the FULL file list (a footers-only
+    // schema merge, no row reads): pruning away every segment that
+    // carries an evolved column must not narrow the schema, or skipping
+    // would stop being a pure I/O decision (read+filter equality is the
+    // contract). The anchor is a file-LESS empty LocalRelation so
+    // inputFiles — the gate's segs_read evidence — reflects only the
+    // kept segments.
+    val fullSchema = spark.read.option("mergeSchema", "true")
+      .parquet(m.files: _*).schema
+    val anchor = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
     val base =
-      if (kept.nonEmpty) spark.read.option("mergeSchema", "true")
-        .parquet(kept: _*)
-      else spark.read.option("mergeSchema", "true").parquet(m.files: _*)
-        .limit(0)
+      if (kept.isEmpty) anchor
+      else anchor.unionByName(
+        spark.read.option("mergeSchema", "true").parquet(kept: _*),
+        allowMissingColumns = true)
     base.where(col(keyCol).between(lo, hi))
   }
 
@@ -259,8 +268,12 @@ object Versioned {
     val v = vs.last + 1
     val groupSize =
       (latest.files.length + targetSegments - 1) / targetSegments
-    var newStats = Map.empty[String, Seq[(String, Long, Long)]]
+    var newStats = latest.stats
     val newFiles = latest.files.grouped(groupSize).zipWithIndex.map {
+      // singleton groups carry over VERBATIM — original path, original
+      // stats, zero I/O, byte-sharing with older manifests preserved;
+      // only genuine multi-segment folds pay the rewrite
+      case (Seq(only), _) => only
       case (group, i) =>
         val out = s"$root/seg-$v-c$i-${spark.sparkContext.applicationId}"
         spark.read.option("mergeSchema", "true").parquet(group: _*)
@@ -269,19 +282,25 @@ object Versioned {
         val cols = group.flatMap(f =>
           latest.stats.get(f).fold(Seq.empty[String])(_.map(_._1))).distinct
         val st = segmentStats(spark.read.parquet(out), cols)
+        group.foreach(f => newStats -= f)
         if (st.nonEmpty) newStats += (out -> st)
         out
     }.toSeq
+    val keptSet = newFiles.toSet
     writeManifest(spark, root, Manifest(v, newFiles,
-      latest.redactedBelow, latest.tombstoneEpoch, newStats))
+      latest.redactedBelow, latest.tombstoneEpoch,
+      newStats.filter { case (f, _) => keptSet.contains(f) }))
     v
   }
 
   /** Right-to-be-forgotten erasure: rewrite only the segments holding the
     * subject's rows (untouched segments stay byte-identical and shared),
-    * purge the replaced segments' bytes, and publish a new version whose
-    * redaction floor makes every OLDER version unreadable — stated, not
-    * silent. Returns the new version.
+    * publish a new version whose redaction floor makes every OLDER
+    * version unreadable — stated, not silent — and then purge EVERY
+    * on-disk segment outside the new manifest: the floor just made all
+    * older versions unreadable, so the superseded originals [[compact]]
+    * had left behind for time travel (which may also hold the subject)
+    * die with the rewritten ones. Returns the new version.
     *
     * The hit-segment set is found in ONE job: the latest version is read
     * as a single union, semi-joined to the keys, and the distinct
@@ -348,8 +367,18 @@ object Versioned {
         writeManifest(spark, root,
           Manifest(v, newFiles, redactedBelow = v, tombstoneEpoch, newStats))
         // the subject's bytes die AFTER the new manifest is durable: a
-        // crash in between leaves a readable latest either way
-        replaced.foreach(seg => f.delete(new Path(seg), true))
+        // crash in between leaves a readable latest either way. The
+        // redaction floor just made EVERY older version unreadable, so
+        // every on-disk segment outside the new manifest is purged — not
+        // only the rewritten ones: [[compact]] leaves superseded
+        // originals on disk for time travel, and those may hold the
+        // subject too (they also garbage-collect crashed writers'
+        // orphans here)
+        val keep = newFiles.map(s => new Path(s).getName).toSet
+        f.listStatus(new Path(root))
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg-")
+            && !keep.contains(s.getPath.getName))
+          .foreach(s => f.delete(s.getPath, true))
       }
       v
     } finally org.apache.spark.sql.graftx.CheckpointUtils

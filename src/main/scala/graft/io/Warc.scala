@@ -99,6 +99,10 @@ object Warc {
   private[graft] final class RecordIterator(in: java.io.InputStream,
       maxBuffer: Int = RecordIterator.DefaultMaxBuffer)
       extends Iterator[WarcParsed] {
+    // a cap above 2^30 would let buf.length*2 overflow Int — the exact
+    // bug the cap exists to prevent
+    require(maxBuffer > 0 && maxBuffer <= (1 << 30),
+      s"maxBuffer must be in (0, 2^30]: $maxBuffer")
     private var buf = new Array[Byte](math.min(64 * 1024, maxBuffer))
     private var start = 0 // consumed prefix (compactable)
     private var end = 0 // valid bytes

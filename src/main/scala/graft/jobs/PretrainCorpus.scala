@@ -264,13 +264,22 @@ object PretrainCorpus {
     // prior fingerprint state: the store minus this wave's own partition
     // (so a crash replay sees what the first attempt saw). A store whose
     // every row was erased is an ANCHOR-ONLY read (stagedSwapParquet's
-    // flat schema anchor carries no __wv column): zero rows, prior = none
+    // flat schema anchor carries no __wv column): zero rows, prior =
+    // none. A NON-empty no-__wv store is a legacy append-mode layout —
+    // silently treating it as bootstrap would dedup against nothing and
+    // then hide the flat files behind partition discovery: fail loudly
+    // (the same rule IncrementalDedupStream.prior enforces).
     val fpPrior =
       if (!exists(fpPath)) None
       else {
         val df = spark.read.parquet(fpPath)
-        if (!df.columns.contains("__wv")) None // fully-erased store
-        else Some(df.filter(col("__wv") =!= wid))
+        if (df.columns.contains("__wv")) Some(df.filter(col("__wv") =!= wid))
+        else if (df.isEmpty) None // fully-erased (anchor-only) store
+        else throw new IllegalStateException(
+          s"ingestWave over a non-empty legacy (no __wv) fingerprint " +
+            s"store at $fpPath — its accumulated state would be " +
+            "silently ignored and then hidden by partition discovery; " +
+            "migrate the store (rewrite under a __wv partition) first")
       }
     // ORDERING GUARD — the batch-law equivalence precondition, enforced
     fpPrior.foreach { prev =>

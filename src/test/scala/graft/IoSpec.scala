@@ -435,6 +435,17 @@ class IoSpec extends AnyFunSuite {
     assert(it.highWater <= 64 * 1024, "the cap bounds the working set")
     // an uncapped parse of the same bytes yields all three (sanity)
     assert(Warc.parseArchive(bytes).size == 3)
+    // cap domain is enforced: 0 and >2^30 would each reintroduce the
+    // arithmetic the guard exists to prevent
+    intercept[IllegalArgumentException] {
+      new Warc.RecordIterator(
+        new java.io.ByteArrayInputStream(Array.empty[Byte]), maxBuffer = 0)
+    }
+    intercept[IllegalArgumentException] {
+      new Warc.RecordIterator(
+        new java.io.ByteArrayInputStream(Array.empty[Byte]),
+        maxBuffer = (1 << 30) + 1)
+    }
   }
 
   test("warc: truncation exactly at a gzip member boundary keeps every " +
@@ -673,6 +684,12 @@ class IoSpec extends AnyFunSuite {
     // readWhere keeps the union schema and the range law
     val rw = Versioned.readWhere(spark, root, "id", 2L, 2L)
     assert(rw.columns.toSet == Set("id", "v", "extra") && rw.count() == 1)
+    // …including when pruning drops EVERY segment that carries the
+    // evolved column: the schema must not narrow (read+filter equality)
+    val oldOnly = Versioned.readWhere(spark, root, "id", 1L, 1L)
+    assert(oldOnly.columns.toSet == Set("id", "v", "extra"),
+      "pruning narrowed the schema — skipping became semantic")
+    assert(oldOnly.select($"extra").head().isNullAt(0))
     // the erase probe sees the key everywhere and purges across schemas
     Versioned.erase(spark, root, Seq(1L).toDF("id"), "id", 12L)
     assert(Versioned.read(spark, root).select($"id").as[Long]
@@ -713,12 +730,39 @@ class IoSpec extends AnyFunSuite {
     // so [4,7] opens exactly one consolidated segment with fresh stats
     val mid = Versioned.readWhere(spark, root, "id", 4L, 7L)
     assert(segsOf(mid) == 1 && ids(mid) == (4L to 7L).toSet)
-    // erasure after compaction: purges, floors, and keeps the rest
+    // a 3-segment table compacted to target 2: groups of (2, 1) — the
+    // singleton carries over VERBATIM (zero I/O, original path on disk)
+    val r2 = Files.createTempDirectory("graft-versioned-opt2").toString +
+      "/t"
+    for (i <- 0 until 3)
+      Versioned.append(spark, r2, Seq((i.toLong, "x")).toDF("id", "v"),
+        statsCols = Seq("id"))
+    val dirsBefore = Versioned.read(spark, r2).inputFiles
+      .map(f => new java.io.File(f).getParent).distinct.toSet
+    Versioned.compact(spark, r2, targetSegments = 2)
+    val dirsAfter = Versioned.read(spark, r2).inputFiles
+      .map(f => new java.io.File(f).getParent).distinct.toSet
+    assert(dirsAfter.size == 2 &&
+      dirsAfter.exists(dirsBefore.contains),
+      "the singleton group must keep its original segment, unrewritten")
+    // erasure after compaction: purges, floors, and keeps the rest —
+    // INCLUDING the superseded pre-compaction originals, which the
+    // redaction floor just made unreadable anyway (the purge contract
+    // must survive compaction, or the subject's bytes outlive the
+    // erasure in segments only old manifests reference)
     Versioned.erase(spark, root, Seq(5L).toDF("id"), "id", 9L)
     assert(ids(Versioned.read(spark, root)) == before - 5L)
     intercept[IllegalStateException] {
       Versioned.read(spark, root, 5)
     }
+    val liveSegs = Versioned.read(spark, root).inputFiles
+      .map(f => new java.io.File(f.stripPrefix("file:")).getParent)
+      .distinct.toSet
+    val onDisk = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg-"))
+      .map(_.getAbsolutePath).toSet
+    assert(onDisk == liveSegs,
+      s"superseded segments outlived the erasure: ${onDisk -- liveSegs}")
   }
 
 }

@@ -548,6 +548,15 @@ class PipelineSpec extends AnyFunSuite {
         waveId = Some(-1L))
     }
     assert(e.getMessage.contains("reserved"), e.getMessage)
+    // a NON-empty legacy (no __wv) fingerprint store fails loudly rather
+    // than silently deduping the wave against nothing
+    val legacy = tmp()
+    Seq((7L, "aa")).toDF("doc_id", "fp")
+      .write.parquet(s"$legacy/fingerprints")
+    val le = intercept[IllegalStateException] {
+      PretrainCorpus.ingestWave(spark, wave(80L, t1), raw, legacy, cfg)
+    }
+    assert(le.getMessage.contains("legacy"), le.getMessage)
   }
 
   test("incremental ingest enforces the id-ordering precondition: an " +
