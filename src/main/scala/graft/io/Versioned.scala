@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions.{broadcast, col}
   * of the latest version (segment membership decides rewrite-vs-share,
   * so untouched segments stay byte-identical and shared across
   * manifests); manifests are O(segments) JSON lines. Appends can record
-  * per-segment min/max column stats ([[append]]'s `statsCols`), and
-  * [[readWhere]] then prunes disjoint segments before any row is read —
-  * manifest-level data skipping, maintained through erasure rewrites.
+  * per-segment min/max column stats ([[append]]'s `statsCols`) and
+  * bloom sidecars (`bloomCols`); [[readWhere]] then prunes
+  * range-disjoint segments and [[readEquals]] bloom-rejects segments
+  * that cannot hold the key — data skipping for both the range and the
+  * point-lookup shape, maintained through erasure rewrites and
+  * compaction.
   */
 object Versioned {
 
@@ -142,14 +145,72 @@ object Versioned {
     }
   }
 
+  private def bloomPath(seg: String, c: String) = s"$seg/_bloom_$c"
+
+  /** Build and persist one bloom SIDECAR per `bloomCols` column for a
+    * just-written segment: `<seg>/_bloom_<col>` — the underscore prefix
+    * makes it invisible to parquet scans, and living INSIDE the segment
+    * dir means it shares the segment's lifecycle for free (erase's purge
+    * and compact's carry-over need no bookkeeping). Capacity is the
+    * segment's exact row count (one count + one aggregate per column);
+    * fpp 0.001 keeps a false hit — a needlessly opened segment, never a
+    * wrong row — at one in a thousand. Long and string columns (the id /
+    * URL shapes equality lookups actually use).
+    */
+  private def writeBlooms(spark: SparkSession, seg: String,
+      bloomCols: Seq[String]): Unit = {
+    if (bloomCols.isEmpty) return
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val rows = spark.read.parquet(seg)
+    val types = rows.schema.fields.map(f => f.name -> f.dataType).toMap
+    bloomCols.foreach { c =>
+      require(types.get(c).exists(t => t == LongType || t == IntegerType ||
+        t == ShortType || t == ByteType || t == StringType),
+        s"bloom sidecars support integral/string columns; '$c' is " +
+          s"${types.get(c).fold("absent")(_.simpleString)}")
+    }
+    val n = math.max(rows.count(), 1L)
+    val f = fs(spark, seg)
+    bloomCols.foreach { c =>
+      val bloom = rows.stat.bloomFilter(c, n, 0.001)
+      val out = f.create(new Path(bloomPath(seg, c)), true)
+      try bloom.writeTo(out) finally out.close()
+    }
+  }
+
+  /** Columns a segment carries bloom sidecars for. */
+  private def bloomColsOf(spark: SparkSession, seg: String): Seq[String] = {
+    val f = fs(spark, seg)
+    val p = new Path(seg)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("_bloom_")).map(_.stripPrefix("_bloom_")).toSeq
+  }
+
+  /** The sidecar bloom for (seg, col), if one was recorded. */
+  private def readBloom(spark: SparkSession, seg: String, c: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val f = fs(spark, seg)
+    val p = new Path(bloomPath(seg, c))
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    }
+  }
+
   /** Append `df` as a new version; returns the committed version number.
     * `statsCols` (integral columns) additionally records the new
     * segment's per-column min/max in the manifest, enabling
     * [[readWhere]]'s segment skipping; segments carried over from prior
-    * versions keep their recorded stats.
+    * versions keep their recorded stats. `bloomCols` (integral or
+    * string) additionally writes per-segment bloom sidecars, enabling
+    * [[readEquals]]'s equality skipping where a range can't prune (high
+    * cardinality keys interleaved across segments).
     */
   def append(spark: SparkSession, root: String, df: DataFrame,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
     val vs = versions(spark, root)
     val prev = vs.lastOption.map(readManifest(spark, root, _))
     val v = vs.lastOption.map(_ + 1).getOrElse(0)
@@ -157,6 +218,7 @@ object Versioned {
     df.write.mode(SaveMode.Overwrite).option("compression", "snappy")
       .parquet(seg)
     val segSt = segmentStats(spark.read.parquet(seg), statsCols)
+    writeBlooms(spark, seg, bloomCols)
     writeManifest(spark, root, Manifest(v,
       prev.map(_.files).getOrElse(Nil) :+ seg,
       prev.map(_.redactedBelow).getOrElse(0),
@@ -223,23 +285,61 @@ object Versioned {
         case None => true // no stats: cannot prune
       }
     }
-    // the result schema comes from the FULL file list (a footers-only
-    // schema merge, no row reads): pruning away every segment that
-    // carries an evolved column must not narrow the schema, or skipping
-    // would stop being a pure I/O decision (read+filter equality is the
-    // contract). The anchor is a file-LESS empty LocalRelation so
-    // inputFiles — the gate's segs_read evidence — reflects only the
-    // kept segments.
+    prunedRead(spark, m, kept).where(col(keyCol).between(lo, hi))
+  }
+
+  /** Equality read with BLOOM SKIPPING: `keyCol = value` over `version`,
+    * opening only the segments whose bloom sidecar might contain the
+    * value — the lookup shape min/max stats can't serve when a
+    * high-cardinality key is interleaved across segments. Manifest
+    * min/max stats (when recorded and the key is integral) prune first;
+    * segments without a sidecar are conservatively read; and the
+    * residual filter always applies, so a bloom false positive costs an
+    * extra segment open, never a wrong row — skipping stays an I/O
+    * decision. `value` must have the column's ingested type (integral
+    * for integral columns, String for strings — the bloom hashes by
+    * type).
+    */
+  def readEquals(spark: SparkSession, root: String, keyCol: String,
+      value: Any, version: Int = Int.MaxValue): DataFrame = {
+    val m = resolve(spark, root, version)
+    val asLong: Option[Long] = value match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    val kept = m.files.filter { f =>
+      val statsOk = (asLong, m.stats.get(f).flatMap(_.collectFirst {
+        case (c, mn, mx) if c == keyCol => (mn, mx) })) match {
+        case (Some(x), Some((mn, mx))) => x >= mn && x <= mx
+        case _ => true
+      }
+      statsOk && readBloom(spark, f, keyCol).forall(_.mightContain(value))
+    }
+    import org.apache.spark.sql.functions.lit
+    prunedRead(spark, m, kept).where(col(keyCol) === lit(value))
+  }
+
+  /** The pruned-segment read both skip paths share. The result schema
+    * comes from the FULL file list (a footers-only schema merge, no row
+    * reads): pruning away every segment that carries an evolved column
+    * must not narrow the schema, or skipping would stop being a pure
+    * I/O decision (read+filter equality is the contract). The anchor is
+    * a file-LESS empty LocalRelation so inputFiles — the gate's
+    * segs_read evidence — reflects only the kept segments.
+    */
+  private def prunedRead(spark: SparkSession, m: Manifest,
+      kept: Seq[String]): DataFrame = {
     val fullSchema = spark.read.option("mergeSchema", "true")
       .parquet(m.files: _*).schema
     val anchor = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
-    val base =
-      if (kept.isEmpty) anchor
-      else anchor.unionByName(
-        spark.read.option("mergeSchema", "true").parquet(kept: _*),
-        allowMissingColumns = true)
-    base.where(col(keyCol).between(lo, hi))
+    if (kept.isEmpty) anchor
+    else anchor.unionByName(
+      spark.read.option("mergeSchema", "true").parquet(kept: _*),
+      allowMissingColumns = true)
   }
 
   /** OPTIMIZE-style segment compaction: rewrite the latest version's
@@ -284,6 +384,10 @@ object Versioned {
         val st = segmentStats(spark.read.parquet(out), cols)
         group.foreach(f => newStats -= f)
         if (st.nonEmpty) newStats += (out -> st)
+        // folded segments re-record the union of their members' blooms
+        // (singleton groups carry theirs inside the dir, untouched)
+        writeBlooms(spark, out,
+          group.flatMap(bloomColsOf(spark, _)).distinct)
         out
     }.toSeq
     val keptSet = newFiles.toSet
@@ -351,11 +455,13 @@ object Versioned {
             .write.mode(SaveMode.Overwrite).option("compression", "snappy")
             .parquet(out)
           // the rewritten segment re-records whatever columns the
-          // replaced one tracked (min/max may tighten; must not go stale)
+          // replaced one tracked (min/max may tighten; must not go
+          // stale), bloom sidecars included
           newStats -= seg
           val cols = latest.stats.get(seg).fold(Seq.empty[String])(_.map(_._1))
           val st = segmentStats(spark.read.parquet(out), cols)
           if (st.nonEmpty) newStats += (out -> st)
+          writeBlooms(spark, out, bloomColsOf(spark, seg))
           replaced ::= seg
           out
         }

@@ -312,6 +312,36 @@ object PipelineQueries extends QueryPack {
           lit(3).as("segs_total"), lit(segsRead).as("segs_read"))
     }),
 
+    // BLOOM-sidecar equality skipping: three segments hold INTERLEAVED
+    // doc_id classes (mod 3), so min/max ranges fully overlap and can
+    // prune nothing — the per-segment bloom alone must reject the two
+    // segments that cannot hold the key (no statsCols recorded, to
+    // prove the bloom does the work). segs_read derives from the files
+    // the returned plan actually opens; the residual filter keeps a
+    // (1e-3, fixed-seed-deterministic) false positive an I/O cost only.
+    "s_versioned_bloom" -> ((s, dir) => {
+      import graft.io.Versioned
+      val docs = Tables.load(s, dir, "documents").localCheckpoint()
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_vbloom_${s.sparkContext.applicationId}").toString
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // clean re-runs
+      for (i <- 0 until 3)
+        Versioned.append(s, tmp,
+          docs.filter(pmod(col("doc_id"), lit(3)) === i),
+          bloomCols = Seq("doc_id"))
+      val hit = Versioned.readEquals(s, tmp, "doc_id", 41L)
+      val segsRead = hit.inputFiles
+        .map(f => new java.io.File(f).getParent).distinct.length
+      hit.agg(count(lit(1)).as("n_rows"),
+          sum(conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":"), col("text"))), 1, 8), 16, 10).cast("long"))
+            .as("checksum"))
+        .select(col("n_rows"), col("checksum"),
+          lit(3).as("segs_total"), lit(segsRead).as("segs_read"))
+    }),
+
     // GDPR erasure gate: full silver + gold, then forget every customer
     // whose md5 starts with '0' (~1/16 of them, both engines derive the
     // same set) through the partition-restricted erasure job. The final
@@ -376,6 +406,17 @@ object PipelineQueries extends QueryPack {
         |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(h) AS BIGINT), 1
         |FROM cs WHERE NOT erased
         |ORDER BY version""".stripMargin,
+
+    // exactly one mod-3 segment holds doc 41, and the bloom (fpp 1e-3,
+    // deterministic fixed-seed hashes over fixed fixture data) rejects
+    // the other two — segs_read is 1 by the law
+    "s_versioned_bloom" ->
+      """WITH x AS (SELECT doc_id, text FROM documents WHERE doc_id = 41)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |    || ':' || text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum,
+        |  3 AS segs_total, 1 AS segs_read
+        |FROM x""".stripMargin,
 
     // the middle id-range segment's rows + checksum; exactly one of the
     // three segments can hold the range, so segs_read is 1 by the law

@@ -703,6 +703,50 @@ class IoSpec extends AnyFunSuite {
     assert(compacted.select($"id").as[Long].collect().toSet == Set(2L, 4L))
   }
 
+  test("versioned table bloom sidecars: readEquals opens only segments " +
+    "that might hold the key where min/max can't prune interleaved " +
+    "ids, equals read+filter, and survives erasure and compaction") {
+    import graft.io.Versioned
+    val root = Files.createTempDirectory("graft-versioned-bloom")
+      .toString + "/t"
+    // INTERLEAVED ids (mod 3): every segment spans the full range, so
+    // range stats are useless — the bloom must do the pruning
+    for (i <- 0 until 3)
+      Versioned.append(spark, root,
+        (0 until 30).filter(_ % 3 == i).map(j => (j.toLong, s"row$j"))
+          .toDF("id", "v"),
+        statsCols = Seq("id"), bloomCols = Seq("id", "v"))
+    def segsOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.map(f => new java.io.File(f).getParent).distinct.length
+    val hit = Versioned.readEquals(spark, root, "id", 7L)
+    assert(segsOf(hit) == 1, "blooms must reject the two non-owners")
+    assert(hit.select($"v").as[String].collect().toSeq == Seq("row7"))
+    // string-typed key: same skipping, same law
+    val sHit = Versioned.readEquals(spark, root, "v", "row8")
+    assert(segsOf(sHit) == 1 &&
+      sHit.select($"id").as[Long].head() == 8L)
+    // absent key: everything bloom-pruned, empty result, schema intact
+    val miss = Versioned.readEquals(spark, root, "id", 999L)
+    assert(miss.count() == 0 && miss.columns.toSeq == Seq("id", "v"))
+    assert(segsOf(miss) == 0, "an absent key should open nothing")
+    // a segment without sidecars is conservatively read
+    Versioned.append(spark, root, Seq((100L, "nostats")).toDF("id", "v"))
+    assert(segsOf(Versioned.readEquals(spark, root, "id", 7L)) == 2)
+    // erasure rewrites the owner segment and regenerates its bloom: the
+    // erased key vanishes, its neighbors in the same mod-class remain
+    Versioned.erase(spark, root, Seq(7L).toDF("id"), "id", 21L)
+    assert(Versioned.readEquals(spark, root, "id", 7L).count() == 0)
+    val after = Versioned.readEquals(spark, root, "id", 10L)
+    assert(after.select($"v").as[String].collect().toSeq == Seq("row10"))
+    assert(segsOf(after) == 2, // the rewritten owner + the sidecar-less
+      "the rewritten segment must carry a fresh bloom")
+    // compaction folds the table; equality lookups stay exact
+    Versioned.compact(spark, root, targetSegments = 1)
+    assert(Versioned.readEquals(spark, root, "id", 10L)
+      .select($"v").as[String].collect().toSeq == Seq("row10"))
+    assert(Versioned.readEquals(spark, root, "id", 7L).count() == 0)
+  }
+
   test("versioned table compaction: consecutive segments fold to the " +
     "target count, history stays time-travelable, skipping stays " +
     "selective over the folded ranges, and erasure still purges") {
