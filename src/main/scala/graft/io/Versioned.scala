@@ -158,23 +158,49 @@ object Versioned {
     * URL shapes equality lookups actually use).
     */
   private def writeBlooms(spark: SparkSession, seg: String,
-      bloomCols: Seq[String]): Unit = {
+      bloomCols: Seq[String], pre: Option[DataFrame] = None): Unit = {
     if (bloomCols.isEmpty) return
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
-    val rows = spark.read.parquet(seg)
+    val rows = pre.getOrElse(spark.read.parquet(seg))
     val types = rows.schema.fields.map(f => f.name -> f.dataType).toMap
     bloomCols.foreach { c =>
       require(types.get(c).exists(t => t == LongType || t == IntegerType ||
         t == ShortType || t == ByteType || t == StringType),
         s"bloom sidecars support integral/string columns; '$c' is " +
           s"${types.get(c).fold("absent")(_.simpleString)}")
+      // the name becomes a filename: '=' would make the sidecar parse as
+      // a partition path (poisoning every read of the segment), '/'
+      // would misplace it into a subdirectory
+      require(c.matches("[A-Za-z0-9_.\\-]+"),
+        s"bloom column name must be filename-safe [A-Za-z0-9_.-]: '$c'")
     }
+    // parquet count() is row-group-metadata cheap — not a data scan
     val n = math.max(rows.count(), 1L)
+    // df.stat.bloomFilter routes through BloomFilterAggregate, which
+    // SILENTLY caps capacity at the runtime-join confs (4M items / 8 MB
+    // by default) — a 100M-row segment would get a saturated, useless
+    // filter while claiming fpp 1e-3. Raise the caps to this segment's
+    // true need for the duration of the build, then restore.
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevItems = spark.conf.getOption(itemsKey)
+    val prevBits = spark.conf.getOption(bitsKey)
     val f = fs(spark, seg)
-    bloomCols.foreach { c =>
-      val bloom = rows.stat.bloomFilter(c, n, 0.001)
-      val out = f.create(new Path(bloomPath(seg, c)), true)
-      try bloom.writeTo(out) finally out.close()
+    try {
+      spark.conf.set(itemsKey, math.max(n, 4000000L))
+      spark.conf.set(bitsKey, math.max(
+        org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, 0.001),
+        67108864L))
+      bloomCols.foreach { c =>
+        val bloom = rows.stat.bloomFilter(c, n, 0.001)
+        val out = f.create(new Path(bloomPath(seg, c)), true)
+        try bloom.writeTo(out) finally out.close()
+      }
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore(itemsKey, prevItems)
+      restore(bitsKey, prevBits)
     }
   }
 
@@ -187,16 +213,21 @@ object Versioned {
       .filter(_.startsWith("_bloom_")).map(_.stripPrefix("_bloom_")).toSeq
   }
 
-  /** The sidecar bloom for (seg, col), if one was recorded. */
+  /** The sidecar bloom for (seg, col), if one was recorded. One FS round
+    * trip per candidate segment: open directly and treat absence as the
+    * answer (a preceding exists() would double the RPC count on an
+    * object store — the driver-side cost a 10,000-segment point lookup
+    * actually pays).
+    */
   private def readBloom(spark: SparkSession, seg: String, c: String)
       : Option[org.apache.spark.util.sketch.BloomFilter] = {
     val f = fs(spark, seg)
-    val p = new Path(bloomPath(seg, c))
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
+    try {
+      val in = f.open(new Path(bloomPath(seg, c)))
       try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
       finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => None
     }
   }
 
@@ -217,8 +248,9 @@ object Versioned {
     val seg = s"$root/seg-$v-${spark.sparkContext.applicationId}"
     df.write.mode(SaveMode.Overwrite).option("compression", "snappy")
       .parquet(seg)
-    val segSt = segmentStats(spark.read.parquet(seg), statsCols)
-    writeBlooms(spark, seg, bloomCols)
+    val segDf = spark.read.parquet(seg)
+    val segSt = segmentStats(segDf, statsCols)
+    writeBlooms(spark, seg, bloomCols, Some(segDf))
     writeManifest(spark, root, Manifest(v,
       prev.map(_.files).getOrElse(Nil) :+ seg,
       prev.map(_.redactedBelow).getOrElse(0),
@@ -302,13 +334,38 @@ object Versioned {
     */
   def readEquals(spark: SparkSession, root: String, keyCol: String,
       value: Any, version: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     val m = resolve(spark, root, version)
+    val schema = mergedSchema(spark, m)
     val asLong: Option[Long] = value match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
       case s: Short => Some(s.toLong)
       case b: Byte => Some(b.toLong)
       case _ => None
+    }
+    // the bloom hashes BY TYPE: a string probe against a long column (or
+    // vice versa) would bloom-reject every segment and silently return
+    // an empty result where read+filter finds rows — enforce the match
+    // loudly instead of documenting it
+    schema.fields.find(_.name == keyCol) match {
+      case None => throw new IllegalArgumentException(
+        s"readEquals: unknown column '$keyCol' (have " +
+          s"${schema.fieldNames.mkString(", ")})")
+      case Some(fld) => fld.dataType match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          require(asLong.isDefined, s"readEquals: column '$keyCol' is " +
+            s"${fld.dataType.simpleString} but the probe value is " +
+            s"${value.getClass.getSimpleName} — the bloom hashes by " +
+            "type, so a mismatched probe would silently return nothing")
+        case StringType =>
+          require(value.isInstanceOf[String], s"readEquals: column " +
+            s"'$keyCol' is string but the probe value is " +
+            s"${value.getClass.getSimpleName}")
+        case t => throw new IllegalArgumentException(
+          s"readEquals supports integral/string keys; '$keyCol' is " +
+            t.simpleString)
+      }
     }
     val kept = m.files.filter { f =>
       val statsOk = (asLong, m.stats.get(f).flatMap(_.collectFirst {
@@ -319,7 +376,8 @@ object Versioned {
       statsOk && readBloom(spark, f, keyCol).forall(_.mightContain(value))
     }
     import org.apache.spark.sql.functions.lit
-    prunedRead(spark, m, kept).where(col(keyCol) === lit(value))
+    prunedReadWith(spark, schema, kept)
+      .where(col(keyCol) === lit(value))
   }
 
   /** The pruned-segment read both skip paths share. The result schema
@@ -331,9 +389,17 @@ object Versioned {
     * segs_read evidence — reflects only the kept segments.
     */
   private def prunedRead(spark: SparkSession, m: Manifest,
+      kept: Seq[String]): DataFrame =
+    prunedReadWith(spark, mergedSchema(spark, m), kept)
+
+  /** The manifest's full merged schema — footers only, no row reads. */
+  private def mergedSchema(spark: SparkSession, m: Manifest)
+      : org.apache.spark.sql.types.StructType =
+    spark.read.option("mergeSchema", "true").parquet(m.files: _*).schema
+
+  private def prunedReadWith(spark: SparkSession,
+      fullSchema: org.apache.spark.sql.types.StructType,
       kept: Seq[String]): DataFrame = {
-    val fullSchema = spark.read.option("mergeSchema", "true")
-      .parquet(m.files: _*).schema
     val anchor = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
     if (kept.isEmpty) anchor
@@ -381,13 +447,14 @@ object Versioned {
           .parquet(out)
         val cols = group.flatMap(f =>
           latest.stats.get(f).fold(Seq.empty[String])(_.map(_._1))).distinct
-        val st = segmentStats(spark.read.parquet(out), cols)
+        val outDf = spark.read.parquet(out)
+        val st = segmentStats(outDf, cols)
         group.foreach(f => newStats -= f)
         if (st.nonEmpty) newStats += (out -> st)
         // folded segments re-record the union of their members' blooms
         // (singleton groups carry theirs inside the dir, untouched)
         writeBlooms(spark, out,
-          group.flatMap(bloomColsOf(spark, _)).distinct)
+          group.flatMap(bloomColsOf(spark, _)).distinct, Some(outDf))
         out
     }.toSeq
     val keptSet = newFiles.toSet
@@ -459,9 +526,10 @@ object Versioned {
           // stale), bloom sidecars included
           newStats -= seg
           val cols = latest.stats.get(seg).fold(Seq.empty[String])(_.map(_._1))
-          val st = segmentStats(spark.read.parquet(out), cols)
+          val outDf = spark.read.parquet(out)
+          val st = segmentStats(outDf, cols)
           if (st.nonEmpty) newStats += (out -> st)
-          writeBlooms(spark, out, bloomColsOf(spark, seg))
+          writeBlooms(spark, out, bloomColsOf(spark, seg), Some(outDf))
           replaced ::= seg
           out
         }

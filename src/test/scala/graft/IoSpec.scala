@@ -745,6 +745,20 @@ class IoSpec extends AnyFunSuite {
     assert(Versioned.readEquals(spark, root, "id", 10L)
       .select($"v").as[String].collect().toSeq == Seq("row10"))
     assert(Versioned.readEquals(spark, root, "id", 7L).count() == 0)
+    // a type-mismatched probe fails LOUDLY: the bloom hashes by type,
+    // so "7" against a long column would silently return nothing
+    intercept[IllegalArgumentException] {
+      Versioned.readEquals(spark, root, "id", "7")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.readEquals(spark, root, "v", 7L)
+    }
+    // a bloom column name that isn't filename-safe would poison the
+    // segment ('=' parses as a partition path on every later read)
+    intercept[IllegalArgumentException] {
+      Versioned.append(spark, root,
+        Seq((1L, "x")).toDF("id", "a=b"), bloomCols = Seq("a=b"))
+    }
   }
 
   test("versioned table compaction: consecutive segments fold to the " +
