@@ -14,6 +14,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // WALL-CLOCK BUDGET (seconds): the r9 driver bench exited rc=124 — the
+    // suite's 4 passes (warmup + 3 rounds) outgrew the harness timeout on a
+    // slow host and the round shipped with NO official perf artifact. A
+    // bench that sometimes emits nothing is worse than one that emits
+    // fewer samples: the budget makes completion unconditional. Warmup and
+    // round 1 always cover every query; later rounds run only while the
+    // remaining budget fits them (extra samples only sharpen the min).
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1500.0)
+    val t0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - t0) / 1e9
     val spark = SparkSession.builder()
       .withExtensions(new graft.expressions.GraftExtensions())
       .master(s"local[$cpus]")
@@ -40,11 +51,16 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
     // Global warmup pass: the C2 compiler needs ~60-90s of JVM life to reach
     // steady state; a single per-query warmup right before its measurement
-    // still runs partly interpreted. Warm everything, then measure.
+    // still runs partly interpreted. Warm everything, then measure — but
+    // never spend more than 45% of the budget warming: on a pathologically
+    // slow host the remaining queries simply measure cold, which is a worse
+    // number, not a missing artifact.
     names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      purgeLeakedRdds()
+      if (elapsedSec < budgetSec * 0.45) {
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        purgeLeakedRdds()
+      }
     }
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
@@ -53,17 +69,32 @@ object Bench {
       purgeLeakedRdds()
       dt
     }
-    // min over 3 ROUND-ROBIN rounds: the host VM shows multi-second CPU-steal
-    // bursts; consecutive repeats of one query all land inside a burst, while
-    // interleaved rounds give each query three well-separated samples.
-    val rounds = (1 to 3).map { _ =>
-      names.map { name =>
-        try name -> timed(name) catch { case _: Throwable => name -> -1.0 }
+    // min over up to 3 ROUND-ROBIN rounds: the host VM shows multi-second
+    // CPU-steal bursts; consecutive repeats of one query all land inside a
+    // burst, while interleaved rounds give each query well-separated
+    // samples. Round 1 is unconditional (full coverage); rounds 2-3 start
+    // only if the previous round's duration fits the remaining budget, and
+    // abort between queries once the budget is spent (a partial extra
+    // round still sharpens the min for the queries it reached).
+    def oneRound(always: Boolean): Map[String, Double] =
+      names.flatMap { name =>
+        if (!always && elapsedSec > budgetSec) None
+        else Some(try name -> timed(name) catch {
+          case _: Throwable => name -> -1.0
+        })
       }.toMap
+    var rounds = List(oneRound(always = true))
+    var n = 1
+    while (n < 3 &&
+        elapsedSec + rounds.head.values.filter(_ >= 0).sum * 1.15 <
+          budgetSec) {
+      rounds ::= oneRound(always = false)
+      n += 1
     }
     val results = names.map { name =>
-      val samples = rounds.map(_(name))
-      name -> (if (samples.forall(_ < 0)) -1.0 else samples.filter(_ >= 0).min)
+      val samples = rounds.flatMap(_.get(name))
+      name -> (if (samples.isEmpty || samples.forall(_ < 0)) -1.0
+               else samples.filter(_ >= 0).min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
