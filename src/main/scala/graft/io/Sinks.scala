@@ -150,15 +150,17 @@ object Sinks {
     * [[graft.streaming.IncrementalDedupStream.compact]]): when `path`
     * holds more than `minFiles` parquet files, read it, let `plan` shape
     * the folded frame and its partition columns, and publish via the
-    * disk-staged atomic swap. A missing or already-compact store no-ops.
+    * disk-staged atomic swap. A missing or already-compact store no-ops,
+    * and `plan` may return None to decline the fold (e.g. a store erased
+    * down to its schema anchor, which is already maximally compact).
     */
   def compactEpochStore(spark: org.apache.spark.sql.SparkSession,
       path: String, minFiles: Int)
-      (plan: DataFrame => (DataFrame, Seq[String])): Unit =
-    if (parquetFileCount(spark, path) > minFiles) {
-      val (df, parts) = plan(spark.read.parquet(path))
-      stagedSwapParquet(spark, df, path, partitionCols = parts)
-    }
+      (plan: DataFrame => Option[(DataFrame, Seq[String])]): Unit =
+    if (parquetFileCount(spark, path) > minFiles)
+      plan(spark.read.parquet(path)).foreach { case (df, parts) =>
+        stagedSwapParquet(spark, df, path, partitionCols = parts)
+      }
 
   /** S7 erasure — DELETE rows for `keyCol` values in `keys` from the
     * unpartitioned customer table ([[mergeGoldCustomer]]'s missing

@@ -43,7 +43,15 @@ import graft.orchestration.Pipeline
   */
 object PretrainCorpus {
 
-  /** Stage parameters — defaults match the individual gates' constants. */
+  /** Stage parameters — defaults match the individual gates' constants.
+    * `nBuckets` is the id-hash bucket fan-out of every wave-partitioned
+    * store (fingerprints, admissions, corpus, and the dedup store): it
+    * bounds an erasure's rewrite to the subject's buckets, so size it so
+    * one bucket is a tractable rewrite at the deployment's corpus scale
+    * (at 100 TB and 1024 buckets, ~100 GB per bucket). It must stay
+    * constant for the life of a store — the erasure recomputes the
+    * subject's buckets from ids alone with the same modulus.
+    */
   case class Config(
       lang: String = "en",
       minJaccard: Double = 0.5,
@@ -51,7 +59,8 @@ object PretrainCorpus {
       packBudget: Int = 512,
       mixRates: Map[String, Double] =
         (0 until 20).map(i => s"src$i" -> ((i % 4) + 1) / 4.0).toMap,
-      mixSalt: String = "mix")
+      mixSalt: String = "mix",
+      nBuckets: Int = 16)
 
   /** Stage 1 — drop blank documents (they tokenize to nothing and would
     * only ride the shuffles).
@@ -313,7 +322,8 @@ object PretrainCorpus {
     // store shares the wave's epoch, so its appends replay-overwrite too
     val storeDir = s"$workDir/dedup_store"
     graft.streaming.IncrementalDedupStream.ingestBatch(s4wave, "doc_id",
-      "text", storeDir, cfg.minJaccard, epoch = Some(wid))
+      "text", storeDir, cfg.minJaccard, nBuckets = cfg.nBuckets,
+      epoch = Some(wid))
     val laters = graft.streaming.IncrementalDedupStream
       .pairs(spark, storeDir)
       .select(col("id_b").as("doc_id")).distinct()
@@ -338,14 +348,28 @@ object PretrainCorpus {
     val s7wave = s4wave.join(laters, Seq("doc_id"), "left_anti")
       .join(admissions.filter(!col("in_eval") && !col("contaminated") &&
         col("mix_keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
-    // epoch-tagged commits into explicit `__wv=<waveId>` subdirectories:
-    // order no longer matters for crash safety — a replay overwrites
-    // whichever subset the crashed attempt left — and an EMPTY commit
-    // still writes a schema-bearing flat part file, so the store stays
-    // readable whatever a wave contributes
-    def commit(df: DataFrame, path: String): Unit =
-      df.write.mode("overwrite").option("compression", "snappy")
-        .parquet(s"$path/__wv=$wid")
+    // epoch-tagged commits under (`__bk=<idHashBucket>`, `__wv=<waveId>`)
+    // via dynamic partition overwrite: the `__wv` leg keeps crash replay
+    // exactly-once (a replay recomputes the same deterministic rows and
+    // overwrites whichever subset the crashed attempt left), and the
+    // `__bk` leg — the dedup store's own layout — bounds an erasure's
+    // rewrite to the subject's bucket directories instead of the whole
+    // store ([[eraseDocs]]). An EMPTY commit writes no partition at all,
+    // so when the store would otherwise hold zero data files a flat
+    // zero-row SCHEMA ANCHOR keeps it readable (the same convention as
+    // [[graft.io.Sinks.stagedSwapParquet]]'s post-erasure state).
+    def commit(df: DataFrame, path: String): Unit = {
+      df.withColumn("__bk",
+          pmod(xxhash64(col("doc_id")), lit(cfg.nBuckets.toLong)))
+        .withColumn("__wv", lit(wid))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "snappy")
+        .partitionBy("__bk", "__wv").parquet(path)
+      if (graft.io.Sinks.parquetFileCount(spark, path) == 0)
+        df.limit(0).write.mode("append").option("compression", "snappy")
+          .parquet(path)
+    }
     commit(newFp, fpPath)
     commit(admissions, s"$workDir/admissions")
     commit(s7wave, s"$workDir/corpus")
@@ -399,15 +423,46 @@ object PretrainCorpus {
     * `__wv` partition from prior state; if compaction folded that
     * partition into `__wv=-1`, the replay would see its own first
     * attempt as already-ingested state and drop the wave's documents as
-    * exact dups.
+    * exact dups. Pass `frontier` — the last wave KNOWN fully committed
+    * (e.g. recorded by the batch arbiter) — to turn the contract into
+    * code: a store holding any wave beyond it fails loudly instead of
+    * silently converting a pending replay's documents into exact dups.
+    * `frontier = None` keeps the documented caller-asserted contract.
+    *
+    * The `__bk` id-hash layout survives the fold verbatim (one file per
+    * bucket): the erasure's bucket pruning and the bucket modulus both
+    * outlive compaction.
     */
   def compactStores(spark: SparkSession, workDir: String,
-      nBuckets: Int = 16, minFiles: Int = 64): Unit = {
-    require(nBuckets > 0, "compactStores: nBuckets must be positive")
+      minFiles: Int = 64, frontier: Option[Long] = None): Unit = {
     for (sub <- Seq("fingerprints", "admissions"))
       graft.io.Sinks.compactEpochStore(spark, s"$workDir/$sub", minFiles) {
-        full => (full.withColumn("__wv", lit(-1L))
-          .repartition(nBuckets, col("doc_id")), Seq("__wv"))
+        full =>
+          // a store erased down to its flat schema anchor has no __wv
+          // column and no rows: already maximally compact — no-op
+          // (ingestWave treats exactly this state as bootstrap)
+          if (!full.columns.contains("__wv") && full.isEmpty) None
+          else {
+            require(full.columns.contains("__wv"),
+              s"compactStores: $workDir/$sub is not wave-managed (no " +
+                "__wv layout) — legacy append-mode stores manage their " +
+                "own file hygiene")
+            frontier.foreach { fr =>
+              val over = full.filter(col("__wv") =!= lit(-1L) &&
+                col("__wv") > lit(fr)).limit(1).count()
+              require(over == 0L,
+                s"compactStores: $workDir/$sub holds waves beyond the " +
+                  s"commit frontier $fr — folding a possibly-uncommitted " +
+                  "wave into __wv=-1 would make its crash replay read " +
+                  "its own first attempt as history and drop the wave " +
+                  "as exact dups; complete or roll back the wave first")
+            }
+            val flat = full.withColumn("__wv", lit(-1L))
+            Some(
+              if (full.columns.contains("__bk"))
+                (flat.repartition(col("__bk")), Seq("__bk", "__wv"))
+              else (flat.repartition(16, col("doc_id")), Seq("__wv")))
+          }
       }
   }
 
@@ -430,60 +485,182 @@ object PretrainCorpus {
     * not reopen other docs' contamination verdicts). The
     * `p_pretrain_erasure` gate states the full law in SQL, these
     * boundaries included.
+    *
+    * FOOTPRINT-BOUNDED, the same contract as
+    * [[graft.streaming.IncrementalDedupStream.erase]]: every store
+    * rewrite touches only the id-hash buckets of the subject — plus, for
+    * the corpus, the buckets of the subject's pair partners (the only
+    * docs whose admission the erasure can flip) — never the whole store.
+    * The bucket sets are computed from the ids and the narrow pairs
+    * store alone; untouched bucket directories stay byte-identical
+    * (spec-asserted). `nBuckets` must equal the ingest
+    * [[Config.nBuckets]] (the bucket hash is recomputed from ids with
+    * the same modulus). Stores from the pre-bucketing layout (no `__bk`
+    * directories) fall back to the full staged-swap rewrite.
     */
   def eraseDocs(spark: SparkSession, workDir: String,
-      ids: DataFrame): Unit = {
+      ids: DataFrame, nBuckets: Int = 16): Unit = {
     import org.apache.spark.sql.functions.broadcast
     def exists(p: String): Boolean = {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
     }
+    val unpersist = org.apache.spark.sql.graftx.CheckpointUtils
+      .unpersistLocalCheckpoint(_: DataFrame)
+    def bk(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c), lit(nBuckets.toLong))
+    def bucketsOf(df: DataFrame): Seq[Long] =
+      df.select(bk(col("doc_id")).as("__bk")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+    val parts = Seq("__bk", "__wv")
+    def partDirs(df: DataFrame): Set[String] = df
+      .select(parts.map(col): _*).distinct().collect()
+      .map(r => parts.indices.map(i => s"${parts(i)}=${r.get(i)}")
+        .mkString("/")).toSet
+    // a store rewritten down to zero data files stays readable (and
+    // reads as ingestWave's bootstrap state) via the flat anchor
+    def anchorIfEmpty(path: String,
+        schema: org.apache.spark.sql.types.StructType): Unit =
+      if (graft.io.Sinks.parquetFileCount(spark, path) == 0)
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(
+              schema.filterNot(f => f.name == "__bk" || f.name == "__wv")))
+          .write.mode("append").option("compression", "snappy").parquet(path)
     val keys = ids.select(col(ids.columns.head).as("doc_id")).distinct()
       .localCheckpoint()
     try {
-      // the subject's fingerprints, vectors, and pairs die first
-      graft.streaming.IncrementalDedupStream.erase(spark,
-        s"$workDir/dedup_store", keys, "doc_id")
-      // wave-partitioned stores keep their __wv layout through the
-      // rewrite, so post-erasure waves replay-overwrite correctly
-      for (sub <- Seq("fingerprints", "admissions")) {
-        val p = s"$workDir/$sub"
-        if (exists(p)) {
-          val full = spark.read.parquet(p)
-          graft.io.Sinks.stagedSwapParquet(spark,
-            full.join(broadcast(keys), Seq("doc_id"), "left_anti"), p,
-            partitionCols =
-              if (full.columns.contains("__wv")) Seq("__wv") else Nil)
+      // READMISSION CANDIDATES — materialized BEFORE any store mutates:
+      // the later members of pairs whose EARLIER member is erased (those
+      // pairs die with the subject, so only these docs can flip from
+      // suppressed to admitted). Bounded by the subject's pair fan-out.
+      val pairsPath = s"$workDir/dedup_store/pairs"
+      val candidates = (
+        if (!exists(pairsPath)) keys.limit(0)
+        else graft.streaming.IncrementalDedupStream
+          .pairs(spark, s"$workDir/dedup_store")
+          .join(broadcast(keys.select(col("doc_id").as("id_a"))),
+            Seq("id_a"), "left_semi")
+          .select(col("id_b").as("doc_id")).distinct()
+          .join(broadcast(keys), Seq("doc_id"), "left_anti")
+        ).localCheckpoint()
+      try {
+        val subjectBuckets = bucketsOf(keys)
+        val corpusBuckets =
+          (subjectBuckets ++ bucketsOf(candidates)).distinct
+        // the subject's fingerprints, vectors, and pairs die first
+        graft.streaming.IncrementalDedupStream.erase(spark,
+          s"$workDir/dedup_store", keys, "doc_id", nBuckets)
+        // fingerprint/admission stores: rewrite ONLY the subject's
+        // buckets, at (__bk, __wv) granularity — replay exclusion and
+        // future wave commits keep working on the surviving layout
+        for (sub <- Seq("fingerprints", "admissions")) {
+          val p = s"$workDir/$sub"
+          if (exists(p) && subjectBuckets.nonEmpty) {
+            val full = spark.read.parquet(p)
+            if (!full.columns.contains("__bk")) {
+              // pre-bucketing layout: the full rewrite is the only option
+              graft.io.Sinks.stagedSwapParquet(spark,
+                full.join(broadcast(keys), Seq("doc_id"), "left_anti"), p,
+                partitionCols =
+                  if (full.columns.contains("__wv")) Seq("__wv") else Nil)
+            } else {
+              val inB = full.filter(col("__bk").isin(subjectBuckets: _*))
+              val touched = partDirs(inB)
+              val retained = inB.join(broadcast(keys), Seq("doc_id"),
+                "left_anti").localCheckpoint()
+              try {
+                retained.write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .option("compression", "snappy")
+                  .partitionBy(parts: _*).parquet(p)
+                // partitions holding ONLY the subject: dynamic overwrite
+                // wrote nothing there — drop the stale files explicitly
+                graft.io.Sinks.deletePartitionDirs(spark, p,
+                  (touched -- partDirs(retained)).toSeq)
+                anchorIfEmpty(p, full.schema)
+              } finally unpersist(retained)
+            }
+          }
         }
-      }
-      // corpus rebuild from retained stored state: s4 population minus
-      // later-members of RETAINED pairs, gated by the replayed flags;
-      // each doc keeps the dedup store's wave tag (the wave it arrived
-      // in). An erasure that swallowed the ENTIRE corpus leaves the
-      // dedup store file-less (schema-less on read): the corpus is then
-      // empty by definition — drop it and stop
-      val dedupCorpus =
-        try spark.read.parquet(s"$workDir/dedup_store/corpus")
-        catch {
-          case _: org.apache.spark.sql.AnalysisException =>
-            val c = new org.apache.hadoop.fs.Path(s"$workDir/corpus")
-            c.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .delete(c, true)
-            return
+        // corpus rebuild from retained stored state, restricted to the
+        // affected buckets: s4 population minus later-members of RETAINED
+        // pairs, gated by the replayed admission flags; each doc keeps
+        // the dedup store's wave tag. An erasure that swallowed the
+        // ENTIRE corpus leaves the dedup store file-less or anchor-only:
+        // the corpus is then empty by definition — drop it and stop.
+        val corpusPath = s"$workDir/corpus"
+        val dedupCorpus =
+          try {
+            val dc = spark.read.parquet(s"$workDir/dedup_store/corpus")
+            if (dc.isEmpty) {
+              val c = new org.apache.hadoop.fs.Path(corpusPath)
+              c.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .delete(c, true)
+              return
+            }
+            dc
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              val c = new org.apache.hadoop.fs.Path(corpusPath)
+              c.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .delete(c, true)
+              return
+          }
+        val laters = graft.streaming.IncrementalDedupStream
+          .pairs(spark, s"$workDir/dedup_store")
+          .select(col("id_b").as("doc_id")).distinct()
+        val admissionsDf = spark.read.parquet(s"$workDir/admissions")
+        def admitted(pruneTo: Option[Seq[Long]]): DataFrame = {
+          val flags = admissionsDf.filter(!col("in_eval") &&
+            !col("contaminated") && col("mix_keep"))
+          pruneTo match {
+            // the semi-join key determines the bucket, so the probe side
+            // prunes to the same buckets as the rebuilt side
+            case Some(bs) if admissionsDf.columns.contains("__bk") =>
+              flags.filter(col("__bk").isin(bs: _*)).select(col("doc_id"))
+            case _ => flags.select(col("doc_id"))
+          }
         }
-      val s4 = dedupCorpus.drop("__bk")
-      val laters = graft.streaming.IncrementalDedupStream
-        .pairs(spark, s"$workDir/dedup_store")
-        .select(col("id_b").as("doc_id")).distinct()
-      val admitted = spark.read.parquet(s"$workDir/admissions")
-        .filter(!col("in_eval") && !col("contaminated") && col("mix_keep"))
-        .select(col("doc_id"))
-      val rebuilt = s4.join(laters, Seq("doc_id"), "left_anti")
-        .join(admitted, Seq("doc_id"), "left_semi")
-      graft.io.Sinks.stagedSwapParquet(spark, rebuilt, s"$workDir/corpus",
-        partitionCols =
-          if (rebuilt.columns.contains("__wv")) Seq("__wv") else Nil)
-    } finally org.apache.spark.sql.graftx.CheckpointUtils
-      .unpersistLocalCheckpoint(keys)
+        // the dedup store's own bucket modulus may differ — recompute
+        // __bk from doc_id with THIS store's law before filtering
+        // (__wv — the arrival wave — carries over from the dedup store)
+        val s4 = dedupCorpus.drop("__bk")
+          .withColumn("__bk", bk(col("doc_id")))
+        val corpusStore =
+          if (exists(corpusPath)) Some(spark.read.parquet(corpusPath))
+          else None
+        corpusStore match {
+          case Some(cs) if cs.columns.contains("__bk") =>
+            if (corpusBuckets.nonEmpty) {
+              val touched =
+                partDirs(cs.filter(col("__bk").isin(corpusBuckets: _*)))
+              val rebuilt = s4.filter(col("__bk").isin(corpusBuckets: _*))
+                .join(laters, Seq("doc_id"), "left_anti")
+                .join(admitted(Some(corpusBuckets)), Seq("doc_id"),
+                  "left_semi")
+                .localCheckpoint()
+              try {
+                rebuilt.write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .option("compression", "snappy")
+                  .partitionBy(parts: _*).parquet(corpusPath)
+                graft.io.Sinks.deletePartitionDirs(spark, corpusPath,
+                  (touched -- partDirs(rebuilt)).toSeq)
+                anchorIfEmpty(corpusPath, cs.schema)
+              } finally unpersist(rebuilt)
+            }
+          case _ =>
+            // pre-bucketing corpus layout (or a corpus that never got a
+            // non-empty commit): full rebuild via the staged swap
+            val rebuilt = dedupCorpus.drop("__bk")
+              .join(laters, Seq("doc_id"), "left_anti")
+              .join(admitted(None), Seq("doc_id"), "left_semi")
+            graft.io.Sinks.stagedSwapParquet(spark, rebuilt, corpusPath,
+              partitionCols =
+                if (rebuilt.columns.contains("__wv")) Seq("__wv") else Nil)
+        }
+      } finally unpersist(candidates)
+    } finally unpersist(keys)
   }
 }

@@ -161,27 +161,47 @@ object IncrementalDedupStream {
     * boundary with no crashed batch awaiting replay — a replayed batch
     * excludes only its own `__wv` partition from prior state, and
     * compaction would fold that partition into `__wv=-1` where the
-    * replay reads it as someone else's history.
+    * replay reads it as someone else's history. Pass `frontier` — the
+    * last epoch KNOWN fully committed — to enforce the contract in code:
+    * a store holding any epoch beyond it fails loudly instead of
+    * silently absorbing a pending replay's first attempt.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, storeDir: String,
-      minFiles: Int = 64): Unit =
+      minFiles: Int = 64, frontier: Option[Long] = None): Unit =
     for (store <- Seq("corpus", "index", "pairs"))
       graft.io.Sinks.compactEpochStore(spark, s"$storeDir/$store",
         minFiles) { full =>
-        require(full.columns.contains("__wv"),
-          s"compact: $storeDir/$store is not epoch-managed (no __wv " +
-            "layout) — legacy append-mode stores manage their own file " +
-            "hygiene")
-        val parts =
-          if (full.columns.contains("__bk")) Seq("__bk", "__wv")
-          else Seq("__wv")
-        val flat = full.withColumn("__wv", lit(-1L))
-        // corpus/index: one file per bucket (nBuckets is already the
-        // erasure-cost knob that sizes a bucket tractably); pairs (no
-        // bucket layout, collisions-only but unbounded): a fixed fan-out
-        // keyed on id_a so no single task absorbs the whole store
-        (if (parts.contains("__bk")) flat.repartition(col("__bk"))
-         else flat.repartition(16, xxhash64(col("id_a"))), parts)
+        // a store fully erased down to the flat schema anchor reads with
+        // no __wv column and zero rows — already maximally compact, and
+        // the exact state ingestBatch treats as bootstrap: no-op rather
+        // than tripping the epoch-management check below
+        if (!full.columns.contains("__wv") && full.isEmpty) None
+        else {
+          require(full.columns.contains("__wv"),
+            s"compact: $storeDir/$store is not epoch-managed (no __wv " +
+              "layout) — legacy append-mode stores manage their own file " +
+              "hygiene")
+          frontier.foreach { fr =>
+            val over = full.filter(col("__wv") =!= lit(-1L) &&
+              col("__wv") > lit(fr)).limit(1).count()
+            require(over == 0L,
+              s"compact: $storeDir/$store holds epochs beyond the commit " +
+                s"frontier $fr — folding a possibly-uncommitted batch " +
+                "into __wv=-1 would make its crash replay read its own " +
+                "first attempt as history; complete or roll back the " +
+                "batch first")
+          }
+          val parts =
+            if (full.columns.contains("__bk")) Seq("__bk", "__wv")
+            else Seq("__wv")
+          val flat = full.withColumn("__wv", lit(-1L))
+          // corpus/index: one file per bucket (nBuckets is already the
+          // erasure-cost knob that sizes a bucket tractably); pairs (no
+          // bucket layout, collisions-only but unbounded): a fixed fan-out
+          // keyed on id_a so no single task absorbs the whole store
+          Some((if (parts.contains("__bk")) flat.repartition(col("__bk"))
+            else flat.repartition(16, xxhash64(col("id_a"))), parts))
+        }
       }
 
   /** Right-to-be-forgotten erasure of the dedup stores: remove the `ids`

@@ -614,17 +614,23 @@ class PipelineSpec extends AnyFunSuite {
     val rep = tmp()
     PretrainCorpus.ingestWave(spark, w0, raw, rep)
     PretrainCorpus.ingestWave(spark, w1, raw, rep)
-    val wid1 = new java.io.File(s"$rep/corpus").listFiles()
-      .map(_.getName).filter(_.startsWith("__wv="))
+    // the stores are (__bk, __wv)-partitioned: a wave's commit is the
+    // set of __wv=<wid> leaves across the bucket dirs
+    def waveDirs(sub: String, wid: Long): Seq[java.io.File] =
+      Option(new java.io.File(s"$rep/$sub").listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("__bk="))
+        .map(b => new java.io.File(b, s"__wv=$wid")).filter(_.exists())
+    val wid1 = Option(new java.io.File(s"$rep/corpus").listFiles())
+      .toSeq.flatten.filter(_.getName.startsWith("__bk="))
+      .flatMap(b => Option(b.listFiles()).toSeq.flatten.map(_.getName))
+      .filter(_.startsWith("__wv="))
       .map(_.stripPrefix("__wv=").toLong).max
     // partial-crash simulation: the fp store kept the wave but the corpus
     // and admissions never landed (the exact ordering hazard ADVICE named)
     for (sub <- Seq("corpus", "admissions"))
-      assert(new java.io.File(s"$rep/$sub/__wv=$wid1").exists())
-    org.apache.commons.io.FileUtils
-      .deleteDirectory(new java.io.File(s"$rep/corpus/__wv=$wid1"))
-    org.apache.commons.io.FileUtils
-      .deleteDirectory(new java.io.File(s"$rep/admissions/__wv=$wid1"))
+      assert(waveDirs(sub, wid1).nonEmpty, s"$sub lacks wave $wid1")
+    for (sub <- Seq("corpus", "admissions"); d <- waveDirs(sub, wid1))
+      org.apache.commons.io.FileUtils.deleteDirectory(d)
     PretrainCorpus.ingestWave(spark, w1, raw, rep) // replay after partial
     PretrainCorpus.ingestWave(spark, w1, raw, rep) // full redelivery
     assert(snapshot(rep) == want,
@@ -652,21 +658,37 @@ class PipelineSpec extends AnyFunSuite {
     PretrainCorpus.ingestWave(spark, wave(1), raw, comp)
     // a threshold ABOVE the store's file count is a no-op
     val untouched = fileCount(comp, "fingerprints")
-    PretrainCorpus.compactStores(spark, comp, nBuckets = 2,
-      minFiles = 1000000)
+    PretrainCorpus.compactStores(spark, comp, minFiles = 1000000)
     assert(fileCount(comp, "fingerprints") == untouched,
       "compaction must no-op below the file-count threshold")
-    // forced compaction: flat bucket files (+ the schema anchor), fewer
+    // compacting past the commit frontier fails loudly: the store holds
+    // waves the caller has not declared committed
+    val maxWv = new java.io.File(s"$comp/fingerprints").listFiles()
+      .filter(_.getName.startsWith("__bk="))
+      .flatMap(b => Option(b.listFiles()).toSeq.flatten.map(_.getName))
+      .filter(_.startsWith("__wv=")).map(_.stripPrefix("__wv=").toLong).max
+    val fe = intercept[IllegalArgumentException] {
+      PretrainCorpus.compactStores(spark, comp, minFiles = 0,
+        frontier = Some(maxWv - 1))
+    }
+    assert(fe.getMessage.contains("frontier"), fe.getMessage)
+    // forced compaction AT the frontier: one file per occupied bucket
+    // (+ possibly the schema anchor), strictly fewer than the per-wave
+    // commits left behind
     val beforeCounts = Seq("fingerprints", "admissions")
       .map(sub => sub -> fileCount(comp, sub)).toMap
-    PretrainCorpus.compactStores(spark, comp, nBuckets = 2, minFiles = 0)
+    PretrainCorpus.compactStores(spark, comp, minFiles = 0,
+      frontier = Some(maxWv))
     for (sub <- Seq("fingerprints", "admissions")) {
       assert(fileCount(comp, sub) < beforeCounts(sub) ||
-        beforeCounts(sub) <= 3,
+        beforeCounts(sub) <= 17,
         s"$sub: compaction must shrink the file count")
-      assert(fileCount(comp, sub) <= 3, s"$sub: 2 buckets + anchor")
-      assert(new java.io.File(s"$comp/$sub/__wv=-1").exists(),
-        s"$sub: compacted rows live in the reserved partition")
+      assert(fileCount(comp, sub) <= 17, s"$sub: ≤16 buckets + anchor")
+      assert(new java.io.File(s"$comp/$sub").listFiles()
+        .exists(b => b.getName.startsWith("__bk=") &&
+          new java.io.File(b, "__wv=-1").exists()),
+        s"$sub: compacted rows live in the reserved partition inside " +
+          "the surviving bucket layout")
     }
     // the next wave ingests — and crash-replays — exactly as before
     PretrainCorpus.ingestWave(spark, wave(2), raw, comp)
@@ -687,6 +709,64 @@ class PipelineSpec extends AnyFunSuite {
     PretrainCorpus.eraseDocs(spark, comp, erased)
     assert(state(comp) == state(plain),
       "post-compaction erasure diverged from the uncompacted run")
+  }
+
+  test("eraseDocs is footprint-bounded: bucket directories outside the " +
+    "subject's (and its pair partners') id-hash buckets stay " +
+    "byte-identical through an erasure") {
+    val raw = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .localCheckpoint()
+    val w = raw.agg(max($"doc_id")).head().getLong(0) / 3 + 1
+    val root = tmp()
+    for (i <- 0L until 3L)
+      PretrainCorpus.ingestWave(spark,
+        raw.filter(expr(s"doc_id div $w") === i), raw, root)
+    val subjects = raw
+      .filter(substring(md5($"doc_id".cast("string")), 1, 1) === "0")
+      .select($"doc_id").as[Long].collect().toSet
+    val partners = spark.read.parquet(s"$root/dedup_store/pairs")
+      .filter($"id_a".isin(subjects.toSeq: _*))
+      .select($"id_b").as[Long].collect().toSet -- subjects
+    def bucketsOf(ids: Set[Long]): Set[Long] =
+      ids.toSeq.toDF("doc_id")
+        .select(pmod(xxhash64($"doc_id"), lit(16L))).as[Long]
+        .collect().toSet
+    val subjectBk = bucketsOf(subjects)
+    val corpusBk = subjectBk ++ bucketsOf(partners)
+    def untouchedFiles(sub: String, affected: Set[Long])
+        : Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      Option(new java.io.File(s"$root/$sub").listFiles()).toSeq.flatten
+        .filter(b => b.getName.startsWith("__bk=") &&
+          !affected.contains(b.getName.stripPrefix("__bk=").toLong))
+        .flatMap(walk)
+        .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
+    val before = Map(
+      "fingerprints" -> untouchedFiles("fingerprints", subjectBk),
+      "admissions" -> untouchedFiles("admissions", subjectBk),
+      "corpus" -> untouchedFiles("corpus", corpusBk))
+    // the test must have power: some buckets are untouched, some touched
+    assert(before.values.forall(_.nonEmpty),
+      "fixture left no untouched buckets — shrink the subject set")
+    assert(subjectBk.nonEmpty && subjectBk.size < 16)
+    PretrainCorpus.eraseDocs(spark, root, subjects.toSeq.toDF("doc_id"))
+    val after = Map(
+      "fingerprints" -> untouchedFiles("fingerprints", subjectBk),
+      "admissions" -> untouchedFiles("admissions", subjectBk),
+      "corpus" -> untouchedFiles("corpus", corpusBk))
+    for (sub <- before.keys)
+      assert(after(sub) == before(sub),
+        s"$sub: untouched buckets were rewritten — the erasure is not " +
+          s"footprint-bounded (diff=${
+            (after(sub).toSet diff before(sub).toSet).take(3)})")
+    // and the erasure actually did its job inside the footprint
+    assert(spark.read.parquet(s"$root/corpus")
+      .filter($"doc_id".isin(subjects.toSeq: _*)).isEmpty)
+    assert(spark.read.parquet(s"$root/fingerprints")
+      .filter($"doc_id".isin(subjects.toSeq: _*)).isEmpty)
   }
 
   test("incremental pretrain ingest: 2-wave and 5-wave id-range splits " +
