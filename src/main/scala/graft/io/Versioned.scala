@@ -58,10 +58,21 @@ object Versioned {
     * the Iceberg/Delta data-skipping idea at the manifest level. Only
     * integral columns are tracked (exact long comparisons both engines
     * agree on; no float/collation edge cases smuggled into pruning).
+    *
+    * `schemaJson` caches the table's full merged schema AT COMMIT TIME:
+    * without it every skip-read would re-derive the schema by opening
+    * ALL manifest files' parquet footers — O(segments) driver RPCs that
+    * undo the very economy segment skipping buys (a point lookup on a
+    * 10,000-segment table would still pay 10,000 footer reads). Appends
+    * merge the previous manifest's cached schema with the new segment's
+    * (one footer set); compaction and erasure carry it over (neither
+    * changes columns). Manifests written before this field fall back to
+    * the footer merge once and re-cache on their next commit.
     */
   private[graft] case class Manifest(version: Int, files: Seq[String],
       redactedBelow: Int, tombstoneEpoch: Long,
-      stats: Map[String, Seq[(String, Long, Long)]] = Map.empty)
+      stats: Map[String, Seq[(String, Long, Long)]] = Map.empty,
+      schemaJson: Option[String] = None)
 
   private def readManifest(spark: SparkSession, root: String,
       v: Int): Manifest = {
@@ -77,7 +88,10 @@ object Versioned {
       row.getSeq[String](row.fieldIndex("files")).toSeq,
       row.getAs[Long]("redacted_below").toInt,
       row.getAs[Long]("tombstone_epoch"),
-      stats)
+      stats,
+      if (row.schema.fieldNames.contains("schema"))
+        Option(row.getAs[String]("schema"))
+      else None)
   }
 
   /** Atomic manifest publish: temp write + rename. Single-writer per
@@ -107,6 +121,7 @@ object Versioned {
     val json = s"""{"version":${m.version},"files":[${
       m.files.map(q).mkString(",")}],"redacted_below":${m.redactedBelow},""" +
       s""""tombstone_epoch":${m.tombstoneEpoch}""" +
+      m.schemaJson.fold("")(s => s""","schema":${q(s)}""") +
       (if (m.stats.isEmpty) "}" else s""","stats":[$statsJson]}""")
     val tmp = new Path(s"$root/_commits/.tmp_v${m.version}.json")
     val out = f.create(tmp, true)
@@ -176,31 +191,31 @@ object Versioned {
     }
     // parquet count() is row-group-metadata cheap — not a data scan
     val n = math.max(rows.count(), 1L)
-    // df.stat.bloomFilter routes through BloomFilterAggregate, which
-    // SILENTLY caps capacity at the runtime-join confs (4M items / 8 MB
-    // by default) — a 100M-row segment would get a saturated, useless
-    // filter while claiming fpp 1e-3. Raise the caps to this segment's
-    // true need for the duration of the build, then restore.
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val prevItems = spark.conf.getOption(itemsKey)
-    val prevBits = spark.conf.getOption(bitsKey)
+    // Built with the PUBLIC sketch API (BloomFilter.create + a
+    // treeAggregate over the segment), NOT df.stat.bloomFilter: that
+    // route goes through BloomFilterAggregate, which silently caps
+    // capacity at the session's runtime-join confs (4M items / 8 MB by
+    // default) — and raising those confs for the build mutates
+    // SESSION-GLOBAL state (any concurrent query in the session would
+    // get oversized runtime join filters, and two interleaved appends
+    // could clobber each other's save/restore). The direct aggregate
+    // honors the segment's true capacity with zero conf dependency.
+    // putLong/putString here and mightContain at probe time are the
+    // sketch library's own matched pair.
     val f = fs(spark, seg)
-    try {
-      spark.conf.set(itemsKey, math.max(n, 4000000L))
-      spark.conf.set(bitsKey, math.max(
-        org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, 0.001),
-        67108864L))
-      bloomCols.foreach { c =>
-        val bloom = rows.stat.bloomFilter(c, n, 0.001)
-        val out = f.create(new Path(bloomPath(seg, c)), true)
-        try bloom.writeTo(out) finally out.close()
-      }
-    } finally {
-      def restore(k: String, v: Option[String]): Unit =
-        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
-      restore(itemsKey, prevItems)
-      restore(bitsKey, prevBits)
+    bloomCols.foreach { c =>
+      val isStr = types(c) == StringType
+      val vals = rows.select(col(c)).na.drop().rdd
+      val bloom = vals.treeAggregate(
+        org.apache.spark.util.sketch.BloomFilter.create(n, 0.001))(
+        seqOp = (bf, r) => {
+          if (isStr) bf.putString(r.getString(0))
+          else bf.putLong(r.getAs[Number](0).longValue())
+          bf
+        },
+        combOp = (a, b) => { a.mergeInPlace(b); a })
+      val out = f.create(new Path(bloomPath(seg, c)), true)
+      try bloom.writeTo(out) finally out.close()
     }
   }
 
@@ -251,12 +266,21 @@ object Versioned {
     val segDf = spark.read.parquet(seg)
     val segSt = segmentStats(segDf, statsCols)
     writeBlooms(spark, seg, bloomCols, Some(segDf))
+    // the cached table schema evolves by one merge per append: previous
+    // manifest's cached schema (or the one-time legacy footer merge)
+    // unioned with the new segment's — so readers never re-derive it
+    val fullSchema = prev match {
+      case None => segDf.schema
+      case Some(p) => mergeStruct(spark, mergedSchema(spark, p),
+        segDf.schema)
+    }
     writeManifest(spark, root, Manifest(v,
       prev.map(_.files).getOrElse(Nil) :+ seg,
       prev.map(_.redactedBelow).getOrElse(0),
       prev.map(_.tombstoneEpoch).getOrElse(0L),
       prev.map(_.stats).getOrElse(Map.empty) ++
-        (if (segSt.isEmpty) Map.empty else Map(seg -> segSt))))
+        (if (segSt.isEmpty) Map.empty else Map(seg -> segSt)),
+      schemaJson = Some(fullSchema.json)))
     v
   }
 
@@ -367,17 +391,41 @@ object Versioned {
             t.simpleString)
       }
     }
-    val kept = m.files.filter { f =>
-      val statsOk = (asLong, m.stats.get(f).flatMap(_.collectFirst {
+    val statsKept = m.files.filter { f =>
+      (asLong, m.stats.get(f).flatMap(_.collectFirst {
         case (c, mn, mx) if c == keyCol => (mn, mx) })) match {
         case (Some(x), Some((mn, mx))) => x >= mn && x <= mx
         case _ => true
       }
-      statsOk && readBloom(spark, f, keyCol).forall(_.mightContain(value))
     }
+    // sidecar probes run CONCURRENTLY: each is one driver-side FS open,
+    // and on an object store a serial loop over thousands of candidate
+    // segments would pay thousands of sequential round trips — the very
+    // latency the skipping exists to avoid
+    val kept = parallelFilter(statsKept)(f =>
+      readBloom(spark, f, keyCol).forall(_.mightContain(value)))
     import org.apache.spark.sql.functions.lit
     prunedReadWith(spark, schema, kept)
       .where(col(keyCol) === lit(value))
+  }
+
+  /** Order-preserving concurrent filter over driver-side I/O probes
+    * (bounded pool; exceptions propagate to the caller).
+    */
+  private def parallelFilter[A](xs: Seq[A])(p: A => Boolean): Seq[A] = {
+    if (xs.lengthCompare(2) < 0) return xs.filter(p)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(64, xs.size))
+    try {
+      val futs = xs.map { x =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = p(x)
+        })
+      }
+      xs.zip(futs).filter(_._2.get()).map(_._1)
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally pool.shutdown()
   }
 
   /** The pruned-segment read both skip paths share. The result schema
@@ -392,10 +440,33 @@ object Versioned {
       kept: Seq[String]): DataFrame =
     prunedReadWith(spark, mergedSchema(spark, m), kept)
 
-  /** The manifest's full merged schema — footers only, no row reads. */
+  /** The manifest's full merged schema. Served from the manifest's
+    * commit-time cache — ZERO file I/O on the read path; only manifests
+    * written before the cache existed fall back to the all-footer merge
+    * (and re-cache on their next commit).
+    */
   private def mergedSchema(spark: SparkSession, m: Manifest)
       : org.apache.spark.sql.types.StructType =
-    spark.read.option("mergeSchema", "true").parquet(m.files: _*).schema
+    m.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(
+        spark.read.option("mergeSchema", "true").parquet(m.files: _*).schema)
+
+  /** Union of two schemas with null backfill — the commit-time merge
+    * step (an empty-frame unionByName: no data, no file I/O).
+    */
+  private def mergeStruct(spark: SparkSession,
+      a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    if (a == b) a
+    else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], a)
+      .unionByName(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b),
+        allowMissingColumns = true)
+      .schema
 
   private def prunedReadWith(spark: SparkSession,
       fullSchema: org.apache.spark.sql.types.StructType,
@@ -460,7 +531,11 @@ object Versioned {
     val keptSet = newFiles.toSet
     writeManifest(spark, root, Manifest(v, newFiles,
       latest.redactedBelow, latest.tombstoneEpoch,
-      newStats.filter { case (f, _) => keptSet.contains(f) }))
+      newStats.filter { case (f, _) => keptSet.contains(f) },
+      // compaction never changes columns: carry the cached schema (or
+      // pay the legacy footer merge once and cache it going forward)
+      schemaJson = latest.schemaJson
+        .orElse(Some(mergedSchema(spark, latest).json))))
     v
   }
 
@@ -534,12 +609,34 @@ object Versioned {
           out
         }
       }
-      if (replaced.isEmpty)
+      // erasure never changes columns: carry the cached schema forward
+      val schema = latest.schemaJson
+        .orElse(Some(mergedSchema(spark, latest).json))
+      // purge every on-disk segment outside the kept file list — legal
+      // exactly when every OLDER version is unreadable (redaction floor
+      // at the latest version), because then no readable version can
+      // reference the purged bytes
+      def purgeOutside(keepFiles: Seq[String]): Unit = {
+        val keep = keepFiles.map(s => new Path(s).getName).toSet
+        f.listStatus(new Path(root))
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg-")
+            && !keep.contains(s.getPath.getName))
+          .foreach(s => f.delete(s.getPath, true))
+      }
+      if (replaced.isEmpty) {
         writeManifest(spark, root, Manifest(v, newFiles,
-          latest.redactedBelow, latest.tombstoneEpoch, newStats))
-      else {
-        writeManifest(spark, root,
-          Manifest(v, newFiles, redactedBelow = v, tombstoneEpoch, newStats))
+          latest.redactedBelow, latest.tombstoneEpoch, newStats, schema))
+        // CRASH-RETRY GC: a prior erasure that crashed between its
+        // manifest publish and its purge left the floor at the then-
+        // latest version with superseded segments still on disk — and a
+        // retry finds the subject already gone (this branch). When the
+        // floor already covers every older version the skipped purge is
+        // safe to finish now; otherwise older versions are still legal
+        // reads and their segments must stay.
+        if (latest.redactedBelow == latest.version) purgeOutside(newFiles)
+      } else {
+        writeManifest(spark, root, Manifest(v, newFiles,
+          redactedBelow = v, tombstoneEpoch, newStats, schema))
         // the subject's bytes die AFTER the new manifest is durable: a
         // crash in between leaves a readable latest either way. The
         // redaction floor just made EVERY older version unreadable, so
@@ -548,11 +645,7 @@ object Versioned {
         // originals on disk for time travel, and those may hold the
         // subject too (they also garbage-collect crashed writers'
         // orphans here)
-        val keep = newFiles.map(s => new Path(s).getName).toSet
-        f.listStatus(new Path(root))
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg-")
-            && !keep.contains(s.getPath.getName))
-          .foreach(s => f.delete(s.getPath, true))
+        purgeOutside(newFiles)
       }
       v
     } finally org.apache.spark.sql.graftx.CheckpointUtils

@@ -823,4 +823,104 @@ class IoSpec extends AnyFunSuite {
       s"superseded segments outlived the erasure: ${onDisk -- liveSegs}")
   }
 
+  test("versioned table: skip reads serve the schema from the manifest " +
+    "cache — no per-segment footer I/O, so a point lookup never touches " +
+    "pruned segments' files at all") {
+    import graft.io.Versioned
+    val root = Files.createTempDirectory("graft-versioned-schema")
+      .toString + "/t"
+    for (i <- 0 to 2)
+      Versioned.append(spark, root,
+        (i * 10 until i * 10 + 10).map(j => (j.toLong, s"row$j"))
+          .toDF("id", "v"),
+        statsCols = Seq("id"), bloomCols = Seq("id"))
+    // evolved segment so the cached schema is a genuine multi-step merge
+    Versioned.append(spark, root,
+      Seq((30L, "x", 1L)).toDF("id", "v", "extra"), statsCols = Seq("id"))
+    // DESTROY the parquet files of every segment the reads below prune
+    // away (ids 10-39): if any read path still ran an all-footer schema
+    // merge — the pre-cache behavior — it would throw on the missing
+    // files instead of answering from the one surviving segment
+    val victims = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg-") &&
+        !f.getName.startsWith("seg-0-"))
+    assert(victims.length == 3, "fixture expects three prunable segments")
+    victims.foreach { d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(p => assert(p.delete()))
+    }
+    val rw = Versioned.readWhere(spark, root, "id", 3L, 7L)
+    assert(rw.select($"id").as[Long].collect().toSet == (3L to 7L).toSet)
+    assert(rw.columns.toSet == Set("id", "v", "extra"),
+      "the cached schema must carry the evolved column")
+    val re = Versioned.readEquals(spark, root, "id", 5L)
+    assert(re.select($"v").as[String].collect().toSeq == Seq("row5"))
+    assert(re.columns.toSet == Set("id", "v", "extra"))
+    // fully pruned: zero segments opened, full schema, empty result
+    val none = Versioned.readWhere(spark, root, "id", 500L, 600L)
+    assert(none.count() == 0 &&
+      none.columns.toSet == Set("id", "v", "extra"))
+  }
+
+  test("versioned table: an erase RETRY finishes the purge a crash " +
+    "skipped — orphan superseded segments die once the floor covers " +
+    "every older version, and never before") {
+    import graft.io.Versioned
+    val root = Files.createTempDirectory("graft-versioned-gc").toString +
+      "/t"
+    Versioned.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Versioned.append(spark, root, Seq((3L, "c")).toDF("id", "v"))
+    // a ghost erase while OLDER VERSIONS ARE STILL READABLE must not
+    // garbage-collect anything: plant an orphan and prove it survives
+    val early = new java.io.File(root, "seg-orphan-early")
+    early.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(early, "junk.parquet"))
+      .close()
+    Versioned.erase(spark, root, Seq(99L).toDF("id"), "id", 5L)
+    assert(early.exists(),
+      "a ghost erase below the floor deleted segments older versions " +
+        "may still reference")
+    early.listFiles().foreach(_.delete()); early.delete()
+    // real erasure: publishes floor = latest, purges — and a crash
+    // BETWEEN the manifest publish and the purge leaves superseded
+    // segments on disk (simulated by re-planting one after the fact)
+    Versioned.erase(spark, root, Seq(1L).toDF("id"), "id", 6L)
+    val orphan = new java.io.File(root, "seg-0-crashleftover")
+    orphan.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(orphan, "junk.parquet"))
+      .close()
+    // the retry: subject already gone (ghost branch) — but the floor
+    // already covers every older version, so the skipped purge runs
+    Versioned.erase(spark, root, Seq(1L).toDF("id"), "id", 6L)
+    assert(!orphan.exists(),
+      "the erase retry left the crashed erasure's superseded segment " +
+        "bytes on disk — the subject outlives its right-to-be-forgotten")
+    assert(Versioned.read(spark, root).select($"id").as[Long]
+      .collect().toSet == Set(2L, 3L))
+  }
+
+  test("versioned table: building bloom sidecars leaves session SQL confs " +
+    "untouched (no save/restore of the runtime-join bloom caps to race " +
+    "a concurrent appender or query)") {
+    import graft.io.Versioned
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val before = (spark.conf.getOption(itemsKey),
+      spark.conf.getOption(bitsKey))
+    val root = Files.createTempDirectory("graft-versioned-conf").toString +
+      "/t"
+    Versioned.append(spark, root,
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      bloomCols = Seq("id", "v"))
+    assert((spark.conf.getOption(itemsKey),
+      spark.conf.getOption(bitsKey)) == before,
+      "bloom build mutated session-global SQL confs")
+    // and the sidecars it builds still probe exactly
+    assert(Versioned.readEquals(spark, root, "id", 42L)
+      .select($"v").as[String].collect().toSeq == Seq("v42"))
+    assert(Versioned.readEquals(spark, root, "v", "v7")
+      .select($"id").as[Long].head() == 7L)
+    assert(Versioned.readEquals(spark, root, "id", 4242L).count() == 0)
+  }
+
 }

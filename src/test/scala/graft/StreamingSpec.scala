@@ -498,6 +498,41 @@ class StreamingSpec extends AnyFunSuite {
   }
 
 
+  test("compacting a dedup store fully erased down to its schema anchor " +
+    "no-ops (already maximally compact) instead of tripping the " +
+    "epoch-management check, and the store stays ingestable after") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(40).localCheckpoint()
+    val base = Files.createTempDirectory("graft-anchor-compact").toString
+    IncrementalDedupStream.ingestBatch(docs, "doc_id", "text",
+      s"$base/store", minJaccard = 0.5, epoch = Some(0L))
+    // erase EVERYTHING: pairs swaps down to the flat schema anchor
+    // (no __wv column, zero rows) — exactly the state ingestBatch
+    // treats as bootstrap, which compact used to reject
+    IncrementalDedupStream.erase(spark, s"$base/store",
+      docs.select($"doc_id"), "doc_id")
+    IncrementalDedupStream.compact(spark, s"$base/store", minFiles = 0)
+    // compacting behind a frontier that excludes a pending epoch throws
+    val base2 = Files.createTempDirectory("graft-frontier").toString
+    IncrementalDedupStream.ingestBatch(docs, "doc_id", "text",
+      s"$base2/store", minJaccard = 0.5, epoch = Some(0L))
+    IncrementalDedupStream.ingestBatch(
+      docs.withColumn("doc_id", $"doc_id" + 100000L), "doc_id", "text",
+      s"$base2/store", minJaccard = 0.5, epoch = Some(5L))
+    val fe = intercept[IllegalArgumentException] {
+      IncrementalDedupStream.compact(spark, s"$base2/store", minFiles = 0,
+        frontier = Some(4L))
+    }
+    assert(fe.getMessage.contains("frontier"), fe.getMessage)
+    // at the frontier it folds; the erased store stays ingestable
+    IncrementalDedupStream.compact(spark, s"$base2/store", minFiles = 0,
+      frontier = Some(5L))
+    IncrementalDedupStream.ingestBatch(docs, "doc_id", "text",
+      s"$base/store", minJaccard = 0.5, epoch = Some(1L))
+    assert(spark.read.parquet(s"$base/store/corpus")
+      .select($"doc_id").count() == docs.count())
+  }
+
   test("epoch-tagged ingest over a NON-empty legacy (no __wv) dedup " +
     "store fails loudly instead of silently deduping against nothing; " +
     "negative epochs are rejected") {
