@@ -95,15 +95,31 @@ object Sinks {
 
   /** Read-modify-overwrite of an unpartitioned table, staged ON DISK: the
     * new table is written COMPLETELY to a sibling `__staging` directory,
-    * then swapped into place (delete old, rename staging). A
-    * localCheckpoint staging would keep the rows only in executor storage
-    * — an executor lost between the old files' deletion and the rewrite
-    * could not recompute its blocks (their source was already gone),
-    * risking the whole table; here every byte is durable before the old
-    * path is touched, the swap window is metadata-only, and a crash
-    * inside it leaves the complete staged table recoverable at
-    * `__staging`. Used by the customer-table merge/delete and the
-    * derived-store erasure paths.
+    * then swapped into place through a MARKER-COMMITTED rename protocol.
+    * A localCheckpoint staging would keep the rows only in executor
+    * storage — an executor lost mid-swap could not recompute its blocks
+    * (their source was already gone), risking the whole table; here every
+    * byte is durable before the live path is touched. Used by the
+    * customer-table merge/delete and the derived-store erasure paths.
+    *
+    * CRASH SAFETY — the protocol never leaves an unrecoverable state
+    * (the old delete-then-rename shape had a window where the live path
+    * was simply GONE and only manual `__staging` surgery brought it
+    * back):
+    *
+    *   1. write `<path>__staging` completely
+    *   2. create the `<path>__swap` marker  ← THE COMMIT POINT
+    *   3. rename live → `<path>__old`
+    *   4. rename staging → live
+    *   5. delete `__old`, delete the marker
+    *
+    * A crash before step 2 leaves the live table untouched (staging is
+    * debris); a crash at or after step 2 leaves the marker naming
+    * staging as the committed truth. [[recoverSwap]] — run automatically
+    * at the start of every swap, and callable directly after a crash —
+    * rolls every intermediate state forward (marker present) or back
+    * (marker absent) to a complete, readable table. Spec-enumerated per
+    * crash point. Single writer per table, as before.
     */
   def stagedSwapParquet(spark: org.apache.spark.sql.SparkSession,
       df: DataFrame, path: String,
@@ -111,7 +127,10 @@ object Sinks {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
-    if (fs.exists(tmp)) fs.delete(tmp, true) // debris from a prior crash
+    val aside = new org.apache.hadoop.fs.Path(path + "__old")
+    val marker = new org.apache.hadoop.fs.Path(path + "__swap")
+    recoverSwap(spark, path) // finish or roll back a crashed predecessor
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     val w = df.write.mode(SaveMode.Overwrite)
       .option("compression", "snappy")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
@@ -123,10 +142,61 @@ object Sinks {
       // store readable and coexists with the partition dirs
       df.drop(partitionCols: _*).limit(0).write.mode(SaveMode.Append)
         .option("compression", "snappy").parquet(tmp.toString)
-    if (fs.exists(p)) fs.delete(p, true)
+    fs.create(marker, true).close() // commit point: staging is the truth
+    if (fs.exists(p) && !fs.rename(p, aside))
+      throw new java.io.IOException(
+        s"staged swap failed: rename $p -> $aside")
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(
         s"staged swap failed: rename $tmp -> $p")
+    fs.delete(aside, true)
+    fs.delete(marker, false)
+  }
+
+  /** Recovery for [[stagedSwapParquet]]'s rename protocol: rolls a
+    * crashed swap FORWARD when the commit marker exists (the staged
+    * table was complete and declared the truth — promote it) and BACK
+    * when it does not (staging is uncommitted debris — the live table
+    * stands). Idempotent; a crash inside recovery re-enters it. Called
+    * automatically by every swap; callers that only READ a possibly
+    * crashed store run it once first.
+    */
+  def recoverSwap(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
+    val aside = new org.apache.hadoop.fs.Path(path + "__old")
+    val marker = new org.apache.hadoop.fs.Path(path + "__swap")
+    if (fs.exists(marker)) {
+      if (fs.exists(tmp)) {
+        // crashed between the marker and the staging→live rename: the
+        // staged table is the committed truth — promote it (any live
+        // remnant is the superseded old table)
+        if (fs.exists(p)) fs.delete(p, true)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(
+            s"swap recovery failed: rename $tmp -> $p")
+      } else if (!fs.exists(p) && fs.exists(aside)) {
+        // no staging and no live: the protocol cannot produce this (the
+        // staged truth only disappears by BECOMING live) — restore the
+        // aside copy rather than leave no table at all
+        if (!fs.rename(aside, p))
+          throw new java.io.IOException(
+            s"swap recovery failed: rename $aside -> $p")
+      }
+      fs.delete(aside, true)
+      fs.delete(marker, false)
+    } else {
+      // uncommitted: staging is debris; an aside without a marker cannot
+      // be produced by the protocol, but restoring beats deleting
+      if (!fs.exists(p) && fs.exists(aside)) {
+        if (!fs.rename(aside, p))
+          throw new java.io.IOException(
+            s"swap recovery failed: rename $aside -> $p")
+      }
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
   }
 
   /** Recursive count of `.parquet` data files under `path` (0 when the

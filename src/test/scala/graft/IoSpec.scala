@@ -823,6 +823,69 @@ class IoSpec extends AnyFunSuite {
       s"superseded segments outlived the erasure: ${onDisk -- liveSegs}")
   }
 
+  test("stagedSwapParquet is crash-safe at every protocol step: recovery " +
+    "rolls forward after the commit marker and back before it, and the " +
+    "store is a complete readable table at each crash point") {
+    import graft.io.Sinks
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path("/").getFileSystem(conf)
+    def freshStore(): String = {
+      val root = Files.createTempDirectory("graft-swap").toString + "/t"
+      Seq((1L, "old"), (2L, "old")).toDF("id", "v")
+        .write.parquet(root)
+      root
+    }
+    def writeStaging(root: String): Unit =
+      Seq((1L, "new"), (3L, "new")).toDF("id", "v")
+        .write.parquet(root + "__staging")
+    def vals(root: String): Set[String] =
+      spark.read.parquet(root).select($"v").as[String].collect().toSet
+    // crash point A — staging written, NO marker yet: the swap is
+    // uncommitted, recovery keeps the old table and drops the debris
+    val a = freshStore(); writeStaging(a)
+    Sinks.recoverSwap(spark, a)
+    assert(vals(a) == Set("old") && !fs.exists(new Path(a + "__staging")))
+    // crash point B — marker created (THE commit point), nothing renamed:
+    // recovery promotes the staged table
+    val b = freshStore(); writeStaging(b)
+    fs.create(new Path(b + "__swap"), true).close()
+    Sinks.recoverSwap(spark, b)
+    assert(vals(b) == Set("new"))
+    // crash point C — live renamed aside, staging not yet promoted (the
+    // state where the OLD protocol had simply lost the table)
+    val c = freshStore(); writeStaging(c)
+    fs.create(new Path(c + "__swap"), true).close()
+    assert(fs.rename(new Path(c), new Path(c + "__old")))
+    Sinks.recoverSwap(spark, c)
+    assert(vals(c) == Set("new") && !fs.exists(new Path(c + "__old")))
+    // crash point D — staging promoted, aside + marker not yet cleaned
+    val d = freshStore(); writeStaging(d)
+    fs.create(new Path(d + "__swap"), true).close()
+    assert(fs.rename(new Path(d), new Path(d + "__old")))
+    assert(fs.rename(new Path(d + "__staging"), new Path(d)))
+    Sinks.recoverSwap(spark, d)
+    assert(vals(d) == Set("new") && !fs.exists(new Path(d + "__old")) &&
+      !fs.exists(new Path(d + "__swap")))
+    // recovery is idempotent, and a NEXT swap self-recovers first: run a
+    // real swap on top of crash state B's twin without manual recovery
+    val e = freshStore(); writeStaging(e)
+    fs.create(new Path(e + "__swap"), true).close()
+    Sinks.stagedSwapParquet(spark,
+      Seq((9L, "newer")).toDF("id", "v"), e)
+    assert(vals(e) == Set("newer") &&
+      !fs.exists(new Path(e + "__swap")) &&
+      !fs.exists(new Path(e + "__staging")))
+    // degenerate salvage: marker present but both live and staging gone —
+    // the aside copy is restored rather than leaving no table
+    val g = freshStore()
+    fs.create(new Path(g + "__swap"), true).close()
+    assert(fs.rename(new Path(g), new Path(g + "__old")))
+    Sinks.recoverSwap(spark, g)
+    assert(vals(g) == Set("old"))
+    FileUtil.fullyDelete(new java.io.File(g).getParentFile)
+  }
+
   test("versioned table: skip reads serve the schema from the manifest " +
     "cache — no per-segment footer I/O, so a point lookup never touches " +
     "pruned segments' files at all") {
