@@ -16,16 +16,18 @@ import org.apache.spark.sql.functions.col
   * Content-Length-framed body — with truncation/corruption handled by
   * returning the records parsed so far, never an exception out of a task.
   *
-  * Scale shape: archives are opaque byte blobs until the per-record
-  * flatMap in [[docsFromArchives]]; record bytes never shuffle — only the
-  * parsed (id, uri, length, text) rows do. A 100 TB crawl ingests as one
-  * binaryFile scan + one narrow projection. (Per-FILE parallelism is the
-  * WET granularity — crawls ship ~1 GB archives by convention, and the
-  * gzip stream is inherently sequential within one file.) Parsing
-  * STREAMS the inflation ([[RecordIterator]]): the per-task working set
-  * is the compressed blob plus ONE record — never the whole inflated
-  * archive, so a fat or adversarial (gzip-bomb) member costs one record
-  * of memory, not multi-GB.
+  * Scale shape: archive bytes never become rows at all — the binaryFile
+  * source contributes only the file LISTING (content column-pruned away),
+  * and each task streams its archives straight off the filesystem through
+  * the rolling-buffer parser ([[docsFromArchivePaths]]); only the parsed
+  * (id, uri, length, text) rows shuffle. A 100 TB crawl ingests as one
+  * listing + one narrow projection. (Per-FILE parallelism is the WET
+  * granularity — crawls ship ~1 GB archives by convention, and the gzip
+  * stream is inherently sequential within one file.) Parsing STREAMS the
+  * inflation ([[RecordIterator]]): the per-task working set is the
+  * rolling buffer plus ONE record — never the compressed blob, never the
+  * inflated archive — so even an archive far beyond the 1 GB convention
+  * (or a gzip bomb) costs one record of memory, not multi-GB.
   */
 object Warc {
 
@@ -300,18 +302,87 @@ object Warc {
     }
   }
 
+  /** Close-on-exhaustion wrapper: the record iterators below stream from
+    * an OPEN file; the handle must die exactly when the last record (or
+    * the first truncation) has been served, inside the task.
+    */
+  private final class ClosingIterator[A](it: Iterator[A],
+      in: java.io.Closeable) extends Iterator[A] {
+    private var closed = false
+    override def hasNext: Boolean = {
+      val h = it.hasNext
+      if (!h && !closed) { closed = true; in.close() }
+      h
+    }
+    override def next(): A = it.next()
+  }
+
+  private def toDoc(name: String, p: WarcParsed): WarcDoc =
+    WarcDoc(name,
+      p.headers.getOrElse("warc-type", ""),
+      p.headers.getOrElse("warc-record-id", ""),
+      p.headers.getOrElse("warc-target-uri", ""),
+      p.body.length.toLong,
+      new String(p.body, "UTF-8"))
+
+  /** Archive PATHS → document rows: each task OPENS its file and streams
+    * it through the rolling-buffer parser, so the per-task working set is
+    * the one-record bound even for an archive far larger than any
+    * comfortable row size. (The binaryFile content column materializes
+    * the WHOLE compressed blob as one row — fine at the ~1 GB WET
+    * convention, a task-memory cliff for an oversized or adversarial
+    * archive. Here the blob never becomes a row at all.) Unreadable files
+    * and truncated/corrupt members follow [[RecordIterator]]'s rules:
+    * records parsed before the damage survive, no exception leaves a
+    * task.
+    */
+  def docsFromArchivePaths(paths: Dataset[String]): Dataset[WarcDoc] = {
+    val spark = paths.sparkSession
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    paths.mapPartitions { it =>
+      it.flatMap { name =>
+        val hp = new org.apache.hadoop.fs.Path(name)
+        val opened =
+          try {
+            val raw = new java.io.BufferedInputStream(
+              hp.getFileSystem(conf.value).open(hp), 64 * 1024)
+            // sniff the gzip magic without consuming it — uncompressed
+            // WARC is legal, same as the byte-array path
+            val pb = new java.io.PushbackInputStream(raw, 2)
+            val b0 = pb.read(); val b1 = pb.read()
+            if (b1 >= 0) pb.unread(b1)
+            if (b0 >= 0) pb.unread(b0)
+            if (b0 == 0x1F && b1 == 0x8B)
+              try Some(new GZIPInputStream(pb): java.io.InputStream)
+              catch { case _: java.io.IOException => pb.close(); None }
+            else Some(pb: java.io.InputStream)
+          } catch { case _: java.io.IOException => None }
+        opened match {
+          case None => Iterator.empty
+          case Some(in) =>
+            new ClosingIterator(
+              new RecordIterator(in).map(toDoc(name, _)), in)
+        }
+      }
+    }
+  }
+
   /** S-row source: scan a directory of `.warc.gz`/`.warc.wet.gz` files and
-    * emit one row per record. binaryFile gives (path, content); everything
-    * downstream of the flatMap is narrow rows.
+    * emit one row per record. The binaryFile source provides the FILE
+    * LISTING only (content is column-pruned away, never read into rows);
+    * each task then streams its archives straight off the filesystem
+    * through the rolling-buffer parser ([[docsFromArchivePaths]]).
     */
   def warcScan(spark: SparkSession, path: String): Dataset[WarcDoc] = {
     import spark.implicits._
-    docsFromArchives(
+    docsFromArchivePaths(
       spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .load(path)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])])
+        .select(col("path"))
+        .as[String])
   }
 
   /** binaryFile's fixed schema — file-source STREAMS require it spelled
@@ -339,12 +410,15 @@ object Warc {
     */
   def warcStream(spark: SparkSession, path: String): Dataset[WarcDoc] = {
     import spark.implicits._
-    docsFromArchives(
+    // same spill shape as warcScan: the file-source stream contributes
+    // newly-landed PATHS (and the exactly-once bookkeeping); tasks stream
+    // the bytes off the filesystem — no whole-blob rows in micro-batches
+    docsFromArchivePaths(
       spark.readStream.format("binaryFile")
         .schema(binaryFileSchema)
         .option("recursiveFileLookup", "true")
         .load(path)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])])
+        .select(col("path"))
+        .as[String])
   }
 }

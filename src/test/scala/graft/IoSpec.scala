@@ -495,6 +495,46 @@ class IoSpec extends AnyFunSuite {
     assert(rows.map(_.content_length).toSeq == Seq(10L, 9L, 10L))
   }
 
+  test("warc: the path-streamed scan parses archives straight off the " +
+    "filesystem — equal to the in-memory byte parse across a multi-MB " +
+    "archive, a truncated one, junk, and an uncompressed file — so the " +
+    "compressed blob never rides as a row") {
+    import graft.io.Warc
+    val dir = Files.createTempDirectory("graft-warc-spill").toString
+    def rec(i: Int, body: String) = Warc.WarcRecord("conversion",
+      s"urn:graft:$i", s"http://x.example/$i", body.getBytes("UTF-8"))
+    def write(name: String, bytes: Array[Byte]): Unit = {
+      val f = new java.io.FileOutputStream(s"$dir/$name")
+      f.write(bytes); f.close()
+    }
+    // an archive whose INFLATED size (~8 MB) dwarfs the parser's
+    // one-record working set — the shape where a whole-blob row (let
+    // alone a whole-inflate) would be the memory cliff
+    val big = (1 to 400).map(i => rec(i, "lorem ipsum " * 1700))
+    write("big.warc.wet.gz", Warc.encodeArchive(big))
+    // truncated mid-member: completed records must survive, per file
+    val trunc = Warc.encodeArchive(Seq(rec(1000, "first whole body"),
+      rec(1001, "second body that will be cut")))
+    write("trunc.warc.gz", trunc.dropRight(12))
+    // uncompressed legal WARC with junk between records
+    write("plain.warc", Warc.encodeRecord(rec(2000, "plain alpha")) ++
+      "NOISE".getBytes("UTF-8") ++
+      Warc.encodeRecord(rec(2001, "plain beta")))
+    def key(d: Warc.WarcDoc) =
+      (d.record_id, d.target_uri, d.content_length, d.text)
+    val streamed = Warc.warcScan(spark, dir).collect().map(key).toSet
+    val inMemory = new java.io.File(dir).listFiles().flatMap { f =>
+      Warc.parseArchive(
+        java.nio.file.Files.readAllBytes(f.toPath)).map(p =>
+        (p.headers("warc-record-id"), p.headers("warc-target-uri"),
+          p.body.length.toLong, new String(p.body, "UTF-8")))
+    }.toSet
+    assert(streamed == inMemory,
+      s"path-streamed parse diverged: ${(streamed diff inMemory).take(2)}" +
+        s" / ${(inMemory diff streamed).take(2)}")
+    assert(streamed.size == 400 + 1 + 2, s"got ${streamed.size}")
+  }
+
 
   // ---- snapshot-versioned table + erasure redaction --------------------
 
