@@ -215,6 +215,50 @@ object Sinks {
     n
   }
 
+  /** Record the COMMIT FRONTIER of a wave/epoch-managed store family: the
+    * highest wave id known fully committed (every strictly-older wave's
+    * foreachBatch/caller completed, so none of them can ever replay).
+    * Ingest writes `v = currentWave - 1` BEFORE its own commits — a value
+    * that stays correct whatever happens to the in-flight wave — and the
+    * marker only ever rises (a replayed wave rewrites its own value;
+    * out-of-order writes are absorbed by the max). Compaction reads it to
+    * fold exactly the provably-final prefix. One tiny `_frontier` file at
+    * the store-family root; tmp + rename publish.
+    */
+  def writeFrontier(spark: org.apache.spark.sql.SparkSession,
+      dir: String, v: Long): Unit = {
+    if (readFrontier(spark, dir).exists(_ >= v)) return
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val tmp = new org.apache.hadoop.fs.Path(dir, "._frontier.tmp")
+    val out = fs.create(tmp, true)
+    out.write(v.toString.getBytes("UTF-8"))
+    out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, "_frontier")
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"frontier publish failed at $dir")
+  }
+
+  /** The recorded commit frontier, if any ingest has published one. */
+  def readFrontier(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_frontier")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        if (n <= 0) None
+        else scala.util.Try(new String(buf, 0, n, "UTF-8").trim.toLong)
+          .toOption
+      } finally in.close()
+    }
+  }
+
   /** Shared body of the epoch-store compactions
     * ([[graft.jobs.PretrainCorpus.compactStores]],
     * [[graft.streaming.IncrementalDedupStream.compact]]): when `path`

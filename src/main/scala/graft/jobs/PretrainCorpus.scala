@@ -303,6 +303,14 @@ object PretrainCorpus {
             "this corpus instead")
       }
     }
+    // publish the commit frontier BEFORE any of this wave's writes:
+    // every wave strictly below the current one completed its ingest (a
+    // checkpointed source never re-delivers it, and the ordering guard
+    // above proves all prior wave ids sit below this wave's min id), so
+    // `wid - 1` is final whatever happens to THIS wave — compactStores
+    // folds exactly that prefix with no crash-replay hazard; the dedup
+    // store's own marker lands inside ingestBatch with the same value
+    graft.io.Sinks.writeFrontier(spark, workDir, wid - 1)
     // exact dedup: first copy in the WAVE wins (min id per fp), and any
     // fp already in the store blocks the whole wave group
     val waveFp = screened
@@ -423,11 +431,15 @@ object PretrainCorpus {
     * `__wv` partition from prior state; if compaction folded that
     * partition into `__wv=-1`, the replay would see its own first
     * attempt as already-ingested state and drop the wave's documents as
-    * exact dups. Pass `frontier` — the last wave KNOWN fully committed
-    * (e.g. recorded by the batch arbiter) — to turn the contract into
-    * code: a store holding any wave beyond it fails loudly instead of
-    * silently converting a pending replay's documents into exact dups.
-    * `frontier = None` keeps the documented caller-asserted contract.
+    * exact dups. The contract is CODE, two ways: with an EXPLICIT
+    * `frontier` (the caller's assertion that every wave ≤ it is final)
+    * a store holding any newer wave fails loudly; with `frontier =
+    * None` the `_frontier` marker [[ingestWave]] publishes before each
+    * wave (= previous wave, provably final) bounds a PARTIAL fold —
+    * waves at or below it fold into `__wv=-1`, newer waves carry
+    * through under their own partitions, so a pending replay still
+    * finds and replay-overwrites its own `__wv`. Neither (pre-marker
+    * stores) folds everything, the caller-asserted legacy behavior.
     *
     * The `__bk` id-hash layout survives the fold verbatim (one file per
     * bucket): the erasure's bucket pruning and the bucket modulus both
@@ -435,6 +447,9 @@ object PretrainCorpus {
     */
   def compactStores(spark: SparkSession, workDir: String,
       minFiles: Int = 64, frontier: Option[Long] = None): Unit = {
+    val marker =
+      if (frontier.isDefined) None
+      else graft.io.Sinks.readFrontier(spark, workDir)
     for (sub <- Seq("fingerprints", "admissions"))
       graft.io.Sinks.compactEpochStore(spark, s"$workDir/$sub", minFiles) {
         full =>
@@ -457,7 +472,12 @@ object PretrainCorpus {
                   "its own first attempt as history and drop the wave " +
                   "as exact dups; complete or roll back the wave first")
             }
-            val flat = full.withColumn("__wv", lit(-1L))
+            val flat = marker match {
+              case Some(fr) => full.withColumn("__wv",
+                when(col("__wv") <= lit(fr), lit(-1L))
+                  .otherwise(col("__wv")))
+              case None => full.withColumn("__wv", lit(-1L))
+            }
             Some(
               if (full.columns.contains("__bk"))
                 (flat.repartition(col("__bk")), Seq("__bk", "__wv"))

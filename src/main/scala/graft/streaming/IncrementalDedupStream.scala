@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, when, xxhash64}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.IncrementalDedup
@@ -76,6 +76,13 @@ object IncrementalDedupStream {
     val spark = batch.sparkSession
     epoch.foreach(e => require(e >= 0, s"ingestBatch: epoch $e is " +
       "negative — __wv=-1 is reserved for compacted history"))
+    // publish the commit frontier BEFORE this batch writes anything:
+    // every epoch strictly below the current one has completed its
+    // foreachBatch (a checkpointed source never re-delivers it), so
+    // `e - 1` is final whatever happens to THIS batch — compaction can
+    // fold exactly that prefix with no crash-replay hazard
+    epoch.foreach(e =>
+      graft.io.Sinks.writeFrontier(spark, storeDir, e - 1))
     val corpusPath = s"$storeDir/corpus"
     val indexPath = s"$storeDir/index"
     val pairsPath = s"$storeDir/pairs"
@@ -161,13 +168,22 @@ object IncrementalDedupStream {
     * boundary with no crashed batch awaiting replay — a replayed batch
     * excludes only its own `__wv` partition from prior state, and
     * compaction would fold that partition into `__wv=-1` where the
-    * replay reads it as someone else's history. Pass `frontier` — the
-    * last epoch KNOWN fully committed — to enforce the contract in code:
-    * a store holding any epoch beyond it fails loudly instead of
-    * silently absorbing a pending replay's first attempt.
+    * replay reads it as someone else's history. The contract is CODE,
+    * two ways: with an EXPLICIT `frontier` (the caller's assertion that
+    * every epoch ≤ it is final) a store holding any newer epoch fails
+    * loudly; with `frontier = None` the marker [[ingestBatch]] publishes
+    * before each batch (`_frontier` = previous epoch — provably final)
+    * bounds a PARTIAL fold: epochs at or below it fold into `__wv=-1`,
+    * newer epochs carry through untouched under their own partitions, so
+    * a pending replay still finds — and replay-overwrites — its own
+    * `__wv`. A store with neither (pre-marker layouts) folds everything,
+    * the caller-asserted legacy behavior.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, storeDir: String,
-      minFiles: Int = 64, frontier: Option[Long] = None): Unit =
+      minFiles: Int = 64, frontier: Option[Long] = None): Unit = {
+    val marker =
+      if (frontier.isDefined) None
+      else graft.io.Sinks.readFrontier(spark, storeDir)
     for (store <- Seq("corpus", "index", "pairs"))
       graft.io.Sinks.compactEpochStore(spark, s"$storeDir/$store",
         minFiles) { full =>
@@ -194,7 +210,12 @@ object IncrementalDedupStream {
           val parts =
             if (full.columns.contains("__bk")) Seq("__bk", "__wv")
             else Seq("__wv")
-          val flat = full.withColumn("__wv", lit(-1L))
+          // marker mode: fold the provably-final prefix, carry the tail
+          val flat = marker match {
+            case Some(fr) => full.withColumn("__wv",
+              when(col("__wv") <= lit(fr), lit(-1L)).otherwise(col("__wv")))
+            case None => full.withColumn("__wv", lit(-1L))
+          }
           // corpus/index: one file per bucket (nBuckets is already the
           // erasure-cost knob that sizes a bucket tractably); pairs (no
           // bucket layout, collisions-only but unbounded): a fixed fan-out
@@ -203,6 +224,7 @@ object IncrementalDedupStream {
             else flat.repartition(16, xxhash64(col("id_a"))), parts))
         }
       }
+  }
 
   /** Right-to-be-forgotten erasure of the dedup stores: remove the `ids`
     * documents from corpus and index by rewriting ONLY their id-hash

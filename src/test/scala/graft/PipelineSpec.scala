@@ -11,7 +11,7 @@ import graft.datagen.TransactionGen
 import graft.jobs.{BronzeToSilver, PretrainCorpus, SilverToGold}
 import graft.orchestration.Pipeline
 import graft.quality.QualityChecks
-import graft.streaming.IncrementalIngest
+import graft.streaming.{IncrementalDedupStream, IncrementalIngest}
 
 /** End-to-end medallion pipeline: datagen → bronze→silver (batch and
   * incremental/bookmark mode) → silver→gold, plus orchestration retry and
@@ -709,6 +709,46 @@ class PipelineSpec extends AnyFunSuite {
     PretrainCorpus.eraseDocs(spark, comp, erased)
     assert(state(comp) == state(plain),
       "post-compaction erasure diverged from the uncompacted run")
+  }
+
+  test("marker-bounded compaction folds only the provably-final wave " +
+    "prefix: the in-flight wave's partitions survive the fold and its " +
+    "crash replay still lands on the single-ingest state") {
+    val raw = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .localCheckpoint()
+    val w = raw.agg(max($"doc_id")).head().getLong(0) / 3 + 1
+    def wave(i: Long) = raw.filter(expr(s"doc_id div $w") === i)
+    def state(root: String): Seq[(String, Set[Long], Long)] =
+      Seq("corpus", "fingerprints", "admissions", "dedup_store/corpus")
+        .map { sub =>
+          val df = spark.read.parquet(s"$root/$sub")
+          (sub, df.select($"doc_id").distinct().as[Long].collect().toSet,
+            df.count())
+        }
+    val ref = tmp()
+    for (i <- 0L until 3L)
+      PretrainCorpus.ingestWave(spark, wave(i), raw, ref)
+    val m = tmp()
+    for (i <- 0L until 3L)
+      PretrainCorpus.ingestWave(spark, wave(i), raw, m)
+    // ingestWave published _frontier = wave2.id - 1 BEFORE wave 2's
+    // commits: a no-frontier compaction must fold waves 0-1 and carry
+    // wave 2's partitions (it may still be awaiting a crash replay)
+    PretrainCorpus.compactStores(spark, m, minFiles = 0)
+    IncrementalDedupStream.compact(spark, s"$m/dedup_store", minFiles = 0)
+    for (sub <- Seq("fingerprints", "admissions", "dedup_store/corpus")) {
+      val wvs = spark.read.parquet(s"$m/$sub")
+        .select($"__wv").distinct().as[Long].collect().toSet
+      assert(wvs.size == 2 && wvs.contains(-1L) && wvs.max >= 0,
+        s"$sub: marker-bounded fold must keep exactly the in-flight " +
+          s"wave: $wvs")
+    }
+    // the in-flight wave crash-replays: exactly-once effect survives the
+    // partial fold (its own __wv partitions are still there to overwrite)
+    PretrainCorpus.ingestWave(spark, wave(2), raw, m)
+    assert(state(m) == state(ref),
+      s"replay after marker-bounded fold diverged:\n got=${state(m)}\n" +
+        s"want=${state(ref)}")
   }
 
   test("eraseDocs is footprint-bounded: bucket directories outside the " +

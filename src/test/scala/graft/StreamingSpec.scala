@@ -524,7 +524,23 @@ class StreamingSpec extends AnyFunSuite {
         frontier = Some(4L))
     }
     assert(fe.getMessage.contains("frontier"), fe.getMessage)
-    // at the frontier it folds; the erased store stays ingestable
+    // NO frontier: the marker ingestBatch published (= 4, the epoch
+    // before the possibly-in-flight 5) bounds a PARTIAL fold — epoch 0
+    // folds into -1, epoch 5's partitions carry through so its crash
+    // replay still finds its own __wv to overwrite
+    IncrementalDedupStream.compact(spark, s"$base2/store", minFiles = 0)
+    val wvs = spark.read.parquet(s"$base2/store/corpus")
+      .select($"__wv").distinct().as[Long].collect().toSet
+    assert(wvs == Set(-1L, 5L),
+      s"marker-bounded fold must keep the in-flight epoch: $wvs")
+    val beforeReplay = spark.read.parquet(s"$base2/store/corpus").count()
+    IncrementalDedupStream.ingestBatch(
+      docs.withColumn("doc_id", $"doc_id" + 100000L), "doc_id", "text",
+      s"$base2/store", minJaccard = 0.5, epoch = Some(5L)) // crash replay
+    assert(spark.read.parquet(s"$base2/store/corpus").count()
+      == beforeReplay, "replay after the marker-bounded fold double-added")
+    // at the explicit frontier it folds fully; the erased store stays
+    // ingestable
     IncrementalDedupStream.compact(spark, s"$base2/store", minFiles = 0,
       frontier = Some(5L))
     IncrementalDedupStream.ingestBatch(docs, "doc_id", "text",
@@ -573,7 +589,11 @@ class StreamingSpec extends AnyFunSuite {
       IncrementalDedupStream.ingestBatch(waves(i), "doc_id", "text",
         s"$root/store", minJaccard = 0.5, epoch = Some(i.toLong))
     val before = fileCount(s"$comp/store/corpus")
-    IncrementalDedupStream.compact(spark, s"$comp/store", minFiles = 0)
+    // explicit frontier = the caller's assertion that both epochs are
+    // final: everything folds (the marker-default partial fold is
+    // spec'd separately)
+    IncrementalDedupStream.compact(spark, s"$comp/store", minFiles = 0,
+      frontier = Some(1L))
     assert(fileCount(s"$comp/store/corpus") < before,
       s"corpus file count must drop (was $before)")
     // one file per bucket (16 default buckets) + the flat schema anchor
