@@ -18,9 +18,10 @@ object Bench {
     // suite's 4 passes (warmup + 3 rounds) outgrew the harness timeout on a
     // slow host and the round shipped with NO official perf artifact. A
     // bench that sometimes emits nothing is worse than one that emits
-    // fewer samples: the budget makes completion unconditional. Warmup and
-    // round 1 always cover every query; later rounds run only while the
-    // remaining budget fits them (extra samples only sharpen the min).
+    // fewer samples: the budget makes completion unconditional. Round 1
+    // always covers every query (doubling as the warmup); re-measure
+    // rounds spend whatever budget remains sharpening the min, most
+    // expensive queries first.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1500.0)
     val t0 = System.nanoTime()
@@ -49,19 +50,6 @@ object Bench {
     def purgeLeakedRdds(): Unit =
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-    // Global warmup pass: the C2 compiler needs ~60-90s of JVM life to reach
-    // steady state; a single per-query warmup right before its measurement
-    // still runs partly interpreted. Warm everything, then measure — but
-    // never spend more than 45% of the budget warming: on a pathologically
-    // slow host the remaining queries simply measure cold, which is a worse
-    // number, not a missing artifact.
-    names.foreach { name =>
-      if (elapsedSec < budgetSec * 0.45) {
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => () }
-        purgeLeakedRdds()
-      }
-    }
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
@@ -69,33 +57,34 @@ object Bench {
       purgeLeakedRdds()
       dt
     }
-    // min over up to 3 ROUND-ROBIN rounds: the host VM shows multi-second
-    // CPU-steal bursts; consecutive repeats of one query all land inside a
-    // burst, while interleaved rounds give each query well-separated
-    // samples. Round 1 is unconditional (full coverage); rounds 2-3 start
-    // only if the previous round's duration fits the remaining budget, and
-    // abort between queries once the budget is spent (a partial extra
-    // round still sharpens the min for the queries it reached).
-    def oneRound(always: Boolean): Map[String, Double] =
-      names.flatMap { name =>
-        if (!always && elapsedSec > budgetSec) None
-        else Some(try name -> timed(name) catch {
-          case _: Throwable => name -> -1.0
-        })
-      }.toMap
-    var rounds = List(oneRound(always = true))
-    var n = 1
-    while (n < 3 &&
-        elapsedSec + rounds.head.values.filter(_ >= 0).sum * 1.15 <
-          budgetSec) {
-      rounds ::= oneRound(always = false)
-      n += 1
+    // Round 1 (unconditional — full coverage) doubles as the warmup: its
+    // samples carry cold-JIT/codegen cost and STAND only when the budget
+    // never allows a re-measure. A separate untimed warmup pass would
+    // spend half the budget producing no numbers at all — on a slow host
+    // that was how r9's artifact came back empty.
+    val sample = scala.collection.mutable.Map[String, Double]()
+    names.foreach { name =>
+      sample(name) = try timed(name) catch { case _: Throwable => -1.0 }
     }
-    val results = names.map { name =>
-      val samples = rounds.flatMap(_.get(name))
-      name -> (if (samples.isEmpty || samples.forall(_ < 0)) -1.0
-               else samples.filter(_ >= 0).min)
+    // Re-measure rounds while budget remains, each taking the min (which
+    // discards the cold round-1 sample and rejects the host VM's
+    // multi-second CPU-steal bursts — a single sample can do neither).
+    // Order is DESCENDING current estimate: the expensive queries are
+    // where cold/burst distortion is worth the most seconds, so the
+    // leftover budget re-measures them first; the loop aborts between
+    // queries once the budget is spent, so a partial round still fixes
+    // the worst numbers.
+    var round = 1
+    while (round < 4 && elapsedSec < budgetSec) {
+      val order = names.sortBy(n => -math.max(sample.getOrElse(n, 0.0), 0.0))
+      for (name <- order if elapsedSec < budgetSec) {
+        val t = try timed(name) catch { case _: Throwable => -1.0 }
+        if (t >= 0 && (sample(name) < 0 || t < sample(name)))
+          sample(name) = t
+      }
+      round += 1
     }
+    val results = names.map(name => name -> sample(name))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
