@@ -5,10 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every declared query on
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds.
   *
-  * Each query gets one untimed warmup execution (JIT + whole-stage-codegen
-  * compilation dominate a cold first run by 10-20×) and the second run is
-  * measured — steady-state throughput, which is what a long-lived cluster
-  * actually sees.
+  * Budgeted min-of-samples: round 1 runs every query once (cold — it
+  * doubles as the warmup; JIT + whole-stage-codegen dominate a cold run
+  * by 10-20×), then re-measure rounds spend whatever wall-clock budget
+  * remains taking the min, most-expensive queries first. With budget to
+  * spare every published number is a warm steady-state min (what a
+  * long-lived cluster sees); under a starved budget cold round-1 samples
+  * can stand — fewer good samples beats the empty artifact a fixed
+  * four-pass schedule produced when the host was slow (r9: rc=124).
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -409,23 +409,38 @@ object Versioned {
       .where(col(keyCol) === lit(value))
   }
 
+  /** Shared bounded pool for driver-side probe I/O — created once per
+    * JVM (daemon threads, so it never blocks shutdown) instead of a
+    * fresh pool per read: a hot point-lookup path issues many
+    * readEquals calls per second and per-call thread churn would be
+    * pure overhead.
+    */
+  private lazy val probePool = java.util.concurrent.Executors
+    .newFixedThreadPool(64,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-bloom-probe-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
   /** Order-preserving concurrent filter over driver-side I/O probes
-    * (bounded pool; exceptions propagate to the caller).
+    * (shared bounded pool; exceptions propagate to the caller).
     */
   private def parallelFilter[A](xs: Seq[A])(p: A => Boolean): Seq[A] = {
     if (xs.lengthCompare(2) < 0) return xs.filter(p)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(64, xs.size))
     try {
       val futs = xs.map { x =>
-        pool.submit(new java.util.concurrent.Callable[Boolean] {
+        probePool.submit(new java.util.concurrent.Callable[Boolean] {
           def call(): Boolean = p(x)
         })
       }
       xs.zip(futs).filter(_._2.get()).map(_._1)
     } catch {
       case e: java.util.concurrent.ExecutionException => throw e.getCause
-    } finally pool.shutdown()
+    }
   }
 
   /** The pruned-segment read both skip paths share. The result schema
@@ -624,16 +639,21 @@ object Versioned {
           .foreach(s => f.delete(s.getPath, true))
       }
       if (replaced.isEmpty) {
-        writeManifest(spark, root, Manifest(v, newFiles,
-          latest.redactedBelow, latest.tombstoneEpoch, newStats, schema))
         // CRASH-RETRY GC: a prior erasure that crashed between its
         // manifest publish and its purge left the floor at the then-
         // latest version with superseded segments still on disk — and a
         // retry finds the subject already gone (this branch). When the
         // floor already covers every older version the skipped purge is
         // safe to finish now; otherwise older versions are still legal
-        // reads and their segments must stay.
+        // reads and their segments must stay. The purge runs BEFORE this
+        // retry's own manifest publish: once the retry publishes, the
+        // floor sits below the new latest and a SECOND crashed retry
+        // would stop seeing the condition — purge-then-publish makes
+        // any number of crash-retries converge (the purge itself is
+        // idempotent).
         if (latest.redactedBelow == latest.version) purgeOutside(newFiles)
+        writeManifest(spark, root, Manifest(v, newFiles,
+          latest.redactedBelow, latest.tombstoneEpoch, newStats, schema))
       } else {
         writeManifest(spark, root, Manifest(v, newFiles,
           redactedBelow = v, tombstoneEpoch, newStats, schema))

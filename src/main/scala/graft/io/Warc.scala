@@ -291,14 +291,7 @@ object Warc {
     val spark = archives.sparkSession
     import spark.implicits._
     archives.flatMap { case (name, bytes) =>
-      parseArchiveIterator(bytes).map { p =>
-        WarcDoc(name,
-          p.headers.getOrElse("warc-type", ""),
-          p.headers.getOrElse("warc-record-id", ""),
-          p.headers.getOrElse("warc-target-uri", ""),
-          p.body.length.toLong,
-          new String(p.body, "UTF-8"))
-      }
+      parseArchiveIterator(bytes).map(toDoc(name, _))
     }
   }
 
@@ -311,7 +304,11 @@ object Warc {
     private var closed = false
     override def hasNext: Boolean = {
       val h = it.hasNext
-      if (!h && !closed) { closed = true; in.close() }
+      if (!h && !closed) {
+        closed = true
+        // the task-completion listener may close too: tolerate both
+        try in.close() catch { case _: java.io.IOException => () }
+      }
       h
     }
     override def next(): A = it.next()
@@ -331,10 +328,18 @@ object Warc {
     * comfortable row size. (The binaryFile content column materializes
     * the WHOLE compressed blob as one row — fine at the ~1 GB WET
     * convention, a task-memory cliff for an oversized or adversarial
-    * archive. Here the blob never becomes a row at all.) Unreadable files
-    * and truncated/corrupt members follow [[RecordIterator]]'s rules:
-    * records parsed before the damage survive, no exception leaves a
-    * task.
+    * archive. Here the blob never becomes a row at all.)
+    *
+    * Failure split, deliberately asymmetric: an OPEN failure (missing
+    * file, throttled object store, permission blip) throws out of the
+    * task so Spark's task retry recovers the transient case — silently
+    * returning zero records would let a streaming checkpoint mark the
+    * archive as ingested and drop its documents forever. CONTENT damage
+    * (truncated/corrupt members, malformed records) follows
+    * [[RecordIterator]]'s rules: records parsed before the damage
+    * survive, nothing throws. Handles close on exhaustion and, as a
+    * backstop for abandoned iterators (limit/take/task kill), on task
+    * completion.
     */
   def docsFromArchivePaths(paths: Dataset[String]): Dataset[WarcDoc] = {
     val spark = paths.sparkSession
@@ -344,27 +349,35 @@ object Warc {
     paths.mapPartitions { it =>
       it.flatMap { name =>
         val hp = new org.apache.hadoop.fs.Path(name)
-        val opened =
+        val raw = new java.io.BufferedInputStream(
+          hp.getFileSystem(conf.value).open(hp), 64 * 1024)
+        val in: java.io.InputStream =
           try {
-            val raw = new java.io.BufferedInputStream(
-              hp.getFileSystem(conf.value).open(hp), 64 * 1024)
             // sniff the gzip magic without consuming it — uncompressed
-            // WARC is legal, same as the byte-array path
+            // WARC is legal, same as the byte-array path. A gzip header
+            // truncated mid-member-0 is CONTENT damage (nothing
+            // inflatable), not an open failure.
             val pb = new java.io.PushbackInputStream(raw, 2)
             val b0 = pb.read(); val b1 = pb.read()
             if (b1 >= 0) pb.unread(b1)
             if (b0 >= 0) pb.unread(b0)
             if (b0 == 0x1F && b1 == 0x8B)
-              try Some(new GZIPInputStream(pb): java.io.InputStream)
-              catch { case _: java.io.IOException => pb.close(); None }
-            else Some(pb: java.io.InputStream)
-          } catch { case _: java.io.IOException => None }
-        opened match {
-          case None => Iterator.empty
-          case Some(in) =>
-            new ClosingIterator(
-              new RecordIterator(in).map(toDoc(name, _)), in)
-        }
+              try new GZIPInputStream(pb)
+              catch {
+                case _: java.io.IOException =>
+                  pb.close()
+                  new java.io.ByteArrayInputStream(Array.empty[Byte])
+              }
+            else pb
+          } catch {
+            case e: Throwable => raw.close(); throw e
+          }
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: java.io.IOException => () }
+          })
+        new ClosingIterator(
+          new RecordIterator(in).map(toDoc(name, _)), in)
       }
     }
   }

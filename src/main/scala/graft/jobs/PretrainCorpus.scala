@@ -374,7 +374,11 @@ object PretrainCorpus {
         .option("partitionOverwriteMode", "dynamic")
         .option("compression", "snappy")
         .partitionBy("__bk", "__wv").parquet(path)
-      if (graft.io.Sinks.parquetFileCount(spark, path) == 0)
+      // the anchor can only be needed after an EMPTY commit (a non-empty
+      // one just wrote files) — check the frame first so the recursive
+      // store listing never runs on the common path (it would grow with
+      // store age, the exact cost the wave design avoids)
+      if (df.isEmpty && graft.io.Sinks.parquetFileCount(spark, path) == 0)
         df.limit(0).write.mode("append").option("compression", "snappy")
           .parquet(path)
     }
@@ -444,6 +448,12 @@ object PretrainCorpus {
     * The `__bk` id-hash layout survives the fold verbatim (one file per
     * bucket): the erasure's bucket pruning and the bucket modulus both
     * outlive compaction.
+    *
+    * SIGNATURE NOTE (round 10): the former `nBuckets` parameter is gone —
+    * bucketing is fixed at ingest by [[Config.nBuckets]] and must survive
+    * compaction unchanged, so a compaction-time bucket knob was a
+    * correctness trap. Positional callers of the old
+    * `(spark, workDir, nBuckets, minFiles)` shape must update.
     */
   def compactStores(spark: SparkSession, workDir: String,
       minFiles: Int = 64, frontier: Option[Long] = None): Unit = {
@@ -516,7 +526,22 @@ object PretrainCorpus {
     * (spec-asserted). `nBuckets` must equal the ingest
     * [[Config.nBuckets]] (the bucket hash is recomputed from ids with
     * the same modulus). Stores from the pre-bucketing layout (no `__bk`
-    * directories) fall back to the full staged-swap rewrite.
+    * directories) fall back to the full staged-swap rewrite. Ids are
+    * coerced to the stores' ingested doc_id type before hashing (the
+    * bucket hash is type-sensitive).
+    *
+    * Crash posture of the in-place bucket rewrite (the same one
+    * [[graft.streaming.IncrementalDedupStream.erase]] carries): task and
+    * executor failures are all-or-nothing — the dynamic overwrite's
+    * staged files only move at commitJob, so a failed write job leaves
+    * the store untouched and the erase simply re-runs. The residual
+    * window is a DRIVER crash inside commitJob itself (between one
+    * partition's delete and its rename) — milliseconds of metadata ops,
+    * with the complete staged files still on disk under the job's
+    * `.spark-staging-*` directory for manual recovery. A re-run after
+    * any crash outside that window converges: stale subject-only
+    * partitions are re-filtered and the delete list is recomputed from
+    * the ids.
     */
   def eraseDocs(spark: SparkSession, workDir: String,
       ids: DataFrame, nBuckets: Int = 16): Unit = {
@@ -547,8 +572,19 @@ object PretrainCorpus {
             org.apache.spark.sql.types.StructType(
               schema.filterNot(f => f.name == "__bk" || f.name == "__wv")))
           .write.mode("append").option("compression", "snappy").parquet(path)
-    val keys = ids.select(col(ids.columns.head).as("doc_id")).distinct()
-      .localCheckpoint()
+    // the bucket hash is TYPE-SENSITIVE (xxhash64(int) != xxhash64(long)):
+    // coerce the ids to the stores' ingested doc_id type before hashing,
+    // or an IntegerType GDPR list against a LongType store would compute
+    // the wrong buckets and silently erase nothing
+    val idType: Option[org.apache.spark.sql.types.DataType] =
+      Seq("fingerprints", "admissions", "dedup_store/corpus")
+        .map(sub => s"$workDir/$sub").find(exists)
+        .flatMap(p => spark.read.parquet(p).schema.fields
+          .find(_.name == "doc_id").map(_.dataType))
+    val rawKeys = ids.select(col(ids.columns.head).as("doc_id"))
+    val keys = idType.fold(rawKeys)(t =>
+        rawKeys.select(col("doc_id").cast(t).as("doc_id")))
+      .distinct().localCheckpoint()
     try {
       // READMISSION CANDIDATES — materialized BEFORE any store mutates:
       // the later members of pairs whose EARLIER member is erased (those

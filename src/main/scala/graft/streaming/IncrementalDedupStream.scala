@@ -238,13 +238,21 @@ object IncrementalDedupStream {
     * (bucket, epoch) granularity), so replay exclusion and future
     * epoch-tagged ingest keep working after an erasure.
     *
-    * `ids`' first column must have the same type the store was ingested
-    * with (the bucket hash is type-sensitive).
+    * `ids` are coerced to the corpus store's ingested id type before
+    * hashing — the bucket hash is type-sensitive (xxhash64(int) !=
+    * xxhash64(long)), and an uncoerced mismatch would compute the wrong
+    * buckets and silently erase nothing.
     */
   def erase(spark: org.apache.spark.sql.SparkSession, storeDir: String,
       ids: DataFrame, id: String, nBuckets: Int = 16): Unit = {
-    val keys = ids.select(col(ids.columns.head).as(id)).distinct()
-      .localCheckpoint()
+    val rawKeys = ids.select(col(ids.columns.head).as(id))
+    val corpusPath = s"$storeDir/corpus"
+    val coerced =
+      if (!exists(ids, corpusPath)) rawKeys
+      else spark.read.parquet(corpusPath).schema.fields
+        .find(_.name == id).map(_.dataType)
+        .fold(rawKeys)(t => rawKeys.select(col(id).cast(t).as(id)))
+    val keys = coerced.distinct().localCheckpoint()
     try {
       // the subject's bucket footprint: bounded driver state by definition
       val buckets = keys

@@ -533,6 +533,18 @@ class IoSpec extends AnyFunSuite {
       s"path-streamed parse diverged: ${(streamed diff inMemory).take(2)}" +
         s" / ${(inMemory diff streamed).take(2)}")
     assert(streamed.size == 400 + 1 + 2, s"got ${streamed.size}")
+    // early termination doesn't break anything (handles close via the
+    // task-completion backstop, not only on exhaustion)
+    assert(Warc.warcScan(spark, dir).limit(3).collect().length == 3)
+    // an OPEN failure fails the task (so Spark's retry recovers the
+    // transient case) instead of silently yielding zero records — a
+    // streaming checkpoint would otherwise mark the archive ingested
+    // and drop its documents forever
+    val lazyScan = Warc.warcScan(spark, dir) // listing planned now
+    assert(new java.io.File(s"$dir/big.warc.wet.gz").delete())
+    intercept[org.apache.spark.SparkException] {
+      lazyScan.collect()
+    }
   }
 
 
@@ -1000,6 +1012,26 @@ class IoSpec extends AnyFunSuite {
         "bytes on disk — the subject outlives its right-to-be-forgotten")
     assert(Versioned.read(spark, root).select($"id").as[Long]
       .collect().toSet == Set(2L, 3L))
+    // The GC purges BEFORE publishing its own manifest (source-ordered
+    // in the ghost branch), so a retry that crashes anywhere re-enters
+    // the SAME converging state — there is no reachable history where a
+    // PUBLISHED retry left its purge undone. Consequently, once a retry
+    // has published (floor now below the new latest), the window is
+    // closed: junk planted after that point is untracked debris, not
+    // legal crash leftovers, and the conservative "never before" rule
+    // must leave it alone while further retries stay clean no-ops.
+    val orphan2 = new java.io.File(root, "seg-0-latejunk")
+    orphan2.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(orphan2, "junk.parquet"))
+      .close()
+    Versioned.erase(spark, root, Seq(1L).toDF("id"), "id", 6L)
+    assert(orphan2.exists(),
+      "a ghost erase below the floor deleted segments it cannot prove " +
+        "dead")
+    assert(Versioned.read(spark, root).select($"id").as[Long]
+      .collect().toSet == Set(2L, 3L))
+    org.apache.hadoop.fs.FileUtil
+      .fullyDelete(orphan2)
   }
 
   test("versioned table: building bloom sidecars leaves session SQL confs " +

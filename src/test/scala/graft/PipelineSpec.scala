@@ -711,6 +711,34 @@ class PipelineSpec extends AnyFunSuite {
       "post-compaction erasure diverged from the uncompacted run")
   }
 
+  test("eraseDocs coerces mismatched id types before bucket hashing: an " +
+    "IntegerType GDPR list against LongType stores erases fully instead " +
+    "of hashing into the wrong buckets and silently erasing nothing") {
+    val root = tmp()
+    val t1 = "the quick brown fox jumps over a lazy dog while the rain " +
+      "in spain falls mainly on the plain and the cat sat on the mat"
+    val t2 = "every good boy does fine and the sun will rise again to " +
+      "warm a quiet field of green grass near the old mill today"
+    val docs = Seq((1L, t1), (50L, t2))
+      .map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cfg = PretrainCorpus.Config(mixRates = Map("srcA" -> 1.0))
+    PretrainCorpus.ingestWave(spark, docs, docs, root, cfg)
+    // the subject arrives as INT (e.g. parsed from a CSV of ints);
+    // xxhash64(int) != xxhash64(long), so uncoerced bucket pruning
+    // would miss the subject's real buckets
+    PretrainCorpus.eraseDocs(spark, root, Seq(1).toDF("doc_id"))
+    for (sub <- Seq("corpus", "fingerprints", "admissions",
+        "dedup_store/corpus")) {
+      assert(spark.read.parquet(s"$root/$sub")
+        .filter($"doc_id" === 1L).isEmpty,
+        s"doc 1 survives in $sub after an int-typed erase request")
+    }
+    assert(spark.read.parquet(s"$root/corpus")
+      .filter($"doc_id" === 50L).count() == 1,
+      "the retained doc must survive the typed erase")
+  }
+
   test("marker-bounded compaction folds only the provably-final wave " +
     "prefix: the in-flight wave's partitions survive the fold and its " +
     "crash replay still lands on the single-ingest state") {
