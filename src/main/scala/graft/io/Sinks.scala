@@ -215,6 +215,26 @@ object Sinks {
     n
   }
 
+  /** Cast `ids`' first column to the type `storePath`'s schema records
+    * for `id` — the shared guard of every bucket-hashed erasure path:
+    * `xxhash64` is TYPE-SENSITIVE (xxhash64(int) != xxhash64(long)), so
+    * an uncoerced id-type mismatch computes the wrong buckets and
+    * silently erases nothing. A missing/unreadable store or absent
+    * column leaves the ids unchanged (the caller's joins still coerce).
+    */
+  def coerceToStoreIdType(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, storePath: String, id: String): DataFrame = {
+    val named = ids.select(col(ids.columns.head).as(id))
+    val hp = new org.apache.hadoop.fs.Path(storePath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) return named
+    val t =
+      try spark.read.parquet(storePath).schema.fields
+        .find(_.name == id).map(_.dataType)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    t.fold(named)(dt => named.select(col(id).cast(dt).as(id)))
+  }
+
   /** Record the COMMIT FRONTIER of a wave/epoch-managed store family: the
     * highest wave id known fully committed (every strictly-older wave's
     * foreachBatch/caller completed, so none of them can ever replay).

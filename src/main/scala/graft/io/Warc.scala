@@ -362,9 +362,13 @@ object Warc {
             if (b1 >= 0) pb.unread(b1)
             if (b0 >= 0) pb.unread(b0)
             if (b0 == 0x1F && b1 == 0x8B)
+              // only TRUE format damage (bad header fields, header
+              // truncated mid-member-0) reads as an empty archive; any
+              // other IOException here is a transient read failure and
+              // must fail the task for retry, same as the sniff reads
               try new GZIPInputStream(pb)
               catch {
-                case _: java.io.IOException =>
+                case _: java.util.zip.ZipException | _: EOFException =>
                   pb.close()
                   new java.io.ByteArrayInputStream(Array.empty[Byte])
               }

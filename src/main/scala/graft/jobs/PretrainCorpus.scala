@@ -367,18 +367,25 @@ object PretrainCorpus {
     // zero-row SCHEMA ANCHOR keeps it readable (the same convention as
     // [[graft.io.Sinks.stagedSwapParquet]]'s post-erasure state).
     def commit(df: DataFrame, path: String): Unit = {
-      df.withColumn("__bk",
+      // the committed row count rides the write action itself (observe):
+      // a separate isEmpty would re-execute the frame's un-cached join
+      // plan, and an unconditional store listing would grow with store
+      // age — both are costs on every wave for a check that only matters
+      // after the RARE empty commit
+      val obs = org.apache.spark.sql.Observation()
+      df.observe(obs, count(lit(1)).as("n"))
+        .withColumn("__bk",
           pmod(xxhash64(col("doc_id")), lit(cfg.nBuckets.toLong)))
         .withColumn("__wv", lit(wid))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .option("compression", "snappy")
         .partitionBy("__bk", "__wv").parquet(path)
-      // the anchor can only be needed after an EMPTY commit (a non-empty
-      // one just wrote files) — check the frame first so the recursive
-      // store listing never runs on the common path (it would grow with
-      // store age, the exact cost the wave design avoids)
-      if (df.isEmpty && graft.io.Sinks.parquetFileCount(spark, path) == 0)
+      // anchor needed only if this commit was empty AND the store holds
+      // no data files at all (dynamic overwrite writes nothing for an
+      // empty frame, leaving a never-non-empty store unreadable)
+      if (obs.get("n").asInstanceOf[Long] == 0L &&
+          graft.io.Sinks.parquetFileCount(spark, path) == 0)
         df.limit(0).write.mode("append").option("compression", "snappy")
           .parquet(path)
     }
@@ -572,18 +579,12 @@ object PretrainCorpus {
             org.apache.spark.sql.types.StructType(
               schema.filterNot(f => f.name == "__bk" || f.name == "__wv")))
           .write.mode("append").option("compression", "snappy").parquet(path)
-    // the bucket hash is TYPE-SENSITIVE (xxhash64(int) != xxhash64(long)):
-    // coerce the ids to the stores' ingested doc_id type before hashing,
-    // or an IntegerType GDPR list against a LongType store would compute
-    // the wrong buckets and silently erase nothing
-    val idType: Option[org.apache.spark.sql.types.DataType] =
-      Seq("fingerprints", "admissions", "dedup_store/corpus")
-        .map(sub => s"$workDir/$sub").find(exists)
-        .flatMap(p => spark.read.parquet(p).schema.fields
-          .find(_.name == "doc_id").map(_.dataType))
-    val rawKeys = ids.select(col(ids.columns.head).as("doc_id"))
-    val keys = idType.fold(rawKeys)(t =>
-        rawKeys.select(col("doc_id").cast(t).as("doc_id")))
+    // the bucket hash is TYPE-SENSITIVE: coerce the ids to the stores'
+    // ingested doc_id type before hashing (shared guard —
+    // [[graft.io.Sinks.coerceToStoreIdType]]); the fingerprint store is
+    // the narrowest schema that always exists alongside the others
+    val keys = graft.io.Sinks
+      .coerceToStoreIdType(spark, ids, s"$workDir/fingerprints", "doc_id")
       .distinct().localCheckpoint()
     try {
       // READMISSION CANDIDATES — materialized BEFORE any store mutates:

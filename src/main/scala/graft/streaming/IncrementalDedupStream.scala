@@ -245,14 +245,9 @@ object IncrementalDedupStream {
     */
   def erase(spark: org.apache.spark.sql.SparkSession, storeDir: String,
       ids: DataFrame, id: String, nBuckets: Int = 16): Unit = {
-    val rawKeys = ids.select(col(ids.columns.head).as(id))
-    val corpusPath = s"$storeDir/corpus"
-    val coerced =
-      if (!exists(ids, corpusPath)) rawKeys
-      else spark.read.parquet(corpusPath).schema.fields
-        .find(_.name == id).map(_.dataType)
-        .fold(rawKeys)(t => rawKeys.select(col(id).cast(t).as(id)))
-    val keys = coerced.distinct().localCheckpoint()
+    val keys = graft.io.Sinks
+      .coerceToStoreIdType(spark, ids, s"$storeDir/corpus", id)
+      .distinct().localCheckpoint()
     try {
       // the subject's bucket footprint: bounded driver state by definition
       val buckets = keys
