@@ -3,16 +3,26 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every declared query on
-  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds.
+  * `SPARK_GRAFT_SF_DIR`, writes per-query seconds to `bench_out.json`, and
+  * prints ONE COMPACT JSON line on stdout.
   *
-  * Budgeted min-of-samples: round 1 runs every query once (cold — it
-  * doubles as the warmup; JIT + whole-stage-codegen dominate a cold run
-  * by 10-20×), then re-measure rounds spend whatever wall-clock budget
-  * remains taking the min, most-expensive queries first. With budget to
-  * spare every published number is a warm steady-state min (what a
-  * long-lived cluster sees); under a starved budget cold round-1 samples
-  * can stand — fewer good samples beats the empty artifact a fixed
-  * four-pass schedule produced when the host was slow (r9: rc=124).
+  * Budgeted min-of-samples: a ~2 s synthetic pre-warm (JIT + whole-stage
+  * codegen + one shuffle) runs first so round-1 samples aren't 10-20×
+  * cold-distorted, then round 1 runs every query once, then re-measure
+  * rounds spend whatever wall-clock budget remains taking the min, most
+  * expensive queries first. With budget to spare every published number is
+  * a warm steady-state min (what a long-lived cluster sees); under a
+  * starved budget round-1 samples can stand — fewer good samples beats the
+  * empty artifact a fixed four-pass schedule produced when the host was
+  * slow (r9: rc=124).
+  *
+  * Artifact protocol: the full per-query JSON goes to the file, flushed
+  * after the pre-warm round and after EVERY re-measure round, so a timeout
+  * or kill mid-run still leaves a complete per-query artifact on disk. The
+  * stdout line is COMPACT (total + query count + file pointer, well under
+  * 2,000 chars) because the driver retains only a 2,000-char stdout tail —
+  * a 283-query inline line (~8.5 KB) can never sit inside that window, so
+  * r1-r10 all shipped `parsed: null` despite healthy runs.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,9 +33,8 @@ object Bench {
     // slow host and the round shipped with NO official perf artifact. A
     // bench that sometimes emits nothing is worse than one that emits
     // fewer samples: the budget makes completion unconditional. Round 1
-    // always covers every query (doubling as the warmup); re-measure
-    // rounds spend whatever budget remains sharpening the min, most
-    // expensive queries first.
+    // always covers every query; re-measure rounds spend whatever budget
+    // remains sharpening the min, most expensive queries first.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1500.0)
     val t0 = System.nanoTime()
@@ -42,7 +51,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Queries that stage intermediates via localCheckpoint (jaccard, tfidf,
     // ivf, simhash, ...) pin MEMORY_AND_DISK RDDs that nothing unpersists
-    // once the query returns. Across 4 passes × ~10 such queries the pinned
+    // once the query returns. Across passes × ~10 such queries the pinned
     // sf0.1 materializations squeeze execution memory under the unified
     // manager and the shuffle-heavy iterative queries start spilling:
     // d_dedup_clusters measured 12.1 s in-bench vs 3.2 s isolated
@@ -61,15 +70,56 @@ object Bench {
       purgeLeakedRdds()
       dt
     }
-    // Round 1 (unconditional — full coverage) doubles as the warmup: its
-    // samples carry cold-JIT/codegen cost and STAND only when the budget
-    // never allows a re-measure. A separate untimed warmup pass would
-    // spend half the budget producing no numbers at all — on a slow host
-    // that was how r9's artifact came back empty.
-    val sample = scala.collection.mutable.Map[String, Double]()
-    names.foreach { name =>
-      sample(name) = try timed(name) catch { case _: Throwable => -1.0 }
+    // Synthetic pre-warm (~2 s, counted inside the budget): codegen + both
+    // shuffle paths (hash agg, sort-merge join) + a parquet read footer
+    // path. Without it, round-1 samples on a slow host carry cold-JIT cost
+    // 10-20× the steady state, and under a starved budget those samples
+    // PUBLISH — r10's driver artifact read p_pretrain_e2e at 139 s vs
+    // 10.7 s warm. Two seconds of JIT here buys every round-1 sample down
+    // to ~warm for the classes of code the suite exercises.
+    try {
+      import spark.implicits._
+      val warm = spark.range(2000000L).toDF("id")
+        .selectExpr("id", "id % 97 as k", "cast(id as string) as s")
+      warm.groupBy("k").agg(org.apache.spark.sql.functions.count("*"),
+        org.apache.spark.sql.functions.sum("id")).count()
+      val a = spark.range(500000L).selectExpr("id as k", "id * 2 as v")
+      val b = spark.range(500000L).selectExpr("id as k", "id * 3 as w")
+      a.join(b, "k").agg(org.apache.spark.sql.functions.sum($"v" * $"w")).count()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      purgeLeakedRdds()
+    } catch { case _: Throwable => () }
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    def fullJson(sample: collection.Map[String, Double]): String = {
+      val results = names.map(name => name -> sample.getOrElse(name, -1.0))
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
+    // Incremental flush: a timeout/kill mid re-measure round still leaves
+    // the last complete per-query artifact on disk (r9's rc=124 would have
+    // shipped full round-1 numbers under this protocol). Write-temp-rename
+    // so a kill mid-WRITE can't leave a torn file either.
+    def flush(sample: collection.Map[String, Double]): Unit =
+      try {
+        val tmp = java.nio.file.Paths.get(outFile + ".tmp")
+        java.nio.file.Files.write(tmp, (fullJson(sample) + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outFile),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case _: Throwable => () }
+    // Round 1 (unconditional — full coverage): post-pre-warm cold samples.
+    // They STAND only when the budget never allows a re-measure. Flushed
+    // every 20 queries: a kill even MID round 1 ships every number
+    // measured so far (unmeasured queries read -1, distinguishable from
+    // a real sample).
+    val sample = scala.collection.mutable.Map[String, Double]()
+    names.zipWithIndex.foreach { case (name, i) =>
+      sample(name) = try timed(name) catch { case _: Throwable => -1.0 }
+      if ((i + 1) % 20 == 0) flush(sample)
+    }
+    flush(sample)
     // Re-measure rounds while budget remains, each taking the min (which
     // discards the cold round-1 sample and rejects the host VM's
     // multi-second CPU-steal bursts — a single sample can do neither).
@@ -81,26 +131,22 @@ object Bench {
     var round = 1
     while (round < 4 && elapsedSec < budgetSec) {
       val order = names.sortBy(n => -math.max(sample.getOrElse(n, 0.0), 0.0))
-      for (name <- order if elapsedSec < budgetSec) {
+      for ((name, i) <- order.zipWithIndex if elapsedSec < budgetSec) {
         val t = try timed(name) catch { case _: Throwable => -1.0 }
         if (t >= 0 && (sample(name) < 0 || t < sample(name)))
           sample(name) = t
+        if ((i + 1) % 20 == 0) flush(sample)
       }
+      flush(sample)
       round += 1
     }
-    val results = names.map(name => name -> sample(name))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The metric line must survive log interleaving: executor-teardown noise
-    // can land mid-line on stdout (r1's BENCH json failed to parse). Write it
-    // to a file too, and print it only after spark.stop() quiesces the logs.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    val total = names.map(sample(_)).filter(_ >= 0).sum
+    // COMPACT stdout line: the driver keeps a 2,000-char stdout tail, so the
+    // per-query inline form (~8.5 KB at 283 queries) can never parse there —
+    // ten straight rounds of `parsed: null`. Total + count + file pointer
+    // fits with room to spare; the full per-query record is in `outFile`.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${names.size},"queries_out":"$outFile","sf":"$sfDir"}"""
     spark.stop()
     // Under `sbt runMain`, System.out is sbt's logger — every println gets an
     // "[info] " prefix, which broke the harness's JSON parse in r1 AND r2
@@ -112,7 +158,7 @@ object Bench {
     try {
       val raw = new java.io.PrintStream(new java.io.FileOutputStream(
         java.io.FileDescriptor.out), true, "UTF-8")
-      raw.println(json)
+      raw.println(compact)
       raw.flush()
     } catch { case _: Throwable => () }
   }

@@ -22,13 +22,24 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
+    // Same leaked-RDD purge as Bench: localCheckpoint-staging queries pin
+    // MEMORY_AND_DISK RDDs nothing unpersists, and across a multi-query
+    // BenchOne list those squeeze execution memory for later queries —
+    // measured 1.4× phantom inflation (v_semdedup_check 5.4 s after four
+    // leaky queries vs 4.0 s in a short list). Blocking, in the untimed gap.
+    def purgeLeakedRdds(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       q(spark, sfDir).count() // warmup
+      purgeLeakedRdds()
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val n = q(spark, sfDir).count()
-        ((System.nanoTime() - t0) / 1e9, n)
+        val dt = (System.nanoTime() - t0) / 1e9
+        purgeLeakedRdds()
+        (dt, n)
       }
       val secs = ts.map(_._1).sorted
       println(f"BENCHONE $name%-28s min=${secs.head}%8.3f med=${secs(1)}%8.3f rows=${ts.head._2}")

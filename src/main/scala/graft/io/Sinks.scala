@@ -248,36 +248,152 @@ object Sinks {
   def writeFrontier(spark: org.apache.spark.sql.SparkSession,
       dir: String, v: Long): Unit = {
     if (readFrontier(spark, dir).exists(_ >= v)) return
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(root)
-    val tmp = new org.apache.hadoop.fs.Path(dir, "._frontier.tmp")
-    val out = fs.create(tmp, true)
-    out.write(v.toString.getBytes("UTF-8"))
-    out.close()
-    val dst = new org.apache.hadoop.fs.Path(dir, "_frontier")
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"frontier publish failed at $dir")
+    writeMarkerFile(spark, dir, "_frontier", v.toString)
   }
 
   /** The recorded commit frontier, if any ingest has published one. */
   def readFrontier(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_frontier")
+      dir: String): Option[Long] =
+    readMarkerFile(spark, dir, "_frontier")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+
+  /** Tmp + rename publish of one tiny marker file at a store root — the
+    * shared mechanics of `_frontier` / `_nbuckets` / `_maxid`.
+    */
+  private def writeMarkerFile(spark: org.apache.spark.sql.SparkSession,
+      dir: String, name: String, content: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    out.write(content.getBytes("UTF-8"))
+    out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, name)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"marker publish failed: $dir/$name")
+  }
+
+  /** Read a marker file to EOF (a single read() may legally return a
+    * prefix on remote-FS streams — parsing that prefix would yield a
+    * silently wrong value, e.g. a smaller frontier or a negative number
+    * with its '-' cut). None when absent or empty.
+    */
+  private def readMarkerFile(spark: org.apache.spark.sql.SparkSession,
+      dir: String, name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        if (n <= 0) None
-        else scala.util.Try(new String(buf, 0, n, "UTF-8").trim.toLong)
-          .toOption
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        if (out.size() == 0) None else Some(out.toString("UTF-8"))
       } finally in.close()
     }
   }
+
+  /** Delete a marker file (no-op when absent) — e.g. an erasure retiring
+    * a watermark whose high-water bound no longer reflects the store.
+    */
+  def deleteMarkerFile(spark: org.apache.spark.sql.SparkSession,
+      dir: String, name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** Record the store family's ID-HASH BUCKET MODULUS at ingest time —
+    * the `_nbuckets` marker next to `_frontier`. The bucket layout
+    * (`__bk = xxhash64(id) mod n`) is fixed the moment the first wave
+    * commits: a later ingest or erasure computing buckets with a
+    * DIFFERENT modulus silently writes to / rewrites the wrong bucket
+    * directories (for an erasure that is a quiet right-to-be-forgotten
+    * failure — it erases nothing). So ingest persists the modulus once
+    * and FAILS LOUDLY on a mismatch ever after; erasure reads it back
+    * ([[resolveNBuckets]]) instead of trusting a free parameter.
+    * Idempotent for the matching value (replays rewrite the same byte).
+    */
+  def recordNBuckets(spark: org.apache.spark.sql.SparkSession,
+      dir: String, n: Int): Unit = {
+    require(n > 0, s"nBuckets must be positive: $n")
+    readNBuckets(spark, dir) match {
+      case Some(m) if m != n => throw new IllegalStateException(
+        s"bucket-modulus mismatch at $dir: the store was ingested with " +
+          s"nBuckets=$m but this ingest uses nBuckets=$n — mixing moduli " +
+          "corrupts the __bk layout (and silently breaks every " +
+          "footprint-bounded erasure); re-ingest with the recorded " +
+          "modulus or migrate the store")
+      case Some(_) => ()
+      case None => writeMarkerFile(spark, dir, "_nbuckets", n.toString)
+    }
+  }
+
+  /** The recorded bucket modulus, if the store has one. */
+  def readNBuckets(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Int] =
+    readMarkerFile(spark, dir, "_nbuckets")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+
+  /** Resolve the bucket modulus an erasure must hash with: the store's
+    * recorded `_nbuckets` marker when present — a caller-supplied value
+    * that CONTRADICTS it fails loudly (the marker is ground truth; the
+    * old free parameter silently erased nothing on a mismatch) — else
+    * the caller's value, else `legacyDefault` (pre-marker stores were
+    * ingested with the historical default unless the caller knows
+    * better).
+    */
+  def resolveNBuckets(spark: org.apache.spark.sql.SparkSession,
+      dir: String, caller: Option[Int], legacyDefault: Int = 16): Int =
+    readNBuckets(spark, dir) match {
+      case Some(m) =>
+        caller.foreach(n => require(n == m,
+          s"bucket-modulus mismatch at $dir: the store records " +
+            s"nBuckets=$m but the caller passed $n — hashing with the " +
+            "wrong modulus computes the wrong buckets and silently " +
+            s"erases nothing; drop the explicit argument or pass $m"))
+        m
+      case None => caller.getOrElse(legacyDefault)
+    }
+
+  /** Publish the INGEST WATERMARK — the `_maxid` marker that makes the
+    * id-ordering guard O(1) instead of a per-wave max-aggregate over the
+    * whole accumulated fingerprint store (O(store rows) per wave; at
+    * 100 TB the store is TB-scale and every wave would rescan it).
+    * Three fields: the publishing wave's id, the max ingested id BEFORE
+    * that wave (`Long.MinValue` = none), and the max INCLUDING it.
+    * Written by the wave AFTER its guard passes and BEFORE its commits,
+    * so a crash replay reads its own marker and checks against `prevMax`
+    * — exactly the state its first attempt guarded against — while the
+    * next wave checks against `curMax`. Erasure DELETES the marker (the
+    * high-water bound may exceed the retained max; the next wave falls
+    * back to the one-time store scan and re-establishes it).
+    */
+  def writeMaxIdWatermark(spark: org.apache.spark.sql.SparkSession,
+      dir: String, waveId: Long, prevMax: Option[Long],
+      curMax: Long): Unit =
+    writeMarkerFile(spark, dir, "_maxid",
+      s"$waveId ${prevMax.getOrElse(Long.MinValue)} $curMax")
+
+  /** The recorded (waveId, prevMax, curMax) watermark, if any. A
+    * malformed marker reads as absent (callers fall back to the scan —
+    * conservative, never wrong).
+    */
+  def readMaxIdWatermark(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[(Long, Option[Long], Long)] =
+    readMarkerFile(spark, dir, "_maxid").flatMap { s =>
+      scala.util.Try {
+        val parts = s.trim.split("\\s+")
+        val prev = parts(1).toLong
+        (parts(0).toLong,
+          if (prev == Long.MinValue) None else Some(prev),
+          parts(2).toLong)
+      }.toOption
+    }
 
   /** Shared body of the epoch-store compactions
     * ([[graft.jobs.PretrainCorpus.compactStores]],

@@ -74,24 +74,56 @@ object Versioned {
       stats: Map[String, Seq[(String, Long, Long)]] = Map.empty,
       schemaJson: Option[String] = None)
 
+  /** Per-JVM manifest cache. A committed version's manifest file is
+    * IMMUTABLE — [[writeManifest]] refuses to overwrite an existing
+    * version, and erasure/compaction publish NEW versions (they purge
+    * segment files, never rewrite commit JSONs) — so a manifest's BYTES
+    * never change in place. The one way the same (root, version) can
+    * legitimately mean different content is a DELETE-AND-REBUILD of the
+    * whole table at the same path (the bench gates do exactly this per
+    * execution), so the cache key carries the commit file's
+    * (modificationTime, length) identity: a rebuilt v1 is a different
+    * file and misses. One getFileStatus RPC per resolve — no Spark job.
+    * [[resolve]] re-lists `_commits` and re-checks the redaction floor
+    * on every call, so a purged version is rejected before its cached
+    * entry could be consulted. Bounded: a long-lived driver clears the
+    * map rather than growing without limit (entries are a few KB each).
+    */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Long, Long), Manifest]()
+
   private def readManifest(spark: SparkSession, root: String,
       v: Int): Manifest = {
-    val row = spark.read.json(commitPath(root, v)).head()
-    val stats: Map[String, Seq[(String, Long, Long)]] =
-      if (!row.schema.fieldNames.contains("stats")) Map.empty
-      else row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("stats"))
-        .map(r => (r.getAs[String]("file"), (r.getAs[String]("column"),
-          r.getAs[Long]("min"), r.getAs[Long]("max"))))
-        .groupBy(_._1).map { case (f, es) => f -> es.map(_._2).toSeq }
-    Manifest(
-      row.getAs[Long]("version").toInt,
-      row.getSeq[String](row.fieldIndex("files")).toSeq,
-      row.getAs[Long]("redacted_below").toInt,
-      row.getAs[Long]("tombstone_epoch"),
-      stats,
-      if (row.schema.fieldNames.contains("schema"))
-        Option(row.getAs[String]("schema"))
-      else None)
+    if (manifestCache.size > 4096) manifestCache.clear()
+    val st = fs(spark, root).getFileStatus(new Path(commitPath(root, v)))
+    manifestCache.computeIfAbsent(
+      (root, v, st.getModificationTime, st.getLen), _ => {
+      // driver-side FS read + Jackson parse: a manifest is a few KB of
+      // self-written JSON, but `spark.read.json` spins up a FULL Spark
+      // job (scan stage, task scheduling) for it — at a hot point-lookup
+      // rate the two resolve() manifests per read were the next latency
+      // term after the bloom probes. The pruned scan is now the FIRST
+      // Spark job a read issues.
+      val in = fs(spark, root).open(new Path(commitPath(root, v)))
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      import scala.jdk.CollectionConverters._
+      val stats: Map[String, Seq[(String, Long, Long)]] =
+        if (!node.has("stats")) Map.empty
+        else node.get("stats").elements().asScala.toSeq
+          .map(r => (r.get("file").asText(), (r.get("column").asText(),
+            r.get("min").asLong(), r.get("max").asLong())))
+          .groupBy(_._1).map { case (f, es) => f -> es.map(_._2) }
+      Manifest(
+        node.get("version").asInt(),
+        node.get("files").elements().asScala.map(_.asText()).toSeq,
+        node.get("redacted_below").asInt(),
+        node.get("tombstone_epoch").asLong(),
+        stats,
+        if (node.has("schema")) Option(node.get("schema").asText())
+        else None)
+    })
   }
 
   /** Atomic manifest publish: temp write + rename. Single-writer per

@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions.col
   * [[graft.multimodal.MediaContainers]]: a REAL encoder (per-member gzip,
   * standard-conformant record framing) plus a decoder that parses every
   * reported field back out of the bytes — version line, named headers,
-  * Content-Length-framed body — with truncation/corruption handled by
-  * returning the records parsed so far, never an exception out of a task.
+  * Content-Length-framed body — with CONTENT damage (truncated/corrupt
+  * gzip members, malformed records) handled by returning the records
+  * parsed so far, never an exception out of a task. TRANSIENT read
+  * failures are the deliberate exception: they fail the task so Spark's
+  * retry recovers them (see [[docsFromArchivePaths]]'s failure split).
   *
   * Scale shape: archive bytes never become rows at all — the binaryFile
   * source contributes only the file LISTING (content column-pruned away),
@@ -115,7 +118,16 @@ object Warc {
 
     /** Pull more inflated bytes; compacts the consumed prefix first and
       * grows the buffer only when a single in-flight record outsizes it.
-      * Inflation errors (truncated/corrupt member) read as end-of-data.
+      * Inflation errors (truncated/corrupt member — ZipException /
+      * EOFException) read as end-of-data; any OTHER IOException is a
+      * TRANSIENT read failure (socket reset, object-store throttling —
+      * routine on ~1 GB streams) and PROPAGATES so the task fails and
+      * Spark's retry recovers it. Swallowing it here would be
+      * indistinguishable from content damage: the task would succeed
+      * with the archive silently truncated and a streaming checkpoint
+      * would mark the file ingested, dropping the tail forever.
+      * (ByteArrayInputStream-backed callers never see the transient
+      * class — in-memory reads can't fail that way.)
       */
     private def refill(): Boolean = {
       if (eof) return false
@@ -140,7 +152,8 @@ object Warc {
         catch {
           case _: EOFException => -1 // truncated member: keep what inflated
           case _: java.util.zip.ZipException => -1 // corrupt member: same
-          case _: java.io.IOException => -1
+          // other IOExceptions (transient read failures) propagate — see
+          // the scaladoc above; the task must fail for Spark to retry
         }
       if (n <= 0) { eof = true; false }
       else {
@@ -331,14 +344,15 @@ object Warc {
     * archive. Here the blob never becomes a row at all.)
     *
     * Failure split, deliberately asymmetric: an OPEN failure (missing
-    * file, throttled object store, permission blip) throws out of the
-    * task so Spark's task retry recovers the transient case — silently
-    * returning zero records would let a streaming checkpoint mark the
-    * archive as ingested and drop its documents forever. CONTENT damage
-    * (truncated/corrupt members, malformed records) follows
-    * [[RecordIterator]]'s rules: records parsed before the damage
-    * survive, nothing throws. Handles close on exhaustion and, as a
-    * backstop for abandoned iterators (limit/take/task kill), on task
+    * file, throttled object store, permission blip) AND any transient
+    * MID-READ IOException throw out of the task so Spark's task retry
+    * recovers the transient case — silently returning fewer records
+    * would let a streaming checkpoint mark the archive as ingested and
+    * drop its documents forever. CONTENT damage (truncated/corrupt gzip
+    * members — ZipException/EOFException — and malformed records)
+    * follows [[RecordIterator]]'s rules: records parsed before the
+    * damage survive, nothing throws. Handles close on exhaustion and, as
+    * a backstop for abandoned iterators (limit/take/task kill), on task
     * completion.
     */
   def docsFromArchivePaths(paths: Dataset[String]): Dataset[WarcDoc] = {

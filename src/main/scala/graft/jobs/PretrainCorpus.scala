@@ -290,18 +290,38 @@ object PretrainCorpus {
             "silently ignored and then hidden by partition discovery; " +
             "migrate the store (rewrite under a __wv partition) first")
       }
-    // ORDERING GUARD — the batch-law equivalence precondition, enforced
-    fpPrior.foreach { prev =>
-      Option(prev.agg(max(col("doc_id"))).head().get(0)).foreach { m =>
-        val prevMax = m.asInstanceOf[Number].longValue()
-        if (minScreened.get <= prevMax) throw new IllegalStateException(
-          s"out-of-order wave: min screened doc_id ${minScreened.get} is " +
-            s"not above the max already-ingested doc_id $prevMax — " +
-            "incremental ingest equals the batch law only for " +
-            "id-ordered waves; re-run the fused batch composition " +
-            "(PretrainCorpus.corpus / manifest) as the arbiter for " +
-            "this corpus instead")
+    // bucket-modulus marker: the __bk layout is fixed the moment the
+    // first wave commits — a later ingest hashing with a different
+    // modulus would write to the wrong bucket dirs and silently break
+    // every footprint-bounded erasure, so the first wave records
+    // cfg.nBuckets and every later wave fails loudly on a mismatch
+    graft.io.Sinks.recordNBuckets(spark, workDir, cfg.nBuckets)
+    // ORDERING GUARD — the batch-law equivalence precondition, enforced.
+    // O(1) via the `_maxid` watermark each wave publishes (its bound is
+    // the max doc_id the fingerprint store holds — the same quantity the
+    // scan computes, so the guard trips IDENTICALLY from either source);
+    // pre-marker stores fall back to the one-time full-store max scan
+    // (O(store rows) — the cost the marker exists to retire), and an
+    // erasure deletes the marker so the next wave re-establishes it from
+    // the scan. A replay of wave `wid` reads its OWN marker and guards
+    // against `prevMax` — exactly the state its first attempt saw.
+    val guardBound: Option[Long] = fpPrior.flatMap { prev =>
+      graft.io.Sinks.readMaxIdWatermark(spark, workDir) match {
+        case Some((mWid, prevMax, _)) if mWid == wid => prevMax
+        case Some((_, _, curMax)) => Some(curMax)
+        case None =>
+          Option(prev.agg(max(col("doc_id"))).head().get(0))
+            .map(_.asInstanceOf[Number].longValue())
       }
+    }
+    guardBound.foreach { prevMax =>
+      if (minScreened.get <= prevMax) throw new IllegalStateException(
+        s"out-of-order wave: min screened doc_id ${minScreened.get} is " +
+          s"not above the max already-ingested doc_id $prevMax — " +
+          "incremental ingest equals the batch law only for " +
+          "id-ordered waves; re-run the fused batch composition " +
+          "(PretrainCorpus.corpus / manifest) as the arbiter for " +
+          "this corpus instead")
     }
     // publish the commit frontier BEFORE any of this wave's writes:
     // every wave strictly below the current one completed its ingest (a
@@ -317,11 +337,27 @@ object PretrainCorpus {
       .select(col("doc_id"), md5(col("text")).as("fp"))
     val firstInWave = waveFp.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
-    val newFp = fpPrior match {
+    // checkpointed: feeds the watermark max, the s4 semi-join, and its
+    // own store commit — without the pin the prior-store anti-join would
+    // re-execute per consumer (each one an O(store) scan)
+    val newFp = (fpPrior match {
       case None => firstInWave
       case Some(prev) =>
         firstInWave.join(prev.select(col("fp")), Seq("fp"), "left_anti")
-    }
+    }).localCheckpoint()
+    // publish the INGEST WATERMARK — after the guard, before any commit:
+    // curMax = what the fingerprint store's max doc_id WILL be once this
+    // wave commits (prior bound ∨ the wave's stored max — the exact
+    // quantity the scan guard aggregates), prevMax = the bound this
+    // wave's own guard used, so a crash replay of this wave guards
+    // against the same state its first attempt did. The NEXT wave's
+    // guard then reads one tiny file instead of max-scanning a store
+    // that at 100 TB is TB-scale.
+    val waveMax = Option(newFp.agg(max(col("doc_id"))).head().get(0))
+      .map(_.asInstanceOf[Number].longValue())
+    (guardBound.toSeq ++ waveMax.toSeq).reduceOption(_ max _).foreach(cm =>
+      graft.io.Sinks.writeMaxIdWatermark(spark, workDir, wid, guardBound,
+        cm))
     val s4wave = screened.join(newFp.select(col("doc_id")),
       Seq("doc_id"), "left_semi").localCheckpoint()
     // near dedup against the accumulated store: ingest the wave's s4 set
@@ -332,8 +368,16 @@ object PretrainCorpus {
     graft.streaming.IncrementalDedupStream.ingestBatch(s4wave, "doc_id",
       "text", storeDir, cfg.minJaccard, nBuckets = cfg.nBuckets,
       epoch = Some(wid))
+    // only this wave's docs can be dropped (the anti-join target below is
+    // s4wave), and id-ordered waves put every prior wave's later-member
+    // id_b BELOW this wave's min id — so restricting the pairs store to
+    // the wave's own ids before the distinct is row-equivalent, and the
+    // distinct shuffles O(this wave's collisions) instead of O(every
+    // pair ever recorded)
     val laters = graft.streaming.IncrementalDedupStream
       .pairs(spark, storeDir)
+      .join(s4wave.select(col("doc_id").as("id_b")), Seq("id_b"),
+        "left_semi")
       .select(col("id_b").as("doc_id")).distinct()
     // per-doc ADMISSION FLAGS for the wave's whole s4 set (not just the
     // near-dedup survivors): eval-slice membership, benchmark
@@ -392,6 +436,12 @@ object PretrainCorpus {
     commit(newFp, fpPath)
     commit(admissions, s"$workDir/admissions")
     commit(s7wave, s"$workDir/corpus")
+    // the commits were the checkpoints' last consumers — release the
+    // pinned MEMORY_AND_DISK blocks rather than leaving them to squat on
+    // executor memory for the life of the ingest loop (exception paths
+    // still lean on the caller's purge, same as every staged query)
+    Seq(screened, newFp, s4wave).foreach(
+      org.apache.spark.sql.graftx.CheckpointUtils.unpersistLocalCheckpoint)
   }
 
   /** The FIRST MILE composed with the incremental law as ONE operator: a
@@ -530,12 +580,17 @@ object PretrainCorpus {
     * docs whose admission the erasure can flip) — never the whole store.
     * The bucket sets are computed from the ids and the narrow pairs
     * store alone; untouched bucket directories stay byte-identical
-    * (spec-asserted). `nBuckets` must equal the ingest
-    * [[Config.nBuckets]] (the bucket hash is recomputed from ids with
-    * the same modulus). Stores from the pre-bucketing layout (no `__bk`
-    * directories) fall back to the full staged-swap rewrite. Ids are
-    * coerced to the stores' ingested doc_id type before hashing (the
-    * bucket hash is type-sensitive).
+    * (spec-asserted). The bucket modulus comes from the store family's
+    * own `_nbuckets` marker ([[ingestWave]] records [[Config.nBuckets]]
+    * at first commit): hashing with any other modulus computes the wrong
+    * buckets and silently erases nothing, so the former free `Int`
+    * parameter is now an optional assertion — a caller value that
+    * contradicts the marker fails loudly
+    * ([[graft.io.Sinks.resolveNBuckets]]); pre-marker stores fall back
+    * to the caller's value, else the historical default. Stores from
+    * the pre-bucketing layout (no `__bk` directories) fall back to the
+    * full staged-swap rewrite. Ids are coerced to the stores' ingested
+    * doc_id type before hashing (the bucket hash is type-sensitive).
     *
     * Crash posture of the in-place bucket rewrite (the same one
     * [[graft.streaming.IncrementalDedupStream.erase]] carries): task and
@@ -551,8 +606,17 @@ object PretrainCorpus {
     * the ids.
     */
   def eraseDocs(spark: SparkSession, workDir: String,
-      ids: DataFrame, nBuckets: Int = 16): Unit = {
+      ids: DataFrame, nBuckets: Option[Int] = None): Unit = {
     import org.apache.spark.sql.functions.broadcast
+    val nb = graft.io.Sinks.resolveNBuckets(spark, workDir, nBuckets)
+    // retire the ingest watermark FIRST: the erasure may remove the
+    // store's max doc_id, so the recorded high-water bound stops
+    // describing the store — the next wave's guard falls back to the
+    // one-time scan and re-establishes the marker. Deleting before any
+    // mutation keeps every crash state conservative (a stale marker
+    // could only make the guard stricter, never laxer, but the scan is
+    // always exactly right).
+    graft.io.Sinks.deleteMarkerFile(spark, workDir, "_maxid")
     def exists(p: String): Boolean = {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
@@ -560,7 +624,7 @@ object PretrainCorpus {
     val unpersist = org.apache.spark.sql.graftx.CheckpointUtils
       .unpersistLocalCheckpoint(_: DataFrame)
     def bk(c: org.apache.spark.sql.Column) =
-      pmod(xxhash64(c), lit(nBuckets.toLong))
+      pmod(xxhash64(c), lit(nb.toLong))
     def bucketsOf(df: DataFrame): Seq[Long] =
       df.select(bk(col("doc_id")).as("__bk")).distinct()
         .collect().map(_.getLong(0)).toSeq
@@ -606,6 +670,9 @@ object PretrainCorpus {
         val corpusBuckets =
           (subjectBuckets ++ bucketsOf(candidates)).distinct
         // the subject's fingerprints, vectors, and pairs die first
+        // the dedup store self-resolves from its own marker (same cfg at
+        // ingest, but each store is its own ground truth); the caller's
+        // assertion, if any, is checked against both
         graft.streaming.IncrementalDedupStream.erase(spark,
           s"$workDir/dedup_store", keys, "doc_id", nBuckets)
         // fingerprint/admission stores: rewrite ONLY the subject's

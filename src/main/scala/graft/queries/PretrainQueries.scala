@@ -304,14 +304,25 @@ object PretrainQueries extends QueryPack {
     // per wave, never O(corpus). The oracle is p_pretrain_e2e's law
     // VERBATIM: the incremental mechanism must land on the batch answer
     // exactly (id-ordered waves make the later-member drop rule agree).
-    // State builds through [[wavedStateDir]] — the REAL three-wave
-    // ingestWave path, built once per process and shared with the erasure
-    // gate (the de-triplication that keeps the bench inside its budget);
-    // the single-execution correctness gate therefore still pays and
-    // proves the full incremental mechanism.
+    // The first two waves come from [[wavedStateDir]] — the REAL
+    // ingestWave path, built once per process and shared with the
+    // erasure gate (the de-triplication that keeps the bench inside its
+    // budget) — and EVERY execution then replays the third wave through
+    // ingestWave against a private copy of that accumulated state
+    // (crash-replay semantics land it on the identical store), so what
+    // this gate TIMES is what it claims to benchmark — one incremental
+    // wave against accumulated history — not a cached-store read
+    // (min-of-samples would otherwise publish only manifestOf's cost).
     "p_pretrain_incremental" -> ((s, dir) => {
-      graft.jobs.PretrainCorpus
-        .manifestOf(s.read.parquet(s"${wavedStateDir(s, dir)}/corpus"))
+      import graft.jobs.PretrainCorpus
+      val docs = Tables.load(s, dir, "documents")
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_pretrain_incr_${s.sparkContext.applicationId}").toString
+      copyDir(s, wavedStateDir(s, dir), tmp)
+      val w = docs.agg(max(col("doc_id"))).head().getLong(0) / 3 + 1
+      PretrainCorpus.ingestWave(s,
+        docs.filter(expr(s"doc_id div $w") === 2L), docs, tmp)
+      PretrainCorpus.manifestOf(s.read.parquet(s"$tmp/corpus"))
         .orderBy(col("source"))
     }),
 

@@ -83,6 +83,11 @@ object IncrementalDedupStream {
     // fold exactly that prefix with no crash-replay hazard
     epoch.foreach(e =>
       graft.io.Sinks.writeFrontier(spark, storeDir, e - 1))
+    // the __bk layout is fixed at the store's first batch: record the
+    // modulus once, fail loudly on any later batch hashing differently
+    // (a silent mismatch would scatter ids across moduli and break the
+    // erasure's bucket pruning — a quiet right-to-be-forgotten failure)
+    graft.io.Sinks.recordNBuckets(spark, storeDir, nBuckets)
     val corpusPath = s"$storeDir/corpus"
     val indexPath = s"$storeDir/index"
     val pairsPath = s"$storeDir/pairs"
@@ -242,16 +247,25 @@ object IncrementalDedupStream {
     * hashing — the bucket hash is type-sensitive (xxhash64(int) !=
     * xxhash64(long)), and an uncoerced mismatch would compute the wrong
     * buckets and silently erase nothing.
+    *
+    * The bucket modulus comes from the store's own `_nbuckets` marker
+    * (recorded at ingest): hashing with any OTHER modulus computes the
+    * wrong buckets and silently erases nothing, so the former free `Int`
+    * parameter is now an optional assertion — a caller value that
+    * contradicts the marker fails loudly ([[graft.io.Sinks
+    * .resolveNBuckets]]); pre-marker stores fall back to the caller's
+    * value, else the historical default.
     */
   def erase(spark: org.apache.spark.sql.SparkSession, storeDir: String,
-      ids: DataFrame, id: String, nBuckets: Int = 16): Unit = {
+      ids: DataFrame, id: String, nBuckets: Option[Int] = None): Unit = {
+    val nb = graft.io.Sinks.resolveNBuckets(spark, storeDir, nBuckets)
     val keys = graft.io.Sinks
       .coerceToStoreIdType(spark, ids, s"$storeDir/corpus", id)
       .distinct().localCheckpoint()
     try {
       // the subject's bucket footprint: bounded driver state by definition
       val buckets = keys
-        .select(pmod(xxhash64(col(id)), lit(nBuckets.toLong)).as("__bk"))
+        .select(pmod(xxhash64(col(id)), lit(nb.toLong)).as("__bk"))
         .distinct().collect().map(_.getLong(0)).toSeq
       for (store <- Seq("corpus", "index")) {
         val path = s"$storeDir/$store"

@@ -858,4 +858,108 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ordering guard reads the O(1) _maxid watermark and trips " +
+    "IDENTICALLY from the marker and from the scan fallback") {
+    val raw = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .localCheckpoint()
+    val mid = raw.agg(max($"doc_id")).head().getLong(0) / 2
+    val root = tmp()
+    PretrainCorpus.ingestWave(spark, raw.filter($"doc_id" > mid), raw, root)
+    // the ingest published the watermark
+    assert(new java.io.File(root, "_maxid").exists(),
+      "ingestWave did not publish the _maxid watermark")
+    def trip(): String = intercept[IllegalStateException] {
+      PretrainCorpus.ingestWave(spark, raw.filter($"doc_id" <= mid), raw,
+        root)
+    }.getMessage
+    // marker path: the guard trips without scanning the store
+    val viaMarker = trip()
+    // scan fallback (pre-marker / post-erasure store shape): delete the
+    // marker — the guard must reach the SAME verdict with the SAME bound
+    assert(new java.io.File(root, "_maxid").delete())
+    val viaScan = trip()
+    assert(viaMarker == viaScan,
+      s"guard verdicts diverge:\n marker=$viaMarker\n scan=$viaScan")
+    // an in-order wave passes and re-establishes the marker from the scan
+    PretrainCorpus.ingestWave(spark,
+      raw.withColumn("doc_id", $"doc_id" + 1000000L), raw, root)
+    assert(new java.io.File(root, "_maxid").exists(),
+      "the scan-guarded wave did not re-establish the watermark")
+    // and the re-established marker guards the next out-of-order wave too
+    assert(intercept[IllegalStateException] {
+      PretrainCorpus.ingestWave(spark, raw.filter($"doc_id" <= mid), raw,
+        root)
+    }.getMessage.contains("out-of-order"))
+  }
+
+  test("bucket modulus is recorded at ingest and enforced ever after: a " +
+    "mismatched ingest or erase fails loudly instead of silently hashing " +
+    "into the wrong buckets") {
+    val root = tmp()
+    val t1 = "the quick brown fox jumps over a lazy dog while the rain " +
+      "in spain falls mainly on the plain and the cat sat on the mat"
+    val t2 = "every good boy does fine and the sun will rise again to " +
+      "warm a quiet field of green grass near the old mill today"
+    val docs = Seq((1L, t1), (50L, t2))
+      .map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cfg8 = PretrainCorpus.Config(mixRates = Map("srcA" -> 1.0),
+      nBuckets = 8)
+    PretrainCorpus.ingestWave(spark, docs, docs, root, cfg8)
+    assert(graft.io.Sinks.readNBuckets(spark, root).contains(8))
+    assert(graft.io.Sinks.readNBuckets(spark, s"$root/dedup_store")
+      .contains(8))
+    // a later ingest with a different modulus fails loudly (both the
+    // workDir family and the dedup store are guarded)
+    val e1 = intercept[IllegalStateException] {
+      PretrainCorpus.ingestWave(spark,
+        docs.withColumn("doc_id", $"doc_id" + 1000L), docs, root,
+        cfg8.copy(nBuckets = 16))
+    }
+    assert(e1.getMessage.contains("bucket-modulus mismatch"), e1.getMessage)
+    // an erase asserting the WRONG modulus fails loudly...
+    val e2 = intercept[IllegalArgumentException] {
+      PretrainCorpus.eraseDocs(spark, root, Seq(1L).toDF("doc_id"),
+        nBuckets = Some(4))
+    }
+    assert(e2.getMessage.contains("bucket-modulus mismatch"), e2.getMessage)
+    assert(spark.read.parquet(s"$root/corpus")
+      .filter($"doc_id" === 1L).count() == 1,
+      "the rejected erase must not have mutated the store")
+    // ...and a marker-resolved erase (no free parameter at all) works —
+    // the modulus the subject hashes with is the store's own record
+    PretrainCorpus.eraseDocs(spark, root, Seq(1L).toDF("doc_id"))
+    for (sub <- Seq("corpus", "fingerprints", "dedup_store/corpus"))
+      assert(spark.read.parquet(s"$root/$sub")
+        .filter($"doc_id" === 1L).isEmpty,
+        s"doc 1 survives in $sub after the marker-resolved erase")
+  }
+
+  test("erasure retires the _maxid watermark: the next wave's guard " +
+    "falls back to the scan and re-establishes the marker") {
+    val root = tmp()
+    val t1 = "the quick brown fox jumps over a lazy dog while the rain " +
+      "in spain falls mainly on the plain and the cat sat on the mat"
+    val t2 = "every good boy does fine and the sun will rise again to " +
+      "warm a quiet field of green grass near the old mill today"
+    def wave(id: Long, t: String) =
+      Seq((id, t, "en", "srcA", t.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val raw = wave(1L, t1).unionByName(wave(50L, t2)).localCheckpoint()
+    val cfg = PretrainCorpus.Config(mixRates = Map("srcA" -> 1.0))
+    PretrainCorpus.ingestWave(spark, wave(50L, t2), raw, root, cfg)
+    assert(new java.io.File(root, "_maxid").exists())
+    // forget doc 50 — the recorded high-water bound (50) no longer
+    // describes the store, so the marker must go with it
+    PretrainCorpus.eraseDocs(spark, root, Seq(50L).toDF("doc_id"))
+    assert(!new java.io.File(root, "_maxid").exists(),
+      "a stale watermark would over-guard the next wave")
+    // doc 1 (below the RETIRED bound) now ingests cleanly: the store is
+    // anchor-only, the scan finds no prior ids, and the marker returns
+    PretrainCorpus.ingestWave(spark, wave(1L, t1), raw, root, cfg)
+    assert(spark.read.parquet(s"$root/corpus")
+      .select($"doc_id").as[Long].collect().toSet == Set(1L))
+    assert(new java.io.File(root, "_maxid").exists())
+  }
+
 }
