@@ -324,11 +324,12 @@ object Versioned {
   def read(spark: SparkSession, root: String,
       version: Int = Int.MaxValue): DataFrame = {
     val m = resolve(spark, root, version)
-    // mergeSchema: segments appended across schema evolutions union with
-    // null backfill (the lakehouse convention; a single-footer schema
-    // would silently DROP columns absent from whichever file the reader
-    // samples)
-    spark.read.option("mergeSchema", "true").parquet(m.files: _*)
+    // the manifest's commit-time merged schema: segments appended across
+    // schema evolutions union with null backfill (the lakehouse
+    // convention; a single-footer schema would silently DROP columns
+    // absent from whichever file the reader samples) — served from the
+    // manifest cache, so a full read opens zero footers for schema too
+    prunedReadWith(spark, mergedSchema(spark, m), m.files)
   }
 
   /** Version resolution + the redaction-floor check, shared by [[read]]
@@ -522,7 +523,14 @@ object Versioned {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
     if (kept.isEmpty) anchor
     else anchor.unionByName(
-      spark.read.option("mergeSchema", "true").parquet(kept: _*),
+      // the EXPLICIT schema (the manifest's commit-time merge) replaces
+      // `mergeSchema=true` inference: semantically identical — the
+      // mergeSchema path also reads every file against the unioned
+      // schema, null-backfilling absent columns — but the inference's
+      // parallel footer merge is a SPARK JOB even for one file, and it
+      // was the last job on the point-lookup preamble (spec-asserted
+      // zero now)
+      spark.read.schema(fullSchema).parquet(kept: _*),
       allowMissingColumns = true)
   }
 

@@ -1058,4 +1058,38 @@ class IoSpec extends AnyFunSuite {
     assert(Versioned.readEquals(spark, root, "id", 4242L).count() == 0)
   }
 
+  test("versioned point lookup issues ZERO Spark jobs before the pruned " +
+    "scan: manifests, schema, stats, and bloom probes are all " +
+    "driver-side reads") {
+    import graft.io.Versioned
+    val root = Files.createTempDirectory("graft-versioned-jobs")
+      .toString + "/t"
+    for (i <- 0 until 3)
+      Versioned.append(spark, root,
+        spark.range(i * 100L, (i + 1) * 100L).toDF("doc_id"),
+        statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // constructing the frame runs the WHOLE preamble: version listing,
+      // two manifest resolutions, merged schema, min/max pruning, bloom
+      // probes — none of it may spin up a Spark job (each one was a full
+      // scheduler round trip before the driver-side manifest reader)
+      val df = Versioned.readEquals(spark, root, "doc_id", 150L)
+      org.apache.spark.sql.graftx.ListenerHook.drain(spark)
+      assert(jobs.get() == 0,
+        s"the read preamble launched ${jobs.get()} Spark job(s)")
+      // ...and the pruned scan itself is of course still a job
+      assert(df.select($"doc_id").as[Long].collect().toSeq == Seq(150L))
+      org.apache.spark.sql.graftx.ListenerHook.drain(spark)
+      assert(jobs.get() >= 1)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
 }
