@@ -373,9 +373,15 @@ object PretrainCorpus {
     // id_b BELOW this wave's min id — so restricting the pairs store to
     // the wave's own ids before the distinct is row-equivalent, and the
     // distinct shuffles O(this wave's collisions) instead of O(every
-    // pair ever recorded)
+    // pair ever recorded). The `>= minScreened` predicate is implied by
+    // the semi-join (wave ids all sit at or above the wave min) but
+    // Catalyst can't derive a min/max pushdown from a join, so it is
+    // stated explicitly: parquet row-group stats then prune the
+    // accumulated history's pairs off the SCAN as well — per-wave I/O
+    // over the pairs store stops growing with corpus age.
     val laters = graft.streaming.IncrementalDedupStream
       .pairs(spark, storeDir)
+      .filter(col("id_b") >= lit(minScreened.get))
       .join(s4wave.select(col("doc_id").as("id_b")), Seq("id_b"),
         "left_semi")
       .select(col("id_b").as("doc_id")).distinct()
