@@ -338,12 +338,23 @@ object PretrainCorpus {
     val firstInWave = waveFp.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
     // checkpointed: feeds the watermark max, the s4 semi-join, and its
-    // own store commit — without the pin the prior-store anti-join would
+    // own store commit — without the pin the prior-store probe would
     // re-execute per consumer (each one an O(store) scan)
     val newFp = (fpPrior match {
       case None => firstInWave
       case Some(prev) =>
-        firstInWave.join(prev.select(col("fp")), Seq("fp"), "left_anti")
+        // anti-join FLIPPED into a semi-probe: `firstInWave ANTI store`
+        // directly can only hash-build on the store side (too big to
+        // broadcast), so it sort-merge-shuffles the WHOLE accumulated
+        // store by fp on every wave. Probing the other way — store ⋉
+        // wave → `hits`, the fps the store already holds — lets AQE
+        // broadcast the wave side: the store is column-pruned SCANNED
+        // but never shuffled, and the final anti-join runs against
+        // `hits`, which is bounded by the wave (⊆ firstInWave's fps).
+        // Row-for-row equal: wave ∖ store = wave ∖ (store ∩ wave).
+        val hits = prev.select(col("fp"))
+          .join(firstInWave.select(col("fp")), Seq("fp"), "left_semi")
+        firstInWave.join(hits, Seq("fp"), "left_anti")
     }).localCheckpoint()
     // publish the INGEST WATERMARK — after the guard, before any commit:
     // curMax = what the fingerprint store's max doc_id WILL be once this
