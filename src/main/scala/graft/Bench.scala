@@ -123,14 +123,19 @@ object Bench {
     // Re-measure rounds while budget remains, each taking the min (which
     // discards the cold round-1 sample and rejects the host VM's
     // multi-second CPU-steal bursts — a single sample can do neither).
-    // Order is DESCENDING current estimate: the expensive queries are
-    // where cold/burst distortion is worth the most seconds, so the
-    // leftover budget re-measures them first; the loop aborts between
-    // queries once the budget is spent, so a partial round still fixes
-    // the worst numbers.
+    // Round 2 runs DESCENDING current estimate — the expensive head is
+    // where cold/burst distortion is worth the most seconds each — but a
+    // partial descending round alone leaves the long CHEAP tail on
+    // single round-1 samples (sub-second queries published 3-6× readings
+    // that way), so round 3 sweeps ASCENDING: at ~1-2 s per query the
+    // same leftover budget re-measures a hundred tail queries instead of
+    // a dozen more head ones. Round 4, budget permitting, is descending
+    // again. The loop aborts between queries once the budget is spent,
+    // so a partial round still fixes the worst numbers in its order.
     var round = 1
     while (round < 4 && elapsedSec < budgetSec) {
-      val order = names.sortBy(n => -math.max(sample.getOrElse(n, 0.0), 0.0))
+      val byCost = names.sortBy(n => math.max(sample.getOrElse(n, 0.0), 0.0))
+      val order = if (round == 2) byCost else byCost.reverse
       for ((name, i) <- order.zipWithIndex if elapsedSec < budgetSec) {
         val t = try timed(name) catch { case _: Throwable => -1.0 }
         if (t >= 0 && (sample(name) < 0 || t < sample(name)))
