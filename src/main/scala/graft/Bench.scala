@@ -49,20 +49,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // Queries that stage intermediates via localCheckpoint (jaccard, tfidf,
-    // ivf, simhash, ...) pin MEMORY_AND_DISK RDDs that nothing unpersists
-    // once the query returns. Across passes × ~10 such queries the pinned
-    // sf0.1 materializations squeeze execution memory under the unified
-    // manager and the shuffle-heavy iterative queries start spilling:
-    // d_dedup_clusters measured 12.1 s in-bench vs 3.2 s isolated
-    // (min-of-5, same idle host) before this purge. Dropping leaked RDDs
-    // between queries keeps every sample measured against a clean store.
-    // BLOCKING: the purge runs in the untimed gap, and an async unpersist
-    // would carry its block-removal churn into the next timed sample
-    // (measured: the query after a heavy purge inflates 2-4×).
-    def purgeLeakedRdds(): Unit =
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+    // between-samples hygiene, shared with BenchOne — rationale and the
+    // measured justification live on the helper
+    def purgeLeakedRdds(): Unit = org.apache.spark.sql.graftx
+      .CheckpointUtils.purgeAllPersisted(spark)
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
@@ -100,7 +90,13 @@ object Bench {
     // Incremental flush: a timeout/kill mid re-measure round still leaves
     // the last complete per-query artifact on disk (r9's rc=124 would have
     // shipped full round-1 numbers under this protocol). Write-temp-rename
-    // so a kill mid-WRITE can't leave a torn file either.
+    // so a kill mid-WRITE can't leave a torn file either. A flush failure
+    // must not kill the run (the numbers still accumulate in memory and
+    // later flushes may succeed) but it must not be SILENT either — the
+    // per-query record lives only in this file now, so a persistently
+    // unwritable target means the compact stdout line would point at
+    // nothing: warn once on stderr.
+    var flushWarned = false
     def flush(sample: collection.Map[String, Double]): Unit =
       try {
         val tmp = java.nio.file.Paths.get(outFile + ".tmp")
@@ -108,7 +104,18 @@ object Bench {
         java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outFile),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } catch { case _: Throwable => () }
+      } catch {
+        case e: Throwable => if (!flushWarned) {
+          flushWarned = true
+          System.err.println(s"[bench] WARNING: cannot write $outFile " +
+            s"($e) — the per-query record is only in this file; the " +
+            "stdout line carries the total alone")
+        }
+      }
+    // skeleton flush before the first query: the artifact exists (every
+    // query at -1) from the moment the stdout pointer could name it, and
+    // an unwritable target warns at minute zero instead of after round 1
+    flush(Map.empty)
     // Round 1 (unconditional — full coverage): post-pre-warm cold samples.
     // They STAND only when the budget never allows a re-measure. Flushed
     // every 20 queries: a kill even MID round 1 ships every number

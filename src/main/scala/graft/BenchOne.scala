@@ -22,14 +22,10 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
-    // Same leaked-RDD purge as Bench: localCheckpoint-staging queries pin
-    // MEMORY_AND_DISK RDDs nothing unpersists, and across a multi-query
-    // BenchOne list those squeeze execution memory for later queries —
-    // measured 1.4× phantom inflation (v_semdedup_check 5.4 s after four
-    // leaky queries vs 4.0 s in a short list). Blocking, in the untimed gap.
-    def purgeLeakedRdds(): Unit =
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+    // between-samples hygiene, shared with Bench — rationale and the
+    // measured justification live on the helper
+    def purgeLeakedRdds(): Unit = org.apache.spark.sql.graftx
+      .CheckpointUtils.purgeAllPersisted(spark)
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       q(spark, sfDir).count() // warmup

@@ -28,4 +28,22 @@ object CheckpointUtils {
         .foreach(_.unpersist(blocking = false))
     case _ => ()
   }
+
+  /** BLOCKING unpersist of every persisted RDD in the session — the
+    * between-samples hygiene the bench mains share. Queries that stage
+    * intermediates via localCheckpoint (jaccard, tfidf, ivf, simhash, …)
+    * pin MEMORY_AND_DISK RDDs nothing unpersists once the query returns;
+    * across repeated samples the pinned sf0.1 materializations squeeze
+    * execution memory under the unified manager and shuffle-heavy
+    * queries start spilling (d_dedup_clusters measured 12.1 s in-bench
+    * vs 3.2 s isolated before the purge; a multi-query BenchOne list
+    * manufactured a 1.4× phantom the same way). BLOCKING because an
+    * async unpersist bleeds its block-removal churn into the next timed
+    * sample (measured: the query after a heavy purge inflates 2-4×).
+    * Only call in an UNTIMED gap with no live frame still reading its
+    * checkpoint.
+    */
+  def purgeAllPersisted(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
 }

@@ -329,7 +329,36 @@ object Sinks {
           "footprint-bounded erasure); re-ingest with the recorded " +
           "modulus or migrate the store")
       case Some(_) => ()
-      case None => writeMarkerFile(spark, dir, "_nbuckets", n.toString)
+      case None =>
+        // one-time ADOPTION check for pre-marker stores (runs only until
+        // the marker exists): any on-disk bucket directory with index
+        // >= n proves the store was ingested under a DIFFERENT modulus —
+        // stamping n as ground truth would endorse exactly the
+        // silent-wrong-buckets erasure failure the marker prevents. The
+        // check is one level of subdirectory listings (the store
+        // family's `<sub>/__bk=N` layout), and necessarily PARTIAL: a
+        // wider legacy modulus whose occupied dirs all happen to sit
+        // below n passes — provably wrong adoptions fail, the rest is
+        // the caller's assertion, as it always was for legacy stores.
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) {
+          val over = fs.listStatus(root).filter(_.isDirectory).iterator
+            .flatMap(s =>
+              scala.util.Try(fs.listStatus(s.getPath)).toOption.iterator
+                .flatten.map(_.getPath.getName)
+                .filter(_.startsWith("__bk="))
+                .flatMap(nm =>
+                  scala.util.Try(nm.stripPrefix("__bk=").toLong).toOption))
+            .filter(_ >= n).toSeq
+          if (over.nonEmpty) throw new IllegalStateException(
+            s"recordNBuckets: $dir holds bucket directories up to " +
+              s"__bk=${over.max}, impossible under nBuckets=$n — the " +
+              "store predates the _nbuckets marker and was ingested " +
+              "with a different modulus; pass the original value " +
+              "instead of adopting a wrong one as ground truth")
+        }
+        writeMarkerFile(spark, dir, "_nbuckets", n.toString)
     }
   }
 

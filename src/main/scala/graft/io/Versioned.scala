@@ -161,6 +161,12 @@ object Versioned {
     out.close()
     if (!f.rename(tmp, new Path(commitPath(root, m.version))))
       throw new java.io.IOException(s"manifest publish failed: v${m.version}")
+    // same-JVM delete-and-rebuild belt to the cache key's (mtime, length)
+    // braces: a writer republishing (root, v) — only possible after the
+    // old table was deleted — drops any cached entry for it outright, so
+    // even a same-length commit landing inside one mtime granule (coarse
+    // object-store clocks) cannot serve stale stats in this process
+    manifestCache.keySet.removeIf(k => k._1 == root && k._2 == m.version)
   }
 
   /** One aggregate over a just-written segment: (column, min, max) for

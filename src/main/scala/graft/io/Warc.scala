@@ -101,6 +101,46 @@ object Warc {
     * damage always survive. A corrupt or truncated gzip member ends the
     * stream at the bytes inflated so far, same rules.
     */
+  /** Thrown (wrapped) for any failure the UNDERLYING byte source raises
+    * mid-read — never caught by the content-damage rules, so it fails
+    * the task and Spark's retry recovers the transient case. UNCHECKED
+    * on purpose: `GZIPInputStream`'s multi-member support probes for a
+    * next member header inside a `catch (IOException)` that reads as
+    * clean end-of-stream, so an IOException-shaped tag thrown at a
+    * member boundary would be SWALLOWED by the gzip layer itself — the
+    * one place a transient failure could still silently truncate the
+    * archive. A RuntimeException passes through every layer of the
+    * java.io/zip stack untouched.
+    */
+  private[graft] final class UpstreamReadException(
+      cause: java.io.IOException)
+    extends RuntimeException("transient upstream read failure", cause)
+
+  /** Re-tags every exception the wrapped stream THROWS as
+    * [[UpstreamReadException]], so the damage/transient split survives
+    * the gzip layer. The inflater reports a cleanly-truncated stream
+    * (`read() == -1` mid-member) as its own `EOFException` — genuine
+    * CONTENT damage, and the rules keep the records parsed so far — but
+    * it passes through exceptions the raw stream throws unchanged, and
+    * some transports signal transient failures as `EOFException` too
+    * (an HTTP connection dropped mid-GET surfaces that way from several
+    * clients). Without the tag those two are indistinguishable at the
+    * catch site and a transient failure would silently truncate the
+    * archive behind a successful task.
+    */
+  private[graft] final class TaggingInputStream(in: java.io.InputStream)
+      extends java.io.FilterInputStream(in) {
+    private def tag[A](f: => A): A =
+      try f catch {
+        case e: java.io.IOException => throw new UpstreamReadException(e)
+      }
+    override def read(): Int = tag(super.read())
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      tag(in.read(b, off, len))
+    override def skip(n: Long): Long = tag(super.skip(n))
+    override def available(): Int = tag(super.available())
+  }
+
   private[graft] final class RecordIterator(in: java.io.InputStream,
       maxBuffer: Int = RecordIterator.DefaultMaxBuffer)
       extends Iterator[WarcParsed] {
@@ -119,13 +159,18 @@ object Warc {
     /** Pull more inflated bytes; compacts the consumed prefix first and
       * grows the buffer only when a single in-flight record outsizes it.
       * Inflation errors (truncated/corrupt member — ZipException /
-      * EOFException) read as end-of-data; any OTHER IOException is a
+      * EOFException raised by the GZIP LAYER over a cleanly-ended
+      * stream) read as end-of-data; any OTHER IOException is a
       * TRANSIENT read failure (socket reset, object-store throttling —
       * routine on ~1 GB streams) and PROPAGATES so the task fails and
       * Spark's retry recovers it. Swallowing it here would be
       * indistinguishable from content damage: the task would succeed
       * with the archive silently truncated and a streaming checkpoint
-      * would mark the file ingested, dropping the tail forever.
+      * would mark the file ingested, dropping the tail forever. Some
+      * transports signal transient failures as EOFException themselves,
+      * which this catch cannot tell from gzip damage — so the streamed
+      * path wraps its filesystem stream in [[TaggingInputStream]],
+      * whose UpstreamReadException no damage catch matches.
       * (ByteArrayInputStream-backed callers never see the transient
       * class — in-memory reads can't fail that way.)
       */
@@ -363,8 +408,12 @@ object Warc {
     paths.mapPartitions { it =>
       it.flatMap { name =>
         val hp = new org.apache.hadoop.fs.Path(name)
+        // the tag sits UNDER the buffer/gzip layers: any failure the
+        // filesystem stream throws (vs cleanly ending) reaches refill as
+        // UpstreamReadException, which no content-damage catch matches
         val raw = new java.io.BufferedInputStream(
-          hp.getFileSystem(conf.value).open(hp), 64 * 1024)
+          new TaggingInputStream(hp.getFileSystem(conf.value).open(hp)),
+          64 * 1024)
         val in: java.io.InputStream =
           try {
             // sniff the gzip magic without consuming it — uncompressed

@@ -51,20 +51,54 @@ object PretrainQueries extends QueryPack {
     */
   private val wavedState =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The fixture's wave law — ONE definition shared by the state builder
+    * and the replaying incremental gate: `doc_id div span` for waves
+    * 0 until [[fixtureWaves]]. If the builder's split ever changed
+    * without the replay following, the replayed "last wave" would
+    * overlap accumulated ids under a different wave id and trip the
+    * ordering guard (a -1 in the bench artifact, not a loud failure).
+    */
+  private val fixtureWaves = 3L
+  private def fixtureWaveSpan(
+      docs: org.apache.spark.sql.DataFrame): Long =
+    docs.agg(max(col("doc_id"))).head().getLong(0) / fixtureWaves + 1
+
+  /** Per-run scratch dir (prefix + applicationId), registered for
+    * DELETION AT JVM EXIT: every bench/verify run gets a fresh
+    * applicationId, so without the hook each run would leak its final
+    * fixture-sized copies into java.io.tmpdir forever (three dirs ×
+    * hundreds of MB at sf0.1, per run). In-run re-executions still
+    * delete-and-rebuild explicitly at each call site.
+    */
+  private val exitCleanup =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def scratchDir(s: org.apache.spark.sql.SparkSession,
+      prefix: String, suffix: String = ""): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      s"${prefix}_${s.sparkContext.applicationId}$suffix")
+    exitCleanup.computeIfAbsent(f.toString, _ => {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(f)
+        catch { case _: Throwable => () }))
+      true
+    })
+    f.toString
+  }
+
   private def wavedStateDir(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     wavedState.computeIfAbsent(dir, _ => {
       import graft.jobs.PretrainCorpus
       val docs = Tables.load(s, dir, "documents").localCheckpoint()
       try {
-        val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_pretrain_waves_${s.sparkContext.applicationId}_" +
-            s"${Integer.toHexString(dir.hashCode)}").toString
+        val tmp = scratchDir(s, "graft_pretrain_waves",
+          s"_${Integer.toHexString(dir.hashCode)}")
         val fs = new org.apache.hadoop.fs.Path(tmp)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // clean re-runs
-        val w = docs.agg(max(col("doc_id"))).head().getLong(0) / 3 + 1
-        for (i <- 0L until 3L)
+        val w = fixtureWaveSpan(docs)
+        for (i <- 0L until fixtureWaves)
           PretrainCorpus.ingestWave(s,
             docs.filter(expr(s"doc_id div $w") === i), docs, tmp)
         tmp
@@ -316,12 +350,12 @@ object PretrainQueries extends QueryPack {
     "p_pretrain_incremental" -> ((s, dir) => {
       import graft.jobs.PretrainCorpus
       val docs = Tables.load(s, dir, "documents")
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_pretrain_incr_${s.sparkContext.applicationId}").toString
+      val tmp = scratchDir(s, "graft_pretrain_incr")
       copyDir(s, wavedStateDir(s, dir), tmp)
-      val w = docs.agg(max(col("doc_id"))).head().getLong(0) / 3 + 1
+      val w = fixtureWaveSpan(docs)
       PretrainCorpus.ingestWave(s,
-        docs.filter(expr(s"doc_id div $w") === 2L), docs, tmp)
+        docs.filter(expr(s"doc_id div $w") === (fixtureWaves - 1)), docs,
+        tmp)
       PretrainCorpus.manifestOf(s.read.parquet(s"$tmp/corpus"))
         .orderBy(col("source"))
     }),
@@ -342,8 +376,7 @@ object PretrainQueries extends QueryPack {
       import graft.io.Warc
       import graft.jobs.PretrainCorpus
       val docs = Tables.load(s, dir, "documents").localCheckpoint()
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_pretrain_warc_${s.sparkContext.applicationId}").toString
+      val tmp = scratchDir(s, "graft_pretrain_warc")
       val fs = new org.apache.hadoop.fs.Path(tmp)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // clean re-runs
@@ -401,8 +434,7 @@ object PretrainQueries extends QueryPack {
       // process through the real ingest path); the erasure MUTATES stores,
       // so it runs against a private copy — what this gate times is the
       // erasure operator itself, not a rebuild of identical ingest state
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_pretrain_erase_${s.sparkContext.applicationId}").toString
+      val tmp = scratchDir(s, "graft_pretrain_erase")
       copyDir(s, wavedStateDir(s, dir), tmp)
       val erased = Tables.load(s, dir, "documents")
         .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")

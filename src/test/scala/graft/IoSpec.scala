@@ -394,6 +394,52 @@ class IoSpec extends AnyFunSuite {
     assert(Warc.parseArchive(Array.fill(64)(0x41.toByte)).isEmpty)
   }
 
+  test("warc: a THROWN upstream failure propagates out of the streamed " +
+    "parse (task retry), while clean truncation stays content damage") {
+    import java.util.zip.GZIPInputStream
+    import graft.io.Warc
+    val recs = (1 to 4).map(i => Warc.WarcRecord("conversion",
+      s"urn:graft:$i", s"http://x.example/$i",
+      (s"body number $i, " * 200).getBytes("UTF-8")))
+    val bytes = Warc.encodeArchive(recs)
+    // a transport that THROWS EOFException mid-read — several HTTP
+    // clients surface a dropped connection exactly this way, which the
+    // gzip layer would otherwise pass through indistinguishable from
+    // its own truncated-member EOFException (content damage)
+    class DroppingStream(data: Array[Byte], failAt: Int)
+        extends java.io.InputStream {
+      private var pos = 0
+      override def read(): Int = {
+        if (pos >= failAt) throw new java.io.EOFException("dropped")
+        pos += 1; data(pos - 1) & 0xFF
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (pos >= failAt) throw new java.io.EOFException("dropped")
+        val n = math.min(len, failAt - pos)
+        System.arraycopy(data, pos, b, off, n); pos += n; n
+      }
+    }
+    def iterate(in: java.io.InputStream): Int =
+      new Warc.RecordIterator(new GZIPInputStream(in)).size
+    // TAGGED (the docsFromArchivePaths shape): the failure must escape
+    // the task — a silent records-so-far here would let a streaming
+    // checkpoint mark the archive ingested and drop its tail forever.
+    // Every drop offset, not one lucky one: a drop landing where the
+    // gzip layer probes for the next member header is swallowed by its
+    // own catch(IOException) unless the tag is unchecked — sweeping all
+    // offsets pins that exact regression
+    for (failAt <- 1 until bytes.length)
+      intercept[Warc.UpstreamReadException] {
+        iterate(new Warc.TaggingInputStream(
+          new DroppingStream(bytes, failAt)))
+      }
+    // UNTAGGED control — same bytes CLEANLY truncated (read() == -1):
+    // gzip-layer EOF is real content damage; records-so-far, no throw
+    val sofar = iterate(
+      new java.io.ByteArrayInputStream(bytes.take(bytes.length / 2)))
+    assert(sofar >= 1 && sofar < 4, s"expected partial parse, got $sofar")
+  }
+
   test("warc: parsing streams the inflation — the working set is one " +
     "record plus slack, never the inflated archive") {
     import graft.io.Warc
