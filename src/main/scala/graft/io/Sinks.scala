@@ -343,13 +343,22 @@ object Sinks {
         val root = new org.apache.hadoop.fs.Path(dir)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(root)) {
+          // only the deleted-subdir RACE reads as empty; any other
+          // listing failure must propagate — a transient I/O error
+          // silently disabling this guard would stamp the wrong modulus
+          // as ground truth, the exact failure the guard exists to stop
+          def subdirs(p: org.apache.hadoop.fs.Path) =
+            try fs.listStatus(p)
+            catch {
+              case _: java.io.FileNotFoundException =>
+                Array.empty[org.apache.hadoop.fs.FileStatus]
+            }
           val over = fs.listStatus(root).filter(_.isDirectory).iterator
-            .flatMap(s =>
-              scala.util.Try(fs.listStatus(s.getPath)).toOption.iterator
-                .flatten.map(_.getPath.getName)
-                .filter(_.startsWith("__bk="))
-                .flatMap(nm =>
-                  scala.util.Try(nm.stripPrefix("__bk=").toLong).toOption))
+            .flatMap(s => subdirs(s.getPath).iterator
+              .map(_.getPath.getName)
+              .filter(_.startsWith("__bk="))
+              .flatMap(nm =>
+                scala.util.Try(nm.stripPrefix("__bk=").toLong).toOption))
             .filter(_ >= n).toSeq
           if (over.nonEmpty) throw new IllegalStateException(
             s"recordNBuckets: $dir holds bucket directories up to " +

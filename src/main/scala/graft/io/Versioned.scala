@@ -159,14 +159,19 @@ object Versioned {
     val out = f.create(tmp, true)
     out.write((json + "\n").getBytes("UTF-8"))
     out.close()
-    if (!f.rename(tmp, new Path(commitPath(root, m.version))))
-      throw new java.io.IOException(s"manifest publish failed: v${m.version}")
     // same-JVM delete-and-rebuild belt to the cache key's (mtime, length)
     // braces: a writer republishing (root, v) — only possible after the
     // old table was deleted — drops any cached entry for it outright, so
     // even a same-length commit landing inside one mtime granule (coarse
-    // object-store clocks) cannot serve stale stats in this process
+    // object-store clocks) cannot serve stale stats in this process.
+    // BEFORE the rename: post-drop, any cache fill comes from a fresh
+    // getFileStatus, which pre-rename finds no file (the old one was
+    // deleted with its table) and post-rename finds the new one — there
+    // is no window in which the stale entry can be re-served. (Dropping
+    // only after the rename left exactly that window open.)
     manifestCache.keySet.removeIf(k => k._1 == root && k._2 == m.version)
+    if (!f.rename(tmp, new Path(commitPath(root, m.version))))
+      throw new java.io.IOException(s"manifest publish failed: v${m.version}")
   }
 
   /** One aggregate over a just-written segment: (column, min, max) for
