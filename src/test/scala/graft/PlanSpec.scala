@@ -551,4 +551,41 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("incremental laters read: the wave-min floor is PUSHED to the " +
+    "pairs-store scan (row-group pruning of the history) and the wave " +
+    "restriction plans as a semi equi-join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val raw = Tables.load(spark, dir, "documents").localCheckpoint()
+    try {
+      val mid = raw.agg(max($"doc_id")).head().getLong(0) / 2
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-plan-laters").toString
+      graft.jobs.PretrainCorpus.ingestWave(spark,
+        raw.filter($"doc_id" <= mid), raw, root)
+      graft.jobs.PretrainCorpus.ingestWave(spark,
+        raw.filter($"doc_id" > mid), raw, root)
+      // the exact frame shape ingestWave builds for its laters read
+      // (PretrainCorpus.ingestWave — filter floor, then semi-join to the
+      // wave's ids, then the bounded distinct); asserted here because
+      // the optimizer cannot derive the floor from the join, so only
+      // the explicit predicate gets the history's row groups OFF the
+      // scan — the claim SCALING.md makes for per-wave pairs I/O
+      val waveIds = raw.filter($"doc_id" > mid)
+        .select($"doc_id".as("id_b"))
+      val laters = graft.streaming.IncrementalDedupStream
+        .pairs(spark, s"$root/dedup_store")
+        .filter($"id_b" >= lit(mid + 1))
+        .join(waveIds, Seq("id_b"), "left_semi")
+        .select($"id_b".as("doc_id")).distinct()
+      val p = laters.queryExecution.explainString(FormattedMode)
+      assert(p.contains("PushedFilters") &&
+        p.contains("GreaterThanOrEqual(id_b"), p)
+      assert(p.contains("LeftSemi"), p)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally org.apache.spark.sql.graftx.CheckpointUtils
+      .unpersistLocalCheckpoint(raw)
+  }
+
 }
