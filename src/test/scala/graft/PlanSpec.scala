@@ -588,4 +588,62 @@ class PlanSpec extends AnyFunSuite {
       .unpersistLocalCheckpoint(raw)
   }
 
+  test("incremental dedup ingest: the accumulated store (index AND corpus) " +
+    "reaches a shuffle only through a broadcast semi-probe — per-batch " +
+    "shuffle volume is batch-bounded, never O(store)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val raw = Tables.load(spark, dir, "documents").localCheckpoint()
+    try {
+      val mid = raw.agg(max($"doc_id")).head().getLong(0) / 2
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-plan-incidx").toString
+      graft.streaming.IncrementalDedupStream.ingestBatch(
+        raw.filter($"doc_id" <= mid), "doc_id", "text", s"$root/store",
+        minJaccard = 0.5, epoch = Some(0L))
+      // prior state exactly as ingestBatch's wave 2 would read it
+      val oldIndex = spark.read.parquet(s"$root/store/index")
+        .filter($"__wv" =!= 1L)
+      val oldDocs = spark.read.parquet(s"$root/store/corpus")
+        .filter($"__wv" =!= 1L)
+      val q = graft.operators.IncrementalDedup.incrementalPairs(
+        raw.filter($"doc_id" > mid), "doc_id", "text", oldIndex, oldDocs,
+        minJaccard = 0.5)
+      // AQE's inputPlan predates EnsureRequirements (no exchanges yet);
+      // executedPlan on a never-run query is the INITIAL plan with
+      // exchanges inserted — the static plan the claim is about, before
+      // any runtime demotion could mask a shuffle
+      val full: SparkPlan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def isStoreScan(p: SparkPlan): Boolean =
+        p.children.isEmpty && (p.toString.contains("/store/index") ||
+          p.toString.contains("/store/corpus"))
+      // a store scan whose path to `p` does NOT pass a broadcast
+      // semi-join: such a scan's full row set would feed the shuffle above
+      def unguarded(p: SparkPlan): Boolean = p match {
+        case b: BroadcastHashJoinExec if b.joinType == LeftSemi => false
+        case s if isStoreScan(s) => true
+        case other => other.children.exists(unguarded)
+      }
+      // sanity: the plan really scans the store and really shuffles (the
+      // touched-slice histogram + candidate joins) — the guard assertion
+      // below is not vacuous
+      assert(full.collect { case s if isStoreScan(s) => s }.nonEmpty,
+        full.toString)
+      val shuffles = full.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.nonEmpty, full.toString)
+      shuffles.foreach(sh =>
+        assert(!sh.children.exists(unguarded),
+          s"store scan reaches a shuffle un-probed:\n$sh"))
+    } finally org.apache.spark.sql.graftx.CheckpointUtils
+      .unpersistLocalCheckpoint(raw)
+  }
+
 }
