@@ -39,27 +39,35 @@ object Bench {
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1500.0)
     val t0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - t0) / 1e9
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.expressions.GraftExtensions())
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
     // between-samples hygiene, shared with BenchOne — rationale and the
     // measured justification live on the helper
     def purgeLeakedRdds(): Unit = org.apache.spark.sql.graftx
       .CheckpointUtils.purgeAllPersisted(spark)
+    // per-query successful-sample counts: a published number with k = 1 is
+    // a single (possibly cold or contention-burst) sample, k ≥ 2 a warm
+    // min — the r11 driver artifact published 160× single-sample phantoms
+    // with nothing in the file marking them (VERDICT r11 Missing #1)
+    val sampleCount = scala.collection.mutable.Map[String, Long]()
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       purgeLeakedRdds()
+      sampleCount(name) = sampleCount.getOrElse(name, 0L) + 1
       dt
     }
+    // one-line host-speed probes for the artifact: /proc/loadavg at run
+    // start and at each flush (a contended host explains itself), plus
+    // the measured pre-warm time below (slow JIT ⇒ slow host)
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    val loadavgStart = loadavg
+    val prewarmT0 = System.nanoTime()
     // Synthetic pre-warm (~2 s, counted inside the budget): codegen + both
     // shuffle paths (hash agg, sort-merge join) + a parquet read footer
     // path. Without it, round-1 samples on a slow host carry cold-JIT cost
@@ -79,13 +87,34 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet").count()
       purgeLeakedRdds()
     } catch { case _: Throwable => () }
+    // the pre-warm's own duration is a host-speed probe: it runs the same
+    // fixed synthetic work every round, so a 10× pre-warm means a 10×
+    // host, not a regression — readers calibrate the artifact against it
+    val prewarmSec = (System.nanoTime() - prewarmT0) / 1e9
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // prior committed artifact (if the target file already holds one):
+    // its per-query seconds are the reference the starved-budget outlier
+    // pass ranks against — read BEFORE the skeleton flush overwrites it
+    val prior: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(outFile)), "UTF-8")
+      val m = """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
+      m.findAllMatchIn(txt)
+        .map(g => g.group(1) -> g.group(2).toDouble)
+        .filter { case (k, v) => names.contains(k) && v >= 0 }
+        .toMap
+    } catch { case _: Throwable => Map.empty }
     def fullJson(sample: collection.Map[String, Double]): String = {
       val results = names.map(name => name -> sample.getOrElse(name, -1.0))
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      val ks = names.map(n => "\"" + n + "\":" + sampleCount.getOrElse(n, 0L))
+        .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""samples":$ks,"prewarm_sec":$prewarmSec,""" +
+        s""""loadavg_start":"$loadavgStart","loadavg_now":"$loadavg",""" +
+        s""""sf":"$sfDir"}"""
     }
     // Incremental flush: a timeout/kill mid re-measure round still leaves
     // the last complete per-query artifact on disk (r9's rc=124 would have
@@ -139,11 +168,21 @@ object Bench {
     // a dozen more head ones. Round 4, budget permitting, is descending
     // again. The loop aborts between queries once the budget is spent,
     // so a partial round still fixes the worst numbers in its order.
+    // RESERVED OUTLIER SLICE (VERDICT r11 Missing #2): the general
+    // re-measure rounds stop 10% short of the budget, and that slice is
+    // spent re-checking the samples most inflated vs the PRIOR committed
+    // artifact (read above, before the skeleton flush overwrote it). On a
+    // starved budget this is the only re-measure some queries get — and
+    // it goes exactly to the numbers most likely to be contention
+    // phantoms; with budget to spare it is just the last slice of
+    // re-measuring, now in worst-outlier-first order.
+    val reserveSec = budgetSec * 0.10
     var round = 1
-    while (round < 4 && elapsedSec < budgetSec) {
+    while (round < 4 && elapsedSec < budgetSec - reserveSec) {
       val byCost = names.sortBy(n => math.max(sample.getOrElse(n, 0.0), 0.0))
       val order = if (round == 2) byCost else byCost.reverse
-      for ((name, i) <- order.zipWithIndex if elapsedSec < budgetSec) {
+      for ((name, i) <- order.zipWithIndex
+           if elapsedSec < budgetSec - reserveSec) {
         val t = try timed(name) catch { case _: Throwable => -1.0 }
         if (t >= 0 && (sample(name) < 0 || t < sample(name)))
           sample(name) = t
@@ -152,6 +191,25 @@ object Bench {
       flush(sample)
       round += 1
     }
+    // outlier pass: rank by inflation over the prior artifact (absent a
+    // prior — first run on a host, renamed output — fall back to current
+    // cost, the round-2 order), re-measure while the full budget lasts
+    val outlierOrder = names
+      .filter(n => sample.getOrElse(n, -1.0) >= 0)
+      .sortBy { n =>
+        val cur = sample(n)
+        prior.get(n).filter(_ > 0) match {
+          case Some(p) => -(cur / p)
+          case None => -cur
+        }
+      }
+    for ((name, i) <- outlierOrder.zipWithIndex if elapsedSec < budgetSec) {
+      val t = try timed(name) catch { case _: Throwable => -1.0 }
+      if (t >= 0 && (sample(name) < 0 || t < sample(name)))
+        sample(name) = t
+      if ((i + 1) % 20 == 0) flush(sample)
+    }
+    flush(sample)
     val total = names.map(sample(_)).filter(_ >= 0).sum
     // COMPACT stdout line: the driver keeps a 2,000-char stdout tail, so the
     // per-query inline form (~8.5 KB at 283 queries) can never parse there —

@@ -16,9 +16,19 @@ object Sinks {
 
   /** S4 — silver: append, 3-level partitioning. At scale, y/m/d partitioning
     * gives consumers partition pruning and bounds single-write file counts.
+    *
+    * REBALANCE by the partition keys before the write (r12, guide §6): an
+    * arbitrarily-partitioned frame writes up to tasks×days files (measured
+    * ~N_tasks files per day dir at sf0.1 — the classic small-files trap,
+    * paid again by every downstream scan and by the erasure rewrites);
+    * the AQE rebalance clusters each day into as few tasks as its size
+    * needs AND splits a day bigger than the advisory partition size, so
+    * it is skew-safe where a plain repartition(y, m, d) would put one
+    * giant day on one task.
     */
   def writeSilver(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Append)
+    df.hint("rebalance", "year", "month", "day")
+      .write.mode(SaveMode.Append)
       .partitionBy("year", "month", "day")
       .option("compression", "snappy")
       .parquet(path)
@@ -70,7 +80,8 @@ object Sinks {
     * own granularity).
     */
   def overwriteSilverPartitions(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    df.hint("rebalance", "year", "month", "day") // see writeSilver
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("year", "month", "day")
       .option("compression", "snappy")

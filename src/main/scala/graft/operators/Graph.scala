@@ -710,33 +710,38 @@ object Graph {
     var layers = Vector(spark.createDataFrame(
         spark.sparkContext.parallelize(initRows.toSeq, 1), sigSchema)
       .localCheckpoint())
-    // packed visited bitmap: sig-nonzero bits of every layer so far,
-    // folded word-wise with codegen'd bit_or
-    val wordCols = (0 until nWords).map { w =>
-      expr(s"aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, j) -> " +
-        s"IF(${w * 64} + j < $n AND element_at(sig, ${w * 64} + j + 1) != 0, " +
-        s"acc | shiftleft(CAST(1 AS BIGINT), j), acc))").as(s"w$w")
-    }
-    val orAgg = (0 until nWords).map(w => expr(s"bit_or(w$w)").as(s"w$w"))
-    var visited = layers(0).select(col("v") +: wordCols: _*).localCheckpoint()
+    // visited state = CUMULATIVE per-seed path-count array (Σ of every
+    // earlier layer's sig, folded by the same typed vector sum the
+    // candidates use): seed i has reached v iff cum[i] != 0, so the
+    // first-reach mask is one zip_with over two plain ARRAY ATTRIBUTES.
+    // The r11 form packed visited into ⌈|S|/64⌉ bit words and re-tested
+    // them per element with a transform lambda over a freshly-CONCAT'd
+    // words array — CollapseProject inlines that concat into the lambda,
+    // so the 4-word array was REBUILT per element (|S|× per row):
+    // measured 9-45 s per BFS round at sf0.1 against ~1 s for everything
+    // else in the round. The cumulative-sum form was measured at
+    // interpreted-zip_with cost (~0.3 s/round) and keeps every value
+    // exact (layer path counts are nonnegative, so the cumulative sum is
+    // nonzero exactly where any layer's sig was).
+    var visited = layers(0).localCheckpoint()
+      .select(col("v"), col("sig").as("cum"))
     for (_ <- 1 to maxDepth) {
       val cand = e
         .join(layers.last.select(col("v").as("a"), col("sig")), Seq("a"))
         .groupBy(col("b").as("v"))
         .agg(org.apache.spark.sql.graftx.VectorSumExpressions
           .vectorSumLong(col("sig"), n).as("cand"))
-      val words = concat((0 until nWords)
-        .map(w => array(coalesce(col(s"w$w"), lit(0L)))): _*)
       val nf = cand.join(visited, Seq("v"), "left")
-        .withColumn("words", words)
-        .select(col("v"), expr("transform(cand, (x, i) -> " +
-          "IF((shiftright(element_at(words, CAST(i div 64 AS INT) + 1), " +
-          "CAST(i % 64 AS INT)) & 1) = 1, CAST(0 AS BIGINT), x))").as("sig"))
+        .select(col("v"), expr("CASE WHEN cum IS NULL THEN cand " +
+          "ELSE zip_with(cand, cum, (x, m) -> " +
+          "IF(m != 0L, CAST(0 AS BIGINT), x)) END").as("sig"))
         .filter(expr("exists(sig, x -> x != 0)"))
         .localCheckpoint()
       val nextVisited = visited
-        .unionByName(nf.select(col("v") +: wordCols: _*))
-        .groupBy(col("v")).agg(orAgg.head, orAgg.tail: _*)
+        .unionByName(nf.select(col("v"), col("sig").as("cum")))
+        .groupBy(col("v"))
+        .agg(org.apache.spark.sql.graftx.VectorSumExpressions
+          .vectorSumLong(col("cum"), n).as("cum"))
         .localCheckpoint()
       org.apache.spark.sql.graftx.CheckpointUtils
         .unpersistLocalCheckpoint(visited)
@@ -1210,12 +1215,17 @@ object Graph {
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
+      // the cross-edge count rides the checkpoint's own materialization
+      // (observe — the connectedComponentsStar pattern): the emptiness
+      // probe costs no second job
+      val crossObs = org.apache.spark.sql.Observation()
       val cross = e0
         .join(comp.select(col("vtx").as("u"), col("comp").as("cu")), Seq("u"))
         .join(comp.select(col("vtx").as("v"), col("comp").as("cv")), Seq("v"))
         .filter(col("cu") =!= col("cv"))
+        .observe(crossObs, count(lit(1)).as("n"))
         .localCheckpoint()
-      if (cross.isEmpty) {
+      if (crossObs.get("n").asInstanceOf[Long] == 0L) {
         done = true
         org.apache.spark.sql.graftx.CheckpointUtils
           .unpersistLocalCheckpoint(cross)
@@ -1245,9 +1255,13 @@ object Graph {
           .select(col("x.c").as("c"),
             when(col("y.t") === col("x.c") && col("x.t") > col("x.c"),
               col("x.c")).otherwise(col("x.t")).as("p"))
+        // the component count rides the checkpoint's own materialization
+        // (observe) — no separate count job for the doubling bound
+        val pmapObs = org.apache.spark.sql.Observation()
         var pmap = comp.select(col("comp").as("c")).distinct()
           .join(hooked, Seq("c"), "left")
           .withColumn("p", coalesce(col("p"), col("c")))
+          .observe(pmapObs, count(lit(1)).as("n"))
           .localCheckpoint()
         // chain depth is bounded by the live component count, so
         // ⌈log₂ comps⌉ doublings reach every root — a closed-form bound
@@ -1255,18 +1269,27 @@ object Graph {
         // jump, and it is NEVER truncated: stopping short leaves a merged
         // tree under multiple labels, which a later round can close into
         // a cycle
-        val needed =
-          64 - java.lang.Long.numberOfLeadingZeros(math.max(pmap.count() - 1, 1L))
+        val needed = 64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(pmapObs.get("n").asInstanceOf[Long] - 1, 1L))
+        // TWO doublings compose per materialization (stride ×4 per job):
+        // the self-join references the cached map 4× — scans of a tiny
+        // pinned table — but the JOB count halves, and at gate scales the
+        // jump loop is job-latency-bound, not scan-bound. Past the
+        // fixpoint extra jumps are idempotent (p(root) = root), so an odd
+        // `needed` needs no remainder step.
         var jump = 0
         while (jump < needed) {
-          val next = pmap.as("x")
+          val once = pmap.as("x")
             .join(pmap.as("y"), col("x.p") === col("y.c"))
+            .select(col("x.c").as("c"), col("y.p").as("p"))
+          val next = once.as("x")
+            .join(once.as("y"), col("x.p") === col("y.c"))
             .select(col("x.c").as("c"), col("y.p").as("p"))
             .localCheckpoint()
           org.apache.spark.sql.graftx.CheckpointUtils
             .unpersistLocalCheckpoint(pmap)
           pmap = next
-          jump += 1
+          jump += 2
         }
         // STATS REBASE (load-bearing): localCheckpoint PRESERVES the origin
         // plan's sizeInBytes, and the pointer-doubling self-join SQUARES it
@@ -1349,11 +1372,15 @@ object Graph {
         org.apache.spark.sql.types.StructField("scc_id",
           org.apache.spark.sql.types.LongType))))
     // a SEPARATE checkpoint from verts: the outer loop unpersists the old
-    // active set each round, and verts must survive to the final join
-    var active = verts.localCheckpoint()
+    // active set each round, and verts must survive to the final join.
+    // The active count rides each checkpoint's own materialization
+    // (observe) — per-round emptiness probes cost no extra job.
+    val obsA0 = org.apache.spark.sql.Observation()
+    var active = verts.observe(obsA0, count(lit(1)).as("n")).localCheckpoint()
+    var activeCount = obsA0.get("n").asInstanceOf[Long]
     var outer = 0
     var truncated = false
-    while (outer < outerRounds && !truncated && !active.isEmpty) {
+    while (outer < outerRounds && !truncated && activeCount != 0L) {
       val ea = e0
         .join(active.withColumnRenamed("v", "a"), Seq("a"))
         .join(active.withColumnRenamed("v", "b"), Seq("b"))
@@ -1362,21 +1389,38 @@ object Graph {
       // forward (descendant) closure; the stable flag travels with the
       // labels — assigning from a NON-fixpoint table would split a real
       // SCC across ids (stale-label members miss this round's flood and
-      // get a different id later), so callers must skip on !stable
+      // get a different id later), so callers must skip on !stable.
+      //
+      // Stability detection (r12) rides each round's OWN checkpoint as an
+      // observed exact set signature (count + xor of row hashes — the
+      // connectedComponentsStar pattern; (v, l) rows are distinct by the
+      // groupBy, so xor is a sound multiset fingerprint): labels only
+      // DECREASE under min-propagation, so signature-equal ⇔ fixpoint —
+      // the former per-round stability join job is gone. (A delta-
+      // frontier variant — join only last round's changed labels — was
+      // measured SLOWER here: the extra join + changed-flag plan cost
+      // more than the shrinking wavefront saved at these depths.)
       def propagate(): (DataFrame, Boolean) = {
         val (from, to) = ("a", "b")
         var lbl = active.withColumn("l", col("v")).localCheckpoint()
+        var sig: Option[(Long, Long)] = None
         var j = 0
         var stable = false
         while (j < propRounds && !stable) {
+          val obs = org.apache.spark.sql.Observation()
           val next = lbl
             .unionByName(ea
               .join(lbl.withColumnRenamed("v", to), Seq(to))
               .select(col(from).as("v"), col("l")))
             .groupBy(col("v")).agg(min(col("l")).as("l"))
+            .observe(obs, count(lit(1)).as("n"),
+              coalesce(call_function("bit_xor", xxhash64(col("v"), col("l"))),
+                lit(0L)).as("x"))
             .localCheckpoint()
-          stable = next.as("n").join(lbl.as("o"), Seq("v"))
-            .filter(col("n.l") =!= col("o.l")).isEmpty
+          val nextSig = Some((obs.get("n").asInstanceOf[Long],
+            obs.get("x").asInstanceOf[Long]))
+          stable = nextSig == sig
+          sig = nextSig
           org.apache.spark.sql.graftx.CheckpointUtils
             .unpersistLocalCheckpoint(lbl)
           lbl = next
@@ -1412,20 +1456,31 @@ object Graph {
         .filter(col("la") === col("lb"))
         .select(col("a"), col("b"))
         .localCheckpoint()
-      var reach = f.filter(col("v") === col("l")).select(col("v"))
+      // frontier-based flood (r12): only LAST round's newly-reached
+      // vertices can reach anything new, so the edge join runs against
+      // the frontier instead of the whole growing reach set, and the
+      // newly-reached count rides the checkpoint's materialization
+      // (observe) — emptiness IS the fixpoint test, no count jobs. The
+      // reached set is the union of the per-round frontiers (disjoint by
+      // construction: each round anti-joins what is already reached).
+      var frontier = f.filter(col("v") === col("l")).select(col("v"))
         .localCheckpoint()
+      var reachFrames = Vector(frontier)
+      def reach = reachFrames.reduce(_ unionByName _)
       var rj = 0
       var rStable = false
       while (rj < propRounds && !rStable) {
-        val next = reach.unionByName(
-            colorEdges.join(reach.withColumnRenamed("v", "a"), Seq("a"))
-              .select(col("b").as("v")))
-          .distinct()
+        val obs = org.apache.spark.sql.Observation()
+        val nf = colorEdges
+          .join(frontier.withColumnRenamed("v", "a"), Seq("a"))
+          .select(col("b").as("v")).distinct()
+          .join(reach, Seq("v"), "left_anti")
+          .observe(obs, count(lit(1)).as("n"))
           .localCheckpoint()
-        rStable = next.count() == reach.count() // monotone growing set
-        org.apache.spark.sql.graftx.CheckpointUtils
-          .unpersistLocalCheckpoint(reach)
-        reach = next
+        rStable = obs.get("n").asInstanceOf[Long] == 0L
+        if (rStable) org.apache.spark.sql.graftx.CheckpointUtils
+          .unpersistLocalCheckpoint(nf)
+        else { frontier = nf; reachFrames :+= nf }
         rj += 1
       }
       if (!rStable) {
@@ -1441,11 +1496,14 @@ object Graph {
           .select(col("v"), col("l").as("scc_id"))
           .localCheckpoint()
         assigned = assigned.unionByName(newly)
+        val obsA = org.apache.spark.sql.Observation()
         val nextActive = active.join(newly, Seq("v"), "left_anti")
+          .observe(obsA, count(lit(1)).as("n"))
           .localCheckpoint()
         org.apache.spark.sql.graftx.CheckpointUtils
           .unpersistLocalCheckpoint(active)
         active = nextActive
+        activeCount = obsA.get("n").asInstanceOf[Long]
       }
       // per-round scaffolding — nothing the result references
       Seq(reach, colorEdges, f, ea).foreach(
@@ -1453,8 +1511,8 @@ object Graph {
       }
       outer += 1
     }
-    if (!active.isEmpty)
-      System.err.println(s"[graft] scc: ${active.count()} vertices " +
+    if (activeCount != 0L)
+      System.err.println(s"[graft] scc: $activeCount vertices " +
         s"unresolved after $outer outer rounds — raise " +
         (if (truncated) "propRounds" else "outerRounds"))
     org.apache.spark.sql.graftx.CheckpointUtils.unpersistLocalCheckpoint(e0)
@@ -1493,7 +1551,12 @@ object Graph {
       .distinct()
       .localCheckpoint()
     val pri = struct(md5(col("vtx").cast("string")), col("vtx"))
-    var active = e.select(col("a").as("vtx")).distinct().localCheckpoint()
+    // the active count rides each checkpoint's own materialization
+    // (observe) — the per-round emptiness probe costs no extra job
+    val obs0 = org.apache.spark.sql.Observation()
+    var active = e.select(col("a").as("vtx")).distinct()
+      .observe(obs0, count(lit(1)).as("n")).localCheckpoint()
+    var activeCount = obs0.get("n").asInstanceOf[Long]
     var result = active.sparkSession.createDataFrame(
       active.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -1502,7 +1565,7 @@ object Graph {
         org.apache.spark.sql.types.StructField("mis_round",
           org.apache.spark.sql.types.LongType))))
     var round = 1
-    while (round <= maxRounds && !active.isEmpty) {
+    while (round <= maxRounds && activeCount != 0L) {
       // live edges: both endpoints active
       val live = e
         .join(active.withColumnRenamed("vtx", "a"), Seq("a"))
@@ -1521,20 +1584,23 @@ object Graph {
       val dominated = e
         .join(winners.withColumnRenamed("vtx", "a"), Seq("a"))
         .select(col("b").as("vtx")).distinct()
+      val obsN = org.apache.spark.sql.Observation()
       val nextActive = active
         .join(winners.unionByName(dominated).distinct(),
           Seq("vtx"), "left_anti")
+        .observe(obsN, count(lit(1)).as("n"))
         .localCheckpoint()
       org.apache.spark.sql.graftx.CheckpointUtils
         .unpersistLocalCheckpoint(active)
       active = nextActive
+      activeCount = obsN.get("n").asInstanceOf[Long]
       round += 1
     }
-    if (!active.isEmpty) {
+    if (activeCount != 0L) {
       // budget exhausted with undecided vertices: emitting them as 0
       // ("dominated") would silently break maximality — use a distinct
       // sentinel and warn (the scc convention)
-      System.err.println(s"[graft] lubyMis: ${active.count()} vertices " +
+      System.err.println(s"[graft] lubyMis: $activeCount vertices " +
         s"still active after $maxRounds rounds — emitted as mis_round -1 " +
         s"(undecided, NOT dominated); raise maxRounds")
       result = result.unionByName(

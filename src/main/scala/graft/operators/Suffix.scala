@@ -253,22 +253,32 @@ object Suffix {
     var done = maxLen <= 4 || n0 == g0
     val shift = 1L << 31
     while (!done && k < maxLen) {
-      // packed rank over [i, i+2k): r(i)·2³¹ + r(i+k)+1, absent +k → 0.
-      // d is NOT checkpointed: both uses re-derive it from cur's
-      // checkpoint through one narrow join — cheaper than a
-      // materialization job at latency-bound sizes
-      val at = cur.select(col("doc"), (col("off") - k).as("off"),
-        col("r").as("__rk"))
-      val d = cur.join(at, Seq("doc", "off"), "left")
-        .select(col("doc"), col("off"),
-          (col("r") * shift + coalesce(col("__rk") + 1L, lit(0L)))
-            .as("__d"))
-      // second key: the packed rank 2k later (absent → −1, below all)
-      val dAt = d.select(col("doc"), (col("off") - 2 * k).as("off"),
-        col("__d").as("__d2"))
-      val quad = d.join(dAt, Seq("doc", "off"), "left")
-        .select(col("doc"), col("off"), col("__d"),
-          coalesce(col("__d2"), lit(-1L)).as("__d2"))
+      // packed rank over [i, i+2k): r(i)·2³¹ + r(i+k)+1, absent +k → 0;
+      // second key = the same packed value 2k later (absent → −1, below
+      // all). Positions are DENSE within a doc (one row per offset
+      // 0..len−1, by construction of the explode), so the rank at
+      // (doc, off + j·k) is exactly lead(r, j·k) over (doc ORDER BY off):
+      // the former two narrow self-joins on (doc, off ± k) — four
+      // exchanges per round — are ONE per-doc window with three leads
+      // (r12, guide §2.4; one hash exchange on doc + one in-partition
+      // sort). Per-doc partitions bound the window: a doc's positions =
+      // its character count, the same per-unit state the maxPositions
+      // regime guard already documents.
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc")).orderBy(col("off"))
+      // k < maxLen ≤ Int.MaxValue (a string's length); the 3k lead must
+      // also fit an int — past that a doc would need >700M chars, far
+      // beyond the maxPositions regime guard, but fail loudly not weirdly
+      require(3L * k <= Int.MaxValue,
+        s"suffixArray: lead offset 3k = ${3L * k} exceeds Int.MaxValue")
+      val ki = k.toInt
+      val rk = lead(col("r"), ki).over(wd)
+      val r2k = lead(col("r"), 2 * ki).over(wd)
+      val r3k = lead(col("r"), 3 * ki).over(wd)
+      val quad = cur.select(col("doc"), col("off"),
+        (col("r") * shift + coalesce(rk + 1L, lit(0L))).as("__d"),
+        when(r2k.isNull, lit(-1L))
+          .otherwise(r2k * shift + coalesce(r3k + 1L, lit(0L))).as("__d2"))
       val prev = cur
       val (next, n1, g1) = groupRank(quad, "__d", "__d2", parts)
       cur = next

@@ -21,30 +21,50 @@ object Agreement {
     * in truncated micro-units (0 when the denominator is 0 — degenerate
     * marginals make kappa undefined).
     *
-    * Scale: votes melt to (id, lf, v) rows and self-join on the item id —
-    * co-partitioned, k²-fanout per item (k = |cols|, tiny) — then ONE
-    * map-combinable 6-counter aggregation per pair.
+    * Scale (r12): the panel is a handful of FIXED columns, so all
+    * |cols|·(|cols|−1)/2 pairs' 6 counters ride ONE map-combinable
+    * aggregation over the votes frame — no melt, no item-id self-join
+    * (the former shape scanned the votes plan twice through the join and
+    * shuffled the melted rows by item; this shape shuffles |pairs|·6
+    * longs total, whatever the item count). Pairs that never co-vote
+    * aggregate n = 0 and are dropped — exactly the rows the former
+    * inner join never produced.
     *
     * Output: (`lf_a`, `lf_b`, `n_items`, `n_agree`, `kappa_q`).
     */
   def cohenKappaPairs(votes: DataFrame, id: String,
       cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two annotators")
-    val long = votes.select(col(id).as("__id"),
-        explode(array(cols.map(c =>
-          struct(lit(c).as("lf"), col(c).cast("int").as("v"))): _*)).as("x"))
-      .select(col("__id"), col("x.lf").as("lf"), col("x.v").as("v"))
-      .filter(col("v") =!= 0)
-    long.as("a")
-      .join(long.as("b"),
-        col("a.__id") === col("b.__id") && col("a.lf") < col("b.lf"))
-      .groupBy(col("a.lf").as("lf_a"), col("b.lf").as("lf_b"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("a.v") === col("b.v"), 1L).otherwise(0L)).as("agree"),
-        sum(when(col("a.v") === 1, 1L).otherwise(0L)).as("ap"),
-        sum(when(col("a.v") === -1, 1L).otherwise(0L)).as("am"),
-        sum(when(col("b.v") === 1, 1L).otherwise(0L)).as("bp"),
-        sum(when(col("b.v") === -1, 1L).otherwise(0L)).as("bm"))
+    // unordered pairs under the NAME order — the same (lf_a < lf_b) the
+    // melted self-join produced
+    val pairs = (for {
+      a <- cols; b <- cols if a < b
+    } yield (a, b)).sortBy(identity)
+    def v(c: String) = col(c).cast("int")
+    val counters = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val both = v(a) =!= 0 && v(b) =!= 0
+      Seq(
+        sum(when(both, 1L).otherwise(0L)).as(s"n_$i"),
+        sum(when(both && v(a) === v(b), 1L).otherwise(0L)).as(s"agree_$i"),
+        sum(when(both && v(a) === 1, 1L).otherwise(0L)).as(s"ap_$i"),
+        sum(when(both && v(a) === -1, 1L).otherwise(0L)).as(s"am_$i"),
+        sum(when(both && v(b) === 1, 1L).otherwise(0L)).as(s"bp_$i"),
+        sum(when(both && v(b) === -1, 1L).otherwise(0L)).as(s"bm_$i"))
+    }
+    val one = votes.agg(counters.head, counters.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(a).as("lf_a"), lit(b).as("lf_b"),
+        coalesce(col(s"n_$i"), lit(0L)).as("n"),
+        coalesce(col(s"agree_$i"), lit(0L)).as("agree"),
+        coalesce(col(s"ap_$i"), lit(0L)).as("ap"),
+        coalesce(col(s"am_$i"), lit(0L)).as("am"),
+        coalesce(col(s"bp_$i"), lit(0L)).as("bp"),
+        coalesce(col(s"bm_$i"), lit(0L)).as("bm"))
+    }
+    one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+      .filter(col("n") > 0) // pairs with no co-voting item: the old inner
+                            // join emitted no row for them
       .select(col("lf_a"), col("lf_b"), col("n").as("n_items"),
         col("agree").as("n_agree"),
         // widened through DECIMAL(38,0): 10⁶·n² passes int64 at ~3M

@@ -25,6 +25,13 @@ object AnalyticQueries extends QueryPack {
     val op = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()
+    // NOTE (r12, measured and kept as-is): a canonical-half variant (join
+    // on a < b, distinct over half the pairs, mirror by projection +
+    // checkpoint) was tried per guide §2.3 — warm it is a WASH on the
+    // build (2.2 s both forms; the op distinct dominates) and ~1.2-1.4×
+    // WORSE for consumers (the union-of-checkpoint shape doubles the
+    // scan partition count and costs LPA/conductance more than the
+    // halved distinct saves). Reverted; evidence in OPTIMIZATION_r12.md.
     op.as("x")
       .join(op.as("y"), col("x.ok") === col("y.ok") && col("x.p") =!= col("y.p"))
       .select(col("x.p").as("a"), col("y.p").as("b"))
@@ -38,10 +45,19 @@ object AnalyticQueries extends QueryPack {
     */
   private def supplierGraph(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
+    // pre-aggregate to one (sk, pk, min cents) row BEFORE the per-part
+    // self-join: for a pair (u, v) sharing pk the joined line items range
+    // over u's and v's pk-shipments INDEPENDENTLY, so
+    //   min over pairs (cents_x + cents_y)
+    //     = min_pk (min cents of u at pk + min cents of v at pk)
+    // — row-for-row the same w_q, with the join fan-out shrunk from
+    // |lineitem|² per part to |distinct (sk, pk)|² per part (guide §2.3:
+    // aggregate before you shuffle; the self-join is the exchange here)
     val sp = Tables.load(s, dir, "lineitem")
       .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"),
         floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
           .as("cents"))
+      .groupBy(col("sk"), col("pk")).agg(min(col("cents")).as("cents"))
     sp.as("x")
       .join(sp.as("y"),
         col("x.pk") === col("y.pk") && col("x.sk") < col("y.sk"))

@@ -162,7 +162,8 @@ object PipelineQueries extends QueryPack {
       for (i <- 0 until 3) {
         val batch = base.filter(pmod(col("month"), lit(3)) === i)
           .localCheckpoint()
-        batch.write.mode("overwrite")
+        batch.hint("rebalance", "year", "month", "day") // see Sinks.writeSilver
+          .write.mode("overwrite")
           .partitionBy("year", "month", "day")
           .option("compression", "snappy")
           .parquet(s"$tmp/silver/batch=$i")
@@ -227,7 +228,8 @@ object PipelineQueries extends QueryPack {
       val cfg = graft.config.PipelineConfig(
         rawPath = tmp, silverPath = s"$tmp/silver", goldPath = s"$tmp/gold",
         clock = Some(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
-      base.write.partitionBy("year", "month", "day")
+      base.hint("rebalance", "year", "month", "day") // see Sinks.writeSilver
+        .write.partitionBy("year", "month", "day")
         .option("compression", "snappy").parquet(cfg.silverPath)
       SilverToGold.run(s, cfg)
       val erased = base
@@ -360,7 +362,8 @@ object PipelineQueries extends QueryPack {
       val cfg = graft.config.PipelineConfig(
         rawPath = tmp, silverPath = s"$tmp/silver", goldPath = s"$tmp/gold",
         clock = Some(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
-      base.write.partitionBy("year", "month", "day")
+      base.hint("rebalance", "year", "month", "day") // see Sinks.writeSilver
+        .write.partitionBy("year", "month", "day")
         .option("compression", "snappy").parquet(cfg.silverPath)
       SilverToGold.run(s, cfg)
       val erased = base
