@@ -36,9 +36,17 @@ object SilverToGold {
         .filter("year IS NOT NULL")
       val customer = Aggregations.customerInsights(projected, cfg.approxDistinct)
         .withColumn("created_at", createdAt)
-      Sinks.writeGoldDaily(daily, cfg.goldDailyPath)
-      Sinks.writeGoldMonthly(monthly, cfg.goldMonthlyPath)
-      Sinks.writeGoldCustomer(customer, cfg.goldCustomerPath)
+      // the three sinks are independent (three aggregations of the SAME
+      // persisted projection, three disjoint output paths) — overlap them
+      // (guide §2.6): the monthly/customer jobs back-fill the executors the
+      // daily write's tail frees, and on a cluster the three per-job
+      // scheduling round-trips overlap. Concurrent first-materialization of
+      // `projected` is safe: the block manager computes each cached
+      // partition once under a per-block lock.
+      graft.orchestration.Par.run(Seq(
+        () => Sinks.writeGoldDaily(daily, cfg.goldDailyPath),
+        () => Sinks.writeGoldMonthly(monthly, cfg.goldMonthlyPath),
+        () => Sinks.writeGoldCustomer(customer, cfg.goldCustomerPath)))
     } finally projected.unpersist()
   }
 
@@ -172,10 +180,13 @@ object SilverToGold {
       .distinct().localCheckpoint()
     try {
       val haveSilver = exists(cfg.silverPath)
-      // the erased rows' SILVER partition footprint WITH row counts (the
-      // provenance card rides the same scan): bounded driver state.
-      // Nulls collected, not filtered — they must fail, not survive.
-      val silverCounts: Seq[((Int, Int, Int), Long)] =
+      // the subject's footprint scans — silver (WITH row counts: the
+      // provenance card rides the same scan), gold daily, gold monthly,
+      // and the provenance customer-row count — are four INDEPENDENT
+      // read-only jobs over four different tables: run them concurrently
+      // (guide §2.6) instead of paying four sequential job round-trips.
+      // Nulls are collected, not filtered — they must fail, not survive.
+      def silverCountsThunk(): Seq[((Int, Int, Int), Long)] =
         if (!haveSilver) Nil else {
           val rows = Sources.silverParquet(spark, cfg.silverPath)
             .join(broadcast(keys), Seq("customer_id"), "left_semi")
@@ -193,10 +204,9 @@ object SilverToGold {
           complete.map(r =>
             ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toSeq
         }
-      val silverTriples: Seq[(Int, Int, Int)] = silverCounts.map(_._1)
       // the subject's GOLD footprint — the retry path's source of truth
       // after a crash that already rewrote silver
-      val goldPairCounts: Seq[((Int, Int), Long)] =
+      def goldPairCountsThunk(): Seq[((Int, Int), Long)] =
         if (!exists(cfg.goldDailyPath)) Nil
         else spark.read.parquet(cfg.goldDailyPath)
           .join(broadcast(keys), Seq("customer_id"), "left_semi")
@@ -205,8 +215,7 @@ object SilverToGold {
             org.apache.spark.sql.functions.lit(1)).as("__n"))
           .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
           .toSeq
-      val goldPairs: Seq[(Int, Int)] = goldPairCounts.map(_._1)
-      val goldYearCounts: Seq[(Int, Long)] =
+      def goldYearCountsThunk(): Seq[(Int, Long)] =
         if (!exists(cfg.goldMonthlyPath)) Nil
         else spark.read.parquet(cfg.goldMonthlyPath)
           .join(broadcast(keys), Seq("customer_id"), "left_semi")
@@ -214,6 +223,22 @@ object SilverToGold {
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("__n"))
           .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      def custCountThunk(): Option[Long] =
+        if (provenance.isEmpty || !exists(cfg.goldCustomerPath)) None
+        else Some(spark.read.parquet(cfg.goldCustomerPath)
+          .join(broadcast(keys), Seq("customer_id"), "left_semi")
+          .count())
+      val footprints = graft.orchestration.Par.eval[Any](Seq(
+        () => silverCountsThunk(), () => goldPairCountsThunk(),
+        () => goldYearCountsThunk(), () => custCountThunk()))
+      val silverCounts =
+        footprints(0).asInstanceOf[Seq[((Int, Int, Int), Long)]]
+      val goldPairCounts =
+        footprints(1).asInstanceOf[Seq[((Int, Int), Long)]]
+      val goldYearCounts = footprints(2).asInstanceOf[Seq[(Int, Long)]]
+      val custCount = footprints(3).asInstanceOf[Option[Long]]
+      val silverTriples: Seq[(Int, Int, Int)] = silverCounts.map(_._1)
+      val goldPairs: Seq[(Int, Int)] = goldPairCounts.map(_._1)
       val goldYears: Seq[Int] = goldYearCounts.map(_._1)
       // erasure provenance card: counts MEASURED here, before any
       // mutation destroys the evidence — but written only after every
@@ -225,11 +250,7 @@ object SilverToGold {
           case None => Nil
           case Some((_, epoch)) =>
             val custRows: Seq[(Long, String, String, Long)] =
-              if (!exists(cfg.goldCustomerPath)) Nil
-              else Seq((epoch, "gold_customer", "",
-                spark.read.parquet(cfg.goldCustomerPath)
-                  .join(broadcast(keys), Seq("customer_id"), "left_semi")
-                  .count()))
+              custCount.toSeq.map(n => (epoch, "gold_customer", "", n))
             silverCounts.map { case ((y, m, d), n) =>
               (epoch, "silver", s"year=$y/month=$m/day=$d", n) } ++
               goldPairCounts.map { case ((y, m), n) =>
@@ -238,6 +259,15 @@ object SilverToGold {
                 (epoch, "gold_monthly", s"year=$y", n) } ++
               custRows
         }
+      // touched gold partitions (silver ∪ gold footprint) re-aggregate
+      // from the REWRITTEN silver
+      val pairs = (silverTriples.map(t => (t._1, t._2)) ++ goldPairs).distinct
+      val years = (pairs.map(_._1) ++ goldYears).distinct
+      // silver rewrite → gold re-aggregation is a dependent chain (gold
+      // recomputes from the REWRITTEN silver); the customer-table key
+      // delete below touches a table no step of that chain reads or
+      // writes, so the two run concurrently (guide §2.6)
+      def silverAndGoldPhase(): Unit = {
       if (silverTriples.nonEmpty) {
         val silver = Sources.silverParquet(spark, cfg.silverPath)
         val dayPred = silverTriples.map { case (y, m, d) =>
@@ -257,10 +287,6 @@ object SilverToGold {
         } finally org.apache.spark.sql.graftx.CheckpointUtils
           .unpersistLocalCheckpoint(retained)
       }
-      // touched gold partitions (silver ∪ gold footprint) re-aggregate
-      // from the REWRITTEN silver
-      val pairs = (silverTriples.map(t => (t._1, t._2)) ++ goldPairs).distinct
-      val years = (pairs.map(_._1) ++ goldYears).distinct
       if (!haveSilver) {
         // no silver to recompute from: other customers' aggregates in the
         // touched partitions must survive, so drop ONLY the subject's gold
@@ -286,17 +312,20 @@ object SilverToGold {
           } finally org.apache.spark.sql.graftx.CheckpointUtils
             .unpersistLocalCheckpoint(retained)
         }
-        if (goldPairs.nonEmpty)
-          antiRewrite(cfg.goldDailyPath,
-            goldPairs.map { case (y, m) =>
-              col("year") === y && col("month") === m }.reduce(_ || _),
-            Sinks.overwriteGoldDailyPartitions,
-            Seq("year", "month"), goldPairs.map(p => Seq(p._1, p._2)).toSet)
-        if (goldYears.nonEmpty)
-          antiRewrite(cfg.goldMonthlyPath,
-            col("year").isin(goldYears: _*),
-            Sinks.overwriteGoldMonthlyPartitions,
-            Seq("year"), goldYears.map(Seq(_)).toSet)
+        // the two anti-rewrites touch disjoint tables — overlap them
+        graft.orchestration.Par.run(Seq(
+          () => if (goldPairs.nonEmpty)
+            antiRewrite(cfg.goldDailyPath,
+              goldPairs.map { case (y, m) =>
+                col("year") === y && col("month") === m }.reduce(_ || _),
+              Sinks.overwriteGoldDailyPartitions,
+              Seq("year", "month"),
+              goldPairs.map(p => Seq(p._1, p._2)).toSet),
+          () => if (goldYears.nonEmpty)
+            antiRewrite(cfg.goldMonthlyPath,
+              col("year").isin(goldYears: _*),
+              Sinks.overwriteGoldMonthlyPartitions,
+              Seq("year"), goldYears.map(Seq(_)).toSet)))
       } else if (pairs.nonEmpty) {
         val ymPred = pairs.map { case (y, m) =>
           col("year") === y && col("month") === m }.reduce(_ || _)
@@ -313,26 +342,39 @@ object SilverToGold {
             .withColumn("created_at", createdAt)
           val monthly = Aggregations.monthly(projected, cfg.approxDistinct)
             .withColumn("created_at", createdAt)
-          Sinks.overwriteGoldDailyPartitions(daily, cfg.goldDailyPath)
-          Sinks.overwriteGoldMonthlyPartitions(monthly, cfg.goldMonthlyPath)
-          // gold partitions the erasure emptied entirely
-          val dailyStill = projected.filter(ymPred)
-            .select("year", "month").distinct()
-            .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
-          Sinks.deletePartitionDirs(spark, cfg.goldDailyPath,
-            pairs.filterNot(dailyStill).map { case (y, m) =>
-              s"year=$y/month=$m" })
-          val monthlyStill = projected.select("year").distinct()
-            .collect().map(_.getInt(0)).toSet
-          Sinks.deletePartitionDirs(spark, cfg.goldMonthlyPath,
-            years.filterNot(monthlyStill).map(y => s"year=$y"))
+          // daily and monthly chains (re-agg write + emptied-partition
+          // drop) touch disjoint gold tables from the SAME persisted
+          // projection — overlap them (guide §2.6); the block manager
+          // computes each cached partition once under a per-block lock
+          graft.orchestration.Par.run(Seq(
+            () => {
+              Sinks.overwriteGoldDailyPartitions(daily, cfg.goldDailyPath)
+              // gold partitions the erasure emptied entirely
+              val dailyStill = projected.filter(ymPred)
+                .select("year", "month").distinct()
+                .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+              Sinks.deletePartitionDirs(spark, cfg.goldDailyPath,
+                pairs.filterNot(dailyStill).map { case (y, m) =>
+                  s"year=$y/month=$m" })
+            },
+            () => {
+              Sinks.overwriteGoldMonthlyPartitions(monthly,
+                cfg.goldMonthlyPath)
+              val monthlyStill = projected.select("year").distinct()
+                .collect().map(_.getInt(0)).toSet
+              Sinks.deletePartitionDirs(spark, cfg.goldMonthlyPath,
+                years.filterNot(monthlyStill).map(y => s"year=$y"))
+            }))
         } finally projected.unpersist()
+      }
       }
       // the customer table row is a pure key delete (a merge cannot
       // remove keys that no longer have any rows) — UNCONDITIONAL, so an
       // empty or already-clean silver still erases the aggregate row
-      Sinks.deleteGoldCustomerKeys(spark, keys, "customer_id",
-        cfg.goldCustomerPath)
+      graft.orchestration.Par.run(Seq(
+        () => silverAndGoldPhase(),
+        () => Sinks.deleteGoldCustomerKeys(spark, keys, "customer_id",
+          cfg.goldCustomerPath)))
       // every tier's mutation succeeded: publish the card
       provenance.foreach { case (path, _) =>
         import spark.implicits._

@@ -1392,18 +1392,22 @@ object Graph {
       // get a different id later), so callers must skip on !stable.
       //
       // Stability detection (r12) rides each round's OWN checkpoint as an
-      // observed exact set signature (count + xor of row hashes — the
-      // connectedComponentsStar pattern; (v, l) rows are distinct by the
-      // groupBy, so xor is a sound multiset fingerprint): labels only
-      // DECREASE under min-propagation, so signature-equal ⇔ fixpoint —
-      // the former per-round stability join job is gone. (A delta-
-      // frontier variant — join only last round's changed labels — was
-      // measured SLOWER here: the extra join + changed-flag plan cost
-      // more than the shrinking wavefront saved at these depths.)
+      // observed EXACT monotone invariant (r13, VERDICT r12 ask #7): the
+      // vertex set is constant across rounds (every v reappears in the
+      // union's left leg) and labels only DECREASE under min-propagation,
+      // so (count, Σ l as DECIMAL(38,0)) unchanged ⇔ no label moved ⇔
+      // fixpoint — exactly, with no hash-collision bound (the r12 form
+      // compared count + bit_xor(xxhash64(v, l)), sound only up to a
+      // ~2⁻⁶⁴/round collision between successive label multisets). Same
+      // cost: one extra observed aggregate riding the checkpoint job; the
+      // former per-round stability join is still gone. (A delta-frontier
+      // variant — join only last round's changed labels — was measured
+      // SLOWER here: the extra join + changed-flag plan cost more than
+      // the shrinking wavefront saved at these depths.)
       def propagate(): (DataFrame, Boolean) = {
         val (from, to) = ("a", "b")
         var lbl = active.withColumn("l", col("v")).localCheckpoint()
-        var sig: Option[(Long, Long)] = None
+        var sig: Option[(Long, BigDecimal)] = None
         var j = 0
         var stable = false
         while (j < propRounds && !stable) {
@@ -1414,11 +1418,11 @@ object Graph {
               .select(col(from).as("v"), col("l")))
             .groupBy(col("v")).agg(min(col("l")).as("l"))
             .observe(obs, count(lit(1)).as("n"),
-              coalesce(call_function("bit_xor", xxhash64(col("v"), col("l"))),
-                lit(0L)).as("x"))
+              coalesce(sum(col("l").cast("decimal(38,0)")),
+                lit(0).cast("decimal(38,0)")).as("x"))
             .localCheckpoint()
           val nextSig = Some((obs.get("n").asInstanceOf[Long],
-            obs.get("x").asInstanceOf[Long]))
+            BigDecimal(obs.get("x").asInstanceOf[java.math.BigDecimal])))
           stable = nextSig == sig
           sig = nextSig
           org.apache.spark.sql.graftx.CheckpointUtils
